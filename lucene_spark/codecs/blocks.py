@@ -1,0 +1,162 @@
+"""Postings block encode/decode + block-max impact skylines.
+
+Mirrors the *semantics* of the reference's block postings format
+(lucene/core/src/java/org/apache/lucene/codecs/lucene103/):
+
+- 128-doc blocks (Lucene103PostingsFormat.java:343);
+- full blocks: docid deltas either FOR-packed, unary bitset, or the
+  "consecutive" special case, chosen by the same storage-cost rule
+  (Lucene103PostingsWriter.java:421-455); freqs PFOR-packed (:458);
+- tail blocks (<128 docs): VByte (PostingsUtil.writeVIntBlock analog, :391-394);
+- per-block competitive (freq, norm) skyline
+  (codecs/CompetitiveImpactAccumulator.java:104-125);
+- level-1 rollup of impacts every 32 blocks (Lucene103PostingsWriter.java:480-532)
+  is represented by ``merge_skylines`` over a block group;
+- singleton pulsing (df==1 -> docid inlined in the term dict, no blocks;
+  Lucene103PostingsWriter.java:564-571) is handled by the index builder.
+
+A block row is a plain dict so the Spark side can emit it straight into an
+Arrow record batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import BLOCK_SIZE
+from .intcodecs import (
+    bits_required,
+    bitset_decode,
+    bitset_encode,
+    for_pack,
+    for_unpack,
+    pfor_decode,
+    pfor_encode,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+__all__ = [
+    "ENC_CONSECUTIVE",
+    "ENC_FOR_DELTA",
+    "ENC_BITSET",
+    "ENC_VBYTE_TAIL",
+    "skyline",
+    "merge_skylines",
+    "encode_term_postings",
+    "decode_block_docids",
+    "decode_block_freqs",
+]
+
+ENC_CONSECUTIVE = 0  # docRange == n_docs: docids are base+1 .. base+n
+ENC_FOR_DELTA = 1    # FOR-packed deltas (delta[0] relative to base)
+ENC_BITSET = 2       # unary bitmap over (base, last_docid]
+ENC_VBYTE_TAIL = 3   # VByte deltas (tail block)
+
+
+def skyline(freqs: np.ndarray, norms: np.ndarray) -> list[tuple[int, int]]:
+    """Competitive (freq, norm) pairs: for each norm byte the max freq,
+    keeping only pairs with freq strictly greater than every lower norm's
+    (CompetitiveImpactAccumulator.getCompetitiveFreqNormPairs semantics).
+
+    Returns pairs ordered by increasing freq and increasing norm.
+    """
+    max_freqs = np.zeros(256, dtype=np.int64)
+    np.maximum.at(max_freqs, np.asarray(norms, dtype=np.int64) & 0xFF,
+                  np.asarray(freqs, dtype=np.int64))
+    out: list[tuple[int, int]] = []
+    best = 0
+    for norm in np.flatnonzero(max_freqs):
+        f = int(max_freqs[norm])
+        if f > best:
+            out.append((f, int(norm)))
+            best = f
+    return out
+
+
+def merge_skylines(skylines: list[list[tuple[int, int]]]) -> list[tuple[int, int]]:
+    """Union skylines (level-1 rollup / merge accumulation)."""
+    if not skylines:
+        return []
+    freqs = np.array([f for s in skylines for (f, _) in s], dtype=np.int64)
+    norms = np.array([n for s in skylines for (_, n) in s], dtype=np.int64)
+    if freqs.size == 0:
+        return []
+    return skyline(freqs, norms)
+
+
+def _encode_full_block(deltas: np.ndarray, base: int, last: int) -> tuple[int, bytes]:
+    """Pick the storage-cheapest encoding for a full 128-doc block
+    (decision rule of Lucene103PostingsWriter.java:428-455)."""
+    n = deltas.size
+    doc_range = last - base
+    if doc_range == n:
+        return ENC_CONSECUTIVE, b""
+    width = bits_required(deltas)
+    bits_for = min(32, width + 1) * n  # "next number of bits per value" bias
+    if bits_for <= doc_range:
+        return ENC_FOR_DELTA, for_pack(deltas, width) + bytes([width])
+    return ENC_BITSET, bitset_encode(base + np.cumsum(deltas), base)
+
+
+def encode_term_postings(
+    docids: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> list[dict]:
+    """Encode one term's postings (sorted unique docids) into block rows."""
+    docids = np.asarray(docids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    n = docids.size
+    rows: list[dict] = []
+    base = -1
+    for block_no, start in enumerate(range(0, n, BLOCK_SIZE)):
+        end = min(start + BLOCK_SIZE, n)
+        d = docids[start:end]
+        f = freqs[start:end]
+        m = norms[start:end]
+        deltas = np.diff(d, prepend=base)
+        first, last = int(d[0]), int(d[-1])
+        if d.size < BLOCK_SIZE:
+            enc, payload = ENC_VBYTE_TAIL, vbyte_encode(deltas)
+            freqs_enc = vbyte_encode(f)
+        else:
+            enc, payload = _encode_full_block(deltas, base, last)
+            freqs_enc = pfor_encode(f)
+        rows.append(
+            {
+                "block_no": block_no,
+                "n_docs": int(d.size),
+                "base_docid": int(base),
+                "first_docid": first,
+                "last_docid": last,
+                "encoding": enc,
+                "docids_enc": payload,
+                "freqs_enc": freqs_enc,
+                "impacts": skyline(f, m),
+            }
+        )
+        base = last
+    return rows
+
+
+def decode_block_docids(
+    encoding: int, payload: bytes, n_docs: int, base_docid: int, last_docid: int
+) -> np.ndarray:
+    """Decode a block row back to absolute docids."""
+    if encoding == ENC_CONSECUTIVE:
+        return np.arange(base_docid + 1, base_docid + 1 + n_docs, dtype=np.int64)
+    if encoding == ENC_FOR_DELTA:
+        width = payload[-1]
+        deltas = for_unpack(payload[:-1], n_docs, width)
+        return base_docid + np.cumsum(deltas)
+    if encoding == ENC_BITSET:
+        return bitset_decode(payload, base_docid)
+    if encoding == ENC_VBYTE_TAIL:
+        return base_docid + np.cumsum(vbyte_decode(payload, n_docs))
+    raise ValueError(f"unknown encoding {encoding}")
+
+
+def decode_block_freqs(encoding: int, freqs_enc: bytes, n_docs: int) -> np.ndarray:
+    if encoding == ENC_VBYTE_TAIL:
+        return vbyte_decode(freqs_enc, n_docs)
+    return pfor_decode(freqs_enc, n_docs)

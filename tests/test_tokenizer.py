@@ -1,0 +1,99 @@
+"""Golden tokenizations (TestStandardAnalyzer analog, FIXTURES.md §3.2)."""
+
+import pytest
+
+from lucene_spark.analysis.tokenizer import analyze, tokenize
+from lucene_spark.constants import ENGLISH_STOP_WORDS
+
+
+def terms(text, **kw):
+    return [t.term for t in analyze(text, **kw)]
+
+
+def positions(text, **kw):
+    return [(t.term, t.position) for t in analyze(text, **kw)]
+
+
+def test_basic_alphanum():
+    assert terms("Hello, World!") == ["hello", "world"]
+    assert terms("FooBAR camelCase") == ["foobar", "camelcase"]
+
+
+def test_numerics():
+    assert terms("3.14 is pi, top-100 list, 1,024 bytes") == [
+        "3.14", "is", "pi", "top", "100", "list", "1,024", "bytes",
+    ]
+
+
+def test_apostrophes():
+    assert terms("O'Neil's book, don't") == ["o'neil's", "book", "don't"]
+
+
+def test_mid_dot_joins_letters():
+    # UAX#29 WB6/7: FULL STOP between letters does not break
+    assert terms("visit example.com now") == ["visit", "example.com", "now"]
+
+
+def test_underscore_extendnumlet():
+    assert terms("snake_case_name x_1") == ["snake_case_name", "x_1"]
+
+
+def test_cjk_single_char_tokens():
+    assert terms("日本語") == ["日", "本", "語"]
+    assert terms("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert terms("カタカナ run") == ["カタカナ", "run"]
+    assert terms("안녕하세요 세계") == ["안녕하세요", "세계"]
+
+
+def test_emoji():
+    got = [t.type for t in tokenize("🙂 🇺🇸🇫🇷 👩‍🔬")]
+    assert got == ["<EMOJI>"] * 4
+    assert terms("🇺🇸🇫🇷") == ["🇺🇸", "🇫🇷"]  # flags pair up (WB15/16)
+
+
+def test_max_token_length_skip_increments_position():
+    # StandardTokenizer.java:152-175: long token skipped, position advances
+    text = ("x" * 300) + " after"
+    assert positions(text) == [("after", 1)]
+    text2 = "before " + ("y" * 256) + " after"
+    assert positions(text2) == [("before", 0), ("after", 2)]
+
+
+def test_stopword_positions_preserved():
+    got = positions("the quick brown fox", stopwords=ENGLISH_STOP_WORDS)
+    assert got == [("quick", 1), ("brown", 2), ("fox", 3)]
+
+
+def test_empty_and_punct_only():
+    assert terms("") == []
+    assert terms("!!! --- ...") == []
+    assert terms("   \n\t  ") == []
+
+
+def test_default_no_stopwords():
+    # StandardAnalyzer() defaults to the empty stop set
+    assert terms("the quick") == ["the", "quick"]
+
+
+def test_combining_accents():
+    assert terms("café café") == ["café", "café"]
+
+
+def test_offsets():
+    toks = analyze("ab cd")
+    assert [(t.start, t.end) for t in toks] == [(0, 2), (3, 5)]
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("B2B", ["b2b"]),
+        ("2B", ["2b"]),
+        ("QUICK brown-FOX", ["quick", "brown", "fox"]),
+        ("C3PO R2D2", ["c3po", "r2d2"]),
+        ("1.2.3.4", ["1.2.3.4"]),
+        ("a:b", ["a", "b"]),  # colon is not MidLetter since Unicode 8
+    ],
+)
+def test_golden_mixed(text, want):
+    assert terms(text) == want
