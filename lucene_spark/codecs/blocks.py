@@ -46,6 +46,8 @@ __all__ = [
     "encode_term_postings",
     "decode_block_docids",
     "decode_block_freqs",
+    "encode_positions",
+    "decode_positions",
 ]
 
 ENC_CONSECUTIVE = 0  # docRange == n_docs: docids are base+1 .. base+n
@@ -99,14 +101,57 @@ def _encode_full_block(deltas: np.ndarray, base: int, last: int) -> tuple[int, b
     return ENC_BITSET, bitset_encode(base + np.cumsum(deltas), base)
 
 
+def encode_positions(freqs: np.ndarray, positions: np.ndarray) -> bytes:
+    """Encode per-doc position lists for one block (.pos analog).
+
+    ``positions`` is the flat concatenation of each doc's sorted positions;
+    ``freqs`` gives the per-doc counts (the split points). Each doc's run is
+    delta-encoded with its first position absolute, then the whole run is
+    VByte-packed (Lucene103PostingsWriter writes position deltas the same
+    way, Lucene103PostingsWriter.java:299-340).
+    """
+    positions = np.asarray(positions, dtype=np.int64)
+    if positions.size == 0:
+        return b""
+    deltas = np.diff(positions, prepend=0)
+    starts = np.zeros(positions.size, dtype=bool)
+    starts[np.cumsum(np.asarray(freqs, dtype=np.int64))[:-1]] = True
+    starts[0] = True
+    deltas[starts] = positions[starts]
+    return vbyte_encode(deltas)
+
+
+def decode_positions(data: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`; returns the flat positions."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    deltas = vbyte_decode(data, total)
+    cs = np.cumsum(deltas)
+    bounds = np.cumsum(freqs)[:-1]
+    corrections = np.repeat(
+        np.concatenate(([0], cs[bounds - 1])), np.diff(np.concatenate(([0], bounds, [total])))
+    )
+    return cs - corrections
+
+
 def encode_term_postings(
-    docids: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+    docids: np.ndarray,
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    positions: np.ndarray | None = None,
 ) -> list[dict]:
-    """Encode one term's postings (sorted unique docids) into block rows."""
+    """Encode one term's postings (sorted unique docids) into block rows.
+
+    ``positions``, when given, is the flat concatenation of per-doc position
+    lists aligned with ``docids``/``freqs``.
+    """
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
     n = docids.size
+    pos_bounds = np.concatenate(([0], np.cumsum(freqs))) if positions is not None else None
     rows: list[dict] = []
     base = -1
     for block_no, start in enumerate(range(0, n, BLOCK_SIZE)):
@@ -122,6 +167,11 @@ def encode_term_postings(
         else:
             enc, payload = _encode_full_block(deltas, base, last)
             freqs_enc = pfor_encode(f)
+        positions_enc = None
+        if positions is not None:
+            positions_enc = encode_positions(
+                f, positions[pos_bounds[start] : pos_bounds[end]]
+            )
         rows.append(
             {
                 "block_no": block_no,
@@ -132,6 +182,8 @@ def encode_term_postings(
                 "encoding": enc,
                 "docids_enc": payload,
                 "freqs_enc": freqs_enc,
+                "norms_enc": bytes(bytearray(int(x) & 0xFF for x in m)),
+                "positions_enc": positions_enc,
                 "impacts": skyline(f, m),
             }
         )

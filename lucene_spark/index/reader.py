@@ -1,0 +1,125 @@
+"""Read-side view of an index directory (DirectoryReader analog).
+
+Collection-global statistics are summed across segments exactly like
+``IndexSearcher.collectionStatistics`` sums across leaves (reference:
+lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:1140-1150) —
+IDF/avgdl are collection-wide, so any per-segment shortcut would break rank
+identity with the reference.
+
+All driver-side collects here are *planning-sized*: per-query terms (a
+handful of rows from term_dict via predicate-pushdown parquet scans) and the
+segment manifest (one row per segment). Postings are never collected.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["IndexReader"]
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def _table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/{name}")
+
+    @cached_property
+    def docmap(self) -> DataFrame:
+        return self._table("docmap")
+
+    @cached_property
+    def postings(self) -> DataFrame:
+        return self._table("postings")
+
+    @cached_property
+    def term_dict(self) -> DataFrame:
+        return self._table("term_dict")
+
+    @cached_property
+    def field_stats(self) -> DataFrame:
+        return self._table("field_stats")
+
+    @cached_property
+    def manifest_rows(self) -> list[dict]:
+        rows = self._table("segment_manifest").collect()
+        return sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])
+
+    @cached_property
+    def doc_bases(self) -> dict[int, int]:
+        return {r["segment_id"]: r["doc_base"] for r in self.manifest_rows}
+
+    @cached_property
+    def global_stats(self) -> tuple[int, int]:
+        """(doc_count, sum_total_term_freq) across all segments."""
+        row = self.field_stats.agg(
+            F.sum("doc_count").alias("dc"), F.sum("sum_ttf").alias("sttf")
+        ).collect()[0]
+        return int(row["dc"] or 0), int(row["sttf"] or 0)
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (docFreq, totalTermFreq) per term (TermStatistics analog)."""
+        if not terms:
+            return {}
+        rows = (
+            self.term_dict.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def expand_terms(
+        self,
+        prefix: str | None = None,
+        pattern: str | None = None,
+        low: str | None = None,
+        high: str | None = None,
+        max_terms: int = 128,
+    ) -> list[str]:
+        """MultiTermQuery expansion (PrefixQuery/RegexpQuery/TermRangeQuery →
+        SHOULD terms, ScoringRewrite/TopTermsRewrite analog). Ranked by
+        global df desc so a cap keeps the highest-df terms
+        (TopTermsRewrite.java heap semantics)."""
+        td = self.term_dict
+        if prefix is not None:
+            td = td.filter(F.col("term").startswith(prefix))
+        if pattern is not None:
+            td = td.filter(F.col("term").rlike(pattern))
+        if low is not None:
+            td = td.filter(F.col("term") >= low)
+        if high is not None:
+            td = td.filter(F.col("term") <= high)
+        rows = (
+            td.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def singleton_rows(self, terms: list[str]) -> list[dict]:
+        """Pulsed (df==1) postings for the given terms, tiny by construction."""
+        if not terms:
+            return []
+        rows = (
+            self.term_dict.filter(
+                F.col("term").isin(terms) & F.col("singleton_docid").isNotNull()
+            )
+            .select(
+                "segment_id",
+                "term",
+                "singleton_docid",
+                "singleton_freq",
+                "singleton_norm",
+                "singleton_positions",
+            )
+            .collect()
+        )
+        return [r.asDict() for r in rows]

@@ -105,6 +105,65 @@ class PyIndex:
             excl.update(d for d, _, _ in self.postings.get(t, ()))
         return topk_sort([(d, s) for d, s in hits.items() if d not in excl], k)
 
+    def phrase_scores(self, phrase_terms: list[str]) -> dict[int, np.float32]:
+        """Per-doc float32 phrase scores (ExactPhraseMatcher + summed idf)."""
+        hits = self.search_phrase(phrase_terms, k=max(self.doc_count, 1))
+        return {d: np.float32(s) for d, s in hits}
+
+    def eval_query(self, q) -> dict[int, np.float32]:
+        """Evaluate a parsed query AST (search/query.py nodes) exhaustively.
+
+        Float32 accumulation order = ascending clause index then doc — the
+        same contract the engine follows, so scores are bit-comparable.
+        """
+        from ..search.query import (
+            BooleanQuery,
+            MatchAllDocsQuery,
+            MatchNoDocsQuery,
+            PhraseQuery,
+            TermQuery,
+        )
+
+        if isinstance(q, TermQuery):
+            return self.term_scores(q.term)
+        if isinstance(q, PhraseQuery):
+            return self.phrase_scores(list(q.terms))
+        if isinstance(q, MatchAllDocsQuery):
+            return {d: np.float32(q.boost) for d in self.norms}
+        if isinstance(q, MatchNoDocsQuery):
+            return {}
+        if isinstance(q, BooleanQuery):
+            acc: dict[int, np.float32]
+            if q.must:
+                evaluated = [self.eval_query(c) for c in q.must]
+                common = set(evaluated[0])
+                for e in evaluated[1:]:
+                    common &= set(e)
+                acc = {d: np.float32(0.0) for d in sorted(common)}
+                for e in evaluated:
+                    for d in acc:
+                        acc[d] = np.float32(acc[d] + e[d])
+                for c in q.should:
+                    e = self.eval_query(c)
+                    for d in acc:
+                        if d in e:
+                            acc[d] = np.float32(acc[d] + e[d])
+            else:
+                acc = {}
+                for c in q.should:
+                    for d, s in self.eval_query(c).items():
+                        acc[d] = np.float32(acc.get(d, np.float32(0.0)) + s)
+            for c in q.must_not:
+                for d in self.eval_query(c):
+                    acc.pop(d, None)
+            return acc
+        raise TypeError(f"unsupported query node {type(q)}")
+
+    def search_query(self, q, k: int = 10) -> list[tuple[int, float]]:
+        return topk_sort(
+            [(d, float(s)) for d, s in self.eval_query(q).items()], k
+        )
+
     def search_phrase(self, phrase_terms: list[str], k: int = 10) -> list[tuple[int, float]]:
         """Exact phrase: freq = number of phrase occurrences, scored with
         summed idf (BM25Similarity.idfExplain over the terms,

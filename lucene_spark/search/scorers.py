@@ -1,0 +1,92 @@
+"""Scorer construction for the two scoring modes.
+
+- ``lucene``: float32 BM25 in the reference's exact expression order
+  (functions/bm25.Bm25Scorer) — rank-identical to Lucene
+  (BM25Similarity.java:101-108,180-184,221-233).
+- ``double``: float64 BM25 over the same SmallFloat-quantized lengths, in an
+  expression shape reproducible in ANSI SQL — used by the external DuckDB
+  oracle gate. Same ranks except at f32-rounding boundaries.
+
+Phrase weight = summed term idf (BM25Similarity.idfExplain accumulates each
+term's float32 idf into a double then casts back,
+BM25Similarity.java:160-169); the tf part reuses the norm-inverse cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.bm25 import Bm25Scorer, idf_value
+from ..functions.smallfloat import BYTE4_DECODE_TABLE
+
+__all__ = ["QuantizedDoubleBm25", "make_term_scorer", "make_phrase_scorer"]
+
+
+@dataclass(frozen=True)
+class QuantizedDoubleBm25:
+    """score = idf - idf / (1 + freq * inv(norm)) in float64, where
+    inv(norm) = 1 / (k1*((1-b) + b*quantized_len(norm)/avgdl))."""
+
+    weight: float
+    cache: np.ndarray  # float64[256]
+
+    @classmethod
+    def create(
+        cls,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+        boost: float = 1.0,
+    ) -> "QuantizedDoubleBm25":
+        idf = float(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+        avgdl = sum_total_term_freq / doc_count
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        cache = 1.0 / (k1 * ((1.0 - b) + b * lens / avgdl))
+        return cls(weight=boost * idf, cache=cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        inv = self.cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return self.weight - self.weight / (1.0 + freqs * inv)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+def make_term_scorer(
+    mode: str, doc_freq: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+):
+    if mode == "lucene":
+        return Bm25Scorer.create(doc_freq, doc_count, sum_ttf, boost=boost)
+    if mode == "double":
+        return QuantizedDoubleBm25.create(doc_freq, doc_count, sum_ttf, boost=boost)
+    raise ValueError(f"unknown scoring mode {mode!r}")
+
+
+def make_phrase_scorer(
+    mode: str,
+    per_term_doc_freqs: list[int],
+    doc_count: int,
+    sum_ttf: int,
+    boost: float = 1.0,
+):
+    if mode == "lucene":
+        idf_sum = np.float32(
+            sum(float(idf_value(df, doc_count)) for df in per_term_doc_freqs)
+        )
+        cache = Bm25Scorer.create(1, doc_count, sum_ttf).cache
+        return Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
+    if mode == "double":
+        idf_sum = sum(
+            float(np.log1p((doc_count - df + 0.5) / (df + 0.5)))
+            for df in per_term_doc_freqs
+        )
+        cache = QuantizedDoubleBm25.create(1, doc_count, sum_ttf).cache
+        return QuantizedDoubleBm25(weight=boost * idf_sum, cache=cache)
+    raise ValueError(f"unknown scoring mode {mode!r}")

@@ -1,0 +1,239 @@
+"""Distributed top-k search over the index tables.
+
+Execution model = Lucene's per-leaf search + TopDocs.merge, Spark-first:
+
+- planning (Weight creation) happens on the driver: parse → rewrite →
+  multi-term expansion → one tiny predicate-pushdown scan of ``term_dict``
+  for global TermStatistics and one of ``field_stats`` for
+  CollectionStatistics (IndexSearcher.java:1140-1150 — stats are summed
+  across segments BEFORE scoring; per-segment IDF would break rank identity);
+- postings for the query terms are read with ``term IN (...)`` pushed into
+  the Parquet scan (row-group pruning via the term min/max stats written by
+  the builder's sortWithinPartitions) and only the needed columns
+  (positions are read ONLY for phrase queries — column pruning);
+- singleton (pulsed) terms are joined in as pseudo-blocks from term_dict, so
+  the whole plan stays distributed — nothing posting-sized ever reaches the
+  driver;
+- each segment group evaluates locally (segment.py) and emits ≤ k hits;
+  the global answer is ``orderBy(score DESC, docid ASC).limit(k)`` over
+  n_segments·k rows — Spark's TakeOrderedAndProject, the TopDocs.merge
+  analog (search/TopDocs.java:206-234).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.simple import simple_analyze
+from ..analysis.tokenizer import analyze as standard_analyze
+from ..index.reader import IndexReader
+from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
+from .query import (
+    BooleanQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    collect_terms,
+    parse_query,
+    rewrite,
+)
+from .scorers import make_phrase_scorer, make_term_scorer
+from .segment import SegmentContext, search_segment
+
+__all__ = ["Searcher"]
+
+ENC_SINGLETON = 4
+
+
+def _collect_phrases(q) -> set[tuple]:
+    if isinstance(q, PhraseQuery):
+        return {q.terms}
+    if isinstance(q, BooleanQuery):
+        out: set[tuple] = set()
+        for c in (*q.must, *q.should, *q.must_not):
+            out |= _collect_phrases(c)
+        return out
+    return set()
+
+
+def _expand_multiterm(q, reader: IndexReader):
+    """PrefixQuery → SHOULD-of-terms (ScoringRewrite analog)."""
+    if isinstance(q, PrefixQuery):
+        terms = reader.expand_terms(prefix=q.prefix)
+        if not terms:
+            return MatchNoDocsQuery()
+        return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            must=tuple(_expand_multiterm(c, reader) for c in q.must),
+            should=tuple(_expand_multiterm(c, reader) for c in q.should),
+            must_not=tuple(_expand_multiterm(c, reader) for c in q.must_not),
+        )
+    return q
+
+
+def _segment_search_fn(
+    pdf: pd.DataFrame, query, scorers, phrase_scorers, seg_meta, k, prune
+) -> pd.DataFrame:
+    seg = int(pdf["segment_id"].iloc[0])
+    doc_base, max_doc = seg_meta[seg]
+    block_rows: list[dict] = []
+    singleton_rows: list[dict] = []
+    for r in pdf.to_dict("records"):
+        if r["encoding"] == ENC_SINGLETON:
+            singleton_rows.append(
+                {
+                    "term": r["term"],
+                    "singleton_docid": r["first_docid"],
+                    "singleton_freq": int(r["impact_freqs"][0]),
+                    "singleton_norm": int(r["impact_norms"][0]),
+                    "singleton_positions": r.get("positions_enc"),
+                }
+            )
+        else:
+            block_rows.append(r)
+    ctx = SegmentContext.from_rows(
+        block_rows, singleton_rows, scorers, phrase_scorers, max_doc, prune
+    )
+    d, s = search_segment(ctx, query, k)
+    return pd.DataFrame(
+        {"docid": d + doc_base, "score": s.astype(np.float64)}
+    )
+
+
+class Searcher:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        analyzer: str = "standard",
+        stopwords: frozenset[str] | None = None,
+        mode: str = "lucene",
+        prune: bool = True,
+    ):
+        self.spark = spark
+        self.reader = IndexReader(spark, index_dir)
+        self.mode = mode
+        self.prune = prune
+        base = standard_analyze if analyzer == "standard" else simple_analyze
+        self._analyzer = partial(base, stopwords=stopwords)
+
+    # --- planning -------------------------------------------------------
+    def parse(self, query_str: str):
+        return parse_query(query_str, self._analyzer)
+
+    def _docmap_global(self) -> DataFrame:
+        bases = [(int(s), int(b)) for s, b in self.reader.doc_bases.items()]
+        base_df = self.spark.createDataFrame(bases, "segment_id int, doc_base long")
+        return (
+            self.reader.docmap.join(F.broadcast(base_df), "segment_id")
+            .withColumn("docid", F.col("docid") + F.col("doc_base"))
+            .drop("doc_base")
+        )
+
+    # --- search ---------------------------------------------------------
+    def search(self, query, k: int = 10, with_url: bool = False) -> DataFrame:
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = rewrite(_expand_multiterm(query, self.reader))
+
+        if isinstance(query, MatchNoDocsQuery):
+            return self._empty_hits()
+        if isinstance(query, MatchAllDocsQuery):
+            dm = self._docmap_global().withColumn(
+                "score", F.lit(float(query.boost))
+            )
+            out = dm.select("docid", "score").orderBy(F.asc("docid")).limit(k)
+            return self._maybe_url(out, with_url)
+
+        terms = sorted(collect_terms(query))
+        phrases = _collect_phrases(query)
+        if not terms:
+            return self._empty_hits()
+
+        doc_count, sum_ttf = self.reader.global_stats
+        if doc_count == 0:
+            return self._empty_hits()
+        tstats = self.reader.term_stats(terms)
+        scorers = {
+            t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
+            for t in terms
+        }
+        phrase_scorers = {
+            ph: make_phrase_scorer(
+                self.mode,
+                [tstats.get(t, (0, 0))[0] for t in ph],
+                doc_count,
+                sum_ttf,
+            )
+            for ph in phrases
+        }
+        seg_meta = {
+            r["segment_id"]: (int(r["doc_base"]), int(r["n_docs"]))
+            for r in self.reader.manifest_rows
+        }
+
+        need_positions = bool(phrases)
+        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
+        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
+        singles = self.reader.term_dict.filter(
+            F.col("term").isin(terms) & F.col("singleton_docid").isNotNull()
+        ).select(
+            "segment_id",
+            "term",
+            F.lit(0).alias("block_no"),
+            F.lit(1).alias("n_docs"),
+            (F.col("singleton_docid") - 1).alias("base_docid"),
+            F.col("singleton_docid").alias("first_docid"),
+            F.col("singleton_docid").alias("last_docid"),
+            F.lit(ENC_SINGLETON).cast("tinyint").alias("encoding"),
+            F.lit(None).cast("binary").alias("docids_enc"),
+            F.lit(None).cast("binary").alias("freqs_enc"),
+            F.lit(None).cast("binary").alias("norms_enc"),
+            *(
+                [F.col("singleton_positions").alias("positions_enc")]
+                if need_positions
+                else []
+            ),
+            F.array(F.col("singleton_freq").cast("long")).alias("impact_freqs"),
+            F.array(F.col("singleton_norm")).alias("impact_norms"),
+        )
+        blocks = blocks.unionByName(singles)
+
+        fn = partial(
+            _segment_search_fn,
+            query=query,
+            scorers=scorers,
+            phrase_scorers=phrase_scorers,
+            seg_meta=seg_meta,
+            k=k,
+            prune=self.prune,
+        )
+        hits = blocks.groupBy("segment_id").applyInPandas(
+            lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
+        )
+        out = hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        return self._maybe_url(out, with_url)
+
+    def _maybe_url(self, hits: DataFrame, with_url: bool) -> DataFrame:
+        if not with_url:
+            return hits
+        # hits is ≤ k rows: broadcast it against the docmap scan
+        dm = self._docmap_global().select("docid", "url")
+        return (
+            dm.join(F.broadcast(hits), "docid")
+            .select("docid", "url", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame([], SEARCH_HIT_SCHEMA)

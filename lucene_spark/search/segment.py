@@ -1,0 +1,496 @@
+"""Per-segment query evaluation — vectorized numpy over decoded blocks.
+
+This is the per-leaf search of IndexSearcher.searchLeaf (reference:
+lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:820-860)
+re-expressed batch-wise: a segment's postings blocks for the query terms
+arrive as one Arrow batch (colocated by the index layout — no shuffle), and
+evaluation happens on decoded numpy arrays:
+
+- conjunction: successive ``np.intersect1d`` with a *block-level leapfrog*
+  prefilter — blocks of a term are only decoded if their [first,last] docid
+  span contains a current candidate (ConjunctionDISI lead/advance semantics,
+  search/ConjunctionDISI.java, at 128-doc granularity);
+- disjunction top-k: windowed block-max MAXSCORE
+  (search/MaxScoreBulkScorer.java:28-67 + WANDScorer.java:31-53): the docid
+  space is cut into 4096-doc windows (INNER_WINDOW_SIZE), each window's upper
+  bound is Σ_t max(block impact ub overlapping it), windows are processed in
+  descending-UB order and evaluation stops when UB ≤ θ (the k-th best score
+  so far) — rank-identical to the exhaustive path by construction since ub
+  is a true per-block upper bound (ImpactsDISI/MaxScoreCache semantics,
+  search/MaxScoreCache.java:72-79);
+- exclusion: ``np.isin(..., invert=True)`` (ReqExclScorer);
+- phrases: position adjacency via decoded .pos runs (ExactPhraseMatcher).
+
+Float accumulation order is "ascending clause index, then doc", identical in
+the exhaustive and pruned paths, so float32 scores are bit-identical across
+strategies (CheckHits-style invariant, tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codecs.blocks import (
+    decode_block_docids,
+    decode_block_freqs,
+    decode_positions,
+)
+from .query import (
+    BooleanQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    TermQuery,
+)
+
+__all__ = ["SegmentContext", "search_segment", "WINDOW_DOCS"]
+
+WINDOW_DOCS = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
+
+_EMPTY = np.zeros(0, dtype=np.int64)
+
+
+class _TermPostings:
+    """Lazily-decoded postings of one term within one segment."""
+
+    def __init__(self, blocks: list[dict], singleton: dict | None):
+        # blocks: rows sorted by block_no with keys of POSTINGS_COLS
+        self.blocks = blocks
+        self.singleton = singleton
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        if singleton is not None:
+            self.block_first = np.array([singleton["singleton_docid"]], dtype=np.int64)
+            self.block_last = self.block_first
+        else:
+            self.block_first = np.fromiter(
+                (b["first_docid"] for b in blocks), dtype=np.int64, count=len(blocks)
+            )
+            self.block_last = np.fromiter(
+                (b["last_docid"] for b in blocks), dtype=np.int64, count=len(blocks)
+            )
+
+    @property
+    def n_blocks(self) -> int:
+        return 1 if self.singleton is not None else len(self.blocks)
+
+    def block_ub(self, scorer) -> np.ndarray:
+        """Per-block score upper bound from the impact skyline."""
+        if self.singleton is not None:
+            imp = np.array(
+                [[self.singleton["singleton_freq"], self.singleton["singleton_norm"]]],
+                dtype=np.int64,
+            )
+            return np.array([scorer.max_score(imp)], dtype=np.float64)
+        ubs = np.empty(len(self.blocks), dtype=np.float64)
+        for i, b in enumerate(self.blocks):
+            imp = np.stack(
+                [np.asarray(b["impact_freqs"]), np.asarray(b["impact_norms"])], axis=1
+            )
+            ubs[i] = scorer.max_score(imp)
+        return ubs
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, freqs, norms) of block i."""
+        got = self._decoded.get(i)
+        if got is not None:
+            return got
+        if self.singleton is not None:
+            s = self.singleton
+            out = (
+                np.array([s["singleton_docid"]], dtype=np.int64),
+                np.array([s["singleton_freq"]], dtype=np.int64),
+                np.array([s["singleton_norm"]], dtype=np.int64),
+            )
+        else:
+            b = self.blocks[i]
+            d = decode_block_docids(
+                b["encoding"], b["docids_enc"], b["n_docs"], b["base_docid"],
+                b["last_docid"],
+            )
+            f = decode_block_freqs(b["encoding"], b["freqs_enc"], b["n_docs"])
+            m = np.frombuffer(b["norms_enc"], dtype=np.uint8).astype(np.int64)
+            out = (d, f, m)
+        self._decoded[i] = out
+        return out
+
+    def decode_blocks(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        parts = [self.decode_block(int(i)) for i in idxs]
+        if not parts:
+            return _EMPTY, _EMPTY, _EMPTY
+        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.decode_blocks(range(self.n_blocks))
+
+    def positions_for(self, block_i: int) -> np.ndarray:
+        """Flat positions of block i (requires positions indexed)."""
+        if self.singleton is not None:
+            s = self.singleton
+            return decode_positions(
+                s["singleton_positions"], np.array([s["singleton_freq"]])
+            )
+        b = self.blocks[block_i]
+        _, f, _ = self.decode_block(block_i)
+        return decode_positions(b["positions_enc"], f)
+
+    def blocks_overlapping(self, candidates: np.ndarray) -> np.ndarray:
+        """Indices of blocks whose [first,last] span contains ≥1 candidate
+        (block-granularity leapfrog advance)."""
+        if candidates.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        lo = np.searchsorted(candidates, self.block_first, side="left")
+        hi = np.searchsorted(candidates, self.block_last, side="right")
+        return np.flatnonzero(hi > lo)
+
+
+class SegmentContext:
+    """Everything the evaluator needs for one segment."""
+
+    def __init__(
+        self,
+        postings: dict[str, _TermPostings],
+        scorers: dict[str, object],
+        phrase_scorers: dict[tuple, object],
+        max_doc: int,
+        prune: bool = True,
+    ):
+        self.postings = postings
+        self.scorers = scorers
+        self.phrase_scorers = phrase_scorers
+        self.max_doc = max_doc
+        self.prune = prune
+
+    @classmethod
+    def from_rows(
+        cls,
+        block_rows: list[dict],
+        singleton_rows: list[dict],
+        scorers,
+        phrase_scorers,
+        max_doc: int,
+        prune: bool = True,
+    ) -> "SegmentContext":
+        by_term: dict[str, list[dict]] = {}
+        for r in block_rows:
+            by_term.setdefault(r["term"], []).append(r)
+        postings: dict[str, _TermPostings] = {}
+        for term, rows in by_term.items():
+            rows.sort(key=lambda r: r["block_no"])
+            postings[term] = _TermPostings(rows, None)
+        for s in singleton_rows:
+            postings[s["term"]] = _TermPostings([], s)
+        return cls(postings, scorers, phrase_scorers, max_doc, prune)
+
+
+def _float_dtype(scorer) -> np.dtype:
+    return np.float32 if isinstance(getattr(scorer, "weight", 0.0), np.float32) else np.float64
+
+
+def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
+    if k <= 0 or docids.size == 0:
+        return _EMPTY, scores[:0]
+    if docids.size <= k:
+        order = np.lexsort((docids, -scores.astype(np.float64)))
+        return docids[order], scores[order]
+    # partial select, then resolve boundary ties (score == kth) by docid ASC
+    idx = np.argpartition(-scores.astype(np.float64), k - 1)[:k]
+    kth = scores[idx].min()
+    above = np.flatnonzero(scores > kth)
+    tied = np.flatnonzero(scores == kth)
+    tied = tied[np.argsort(docids[tied], kind="stable")][: k - above.size]
+    sel = np.concatenate((above, tied))
+    order = np.lexsort((docids[sel], -scores[sel].astype(np.float64)))
+    sel = sel[order]
+    return docids[sel], scores[sel]
+
+
+def _sum_contributions(parts: list[tuple[np.ndarray, np.ndarray]], dtype):
+    """Union-sum (docid, score) contributions; adds happen in list order for
+    each doc (DisjunctionSumScorer float order)."""
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return _EMPTY, np.zeros(0, dtype=dtype)
+    alld = np.concatenate([p[0] for p in parts])
+    alls = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(alld, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=dtype)
+    np.add.at(sums, inv, alls.astype(dtype))
+    return uniq, sums
+
+
+class _SegmentSearcher:
+    def __init__(self, ctx: SegmentContext, k: int):
+        self.ctx = ctx
+        self.k = k
+
+    def term_postings(self, term: str) -> _TermPostings | None:
+        return self.ctx.postings.get(term)
+
+    # --- docid-only evaluation (FILTER / MUST_NOT side) -----------------
+    def matching_docs(self, q) -> np.ndarray:
+        if isinstance(q, TermQuery):
+            tp = self.term_postings(q.term)
+            return tp.decode_all()[0] if tp else _EMPTY
+        if isinstance(q, PhraseQuery):
+            d, _f, _n, freq = self._phrase_match(q)
+            return d
+        if isinstance(q, MatchAllDocsQuery):
+            return np.arange(self.ctx.max_doc, dtype=np.int64)
+        if isinstance(q, MatchNoDocsQuery):
+            return _EMPTY
+        if isinstance(q, BooleanQuery):
+            d, _ = self.evaluate(q)
+            return d
+        raise TypeError(f"unsupported query node {type(q)}")
+
+    # --- scored evaluation ---------------------------------------------
+    def evaluate(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (sorted docids, scores aligned)."""
+        if isinstance(q, TermQuery):
+            tp = self.term_postings(q.term)
+            sc = self.ctx.scorers[q.term]
+            dtype = _float_dtype(sc)
+            if tp is None:
+                return _EMPTY, np.zeros(0, dtype=dtype)
+            d, f, m = tp.decode_all()
+            return d, sc.score(f, m).astype(dtype)
+        if isinstance(q, PhraseQuery):
+            return self._phrase_scores(q)
+        if isinstance(q, MatchAllDocsQuery):
+            d = np.arange(self.ctx.max_doc, dtype=np.int64)
+            return d, np.full(d.size, q.boost, dtype=np.float32)
+        if isinstance(q, MatchNoDocsQuery):
+            return _EMPTY, np.zeros(0, dtype=np.float32)
+        if isinstance(q, BooleanQuery):
+            return self._evaluate_bool(q)
+        raise TypeError(f"unsupported query node {type(q)}")
+
+    def _evaluate_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
+        must, should, must_not = list(q.must), list(q.should), list(q.must_not)
+        if must:
+            if all(isinstance(c, TermQuery) for c in must):
+                base, score = self._conjunction_terms([c.term for c in must])
+            else:
+                base, score = self._conjunction_general(must)
+            if base.size and should:
+                # ReqOptSumScorer: optional clauses add to required matches
+                parts = [(base, score)]
+                for c in should:
+                    d, s = self.evaluate(c)
+                    mask = np.isin(d, base)
+                    parts.append((d[mask], s[mask]))
+                base, score = _sum_contributions(parts, score.dtype)
+        elif should:
+            parts = [self.evaluate(c) for c in should]
+            dtype = parts[0][1].dtype if parts else np.float32
+            base, score = _sum_contributions(parts, dtype)
+        else:
+            return _EMPTY, np.zeros(0, dtype=np.float32)
+        if base.size and must_not:
+            excl = [self.matching_docs(c) for c in must_not]
+            excl = np.concatenate([e for e in excl if e.size]) if any(e.size for e in excl) else _EMPTY
+            if excl.size:
+                keep = np.isin(base, excl, invert=True)
+                base, score = base[keep], score[keep]
+        return base, score
+
+    def _conjunction_terms(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Leapfrog AND at block granularity: lead with the rarest term
+        (ConjunctionDISI orders by cost), decode other terms' blocks only
+        where candidates remain."""
+        tps = []
+        for t in terms:
+            tp = self.term_postings(t)
+            if tp is None:
+                sc = self.ctx.scorers[terms[0]]
+                return _EMPTY, np.zeros(0, dtype=_float_dtype(sc))
+            tps.append((t, tp))
+        # lead with the cheapest list (ConjunctionDISI cost order); block
+        # count is the df/128 proxy for cost
+        tps.sort(key=lambda p: p[1].n_blocks)
+        lead_term, lead = tps[0]
+        cand = lead.decode_all()[0]
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t, tp in tps[1:]:
+            if cand.size == 0:
+                break
+            idxs = tp.blocks_overlapping(cand)
+            d, f, m = tp.decode_blocks(idxs)
+            decoded[t] = (d, f, m)
+            cand = cand[np.isin(cand, d)]
+        if cand.size == 0:
+            sc = self.ctx.scorers[lead_term]
+            return _EMPTY, np.zeros(0, dtype=_float_dtype(sc))
+        # score in original clause order
+        dtype = _float_dtype(self.ctx.scorers[terms[0]])
+        score = np.zeros(cand.size, dtype=dtype)
+        for t in terms:
+            tp = self.term_postings(t)
+            d, f, m = decoded.get(t) or tp.decode_all()
+            pos = np.searchsorted(d, cand)
+            sc = self.ctx.scorers[t]
+            score += sc.score(f[pos], m[pos]).astype(dtype)
+        return cand, score
+
+    def _conjunction_general(self, clauses) -> tuple[np.ndarray, np.ndarray]:
+        evaluated = [self.evaluate(c) for c in clauses]
+        base = evaluated[0][0]
+        for d, _s in evaluated[1:]:
+            base = base[np.isin(base, d)]
+            if base.size == 0:
+                break
+        dtype = evaluated[0][1].dtype
+        score = np.zeros(base.size, dtype=dtype)
+        for d, s in evaluated:
+            pos = np.searchsorted(d, base)
+            score += s[pos].astype(dtype)
+        return base, score
+
+    # --- phrases --------------------------------------------------------
+    def _phrase_match(self, q: PhraseQuery):
+        """Returns (docids, freqs(phrase occurrences), norms, ok)."""
+        tps = []
+        for t in q.terms:
+            tp = self.term_postings(t)
+            if tp is None:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            tps.append(tp)
+        # candidates: docs containing all terms (block-leapfrog like AND)
+        cand = tps[0].decode_all()[0]
+        for tp in tps[1:]:
+            if cand.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            idxs = tp.blocks_overlapping(cand)
+            d = tp.decode_blocks(idxs)[0]
+            cand = cand[np.isin(cand, d)]
+        if cand.size == 0:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        # per-candidate position lists per term
+        pos_lists = []
+        for tp in tps:
+            per_doc: dict[int, np.ndarray] = {}
+            if tp.singleton is not None:
+                sd = int(tp.singleton["singleton_docid"])
+                if sd in cand:
+                    per_doc[sd] = tp.positions_for(0)
+            else:
+                for bi in tp.blocks_overlapping(cand):
+                    d, f, _m = tp.decode_block(int(bi))
+                    flat = tp.positions_for(int(bi))
+                    bounds = np.concatenate(([0], np.cumsum(f)))
+                    for j in np.flatnonzero(np.isin(d, cand)):
+                        per_doc[int(d[j])] = flat[bounds[j] : bounds[j + 1]]
+            pos_lists.append(per_doc)
+        # norms for candidates from the first term's postings
+        d0, f0, m0 = tps[0].decode_all()
+        sel0 = np.searchsorted(d0, cand)
+        norms = m0[sel0]
+        freqs = np.zeros(cand.size, dtype=np.int64)
+        for i, doc in enumerate(cand):
+            doc = int(doc)
+            first = pos_lists[0].get(doc)
+            if first is None:
+                continue
+            ok = np.ones(first.size, dtype=bool)
+            for off in range(1, len(tps)):
+                nxt = pos_lists[off].get(doc)
+                if nxt is None:
+                    ok[:] = False
+                    break
+                ok &= np.isin(first + off, nxt)
+            freqs[i] = int(ok.sum())
+        keep = freqs > 0
+        return cand[keep], freqs[keep], norms[keep], True
+
+    def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        sc = self.ctx.phrase_scorers[q.terms]
+        dtype = _float_dtype(sc)
+        d, f, m, ok = self._phrase_match(q)
+        if not ok or d.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        return d, sc.score(f, m).astype(dtype)
+
+    # --- pruned disjunction (windowed block-max MAXSCORE) ---------------
+    def pruned_disjunction_terms(self, terms: list[str], k: int):
+        tps, scs = [], []
+        for t in terms:
+            tp = self.term_postings(t)
+            if tp is not None:
+                tps.append(tp)
+                scs.append(self.ctx.scorers[t])
+        if not tps:
+            return _EMPTY, np.zeros(0, dtype=np.float32)
+        dtype = _float_dtype(scs[0])
+        n_win = self.ctx.max_doc // WINDOW_DOCS + 1
+        ub_w = np.zeros(n_win, dtype=np.float64)
+        per_term_win_blocks: list[dict[int, list[int]]] = []
+        for tp, sc in zip(tps, scs):
+            ubs = tp.block_ub(sc)
+            t_ub = np.zeros(n_win, dtype=np.float64)
+            win_blocks: dict[int, list[int]] = {}
+            wlo = tp.block_first // WINDOW_DOCS
+            whi = tp.block_last // WINDOW_DOCS
+            for bi in range(len(ubs)):
+                lo, hi = int(wlo[bi]), int(whi[bi])
+                if hi > lo:
+                    seg = t_ub[lo : hi + 1]
+                    np.maximum(seg, ubs[bi], out=seg)
+                elif ubs[bi] > t_ub[lo]:
+                    t_ub[lo] = ubs[bi]
+                for w in range(lo, hi + 1):
+                    win_blocks.setdefault(w, []).append(bi)
+            ub_w += t_ub
+            per_term_win_blocks.append(win_blocks)
+        # inflate by a few float32 ulps: the true doc score is accumulated in
+        # float32 (round-to-nearest can round *up* past the float64 UB sum);
+        # WANDScorer solves the same problem with scaled-long math (:61-117)
+        ub_w *= 1.0 + 4e-6
+        order = np.argsort(-ub_w, kind="stable")
+        top_d = _EMPTY
+        top_s = np.zeros(0, dtype=dtype)
+        theta = -np.inf
+        for w in order:
+            w = int(w)
+            # strict <: a window tying θ can still improve the docid tie-break
+            if top_d.size >= k and ub_w[w] < theta:
+                break
+            lo_doc, hi_doc = w * WINDOW_DOCS, (w + 1) * WINDOW_DOCS
+            parts = []
+            for tp, sc, win_blocks in zip(tps, scs, per_term_win_blocks):
+                bis = win_blocks.get(w)
+                if not bis:
+                    continue
+                d, f, m = tp.decode_blocks(bis)
+                sel = (d >= lo_doc) & (d < hi_doc)
+                if not sel.any():
+                    continue
+                parts.append((d[sel], sc.score(f[sel], m[sel]).astype(dtype)))
+            if not parts:
+                continue
+            d, s = _sum_contributions(parts, dtype)
+            top_d = np.concatenate((top_d, d))
+            top_s = np.concatenate((top_s, s))
+            top_d, top_s = _topk(top_d, top_s, k)
+            if top_d.size >= k:
+                theta = float(top_s[-1])
+        return top_d, top_s
+
+
+def search_segment(
+    ctx: SegmentContext, query, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (docids, scores) for this segment, tie-break score DESC then
+    docid ASC (HitQueue.java:76-82)."""
+    s = _SegmentSearcher(ctx, k)
+    if (
+        ctx.prune
+        and isinstance(query, BooleanQuery)
+        and not query.must
+        and not query.must_not
+        and len(query.should) >= 2
+        and all(isinstance(c, TermQuery) for c in query.should)
+    ):
+        d, sc = s.pruned_disjunction_terms([c.term for c in query.should], k)
+        return d, sc
+    d, sc = s.evaluate(query)
+    return _topk(d, sc, k)

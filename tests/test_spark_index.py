@@ -1,0 +1,127 @@
+"""End-to-end: Spark index build + distributed search vs the pure-python
+golden oracle (CheckHits analog, FIXTURES.md §5): rank-identical docids AND
+bit-identical float32 BM25 scores for every reference query."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.tokenizer import analyze
+from lucene_spark.constants import ENGLISH_STOP_WORDS
+from lucene_spark.fixtures import generate_webtext, reference_queries
+from lucene_spark.index import build_index
+from lucene_spark.oracle.pyindex import PyIndex
+from lucene_spark.search import Searcher
+from lucene_spark.search.query import parse_query
+
+N_DOCS = 400
+N_SEGMENTS = 5
+STOP = ENGLISH_STOP_WORDS
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_webtext(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], "url string, text string"
+    )
+    metrics = build_index(
+        spark, df, d, num_segments=N_SEGMENTS, analyzer="standard", stopwords=STOP
+    )
+    assert metrics["n_docs"] == N_DOCS
+    assert metrics["num_segments"] == N_SEGMENTS
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, corpus, index_dir):
+    """PyIndex keyed by the engine's global docids (docid assignment is an
+    engine-internal detail, like Lucene's)."""
+    from lucene_spark.search.searcher import Searcher as S
+
+    searcher = S(spark, index_dir, stopwords=STOP)
+    dm = searcher._docmap_global().select("url", "docid").collect()
+    url_to_docid = {r["url"]: r["docid"] for r in dm}
+    idx = PyIndex(stopwords=STOP)
+    for r in corpus:
+        idx.add(url_to_docid[r["url"]], r["text"])
+    return idx
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return Searcher(spark, index_dir, stopwords=STOP)
+
+
+def _an(text, stopwords=STOP):
+    return analyze(text, stopwords=stopwords)
+
+
+def test_docmap_complete(spark, index_dir, corpus):
+    dm = spark.read.parquet(f"{index_dir}/docmap")
+    assert dm.count() == N_DOCS
+    urls = {r["url"] for r in dm.select("url").collect()}
+    assert urls == {r["url"] for r in corpus}
+
+
+@pytest.mark.parametrize("qid,qs", reference_queries())
+def test_reference_query_rank_identity(searcher, oracle, qid, qs):
+    q = parse_query(qs, lambda t: _an(t))
+    expected = oracle.search_query(q, k=10)
+    got = searcher.search(qs, k=10).collect()
+    got_pairs = [(r["docid"], r["score"]) for r in got]
+    assert [d for d, _ in got_pairs] == [d for d, _ in expected], (
+        f"{qid}: docids diverge\n got={got_pairs}\n exp={expected}"
+    )
+    for (gd, gs), (ed, es) in zip(got_pairs, expected):
+        assert np.float32(gs) == np.float32(es), (qid, gd, gs, es)
+
+
+def test_pruned_equals_exhaustive(spark, index_dir, oracle):
+    """CheckHits analog: the block-max pruned OR path must return exactly
+    what the exhaustive path returns."""
+    s_pruned = Searcher(spark, index_dir, stopwords=STOP, prune=True)
+    s_exh = Searcher(spark, index_dir, stopwords=STOP, prune=False)
+    for qs in [
+        "w0000 OR w0001",
+        "w0001 OR w0002 OR w0100 OR w0203 OR w9999",
+        "the OR w0350",
+        "w8000 OR w9100",
+    ]:
+        a = [(r["docid"], np.float32(r["score"])) for r in s_pruned.search(qs, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_exh.search(qs, k=10).collect()]
+        assert a == b, qs
+
+
+def test_prefix_query(searcher, oracle):
+    got = searcher.search("w000*", k=10).collect()
+    # oracle: expand prefix manually over the oracle's term space
+    terms = sorted(t for t in oracle.postings if t.startswith("w000"))
+    from lucene_spark.search.query import BooleanQuery, TermQuery
+
+    q = BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+    expected = oracle.search_query(q, k=10)
+    assert [r["docid"] for r in got] == [d for d, _ in expected]
+
+
+def test_with_url(searcher, corpus):
+    got = searcher.search("w0000", k=5, with_url=True).collect()
+    assert len(got) == 5
+    by_url = {r["url"]: r for r in got}
+    assert all(u.startswith("https://site") for u in by_url)
+
+
+def test_resume_skips_done_segments(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_resume"))
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus[:100]], "url string, text string"
+    )
+    m1 = build_index(spark, df, d, num_segments=3, stopwords=STOP)
+    assert m1["resumed_segments"] == 0
+    m2 = build_index(spark, df, d, num_segments=3, stopwords=STOP, resume=True)
+    assert m2["resumed_segments"] == 3  # nothing left to build
+    assert m2["n_docs"] == 100
