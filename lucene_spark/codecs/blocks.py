@@ -141,11 +141,14 @@ def encode_term_postings(
     freqs: np.ndarray,
     norms: np.ndarray,
     positions: np.ndarray | None = None,
+    base: int = -1,
 ) -> list[dict]:
     """Encode one term's postings (sorted unique docids) into block rows.
 
     ``positions``, when given, is the flat concatenation of per-doc position
-    lists aligned with ``docids``/``freqs``.
+    lists aligned with ``docids``/``freqs``. ``base`` is the docid the first
+    delta is taken against (must be < docids[0]; segment merge passes the
+    group's doc_base-1 so partial runs stay relocatable).
     """
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -153,7 +156,6 @@ def encode_term_postings(
     n = docids.size
     pos_bounds = np.concatenate(([0], np.cumsum(freqs))) if positions is not None else None
     rows: list[dict] = []
-    base = -1
     for block_no, start in enumerate(range(0, n, BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, n)
         d = docids[start:end]

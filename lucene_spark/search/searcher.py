@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.simple import simple_analyze
 from ..analysis.tokenizer import analyze as standard_analyze
+from ..index.pseudo import ENC_SINGLETON, singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
 from .query import (
@@ -49,8 +50,6 @@ from .scorers import make_phrase_scorer, make_term_scorer
 from .segment import SegmentContext, search_segment
 
 __all__ = ["Searcher"]
-
-ENC_SINGLETON = 4
 
 
 def _collect_phrases(q) -> set[tuple]:
@@ -185,28 +184,9 @@ class Searcher:
         need_positions = bool(phrases)
         cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
         blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
-        singles = self.reader.term_dict.filter(
-            F.col("term").isin(terms) & F.col("singleton_docid").isNotNull()
-        ).select(
-            "segment_id",
-            "term",
-            F.lit(0).alias("block_no"),
-            F.lit(1).alias("n_docs"),
-            (F.col("singleton_docid") - 1).alias("base_docid"),
-            F.col("singleton_docid").alias("first_docid"),
-            F.col("singleton_docid").alias("last_docid"),
-            F.lit(ENC_SINGLETON).cast("tinyint").alias("encoding"),
-            F.lit(None).cast("binary").alias("docids_enc"),
-            F.lit(None).cast("binary").alias("freqs_enc"),
-            F.lit(None).cast("binary").alias("norms_enc"),
-            *(
-                [F.col("singleton_positions").alias("positions_enc")]
-                if need_positions
-                else []
-            ),
-            F.array(F.col("singleton_freq").cast("long")).alias("impact_freqs"),
-            F.array(F.col("singleton_norm")).alias("impact_norms"),
-        )
+        singles = singleton_pseudo_blocks(
+            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
+        ).select(*cols)
         blocks = blocks.unionByName(singles)
 
         fn = partial(

@@ -125,3 +125,49 @@ def test_resume_skips_done_segments(spark, corpus, tmp_path_factory):
     m2 = build_index(spark, df, d, num_segments=3, stopwords=STOP, resume=True)
     assert m2["resumed_segments"] == 3  # nothing left to build
     assert m2["n_docs"] == 100
+
+
+# --- invariants + merge -----------------------------------------------------
+
+def test_checkindex_invariants(spark, index_dir):
+    from lucene_spark.index.invariants import check_index
+
+    viols = check_index(spark, index_dir)
+    assert viols == [], viols
+
+
+@pytest.fixture(scope="module")
+def merged_dir(spark, index_dir, tmp_path_factory):
+    from lucene_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("merged"))
+    m = merge_segments(spark, index_dir, out, group_size=2)
+    assert m["merged_segments"] == N_SEGMENTS
+    assert m["n_docs"] == N_DOCS
+    return out
+
+
+def test_merged_invariants(spark, merged_dir):
+    from lucene_spark.index.invariants import check_index
+
+    viols = check_index(spark, merged_dir)
+    assert viols == [], viols
+
+
+def test_merged_search_identical(spark, index_dir, merged_dir):
+    """forceMerge(1) must not change any result (docids are global in both)."""
+    s_multi = Searcher(spark, index_dir, stopwords=STOP)
+    s_merged = Searcher(spark, merged_dir, stopwords=STOP)
+    for qid, qs in reference_queries():
+        a = [(r["docid"], np.float32(r["score"])) for r in s_multi.search(qs, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_merged.search(qs, k=10).collect()]
+        assert a == b, (qid, qs, a, b)
+
+
+def test_merged_global_stats_preserved(spark, index_dir, merged_dir):
+    from lucene_spark.index.reader import IndexReader
+
+    assert (
+        IndexReader(spark, index_dir).global_stats
+        == IndexReader(spark, merged_dir).global_stats
+    )
