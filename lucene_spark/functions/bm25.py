@@ -29,7 +29,10 @@ __all__ = ["Bm25Scorer", "idf_value"]
 
 def idf_value(doc_freq: int, doc_count: int) -> np.float32:
     """float64 log then cast, as BM25Similarity.idf (:101-103)."""
-    v = np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+    # Math.log(1 + x) — NOT log1p: the reference adds 1 in double first
+    # (BM25Similarity.java:102), and the last-ulp difference can flip the
+    # float32 cast
+    v = np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
     return np.float32(v)
 
 
@@ -113,7 +116,7 @@ class DoubleBm25Scorer:
         k1: float = 1.2,
         b: float = 0.75,
     ) -> "DoubleBm25Scorer":
-        idf = float(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+        idf = float(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
         return cls(idf=idf, k1=k1, b=b, avgdl=sum_total_term_freq / doc_count)
 
     def score(self, freqs: np.ndarray, doc_lens: np.ndarray) -> np.ndarray:

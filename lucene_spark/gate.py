@@ -1,0 +1,450 @@
+"""Correctness-gate queries: engine results vs an external ANSI-SQL oracle.
+
+Every entry returns a (spark_fn, oracle_sql) pair over the driver's testdata
+tables. The BM25 family runs through the full engine (index build → term
+dict → postings blocks → distributed scoring) in ``double`` scoring mode —
+float64 BM25 over the same SmallFloat-quantized lengths, with expression
+trees written to be bit-identical between numpy and DuckDB (both IEEE-754
+round-to-nearest; see scorers.QuantizedDoubleBm25). Float32 Lucene-parity is
+gated separately by the pure-python oracle in tests/.
+
+The simple analyzer is used so the token stream is reproducible in SQL:
+``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` (analysis/simple.py).
+
+Ordering discipline: every top-k cuts on the UNROUNDED double score with
+tie-break (score DESC, doc_id ASC) on both sides, then rounds for output —
+so the selected set is identical; the order-insensitive value-hash does the
+rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.smallfloat import BYTE4_DECODE_TABLE
+from .index import build_index
+from .search import Searcher
+
+__all__ = ["gate_queries", "gate_oracle_sql", "entry_query"]
+
+K1, B = "1.2", "0.75"
+_FORMAT_V = "v1"  # bump when the index layout changes to invalidate caches
+_GATE_ROOT = os.environ.get("LUCENE_SPARK_GATE_DIR", "/tmp/lucene_spark_gate")
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_NORM_VALS = ",".join(str(int(v)) for v in BYTE4_DECODE_TABLE)
+
+_BASE_CTES = f"""
+toks0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS ord
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+  FROM toks0 WHERE term <> ''
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS dl
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+),
+norm_tbl AS (SELECT unnest([{_NORM_VALS}]) AS v),
+qdl AS (
+  SELECT doc_id, dl,
+         (SELECT max(v) FROM norm_tbl WHERE v <= dl.dl) AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT coalesce(sum(dl), 0) FROM dl)::BIGINT AS sum_ttf,
+         (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _idf(df_expr: str) -> str:
+    # ln(1 + (N - df + 0.5)/(df + 0.5)) — BM25Similarity.java:102, in double
+    return (
+        f"ln(1.0 + ((s.n_docs - {df_expr})::DOUBLE + 0.5) / ({df_expr}::DOUBLE + 0.5))"
+    )
+
+
+def _tf_part(freq_expr: str, qdl_expr: str) -> str:
+    # 1 + freq * (1 / (k1 * ((1-b) + b*qdl/avgdl))) — mirrors
+    # QuantizedDoubleBm25.cache expression order exactly
+    return (
+        f"(1.0 + {freq_expr}::DOUBLE * (1.0 / ({K1} * ((1.0 - {B}) + "
+        f"({B} * {qdl_expr}::DOUBLE) / s.avgdl))))"
+    )
+
+
+def _term_scores_cte(name: str, term: str) -> str:
+    """Per-doc score CTE for one term: w - w/tf_part."""
+    idf = _idf("d.df")
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT df FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _topk_wrap(inner: str, k: int) -> str:
+    """Cut on the unrounded score, then round for output."""
+    return f"""
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT * FROM ({inner}) ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
+
+def _sum_chain(aliases: list[str]) -> str:
+    """Deterministic left-assoc sum in clause order: ((0+a)+b)+..., exactly
+    the engine's np.add.at accumulation order."""
+    expr = "0.0"
+    for a in aliases:
+        expr = f"({expr} + coalesce({a}.score, 0.0))"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# index cache (engine side)
+# ---------------------------------------------------------------------------
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_")
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        # one segment: global docid order == doc_id order, so the engine's
+        # docid tie-break coincides with the oracle's doc_id tie-break
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True,
+        )
+    return idx
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(
+        spark, _ensure_index(spark, sf_dir), analyzer="simple", mode="double"
+    )
+
+
+def _hits(spark, sf_dir, qs: str, k: int) -> DataFrame:
+    h = _searcher(spark, sf_dir).search(qs, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("score"),
+    )
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark, sf_dir) -> DataFrame:
+    """(doc_id, term, pos): the simple-analyzer token stream as a DataFrame
+    (used by the text-pipeline queries; JVM-side split, no UDF)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("ord", "term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 family
+# ---------------------------------------------------------------------------
+
+def _mk_topk(qs: str, k: int = 10):
+    def run(spark, sf_dir):
+        return _hits(spark, sf_dir, qs, k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    return run
+
+
+def _sql_single(term: str, k: int = 10) -> str:
+    return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(
+        "SELECT doc_id, score FROM s_a", k
+    )
+
+
+def _sql_and(terms: list[str], k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_or(terms: list[str], k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_and_not(term: str, not_term: str, k: int = 10) -> str:
+    inner = f"""SELECT doc_id, score FROM s_a
+  WHERE NOT EXISTS (SELECT 1 FROM tf x WHERE x.term = '{not_term}' AND x.doc_id = s_a.doc_id)"""
+    return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(inner, k)
+
+
+def _sql_req_opt(must_term: str, opt_term: str, k: int = 10) -> str:
+    ctes = ", ".join(
+        [_term_scores_cte("s_a", must_term), _term_scores_cte("s_b", opt_term)]
+    )
+    # engine order: ((0 + must) + should)
+    inner = f"""SELECT doc_id, ((0.0 + (0.0 + s_a.score)) + coalesce(s_b.score, 0.0)) AS score
+  FROM s_a LEFT JOIN s_b USING (doc_id)"""
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_phrase(t0: str, t1: str, k: int = 10) -> str:
+    idf_a = _idf(f"(SELECT df FROM dft WHERE term = '{t0}')")
+    idf_b = _idf(f"(SELECT df FROM dft WHERE term = '{t1}')")
+    return f"""WITH {_BASE_CTES},
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = '{t1}'
+  WHERE a.term = '{t0}'
+  GROUP BY a.doc_id
+),
+ps AS (
+  SELECT pf.doc_id,
+         (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idf_a} + {idf_b}) AS w FROM stats s) w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
+    idf = _idf("e.df")
+    return f"""WITH {_BASE_CTES},
+exp AS (
+  SELECT term, df FROM dft WHERE term LIKE '{prefix}%'
+  ORDER BY df DESC, term ASC LIMIT {max_terms}
+),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN exp e USING (term) JOIN qdl USING (doc_id), stats s
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
+# ---------------------------------------------------------------------------
+# stats / structure queries
+# ---------------------------------------------------------------------------
+
+def _q_term_stats(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return (
+        s.reader.term_dict.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+    )
+
+
+_SQL_TERM_STATS = f"WITH {_BASE_CTES} SELECT term, df, ttf FROM dft"
+
+
+def _q_collection_stats(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    doc_count, sum_ttf = s.reader.global_stats
+    n_terms = s.reader.term_dict.select("term").distinct().count()
+    avgdl = sum_ttf / doc_count
+    return spark.createDataFrame(
+        [(doc_count, sum_ttf, n_terms, round(avgdl, 6))],
+        "n_docs long, sum_ttf long, n_terms long, avgdl double",
+    )
+
+
+_SQL_COLLECTION_STATS = f"""WITH {_BASE_CTES}
+SELECT s.n_docs AS n_docs, s.sum_ttf AS sum_ttf,
+       (SELECT count(*) FROM dft)::BIGINT AS n_terms,
+       round(s.avgdl, 6) AS avgdl
+FROM stats s"""
+
+
+def _q_doc_lengths(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    decode = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(BYTE4_DECODE_TABLE)],
+        "norm int, qdl long",
+    )
+    return (
+        s.reader.docmap.join(F.broadcast(decode), "norm")
+        .select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.col("doc_len").cast("long").alias("dl"),
+            "qdl",
+        )
+    )
+
+
+_SQL_DOC_LENGTHS = f"WITH {_BASE_CTES} SELECT doc_id, dl, qdl FROM qdl"
+
+
+def _mk_count(qs: str):
+    def run(spark, sf_dir):
+        n = _searcher(spark, sf_dir).count(qs)
+        return spark.createDataFrame([(n,)], "n long")
+    return run
+
+
+def _sql_count_and(terms: list[str]) -> str:
+    conds = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tf WHERE term = '{t}' AND tf.doc_id = d.doc_id)"
+        for t in terms
+    )
+    return f"WITH {_BASE_CTES} SELECT count(*)::BIGINT AS n FROM documents d WHERE {conds}"
+
+
+def _sql_count_or(terms: list[str]) -> str:
+    conds = " OR ".join(
+        f"EXISTS (SELECT 1 FROM tf WHERE term = '{t}' AND tf.doc_id = d.doc_id)"
+        for t in terms
+    )
+    return f"WITH {_BASE_CTES} SELECT count(*)::BIGINT AS n FROM documents d WHERE {conds}"
+
+
+# --- facet / grouping over search results ----------------------------------
+
+_ALL_K = 1_000_000  # "no limit" at gate scale (Spark limit() takes a JVM int)
+
+
+def _q_facet_lang(spark, sf_dir):
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_FACET_LANG = f"""WITH {_BASE_CTES}
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+   OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id)
+GROUP BY lang"""
+
+
+def _q_group_topk_lang(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    hits = _hits(spark, sf_dir, "merge", k=_ALL_K)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "rk", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+_SQL_GROUP_TOPK_LANG = (
+    f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
+    """
+SELECT lang, rk, doc_id, round(score, 4) AS score FROM (
+  SELECT d.lang, s_a.doc_id, s_a.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s_a.score DESC, s_a.doc_id ASC) AS rk
+  FROM s_a JOIN documents d USING (doc_id)
+) WHERE rk <= 3"""
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def gate_queries() -> dict:
+    return {
+        "bm25_single_hot": _mk_topk("merge"),
+        "bm25_single_mid": _mk_topk("customer"),
+        "bm25_and2": _mk_topk("stream AND window"),
+        "bm25_and3": _mk_topk("query AND scan AND merge"),
+        "bm25_or2": _mk_topk("stream OR window"),
+        "bm25_or5": _mk_topk("batch OR filter OR window OR stream OR agg"),
+        "bm25_and_not": _mk_topk("scan AND NOT window"),
+        "bm25_req_opt": _mk_topk("+scan window"),
+        "bm25_phrase": _mk_topk('"data stream"'),
+        "bm25_prefix": _mk_topk("s*"),
+        "hits_count_and": _mk_count("stream AND window"),
+        "hits_count_or": _mk_count("stream OR window OR batch"),
+        "term_stats": _q_term_stats,
+        "collection_stats": _q_collection_stats,
+        "doc_lengths": _q_doc_lengths,
+        "facet_lang": _q_facet_lang,
+        "group_topk_lang": _q_group_topk_lang,
+    }
+
+
+def gate_oracle_sql() -> dict:
+    return {
+        "bm25_single_hot": _sql_single("merge"),
+        "bm25_single_mid": _sql_single("customer"),
+        "bm25_and2": _sql_and(["stream", "window"]),
+        "bm25_and3": _sql_and(["query", "scan", "merge"]),
+        "bm25_or2": _sql_or(["stream", "window"]),
+        "bm25_or5": _sql_or(["batch", "filter", "window", "stream", "agg"]),
+        "bm25_and_not": _sql_and_not("scan", "window"),
+        "bm25_req_opt": _sql_req_opt("scan", "window"),
+        "bm25_phrase": _sql_phrase("data", "stream"),
+        "bm25_prefix": _sql_prefix("s"),
+        "hits_count_and": _sql_count_and(["stream", "window"]),
+        "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
+        "term_stats": _SQL_TERM_STATS,
+        "collection_stats": _SQL_COLLECTION_STATS,
+        "doc_lengths": _SQL_DOC_LENGTHS,
+        "facet_lang": _SQL_FACET_LANG,
+        "group_topk_lang": _SQL_GROUP_TOPK_LANG,
+    }
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship: disjunctive BM25 top-10 over sf0.001 documents."""
+    return _mk_topk("stream OR window OR batch")(spark, "/root/testdata/sf0.001")

@@ -138,10 +138,15 @@ def _make_leaf(kind: str, text: str, analyzer) -> object:
     return PhraseQuery(tuple(t.term for t in toks))
 
 
+_CLAUSE_START = {"word", "phrase", "plus", "minus", "not", "lparen"}
+
+
 def _parse_or(tk: _Tokens, analyzer):
     clauses = [_parse_and(tk, analyzer)]
-    while tk.peek() == "or":
-        tk.next()
+    # explicit OR, or adjacency (default operator OR, QueryParserBase default)
+    while tk.peek() == "or" or tk.peek() in _CLAUSE_START:
+        if tk.peek() == "or":
+            tk.next()
         clauses.append(_parse_and(tk, analyzer))
     if len(clauses) == 1:
         return clauses[0]

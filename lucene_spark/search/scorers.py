@@ -42,7 +42,7 @@ class QuantizedDoubleBm25:
         b: float = 0.75,
         boost: float = 1.0,
     ) -> "QuantizedDoubleBm25":
-        idf = float(np.log1p((doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+        idf = float(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
         avgdl = sum_total_term_freq / doc_count
         lens = BYTE4_DECODE_TABLE.astype(np.float64)
         cache = 1.0 / (k1 * ((1.0 - b) + b * lens / avgdl))
@@ -84,7 +84,7 @@ def make_phrase_scorer(
         return Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
     if mode == "double":
         idf_sum = sum(
-            float(np.log1p((doc_count - df + 0.5) / (df + 0.5)))
+            float(np.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)))
             for df in per_term_doc_freqs
         )
         cache = QuantizedDoubleBm25.create(1, doc_count, sum_ttf).cache

@@ -204,6 +204,58 @@ class Searcher:
         out = hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._maybe_url(out, with_url)
 
+    def count(self, query) -> int:
+        """Total hit count (TotalHitCountCollector analog) — per-segment
+        docid-set sizes summed, no scoring, no top-k."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = rewrite(_expand_multiterm(query, self.reader))
+        if isinstance(query, MatchNoDocsQuery):
+            return 0
+        if isinstance(query, MatchAllDocsQuery):
+            return self.reader.global_stats[0]
+        terms = sorted(collect_terms(query))
+        if not terms:
+            return 0
+        phrases = _collect_phrases(query)
+        doc_count, sum_ttf = self.reader.global_stats
+        scorers = {t: make_term_scorer(self.mode, 1, max(doc_count, 1), max(sum_ttf, 1)) for t in terms}
+        phrase_scorers = {
+            ph: make_phrase_scorer(self.mode, [1] * len(ph), max(doc_count, 1), max(sum_ttf, 1))
+            for ph in phrases
+        }
+        seg_meta = {
+            r["segment_id"]: (int(r["doc_base"]), int(r["n_docs"]))
+            for r in self.reader.manifest_rows
+        }
+        need_positions = bool(phrases)
+        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
+        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
+        singles = singleton_pseudo_blocks(
+            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
+        ).select(*cols)
+        blocks = blocks.unionByName(singles)
+
+        def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _segment_search_fn(
+                pdf,
+                query=query,
+                scorers=scorers,
+                phrase_scorers=phrase_scorers,
+                seg_meta=seg_meta,
+                k=2**31,
+                prune=False,
+            )
+            return pd.DataFrame({"n": [len(out)]})
+
+        rows = (
+            blocks.groupBy("segment_id")
+            .applyInPandas(count_fn, schema="n long")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        return int(rows[0]["n"] or 0)
+
     def _maybe_url(self, hits: DataFrame, with_url: bool) -> DataFrame:
         if not with_url:
             return hits
