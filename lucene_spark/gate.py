@@ -398,6 +398,263 @@ SELECT lang, rk, doc_id, round(score, 4) AS score FROM (
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+from .pipeline import dedup as _dd
+from .pipeline import eventops as _ev
+from .pipeline import multimodal as _mm
+from .pipeline import simsearch as _ss
+from .pipeline import textstats as _ts
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return _dd.exact_dup_groups(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+_SHINGLE_CTES = f"""
+{_BASE_CTES},
+sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+"""
+
+
+def _q_jaccard(spark, sf_dir):
+    return _dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+
+
+_SQL_JACCARD = f"""WITH {_SHINGLE_CTES},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE >= 0.1"""
+
+
+_N_MINHASH = 8
+
+
+def _q_minhash(spark, sf_dir):
+    return _dd.minhash_signatures(_docs(spark, sf_dir), num_hashes=_N_MINHASH)
+
+
+def _sql_minhash() -> str:
+    sigs = ",\n  ".join(
+        f"min(('0x' || substr(md5('{i}:' || term), 1, 8))::BIGINT) AS sig_{i}"
+        for i in range(_N_MINHASH)
+    )
+    return f"""WITH {_BASE_CTES},
+dt AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id,
+  {sigs}
+FROM dt GROUP BY doc_id"""
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return _dd.lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4)
+
+
+def _sql_lsh_pairs() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig_{2*b}::VARCHAR || '_' || sig_{2*b+1}::VARCHAR AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""WITH sig AS ({_sql_minhash()}),
+bands AS ({band_rows})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON y.band = x.band AND y.band_key = x.band_key AND x.doc_id < y.doc_id"""
+
+
+def _q_simhash(spark, sf_dir):
+    return _dd.simhash(_docs(spark, sf_dir))
+
+
+_SQL_SIMHASH = f"""WITH {_BASE_CTES},
+th AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM toks GROUP BY doc_id, term
+),
+bt AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS w
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY doc_id, bb.b
+)
+SELECT doc_id,
+       sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM bt GROUP BY doc_id"""
+
+
+def _q_lang_id(spark, sf_dir):
+    return _ts.lang_id_heuristic(_docs(spark, sf_dir))
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _ts.STOPWORDS_SORTED)
+
+_SQL_LANG_ID = f"""WITH {_BASE_CTES},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ({_STOP_LIST_SQL}) THEN 1 ELSE 0 END)::BIGINT AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_stop,
+       round(n_stop::DOUBLE / n_tokens::DOUBLE, 4) AS stop_ratio,
+       (n_stop::DOUBLE / n_tokens::DOUBLE) >= 0.02 AS is_en_guess
+FROM agg"""
+
+
+def _q_quality(spark, sf_dir):
+    return _ts.quality_scores(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY = f"""WITH {_BASE_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_unique,
+       round(count(DISTINCT term)::DOUBLE / count(*)::DOUBLE, 4) AS ttr,
+       round(sum(length(term))::DOUBLE / count(*)::DOUBLE, 4) AS mean_token_len
+FROM toks GROUP BY doc_id"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    return _ts.doc_fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINT = f"""WITH {_SHINGLE_CTES}
+SELECT doc_id,
+       min(('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS fingerprint
+FROM sh GROUP BY doc_id"""
+
+
+# --- similarity search ------------------------------------------------------
+
+def _qvec(spark, sf_dir) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def _q_simsearch(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.cosine_topk(emb, _qvec(spark, sf_dir), k=10)
+
+
+_COS_SQL = """list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"""
+
+_SQL_SIMSEARCH = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    {_COS_SQL} AS cos
+  FROM embeddings e, q
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+)"""
+
+
+def _q_simsearch_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
+
+
+_BUCKET_KEY = "||".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+
+_SQL_SIMSEARCH_BUCKET = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cands AS (
+  SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
+  WHERE {_BUCKET_KEY.format(v="e.embedding")} = {_BUCKET_KEY.format(v="q.qv")}
+),
+s AS (
+  SELECT e.vec_id,
+    {_COS_SQL} AS cos
+  FROM cands e, q
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+)"""
+
+
+# --- events -----------------------------------------------------------------
+
+def _q_events_hourly(spark, sf_dir):
+    return _ev.hourly_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def _q_sessionize(spark, sf_dir):
+    return _ev.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+m AS (
+  SELECT user_id,
+         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(ns)::BIGINT AS n_sessions
+FROM m GROUP BY user_id"""
+
+
+def _q_props_rollup(spark, sf_dir):
+    return _ev.props_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+_SQL_PROPS_ROLLUP = """
+WITH e AS (
+  SELECT event_type, nullif(regexp_extract(props, '"k": (\\d+)', 1), '')::BIGINT AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       round(sum(k)::DOUBLE / count(*)::DOUBLE, 4) AS avg_k
+FROM e GROUP BY event_type"""
+
+
+# --- multimodal stub --------------------------------------------------------
+
+def _q_multimodal(spark, sf_dir):
+    return _mm.decode_metadata(_mm.attach_payload(_docs(spark, sf_dir)))
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5,
+       (160 + ('0x' || substr(md5(text), 1, 2))::INT) AS fake_width,
+       (90 + ('0x' || substr(md5(text), 3, 2))::INT) AS fake_height,
+       (1 + ('0x' || substr(md5(text), 5, 1))::INT) AS fake_frames
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -420,6 +677,21 @@ def gate_queries() -> dict:
         "doc_lengths": _q_doc_lengths,
         "facet_lang": _q_facet_lang,
         "group_topk_lang": _q_group_topk_lang,
+        # training-data pipeline
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_jaccard,
+        "minhash_signatures": _q_minhash,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "doc_fingerprints": _q_fingerprint,
+        "simsearch_cosine": _q_simsearch,
+        "simsearch_signbucket": _q_simsearch_bucket,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_sessionize,
+        "events_props_rollup": _q_props_rollup,
+        "multimodal_metadata": _q_multimodal,
     }
 
 
@@ -442,6 +714,20 @@ def gate_oracle_sql() -> dict:
         "doc_lengths": _SQL_DOC_LENGTHS,
         "facet_lang": _SQL_FACET_LANG,
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_JACCARD,
+        "minhash_signatures": _sql_minhash(),
+        "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "simhash": _SQL_SIMHASH,
+        "lang_id": _SQL_LANG_ID,
+        "quality_scores": _SQL_QUALITY,
+        "doc_fingerprints": _SQL_FINGERPRINT,
+        "simsearch_cosine": _SQL_SIMSEARCH,
+        "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_sessionize": _SQL_SESSIONIZE,
+        "events_props_rollup": _SQL_PROPS_ROLLUP,
+        "multimodal_metadata": _SQL_MULTIMODAL,
     }
 
 

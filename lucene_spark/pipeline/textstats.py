@@ -1,0 +1,60 @@
+"""Text analysis for training-data pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting. All JVM-side (codegen),
+SQL-reproducible for the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import ENGLISH_STOP_WORDS
+from .dedup import shingles, tokens
+
+__all__ = ["lang_id_heuristic", "quality_scores", "doc_fingerprints"]
+
+# stable, sorted list so engine and oracle agree on the exact stop set
+STOPWORDS_SORTED = sorted(ENGLISH_STOP_WORDS)
+
+
+def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_stop, stop_ratio, is_en_guess): English detection by
+    stopword density (the classic cheap n-gram/stopword LID baseline)."""
+    t = tokens(docs, id_col=id_col)
+    agg = t.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("term").isin(STOPWORDS_SORTED), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_stop",
+        F.round(ratio, 4).alias("stop_ratio"),
+        (ratio >= 0.02).alias("is_en_guess"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_unique, ttr, mean_token_len): length/diversity
+    quality features (the pre-training corpus filter basics)."""
+    t = tokens(docs, id_col=id_col)
+    return t.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_unique"),
+        F.round(
+            F.countDistinct("term").cast("double") / F.count("*").cast("double"), 4
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.length("term")).cast("double") / F.count("*").cast("double"), 4
+        ).alias("mean_token_len"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): min 32-bit hash over word n-gram shingles —
+    winnowing-style content fingerprint (one value per doc)."""
+    sh = shingles(docs, n=n, id_col=id_col)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    return sh.groupBy(id_col).agg(F.min(h).alias("fingerprint"))
