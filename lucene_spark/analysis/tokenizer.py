@@ -21,6 +21,7 @@ for the CJK/emoji/numeric edge cases).
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from functools import lru_cache
 
@@ -287,6 +288,10 @@ _SIMPLE_LOWER_OVERRIDES = {0x0130: "i"}  # LATIN CAPITAL I WITH DOT ABOVE
 
 
 def _lowercase(term: str) -> str:
+    # ASCII fast path: str.lower() == per-codepoint Character.toLowerCase
+    # for the ASCII range (no multi-char expansions there)
+    if term.isascii():
+        return term.lower()
     out = []
     for ch in term:
         cp = ord(ch)
@@ -298,9 +303,46 @@ def _lowercase(term: str) -> str:
     return "".join(out)
 
 
+# ASCII fast path: on pure-ASCII text the UAX#29 rules collapse exactly to
+# this regex. ASCII word-break classes: ALetter=[A-Za-z], Numeric=[0-9],
+# ExtendNumLet=[_], MidNumLet=[.], SingleQuote=['], MidNum=[,;] — no Extend/
+# Format/ZWJ/RI/CJK exist below 0x80. WB5/9/10/13a/13b fuse [A-Za-z0-9_]
+# runs; WB6+WB7 admit an interior [.'] between letters; WB11+WB12 admit an
+# interior [.,;'] between digits; everything else breaks (WB999).
+# Equivalence to the DFA path is enforced by a differential test.
+_ASCII_RE = re.compile(
+    r"(?:[A-Za-z0-9_]|(?<=[A-Za-z])[.'](?=[A-Za-z])|(?<=[0-9])[.,;'](?=[0-9]))+"
+)
+_HAS_ALPHA = re.compile(r"[A-Za-z]")
+_HAS_DIGIT = re.compile(r"[0-9]")
+
+
+def _tokenize_ascii(text: str, max_token_length: int) -> list[Token]:
+    tokens: list[Token] = []
+    position = -1
+    skipped = 0
+    for m in _ASCII_RE.finditer(text):
+        seg = m.group()
+        if _HAS_ALPHA.search(seg):
+            ttype = TYPE_ALPHANUM
+        elif _HAS_DIGIT.search(seg):
+            ttype = TYPE_NUM
+        else:
+            continue  # underscores-only run: ExtendNumLet alone is no token
+        if len(seg) > max_token_length:
+            skipped += 1
+            continue
+        position += 1 + skipped
+        skipped = 0
+        tokens.append(Token(seg, position, m.start(), m.end(), ttype))
+    return tokens
+
+
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[Token]:
     """StandardTokenizer: UAX#29 segments that carry a token type; segments
     longer than max_token_length are skipped but still advance the position."""
+    if text.isascii():
+        return _tokenize_ascii(text, max_token_length)
     cps = [ord(c) for c in text]
     cls = [_wb_class(c) for c in cps]
     bounds = _boundaries(cps, cls)

@@ -161,7 +161,9 @@ def encode_term_postings(
         d = docids[start:end]
         f = freqs[start:end]
         m = norms[start:end]
-        deltas = np.diff(d, prepend=base)
+        deltas = np.empty(d.size, dtype=np.int64)
+        deltas[0] = d[0] - base
+        np.subtract(d[1:], d[:-1], out=deltas[1:])
         first, last = int(d[0]), int(d[-1])
         if d.size < BLOCK_SIZE:
             enc, payload = ENC_VBYTE_TAIL, vbyte_encode(deltas)

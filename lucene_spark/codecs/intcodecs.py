@@ -38,6 +38,10 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    # fast path: every value fits one byte (freqs and most doc deltas) —
+    # the encoded stream IS the byte array
+    if int(v.max()) < 0x80:
+        return v.astype(np.uint8).tobytes()
     nbytes = np.ones(v.size, dtype=np.int64)
     for k in range(1, 5):
         nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
@@ -56,6 +60,42 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         cur >>= np.uint64(7)
         remaining -= 1
     return out.tobytes()
+
+
+def vbyte_encode_concat(
+    values: np.ndarray, bounds: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """VByte-encode many groups in ONE pass.
+
+    ``bounds`` are group boundaries into ``values`` (len = n_groups+1, as
+    from cumsum). Returns (stream, byte_offsets) where group g's encoding is
+    ``stream[byte_offsets[g]:byte_offsets[g+1]]`` — byte-identical to
+    per-group ``vbyte_encode`` calls (VByte is per-value independent), but
+    ~50x cheaper than one numpy call per group.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(len(bounds), dtype=np.int64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 5):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    cur = v.copy()
+    remaining = nbytes.copy()
+    for k in range(5):
+        active = remaining > 0
+        if not active.any():
+            break
+        byte = (cur & np.uint64(0x7F)).astype(np.uint8)
+        byte[remaining > 1] |= 0x80
+        out[starts[active] + k] = byte[active]
+        cur >>= np.uint64(7)
+        remaining -= 1
+    offsets = np.zeros(len(bounds), dtype=np.int64)
+    offsets[1:] = ends[np.asarray(bounds[1:], dtype=np.int64) - 1]
+    return out.tobytes(), offsets
 
 
 def vbyte_decode(data: bytes, n: int | None = None) -> np.ndarray:

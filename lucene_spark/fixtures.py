@@ -50,15 +50,22 @@ def zipf_probs(n: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
 
 
 def generate_webtext(
-    n_docs: int, seed: int = 42, stopword_rate: float = 0.25
+    n_docs: int, seed: int = 42, stopword_rate: float = 0.25, start_id: int = 0
 ) -> "list[dict]":
-    """Generate n_docs rows (list of dicts) deterministically from seed."""
+    """Generate n_docs rows (list of dicts) deterministically from seed.
+
+    ``start_id`` offsets the absolute doc index so large corpora can be
+    generated in parallel chunks (chunk k: start_id=k*chunk, seed=seed+k)
+    with globally unique urls; edge-case docs appear only in the id range
+    [0, len(EDGE_CASE_BODIES)).
+    """
     rng = np.random.default_rng(seed)
     probs = zipf_probs()
     base_ts = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
     langs = ["de", "fr", "ja"]
     rows: list[dict] = []
-    for i in range(n_docs):
+    for j in range(n_docs):
+        i = start_id + j
         if i < len(EDGE_CASE_BODIES):
             body_tokens = EDGE_CASE_BODIES[i].split(" ") if EDGE_CASE_BODIES[i] else []
         else:

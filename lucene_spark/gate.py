@@ -33,7 +33,7 @@ from .search import Searcher
 __all__ = ["gate_queries", "gate_oracle_sql", "entry_query"]
 
 K1, B = "1.2", "0.75"
-_FORMAT_V = "v1"  # bump when the index layout changes to invalidate caches
+_FORMAT_V = "v2"  # bump when the index layout changes to invalidate caches
 _GATE_ROOT = os.environ.get("LUCENE_SPARK_GATE_DIR", "/tmp/lucene_spark_gate")
 
 # ---------------------------------------------------------------------------

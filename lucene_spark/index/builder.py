@@ -49,8 +49,11 @@ from pyspark.sql import functions as F
 from ..analysis.simple import simple_analyze
 from ..analysis.tokenizer import analyze as standard_analyze
 from ..analysis.html_extract import extract_text
-from ..codecs.blocks import encode_positions, encode_term_postings
+from ..codecs.blocks import ENC_VBYTE_TAIL, encode_positions, encode_term_postings
+from ..codecs.intcodecs import vbyte_encode_concat
+from ..constants import BLOCK_SIZE
 from ..functions.smallfloat import int_to_byte4
+from .smallio import FIELD_STATS_SCHEMA, MANIFEST_SCHEMA, write_driver_table
 from .schemas import (
     DOCMAP_COLS,
     KIND_BLOCK,
@@ -65,6 +68,8 @@ __all__ = ["build_index", "get_analyzer", "TABLES"]
 
 TABLES = ("docmap", "postings", "term_dict", "field_stats", "segment_manifest")
 
+_UNIFIED_TAIL = UNIFIED_BUILD_SCHEMA.fieldNames()[2:]
+
 _ANALYZERS: dict[str, Callable] = {
     "standard": standard_analyze,
     "simple": simple_analyze,
@@ -75,6 +80,19 @@ def get_analyzer(name: str) -> Callable:
     return _ANALYZERS[name]
 
 
+def _delta_with_resets(values: np.ndarray, reset_mask: np.ndarray, reset_base) -> np.ndarray:
+    """deltas[i] = v[i] - v[i-1], except where reset_mask: v[i] - base."""
+    out = np.empty(values.size, dtype=np.int64)
+    if values.size == 0:
+        return out
+    out[0] = 0
+    np.subtract(values[1:], values[:-1], out=out[1:])
+    out[reset_mask] = values[reset_mask] - reset_base[reset_mask] if isinstance(
+        reset_base, np.ndarray
+    ) else values[reset_mask] - reset_base
+    return out
+
+
 def _invert_segment(
     pdf: pd.DataFrame,
     analyzer_name: str,
@@ -82,7 +100,14 @@ def _invert_segment(
     html_input: bool,
     index_positions: bool,
 ) -> pd.DataFrame:
-    """Build one segment from its documents (runs on an executor)."""
+    """Build one segment from its documents (runs on an executor).
+
+    Everything after tokenization is batch-vectorized: per-term python only
+    happens for terms with >128 docs (the Zipf head — a handful per
+    segment); the long tail (tail blocks and pulsed singletons) is encoded
+    in single concatenated numpy passes with byte-offset slicing
+    (codecs/intcodecs.vbyte_encode_concat), byte-identical to the per-term
+    path (differentially tested)."""
     analyzer = get_analyzer(analyzer_name)
     seg = int(pdf["segment_id"].iloc[0])
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
@@ -105,23 +130,31 @@ def _invert_segment(
             )
     norms = int_to_byte4(doc_lens)
 
-    out: dict[str, list] = {f.name: [] for f in UNIFIED_BUILD_SCHEMA.fields}
+    # column accumulators (one list per output column; bulk-extended)
+    cols: dict[str, list] = {f.name: [] for f in UNIFIED_BUILD_SCHEMA.fields}
+    n_out = 0
 
-    def emit(kind: int, **kw) -> None:
-        out["kind"].append(kind)
-        out["segment_id"].append(seg)
-        for f in UNIFIED_BUILD_SCHEMA.fieldNames()[2:]:
-            out[f].append(kw.get(f))
+    def extend(kind: int, n: int, **kw) -> None:
+        nonlocal n_out
+        n_out += n
+        cols["kind"].extend([kind] * n)
+        cols["segment_id"].extend([seg] * n)
+        for f in _UNIFIED_TAIL:
+            v = kw.get(f)
+            if v is None:
+                cols[f].extend([None] * n)
+            else:
+                cols[f].extend(v)
 
-    urls = pdf["url"].tolist()
-    for docid in range(n_docs):
-        emit(
-            KIND_DOC,
-            docid=docid,
-            url=urls[docid],
-            doc_len=int(doc_lens[docid]),
-            norm=int(norms[docid]),
-        )
+    # --- doc rows --------------------------------------------------------
+    extend(
+        KIND_DOC,
+        n_docs,
+        docid=range(n_docs),
+        url=pdf["url"].tolist(),
+        doc_len=[int(x) for x in doc_lens],
+        norm=[int(x) for x in norms],
+    )
 
     if flat_terms:
         docids_flat = np.concatenate(flat_docids_parts)
@@ -148,62 +181,203 @@ def _invert_segment(
         run_freqs = run_ends - run_starts
         run_docids = d[run_starts]
         run_codes = c[run_starts]
+        run_norms = norms[run_docids].astype(np.uint8)
+        n_runs = run_codes.size
         # per-term group boundaries over the runs
-        tchange = np.empty(run_codes.size, dtype=bool)
+        tchange = np.empty(n_runs, dtype=bool)
         tchange[0] = True
         np.not_equal(run_codes[1:], run_codes[:-1], out=tchange[1:])
         t_starts = np.flatnonzero(tchange)
-        t_ends = np.concatenate((t_starts[1:], [run_codes.size]))
+        t_ends = np.concatenate((t_starts[1:], [n_runs]))
+        t_df = t_ends - t_starts
+        t_codes = run_codes[t_starts]
+        # ttf per term: sum of freqs over the term's runs
+        freq_cs = np.concatenate(([0], np.cumsum(run_freqs)))
+        t_ttf = freq_cs[t_ends] - freq_cs[t_starts]
 
-        for ts, te in zip(t_starts, t_ends):
+        # positions: delta-encode with reset at every run (doc) start, ONE
+        # pass for the whole segment; per-run byte offsets come from the
+        # concat encoder
+        if index_positions:
+            pos_deltas = _delta_with_resets(p, change, 0)
+            pos_deltas[run_starts] = p[run_starts]  # first position absolute
+            pos_stream, pos_offsets = vbyte_encode_concat(
+                pos_deltas, np.concatenate(([0], np.cumsum(run_freqs)))
+            )
+
+        def positions_slice(run_lo: int, run_hi: int) -> bytes | None:
+            if not index_positions:
+                return None
+            return pos_stream[pos_offsets[run_lo] : pos_offsets[run_hi]]
+
+        singles = t_df == 1
+        tails = (t_df > 1) & (t_df <= BLOCK_SIZE)
+        bigs = t_df > BLOCK_SIZE
+
+        # --- singletons (pulsed): fully vectorized -----------------------
+        if singles.any():
+            s_idx = t_starts[singles]  # run index of the single run
+            extend(
+                KIND_TERM,
+                int(singles.sum()),
+                term=[sorted_terms[i] for i in t_codes[singles]],
+                df=[1] * int(singles.sum()),
+                ttf=[int(x) for x in t_ttf[singles]],
+                n_blocks=[0] * int(singles.sum()),
+                singleton_docid=[int(x) for x in run_docids[s_idx]],
+                singleton_freq=[int(x) for x in run_freqs[s_idx]],
+                singleton_norm=[int(x) for x in run_norms[s_idx]],
+                singleton_positions=[
+                    positions_slice(i, i + 1) for i in s_idx
+                ] if index_positions else None,
+            )
+
+        # --- tail terms (2..128 docs → one VByte tail block each) --------
+        if tails.any():
+            tl_starts = t_starts[tails]
+            tl_ends = t_ends[tails]
+            tl_df = t_df[tails]
+            n_tail = tl_starts.size
+            # docid deltas with reset at term starts (base = -1)
+            doc_deltas = _delta_with_resets(run_docids, tchange, -1)
+            # run indices belonging to tail terms (vectorized membership)
+            t_idx_of_run = np.cumsum(tchange) - 1
+            tail_run_idx = np.flatnonzero(tails[t_idx_of_run])
+            tail_bounds = np.concatenate(([0], np.cumsum(tl_df)))
+            d_stream, d_off = vbyte_encode_concat(doc_deltas[tail_run_idx], tail_bounds)
+            f_stream, f_off = vbyte_encode_concat(run_freqs[tail_run_idx], tail_bounds)
+            norm_bytes = run_norms[tail_run_idx].tobytes()
+            tail_terms = [sorted_terms[i] for i in t_codes[tails]]
+            # impact skylines, grouped-vectorized: max freq per (term, norm)
+            # then a strictly-increasing filter via grouped cummax
+            sky_f, sky_n, sky_bounds = _skylines_grouped(
+                run_codes[tail_run_idx], run_freqs[tail_run_idx], run_norms[tail_run_idx]
+            )
+            extend(
+                KIND_TERM,
+                n_tail,
+                term=tail_terms,
+                df=[int(x) for x in tl_df],
+                ttf=[int(x) for x in t_ttf[tails]],
+                n_blocks=[1] * n_tail,
+            )
+            extend(
+                KIND_BLOCK,
+                n_tail,
+                term=tail_terms,
+                block_no=[0] * n_tail,
+                n_docs=tl_df.tolist(),
+                base_docid=[-1] * n_tail,
+                first_docid=run_docids[tl_starts].tolist(),
+                last_docid=run_docids[tl_ends - 1].tolist(),
+                encoding=[ENC_VBYTE_TAIL] * n_tail,
+                docids_enc=[d_stream[d_off[i] : d_off[i + 1]] for i in range(n_tail)],
+                freqs_enc=[f_stream[f_off[i] : f_off[i + 1]] for i in range(n_tail)],
+                norms_enc=[
+                    norm_bytes[tail_bounds[i] : tail_bounds[i + 1]]
+                    for i in range(n_tail)
+                ],
+                positions_enc=[
+                    positions_slice(int(s), int(e))
+                    for s, e in zip(tl_starts, tl_ends)
+                ] if index_positions else None,
+                impact_freqs=[
+                    [int(x) for x in sky_f[sky_bounds[i] : sky_bounds[i + 1]]]
+                    for i in range(n_tail)
+                ],
+                impact_norms=[
+                    [int(x) for x in sky_n[sky_bounds[i] : sky_bounds[i + 1]]]
+                    for i in range(n_tail)
+                ],
+            )
+
+        # --- big terms (>128 docs → full block encoding, per-term) -------
+        for ts, te in zip(t_starts[bigs], t_ends[bigs]):
             term = sorted_terms[run_codes[ts]]
             t_docids = run_docids[ts:te]
             t_freqs = run_freqs[ts:te]
             t_norms = norms[t_docids]
-            df = int(t_docids.size)
-            ttf = int(t_freqs.sum())
-            if df == 1:
-                spos = None
-                if index_positions:
-                    spos = encode_positions(
-                        t_freqs, p[run_starts[ts] : run_ends[te - 1]]
-                    )
-                emit(
-                    KIND_TERM,
-                    term=term,
-                    df=1,
-                    ttf=ttf,
-                    n_blocks=0,
-                    singleton_docid=int(t_docids[0]),
-                    singleton_freq=int(t_freqs[0]),
-                    singleton_norm=int(t_norms[0]),
-                    singleton_positions=spos,
-                )
-                continue
             t_positions = None
             if index_positions:
-                t_positions = p[run_starts[ts] : run_ends[te - 1]]
+                t_positions = p[freq_cs[ts] : freq_cs[te]]
             rows = encode_term_postings(t_docids, t_freqs, t_norms, t_positions)
-            emit(KIND_TERM, term=term, df=df, ttf=ttf, n_blocks=len(rows))
-            for r in rows:
-                impacts = r["impacts"]
-                emit(
-                    KIND_BLOCK,
-                    term=term,
-                    block_no=r["block_no"],
-                    n_docs=r["n_docs"],
-                    base_docid=r["base_docid"],
-                    first_docid=r["first_docid"],
-                    last_docid=r["last_docid"],
-                    encoding=r["encoding"],
-                    docids_enc=r["docids_enc"],
-                    freqs_enc=r["freqs_enc"],
-                    norms_enc=r["norms_enc"],
-                    positions_enc=r["positions_enc"],
-                    impact_freqs=[int(f) for f, _ in impacts],
-                    impact_norms=[int(n) for _, n in impacts],
-                )
-    return pd.DataFrame(out)
+            extend(
+                KIND_TERM,
+                1,
+                term=[term],
+                df=[int(te - ts)],
+                ttf=[int(freq_cs[te] - freq_cs[ts])],
+                n_blocks=[len(rows)],
+            )
+            extend(
+                KIND_BLOCK,
+                len(rows),
+                term=[term] * len(rows),
+                block_no=[r["block_no"] for r in rows],
+                n_docs=[r["n_docs"] for r in rows],
+                base_docid=[r["base_docid"] for r in rows],
+                first_docid=[r["first_docid"] for r in rows],
+                last_docid=[r["last_docid"] for r in rows],
+                encoding=[r["encoding"] for r in rows],
+                docids_enc=[r["docids_enc"] for r in rows],
+                freqs_enc=[r["freqs_enc"] for r in rows],
+                norms_enc=[r["norms_enc"] for r in rows],
+                positions_enc=[r["positions_enc"] for r in rows],
+                impact_freqs=[[int(f) for f, _ in r["impacts"]] for r in rows],
+                impact_norms=[[int(n) for _, n in r["impacts"]] for r in rows],
+            )
+    # object dtype for nullable int columns: pandas would otherwise coerce
+    # int+None to float64, which silently loses precision past 2^53 (real
+    # risk for global docids at 10^12-doc scale)
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype=object) for k, v in cols.items()}
+    )
+
+
+def _skylines_grouped(
+    codes: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Competitive (freq, norm) skylines for many groups at once.
+
+    Exactly CompetitiveImpactAccumulator.getCompetitiveFreqNormPairs
+    (codecs/CompetitiveImpactAccumulator.java:104-125) per group: max freq
+    per norm, keep pairs with freq strictly above every lower norm's.
+    Returns (freqs, norms, group_bounds) with groups in input code order.
+    """
+    if codes.size == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+        )
+    n64 = norms.astype(np.int64)
+    order = np.lexsort((freqs, n64, codes))
+    c, n, f = codes[order], n64[order], freqs[order]
+    # last element of each (code, norm) run = max freq for that norm
+    last = np.empty(c.size, dtype=bool)
+    last[-1] = True
+    np.logical_or(c[:-1] != c[1:], n[:-1] != n[1:], out=last[:-1])
+    c, n, f = c[last], n[last], f[last]
+    # strictly-increasing freq filter within each code (norms ascending):
+    # survivor iff freq > exclusive cummax
+    s = pd.Series(f)
+    cm = s.groupby(pd.Series(c)).cummax().to_numpy()
+    first_in_group = np.empty(c.size, dtype=bool)
+    first_in_group[0] = True
+    np.not_equal(c[1:], c[:-1], out=first_in_group[1:])
+    excl = np.empty(c.size, dtype=np.int64)
+    excl[0] = -1
+    excl[1:] = cm[:-1]
+    excl[first_in_group] = -1
+    keep = f > excl
+    c, n, f = c[keep], n[keep], f[keep]
+    gfirst = np.empty(c.size, dtype=bool)
+    if c.size:
+        gfirst[0] = True
+        np.not_equal(c[1:], c[:-1], out=gfirst[1:])
+    starts = np.flatnonzero(gfirst)
+    bounds = np.concatenate((starts, [c.size]))
+    return f, n, bounds
 
 
 def _table_path(index_dir: str, name: str) -> str:
@@ -249,63 +423,87 @@ def build_index(
             docs = docs.filter(~F.col("segment_id").isin(list(done)))
 
     t0 = time.time()
+    # AQE coalesces shuffle partitions by BYTE size; the invert stage is
+    # python-CPU-bound with tiny input bytes, so coalescing would starve it
+    # of parallelism — keep every shuffle partition for the build
+    coalesce_prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     sw = stopwords
     an, hi, ip = analyzer, html_input, index_positions
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(pdf, an, sw, hi, ip)
 
-    unified = (
-        docs.groupBy("segment_id")
-        .applyInPandas(_builder, schema=UNIFIED_BUILD_SCHEMA)
-        .persist()
+    unified = docs.groupBy("segment_id").applyInPandas(
+        _builder, schema=UNIFIED_BUILD_SCHEMA
     )
-    try:
-        (
-            unified.filter(F.col("kind") == KIND_DOC)
-            .select(*DOCMAP_COLS)
-            .sortWithinPartitions("docid")
-            .write.mode("overwrite")
-            .partitionBy("segment_id")
-            .parquet(_table_path(index_dir, "docmap"))
+    # ONE write job for all three logical tables: data/kind={0,1,2}/segment_id=N.
+    # Rows are sorted (kind, term-bytes, block_no, docid) so postings/term_dict
+    # files get term min/max stats for row-group pruning and docmap stays in
+    # docid order; parquet's null-compression makes the unified wide schema
+    # free. One commit instead of three (the committer rename walk is
+    # driver-serial — at 3 tables x many partition dirs it dominated small
+    # builds).
+    (
+        unified.sortWithinPartitions(
+            "kind",
+            F.encode(F.coalesce("term", F.lit("")), "utf-8"),
+            "block_no",
+            "docid",
         )
-        (
-            unified.filter(F.col("kind") == KIND_TERM)
-            .select(*TERM_DICT_COLS)
-            .sortWithinPartitions(F.encode("term", "utf-8"))
-            .write.mode("overwrite")
-            .partitionBy("segment_id")
-            .parquet(_table_path(index_dir, "term_dict"))
+        .write.mode("overwrite")
+        .partitionBy("kind", "segment_id")
+        .parquet(_table_path(index_dir, "data"))
+    )
+    # stats from the written files: column-pruned scan of (doc_len, docid)
+    data = spark.read.parquet(_table_path(index_dir, "data"))
+    seg_stats = (
+        data.groupBy("segment_id")
+        .agg(
+            F.sum(F.when(F.col("kind") == KIND_DOC, 1).otherwise(0)).alias(
+                "doc_count"
+            ),
+            F.sum(F.when(F.col("kind") == KIND_TERM, 1).otherwise(0)).alias(
+                "n_terms"
+            ),
+            F.sum(
+                F.when(F.col("kind") == KIND_DOC, F.col("doc_len")).otherwise(0)
+            ).alias("sum_ttf"),
+            F.max(F.when(F.col("kind") == KIND_DOC, F.col("docid"))).alias(
+                "max_docid"
+            ),
+            F.min(F.when(F.col("kind") == KIND_DOC, F.col("docid"))).alias(
+                "min_docid"
+            ),
         )
-        (
-            unified.filter(F.col("kind") == KIND_BLOCK)
-            .select(*POSTINGS_COLS)
-            .sortWithinPartitions(F.encode("term", "utf-8"), "block_no")
-            .write.mode("overwrite")
-            .partitionBy("segment_id")
-            .parquet(_table_path(index_dir, "postings"))
-        )
-    finally:
-        unified.unpersist()
+        .collect()
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_prev)
     build_secs = time.time() - t0
 
     # --- stats + manifest (commit point) --------------------------------
-    docmap = spark.read.parquet(_table_path(index_dir, "docmap"))
-    field_stats = docmap.groupBy("segment_id").agg(
-        F.count("*").alias("doc_count"),
-        F.sum("doc_len").alias("sum_ttf"),
-        F.max("docid").alias("max_docid"),
+    new_stats = {
+        int(r["segment_id"]): (
+            int(r["doc_count"]),
+            int(r["sum_ttf"]),
+            int(r["max_docid"]),
+            int(r["n_terms"]),
+            int(r["min_docid"]),
+        )
+        for r in seg_stats
+    }
+    if done:
+        # resumed build: stats of untouched segments came out of the same
+        # scan (the data dir holds every segment), nothing to carry forward
+        pass
+    write_driver_table(
+        _table_path(index_dir, "field_stats"),
+        [(s, v[0], v[1], v[2], v[4]) for s, v in sorted(new_stats.items())],
+        FIELD_STATS_SCHEMA,
     )
-    field_stats.write.mode("overwrite").parquet(_table_path(index_dir, "field_stats"))
 
-    term_dict = spark.read.parquet(_table_path(index_dir, "term_dict"))
-    n_terms = (
-        term_dict.groupBy("segment_id").agg(F.count("*").alias("n_terms")).collect()
-    )
-    n_terms_map = {r["segment_id"]: r["n_terms"] for r in n_terms}
-    stats = sorted(
-        (r["segment_id"], r["doc_count"], r["sum_ttf"]) for r in field_stats.collect()
-    )
+    n_terms_map = {s: v[3] for s, v in new_stats.items()}
+    stats = sorted((s, v[0], v[1]) for s, v in new_stats.items())
     manifest_rows = []
     doc_base = 0
     for seg, cnt, sttf in stats:
@@ -328,15 +526,10 @@ def build_index(
             )
         )
         doc_base += int(cnt)
-    manifest = spark.createDataFrame(
-        manifest_rows,
-        "segment_id int, n_docs long, doc_base long, status string, "
-        "checkpoint_ts double, lineage string, metrics_json string",
-    )
-    # atomic-ish swap: write to a temp dir then overwrite (Iceberg snapshot
-    # commit in production)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        _table_path(index_dir, "segment_manifest")
+    # atomic-ish swap (temp dir + rename; Iceberg snapshot commit in
+    # production)
+    write_driver_table(
+        _table_path(index_dir, "segment_manifest"), manifest_rows, MANIFEST_SCHEMA
     )
     total_docs = sum(r[1] for r in manifest_rows)
     return {

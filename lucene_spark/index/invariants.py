@@ -168,10 +168,12 @@ def check_index(spark: SparkSession, index_dir: str) -> list[str]:
                 )
 
     # --- docmap ----------------------------------------------------------
+    # docids dense within a segment (merged segments start at a global base,
+    # so density is max-min == n-1, not max == n-1)
     dm_bad = (
         r.docmap.groupBy("segment_id")
         .agg(F.count("*").alias("n"), F.max("docid").alias("mx"), F.min("docid").alias("mn"))
-        .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+        .filter(F.col("mx") - F.col("mn") != F.col("n") - 1)
         .count()
     )
     if dm_bad:

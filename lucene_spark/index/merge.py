@@ -1,4 +1,4 @@
-"""Segment merge: N per-partition segments → one global segment.
+"""Segment merge: N per-partition segments → K target segments.
 
 The SegmentMerger / MultiTermsEnum k-way merge (reference:
 lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:113-153,
@@ -11,22 +11,29 @@ when all docids shift by a constant; the unary bitset is relative to
 global docids (global = doc_base(segment) + local,
 codecs/FieldsConsumer.java:76-88 docBase semantics) is three column adds on
 (base_docid, first_docid, last_docid) — postings payloads are never decoded,
-the merge moves only encoded rows:
+the merge moves only encoded rows.
 
-- postings: rebase columns + ``row_number() over (partition by term order by
-  first_docid)`` to renumber blocks (segment docid ranges are disjoint, so
-  rebased blocks of one term never overlap — the k-way merge order IS the
-  docid order);
-- per-segment pulsed singletons (Lucene103PostingsWriter.java:564-571) whose
-  term has global df>1 are materialized as standard 1-doc VByte tail blocks
-  (a tiny mapInPandas over only those rows); terms with global df==1 stay
-  inline in the merged term_dict;
-- term_dict: ``groupBy(term).agg(sum(df), sum(ttf), ...)``;
+``target_segments=K`` maps manifest-ordered source segments onto K
+contiguous groups (TieredMergePolicy's "merge adjacent segments" shape,
+index/TieredMergePolicy.java:85-90): each output segment covers a contiguous
+global-docid range, stays independently searchable, and K sets the query
+parallelism (IndexSearcher slice analog). K=1 is forceMerge(1).
+
+Mechanics, all O(encoded metadata):
+- postings: rebase columns + ``row_number() over (partition by (segment,
+  term) order by first_docid)`` renumbers blocks (source docid ranges are
+  disjoint, so rebased blocks of one term never overlap — the k-way merge
+  order IS the docid order);
+- pulsing re-decided per (target segment, term): group-df==1 stays inline;
+  demoted singletons materialize as standard 1-doc VByte tail blocks via a
+  tiny mapInPandas over only those rows;
+- term_dict: ``groupBy(segment, term).agg(sum(df), sum(ttf), ...)``;
+- all three logical tables land in ONE ``data/kind=K/segment_id=N`` write
+  (single commit);
 - blocks may hold <128 docs mid-stream after merge (each source segment
-  contributes one ragged tail); all decode paths are per-row self-contained,
-  so this costs only a little compression — the price of an O(metadata)
-  merge. A future ``compact=True`` pass can re-encode hot terms into full
-  blocks (TieredMergePolicy-style background work).
+  contributes one ragged tail); decode paths are per-row self-contained, so
+  this only costs a little compression — the price of never touching
+  payloads. A future compaction pass can re-encode hot terms.
 
 Skew: the only per-term operation is the window renumber over df/128
 *encoded* rows — ~1/128th of the data, AQE-manageable even for stopwords.
@@ -46,8 +53,16 @@ from pyspark.sql import functions as F
 
 from ..codecs.intcodecs import vbyte_encode
 from .pseudo import singleton_pseudo_blocks
+from .smallio import FIELD_STATS_SCHEMA, MANIFEST_SCHEMA, write_driver_table
 from .reader import IndexReader
-from .schemas import POSTINGS_COLS, TERM_DICT_COLS
+from .schemas import (
+    DOCMAP_COLS,
+    KIND_BLOCK,
+    KIND_DOC,
+    KIND_TERM,
+    POSTINGS_COLS,
+    TERM_DICT_COLS,
+)
 
 __all__ = ["merge_segments"]
 
@@ -61,7 +76,6 @@ def _materialize_singletons(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         if n == 0:
             yield pdf
             continue
-        docids = pdf["first_docid"].to_numpy()
         freqs = pdf["impact_freqs"].map(lambda a: int(a[0])).to_numpy()
         norms = pdf["impact_norms"].map(lambda a: int(a[0])).to_numpy()
         pdf = pdf.copy()
@@ -69,8 +83,6 @@ def _materialize_singletons(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         pdf["docids_enc"] = [
             bytes(vbyte_encode(np.array([1], dtype=np.int64))) for _ in range(n)
         ]
-        # base_docid = docid-1 so the single delta is 1 (pseudo rows already
-        # carry base_docid = singleton_docid - 1)
         pdf["freqs_enc"] = [
             bytes(vbyte_encode(np.array([f], dtype=np.int64))) for f in freqs
         ]
@@ -78,48 +90,67 @@ def _materialize_singletons(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         yield pdf
 
 
+def _rebased_postings_cols():
+    return [
+        "term",
+        "block_no",
+        "n_docs",
+        (F.col("base_docid") + F.col("doc_base")).alias("base_docid"),
+        (F.col("first_docid") + F.col("doc_base")).alias("first_docid"),
+        (F.col("last_docid") + F.col("doc_base")).alias("last_docid"),
+        "encoding",
+        "docids_enc",
+        "freqs_enc",
+        "norms_enc",
+        "positions_enc",
+        "impact_freqs",
+        "impact_norms",
+    ]
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
     out_dir: str,
     *,
-    group_size: int = 8,  # kept for API compat; unused by the O(metadata) path
+    target_segments: int = 1,
 ) -> dict:
-    """Merge all segments of ``index_dir`` into a single-segment index at
-    ``out_dir`` (forceMerge(1)). Returns merge metrics."""
+    """Merge the index at ``index_dir`` into ``target_segments`` contiguous
+    segments at ``out_dir`` (K=1 ≡ forceMerge(1)). Output docids are global;
+    output manifest doc_base is 0."""
     t0 = time.time()
     reader = IndexReader(spark, index_dir)
     manifest = reader.manifest_rows
     doc_bases = reader.doc_bases
+    n_src = len(manifest)
+    k_tgt = min(target_segments, n_src)
+    group_of = {
+        r["segment_id"]: i * k_tgt // n_src for i, r in enumerate(manifest)
+    }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     base_df = F.broadcast(
         spark.createDataFrame(
-            [(int(s), int(b)) for s, b in doc_bases.items()],
-            "seg int, doc_base long",
+            [(int(s), int(b), int(group_of[s])) for s, b in doc_bases.items()],
+            "seg int, doc_base long, grp int",
         )
     )
 
-    # --- docmap: rebase to global ids ----------------------------------
-    (
+    # --- docmap rows -----------------------------------------------------
+    docmap = (
         reader.docmap.join(base_df, F.col("segment_id") == F.col("seg"))
         .select(
-            F.lit(0).alias("segment_id"),
+            F.col("grp").alias("segment_id"),
             (F.col("docid") + F.col("doc_base")).alias("docid"),
             "url",
             "doc_len",
             "norm",
         )
-        .repartitionByRange(max(len(manifest) // 4, 1), "docid")
-        .sortWithinPartitions("docid")
-        .write.mode("overwrite")
-        .partitionBy("segment_id")
-        .parquet(f"{out_dir}/docmap")
     )
 
-    # --- term_dict: global stats + pulsing re-decision ------------------
+    # --- term_dict rows: per (target segment, term) ----------------------
     td = reader.term_dict.join(base_df, F.col("segment_id") == F.col("seg"))
-    merged_td = td.groupBy("term").agg(
+    merged_td = td.groupBy("grp", "term").agg(
         F.sum("df").alias("df"),
         F.sum("ttf").alias("ttf"),
         (
@@ -134,112 +165,123 @@ def merge_segments(
         F.first("singleton_positions", ignorenulls=True).alias("g_singleton_positions"),
     )
     keep_pulsed = F.col("df") == 1
-    (
-        merged_td.select(
-            F.lit(0).alias("segment_id"),
-            "term",
-            "df",
-            "ttf",
-            F.when(keep_pulsed, F.lit(0)).otherwise(F.col("n_blocks_raw")).alias("n_blocks"),
-            F.when(keep_pulsed, F.col("g_singleton_docid")).alias("singleton_docid"),
-            F.when(keep_pulsed, F.col("g_singleton_freq")).alias("singleton_freq"),
-            F.when(keep_pulsed, F.col("g_singleton_norm")).alias("singleton_norm"),
-            F.when(keep_pulsed, F.col("g_singleton_positions")).alias(
-                "singleton_positions"
-            ),
-        )
-        .select(*TERM_DICT_COLS)
-        .sortWithinPartitions(F.encode("term", "utf-8"))
-        .write.mode("overwrite")
-        .partitionBy("segment_id")
-        .parquet(f"{out_dir}/term_dict")
+    term_rows = merged_td.select(
+        F.col("grp").alias("segment_id"),
+        "term",
+        "df",
+        "ttf",
+        F.when(keep_pulsed, F.lit(0)).otherwise(F.col("n_blocks_raw")).alias("n_blocks"),
+        F.when(keep_pulsed, F.col("g_singleton_docid")).alias("singleton_docid"),
+        F.when(keep_pulsed, F.col("g_singleton_freq")).alias("singleton_freq"),
+        F.when(keep_pulsed, F.col("g_singleton_norm")).alias("singleton_norm"),
+        F.when(keep_pulsed, F.col("g_singleton_positions")).alias("singleton_positions"),
     )
 
-    # --- postings: shift-invariant rebase, no payload decode ------------
+    # --- postings rows: shift-invariant rebase, no payload decode --------
     rebased = (
         reader.postings.join(base_df, F.col("segment_id") == F.col("seg"))
-        .select(
-            F.lit(0).alias("segment_id"),
-            "term",
-            "block_no",
-            "n_docs",
-            (F.col("base_docid") + F.col("doc_base")).alias("base_docid"),
-            (F.col("first_docid") + F.col("doc_base")).alias("first_docid"),
-            (F.col("last_docid") + F.col("doc_base")).alias("last_docid"),
-            "encoding",
-            "docids_enc",
-            "freqs_enc",
-            "norms_enc",
-            "positions_enc",
-            "impact_freqs",
-            "impact_norms",
-        )
+        .select(F.col("grp").alias("segment_id"), *_rebased_postings_cols())
     )
-    # pulsed singletons whose term has global df > 1 become real tail blocks.
-    # (plain shuffle join on term: the multi-term dictionary is NOT small —
-    # broadcasting it would ship the whole term dict to every task)
-    multi_terms = merged_td.filter(F.col("df") > 1).select("term")
+    multi_terms = merged_td.filter(F.col("df") > 1).select(
+        F.col("grp").alias("segment_id"), "term"
+    )
     demoted = (
         singleton_pseudo_blocks(reader.term_dict, True)
         .join(base_df, F.col("segment_id") == F.col("seg"))
-        .join(multi_terms, "term")
-        .select(
-            F.lit(0).alias("segment_id"),
-            "term",
-            "block_no",
-            "n_docs",
-            (F.col("base_docid") + F.col("doc_base")).alias("base_docid"),
-            (F.col("first_docid") + F.col("doc_base")).alias("first_docid"),
-            (F.col("last_docid") + F.col("doc_base")).alias("last_docid"),
-            "encoding",
-            "docids_enc",
-            "freqs_enc",
-            "norms_enc",
-            "positions_enc",
-            "impact_freqs",
-            "impact_norms",
-        )
+        .select(F.col("grp").alias("segment_id"), *_rebased_postings_cols())
+        .join(multi_terms, ["segment_id", "term"])
+        .select(rebased.columns)
         .mapInPandas(_materialize_singletons, schema=rebased.schema)
     )
-    win = Window.partitionBy("term").orderBy("first_docid")
-    (
+    win = Window.partitionBy("segment_id", "term").orderBy("first_docid")
+    postings_rows = (
         rebased.unionByName(demoted)
         .withColumn("block_no", (F.row_number().over(win) - 1).cast("int"))
-        .select(*POSTINGS_COLS)
-        .sortWithinPartitions(F.encode("term", "utf-8"), "block_no")
+    )
+
+    # --- single unified write -------------------------------------------
+    unified = (
+        docmap.select(
+            F.lit(KIND_DOC).cast("tinyint").alias("kind"),
+            "segment_id",
+            *[c for c in DOCMAP_COLS if c != "segment_id"],
+        )
+        .unionByName(
+            term_rows.select(
+                F.lit(KIND_TERM).cast("tinyint").alias("kind"),
+                "segment_id",
+                *[c for c in TERM_DICT_COLS if c != "segment_id"],
+            ),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            postings_rows.select(
+                F.lit(KIND_BLOCK).cast("tinyint").alias("kind"),
+                "segment_id",
+                *[c for c in POSTINGS_COLS if c != "segment_id"],
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    (
+        unified.sortWithinPartitions(
+            "kind",
+            F.encode(F.coalesce("term", F.lit("")), "utf-8"),
+            "block_no",
+            "docid",
+        )
         .write.mode("overwrite")
-        .partitionBy("segment_id")
-        .parquet(f"{out_dir}/postings")
+        .partitionBy("kind", "segment_id")
+        .parquet(f"{out_dir}/data")
     )
 
     # --- field_stats + manifest (commit point) --------------------------
-    docmap = spark.read.parquet(f"{out_dir}/docmap")
-    stats = docmap.agg(
-        F.count("*").alias("doc_count"),
-        F.sum("doc_len").alias("sum_ttf"),
-        F.max("docid").alias("max_docid"),
-    ).collect()[0]
-    spark.createDataFrame(
-        [(0, int(stats["doc_count"]), int(stats["sum_ttf"]), int(stats["max_docid"]))],
-        "segment_id int, doc_count long, sum_ttf long, max_docid long",
-    ).write.mode("overwrite").parquet(f"{out_dir}/field_stats")
-    spark.createDataFrame(
+    out_reader = IndexReader(spark, out_dir)
+    stats = (
+        out_reader.docmap.groupBy("segment_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("doc_len").alias("sum_ttf"),
+            F.max("docid").alias("max_docid"),
+            F.min("docid").alias("min_docid"),
+        )
+        .collect()
+    )
+    stats = sorted((r.asDict() for r in stats), key=lambda r: r["segment_id"])
+    write_driver_table(
+        f"{out_dir}/field_stats",
         [
             (
-                0,
-                int(stats["doc_count"]),
-                0,
+                int(r["segment_id"]),
+                int(r["doc_count"]),
+                int(r["sum_ttf"]),
+                int(r["max_docid"]),
+                int(r["min_docid"]),
+            )
+            for r in stats
+        ],
+        FIELD_STATS_SCHEMA,
+    )
+    write_driver_table(
+        f"{out_dir}/segment_manifest",
+        [
+            (
+                int(r["segment_id"]),
+                int(r["doc_count"]),
+                0,  # docids are already global post-merge
                 "done",
                 float(time.time()),
-                f"merge(from={index_dir},segments={len(manifest)})",
-                json.dumps({"merged_from": len(manifest)}),
+                f"merge(from={index_dir},segments={n_src},targets={k_tgt})",
+                json.dumps({"merged_from": n_src}),
             )
+            for r in stats
         ],
-        "segment_id int, n_docs long, doc_base long, status string, "
-        "checkpoint_ts double, lineage string, metrics_json string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/segment_manifest")
+        MANIFEST_SCHEMA,
+    )
+    total = sum(int(r["doc_count"]) for r in stats)
     return {
-        "merged_segments": len(manifest),
-        "n_docs": int(stats["doc_count"]),
+        "merged_segments": n_src,
+        "target_segments": k_tgt,
+        "n_docs": total,
         "merge_secs": time.time() - t0,
     }

@@ -18,10 +18,16 @@ from functools import cached_property
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .schemas import DOCMAP_COLS, KIND_BLOCK, KIND_DOC, KIND_TERM, POSTINGS_COLS, TERM_DICT_COLS
+
 __all__ = ["IndexReader"]
 
 
 class IndexReader:
+    """The physical layout is ONE partitioned tree ``data/kind=K/segment_id=N``
+    (a single write+commit at build time); the three logical tables are
+    partition-pruned views of it."""
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
@@ -30,20 +36,32 @@ class IndexReader:
         return self.spark.read.parquet(f"{self.index_dir}/{name}")
 
     @cached_property
+    def _data(self) -> DataFrame:
+        return self._table("data")
+
+    @cached_property
     def docmap(self) -> DataFrame:
-        return self._table("docmap")
+        return self._data.filter(F.col("kind") == KIND_DOC).select(*DOCMAP_COLS)
 
     @cached_property
     def postings(self) -> DataFrame:
-        return self._table("postings")
+        return self._data.filter(F.col("kind") == KIND_BLOCK).select(*POSTINGS_COLS)
 
     @cached_property
     def term_dict(self) -> DataFrame:
-        return self._table("term_dict")
+        return self._data.filter(F.col("kind") == KIND_TERM).select(*TERM_DICT_COLS)
 
     @cached_property
     def field_stats(self) -> DataFrame:
         return self._table("field_stats")
+
+    @cached_property
+    def segment_bounds(self) -> dict[int, tuple[int, int]]:
+        """segment_id → (min_docid, max_docid) of stored docids."""
+        return {
+            int(r["segment_id"]): (int(r["min_docid"]), int(r["max_docid"]))
+            for r in self.field_stats.collect()
+        }
 
     @cached_property
     def manifest_rows(self) -> list[dict]:

@@ -83,7 +83,7 @@ def _segment_search_fn(
     pdf: pd.DataFrame, query, scorers, phrase_scorers, seg_meta, k, prune
 ) -> pd.DataFrame:
     seg = int(pdf["segment_id"].iloc[0])
-    doc_base, max_doc = seg_meta[seg]
+    doc_base, min_doc, max_doc = seg_meta[seg]
     block_rows: list[dict] = []
     singleton_rows: list[dict] = []
     for r in pdf.to_dict("records"):
@@ -100,7 +100,7 @@ def _segment_search_fn(
         else:
             block_rows.append(r)
     ctx = SegmentContext.from_rows(
-        block_rows, singleton_rows, scorers, phrase_scorers, max_doc, prune
+        block_rows, singleton_rows, scorers, phrase_scorers, min_doc, max_doc, prune
     )
     d, s = search_segment(ctx, query, k)
     return pd.DataFrame(
@@ -139,6 +139,19 @@ class Searcher:
             .drop("doc_base")
         )
 
+    def _seg_meta(self) -> dict[int, tuple[int, int, int]]:
+        """segment_id → (doc_base, min_docid, max_docid+1) — doc_base remaps
+        local→global ids (0 when ids are already global, i.e. post-merge);
+        the [min,max) stored-docid range bounds MatchAll and the block-max
+        window array."""
+        bounds = self.reader.segment_bounds
+        out: dict[int, tuple[int, int, int]] = {}
+        for r in self.reader.manifest_rows:
+            seg = int(r["segment_id"])
+            lo, hi = bounds.get(seg, (0, -1))
+            out[seg] = (int(r["doc_base"]), lo, hi + 1)
+        return out
+
     # --- search ---------------------------------------------------------
     def search(self, query, k: int = 10, with_url: bool = False) -> DataFrame:
         if isinstance(query, str):
@@ -176,10 +189,7 @@ class Searcher:
             )
             for ph in phrases
         }
-        seg_meta = {
-            r["segment_id"]: (int(r["doc_base"]), int(r["n_docs"]))
-            for r in self.reader.manifest_rows
-        }
+        seg_meta = self._seg_meta()
 
         need_positions = bool(phrases)
         cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
@@ -204,6 +214,109 @@ class Searcher:
         out = hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._maybe_url(out, with_url)
 
+    def search_many(self, queries: dict[str, object], k: int = 10) -> DataFrame:
+        """Batched top-k for many queries in ONE Spark job.
+
+        This is the engine's query-throughput path: postings for the union
+        of all query terms are scanned once, each segment evaluates every
+        query against its per-term decode cache, and a single window takes
+        top-k per query — amortizing job/scan overhead across the batch
+        (the Spark analog of Lucene's SearchTask loop throughput,
+        benchmark/byTask/tasks/SearchTask.java).
+
+        Returns (query_id, docid, score), k rows per query, ordered within
+        each query by (score DESC, docid ASC).
+        """
+        from pyspark.sql.window import Window
+
+        parsed: dict[str, object] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = self.parse(q)
+            parsed[qid] = rewrite(_expand_multiterm(q, self.reader))
+        parsed = {
+            qid: q
+            for qid, q in parsed.items()
+            if not isinstance(q, (MatchNoDocsQuery, MatchAllDocsQuery))
+        }
+        all_terms = sorted(set().union(*(collect_terms(q) for q in parsed.values())) if parsed else set())
+        if not all_terms:
+            return self.spark.createDataFrame(
+                [], "query_id string, docid long, score double"
+            )
+        all_phrases = set().union(*(_collect_phrases(q) for q in parsed.values()))
+        doc_count, sum_ttf = self.reader.global_stats
+        tstats = self.reader.term_stats(all_terms)
+        scorers = {
+            t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
+            for t in all_terms
+        }
+        phrase_scorers = {
+            ph: make_phrase_scorer(
+                self.mode, [tstats.get(t, (0, 0))[0] for t in ph], doc_count, sum_ttf
+            )
+            for ph in all_phrases
+        }
+        seg_meta = self._seg_meta()
+        need_positions = bool(all_phrases)
+        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
+        blocks = self.reader.postings.filter(F.col("term").isin(all_terms)).select(*cols)
+        singles = singleton_pseudo_blocks(
+            self.reader.term_dict.filter(F.col("term").isin(all_terms)), need_positions
+        ).select(*cols)
+        blocks = blocks.unionByName(singles)
+        prune = self.prune
+
+        def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            from ..index.pseudo import ENC_SINGLETON as _ES
+            from .segment import SegmentContext, search_segment
+
+            seg = int(pdf["segment_id"].iloc[0])
+            doc_base, min_doc, max_doc = seg_meta[seg]
+            block_rows, singleton_rows = [], []
+            for r in pdf.to_dict("records"):
+                if r["encoding"] == _ES:
+                    singleton_rows.append(
+                        {
+                            "term": r["term"],
+                            "singleton_docid": r["first_docid"],
+                            "singleton_freq": int(r["impact_freqs"][0]),
+                            "singleton_norm": int(r["impact_norms"][0]),
+                            "singleton_positions": r.get("positions_enc"),
+                        }
+                    )
+                else:
+                    block_rows.append(r)
+            ctx = SegmentContext.from_rows(
+                block_rows, singleton_rows, scorers, phrase_scorers,
+                min_doc, max_doc, prune,
+            )
+            qids, docids, scores = [], [], []
+            for qid, q in parsed.items():
+                d, s = search_segment(ctx, q, k)
+                qids.extend([qid] * len(d))
+                docids.append(d + doc_base)
+                scores.append(s.astype(np.float64))
+            if not docids:
+                return pd.DataFrame({"query_id": [], "docid": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "docid": np.concatenate(docids),
+                    "score": np.concatenate(scores),
+                }
+            )
+
+        hits = blocks.groupBy("segment_id").applyInPandas(
+            many_fn, schema="query_id string, docid long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            hits.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+
     def count(self, query) -> int:
         """Total hit count (TotalHitCountCollector analog) — per-segment
         docid-set sizes summed, no scoring, no top-k."""
@@ -224,10 +337,7 @@ class Searcher:
             ph: make_phrase_scorer(self.mode, [1] * len(ph), max(doc_count, 1), max(sum_ttf, 1))
             for ph in phrases
         }
-        seg_meta = {
-            r["segment_id"]: (int(r["doc_base"]), int(r["n_docs"]))
-            for r in self.reader.manifest_rows
-        }
+        seg_meta = self._seg_meta()
         need_positions = bool(phrases)
         cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
         blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)

@@ -151,12 +151,14 @@ class SegmentContext:
         postings: dict[str, _TermPostings],
         scorers: dict[str, object],
         phrase_scorers: dict[tuple, object],
-        max_doc: int,
+        min_doc: int,
+        max_doc: int,  # exclusive
         prune: bool = True,
     ):
         self.postings = postings
         self.scorers = scorers
         self.phrase_scorers = phrase_scorers
+        self.min_doc = min_doc
         self.max_doc = max_doc
         self.prune = prune
 
@@ -167,6 +169,7 @@ class SegmentContext:
         singleton_rows: list[dict],
         scorers,
         phrase_scorers,
+        min_doc: int,
         max_doc: int,
         prune: bool = True,
     ) -> "SegmentContext":
@@ -179,7 +182,7 @@ class SegmentContext:
             postings[term] = _TermPostings(rows, None)
         for s in singleton_rows:
             postings[s["term"]] = _TermPostings([], s)
-        return cls(postings, scorers, phrase_scorers, max_doc, prune)
+        return cls(postings, scorers, phrase_scorers, min_doc, max_doc, prune)
 
 
 def _float_dtype(scorer) -> np.dtype:
@@ -235,7 +238,7 @@ class _SegmentSearcher:
             d, _f, _n, freq = self._phrase_match(q)
             return d
         if isinstance(q, MatchAllDocsQuery):
-            return np.arange(self.ctx.max_doc, dtype=np.int64)
+            return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY
         if isinstance(q, BooleanQuery):
@@ -257,7 +260,7 @@ class _SegmentSearcher:
         if isinstance(q, PhraseQuery):
             return self._phrase_scores(q)
         if isinstance(q, MatchAllDocsQuery):
-            d = np.arange(self.ctx.max_doc, dtype=np.int64)
+            d = np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
             return d, np.full(d.size, q.boost, dtype=np.float32)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY, np.zeros(0, dtype=np.float32)
@@ -421,15 +424,19 @@ class _SegmentSearcher:
         if not tps:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         dtype = _float_dtype(scs[0])
-        n_win = self.ctx.max_doc // WINDOW_DOCS + 1
+        # windows are relative to the segment's min docid: at web scale a
+        # merged segment holds global docids, and a zero-based window array
+        # over 10^12 ids would not fit — the offset keeps it O(segment size)
+        off = self.ctx.min_doc
+        n_win = (self.ctx.max_doc - 1 - off) // WINDOW_DOCS + 1
         ub_w = np.zeros(n_win, dtype=np.float64)
         per_term_win_blocks: list[dict[int, list[int]]] = []
         for tp, sc in zip(tps, scs):
             ubs = tp.block_ub(sc)
             t_ub = np.zeros(n_win, dtype=np.float64)
             win_blocks: dict[int, list[int]] = {}
-            wlo = tp.block_first // WINDOW_DOCS
-            whi = tp.block_last // WINDOW_DOCS
+            wlo = (tp.block_first - off) // WINDOW_DOCS
+            whi = (tp.block_last - off) // WINDOW_DOCS
             for bi in range(len(ubs)):
                 lo, hi = int(wlo[bi]), int(whi[bi])
                 if hi > lo:
@@ -454,7 +461,8 @@ class _SegmentSearcher:
             # strict <: a window tying θ can still improve the docid tie-break
             if top_d.size >= k and ub_w[w] < theta:
                 break
-            lo_doc, hi_doc = w * WINDOW_DOCS, (w + 1) * WINDOW_DOCS
+            lo_doc = off + w * WINDOW_DOCS
+            hi_doc = lo_doc + WINDOW_DOCS
             parts = []
             for tp, sc, win_blocks in zip(tps, scs, per_term_win_blocks):
                 bis = win_blocks.get(w)

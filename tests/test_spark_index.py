@@ -62,7 +62,9 @@ def _an(text, stopwords=STOP):
 
 
 def test_docmap_complete(spark, index_dir, corpus):
-    dm = spark.read.parquet(f"{index_dir}/docmap")
+    from lucene_spark.index.reader import IndexReader
+
+    dm = IndexReader(spark, index_dir).docmap
     assert dm.count() == N_DOCS
     urls = {r["url"] for r in dm.select("url").collect()}
     assert urls == {r["url"] for r in corpus}
@@ -141,7 +143,7 @@ def merged_dir(spark, index_dir, tmp_path_factory):
     from lucene_spark.index.merge import merge_segments
 
     out = str(tmp_path_factory.mktemp("merged"))
-    m = merge_segments(spark, index_dir, out, group_size=2)
+    m = merge_segments(spark, index_dir, out, target_segments=1)
     assert m["merged_segments"] == N_SEGMENTS
     assert m["n_docs"] == N_DOCS
     return out
@@ -171,3 +173,36 @@ def test_merged_global_stats_preserved(spark, index_dir, merged_dir):
         IndexReader(spark, index_dir).global_stats
         == IndexReader(spark, merged_dir).global_stats
     )
+
+
+def test_search_many_matches_single(spark, index_dir, searcher):
+    """Batched execution must return exactly the per-query results."""
+    qs = dict(reference_queries()[:12])
+    batched = searcher.search_many(qs, k=10).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append((r["docid"], np.float32(r["score"])))
+    for qid, q in qs.items():
+        single = [
+            (r["docid"], np.float32(r["score"]))
+            for r in searcher.search(q, k=10).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_merge_to_k_segments(spark, index_dir, tmp_path_factory):
+    """target_segments=2: contiguous groups, global docids, identical results."""
+    from lucene_spark.index.invariants import check_index
+    from lucene_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("merged_k2"))
+    m = merge_segments(spark, index_dir, out, target_segments=2)
+    assert m["target_segments"] == 2
+    viols = check_index(spark, out)
+    assert viols == [], viols
+    s_multi = Searcher(spark, index_dir, stopwords=STOP)
+    s_k2 = Searcher(spark, out, stopwords=STOP)
+    for qid, qs in reference_queries():
+        a = [(r["docid"], np.float32(r["score"])) for r in s_multi.search(qs, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_k2.search(qs, k=10).collect()]
+        assert a == b, (qid, qs)

@@ -97,3 +97,60 @@ def test_offsets():
 )
 def test_golden_mixed(text, want):
     assert terms(text) == want
+
+
+# --- ASCII fast path ≡ UAX#29 DFA path (differential) -----------------------
+
+def _dfa_tokenize(text, mtl=None):
+    import lucene_spark.analysis.tokenizer as T
+
+    mtl = mtl or T.MAX_TOKEN_LENGTH
+    cps = [ord(c) for c in text]
+    cls = [T._wb_class(c) for c in cps]
+    bounds = T._boundaries(cps, cls)
+    tokens = []
+    position = -1
+    skipped = 0
+    for a, b in zip(bounds, bounds[1:]):
+        ttype = T._segment_type(cls[a:b])
+        if ttype is None:
+            continue
+        if b - a > mtl:
+            skipped += 1
+            continue
+        position += 1 + skipped
+        skipped = 0
+        tokens.append((text[a:b], position, a, b, ttype))
+    return tokens
+
+
+def test_ascii_fast_path_equals_dfa_random():
+    import random
+    import string
+
+    from lucene_spark.analysis.tokenizer import MAX_TOKEN_LENGTH, _tokenize_ascii
+
+    alphabet = string.ascii_letters + string.digits + " .,';\"-_()!?/:+%$#\n\t"
+    rng = random.Random(42)
+    for _ in range(1500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        fast = [
+            (t.term, t.position, t.start, t.end, t.type)
+            for t in _tokenize_ascii(s, MAX_TOKEN_LENGTH)
+        ]
+        assert fast == _dfa_tokenize(s), repr(s)
+
+
+def test_ascii_fast_path_equals_dfa_edges():
+    from lucene_spark.analysis.tokenizer import MAX_TOKEN_LENGTH, _tokenize_ascii
+
+    for s in [
+        "O'Neil's", "3.14", "1,000", "a.b.c", "a.5", "top-100", "__", "_a_",
+        "1'000", "a..b", "x" * 256, "x" * 255, ("x" * 300) + " ok", "a'", "'a",
+        "a_b_c 9;9 9;a", "", " ", "...", "a,b", "1;2", "_9_",
+    ]:
+        fast = [
+            (t.term, t.position, t.start, t.end, t.type)
+            for t in _tokenize_ascii(s, MAX_TOKEN_LENGTH)
+        ]
+        assert fast == _dfa_tokenize(s), repr(s)
