@@ -59,6 +59,7 @@ from .schemas import (
     KIND_BLOCK,
     KIND_DOC,
     KIND_TERM,
+    KIND_STATS,
     POSTINGS_COLS,
     TERM_DICT_COLS,
     UNIFIED_BUILD_SCHEMA,
@@ -326,6 +327,18 @@ def _invert_segment(
                 impact_freqs=[[int(f) for f, _ in r["impacts"]] for r in rows],
                 impact_norms=[[int(n) for _, n in r["impacts"]] for r in rows],
             )
+    # per-segment stats row: the build's ONLY aggregation, computed here so
+    # no post-write scan is needed (column reuse per schemas.KIND_STATS)
+    n_terms_total = sum(1 for k in cols["kind"] if k == KIND_TERM)
+    extend(
+        KIND_STATS,
+        1,
+        df=[n_docs],
+        ttf=[int(doc_lens.sum())],
+        n_blocks=[n_terms_total],
+        first_docid=[0],
+        last_docid=[n_docs - 1],
+    )
     # object dtype for nullable int columns: pandas would otherwise coerce
     # int+None to float64, which silently loses precision past 2^53 (real
     # risk for global docids at 10^12-doc scale)
@@ -455,26 +468,18 @@ def build_index(
         .partitionBy("kind", "segment_id")
         .parquet(_table_path(index_dir, "data"))
     )
-    # stats from the written files: column-pruned scan of (doc_len, docid)
+    # stats: read back ONLY the kind=3 rows (one per segment, partition-
+    # pruned) — no scan of the data
     data = spark.read.parquet(_table_path(index_dir, "data"))
     seg_stats = (
-        data.groupBy("segment_id")
-        .agg(
-            F.sum(F.when(F.col("kind") == KIND_DOC, 1).otherwise(0)).alias(
-                "doc_count"
-            ),
-            F.sum(F.when(F.col("kind") == KIND_TERM, 1).otherwise(0)).alias(
-                "n_terms"
-            ),
-            F.sum(
-                F.when(F.col("kind") == KIND_DOC, F.col("doc_len")).otherwise(0)
-            ).alias("sum_ttf"),
-            F.max(F.when(F.col("kind") == KIND_DOC, F.col("docid"))).alias(
-                "max_docid"
-            ),
-            F.min(F.when(F.col("kind") == KIND_DOC, F.col("docid"))).alias(
-                "min_docid"
-            ),
+        data.filter(F.col("kind") == KIND_STATS)
+        .select(
+            "segment_id",
+            F.col("df").alias("doc_count"),
+            F.col("n_blocks").alias("n_terms"),
+            F.col("ttf").alias("sum_ttf"),
+            F.col("last_docid").alias("max_docid"),
+            F.col("first_docid").alias("min_docid"),
         )
         .collect()
     )

@@ -236,18 +236,33 @@ def merge_segments(
     )
 
     # --- field_stats + manifest (commit point) --------------------------
-    out_reader = IndexReader(spark, out_dir)
-    stats = (
-        out_reader.docmap.groupBy("segment_id")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sum("doc_len").alias("sum_ttf"),
-            F.max("docid").alias("max_docid"),
-            F.min("docid").alias("min_docid"),
+    # merged stats derive from the SOURCE stats driver-side — no read-back
+    # job: counts/ttf sum per group; docid bounds come from doc_base + the
+    # source segment's local bounds (groups are contiguous in doc_base order)
+    src_stats = {
+        int(r["segment_id"]): r.asDict() for r in reader.field_stats.collect()
+    }
+    agg: dict[int, dict] = {}
+    for r in manifest:
+        s = int(r["segment_id"])
+        g = group_of[s]
+        fs = src_stats[s]
+        base = doc_bases[s]
+        a = agg.setdefault(
+            g,
+            {
+                "segment_id": g,
+                "doc_count": 0,
+                "sum_ttf": 0,
+                "min_docid": base + int(fs["min_docid"]),
+                "max_docid": base + int(fs["max_docid"]),
+            },
         )
-        .collect()
-    )
-    stats = sorted((r.asDict() for r in stats), key=lambda r: r["segment_id"])
+        a["doc_count"] += int(fs["doc_count"])
+        a["sum_ttf"] += int(fs["sum_ttf"])
+        a["min_docid"] = min(a["min_docid"], base + int(fs["min_docid"]))
+        a["max_docid"] = max(a["max_docid"], base + int(fs["max_docid"]))
+    stats = sorted(agg.values(), key=lambda r: r["segment_id"])
     write_driver_table(
         f"{out_dir}/field_stats",
         [

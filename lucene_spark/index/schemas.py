@@ -29,6 +29,10 @@ from pyspark.sql import types as T
 KIND_DOC = 0
 KIND_TERM = 1
 KIND_BLOCK = 2
+# per-segment stats row (one per segment, written by the same single pass;
+# column reuse: df=doc_count, ttf=sum_ttf, n_blocks=n_terms,
+# first_docid=min_docid, last_docid=max_docid)
+KIND_STATS = 3
 
 UNIFIED_BUILD_SCHEMA = T.StructType(
     [

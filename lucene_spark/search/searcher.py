@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.simple import simple_analyze
 from ..analysis.tokenizer import analyze as standard_analyze
-from ..index.pseudo import ENC_SINGLETON, singleton_pseudo_blocks
+from ..index.pseudo import singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
 from .query import (
@@ -84,23 +84,8 @@ def _segment_search_fn(
 ) -> pd.DataFrame:
     seg = int(pdf["segment_id"].iloc[0])
     doc_base, min_doc, max_doc = seg_meta[seg]
-    block_rows: list[dict] = []
-    singleton_rows: list[dict] = []
-    for r in pdf.to_dict("records"):
-        if r["encoding"] == ENC_SINGLETON:
-            singleton_rows.append(
-                {
-                    "term": r["term"],
-                    "singleton_docid": r["first_docid"],
-                    "singleton_freq": int(r["impact_freqs"][0]),
-                    "singleton_norm": int(r["impact_norms"][0]),
-                    "singleton_positions": r.get("positions_enc"),
-                }
-            )
-        else:
-            block_rows.append(r)
-    ctx = SegmentContext.from_rows(
-        block_rows, singleton_rows, scorers, phrase_scorers, min_doc, max_doc, prune
+    ctx = SegmentContext.from_pdf(
+        pdf, scorers, phrase_scorers, min_doc, max_doc, prune
     )
     d, s = search_segment(ctx, query, k)
     return pd.DataFrame(
@@ -123,6 +108,7 @@ class Searcher:
         self.reader = IndexReader(spark, index_dir)
         self.mode = mode
         self.prune = prune
+        self._term_stats_cache: dict[str, tuple[int, int]] = {}
         base = standard_analyze if analyzer == "standard" else simple_analyze
         self._analyzer = partial(base, stopwords=stopwords)
 
@@ -138,6 +124,14 @@ class Searcher:
             .withColumn("docid", F.col("docid") + F.col("doc_base"))
             .drop("doc_base")
         )
+
+    def _cached_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        missing = [t for t in terms if t not in self._term_stats_cache]
+        if missing:
+            got = self.reader.term_stats(missing)
+            for t in missing:
+                self._term_stats_cache[t] = got.get(t, (0, 0))
+        return {t: self._term_stats_cache[t] for t in terms}
 
     def _seg_meta(self) -> dict[int, tuple[int, int, int]]:
         """segment_id → (doc_base, min_docid, max_docid+1) — doc_base remaps
@@ -175,7 +169,7 @@ class Searcher:
         doc_count, sum_ttf = self.reader.global_stats
         if doc_count == 0:
             return self._empty_hits()
-        tstats = self.reader.term_stats(terms)
+        tstats = self._cached_term_stats(terms)
         scorers = {
             t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
             for t in terms
@@ -246,7 +240,7 @@ class Searcher:
             )
         all_phrases = set().union(*(_collect_phrases(q) for q in parsed.values()))
         doc_count, sum_ttf = self.reader.global_stats
-        tstats = self.reader.term_stats(all_terms)
+        tstats = self._cached_term_stats(all_terms)
         scorers = {
             t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
             for t in all_terms
@@ -268,28 +262,12 @@ class Searcher:
         prune = self.prune
 
         def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            from ..index.pseudo import ENC_SINGLETON as _ES
             from .segment import SegmentContext, search_segment
 
             seg = int(pdf["segment_id"].iloc[0])
             doc_base, min_doc, max_doc = seg_meta[seg]
-            block_rows, singleton_rows = [], []
-            for r in pdf.to_dict("records"):
-                if r["encoding"] == _ES:
-                    singleton_rows.append(
-                        {
-                            "term": r["term"],
-                            "singleton_docid": r["first_docid"],
-                            "singleton_freq": int(r["impact_freqs"][0]),
-                            "singleton_norm": int(r["impact_norms"][0]),
-                            "singleton_positions": r.get("positions_enc"),
-                        }
-                    )
-                else:
-                    block_rows.append(r)
-            ctx = SegmentContext.from_rows(
-                block_rows, singleton_rows, scorers, phrase_scorers,
-                min_doc, max_doc, prune,
+            ctx = SegmentContext.from_pdf(
+                pdf, scorers, phrase_scorers, min_doc, max_doc, prune
             )
             qids, docids, scores = [], [], []
             for qid, q in parsed.items():

@@ -50,28 +50,47 @@ WINDOW_DOCS = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
 _EMPTY = np.zeros(0, dtype=np.int64)
 
 
-class _TermPostings:
-    """Lazily-decoded postings of one term within one segment."""
+ENC_SINGLETON = 4
 
-    def __init__(self, blocks: list[dict], singleton: dict | None):
-        # blocks: rows sorted by block_no with keys of POSTINGS_COLS
-        self.blocks = blocks
+
+class _TermPostings:
+    """Lazily-decoded postings of one term within one segment.
+
+    Column layout: per-block attributes are numpy slices of the segment's
+    Arrow batch (no per-row python dicts — the batch can hold millions of
+    block rows for hot terms)."""
+
+    __slots__ = (
+        "lo", "hi", "encoding", "n_docs", "base", "block_first", "block_last",
+        "docids_enc", "freqs_enc", "norms_enc", "positions_enc",
+        "impact_freqs", "impact_norms", "singleton", "_decoded",
+    )
+
+    def __init__(self, cols: dict, lo: int, hi: int, singleton: dict | None = None):
         self.singleton = singleton
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         if singleton is not None:
             self.block_first = np.array([singleton["singleton_docid"]], dtype=np.int64)
             self.block_last = self.block_first
-        else:
-            self.block_first = np.fromiter(
-                (b["first_docid"] for b in blocks), dtype=np.int64, count=len(blocks)
-            )
-            self.block_last = np.fromiter(
-                (b["last_docid"] for b in blocks), dtype=np.int64, count=len(blocks)
-            )
+            return
+        self.lo, self.hi = lo, hi
+        self.encoding = cols["encoding"][lo:hi]
+        self.n_docs = cols["n_docs"][lo:hi]
+        self.base = cols["base_docid"][lo:hi]
+        self.block_first = cols["first_docid"][lo:hi]
+        self.block_last = cols["last_docid"][lo:hi]
+        self.docids_enc = cols["docids_enc"][lo:hi]
+        self.freqs_enc = cols["freqs_enc"][lo:hi]
+        self.norms_enc = cols["norms_enc"][lo:hi]
+        self.positions_enc = cols.get("positions_enc")
+        if self.positions_enc is not None:
+            self.positions_enc = self.positions_enc[lo:hi]
+        self.impact_freqs = cols["impact_freqs"][lo:hi]
+        self.impact_norms = cols["impact_norms"][lo:hi]
 
     @property
     def n_blocks(self) -> int:
-        return 1 if self.singleton is not None else len(self.blocks)
+        return 1 if self.singleton is not None else len(self.block_first)
 
     def block_ub(self, scorer) -> np.ndarray:
         """Per-block score upper bound from the impact skyline."""
@@ -81,13 +100,16 @@ class _TermPostings:
                 dtype=np.int64,
             )
             return np.array([scorer.max_score(imp)], dtype=np.float64)
-        ubs = np.empty(len(self.blocks), dtype=np.float64)
-        for i, b in enumerate(self.blocks):
-            imp = np.stack(
-                [np.asarray(b["impact_freqs"]), np.asarray(b["impact_norms"])], axis=1
-            )
-            ubs[i] = scorer.max_score(imp)
-        return ubs
+        # flatten all skylines into one score() call, then segmented max
+        counts = np.fromiter(
+            (len(x) for x in self.impact_freqs), dtype=np.int64,
+            count=len(self.impact_freqs),
+        )
+        all_f = np.concatenate([np.asarray(x, dtype=np.int64) for x in self.impact_freqs])
+        all_n = np.concatenate([np.asarray(x, dtype=np.int64) for x in self.impact_norms])
+        scores = scorer.score(all_f, all_n).astype(np.float64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        return np.maximum.reduceat(scores, bounds[:-1])
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docids, freqs, norms) of block i."""
@@ -102,13 +124,14 @@ class _TermPostings:
                 np.array([s["singleton_norm"]], dtype=np.int64),
             )
         else:
-            b = self.blocks[i]
             d = decode_block_docids(
-                b["encoding"], b["docids_enc"], b["n_docs"], b["base_docid"],
-                b["last_docid"],
+                int(self.encoding[i]), self.docids_enc[i], int(self.n_docs[i]),
+                int(self.base[i]), int(self.block_last[i]),
             )
-            f = decode_block_freqs(b["encoding"], b["freqs_enc"], b["n_docs"])
-            m = np.frombuffer(b["norms_enc"], dtype=np.uint8).astype(np.int64)
+            f = decode_block_freqs(
+                int(self.encoding[i]), self.freqs_enc[i], int(self.n_docs[i])
+            )
+            m = np.frombuffer(self.norms_enc[i], dtype=np.uint8).astype(np.int64)
             out = (d, f, m)
         self._decoded[i] = out
         return out
@@ -129,9 +152,8 @@ class _TermPostings:
             return decode_positions(
                 s["singleton_positions"], np.array([s["singleton_freq"]])
             )
-        b = self.blocks[block_i]
         _, f, _ = self.decode_block(block_i)
-        return decode_positions(b["positions_enc"], f)
+        return decode_positions(self.positions_enc[block_i], f)
 
     def blocks_overlapping(self, candidates: np.ndarray) -> np.ndarray:
         """Indices of blocks whose [first,last] span contains ≥1 candidate
@@ -163,25 +185,55 @@ class SegmentContext:
         self.prune = prune
 
     @classmethod
-    def from_rows(
+    def from_pdf(
         cls,
-        block_rows: list[dict],
-        singleton_rows: list[dict],
+        pdf,
         scorers,
         phrase_scorers,
         min_doc: int,
         max_doc: int,
         prune: bool = True,
     ) -> "SegmentContext":
-        by_term: dict[str, list[dict]] = {}
-        for r in block_rows:
-            by_term.setdefault(r["term"], []).append(r)
+        """Build from one segment's Arrow batch of block rows (+ singleton
+        pseudo-blocks, encoding==ENC_SINGLETON) — columnar, no per-row dicts."""
+        import pandas as pd  # noqa: F401
+
+        pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+        cols = {
+            c: pdf[c].to_numpy()
+            for c in pdf.columns
+            if c not in ("segment_id", "term")
+        }
+        terms = pdf["term"].to_numpy()
+        enc = cols["encoding"].astype(np.int64)
         postings: dict[str, _TermPostings] = {}
-        for term, rows in by_term.items():
-            rows.sort(key=lambda r: r["block_no"])
-            postings[term] = _TermPostings(rows, None)
-        for s in singleton_rows:
-            postings[s["term"]] = _TermPostings([], s)
+        n = len(terms)
+        if n == 0:
+            return cls(postings, scorers, phrase_scorers, min_doc, max_doc, prune)
+        tchange = np.empty(n, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(tchange)
+        ends = np.concatenate((starts[1:], [n]))
+        pos_col = cols.get("positions_enc")
+        for lo, hi in zip(starts, ends):
+            term = terms[lo]
+            if enc[lo] == ENC_SINGLETON:
+                postings[term] = _TermPostings(
+                    cols,
+                    int(lo),
+                    int(hi),
+                    singleton={
+                        "singleton_docid": int(cols["first_docid"][lo]),
+                        "singleton_freq": int(cols["impact_freqs"][lo][0]),
+                        "singleton_norm": int(cols["impact_norms"][lo][0]),
+                        "singleton_positions": (
+                            pos_col[lo] if pos_col is not None else None
+                        ),
+                    },
+                )
+            else:
+                postings[term] = _TermPostings(cols, int(lo), int(hi))
         return cls(postings, scorers, phrase_scorers, min_doc, max_doc, prune)
 
 
@@ -368,42 +420,46 @@ class _SegmentSearcher:
             cand = cand[np.isin(cand, d)]
         if cand.size == 0:
             return _EMPTY, _EMPTY, _EMPTY, False
-        # per-candidate position lists per term
-        pos_lists = []
-        for tp in tps:
-            per_doc: dict[int, np.ndarray] = {}
+        # vectorized adjacency: encode (doc, position) as doc<<32 | pos and
+        # leapfrog phrase starts through each term's sorted key array
+        # (ExactPhraseMatcher.java:38 semantics, batch-wise)
+        def term_keys(tp) -> np.ndarray:
             if tp.singleton is not None:
                 sd = int(tp.singleton["singleton_docid"])
-                if sd in cand:
-                    per_doc[sd] = tp.positions_for(0)
-            else:
-                for bi in tp.blocks_overlapping(cand):
-                    d, f, _m = tp.decode_block(int(bi))
-                    flat = tp.positions_for(int(bi))
-                    bounds = np.concatenate(([0], np.cumsum(f)))
-                    for j in np.flatnonzero(np.isin(d, cand)):
-                        per_doc[int(d[j])] = flat[bounds[j] : bounds[j + 1]]
-            pos_lists.append(per_doc)
-        # norms for candidates from the first term's postings
-        d0, f0, m0 = tps[0].decode_all()
-        sel0 = np.searchsorted(d0, cand)
-        norms = m0[sel0]
-        freqs = np.zeros(cand.size, dtype=np.int64)
-        for i, doc in enumerate(cand):
-            doc = int(doc)
-            first = pos_lists[0].get(doc)
-            if first is None:
-                continue
-            ok = np.ones(first.size, dtype=bool)
-            for off in range(1, len(tps)):
-                nxt = pos_lists[off].get(doc)
-                if nxt is None:
-                    ok[:] = False
-                    break
-                ok &= np.isin(first + off, nxt)
-            freqs[i] = int(ok.sum())
-        keep = freqs > 0
-        return cand[keep], freqs[keep], norms[keep], True
+                if sd not in cand:
+                    return _EMPTY
+                pos = tp.positions_for(0)
+                return (np.int64(sd) << np.int64(32)) | pos
+            parts = []
+            for bi in tp.blocks_overlapping(cand):
+                d, f, _m = tp.decode_block(int(bi))
+                flat = tp.positions_for(int(bi))
+                docrep = np.repeat(d, f)
+                keep_mask = np.isin(docrep, cand)
+                if keep_mask.any():
+                    parts.append(
+                        (docrep[keep_mask] << np.int64(32)) | flat[keep_mask]
+                    )
+            return np.concatenate(parts) if parts else _EMPTY
+
+        starts = term_keys(tps[0])
+        for off in range(1, len(tps)):
+            if starts.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            keys = term_keys(tps[off])
+            if keys.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            want = starts + off
+            idx = np.searchsorted(keys, want)
+            idx_c = np.minimum(idx, keys.size - 1)
+            starts = starts[keys[idx_c] == want]
+        if starts.size == 0:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        docs, freqs = np.unique(starts >> np.int64(32), return_counts=True)
+        # norms from the first term's postings
+        d0, _f0, m0 = tps[0].decode_all()
+        norms = m0[np.searchsorted(d0, docs)]
+        return docs, freqs, norms, True
 
     def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         sc = self.ctx.phrase_scorers[q.terms]
