@@ -98,21 +98,51 @@ class IndexReader:
         pattern: str | None = None,
         low: str | None = None,
         high: str | None = None,
+        include_low: bool = True,
+        include_high: bool = True,
+        length_band: tuple[int, int] | None = None,
         max_terms: int = 128,
     ) -> list[str]:
         """MultiTermQuery expansion (PrefixQuery/RegexpQuery/TermRangeQuery →
         SHOULD terms, ScoringRewrite/TopTermsRewrite analog). Ranked by
         global df desc so a cap keeps the highest-df terms
         (TopTermsRewrite.java heap semantics)."""
+        return [t for t, _df in self.expand_terms_df(
+            prefix=prefix, pattern=pattern, low=low, high=high,
+            include_low=include_low, include_high=include_high,
+            length_band=length_band, max_terms=max_terms,
+        )]
+
+    def expand_terms_df(
+        self,
+        prefix: str | None = None,
+        pattern: str | None = None,
+        low: str | None = None,
+        high: str | None = None,
+        include_low: bool = True,
+        include_high: bool = True,
+        length_band: tuple[int, int] | None = None,
+        max_terms: int = 128,
+    ) -> list[tuple[str, int]]:
+        """expand_terms returning (term, global df) pairs — FuzzyQuery's
+        blended-frequency rewrite needs the dfs of the whole expanded set.
+        prefix/low/high push into the parquet scan (row-group min/max on the
+        sorted term column); pattern/length filter after the scan."""
         td = self.term_dict
-        if prefix is not None:
+        if prefix is not None and prefix:
             td = td.filter(F.col("term").startswith(prefix))
         if pattern is not None:
             td = td.filter(F.col("term").rlike(pattern))
         if low is not None:
-            td = td.filter(F.col("term") >= low)
+            td = td.filter(
+                F.col("term") >= low if include_low else F.col("term") > low
+            )
         if high is not None:
-            td = td.filter(F.col("term") <= high)
+            td = td.filter(
+                F.col("term") <= high if include_high else F.col("term") < high
+            )
+        if length_band is not None:
+            td = td.filter(F.length("term").between(*length_band))
         rows = (
             td.groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -120,7 +150,7 @@ class IndexReader:
             .limit(max_terms)
             .collect()
         )
-        return [r["term"] for r in rows]
+        return [(r["term"], int(r["df"])) for r in rows]
 
     def singleton_rows(self, terms: list[str]) -> list[dict]:
         """Pulsed (df==1) postings for the given terms, tiny by construction."""

@@ -64,8 +64,15 @@ class PyIndex:
         )
 
     # --- scoring -------------------------------------------------------
-    def term_scores(self, term: str) -> dict[int, np.float32]:
-        sc = self.scorer(term)
+    def term_scores(
+        self, term: str, boost: float = 1.0, df_override: int = 0
+    ) -> dict[int, np.float32]:
+        sc = Bm25Scorer.create(
+            df_override or self.doc_freq(term),
+            self.doc_count,
+            self.sum_ttf,
+            boost=boost,
+        )
         out: dict[int, np.float32] = {}
         for docid, freq, _ in self.postings.get(term, ()):
             out[docid] = sc.score(
@@ -110,6 +117,170 @@ class PyIndex:
         hits = self.search_phrase(phrase_terms, k=max(self.doc_count, 1))
         return {d: np.float32(s) for d, s in hits}
 
+    def synonym_scores(self, terms: tuple, boost: float = 1.0) -> dict[int, np.float32]:
+        """Blended stats: df = max over terms; per-doc freq = Σ freqs
+        (SynonymQuery.java:54 + SynonymScorer.freq)."""
+        df = max((self.doc_freq(t) for t in terms), default=0)
+        sc = Bm25Scorer.create(df, self.doc_count, self.sum_ttf, boost=boost)
+        freqs: dict[int, int] = defaultdict(int)
+        for t in terms:
+            for docid, f, _ in self.postings.get(t, ()):
+                freqs[docid] += f
+        return {
+            d: sc.score(np.array([f]), np.array([self.norms[d]]))[0]
+            for d, f in freqs.items()
+        }
+
+    def sloppy_phrase_scores(
+        self, phrase_terms: list[str], slop: int, boost: float = 1.0
+    ) -> dict[int, np.float32]:
+        """Sloppy phrase: adjusted positions, window ≤ slop, per-match weight
+        1/(1+matchLength), min-advance sweep (SloppyPhraseMatcher.java:53,
+        PhraseScorer.java:86-88) — mirrors segment._sloppy_phrase_match."""
+        plists = [
+            {d: pos for d, _, pos in self.postings.get(t, ())} for t in phrase_terms
+        ]
+        common = set(plists[0])
+        for p in plists[1:]:
+            common &= set(p)
+        idf_sum = np.float32(
+            sum(float(self.scorer(t).weight) for t in phrase_terms)
+        )
+        cache = Bm25Scorer.create(1, self.doc_count, self.sum_ttf).cache
+        sc = Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            lists = [sorted(p - i for p in plists[i][d]) for i in range(len(plists))]
+            idx = [0] * len(lists)
+            cur = [l[0] for l in lists]
+            freq = 0.0
+            while True:
+                lo, hi = min(cur), max(cur)
+                if hi - lo <= slop:
+                    freq += 1.0 / (1 + hi - lo)
+                mi = cur.index(lo)
+                idx[mi] += 1
+                if idx[mi] >= len(lists[mi]):
+                    break
+                cur[mi] = lists[mi][idx[mi]]
+            if freq > 0:
+                out[d] = sc.score(
+                    np.array([np.float32(freq)]), np.array([self.norms[d]])
+                )[0]
+        return out
+
+    def expand_multiterm(self, q, max_terms: int = 128):
+        """Mirror of Searcher.expand_multiterm over the in-memory term dict:
+        df-desc then term-asc ranking with the same cap, so engine and oracle
+        expand to identical SHOULD sets."""
+        import re as _re
+
+        from ..search.fuzzy import fuzzy_similarity, osa_distance
+        from ..search.query import (
+            BooleanQuery,
+            ConstantScoreQuery,
+            DisjunctionMaxQuery,
+            FuzzyQuery,
+            MatchNoDocsQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        def pick(pred) -> list[str]:
+            cands = [(t, self.doc_freq(t)) for t in self.postings if pred(t)]
+            cands.sort(key=lambda p: (-p[1], p[0]))
+            return [t for t, _ in cands[:max_terms]]
+
+        if isinstance(q, PrefixQuery):
+            terms = pick(lambda t: t.startswith(q.prefix))
+        elif isinstance(q, WildcardQuery):
+            from ..search.query import wildcard_to_regex
+
+            _lit, rx = wildcard_to_regex(q.pattern)
+            crx = _re.compile(rx)
+            terms = pick(lambda t: crx.match(t) is not None)
+        elif isinstance(q, RegexpQuery):
+            crx = _re.compile("^" + q.pattern.strip("^$") + "$")
+            terms = pick(lambda t: crx.match(t) is not None)
+        elif isinstance(q, TermRangeQuery):
+            def in_range(t: str) -> bool:
+                if q.lower is not None:
+                    if t < q.lower or (t == q.lower and not q.include_lower):
+                        return False
+                if q.upper is not None:
+                    if t > q.upper or (t == q.upper and not q.include_upper):
+                        return False
+                return True
+
+            terms = pick(in_range)
+        elif isinstance(q, FuzzyQuery):
+            pl = min(q.prefix_length, len(q.term))
+            band = (len(q.term) - q.max_edits, len(q.term) + q.max_edits)
+            matched = []
+            for t in self.postings:
+                if pl and not t.startswith(q.term[:pl]):
+                    continue
+                if not (band[0] <= len(t) <= band[1]):
+                    continue
+                e = osa_distance(q.term, t, q.max_edits)
+                if e <= q.max_edits:
+                    matched.append((t, e, self.doc_freq(t)))
+            if not matched:
+                return MatchNoDocsQuery()
+            matched.sort(
+                key=lambda m: (-fuzzy_similarity(m[1], m[0], q.term), -m[2], m[0])
+            )
+            matched = matched[:max_terms]
+            blended_df = max(df for _t, _e, df in matched)
+            return BooleanQuery(
+                should=tuple(
+                    TermQuery(
+                        t,
+                        boost=q.boost * fuzzy_similarity(e, t, q.term),
+                        df_override=blended_df,
+                    )
+                    for t, e, _df in matched
+                )
+            )
+        elif isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                must=tuple(self.expand_multiterm(c, max_terms) for c in q.must),
+                should=tuple(self.expand_multiterm(c, max_terms) for c in q.should),
+                must_not=tuple(self.expand_multiterm(c, max_terms) for c in q.must_not),
+                min_should_match=q.min_should_match,
+            )
+        elif isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                disjuncts=tuple(
+                    self.expand_multiterm(c, max_terms) for c in q.disjuncts
+                ),
+                tie_breaker=q.tie_breaker,
+            )
+        elif isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(
+                query=self.expand_multiterm(q.query, max_terms), boost=q.boost
+            )
+        else:
+            return q
+        if not terms:
+            return MatchNoDocsQuery()
+        return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+
+    def matching_docs(self, q) -> set[int]:
+        from ..search.query import ConstantScoreQuery, TermInSetQuery
+
+        if isinstance(q, TermInSetQuery):
+            out: set[int] = set()
+            for t in q.terms:
+                out.update(d for d, _, _ in self.postings.get(t, ()))
+            return out
+        if isinstance(q, ConstantScoreQuery):
+            return self.matching_docs(q.query)
+        return set(self.eval_query(q))
+
     def eval_query(self, q) -> dict[int, np.float32]:
         """Evaluate a parsed query AST (search/query.py nodes) exhaustively.
 
@@ -118,16 +289,44 @@ class PyIndex:
         """
         from ..search.query import (
             BooleanQuery,
+            ConstantScoreQuery,
+            DisjunctionMaxQuery,
             MatchAllDocsQuery,
             MatchNoDocsQuery,
             PhraseQuery,
+            SynonymQuery,
+            TermInSetQuery,
             TermQuery,
         )
 
         if isinstance(q, TermQuery):
-            return self.term_scores(q.term)
+            return self.term_scores(q.term, boost=q.boost, df_override=q.df_override)
         if isinstance(q, PhraseQuery):
-            return self.phrase_scores(list(q.terms))
+            if q.slop > 0:
+                return self.sloppy_phrase_scores(list(q.terms), q.slop, q.boost)
+            return {
+                d: np.float32(s)
+                for d, s in self.search_phrase(
+                    list(q.terms), k=max(self.doc_count, 1), boost=q.boost
+                )
+            }
+        if isinstance(q, SynonymQuery):
+            return self.synonym_scores(q.terms, q.boost)
+        if isinstance(q, TermInSetQuery):
+            return {d: np.float32(q.boost) for d in self.matching_docs(q)}
+        if isinstance(q, ConstantScoreQuery):
+            return {d: np.float32(q.boost) for d in self.matching_docs(q.query)}
+        if isinstance(q, DisjunctionMaxQuery):
+            per: dict[int, list[float]] = defaultdict(list)
+            for c in q.disjuncts:
+                for d, s in self.eval_query(c).items():
+                    per[d].append(float(s))
+            return {
+                d: np.float32(
+                    max(ss) + q.tie_breaker * (sum(ss) - max(ss))
+                )
+                for d, ss in per.items()
+            }
         if isinstance(q, MatchAllDocsQuery):
             return {d: np.float32(q.boost) for d in self.norms}
         if isinstance(q, MatchNoDocsQuery):
@@ -143,16 +342,30 @@ class PyIndex:
                 for e in evaluated:
                     for d in acc:
                         acc[d] = np.float32(acc[d] + e[d])
+                n_should: dict[int, int] = defaultdict(int)
                 for c in q.should:
                     e = self.eval_query(c)
                     for d in acc:
                         if d in e:
                             acc[d] = np.float32(acc[d] + e[d])
+                            n_should[d] += 1
+                if q.min_should_match > 0:
+                    acc = {
+                        d: s
+                        for d, s in acc.items()
+                        if n_should[d] >= q.min_should_match
+                    }
             else:
                 acc = {}
+                counts: dict[int, int] = defaultdict(int)
                 for c in q.should:
                     for d, s in self.eval_query(c).items():
                         acc[d] = np.float32(acc.get(d, np.float32(0.0)) + s)
+                        counts[d] += 1
+                if q.min_should_match > 1:
+                    acc = {
+                        d: s for d, s in acc.items() if counts[d] >= q.min_should_match
+                    }
             for c in q.must_not:
                 for d in self.eval_query(c):
                     acc.pop(d, None)
@@ -160,11 +373,16 @@ class PyIndex:
         raise TypeError(f"unsupported query node {type(q)}")
 
     def search_query(self, q, k: int = 10) -> list[tuple[int, float]]:
+        from ..search.query import rewrite
+
+        q = rewrite(self.expand_multiterm(q))
         return topk_sort(
             [(d, float(s)) for d, s in self.eval_query(q).items()], k
         )
 
-    def search_phrase(self, phrase_terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search_phrase(
+        self, phrase_terms: list[str], k: int = 10, boost: float = 1.0
+    ) -> list[tuple[int, float]]:
         """Exact phrase: freq = number of phrase occurrences, scored with
         summed idf (BM25Similarity.idfExplain over the terms,
         BM25Similarity.java:160-169) — ExactPhraseMatcher semantics."""
@@ -182,7 +400,7 @@ class PyIndex:
             sum(float(self.scorer(t).weight) for t in phrase_terms)
         )
         cache = Bm25Scorer.create(1, self.doc_count, self.sum_ttf).cache
-        sc = Bm25Scorer(weight=idf_sum, cache=cache)
+        sc = Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
         hits = []
         for d in common:
             first = np.array(plists[0][d])

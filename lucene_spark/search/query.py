@@ -1,53 +1,166 @@
 """Query AST + classic-syntax parser + logical rewrite.
 
-Grammar follows Lucene's classic QueryParser surface for the subset the
-reference query set uses (reference:
+Grammar follows Lucene's classic QueryParser surface (reference:
 lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj:256):
-``a AND b``, ``a OR b``, ``NOT a``, ``+a -b``, ``"a phrase"``, parentheses,
-``prefix*``. Default operator is OR (QueryParserBase default). Leaf text is
-re-analyzed with the *same* analyzer as the index (QueryParserBase
-``newFieldQuery`` — index/query symmetry); a leaf that analyzes to multiple
-tokens becomes a PhraseQuery, to zero tokens (stopword) is dropped.
+``a AND b``, ``a OR b``, ``NOT a``, ``+a -b``, ``"a phrase"``, ``"a b"~2``
+(sloppy phrase), parentheses, ``prefix*``, ``wild*card`` / ``w?ld``,
+``/regex/``, ``fuzzy~`` / ``fuzzy~1``, ``[a TO b]`` / ``{a TO b}`` term
+ranges, and ``^boost`` on any atom. Default operator is OR (QueryParserBase
+default). Leaf text is re-analyzed with the *same* analyzer as the index
+(QueryParserBase ``newFieldQuery`` — index/query symmetry); a leaf that
+analyzes to multiple tokens becomes a PhraseQuery, to zero tokens
+(stopword) is dropped. Multi-term patterns are lowercased but not analyzed
+(Analyzer.normalize semantics).
 
 Rewrites mirror BooleanQuery.rewrite (lucene/core/src/java/org/apache/lucene/
 search/BooleanQuery.java:270-474): 1-clause unwrap, nested SHOULD-only
 flatten, duplicate-clause dedup, empty → MatchNoDocs; applied to fixpoint
-(IndexSearcher.java:862-871).
+(IndexSearcher.java:862-871). Boosts are distributed multiplicatively into
+leaves exactly as Lucene's createWeight(query, scoreMode, boost) threads the
+boost down the Weight tree (search/BooleanWeight.java passes boost to every
+scoring clause; BoostQuery.java:29 multiplies).
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 __all__ = [
     "TermQuery",
     "PhraseQuery",
     "PrefixQuery",
+    "WildcardQuery",
+    "RegexpQuery",
+    "FuzzyQuery",
+    "TermRangeQuery",
+    "TermInSetQuery",
+    "SynonymQuery",
+    "DisjunctionMaxQuery",
+    "ConstantScoreQuery",
     "BooleanQuery",
     "MatchNoDocsQuery",
     "MatchAllDocsQuery",
     "parse_query",
     "rewrite",
     "collect_terms",
+    "boosted",
+    "wildcard_to_regex",
 ]
+
+
+def wildcard_to_regex(pattern: str) -> tuple[str, str]:
+    """(literal_prefix, anchored_regex) for a ``*``/``?`` wildcard pattern
+    (WildcardQuery.java:38 WILDCARD_STRING/WILDCARD_CHAR automaton)."""
+    m = re.match(r"^[^*?]*", pattern)
+    lit = m.group(0) if m else ""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return lit, "^" + "".join(out) + "$"
 
 
 @dataclass(frozen=True)
 class TermQuery:
     term: str
     boost: float = 1.0
+    # when nonzero, score with this docFreq instead of the term's own —
+    # BlendedTermQuery.adjustFrequencies semantics (df = max across the
+    # expanded set) used by FuzzyQuery's TopTermsBlendedFreqScoringRewrite
+    df_override: int = 0
 
 
 @dataclass(frozen=True)
 class PhraseQuery:
     terms: tuple[str, ...]
+    slop: int = 0
     boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    """``*`` = any run, ``?`` = any single char (search/WildcardQuery.java:38)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    """Anchored regular expression over the term dictionary
+    (search/RegexpQuery.java:44)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Damerau-Levenshtein ≤ max_edits expansion (search/FuzzyQuery.java:52);
+    defaults mirror FuzzyQuery.defaultMaxEdits=2, defaultPrefixLength=0."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    """Lexicographic term range (search/TermRangeQuery.java:37); None bound =
+    open end."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery:
+    """Large OR of exact terms (search/TermInSetQuery.java:66)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery:
+    """Scores as if all terms were one term: docFreq = max over terms,
+    totalTermFreq = sum, per-doc freq = Σ matching term freqs
+    (search/SynonymQuery.java:54 createWeight + SynonymScorer.freq)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Per-doc max(sub) + tie_breaker·(Σ others)
+    (search/DisjunctionMaxQuery.java:44)."""
+
+    disjuncts: tuple = ()
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Every matching doc scores exactly ``boost``
+    (search/ConstantScoreQuery.java:28) — boost does NOT propagate inside."""
+
+    query: object = None
     boost: float = 1.0
 
 
@@ -66,6 +179,29 @@ class BooleanQuery:
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+    min_should_match: int = 0
+
+
+def boosted(q, b: float):
+    """Multiply a boost into a query — distributed into leaves like Lucene's
+    Weight-tree boost threading (BoostQuery semantics)."""
+    if b == 1.0:
+        return q
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            must=tuple(boosted(c, b) for c in q.must),
+            should=tuple(boosted(c, b) for c in q.should),
+            must_not=q.must_not,  # non-scoring side
+            min_should_match=q.min_should_match,
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            disjuncts=tuple(boosted(c, b) for c in q.disjuncts),
+            tie_breaker=q.tie_breaker,
+        )
+    if isinstance(q, MatchNoDocsQuery):
+        return q
+    return replace(q, boost=q.boost * b)
 
 
 # --- parser -----------------------------------------------------------------
@@ -74,17 +210,22 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
-        (?P<plus>\+) | (?P<minus>-) |
-        (?P<phrase>"(?P<phrase_body>[^"]*)") |
-        (?P<word>[^\s()+\-"][^\s()"]*)
+        (?P<plus>\+) | (?P<minus>-(?=\S)) |
+        (?P<range>[\[\{]\s*(?P<range_lo>\S+)\s+TO\s+(?P<range_hi>\S+)\s*[\]\}])
+            (?P<range_suffix>\^[0-9.]+)? |
+        (?P<regex>/(?P<regex_body>(?:[^/\\]|\\.)*)/)(?P<regex_suffix>\^[0-9.]+)? |
+        (?P<phrase>"(?P<phrase_body>[^"]*)")(?P<phrase_suffix>(?:~\d+)?(?:\^[0-9.]+)?) |
+        (?P<word>[^\s()+\-"/][^\s()"]*)
     )""",
     re.VERBOSE,
 )
 
+_WORD_SUFFIX_RE = re.compile(r"^(?P<body>.*?)(?:~(?P<edits>\d*))?(?:\^(?P<boost>[0-9.]+))?$")
+
 
 class _Tokens:
     def __init__(self, s: str):
-        self.toks: list[tuple[str, str]] = []
+        self.toks: list[tuple[str, object]] = []
         pos = 0
         while pos < len(s):
             m = _TOKEN_RE.match(s, pos)
@@ -98,8 +239,30 @@ class _Tokens:
                     self.toks.append((kind, m.group(kind)))
                     break
             else:
-                if m.group("phrase") is not None:
-                    self.toks.append(("phrase", m.group("phrase_body")))
+                if m.group("range") is not None:
+                    incl_lo = m.group("range").lstrip()[0] == "["
+                    incl_hi = m.group("range").rstrip()[-1] == "]"
+                    boost = float((m.group("range_suffix") or "^1")[1:])
+                    self.toks.append(
+                        ("range", (m.group("range_lo"), m.group("range_hi"), incl_lo, incl_hi, boost))
+                    )
+                elif m.group("regex") is not None:
+                    boost = float((m.group("regex_suffix") or "^1")[1:])
+                    self.toks.append(("regex", (m.group("regex_body"), boost)))
+                elif m.group("phrase") is not None:
+                    suffix = m.group("phrase_suffix") or ""
+                    slop_m = re.search(r"~(\d+)", suffix)
+                    boost_m = re.search(r"\^([0-9.]+)", suffix)
+                    self.toks.append(
+                        (
+                            "phrase",
+                            (
+                                m.group("phrase_body"),
+                                int(slop_m.group(1)) if slop_m else 0,
+                                float(boost_m.group(1)) if boost_m else 1.0,
+                            ),
+                        )
+                    )
                 else:
                     self.toks.append(("word", m.group("word")))
         self.i = 0
@@ -107,38 +270,65 @@ class _Tokens:
     def peek(self) -> str | None:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
 
-    def next(self) -> tuple[str, str]:
+    def next(self) -> tuple[str, object]:
         t = self.toks[self.i]
         self.i += 1
         return t
 
 
-def _make_leaf(kind: str, text: str, analyzer) -> object:
+def _make_word_leaf(text: str, analyzer) -> object:
+    m = _WORD_SUFFIX_RE.match(text)
+    body, edits, boost_s = m.group("body"), m.group("edits"), m.group("boost")
+    boost = float(boost_s) if boost_s else 1.0
+    # strip a field: prefix (single-field engine: field name is ignored)
+    if ":" in body:
+        body = body.split(":", 1)[1]
+    if edits is not None:  # trailing ~ or ~N → fuzzy (QueryParser.jj FUZZY_SLOP)
+        max_edits = int(edits) if edits else 2
+        return boosted(FuzzyQuery(body.lower(), max_edits=max_edits), boost)
+    if body == "*":
+        return boosted(MatchAllDocsQuery(), boost)
+    if "*" in body or "?" in body:
+        if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            ptoks = analyzer(body[:-1])
+            if len(ptoks) == 1:
+                return boosted(PrefixQuery(ptoks[0].term), boost)
+        return boosted(WildcardQuery(body.lower()), boost)
+    toks = analyzer(body)
+    if not toks:
+        return MatchNoDocsQuery()
+    if len(toks) == 1:
+        return boosted(TermQuery(toks[0].term), boost)
+    return boosted(PhraseQuery(tuple(t.term for t in toks)), boost)
+
+
+def _make_leaf(kind: str, val, analyzer) -> object:
     if kind == "phrase":
+        text, slop, boost = val
         toks = analyzer(text)
         if not toks:
             return MatchNoDocsQuery()
         if len(toks) == 1:
-            return TermQuery(toks[0].term)
-        return PhraseQuery(tuple(t.term for t in toks))
-    if text == "*":
-        return MatchAllDocsQuery()
-    if text.endswith("*") and len(text) > 1 and "*" not in text[:-1]:
-        ptoks = analyzer(text[:-1])
-        if len(ptoks) == 1:
-            return PrefixQuery(ptoks[0].term)
-    # strip a field: prefix (single-field engine: field is ignored)
-    if ":" in text:
-        text = text.split(":", 1)[1]
-    toks = analyzer(text)
-    if not toks:
-        return MatchNoDocsQuery()
-    if len(toks) == 1:
-        return TermQuery(toks[0].term)
-    return PhraseQuery(tuple(t.term for t in toks))
+            return boosted(TermQuery(toks[0].term), boost)
+        return boosted(PhraseQuery(tuple(t.term for t in toks), slop=slop), boost)
+    if kind == "range":
+        lo, hi, incl_lo, incl_hi, boost = val
+        return boosted(
+            TermRangeQuery(
+                None if lo == "*" else lo.lower(),
+                None if hi == "*" else hi.lower(),
+                include_lower=incl_lo,
+                include_upper=incl_hi,
+            ),
+            boost,
+        )
+    if kind == "regex":
+        body, boost = val
+        return boosted(RegexpQuery(body), boost)
+    return _make_word_leaf(val, analyzer)
 
 
-_CLAUSE_START = {"word", "phrase", "plus", "minus", "not", "lparen"}
+_CLAUSE_START = {"word", "phrase", "range", "regex", "plus", "minus", "not", "lparen"}
 
 
 def _parse_or(tk: _Tokens, analyzer):
@@ -204,6 +394,15 @@ def _parse_atom(tk: _Tokens, analyzer):
         q = _parse_or(tk, analyzer)
         if tk.peek() == "rparen":
             tk.next()
+        # group boost: (a b)^2 arrives as a following bare word "^2"
+        if tk.peek() == "word":
+            w = tk.toks[tk.i][1]
+            if isinstance(w, str) and w.startswith("^"):
+                tk.next()
+                try:
+                    return boosted(q, float(w[1:]))
+                except ValueError:
+                    pass
         return q
     k, v = tk.next()
     return _make_leaf(k, v, analyzer)
@@ -227,16 +426,24 @@ def _rewrite_once(q):
         must = tuple(_rewrite_once(c) for c in q.must)
         should = tuple(_rewrite_once(c) for c in q.should)
         must_not = tuple(_rewrite_once(c) for c in q.must_not)
+        msm = q.min_should_match
         # drop MatchNoDocs SHOULD/MUST_NOT; a MatchNoDocs MUST kills the query
         if any(isinstance(c, MatchNoDocsQuery) for c in must):
             return MatchNoDocsQuery()
         should = tuple(c for c in should if not isinstance(c, MatchNoDocsQuery))
         must_not = tuple(c for c in must_not if not isinstance(c, MatchNoDocsQuery))
+        if msm > len(should):
+            return MatchNoDocsQuery()  # unsatisfiable (BooleanQuery.java:272)
         # flatten nested SHOULD-only booleans into a SHOULD-only parent
-        if not must and not must_not:
+        if not must and not must_not and msm <= 1:
             flat: list = []
             for c in should:
-                if isinstance(c, BooleanQuery) and not c.must and not c.must_not:
+                if (
+                    isinstance(c, BooleanQuery)
+                    and not c.must
+                    and not c.must_not
+                    and c.min_should_match <= 1
+                ):
                     flat.extend(c.should)
                 else:
                     flat.append(c)
@@ -259,13 +466,41 @@ def _rewrite_once(q):
         # 1-clause unwrap
         if len(must) == 1 and not should and not must_not:
             return must[0]
-        if len(should) == 1 and not must and not must_not:
+        if len(should) == 1 and not must and not must_not and msm <= 1:
             return should[0]
         if not must and not should:
             return MatchNoDocsQuery()  # pure-negative (BooleanQuery.java:372)
-        return BooleanQuery(must=must, should=should, must_not=must_not)
+        return BooleanQuery(
+            must=must, should=should, must_not=must_not, min_should_match=msm
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        disj = tuple(
+            _rewrite_once(c)
+            for c in q.disjuncts
+            if not isinstance(c, MatchNoDocsQuery)
+        )
+        if not disj:
+            return MatchNoDocsQuery()
+        if len(disj) == 1:
+            return disj[0]  # DisjunctionMaxQuery.rewrite single-clause unwrap
+        return DisjunctionMaxQuery(disjuncts=disj, tie_breaker=q.tie_breaker)
+    if isinstance(q, ConstantScoreQuery):
+        inner = _rewrite_once(q.query)
+        if isinstance(inner, MatchNoDocsQuery):
+            return MatchNoDocsQuery()
+        if isinstance(inner, ConstantScoreQuery):  # nested wrap collapse
+            inner = inner.query
+        return ConstantScoreQuery(query=inner, boost=q.boost)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)
+    if isinstance(q, SynonymQuery) and len(q.terms) == 1:
+        return TermQuery(q.terms[0], q.boost)  # SynonymQuery.rewrite
+    if isinstance(q, TermInSetQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
+        if len(q.terms) == 1:
+            return TermQuery(q.terms[0], q.boost)
+        return q
     return q
 
 
@@ -279,14 +514,23 @@ def rewrite(q):
 
 
 def collect_terms(q) -> set[str]:
-    """All concrete terms referenced by the query (after prefix expansion)."""
+    """All concrete terms referenced by the query (after multi-term expansion)."""
     if isinstance(q, TermQuery):
         return {q.term}
     if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):
             out |= collect_terms(c)
         return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for c in q.disjuncts:
+            out |= collect_terms(c)
+        return out
+    if isinstance(q, ConstantScoreQuery):
+        return collect_terms(q.query)
     return set()

@@ -10,6 +10,19 @@
 Phrase weight = summed term idf (BM25Similarity.idfExplain accumulates each
 term's float32 idf into a double then casts back,
 BM25Similarity.java:160-169); the tf part reuses the norm-inverse cache.
+
+``build_scorers`` walks parsed query ASTs and returns one dict keyed by the
+(frozen, hashable) leaf node — the engine analog of Lucene's Weight tree,
+where ``createWeight(query, scoreMode, boost)`` precomputes one SimScorer per
+scoring leaf with the boost threaded down (search/IndexSearcher.java
+createWeight; BooleanWeight passes boost to every scoring clause).
+
+SynonymQuery leaves score with blended stats: docFreq = max over terms,
+totalTermFreq = sum (SynonymQuery.java:54 createWeight builds one
+TermStatistics that way); per-doc freq summing happens in segment.py.
+A TermQuery carrying ``df_override`` scores with that docFreq instead of its
+own — TopTermsBlendedFreqScoringRewrite / BlendedTermQuery.adjustFrequencies
+semantics used by FuzzyQuery expansion (search/BlendedTermQuery.java:47).
 """
 
 from __future__ import annotations
@@ -20,8 +33,23 @@ import numpy as np
 
 from ..functions.bm25 import Bm25Scorer, idf_value
 from ..functions.smallfloat import BYTE4_DECODE_TABLE
+from .query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+)
 
-__all__ = ["QuantizedDoubleBm25", "make_term_scorer", "make_phrase_scorer"]
+__all__ = [
+    "QuantizedDoubleBm25",
+    "make_term_scorer",
+    "make_phrase_scorer",
+    "build_scorers",
+    "scoring_leaves",
+]
 
 
 @dataclass(frozen=True)
@@ -90,3 +118,59 @@ def make_phrase_scorer(
         cache = QuantizedDoubleBm25.create(1, doc_count, sum_ttf).cache
         return QuantizedDoubleBm25(weight=boost * idf_sum, cache=cache)
     raise ValueError(f"unknown scoring mode {mode!r}")
+
+
+def scoring_leaves(q, out: set | None = None) -> set:
+    """All scoring leaf nodes (Term/Phrase/Synonym/TermInSet) under q.
+    MUST_NOT sides are included: exclusion evaluation needs postings access,
+    and a leaf that never scores simply gets an unused scorer."""
+    if out is None:
+        out = set()
+    if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, TermInSetQuery)):
+        out.add(q)
+    elif isinstance(q, BooleanQuery):
+        for c in (*q.must, *q.should, *q.must_not):
+            scoring_leaves(c, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for c in q.disjuncts:
+            scoring_leaves(c, out)
+    elif isinstance(q, ConstantScoreQuery):
+        scoring_leaves(q.query, out)
+    return out
+
+
+def build_scorers(
+    queries,
+    tstats: dict[str, tuple[int, int]],
+    doc_count: int,
+    sum_ttf: int,
+    mode: str,
+) -> dict:
+    """One scorer per scoring leaf across all given query ASTs."""
+    leaves: set = set()
+    for q in queries:
+        scoring_leaves(q, leaves)
+    scorers: dict = {}
+    for leaf in leaves:
+        if isinstance(leaf, TermQuery):
+            df = getattr(leaf, "df_override", 0) or tstats.get(leaf.term, (0, 0))[0]
+            scorers[leaf] = make_term_scorer(
+                mode, df, doc_count, sum_ttf, boost=leaf.boost
+            )
+        elif isinstance(leaf, PhraseQuery):
+            scorers[leaf] = make_phrase_scorer(
+                mode,
+                [tstats.get(t, (0, 0))[0] for t in leaf.terms],
+                doc_count,
+                sum_ttf,
+                boost=leaf.boost,
+            )
+        elif isinstance(leaf, SynonymQuery):
+            # blended: df = max, ttf = sum (SynonymQuery.java createWeight)
+            df = max((tstats.get(t, (0, 0))[0] for t in leaf.terms), default=0)
+            scorers[leaf] = make_term_scorer(
+                mode, df, doc_count, sum_ttf, boost=leaf.boost
+            )
+        elif isinstance(leaf, TermInSetQuery):
+            pass  # constant-score: no BM25 scorer needed
+    return scorers

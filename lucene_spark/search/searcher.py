@@ -18,6 +18,18 @@ Execution model = Lucene's per-leaf search + TopDocs.merge, Spark-first:
   the global answer is ``orderBy(score DESC, docid ASC).limit(k)`` over
   n_segments·k rows — Spark's TakeOrderedAndProject, the TopDocs.merge
   analog (search/TopDocs.java:206-234).
+
+Multi-term queries expand on the driver against term_dict (the rewrite
+layer of ScoringRewrite.java / TopTermsRewrite.java):
+- PrefixQuery → SHOULD-of-terms (prefix pushed down as startswith);
+- WildcardQuery → regex translation (WildcardQuery.java:38 toAutomaton:
+  ``*``→any run, ``?``→any char), literal prefix extracted for pushdown;
+- RegexpQuery → anchored rlike on term_dict;
+- TermRangeQuery → range pushdown with bound inclusivity;
+- FuzzyQuery → prefix+length-band pushdown, OSA edit-distance verify, then
+  TopTermsBlendedFreqScoringRewrite: per-term boost = similarity, every
+  expanded term scores with the blended docFreq = max over the set
+  (BlendedTermQuery.adjustFrequencies).
 """
 
 from __future__ import annotations
@@ -35,59 +47,44 @@ from ..analysis.tokenizer import analyze as standard_analyze
 from ..index.pseudo import singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
+from .fuzzy import fuzzy_similarity, osa_distance
 from .query import (
     BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
     collect_terms,
     parse_query,
     rewrite,
+    wildcard_to_regex,
 )
-from .scorers import make_phrase_scorer, make_term_scorer
+from .scorers import build_scorers, scoring_leaves
 from .segment import SegmentContext, search_segment
 
-__all__ = ["Searcher"]
+__all__ = ["Searcher", "wildcard_to_regex"]
 
 
-def _collect_phrases(q) -> set[tuple]:
-    if isinstance(q, PhraseQuery):
-        return {q.terms}
-    if isinstance(q, BooleanQuery):
-        out: set[tuple] = set()
-        for c in (*q.must, *q.should, *q.must_not):
-            out |= _collect_phrases(c)
-        return out
-    return set()
-
-
-def _expand_multiterm(q, reader: IndexReader):
-    """PrefixQuery → SHOULD-of-terms (ScoringRewrite analog)."""
-    if isinstance(q, PrefixQuery):
-        terms = reader.expand_terms(prefix=q.prefix)
-        if not terms:
-            return MatchNoDocsQuery()
-        return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
-    if isinstance(q, BooleanQuery):
-        return BooleanQuery(
-            must=tuple(_expand_multiterm(c, reader) for c in q.must),
-            should=tuple(_expand_multiterm(c, reader) for c in q.should),
-            must_not=tuple(_expand_multiterm(c, reader) for c in q.must_not),
-        )
-    return q
+def _needs_positions(q) -> bool:
+    return any(isinstance(leaf, PhraseQuery) for leaf in scoring_leaves(q))
 
 
 def _segment_search_fn(
-    pdf: pd.DataFrame, query, scorers, phrase_scorers, seg_meta, k, prune
+    pdf: pd.DataFrame, query, scorers, seg_meta, k, prune, after=None
 ) -> pd.DataFrame:
     seg = int(pdf["segment_id"].iloc[0])
     doc_base, min_doc, max_doc = seg_meta[seg]
-    ctx = SegmentContext.from_pdf(
-        pdf, scorers, phrase_scorers, min_doc, max_doc, prune
-    )
-    d, s = search_segment(ctx, query, k)
+    ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
+    d, s = search_segment(ctx, query, k, after=after)
     return pd.DataFrame(
         {"docid": d + doc_base, "score": s.astype(np.float64)}
     )
@@ -146,11 +143,123 @@ class Searcher:
             out[seg] = (int(r["doc_base"]), lo, hi + 1)
         return out
 
-    # --- search ---------------------------------------------------------
-    def search(self, query, k: int = 10, with_url: bool = False) -> DataFrame:
+    # --- multi-term expansion (ScoringRewrite / TopTermsRewrite layer) ---
+    def expand_multiterm(self, q, max_terms: int = 128):
+        if isinstance(q, PrefixQuery):
+            terms = self.reader.expand_terms(prefix=q.prefix, max_terms=max_terms)
+            if not terms:
+                return MatchNoDocsQuery()
+            return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+        if isinstance(q, WildcardQuery):
+            lit, rx = wildcard_to_regex(q.pattern)
+            terms = self.reader.expand_terms(
+                prefix=lit or None, pattern=rx, max_terms=max_terms
+            )
+            if not terms:
+                return MatchNoDocsQuery()
+            return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+        if isinstance(q, RegexpQuery):
+            rx = q.pattern
+            if not rx.startswith("^"):
+                rx = "^" + rx
+            if not rx.endswith("$"):
+                rx = rx + "$"
+            terms = self.reader.expand_terms(pattern=rx, max_terms=max_terms)
+            if not terms:
+                return MatchNoDocsQuery()
+            return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+        if isinstance(q, TermRangeQuery):
+            terms = self.reader.expand_terms(
+                low=q.lower,
+                high=q.upper,
+                include_low=q.include_lower,
+                include_high=q.include_upper,
+                max_terms=max_terms,
+            )
+            if not terms:
+                return MatchNoDocsQuery()
+            return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+        if isinstance(q, FuzzyQuery):
+            return self._expand_fuzzy(q, max_terms)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                must=tuple(self.expand_multiterm(c, max_terms) for c in q.must),
+                should=tuple(self.expand_multiterm(c, max_terms) for c in q.should),
+                must_not=tuple(self.expand_multiterm(c, max_terms) for c in q.must_not),
+                min_should_match=q.min_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                disjuncts=tuple(self.expand_multiterm(c, max_terms) for c in q.disjuncts),
+                tie_breaker=q.tie_breaker,
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(
+                query=self.expand_multiterm(q.query, max_terms), boost=q.boost
+            )
+        return q
+
+    def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
+        """Prefix+length-band superset scan, OSA verify, blended-freq SHOULD
+        (TopTermsBlendedFreqScoringRewrite, search/FuzzyQuery.java:52)."""
+        target = q.term
+        pl = min(q.prefix_length, len(target))
+        band = (max(0, len(target) - q.max_edits), len(target) + q.max_edits)
+        cands = self.reader.expand_terms_df(
+            prefix=target[:pl] or None, length_band=band, max_terms=4096
+        )
+        matched: list[tuple[str, int, int]] = []  # (term, edits, df)
+        for t, df in cands:
+            edits = osa_distance(target, t, q.max_edits)
+            if edits <= q.max_edits:
+                matched.append((t, edits, df))
+        if not matched:
+            return MatchNoDocsQuery()
+        # TopTermsRewrite heap: best boost first, then highest df
+        matched.sort(key=lambda m: (-fuzzy_similarity(m[1], m[0], target), -m[2], m[0]))
+        matched = matched[:max_terms]
+        blended_df = max(df for _t, _e, df in matched)
+        return BooleanQuery(
+            should=tuple(
+                TermQuery(
+                    t,
+                    boost=q.boost * fuzzy_similarity(e, t, target),
+                    df_override=blended_df,
+                )
+                for t, e, _df in matched
+            )
+        )
+
+    def _prepared(self, query, max_terms: int = 128):
         if isinstance(query, str):
             query = self.parse(query)
-        query = rewrite(_expand_multiterm(query, self.reader))
+        return rewrite(self.expand_multiterm(query, max_terms))
+
+    def _postings_blocks(self, terms: list[str], need_positions: bool) -> DataFrame:
+        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
+        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
+        singles = singleton_pseudo_blocks(
+            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
+        ).select(*cols)
+        return blocks.unionByName(singles)
+
+    def _make_scorers(self, queries: list) -> dict:
+        all_terms = sorted(set().union(*(collect_terms(q) for q in queries)))
+        doc_count, sum_ttf = self.reader.global_stats
+        if doc_count == 0:
+            return {}
+        tstats = self._cached_term_stats(all_terms)
+        return build_scorers(queries, tstats, doc_count, sum_ttf, self.mode)
+
+    # --- search ---------------------------------------------------------
+    def search(
+        self,
+        query,
+        k: int = 10,
+        with_url: bool = False,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        query = self._prepared(query)
 
         if isinstance(query, MatchNoDocsQuery):
             return self._empty_hits()
@@ -158,49 +267,29 @@ class Searcher:
             dm = self._docmap_global().withColumn(
                 "score", F.lit(float(query.boost))
             )
-            out = dm.select("docid", "score").orderBy(F.asc("docid")).limit(k)
+            out = dm.select("docid", "score")
+            if after is not None:
+                out = out.filter(F.col("docid") > int(after[1]))
+            out = out.orderBy(F.asc("docid")).limit(k)
             return self._maybe_url(out, with_url)
 
         terms = sorted(collect_terms(query))
-        phrases = _collect_phrases(query)
         if not terms:
             return self._empty_hits()
-
-        doc_count, sum_ttf = self.reader.global_stats
-        if doc_count == 0:
+        scorers = self._make_scorers([query])
+        if not scorers and not terms:
             return self._empty_hits()
-        tstats = self._cached_term_stats(terms)
-        scorers = {
-            t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
-            for t in terms
-        }
-        phrase_scorers = {
-            ph: make_phrase_scorer(
-                self.mode,
-                [tstats.get(t, (0, 0))[0] for t in ph],
-                doc_count,
-                sum_ttf,
-            )
-            for ph in phrases
-        }
         seg_meta = self._seg_meta()
-
-        need_positions = bool(phrases)
-        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
-        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
-        singles = singleton_pseudo_blocks(
-            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
-        ).select(*cols)
-        blocks = blocks.unionByName(singles)
+        blocks = self._postings_blocks(terms, _needs_positions(query))
 
         fn = partial(
             _segment_search_fn,
             query=query,
             scorers=scorers,
-            phrase_scorers=phrase_scorers,
             seg_meta=seg_meta,
             k=k,
             prune=self.prune,
+            after=after,
         )
         hits = blocks.groupBy("segment_id").applyInPandas(
             lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
@@ -225,50 +314,26 @@ class Searcher:
 
         parsed: dict[str, object] = {}
         for qid, q in queries.items():
-            if isinstance(q, str):
-                q = self.parse(q)
-            parsed[qid] = rewrite(_expand_multiterm(q, self.reader))
-        parsed = {
-            qid: q
-            for qid, q in parsed.items()
-            if not isinstance(q, (MatchNoDocsQuery, MatchAllDocsQuery))
-        }
-        all_terms = sorted(set().union(*(collect_terms(q) for q in parsed.values())) if parsed else set())
+            q = self._prepared(q)
+            if not isinstance(q, (MatchNoDocsQuery, MatchAllDocsQuery)):
+                parsed[qid] = q
+        all_terms = sorted(
+            set().union(*(collect_terms(q) for q in parsed.values())) if parsed else set()
+        )
         if not all_terms:
             return self.spark.createDataFrame(
                 [], "query_id string, docid long, score double"
             )
-        all_phrases = set().union(*(_collect_phrases(q) for q in parsed.values()))
-        doc_count, sum_ttf = self.reader.global_stats
-        tstats = self._cached_term_stats(all_terms)
-        scorers = {
-            t: make_term_scorer(self.mode, tstats.get(t, (0, 0))[0], doc_count, sum_ttf)
-            for t in all_terms
-        }
-        phrase_scorers = {
-            ph: make_phrase_scorer(
-                self.mode, [tstats.get(t, (0, 0))[0] for t in ph], doc_count, sum_ttf
-            )
-            for ph in all_phrases
-        }
+        scorers = self._make_scorers(list(parsed.values()))
         seg_meta = self._seg_meta()
-        need_positions = bool(all_phrases)
-        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
-        blocks = self.reader.postings.filter(F.col("term").isin(all_terms)).select(*cols)
-        singles = singleton_pseudo_blocks(
-            self.reader.term_dict.filter(F.col("term").isin(all_terms)), need_positions
-        ).select(*cols)
-        blocks = blocks.unionByName(singles)
+        need_positions = any(_needs_positions(q) for q in parsed.values())
+        blocks = self._postings_blocks(all_terms, need_positions)
         prune = self.prune
 
         def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            from .segment import SegmentContext, search_segment
-
             seg = int(pdf["segment_id"].iloc[0])
             doc_base, min_doc, max_doc = seg_meta[seg]
-            ctx = SegmentContext.from_pdf(
-                pdf, scorers, phrase_scorers, min_doc, max_doc, prune
-            )
+            ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
             qids, docids, scores = [], [], []
             for qid, q in parsed.items():
                 d, s = search_segment(ctx, q, k)
@@ -298,9 +363,7 @@ class Searcher:
     def count(self, query) -> int:
         """Total hit count (TotalHitCountCollector analog) — per-segment
         docid-set sizes summed, no scoring, no top-k."""
-        if isinstance(query, str):
-            query = self.parse(query)
-        query = rewrite(_expand_multiterm(query, self.reader))
+        query = self._prepared(query)
         if isinstance(query, MatchNoDocsQuery):
             return 0
         if isinstance(query, MatchAllDocsQuery):
@@ -308,28 +371,23 @@ class Searcher:
         terms = sorted(collect_terms(query))
         if not terms:
             return 0
-        phrases = _collect_phrases(query)
+        # dummy stats: counting never reads scores
         doc_count, sum_ttf = self.reader.global_stats
-        scorers = {t: make_term_scorer(self.mode, 1, max(doc_count, 1), max(sum_ttf, 1)) for t in terms}
-        phrase_scorers = {
-            ph: make_phrase_scorer(self.mode, [1] * len(ph), max(doc_count, 1), max(sum_ttf, 1))
-            for ph in phrases
-        }
+        scorers = build_scorers(
+            [query],
+            {t: (1, 1) for t in terms},
+            max(doc_count, 1),
+            max(sum_ttf, 1),
+            self.mode,
+        )
         seg_meta = self._seg_meta()
-        need_positions = bool(phrases)
-        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
-        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
-        singles = singleton_pseudo_blocks(
-            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
-        ).select(*cols)
-        blocks = blocks.unionByName(singles)
+        blocks = self._postings_blocks(terms, _needs_positions(query))
 
         def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             out = _segment_search_fn(
                 pdf,
                 query=query,
                 scorers=scorers,
-                phrase_scorers=phrase_scorers,
                 seg_meta=seg_meta,
                 k=2**31,
                 prune=False,

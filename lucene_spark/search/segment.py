@@ -37,9 +37,13 @@ from ..codecs.blocks import (
 )
 from .query import (
     BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     PhraseQuery,
+    SynonymQuery,
+    TermInSetQuery,
     TermQuery,
 )
 
@@ -171,15 +175,13 @@ class SegmentContext:
     def __init__(
         self,
         postings: dict[str, _TermPostings],
-        scorers: dict[str, object],
-        phrase_scorers: dict[tuple, object],
+        scorers: dict[object, object],  # keyed by frozen AST leaf node
         min_doc: int,
         max_doc: int,  # exclusive
         prune: bool = True,
     ):
         self.postings = postings
         self.scorers = scorers
-        self.phrase_scorers = phrase_scorers
         self.min_doc = min_doc
         self.max_doc = max_doc
         self.prune = prune
@@ -189,7 +191,6 @@ class SegmentContext:
         cls,
         pdf,
         scorers,
-        phrase_scorers,
         min_doc: int,
         max_doc: int,
         prune: bool = True,
@@ -209,7 +210,7 @@ class SegmentContext:
         postings: dict[str, _TermPostings] = {}
         n = len(terms)
         if n == 0:
-            return cls(postings, scorers, phrase_scorers, min_doc, max_doc, prune)
+            return cls(postings, scorers, min_doc, max_doc, prune)
         tchange = np.empty(n, dtype=bool)
         tchange[0] = True
         tchange[1:] = terms[1:] != terms[:-1]
@@ -234,7 +235,7 @@ class SegmentContext:
                 )
             else:
                 postings[term] = _TermPostings(cols, int(lo), int(hi))
-        return cls(postings, scorers, phrase_scorers, min_doc, max_doc, prune)
+        return cls(postings, scorers, min_doc, max_doc, prune)
 
 
 def _float_dtype(scorer) -> np.dtype:
@@ -289,10 +290,25 @@ class _SegmentSearcher:
         if isinstance(q, PhraseQuery):
             d, _f, _n, freq = self._phrase_match(q)
             return d
+        if isinstance(q, (SynonymQuery, TermInSetQuery)):
+            parts = []
+            for t in q.terms:
+                tp = self.term_postings(t)
+                if tp is not None:
+                    parts.append(tp.decode_all()[0])
+            if not parts:
+                return _EMPTY
+            return np.unique(np.concatenate(parts))
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY
+        if isinstance(q, ConstantScoreQuery):
+            return self.matching_docs(q.query)
+        if isinstance(q, DisjunctionMaxQuery):
+            parts = [self.matching_docs(c) for c in q.disjuncts]
+            parts = [p for p in parts if p.size]
+            return np.unique(np.concatenate(parts)) if parts else _EMPTY
         if isinstance(q, BooleanQuery):
             d, _ = self.evaluate(q)
             return d
@@ -303,7 +319,7 @@ class _SegmentSearcher:
         """Returns (sorted docids, scores aligned)."""
         if isinstance(q, TermQuery):
             tp = self.term_postings(q.term)
-            sc = self.ctx.scorers[q.term]
+            sc = self.ctx.scorers[q]
             dtype = _float_dtype(sc)
             if tp is None:
                 return _EMPTY, np.zeros(0, dtype=dtype)
@@ -311,6 +327,18 @@ class _SegmentSearcher:
             return d, sc.score(f, m).astype(dtype)
         if isinstance(q, PhraseQuery):
             return self._phrase_scores(q)
+        if isinstance(q, SynonymQuery):
+            return self._evaluate_synonym(q)
+        if isinstance(q, TermInSetQuery):
+            # constant-score: TermInSetQuery rewrites to a filter over the
+            # doc set, every match scores boost (TermInSetQuery.java:66)
+            d = self.matching_docs(q)
+            return d, np.full(d.size, np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, ConstantScoreQuery):
+            d = self.matching_docs(q.query)
+            return d, np.full(d.size, np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._evaluate_dismax(q)
         if isinstance(q, MatchAllDocsQuery):
             d = np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
             return d, np.full(d.size, q.boost, dtype=np.float32)
@@ -320,25 +348,87 @@ class _SegmentSearcher:
             return self._evaluate_bool(q)
         raise TypeError(f"unsupported query node {type(q)}")
 
+    def _evaluate_synonym(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Union docids, per-doc freq = Σ over synonym terms, then ONE BM25
+        call with the blended scorer (SynonymScorer.freq semantics)."""
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        parts = []  # (docids, freqs, norms)
+        for t in q.terms:
+            tp = self.term_postings(t)
+            if tp is not None:
+                parts.append(tp.decode_all())
+        if not parts:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        alld = np.concatenate([p[0] for p in parts])
+        allf = np.concatenate([p[1] for p in parts])
+        alln = np.concatenate([p[2] for p in parts])
+        uniq, inv = np.unique(alld, return_inverse=True)
+        freqs = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(freqs, inv, allf)
+        norms = np.zeros(uniq.size, dtype=np.int64)
+        norms[inv] = alln  # same doc → same field norm for every term
+        return uniq, sc.score(freqs, norms).astype(dtype)
+
+    def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
+        """max(sub) + tie_breaker·(Σ others); float64 accumulation then one
+        cast, like DisjunctionMaxScorer.score (double sum, float return)."""
+        parts = [self.evaluate(c) for c in q.disjuncts]
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return _EMPTY, np.zeros(0, dtype=np.float32)
+        dtype = parts[0][1].dtype
+        alld = np.concatenate([p[0] for p in parts])
+        alls = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        maxs = np.full(uniq.size, -np.inf, dtype=np.float64)
+        np.add.at(sums, inv, alls)
+        np.maximum.at(maxs, inv, alls)
+        out = maxs + q.tie_breaker * (sums - maxs)
+        return uniq, out.astype(dtype)
+
     def _evaluate_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
         must, should, must_not = list(q.must), list(q.should), list(q.must_not)
+        msm = q.min_should_match
         if must:
             if all(isinstance(c, TermQuery) for c in must):
-                base, score = self._conjunction_terms([c.term for c in must])
+                base, score = self._conjunction_terms(must)
             else:
                 base, score = self._conjunction_general(must)
             if base.size and should:
-                # ReqOptSumScorer: optional clauses add to required matches
+                # ReqOptSumScorer: optional clauses add to required matches;
+                # with msm > 0 a required doc must also match ≥ msm SHOULDs
                 parts = [(base, score)]
+                n_matched = np.zeros(base.size, dtype=np.int64)
                 for c in should:
                     d, s = self.evaluate(c)
                     mask = np.isin(d, base)
-                    parts.append((d[mask], s[mask]))
+                    d, s = d[mask], s[mask]
+                    parts.append((d, s))
+                    if msm > 0 and d.size:
+                        n_matched[np.searchsorted(base, d)] += 1
+                keep_docs = base if msm <= 0 else base[n_matched >= msm]
                 base, score = _sum_contributions(parts, score.dtype)
+                if msm > 0:
+                    keep = np.isin(base, keep_docs)
+                    base, score = base[keep], score[keep]
         elif should:
             parts = [self.evaluate(c) for c in should]
             dtype = parts[0][1].dtype if parts else np.float32
-            base, score = _sum_contributions(parts, dtype)
+            if msm > 1:
+                counts_d = [p[0] for p in parts if p[0].size]
+                if counts_d:
+                    alld = np.concatenate(counts_d)
+                    uniq, cnt = np.unique(alld, return_counts=True)
+                    keep_docs = uniq[cnt >= msm]
+                else:
+                    keep_docs = _EMPTY
+                base, score = _sum_contributions(parts, dtype)
+                keep = np.isin(base, keep_docs)
+                base, score = base[keep], score[keep]
+            else:
+                base, score = _sum_contributions(parts, dtype)
         else:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         if base.size and must_not:
@@ -349,21 +439,21 @@ class _SegmentSearcher:
                 base, score = base[keep], score[keep]
         return base, score
 
-    def _conjunction_terms(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    def _conjunction_terms(self, term_qs: list) -> tuple[np.ndarray, np.ndarray]:
         """Leapfrog AND at block granularity: lead with the rarest term
         (ConjunctionDISI orders by cost), decode other terms' blocks only
         where candidates remain."""
+        dtype = _float_dtype(self.ctx.scorers[term_qs[0]])
         tps = []
-        for t in terms:
-            tp = self.term_postings(t)
+        for tq in term_qs:
+            tp = self.term_postings(tq.term)
             if tp is None:
-                sc = self.ctx.scorers[terms[0]]
-                return _EMPTY, np.zeros(0, dtype=_float_dtype(sc))
-            tps.append((t, tp))
+                return _EMPTY, np.zeros(0, dtype=dtype)
+            tps.append((tq.term, tp))
         # lead with the cheapest list (ConjunctionDISI cost order); block
         # count is the df/128 proxy for cost
         tps.sort(key=lambda p: p[1].n_blocks)
-        lead_term, lead = tps[0]
+        lead = tps[0][1]
         cand = lead.decode_all()[0]
         decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for t, tp in tps[1:]:
@@ -374,16 +464,14 @@ class _SegmentSearcher:
             decoded[t] = (d, f, m)
             cand = cand[np.isin(cand, d)]
         if cand.size == 0:
-            sc = self.ctx.scorers[lead_term]
-            return _EMPTY, np.zeros(0, dtype=_float_dtype(sc))
+            return _EMPTY, np.zeros(0, dtype=dtype)
         # score in original clause order
-        dtype = _float_dtype(self.ctx.scorers[terms[0]])
         score = np.zeros(cand.size, dtype=dtype)
-        for t in terms:
-            tp = self.term_postings(t)
-            d, f, m = decoded.get(t) or tp.decode_all()
+        for tq in term_qs:
+            tp = self.term_postings(tq.term)
+            d, f, m = decoded.get(tq.term) or tp.decode_all()
             pos = np.searchsorted(d, cand)
-            sc = self.ctx.scorers[t]
+            sc = self.ctx.scorers[tq]
             score += sc.score(f[pos], m[pos]).astype(dtype)
         return cand, score
 
@@ -403,7 +491,11 @@ class _SegmentSearcher:
 
     # --- phrases --------------------------------------------------------
     def _phrase_match(self, q: PhraseQuery):
-        """Returns (docids, freqs(phrase occurrences), norms, ok)."""
+        """Returns (docids, freqs(phrase occurrences), norms, ok).
+        Exact phrases (slop=0) take the vectorized adjacency path; sloppy
+        phrases dispatch to the per-candidate-doc matcher."""
+        if q.slop > 0:
+            return self._sloppy_phrase_match(q)
         tps = []
         for t in q.terms:
             tp = self.term_postings(t)
@@ -461,8 +553,75 @@ class _SegmentSearcher:
         norms = m0[np.searchsorted(d0, docs)]
         return docs, freqs, norms, True
 
+    def _sloppy_phrase_match(self, q: PhraseQuery):
+        """SloppyPhraseMatcher semantics (search/SloppyPhraseMatcher.java:53)
+        for non-repeating terms: adjusted position = pos - slot; a match
+        exists when max(adj) - min(adj) ≤ slop, matchLength = max - min,
+        per-match weight = 1/(1+matchLength) (PhraseScorer.java:86-88
+        sloppyWeight accumulation → float freq), advancing the minimum
+        position each step (the classic sloppy-phrase sweep)."""
+        tps = []
+        for t in q.terms:
+            tp = self.term_postings(t)
+            if tp is None:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            tps.append(tp)
+        cand = tps[0].decode_all()[0]
+        for tp in tps[1:]:
+            if cand.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            idxs = tp.blocks_overlapping(cand)
+            d = tp.decode_blocks(idxs)[0]
+            cand = cand[np.isin(cand, d)]
+        if cand.size == 0:
+            return _EMPTY, _EMPTY, _EMPTY, False
+
+        # per-term {docid: sorted adjusted positions} over candidate docs
+        def doc_positions(tp, slot: int) -> dict[int, np.ndarray]:
+            out: dict[int, np.ndarray] = {}
+            if tp.singleton is not None:
+                sd = int(tp.singleton["singleton_docid"])
+                if sd in cand:
+                    out[sd] = tp.positions_for(0) - slot
+                return out
+            for bi in tp.blocks_overlapping(cand):
+                d, f, _m = tp.decode_block(int(bi))
+                flat = tp.positions_for(int(bi))
+                starts = np.concatenate(([0], np.cumsum(f)))
+                for j in np.flatnonzero(np.isin(d, cand)):
+                    out[int(d[j])] = flat[starts[j] : starts[j + 1]] - slot
+            return out
+
+        per_term = [doc_positions(tp, i) for i, tp in enumerate(tps)]
+        slop = q.slop
+        docs, freqs = [], []
+        for doc in cand:
+            doc = int(doc)
+            lists = [per_term[i][doc] for i in range(len(tps))]
+            idx = [0] * len(lists)
+            cur = [int(l[0]) for l in lists]
+            freq = 0.0
+            while True:
+                lo, hi = min(cur), max(cur)
+                if hi - lo <= slop:
+                    freq += 1.0 / (1 + hi - lo)
+                mi = cur.index(lo)
+                idx[mi] += 1
+                if idx[mi] >= len(lists[mi]):
+                    break
+                cur[mi] = int(lists[mi][idx[mi]])
+            if freq > 0:
+                docs.append(doc)
+                freqs.append(np.float32(freq))
+        if not docs:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        docs_a = np.array(docs, dtype=np.int64)
+        d0, _f0, m0 = tps[0].decode_all()
+        norms = m0[np.searchsorted(d0, docs_a)]
+        return docs_a, np.array(freqs, dtype=np.float32), norms, True
+
     def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
-        sc = self.ctx.phrase_scorers[q.terms]
+        sc = self.ctx.scorers[q]
         dtype = _float_dtype(sc)
         d, f, m, ok = self._phrase_match(q)
         if not ok or d.size == 0:
@@ -470,13 +629,13 @@ class _SegmentSearcher:
         return d, sc.score(f, m).astype(dtype)
 
     # --- pruned disjunction (windowed block-max MAXSCORE) ---------------
-    def pruned_disjunction_terms(self, terms: list[str], k: int):
+    def pruned_disjunction_terms(self, term_qs: list, k: int, after=None):
         tps, scs = [], []
-        for t in terms:
-            tp = self.term_postings(t)
+        for tq in term_qs:
+            tp = self.term_postings(tq.term)
             if tp is not None:
                 tps.append(tp)
-                scs.append(self.ctx.scorers[t])
+                scs.append(self.ctx.scorers[tq])
         if not tps:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         dtype = _float_dtype(scs[0])
@@ -532,6 +691,8 @@ class _SegmentSearcher:
             if not parts:
                 continue
             d, s = _sum_contributions(parts, dtype)
+            if after is not None:
+                d, s = _after_filter(d, s, after)
             top_d = np.concatenate((top_d, d))
             top_s = np.concatenate((top_s, s))
             top_d, top_s = _topk(top_d, top_s, k)
@@ -540,21 +701,33 @@ class _SegmentSearcher:
         return top_d, top_s
 
 
+def _after_filter(d: np.ndarray, s: np.ndarray, after: tuple):
+    """searchAfter anchor (IndexSearcher.java:576): keep hits strictly below
+    (score DESC, docid ASC) of the anchor — score < a OR (== a AND docid > d)."""
+    a_score, a_doc = after
+    keep = (s < a_score) | ((s == a_score) & (d > a_doc))
+    return d[keep], s[keep]
+
+
 def search_segment(
-    ctx: SegmentContext, query, k: int
+    ctx: SegmentContext, query, k: int, after: tuple | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (docids, scores) for this segment, tie-break score DESC then
-    docid ASC (HitQueue.java:76-82)."""
+    docid ASC (HitQueue.java:76-82). ``after=(score, docid)`` restricts to
+    hits ranking strictly below the anchor (searchAfter pagination)."""
     s = _SegmentSearcher(ctx, k)
     if (
         ctx.prune
         and isinstance(query, BooleanQuery)
         and not query.must
         and not query.must_not
+        and query.min_should_match <= 1
         and len(query.should) >= 2
         and all(isinstance(c, TermQuery) for c in query.should)
     ):
-        d, sc = s.pruned_disjunction_terms([c.term for c in query.should], k)
+        d, sc = s.pruned_disjunction_terms(list(query.should), k, after=after)
         return d, sc
     d, sc = s.evaluate(query)
+    if after is not None:
+        d, sc = _after_filter(d, sc, after)
     return _topk(d, sc, k)
