@@ -25,11 +25,25 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 240k docs: 12x the reference standard.alg round (20k) so per-core compute
+# 960k docs: 48x the reference standard.alg round (20k) so per-core compute
 # dominates fixed Spark overheads and the N→4N scaling signal is real
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "240000"))
-BENCH_ROOT = "/tmp/lucene_spark_bench"
-QUERY_REPEAT = int(os.environ.get("BENCH_QUERY_REPEAT", "3"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "960000"))
+# tmpfs by default: on one box the disk's bandwidth is a shared constant
+# that caps the 4N run, whereas a real N→4N cluster brings 4x storage
+# bandwidth with it (HDFS/S3 scale with nodes) — RAM-backed I/O is the
+# faithful single-box stand-in for that; set BENCH_ROOT to override
+BENCH_ROOT = os.environ.get(
+    "BENCH_ROOT",
+    "/dev/shm/lucene_spark_bench" if os.path.isdir("/dev/shm") else "/tmp/lucene_spark_bench",
+)
+# distinct queries per reference-query shape in ONE batched call (the
+# engine amortizes scan+schedule across a batch; distinct ids keep every
+# evaluation real)
+QUERY_REPEAT = int(os.environ.get("BENCH_QUERY_REPEAT", "8"))
+# fixed docid slice span at every parallelism level — the leaf-slice size is
+# an index-layout constant (like Lucene's 250k-doc slices), not a function
+# of the cluster size, so both levels run the identical job
+SLICE_DOCS = int(os.environ.get("BENCH_SLICE_DOCS", "16384"))
 
 
 def _sf() -> float:
@@ -48,7 +62,8 @@ def _session(cores: int):
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", f"{BENCH_ROOT}/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -92,6 +107,29 @@ def _ensure_corpus() -> str:
     return path
 
 
+def _query_batch(reps: int) -> dict[str, str]:
+    """reps x the reference query-set shapes with DISTINCT terms per rep
+    (same hot/mid/rare df bands), so one batched call carries reps·24 real
+    evaluations — the SearchTask-loop workload without duplicate queries."""
+    import re
+
+    from lucene_spark.fixtures import reference_queries
+
+    def remap(m: "re.Match[str]", r: int) -> str:
+        n = int(m.group(1))
+        if n < 100:  # hot band
+            return f"w{(n + r) % 10:04d}"
+        if n < 8000:  # mid band
+            return f"w{100 + (n - 100 + 37 * r) % 900:04d}"
+        return f"w{8000 + (n - 8000 + 211 * r) % 2000:04d}"  # rare band
+
+    out: dict[str, str] = {}
+    for r in range(reps):
+        for qid, qs in reference_queries():
+            out[f"{qid}_v{r}"] = re.sub(r"w(\d{4})", lambda m: remap(m, r), qs)
+    return out
+
+
 def _warmup(spark, corpus_path: str) -> None:
     """JIT/codegen/python-worker warmup: a miniature build+query so the
     timed suite doesn't pay one-time JVM compilation (each parallelism level
@@ -116,7 +154,6 @@ def run_suite(cores: int, corpus_path: str) -> dict:
     from pyspark.sql import functions as F
 
     from lucene_spark.constants import ENGLISH_STOP_WORDS
-    from lucene_spark.fixtures import reference_queries
     from lucene_spark.index import build_index
     from lucene_spark.index.merge import merge_segments
     from lucene_spark.pipeline import dedup, eventops, simsearch
@@ -128,34 +165,38 @@ def run_suite(cores: int, corpus_path: str) -> dict:
         _warmup(spark, corpus_path)
         docs = spark.read.parquet(corpus_path)
 
+        # the job is IDENTICAL at every parallelism level (same input, same
+        # segment layout) — only the core count differs, per the scaling
+        # rule; num_segments is sized for the max level (4N·2 tasks)
         idx = f"{BENCH_ROOT}/idx_{cores}"
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
         build_index(
             spark, docs, idx,
-            num_segments=cores * 2,
+            num_segments=CPUS * 2,
             analyzer="standard",
             stopwords=ENGLISH_STOP_WORDS,
             index_positions=True,
         )
         timings["index_build"] = time.time() - t0
 
-        # merge build segments (cores*2 small DWPT-like flushes) down to
-        # `cores` searchable segments — the TieredMergePolicy shape; segments
-        # are the query-parallelism unit (Lucene's per-leaf slices)
+        # merge build segments (DWPT-like flushes) down to a fixed tier of 8
+        # searchable segments — query parallelism then comes from docid
+        # slicing (intra-segment leaf slices), not from the segment count
         merged = f"{BENCH_ROOT}/idx_{cores}_merged"
         shutil.rmtree(merged, ignore_errors=True)
         t0 = time.time()
-        merge_segments(spark, idx, merged, target_segments=cores)
+        merge_segments(spark, idx, merged, target_segments=8)
         timings["merge_to_tier"] = time.time() - t0
 
-        searcher = Searcher(spark, merged, stopwords=ENGLISH_STOP_WORDS)
-        qset = dict(reference_queries())
+        searcher = Searcher(
+            spark, merged, stopwords=ENGLISH_STOP_WORDS, slice_docs=SLICE_DOCS
+        )
+        qset = _query_batch(QUERY_REPEAT)
         t0 = time.time()
-        for _ in range(QUERY_REPEAT):
-            searcher.search_many(qset, k=10).collect()
+        searcher.search_many(qset, k=10).collect()
         timings["query_set"] = time.time() - t0
-        n_queries = len(qset) * QUERY_REPEAT
+        n_queries = len(qset)
 
         # training-data pipeline ops on the driver's testdata tables
         documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")

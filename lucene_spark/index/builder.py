@@ -397,6 +397,81 @@ def _table_path(index_dir: str, name: str) -> str:
     return f"{index_dir}/{name}"
 
 
+def _read_stats_rows(data_dir: str) -> list[dict]:
+    """Driver-side pyarrow read of the per-segment stats rows
+    (``kind=KIND_STATS`` partition: one row per segment)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out: list[dict] = []
+    for seg_dir in _glob.glob(f"{data_dir}/kind={KIND_STATS}/segment_id=*"):
+        seg = int(seg_dir.rsplit("=", 1)[1])
+        for f in _glob.glob(f"{seg_dir}/*.parquet"):
+            t = _pq.read_table(
+                f, columns=["df", "n_blocks", "ttf", "last_docid", "first_docid"]
+            ).to_pylist()
+            for r in t:
+                out.append(
+                    {
+                        "segment_id": seg,
+                        "doc_count": r["df"],
+                        "n_terms": r["n_blocks"],
+                        "sum_ttf": r["ttf"],
+                        "max_docid": r["last_docid"],
+                        "min_docid": r["first_docid"],
+                    }
+                )
+    return out
+
+
+_M32 = 0xFFFFFFFF
+
+
+def murmur3_hash_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one little-endian int32 — bit-identical to Spark's
+    shuffle hash for an IntegerType column (Murmur3Hash expression / F.hash,
+    seed 42). Pure python so label planning costs no Spark job. Returns the
+    signed int32 Spark returns."""
+    k1 = (x & _M32) * 0xCC9E2D51 & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    k1 = k1 * 0x1B873593 & _M32
+    h1 = (seed & _M32) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    h1 ^= 4  # total byte length
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & _M32
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _balanced_segment_labels(n: int, exclude: set[int] | None = None) -> list[int]:
+    """Segment ids whose Murmur3 hash covers each residue class mod ``n``
+    exactly once.
+
+    ``groupBy(segment_id)`` shuffles with HashPartitioning =
+    ``pmod(murmur3(segment_id), P)``; with arbitrary ids, birthday collisions
+    put 4-5 segment groups on one reduce task and zero on another, and the
+    straggler defines the stage time. Labels chosen one-per-residue make the
+    group→task assignment perfectly uniform for every partition count P that
+    divides ``n`` — the balanced-DWPT analog of Lucene handing each indexing
+    thread its own DocumentsWriterPerThread. ``exclude`` skips ids already
+    taken by live segments (append/streaming batches)."""
+    exclude = exclude or set()
+    labels: dict[int, int] = {}
+    v = 0
+    while len(labels) < n:
+        if v not in exclude:
+            r = murmur3_hash_int32(v) % n  # python % == Spark pmod for n > 0
+            if r not in labels:
+                labels[r] = v
+        v += 1
+    return [labels[r] for r in range(n)]
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -408,18 +483,54 @@ def build_index(
     html_input: bool = False,
     index_positions: bool = True,
     resume: bool = False,
+    append: bool = False,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
+
+    ``append=True`` adds the rows as NEW segments to an existing index (the
+    NRT micro-batch path, SearcherManager/openIfChanged analog): existing
+    segments, their docids and doc_bases are untouched; new segments get
+    fresh ids and doc_bases after the current maximum, and the manifest swap
+    is the commit that makes them visible.
     """
     if num_segments is None:
         num_segments = max(df.rdd.getNumPartitions(), 1)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    existing_manifest: list[tuple] = []
+    existing_stats: list[tuple] = []
+    existing_ids: set[int] = set()
+    if append:
+        from .reader import IndexReader
+
+        rdr = IndexReader(spark, index_dir)
+        for r in rdr.manifest_rows:
+            existing_manifest.append(
+                (
+                    int(r["segment_id"]), int(r["n_docs"]), int(r["doc_base"]),
+                    r["status"], float(r["checkpoint_ts"]), r["lineage"],
+                    r["metrics_json"],
+                )
+            )
+            existing_ids.add(int(r["segment_id"]))
+        existing_stats = [
+            (
+                int(r["segment_id"]), int(r["doc_count"]), int(r["sum_ttf"]),
+                int(r["max_docid"]), int(r["min_docid"]),
+            )
+            for r in rdr.field_stats.collect()
+        ]
+
     cols = ["url", "html"] if html_input else ["url", "text"]
+    # url → bucket is a pure hash (resume-stable); bucket → label makes the
+    # groupBy shuffle perfectly balanced (see _balanced_segment_labels)
+    labels = _balanced_segment_labels(num_segments, exclude=existing_ids)
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    bucket = F.pmod(F.xxhash64("url"), F.lit(num_segments)).cast("int")
     docs = df.select(*cols).withColumn(
-        "segment_id", F.pmod(F.xxhash64("url"), F.lit(num_segments)).cast("int")
+        "segment_id", F.element_at(label_arr, bucket + F.lit(1))
     )
 
     done: set[int] = set()
@@ -441,6 +552,11 @@ def build_index(
     # of parallelism — keep every shuffle partition for the build
     coalesce_prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # one segment group per reduce task: with the balanced labels this makes
+    # every invert task identical in size at any core count dividing
+    # num_segments (waves of equal tasks, no stragglers)
+    shuffle_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_segments))
     sw = stopwords
     an, hi, ip = analyzer, html_input, index_positions
 
@@ -468,22 +584,12 @@ def build_index(
         .partitionBy("kind", "segment_id")
         .parquet(_table_path(index_dir, "data"))
     )
-    # stats: read back ONLY the kind=3 rows (one per segment, partition-
-    # pruned) — no scan of the data
-    data = spark.read.parquet(_table_path(index_dir, "data"))
-    seg_stats = (
-        data.filter(F.col("kind") == KIND_STATS)
-        .select(
-            "segment_id",
-            F.col("df").alias("doc_count"),
-            F.col("n_blocks").alias("n_terms"),
-            F.col("ttf").alias("sum_ttf"),
-            F.col("last_docid").alias("max_docid"),
-            F.col("first_docid").alias("min_docid"),
-        )
-        .collect()
-    )
+    # stats: read back ONLY the kind=3 rows (one per segment) straight with
+    # pyarrow on the driver — a Spark job here costs ~1s of pure scheduling
+    # for 64 single-row files
+    seg_stats = _read_stats_rows(_table_path(index_dir, "data"))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_prev)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_prev)
     build_secs = time.time() - t0
 
     # --- stats + manifest (commit point) --------------------------------
@@ -496,6 +602,7 @@ def build_index(
             int(r["min_docid"]),
         )
         for r in seg_stats
+        if int(r["segment_id"]) not in existing_ids  # append: old ones kept as-is
     }
     if done:
         # resumed build: stats of untouched segments came out of the same
@@ -503,14 +610,17 @@ def build_index(
         pass
     write_driver_table(
         _table_path(index_dir, "field_stats"),
-        [(s, v[0], v[1], v[2], v[4]) for s, v in sorted(new_stats.items())],
+        existing_stats
+        + [(s, v[0], v[1], v[2], v[4]) for s, v in sorted(new_stats.items())],
         FIELD_STATS_SCHEMA,
     )
 
     n_terms_map = {s: v[3] for s, v in new_stats.items()}
     stats = sorted((s, v[0], v[1]) for s, v in new_stats.items())
-    manifest_rows = []
-    doc_base = 0
+    manifest_rows = list(existing_manifest)
+    # new doc_bases continue after every existing doc (docids of committed
+    # segments are immutable — FieldsConsumer.merge docBase semantics)
+    doc_base = sum(r[1] for r in existing_manifest)
     for seg, cnt, sttf in stats:
         manifest_rows.append(
             (
@@ -520,7 +630,7 @@ def build_index(
                 "done",
                 float(time.time()),
                 f"build(analyzer={analyzer},positions={index_positions},"
-                f"segments={num_segments},resumed={seg in done})",
+                f"segments={num_segments},resumed={seg in done},append={append})",
                 json.dumps(
                     {
                         "n_terms": int(n_terms_map.get(seg, 0)),
@@ -537,10 +647,12 @@ def build_index(
         _table_path(index_dir, "segment_manifest"), manifest_rows, MANIFEST_SCHEMA
     )
     total_docs = sum(r[1] for r in manifest_rows)
+    new_docs = sum(r[1] for r in stats) if append else total_docs
     return {
         "num_segments": len(manifest_rows),
         "n_docs": total_docs,
+        "new_docs": new_docs,
         "build_secs": build_secs,
-        "docs_per_sec": total_docs / build_secs if build_secs > 0 else float("inf"),
+        "docs_per_sec": new_docs / build_secs if build_secs > 0 else float("inf"),
         "resumed_segments": len(done),
     }

@@ -128,6 +128,13 @@ def merge_segments(
         r["segment_id"]: i * k_tgt // n_src for i, r in enumerate(manifest)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # AQE's byte-size coalescing would shrink the (segment, term) window
+    # shuffle to ~advisory-size task counts regardless of cores — the merge
+    # is the one stage that must keep every shuffle partition to scale
+    coalesce_prev = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     base_df = F.broadcast(
         spark.createDataFrame(
@@ -293,7 +300,23 @@ def merge_segments(
         ],
         MANIFEST_SCHEMA,
     )
+    # live-docs carry-forward: deletes follow their docs into the merged
+    # coordinates (group id, globalized docid). A compaction merge that
+    # physically drops deleted docs is the TieredMergePolicy reclaim path;
+    # rank/results are identical either way since scorers filter tombstones.
+    if reader.deletes is not None:
+        (
+            reader.deletes.join(base_df, F.col("segment_id") == F.col("seg"))
+            .select(
+                F.col("grp").alias("segment_id"),
+                (F.col("docid") + F.col("doc_base")).alias("docid"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/deletes")
+        )
+
     total = sum(int(r["doc_count"]) for r in stats)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_prev)
     return {
         "merged_segments": n_src,
         "target_segments": k_tgt,

@@ -56,6 +56,16 @@ class IndexReader:
         return self._table("field_stats")
 
     @cached_property
+    def deletes(self) -> DataFrame | None:
+        """Live-docs delete list (segment_id, stored docid), or None when the
+        index has no deletions (the common case costs one os.path check)."""
+        import os
+
+        if not os.path.isdir(f"{self.index_dir}/deletes"):
+            return None
+        return self._table("deletes")
+
+    @cached_property
     def segment_bounds(self) -> dict[int, tuple[int, int]]:
         """segment_id → (min_docid, max_docid) of stored docids."""
         return {

@@ -69,7 +69,7 @@ from .query import (
     wildcard_to_regex,
 )
 from .scorers import build_scorers, scoring_leaves
-from .segment import SegmentContext, search_segment
+from .segment import WINDOW_DOCS, SegmentContext, search_segment
 
 __all__ = ["Searcher", "wildcard_to_regex"]
 
@@ -78,11 +78,22 @@ def _needs_positions(q) -> bool:
     return any(isinstance(leaf, PhraseQuery) for leaf in scoring_leaves(q))
 
 
-def _segment_search_fn(
-    pdf: pd.DataFrame, query, scorers, seg_meta, k, prune, after=None
-) -> pd.DataFrame:
+def _slice_bounds(pdf: pd.DataFrame, seg_meta, span):
+    """(doc_base, lo, hi) of this task's docid slice — the intersection of
+    the segment's stored-docid range with the slice's span window."""
     seg = int(pdf["segment_id"].iloc[0])
     doc_base, min_doc, max_doc = seg_meta[seg]
+    if span:
+        sl = int(pdf["slice_id"].iloc[0])
+        min_doc = max(min_doc, sl * span)
+        max_doc = min(max_doc, (sl + 1) * span)
+    return doc_base, min_doc, max_doc
+
+
+def _segment_search_fn(
+    pdf: pd.DataFrame, query, scorers, seg_meta, k, prune, after=None, span=None
+) -> pd.DataFrame:
+    doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
     ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
     d, s = search_segment(ctx, query, k, after=after)
     return pd.DataFrame(
@@ -100,14 +111,33 @@ class Searcher:
         stopwords: frozenset[str] | None = None,
         mode: str = "lucene",
         prune: bool = True,
+        slice_docs: int | None = None,
     ):
         self.spark = spark
         self.reader = IndexReader(spark, index_dir)
         self.mode = mode
         self.prune = prune
+        # intra-segment search concurrency (IndexSearcher leaf slices,
+        # IndexSearcher.java:106-108): None = auto-pick a docid span so a
+        # few merged segments still fan out across every core; 0 = disable
+        self.slice_docs = slice_docs
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        self._expand_cache: dict[object, object] = {}
         base = standard_analyze if analyzer == "standard" else simple_analyze
         self._analyzer = partial(base, stopwords=stopwords)
+
+    def _slice_span(self) -> int | None:
+        """Docid span per search slice, or None for one slice per segment."""
+        if self.slice_docs is not None:
+            return self.slice_docs or None
+        n_seg = len(self.reader.manifest_rows)
+        par = self.spark.sparkContext.defaultParallelism
+        target = par * 2
+        if n_seg >= target:
+            return None  # segment-level parallelism already saturates cores
+        total = self.reader.global_stats[0]
+        span = max(WINDOW_DOCS, -(-total // target))
+        return ((span + WINDOW_DOCS - 1) // WINDOW_DOCS) * WINDOW_DOCS
 
     # --- planning -------------------------------------------------------
     def parse(self, query_str: str):
@@ -145,6 +175,36 @@ class Searcher:
 
     # --- multi-term expansion (ScoringRewrite / TopTermsRewrite layer) ---
     def expand_multiterm(self, q, max_terms: int = 128):
+        if isinstance(
+            q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
+        ):
+            # memoize per (node, cap): expansion is a term_dict collect (a
+            # Spark job) and the index is immutable for this reader's life
+            key = (q, max_terms)
+            got = self._expand_cache.get(key)
+            if got is None:
+                got = self._expand_leaf(q, max_terms)
+                self._expand_cache[key] = got
+            return got
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                must=tuple(self.expand_multiterm(c, max_terms) for c in q.must),
+                should=tuple(self.expand_multiterm(c, max_terms) for c in q.should),
+                must_not=tuple(self.expand_multiterm(c, max_terms) for c in q.must_not),
+                min_should_match=q.min_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                disjuncts=tuple(self.expand_multiterm(c, max_terms) for c in q.disjuncts),
+                tie_breaker=q.tie_breaker,
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(
+                query=self.expand_multiterm(q.query, max_terms), boost=q.boost
+            )
+        return q
+
+    def _expand_leaf(self, q, max_terms: int):
         if isinstance(q, PrefixQuery):
             terms = self.reader.expand_terms(prefix=q.prefix, max_terms=max_terms)
             if not terms:
@@ -179,25 +239,7 @@ class Searcher:
             if not terms:
                 return MatchNoDocsQuery()
             return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
-        if isinstance(q, FuzzyQuery):
-            return self._expand_fuzzy(q, max_terms)
-        if isinstance(q, BooleanQuery):
-            return BooleanQuery(
-                must=tuple(self.expand_multiterm(c, max_terms) for c in q.must),
-                should=tuple(self.expand_multiterm(c, max_terms) for c in q.should),
-                must_not=tuple(self.expand_multiterm(c, max_terms) for c in q.must_not),
-                min_should_match=q.min_should_match,
-            )
-        if isinstance(q, DisjunctionMaxQuery):
-            return DisjunctionMaxQuery(
-                disjuncts=tuple(self.expand_multiterm(c, max_terms) for c in q.disjuncts),
-                tie_breaker=q.tie_breaker,
-            )
-        if isinstance(q, ConstantScoreQuery):
-            return ConstantScoreQuery(
-                query=self.expand_multiterm(q.query, max_terms), boost=q.boost
-            )
-        return q
+        return self._expand_fuzzy(q, max_terms)  # FuzzyQuery (only leaf left)
 
     def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
         """Prefix+length-band superset scan, OSA verify, blended-freq SHOULD
@@ -235,13 +277,36 @@ class Searcher:
             query = self.parse(query)
         return rewrite(self.expand_multiterm(query, max_terms))
 
-    def _postings_blocks(self, terms: list[str], need_positions: bool) -> DataFrame:
+    def _postings_blocks(
+        self, terms: list[str], need_positions: bool, span: int | None = None
+    ) -> DataFrame:
         cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
         blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
         singles = singleton_pseudo_blocks(
             self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
         ).select(*cols)
-        return blocks.unionByName(singles)
+        out = blocks.unionByName(singles)
+        if self.reader.deletes is not None:
+            from ..index.deletes import delete_pseudo_blocks
+
+            out = out.unionByName(
+                delete_pseudo_blocks(self.reader.deletes).select(*cols)
+            )
+        if span:
+            # replicate each block to every docid slice its [first,last]
+            # range overlaps; slice tasks mask decoded docs to their range
+            out = out.withColumn(
+                "slice_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_docid") / span).cast("int"),
+                        (F.col("last_docid") / span).cast("int"),
+                    )
+                ),
+            )
+        else:
+            out = out.withColumn("slice_id", F.lit(0))
+        return out
 
     def _make_scorers(self, queries: list) -> dict:
         all_terms = sorted(set().union(*(collect_terms(q) for q in queries)))
@@ -268,6 +333,20 @@ class Searcher:
                 "score", F.lit(float(query.boost))
             )
             out = dm.select("docid", "score")
+            if self.reader.deletes is not None:
+                # live-docs check, still at DataFrame level (anti-join on the
+                # globalized delete list)
+                bases = [
+                    (int(s), int(b)) for s, b in self.reader.doc_bases.items()
+                ]
+                base_df = self.spark.createDataFrame(
+                    bases, "segment_id int, doc_base long"
+                )
+                dele = (
+                    self.reader.deletes.join(F.broadcast(base_df), "segment_id")
+                    .select((F.col("docid") + F.col("doc_base")).alias("docid"))
+                )
+                out = out.join(dele, "docid", "left_anti")
             if after is not None:
                 out = out.filter(F.col("docid") > int(after[1]))
             out = out.orderBy(F.asc("docid")).limit(k)
@@ -280,7 +359,8 @@ class Searcher:
         if not scorers and not terms:
             return self._empty_hits()
         seg_meta = self._seg_meta()
-        blocks = self._postings_blocks(terms, _needs_positions(query))
+        span = self._slice_span()
+        blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
         fn = partial(
             _segment_search_fn,
@@ -290,8 +370,9 @@ class Searcher:
             k=k,
             prune=self.prune,
             after=after,
+            span=span,
         )
-        hits = blocks.groupBy("segment_id").applyInPandas(
+        hits = blocks.groupBy("segment_id", "slice_id").applyInPandas(
             lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
         )
         out = hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -326,13 +407,13 @@ class Searcher:
             )
         scorers = self._make_scorers(list(parsed.values()))
         seg_meta = self._seg_meta()
+        span = self._slice_span()
         need_positions = any(_needs_positions(q) for q in parsed.values())
-        blocks = self._postings_blocks(all_terms, need_positions)
+        blocks = self._postings_blocks(all_terms, need_positions, span)
         prune = self.prune
 
         def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            seg = int(pdf["segment_id"].iloc[0])
-            doc_base, min_doc, max_doc = seg_meta[seg]
+            doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
             ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
             qids, docids, scores = [], [], []
             for qid, q in parsed.items():
@@ -350,7 +431,7 @@ class Searcher:
                 }
             )
 
-        hits = blocks.groupBy("segment_id").applyInPandas(
+        hits = blocks.groupBy("segment_id", "slice_id").applyInPandas(
             many_fn, schema="query_id string, docid long, score double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -367,7 +448,10 @@ class Searcher:
         if isinstance(query, MatchNoDocsQuery):
             return 0
         if isinstance(query, MatchAllDocsQuery):
-            return self.reader.global_stats[0]
+            n = self.reader.global_stats[0]
+            if self.reader.deletes is not None:
+                n -= self.reader.deletes.distinct().count()
+            return n
         terms = sorted(collect_terms(query))
         if not terms:
             return 0
@@ -381,7 +465,8 @@ class Searcher:
             self.mode,
         )
         seg_meta = self._seg_meta()
-        blocks = self._postings_blocks(terms, _needs_positions(query))
+        span = self._slice_span()
+        blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
         def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             out = _segment_search_fn(
@@ -391,11 +476,12 @@ class Searcher:
                 seg_meta=seg_meta,
                 k=2**31,
                 prune=False,
+                span=span,
             )
             return pd.DataFrame({"n": [len(out)]})
 
         rows = (
-            blocks.groupBy("segment_id")
+            blocks.groupBy("segment_id", "slice_id")
             .applyInPandas(count_fn, schema="n long")
             .agg(F.sum("n").alias("n"))
             .collect()

@@ -55,6 +55,7 @@ _EMPTY = np.zeros(0, dtype=np.int64)
 
 
 ENC_SINGLETON = 4
+ENC_DELETE = 5  # pseudo rows carrying the live-docs delete list (deletes.py)
 
 
 class _TermPostings:
@@ -179,12 +180,14 @@ class SegmentContext:
         min_doc: int,
         max_doc: int,  # exclusive
         prune: bool = True,
+        deleted: np.ndarray | None = None,  # sorted stored docids (.liv analog)
     ):
         self.postings = postings
         self.scorers = scorers
         self.min_doc = min_doc
         self.max_doc = max_doc
         self.prune = prune
+        self.deleted = deleted if deleted is not None and deleted.size else None
 
     @classmethod
     def from_pdf(
@@ -199,18 +202,24 @@ class SegmentContext:
         pseudo-blocks, encoding==ENC_SINGLETON) — columnar, no per-row dicts."""
         import pandas as pd  # noqa: F401
 
+        deleted = None
+        enc_all = pdf["encoding"].to_numpy().astype(np.int64)
+        if (enc_all == ENC_DELETE).any():
+            dmask = enc_all == ENC_DELETE
+            deleted = np.unique(pdf["first_docid"].to_numpy()[dmask])
+            pdf = pdf[~dmask]
         pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
         cols = {
             c: pdf[c].to_numpy()
             for c in pdf.columns
-            if c not in ("segment_id", "term")
+            if c not in ("segment_id", "term", "slice_id")
         }
         terms = pdf["term"].to_numpy()
         enc = cols["encoding"].astype(np.int64)
         postings: dict[str, _TermPostings] = {}
         n = len(terms)
         if n == 0:
-            return cls(postings, scorers, min_doc, max_doc, prune)
+            return cls(postings, scorers, min_doc, max_doc, prune, deleted)
         tchange = np.empty(n, dtype=bool)
         tchange[0] = True
         tchange[1:] = terms[1:] != terms[:-1]
@@ -235,7 +244,7 @@ class SegmentContext:
                 )
             else:
                 postings[term] = _TermPostings(cols, int(lo), int(hi))
-        return cls(postings, scorers, min_doc, max_doc, prune)
+        return cls(postings, scorers, min_doc, max_doc, prune, deleted)
 
 
 def _float_dtype(scorer) -> np.dtype:
@@ -650,9 +659,15 @@ class _SegmentSearcher:
             ubs = tp.block_ub(sc)
             t_ub = np.zeros(n_win, dtype=np.float64)
             win_blocks: dict[int, list[int]] = {}
-            wlo = (tp.block_first - off) // WINDOW_DOCS
-            whi = (tp.block_last - off) // WINDOW_DOCS
-            for bi in range(len(ubs)):
+            # with docid slicing, a straddling block can extend past the
+            # slice bounds — clamp its window span to this slice's array
+            wlo = np.clip((tp.block_first - off) // WINDOW_DOCS, 0, n_win - 1)
+            whi = np.clip((tp.block_last - off) // WINDOW_DOCS, 0, n_win - 1)
+            in_slice = (tp.block_last >= off) & (
+                tp.block_first < off + n_win * WINDOW_DOCS
+            )
+            for bi in np.flatnonzero(in_slice):
+                bi = int(bi)
                 lo, hi = int(wlo[bi]), int(whi[bi])
                 if hi > lo:
                     seg = t_ub[lo : hi + 1]
@@ -677,7 +692,9 @@ class _SegmentSearcher:
             if top_d.size >= k and ub_w[w] < theta:
                 break
             lo_doc = off + w * WINDOW_DOCS
-            hi_doc = lo_doc + WINDOW_DOCS
+            # clamp: the last window of a docid slice must not leak docs that
+            # belong to the next slice (they'd be double-counted there)
+            hi_doc = min(lo_doc + WINDOW_DOCS, self.ctx.max_doc)
             parts = []
             for tp, sc, win_blocks in zip(tps, scs, per_term_win_blocks):
                 bis = win_blocks.get(w)
@@ -691,6 +708,9 @@ class _SegmentSearcher:
             if not parts:
                 continue
             d, s = _sum_contributions(parts, dtype)
+            if self.ctx.deleted is not None:
+                keep = np.isin(d, self.ctx.deleted, invert=True)
+                d, s = d[keep], s[keep]
             if after is not None:
                 d, s = _after_filter(d, s, after)
             top_d = np.concatenate((top_d, d))
@@ -728,6 +748,13 @@ def search_segment(
         d, sc = s.pruned_disjunction_terms(list(query.should), k, after=after)
         return d, sc
     d, sc = s.evaluate(query)
+    # docid-slice mask: straddling blocks decode docs owned by neighbor
+    # slices; each doc must be scored by exactly one (segment, slice) task
+    mask = (d >= ctx.min_doc) & (d < ctx.max_doc)
+    if ctx.deleted is not None:
+        mask &= np.isin(d, ctx.deleted, invert=True)  # live-docs check
+    if not mask.all():
+        d, sc = d[mask], sc[mask]
     if after is not None:
         d, sc = _after_filter(d, sc, after)
     return _topk(d, sc, k)
