@@ -17,7 +17,7 @@ import re
 
 from .tokenizer import Token
 
-__all__ = ["simple_analyze", "SIMPLE_SPLIT_REGEX"]
+__all__ = ["simple_analyze", "simple_terms_positions", "SIMPLE_SPLIT_REGEX"]
 
 SIMPLE_SPLIT_REGEX = "[^a-z0-9]+"
 _SPLIT = re.compile(SIMPLE_SPLIT_REGEX)
@@ -42,3 +42,24 @@ def simple_analyze(
         out.append(Token(part, pos, -1, -1, "<ALPHANUM>"))
         pos += 1
     return out
+
+
+def simple_terms_positions(
+    text: str, stopwords: frozenset[str] | None = None
+) -> tuple[list[str], list[int]]:
+    """Bulk (terms, positions) of :func:`simple_analyze` without Token
+    objects — the build hot path."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    sw = stopwords if stopwords else None
+    for part in _SPLIT.split(text.lower()):
+        if not part:
+            continue
+        if sw is not None and part in sw:
+            pos += 1
+            continue
+        terms.append(part)
+        positions.append(pos)
+        pos += 1
+    return terms, positions

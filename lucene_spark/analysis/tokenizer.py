@@ -366,6 +366,49 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[Token]
     return tokens
 
 
+_HAS_ALNUM = re.compile(r"[A-Za-z0-9]")
+
+
+def analyze_terms_positions(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int]]:
+    """Bulk analyze: ``([t.term ...], [t.position ...])`` of :func:`analyze`,
+    without building Token objects — the index-build hot path (2M+ tokens per
+    segment group make per-token objects the dominant allocator load).
+
+    ASCII texts lowercase ONCE up front (C-speed ``str.lower``; ASCII word
+    boundaries are case-insensitive so tokenize∘lower ≡ lower∘tokenize
+    there) and read terms straight off the regex matches. Non-ASCII texts
+    fall back to the full DFA chain. Differentially tested against
+    :func:`analyze`."""
+    if not text:
+        return [], []
+    if not text.isascii():
+        toks = analyze(text, stopwords=stopwords, max_token_length=max_token_length)
+        return [t.term for t in toks], [t.position for t in toks]
+    terms: list[str] = []
+    positions: list[int] = []
+    position = -1
+    skipped = 0
+    sw = stopwords if stopwords else None
+    for m in _ASCII_RE.finditer(text.lower()):
+        seg = m.group()
+        if "_" in seg and not _HAS_ALNUM.search(seg):
+            continue  # ExtendNumLet-only run is no token
+        if len(seg) > max_token_length:
+            skipped += 1  # skipped-but-position-counted (StandardTokenizer.java:152-175)
+            continue
+        position += 1 + skipped
+        skipped = 0
+        if sw is not None and seg in sw:
+            continue  # StopFilter: drop, keep the position increment
+        terms.append(seg)
+        positions.append(position)
+    return terms, positions
+
+
 def analyze(
     text: str,
     stopwords: frozenset[str] | None = None,

@@ -1,0 +1,312 @@
+"""Batch-vectorized analysis: one numpy pass over a whole Arrow batch.
+
+This is the "vectorized Arrow UDF, no per-row Python" form of the analyzer
+chain: instead of tokenizing document-at-a-time (2M+ python string objects
+per 15k-doc batch — allocator-bound and memory-bus-contended across
+executor python workers), the batch's ASCII documents are joined into one
+byte buffer and word boundaries are derived with vectorized byte
+classification. Token content is dictionary-encoded WITHOUT materializing
+per-token strings: tokens ≤16 bytes (≈99.9% of web text after the 255-char
+chop) pack exactly into two uint64 keys — the pack IS the content, not a
+hash, so grouping by key is exact; longer tokens fall back to python
+strings. Only the UNIQUE terms (vocabulary-sized) ever become python
+objects.
+
+Boundary semantics are the ASCII collapse of UAX#29 (see tokenizer.py
+_ASCII_RE): [A-Za-z0-9_] runs fused by WB5/9/10/13a/13b, interior [.'],
+between letters (WB6/7), interior [.,;'] between digits (WB11/12),
+ExtendNumLet-only runs emit nothing, >maxTokenLength tokens are skipped but
+still count a position (StandardTokenizer.java:152-175), stop-filtered
+terms keep position increments (FilteringTokenFilter.java:49-63). Non-ASCII
+documents take the exact per-document DFA path (tokenizer.analyze) and are
+merged back in. Differentially tested against the Token chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import MAX_TOKEN_LENGTH
+from .simple import SIMPLE_SPLIT_REGEX  # noqa: F401  (documentation cross-ref)
+from .tokenizer import analyze as _analyze_py
+
+__all__ = ["analyze_batch", "BatchTokens"]
+
+
+_LETTER = np.zeros(256, dtype=bool)
+_DIGIT = np.zeros(256, dtype=bool)
+for _c in range(ord("a"), ord("z") + 1):
+    _LETTER[_c] = True
+for _c in range(ord("A"), ord("Z") + 1):
+    _LETTER[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _DIGIT[_c] = True
+_UND = np.zeros(256, dtype=bool)
+_UND[ord("_")] = True
+_LJOIN = np.zeros(256, dtype=bool)  # letter joiners: . '
+_LJOIN[ord(".")] = True
+_LJOIN[ord("'")] = True
+_DJOIN = np.zeros(256, dtype=bool)  # digit joiners: . , ; '
+for _c in ".,;'":
+    _DJOIN[ord(_c)] = True
+
+# simple analyzer: [a-z0-9] runs only, no joiners, no underscore fusing
+_SIMPLE_ALNUM = _LETTER | _DIGIT
+
+
+class BatchTokens:
+    """Dictionary-encoded token stream of one document batch.
+
+    - ``uniques``: sorted-by-first-seen unique terms (python strings);
+    - ``codes``: per-token index into ``uniques`` (int64);
+    - ``docids``: per-token document row index within the batch;
+    - ``positions``: per-token analyzer position;
+    - ``doc_lens``: per-document surviving-token counts (norm input).
+    """
+
+    __slots__ = ("uniques", "codes", "docids", "positions", "doc_lens")
+
+    def __init__(self, uniques, codes, docids, positions, doc_lens):
+        self.uniques = uniques
+        self.codes = codes
+        self.docids = docids
+        self.positions = positions
+        self.doc_lens = doc_lens
+
+
+def _ascii_spans(buf: np.ndarray, standard: bool):
+    """(starts, ends) of token byte-spans in ``buf``; the separator byte
+    0x00 is in no class, so tokens never cross document boundaries."""
+    if standard:
+        alnum = _LETTER[buf] | _DIGIT[buf] | _UND[buf]
+        letter = _LETTER[buf]
+        digit = _DIGIT[buf]
+        n = buf.size
+        lsh = np.zeros(n, dtype=bool)  # class of previous byte
+        rsh = np.zeros(n, dtype=bool)  # class of next byte
+        lsh[1:] = letter[:-1]
+        rsh[:-1] = letter[1:]
+        join_ok = _LJOIN[buf] & lsh & rsh
+        lsh[1:] = digit[:-1]
+        lsh[0] = False
+        rsh[:-1] = digit[1:]
+        rsh[n - 1] = False
+        join_ok |= _DJOIN[buf] & lsh & rsh
+        in_tok = alnum | join_ok
+    else:
+        in_tok = _SIMPLE_ALNUM[buf]
+    d = np.diff(in_tok.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return starts, ends
+
+
+_PACK_CHUNK = 1 << 17  # bound temp-array working set (cache/bus friendly)
+
+
+def _pack_keys(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Exact 16-byte content keys: two uint64 per token (zero-padded).
+    Caller guarantees lens <= 16. Chunked so the gather temporaries stay a
+    few MB — one big (n,16) index matrix would thrash the memory bus when
+    32 executor workers run this concurrently."""
+    n = starts.size
+    k1 = np.empty(n, dtype=np.uint64)
+    k2 = np.empty(n, dtype=np.uint64)
+    pad = np.concatenate((buf, np.zeros(16, dtype=np.uint8)))
+    j16 = np.arange(16, dtype=np.int32)[None, :]
+    for lo in range(0, n, _PACK_CHUNK):
+        hi = min(lo + _PACK_CHUNK, n)
+        s = starts[lo:hi].astype(np.int64)[:, None]
+        mat = pad[s + j16]  # gather incl. overread past token end
+        mat[j16 >= lens[lo:hi, None]] = 0  # zero the padding bytes
+        k = mat.view(np.uint64)
+        k1[lo:hi], k2[lo:hi] = k[:, 0], k[:, 1]
+    return k1, k2
+
+
+def _tokenize_ascii_batch(
+    texts: list[str],
+    doc_rows: np.ndarray,
+    standard: bool,
+    max_token_length: int,
+):
+    """Vectorized path for the ASCII documents. Returns (term_key1,
+    term_key2, long_tokens:list[str|None] aligned, docids, positions,
+    doc_lens_by_row:dict) where long tokens carry None keys."""
+    joined = "\x00".join(texts).lower()
+    buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(
+        np.fromiter((len(t) + 1 for t in texts), dtype=np.int64, count=len(texts))
+    )
+    starts, ends = _ascii_spans(buf, standard)
+    if standard and starts.size:
+        # ExtendNumLet-only runs are not tokens (no position either)
+        alnum_ps = np.concatenate(
+            ([0], np.cumsum(_LETTER[buf] | _DIGIT[buf]))
+        )
+        real = (alnum_ps[ends] - alnum_ps[starts]) > 0
+        starts, ends = starts[real], ends[real]
+    lens = ends - starts
+    tok_doc = np.searchsorted(offs, starts, side="right") - 1
+    # position = rank among real tokens within the doc (skipped-long tokens
+    # still count — they advance the position but are not emitted)
+    first_of_doc = np.concatenate(([0], np.cumsum(np.bincount(tok_doc, minlength=len(texts)))))
+    positions = np.arange(starts.size, dtype=np.int64) - first_of_doc[tok_doc]
+    emit = lens <= max_token_length
+    starts, ends, lens = starts[emit], ends[emit], lens[emit]
+    tok_doc, positions = tok_doc[emit], positions[emit]
+    docids = doc_rows[tok_doc]
+    # exact content keys; long (>16B) tokens become python strings (rare)
+    short = lens <= 16
+    k1 = np.zeros(starts.size, dtype=np.uint64)
+    k2 = np.zeros(starts.size, dtype=np.uint64)
+    if short.any():
+        k1s, k2s = _pack_keys(buf, starts[short], lens[short])
+        k1[short], k2[short] = k1s, k2s
+    long_idx = np.flatnonzero(~short)
+    long_tokens = {
+        int(i): joined[starts[i] : ends[i]] for i in long_idx
+    }
+    return k1, k2, long_tokens, docids, positions, lens, short
+
+
+def _decode_key(k1: int, k2: int) -> str:
+    raw = int(k1).to_bytes(8, "little") + int(k2).to_bytes(8, "little")
+    return raw.rstrip(b"\x00").decode("ascii")
+
+
+def analyze_batch(
+    texts,
+    stopwords: frozenset[str] | None = None,
+    analyzer: str = "standard",
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> BatchTokens:
+    """Analyze a batch of documents in vectorized passes. ``texts`` is a
+    sequence of strings (None/empty → no tokens). Output positions/terms are
+    identical to running the per-document chain on each text."""
+    standard = analyzer == "standard"
+    if not standard:
+        # SimpleAnalyzer has no maxTokenLength chop
+        max_token_length = 1 << 31
+    n_docs = len(texts)
+    ascii_rows: list[int] = []
+    ascii_texts: list[str] = []
+    py_rows: list[int] = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        if isinstance(t, str) and t.isascii():
+            ascii_rows.append(i)
+            ascii_texts.append(t)
+        else:
+            py_rows.append(i)
+
+    parts_codes: list[np.ndarray] = []
+    parts_docids: list[np.ndarray] = []
+    parts_positions: list[np.ndarray] = []
+    uniques: list[str] = []
+    uniq_index: dict[str, int] = {}
+    doc_lens = np.zeros(n_docs, dtype=np.int64)
+
+    # chunk the ASCII docs so each vectorized pass works on a few MB —
+    # cache-resident and allocator-gentle: 32 concurrent python workers
+    # each churning 100MB+ temporaries collapse the kernel's page
+    # allocator (observed: 85%+ system time at full parallelism)
+    CHUNK_BYTES = 4 << 20
+    lo = 0
+    while lo < len(ascii_texts):
+        hi, nbytes = lo, 0
+        while hi < len(ascii_texts) and (nbytes < CHUNK_BYTES or hi == lo):
+            nbytes += len(ascii_texts[hi]) + 1
+            hi += 1
+        k1, k2, long_tokens, docids, positions, lens, short = _tokenize_ascii_batch(
+            ascii_texts[lo:hi],
+            np.asarray(ascii_rows[lo:hi], dtype=np.int64),
+            standard,
+            max_token_length,
+        )
+        lo = hi
+        n_tok = docids.size
+        codes = np.empty(n_tok, dtype=np.int64)
+        if n_tok:
+            # group short tokens by exact (k1, k2) key
+            order = np.lexsort((k2[short], k1[short]))
+            sidx = np.flatnonzero(short)[order]
+            sk1, sk2 = k1[sidx], k2[sidx]
+            newg = np.empty(sidx.size, dtype=bool)
+            if sidx.size:
+                newg[0] = True
+                newg[1:] = (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])
+            gstarts = np.flatnonzero(newg)
+            gids = np.cumsum(newg) - 1
+            # materialize each unique ONCE
+            local_terms = [
+                _decode_key(sk1[g], sk2[g]) for g in gstarts
+            ]
+            local_codes = np.empty(len(local_terms), dtype=np.int64)
+            for li, term in enumerate(local_terms):
+                ci = uniq_index.get(term)
+                if ci is None:
+                    ci = len(uniques)
+                    uniques.append(term)
+                    uniq_index[term] = ci
+                local_codes[li] = ci
+            codes[sidx] = local_codes[gids]
+            for i, term in long_tokens.items():
+                ci = uniq_index.get(term)
+                if ci is None:
+                    ci = len(uniques)
+                    uniques.append(term)
+                    uniq_index[term] = ci
+                codes[i] = ci
+        parts_codes.append(codes)
+        parts_docids.append(docids)
+        parts_positions.append(positions)
+
+    # non-ASCII fallback: exact per-document chain of the same analyzer
+    from .simple import simple_analyze as _simple_py
+
+    for i in py_rows:
+        if standard:
+            toks = _analyze_py(
+                texts[i], stopwords=None, max_token_length=max_token_length
+            )
+        else:
+            toks = _simple_py(texts[i], stopwords=None)
+        if not toks:
+            continue
+        codes = np.empty(len(toks), dtype=np.int64)
+        for j, tok in enumerate(toks):
+            ci = uniq_index.get(tok.term)
+            if ci is None:
+                ci = len(uniques)
+                uniques.append(tok.term)
+                uniq_index[tok.term] = ci
+            codes[j] = ci
+        parts_codes.append(codes)
+        parts_docids.append(np.full(len(toks), i, dtype=np.int64))
+        parts_positions.append(
+            np.fromiter((t.position for t in toks), dtype=np.int64, count=len(toks))
+        )
+
+    if not parts_codes:
+        empty = np.zeros(0, dtype=np.int64)
+        return BatchTokens([], empty, empty, empty, doc_lens)
+
+    codes = np.concatenate(parts_codes)
+    docids = np.concatenate(parts_docids)
+    positions = np.concatenate(parts_positions)
+
+    # stop filter on the VOCABULARY (exact, tiny), keeping position
+    # increments of dropped tokens
+    if stopwords:
+        stop_codes = np.array(
+            [uniq_index[w] for w in stopwords if w in uniq_index], dtype=np.int64
+        )
+        if stop_codes.size:
+            keep = np.isin(codes, stop_codes, invert=True)
+            codes, docids, positions = codes[keep], docids[keep], positions[keep]
+
+    np.add.at(doc_lens, docids, 1)
+    return BatchTokens(uniques, codes, docids, positions, doc_lens)

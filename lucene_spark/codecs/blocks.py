@@ -142,28 +142,38 @@ def encode_term_postings(
     norms: np.ndarray,
     positions: np.ndarray | None = None,
     base: int = -1,
+    pos_deltas: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode one term's postings (sorted unique docids) into block rows.
 
     ``positions``, when given, is the flat concatenation of per-doc position
-    lists aligned with ``docids``/``freqs``. ``base`` is the docid the first
-    delta is taken against (must be < docids[0]; segment merge passes the
-    group's doc_base-1 so partial runs stay relocatable).
+    lists aligned with ``docids``/``freqs``. Callers that already hold the
+    delta form (per-doc first position absolute, rest delta-encoded — the
+    builder computes it once for the whole segment) can pass ``pos_deltas``
+    instead, skipping the re-diff. ``base`` is the docid the first delta is
+    taken against (must be < docids[0]; segment merge passes the group's
+    doc_base-1 so partial runs stay relocatable).
     """
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.int64)
     n = docids.size
-    pos_bounds = np.concatenate(([0], np.cumsum(freqs))) if positions is not None else None
+    # delta chain is block-agnostic: each block's base is the previous
+    # block's last docid, so deltas == plain diff with the initial base
+    all_deltas = np.empty(n, dtype=np.int64)
+    all_deltas[0] = docids[0] - base
+    np.subtract(docids[1:], docids[:-1], out=all_deltas[1:])
+    norm_bytes = (norms & 0xFF).astype(np.uint8).tobytes()
+    with_pos = positions is not None or pos_deltas is not None
+    if with_pos:
+        pos_bounds = np.concatenate(([0], np.cumsum(freqs)))
     rows: list[dict] = []
     for block_no, start in enumerate(range(0, n, BLOCK_SIZE)):
         end = min(start + BLOCK_SIZE, n)
         d = docids[start:end]
         f = freqs[start:end]
         m = norms[start:end]
-        deltas = np.empty(d.size, dtype=np.int64)
-        deltas[0] = d[0] - base
-        np.subtract(d[1:], d[:-1], out=deltas[1:])
+        deltas = all_deltas[start:end]
         first, last = int(d[0]), int(d[-1])
         if d.size < BLOCK_SIZE:
             enc, payload = ENC_VBYTE_TAIL, vbyte_encode(deltas)
@@ -172,10 +182,15 @@ def encode_term_postings(
             enc, payload = _encode_full_block(deltas, base, last)
             freqs_enc = pfor_encode(f)
         positions_enc = None
-        if positions is not None:
-            positions_enc = encode_positions(
-                f, positions[pos_bounds[start] : pos_bounds[end]]
-            )
+        if with_pos:
+            if pos_deltas is not None:
+                positions_enc = vbyte_encode(
+                    pos_deltas[pos_bounds[start] : pos_bounds[end]]
+                )
+            else:
+                positions_enc = encode_positions(
+                    f, positions[pos_bounds[start] : pos_bounds[end]]
+                )
         rows.append(
             {
                 "block_no": block_no,
@@ -186,7 +201,7 @@ def encode_term_postings(
                 "encoding": enc,
                 "docids_enc": payload,
                 "freqs_enc": freqs_enc,
-                "norms_enc": bytes(bytearray(int(x) & 0xFF for x in m)),
+                "norms_enc": norm_bytes[start:end],
                 "positions_enc": positions_enc,
                 "impacts": skyline(f, m),
             }

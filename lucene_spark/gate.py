@@ -276,6 +276,258 @@ u AS (
 
 
 # ---------------------------------------------------------------------------
+# multi-term / compound query family (wildcard, fuzzy, range, synonym,
+# dismax, boosts, minShouldMatch, constant-score, set, searchAfter)
+# ---------------------------------------------------------------------------
+
+def _hits_ast(spark, sf_dir, ast, k: int, after=None) -> DataFrame:
+    h = _searcher(spark, sf_dir).search(ast, k=k, after=after, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("score"),
+    )
+
+
+def _mk_topk_ast(make_ast, k: int = 10):
+    def run(spark, sf_dir):
+        return _hits_ast(spark, sf_dir, make_ast(), k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+    return run
+
+
+def _sql_expansion_sum(exp_cte: str, k: int = 10) -> str:
+    """SHOULD-of-expanded-terms scoring (ScoringRewrite): ``exp_cte`` must
+    define exp(term, df) — scores summed per doc, top-k cut."""
+    idf = _idf("e.df")
+    return f"""WITH {_BASE_CTES},
+exp AS ({exp_cte}),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN exp e USING (term) JOIN qdl USING (doc_id), stats s
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
+def _sql_wildcard(like_pat: str, k: int = 10, max_terms: int = 128) -> str:
+    return _sql_expansion_sum(
+        f"SELECT term, df FROM dft WHERE term LIKE '{like_pat}' "
+        f"ORDER BY df DESC, term ASC LIMIT {max_terms}",
+        k,
+    )
+
+
+def _sql_regexp(pat: str, k: int = 10, max_terms: int = 128) -> str:
+    return _sql_expansion_sum(
+        f"SELECT term, df FROM dft WHERE regexp_matches(term, '^{pat}$') "
+        f"ORDER BY df DESC, term ASC LIMIT {max_terms}",
+        k,
+    )
+
+
+def _sql_range(lo: str, hi: str, incl: bool, k: int = 10, max_terms: int = 128) -> str:
+    op_lo, op_hi = (">=", "<=") if incl else (">", "<")
+    return _sql_expansion_sum(
+        f"SELECT term, df FROM dft WHERE term {op_lo} '{lo}' AND term {op_hi} '{hi}' "
+        f"ORDER BY df DESC, term ASC LIMIT {max_terms}",
+        k,
+    )
+
+
+def _sql_fuzzy(target: str, max_edits: int, k: int = 10, max_terms: int = 128) -> str:
+    """TopTermsBlendedFreqScoringRewrite mirror: per-term boost =
+    1 - OSA/min(len), docFreq blended to the max over the expansion, weight
+    = boost*idf(blended) computed BEFORE the tf division (scorer create
+    order). DuckDB's damerau_levenshtein is the same OSA distance."""
+    n = len(target)
+    sim = (
+        f"CASE WHEN damerau_levenshtein(term, '{target}') = 0 THEN 1.0 "
+        f"ELSE 1.0 - damerau_levenshtein(term, '{target}')::DOUBLE / "
+        f"least(length(term), {n}) END"
+    )
+    idf_bl = _idf("(SELECT max(df) FROM exp)")
+    return f"""WITH {_BASE_CTES},
+exp AS (
+  SELECT term, df, {sim} AS boost
+  FROM dft
+  WHERE abs(length(term) - {n}) <= {max_edits}
+    AND damerau_levenshtein(term, '{target}') <= {max_edits}
+  ORDER BY {sim} DESC, df DESC, term ASC LIMIT {max_terms}
+),
+ws AS (SELECT e.term, (e.boost * {idf_bl}) AS w FROM exp e, stats s),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         (ws.w - ws.w / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN ws USING (term) JOIN qdl USING (doc_id), stats s
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
+def _sql_synonym(terms: list[str], k: int = 10) -> str:
+    """SynonymQuery: blended df = max over terms, per-doc freq = Σ freqs,
+    ONE scorer call."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idf = _idf(f"(SELECT max(df) FROM dft WHERE term IN ({tlist}))")
+    return f"""WITH {_BASE_CTES},
+sf AS (
+  SELECT doc_id, sum(freq)::BIGINT AS freq FROM tf
+  WHERE term IN ({tlist}) GROUP BY doc_id
+),
+ss AS (
+  SELECT sf.doc_id, ({idf} - {idf} / {_tf_part("sf.freq", "qdl.qdl")}) AS score
+  FROM sf JOIN qdl USING (doc_id), stats s
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ss", k)
+
+
+def _sql_dismax(terms: list[str], tie: float, k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    mx = "greatest(" + ", ".join(f"coalesce({a}.score, '-infinity'::DOUBLE)" for a in aliases) + ")"
+    sm = " + ".join(f"coalesce({a}.score, 0.0)" for a in aliases)
+    inner = f"SELECT doc_id, ({mx} + {tie} * (({sm}) - {mx})) AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_boost_or(term_boosts: list[tuple[str, float]], k: int = 10) -> str:
+    """OR of boosted terms: weight = boost*idf built at scorer-create, then
+    w - w/tf (QuantizedDoubleBm25.create order)."""
+    ctes, aliases = [], []
+    for i, (t, b) in enumerate(term_boosts):
+        a = f"s_{i}"
+        aliases.append(a)
+        idf = _idf("d.df")
+        ctes.append(f"""
+{a} AS (
+  SELECT tf.doc_id,
+         (({b} * {idf}) - ({b} * {idf}) / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN qdl USING (doc_id), stats s,
+       (SELECT df FROM dft WHERE term = '{t}') d
+  WHERE tf.term = '{t}'
+)""")
+        # note: boost folded into the weight before the division, like the scorer
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {', '.join(ctes)} " + _topk_wrap(inner, k)
+
+
+def _sql_min_should(terms: list[str], msm: int, k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    nmatched = " + ".join(
+        f"(CASE WHEN {a}.score IS NOT NULL THEN 1 ELSE 0 END)" for a in aliases
+    )
+    inner = (
+        f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins} "
+        f"WHERE ({nmatched}) >= {msm}"
+    )
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_constant_and(terms: list[str], boost: float, k: int) -> str:
+    conds = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tf WHERE term = '{t}' AND tf.doc_id = d.doc_id)"
+        for t in terms
+    )
+    inner = f"SELECT doc_id, {boost}::DOUBLE AS score FROM documents d WHERE {conds}"
+    return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
+
+
+def _sql_term_in_set(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    inner = (
+        f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents d "
+        f"WHERE EXISTS (SELECT 1 FROM tf WHERE term IN ({tlist}) AND tf.doc_id = d.doc_id)"
+    )
+    return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
+
+
+def _sql_search_after(terms_or: list[str], k: int = 10) -> str:
+    """Page 2 ≡ rows k+1..2k of the same global order (searchAfter anchor)."""
+    aliases = [f"s_{i}" for i in range(len(terms_or))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms_or))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"""WITH {_BASE_CTES}, {ctes}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT * FROM ({inner}) ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {k}
+)"""
+
+
+def _q_search_after(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    from .search.query import BooleanQuery, TermQuery
+
+    ast = BooleanQuery(
+        should=(TermQuery("stream"), TermQuery("window"), TermQuery("batch"))
+    )
+    page1 = _hits_ast(spark, sf_dir, ast, k).collect()
+    last = page1[-1]
+    anchor = (float(last["score"]), int(last["doc_id"]))
+    return _hits_ast(spark, sf_dir, ast, k, after=anchor).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _ast_synonym():
+    from .search.query import SynonymQuery
+
+    return SynonymQuery(terms=("stream", "window"))
+
+
+def _ast_dismax():
+    from .search.query import DisjunctionMaxQuery, TermQuery
+
+    return DisjunctionMaxQuery(
+        disjuncts=(TermQuery("stream"), TermQuery("window"), TermQuery("batch")),
+        tie_breaker=0.3,
+    )
+
+
+def _ast_min_should():
+    from .search.query import BooleanQuery, TermQuery
+
+    return BooleanQuery(
+        should=(TermQuery("batch"), TermQuery("filter"), TermQuery("window")),
+        min_should_match=2,
+    )
+
+
+def _ast_constant():
+    from .search.query import BooleanQuery, ConstantScoreQuery, TermQuery
+
+    return ConstantScoreQuery(
+        query=BooleanQuery(must=(TermQuery("stream"), TermQuery("window"))),
+        boost=2.5,
+    )
+
+
+def _ast_term_in_set():
+    from .search.query import TermInSetQuery
+
+    return TermInSetQuery(terms=("scan", "merge", "nosuchterm"))
+
+
+# ---------------------------------------------------------------------------
 # stats / structure queries
 # ---------------------------------------------------------------------------
 
@@ -670,6 +922,18 @@ def gate_queries() -> dict:
         "bm25_req_opt": _mk_topk("+scan window"),
         "bm25_phrase": _mk_topk('"data stream"'),
         "bm25_prefix": _mk_topk("s*"),
+        "bm25_wildcard": _mk_topk("*or*"),
+        "bm25_regexp": _mk_topk("/[bh]a(tch|sh)/"),
+        "bm25_fuzzy": _mk_topk("sort~2"),
+        "bm25_range": _mk_topk("[scan TO stream]"),
+        "bm25_boosted_or": _mk_topk("stream^2.0 OR window"),
+        "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),  # rows-only gate
+        "bm25_synonym": _mk_topk_ast(_ast_synonym),
+        "bm25_dismax": _mk_topk_ast(_ast_dismax),
+        "bm25_min_should": _mk_topk_ast(_ast_min_should),
+        "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
+        "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
+        "bm25_search_after": _q_search_after,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "term_stats": _q_term_stats,
@@ -707,6 +971,21 @@ def gate_oracle_sql() -> dict:
         "bm25_req_opt": _sql_req_opt("scan", "window"),
         "bm25_phrase": _sql_phrase("data", "stream"),
         "bm25_prefix": _sql_prefix("s"),
+        "bm25_wildcard": _sql_wildcard("%or%"),
+        "bm25_regexp": _sql_regexp("[bh]a(tch|sh)"),
+        "bm25_fuzzy": _sql_fuzzy("sort", 2),
+        "bm25_range": _sql_range("scan", "stream", incl=True),
+        "bm25_boosted_or": _sql_boost_or([("stream", 2.0), ("window", 1.0)]),
+        # bm25_sloppy_phrase: intentionally NO SQL oracle — the sloppy-phrase
+        # sweep (advance-min with 1/(1+matchLength) accumulation) is a
+        # sequential recurrence; gated rows-only here and exactly by the
+        # pure-python oracle in tests/test_query_surface.py
+        "bm25_synonym": _sql_synonym(["stream", "window"]),
+        "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
+        "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
+        "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
+        "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
+        "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
         "term_stats": _SQL_TERM_STATS,

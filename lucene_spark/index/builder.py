@@ -46,8 +46,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.simple import simple_analyze
+from ..analysis.simple import simple_analyze, simple_terms_positions
 from ..analysis.tokenizer import analyze as standard_analyze
+from ..analysis.tokenizer import analyze_terms_positions
+from ..analysis.vectorized import analyze_batch
 from ..analysis.html_extract import extract_text
 from ..codecs.blocks import ENC_VBYTE_TAIL, encode_positions, encode_term_postings
 from ..codecs.intcodecs import vbyte_encode_concat
@@ -81,6 +83,19 @@ def get_analyzer(name: str) -> Callable:
     return _ANALYZERS[name]
 
 
+_BULK_ANALYZERS: dict[str, Callable] = {
+    "standard": analyze_terms_positions,
+    "simple": simple_terms_positions,
+}
+
+
+def get_bulk_analyzer(name: str) -> Callable:
+    """(text, stopwords) -> (terms, positions) without Token objects — the
+    build hot path (per-token objects dominate allocator load at 2M+ tokens
+    per segment group; differentially tested against the Token chain)."""
+    return _BULK_ANALYZERS[name]
+
+
 def _delta_with_resets(values: np.ndarray, reset_mask: np.ndarray, reset_base) -> np.ndarray:
     """deltas[i] = v[i] - v[i-1], except where reset_mask: v[i] - base."""
     out = np.empty(values.size, dtype=np.int64)
@@ -109,26 +124,19 @@ def _invert_segment(
     in single concatenated numpy passes with byte-offset slicing
     (codecs/intcodecs.vbyte_encode_concat), byte-identical to the per-term
     path (differentially tested)."""
-    analyzer = get_analyzer(analyzer_name)
     seg = int(pdf["segment_id"].iloc[0])
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
 
-    flat_terms: list[str] = []
-    flat_docids_parts: list[np.ndarray] = []
-    flat_positions_parts: list[np.ndarray] = []
-    doc_lens = np.zeros(n_docs, dtype=np.int64)
-    texts = pdf["html"] if html_input else pdf["text"]
-    for docid, raw in enumerate(texts):
-        text = extract_text(raw) if html_input else raw
-        toks = analyzer(text, stopwords=stopwords) if text else []
-        doc_lens[docid] = len(toks)
-        if toks:
-            flat_terms.extend(t.term for t in toks)
-            flat_docids_parts.append(np.full(len(toks), docid, dtype=np.int64))
-            flat_positions_parts.append(
-                np.fromiter((t.position for t in toks), dtype=np.int64, count=len(toks))
-            )
+    if html_input:
+        texts = [extract_text(raw) for raw in pdf["html"]]
+    else:
+        texts = pdf["text"].tolist()
+    # whole-batch vectorized analysis: byte-level boundary classification +
+    # exact 16-byte-pack dictionary encoding — no per-token python objects
+    # (analysis/vectorized.py; differentially tested vs the Token chain)
+    bt = analyze_batch(texts, stopwords=stopwords, analyzer=analyzer_name)
+    doc_lens = bt.doc_lens
     norms = int_to_byte4(doc_lens)
 
     # column accumulators (one list per output column; bulk-extended)
@@ -157,12 +165,11 @@ def _invert_segment(
         norm=[int(x) for x in norms],
     )
 
-    if flat_terms:
-        docids_flat = np.concatenate(flat_docids_parts)
-        positions_flat = np.concatenate(flat_positions_parts)
-        codes, uniques = pd.factorize(pd.array(flat_terms))
+    if bt.codes.size:
+        docids_flat = bt.docids
+        positions_flat = bt.positions
+        codes, uniq_list = bt.codes, bt.uniques
         # unsigned UTF-8 byte term order (CheckIndex.java:1619-1621)
-        uniq_list = list(uniques)
         term_order = sorted(range(len(uniq_list)), key=lambda i: uniq_list[i].encode("utf-8"))
         remap = np.empty(len(uniq_list), dtype=np.int64)
         remap[np.array(term_order)] = np.arange(len(uniq_list))
@@ -298,10 +305,13 @@ def _invert_segment(
             t_docids = run_docids[ts:te]
             t_freqs = run_freqs[ts:te]
             t_norms = norms[t_docids]
-            t_positions = None
+            t_posdel = None
             if index_positions:
-                t_positions = p[freq_cs[ts] : freq_cs[te]]
-            rows = encode_term_postings(t_docids, t_freqs, t_norms, t_positions)
+                # already in delta form (one segment-wide pass above)
+                t_posdel = pos_deltas[freq_cs[ts] : freq_cs[te]]
+            rows = encode_term_postings(
+                t_docids, t_freqs, t_norms, pos_deltas=t_posdel
+            )
             extend(
                 KIND_TERM,
                 1,
@@ -397,9 +407,11 @@ def _table_path(index_dir: str, name: str) -> str:
     return f"{index_dir}/{name}"
 
 
-def _read_stats_rows(data_dir: str) -> list[dict]:
+def _read_stats_rows(data_dir: str, allowed: set[int] | None = None) -> list[dict]:
     """Driver-side pyarrow read of the per-segment stats rows
-    (``kind=KIND_STATS`` partition: one row per segment)."""
+    (``kind=KIND_STATS`` partition: one row per segment). ``allowed`` guards
+    against orphan partition dirs left by a crashed previous job — only the
+    manifest swap commits a segment."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -407,6 +419,8 @@ def _read_stats_rows(data_dir: str) -> list[dict]:
     out: list[dict] = []
     for seg_dir in _glob.glob(f"{data_dir}/kind={KIND_STATS}/segment_id=*"):
         seg = int(seg_dir.rsplit("=", 1)[1])
+        if allowed is not None and seg not in allowed:
+            continue
         for f in _glob.glob(f"{seg_dir}/*.parquet"):
             t = _pq.read_table(
                 f, columns=["df", "n_blocks", "ttf", "last_docid", "first_docid"]
@@ -587,7 +601,9 @@ def build_index(
     # stats: read back ONLY the kind=3 rows (one per segment) straight with
     # pyarrow on the driver — a Spark job here costs ~1s of pure scheduling
     # for 64 single-row files
-    seg_stats = _read_stats_rows(_table_path(index_dir, "data"))
+    seg_stats = _read_stats_rows(
+        _table_path(index_dir, "data"), allowed=set(labels) | set(done)
+    )
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_prev)
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_prev)
     build_secs = time.time() - t0

@@ -64,7 +64,7 @@ from .schemas import (
     TERM_DICT_COLS,
 )
 
-__all__ = ["merge_segments"]
+__all__ = ["merge_segments", "execute_merge_plan", "maybe_merge"]
 
 ENC_VBYTE_TAIL = 3
 
@@ -323,3 +323,215 @@ def merge_segments(
         "n_docs": total,
         "merge_secs": time.time() - t0,
     }
+
+
+# ---------------------------------------------------------------------------
+# in-place tiered merging (TieredMergePolicy execution)
+# ---------------------------------------------------------------------------
+
+def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
+    """Merge ``plan.segment_ids`` (doc_base-contiguous) into ONE new segment
+    inside the SAME index — the ConcurrentMergeScheduler unit of work
+    (reference: index/SegmentMerger.java:113-153). The new segment's data
+    partition is written first; the manifest swap is the commit
+    (IndexWriter two-phase commit shape); the obsolete partition dirs are
+    removed last (IndexFileDeleter analog) — a crash at any point leaves a
+    readable index because readers gate on the manifest's segment list."""
+    import os
+    import shutil
+
+    t0 = time.time()
+    reader = IndexReader(spark, index_dir)
+    manifest = reader.manifest_rows
+    by_id = {int(r["segment_id"]): r for r in manifest}
+    merge_ids = set(int(s) for s in plan.segment_ids)
+    assert merge_ids <= set(by_id), "plan references unknown segments"
+    new_id = max(by_id) + 1
+    doc_bases = {s: int(by_id[s]["doc_base"]) for s in merge_ids}
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, b) for s, b in doc_bases.items()], "seg int, doc_base long"
+        )
+    )
+    sel = F.col("segment_id").isin(list(merge_ids))
+
+    docmap = (
+        reader.docmap.filter(sel)
+        .join(base_df, F.col("segment_id") == F.col("seg"))
+        .select(
+            F.lit(new_id).alias("segment_id"),
+            (F.col("docid") + F.col("doc_base")).alias("docid"),
+            "url",
+            "doc_len",
+            "norm",
+        )
+    )
+    td = reader.term_dict.filter(sel).join(base_df, F.col("segment_id") == F.col("seg"))
+    merged_td = td.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("ttf").alias("ttf"),
+        (
+            F.sum("n_blocks")
+            + F.sum(F.when(F.col("singleton_docid").isNotNull(), 1).otherwise(0))
+        ).cast("int").alias("n_blocks_raw"),
+        F.first(F.col("singleton_docid") + F.col("doc_base"), ignorenulls=True).alias(
+            "g_singleton_docid"
+        ),
+        F.first("singleton_freq", ignorenulls=True).alias("g_singleton_freq"),
+        F.first("singleton_norm", ignorenulls=True).alias("g_singleton_norm"),
+        F.first("singleton_positions", ignorenulls=True).alias("g_singleton_positions"),
+    )
+    keep_pulsed = F.col("df") == 1
+    term_rows = merged_td.select(
+        F.lit(new_id).alias("segment_id"),
+        "term",
+        "df",
+        "ttf",
+        F.when(keep_pulsed, F.lit(0)).otherwise(F.col("n_blocks_raw")).alias("n_blocks"),
+        F.when(keep_pulsed, F.col("g_singleton_docid")).alias("singleton_docid"),
+        F.when(keep_pulsed, F.col("g_singleton_freq")).alias("singleton_freq"),
+        F.when(keep_pulsed, F.col("g_singleton_norm")).alias("singleton_norm"),
+        F.when(keep_pulsed, F.col("g_singleton_positions")).alias("singleton_positions"),
+    )
+
+    rebased = (
+        reader.postings.filter(sel)
+        .join(base_df, F.col("segment_id") == F.col("seg"))
+        .select(F.lit(new_id).alias("segment_id"), *_rebased_postings_cols())
+    )
+    multi_terms = merged_td.filter(F.col("df") > 1).select(
+        F.lit(new_id).alias("segment_id"), "term"
+    )
+    demoted = (
+        singleton_pseudo_blocks(reader.term_dict.filter(sel), True)
+        .join(base_df, F.col("segment_id") == F.col("seg"))
+        .select(F.lit(new_id).alias("segment_id"), *_rebased_postings_cols())
+        .join(multi_terms, ["segment_id", "term"])
+        .select(rebased.columns)
+        .mapInPandas(_materialize_singletons, schema=rebased.schema)
+    )
+    win = Window.partitionBy("segment_id", "term").orderBy("first_docid")
+    postings_rows = (
+        rebased.unionByName(demoted)
+        .withColumn("block_no", (F.row_number().over(win) - 1).cast("int"))
+    )
+
+    unified = (
+        docmap.select(
+            F.lit(KIND_DOC).cast("tinyint").alias("kind"),
+            "segment_id",
+            *[c for c in DOCMAP_COLS if c != "segment_id"],
+        )
+        .unionByName(
+            term_rows.select(
+                F.lit(KIND_TERM).cast("tinyint").alias("kind"),
+                "segment_id",
+                *[c for c in TERM_DICT_COLS if c != "segment_id"],
+            ),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            postings_rows.select(
+                F.lit(KIND_BLOCK).cast("tinyint").alias("kind"),
+                "segment_id",
+                *[c for c in POSTINGS_COLS if c != "segment_id"],
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    (
+        unified.sortWithinPartitions(
+            "kind",
+            F.encode(F.coalesce("term", F.lit("")), "utf-8"),
+            "block_no",
+            "docid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("kind", "segment_id")
+        .parquet(f"{index_dir}/data")
+    )
+
+    # deletes of merged segments follow into the new coordinates (rewrite
+    # whole table: delete lists are tiny relative to postings)
+    if reader.deletes is not None:
+        keep = reader.deletes.filter(~sel)
+        moved = (
+            reader.deletes.filter(sel)
+            .join(base_df, F.col("segment_id") == F.col("seg"))
+            .select(
+                F.lit(new_id).alias("segment_id"),
+                (F.col("docid") + F.col("doc_base")).alias("docid"),
+            )
+        )
+        tmp = f"{index_dir}/deletes.__tmp__"
+        keep.select("segment_id", "docid").unionByName(moved).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = f"{index_dir}/deletes.__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(f"{index_dir}/deletes", old)
+        os.rename(tmp, f"{index_dir}/deletes")
+        shutil.rmtree(old, ignore_errors=True)
+
+    # commit: stats + manifest swap (old rows out, merged row in)
+    fs_rows, man_rows = [], []
+    src_stats = {
+        int(r["segment_id"]): r.asDict() for r in reader.field_stats.collect()
+    }
+    m_docs = sum(int(by_id[s]["n_docs"]) for s in merge_ids)
+    m_sttf = sum(int(src_stats[s]["sum_ttf"]) for s in merge_ids)
+    m_min = min(doc_bases[s] + int(src_stats[s]["min_docid"]) for s in merge_ids)
+    m_max = max(doc_bases[s] + int(src_stats[s]["max_docid"]) for s in merge_ids)
+    for r in manifest:
+        s = int(r["segment_id"])
+        if s in merge_ids:
+            continue
+        fs = src_stats[s]
+        fs_rows.append(
+            (s, int(fs["doc_count"]), int(fs["sum_ttf"]), int(fs["max_docid"]),
+             int(fs["min_docid"]))
+        )
+        man_rows.append(
+            (s, int(r["n_docs"]), int(r["doc_base"]), r["status"],
+             float(r["checkpoint_ts"]), r["lineage"], r["metrics_json"])
+        )
+    fs_rows.append((new_id, m_docs, m_sttf, m_max, m_min))
+    man_rows.append(
+        (
+            new_id, m_docs, 0, "done", float(time.time()),
+            f"tiered_merge(from={sorted(merge_ids)})",
+            json.dumps({"merged_from": len(merge_ids)}),
+        )
+    )
+    man_rows.sort(key=lambda r: r[2])  # keep manifest in doc_base order
+    write_driver_table(f"{index_dir}/field_stats", sorted(fs_rows), FIELD_STATS_SCHEMA)
+    write_driver_table(f"{index_dir}/segment_manifest", man_rows, MANIFEST_SCHEMA)
+
+    # reclaim obsolete partition dirs (IndexFileDeleter)
+    for s in merge_ids:
+        for kind_dir in ("0", "1", "2", "3"):
+            shutil.rmtree(
+                f"{index_dir}/data/kind={kind_dir}/segment_id={s}",
+                ignore_errors=True,
+            )
+    return {
+        "merged_segments": len(merge_ids),
+        "new_segment_id": new_id,
+        "n_docs": m_docs,
+        "merge_secs": time.time() - t0,
+    }
+
+
+def maybe_merge(spark: SparkSession, index_dir: str, policy=None) -> list[dict]:
+    """Find and execute tiered merges (IndexWriter.maybeMerge +
+    ConcurrentMergeScheduler, sequentially)."""
+    from .mergepolicy import TieredMergePolicy
+
+    policy = policy or TieredMergePolicy()
+    out = []
+    reader = IndexReader(spark, index_dir)
+    for plan in policy.find_merges(reader.manifest_rows):
+        out.append(execute_merge_plan(spark, index_dir, plan))
+    return out

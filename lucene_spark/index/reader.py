@@ -37,7 +37,13 @@ class IndexReader:
 
     @cached_property
     def _data(self) -> DataFrame:
-        return self._table("data")
+        """The unified data tree, gated on the manifest's segment list: a
+        crash between a data write and the manifest swap (append or in-place
+        merge) leaves orphan partition dirs, and the manifest — the commit
+        point (segments_N semantics) — is what defines index membership.
+        segment_id is a partition column, so the isin prunes directories."""
+        live = [int(r["segment_id"]) for r in self.manifest_rows]
+        return self._table("data").filter(F.col("segment_id").isin(live))
 
     @cached_property
     def docmap(self) -> DataFrame:
@@ -63,7 +69,8 @@ class IndexReader:
 
         if not os.path.isdir(f"{self.index_dir}/deletes"):
             return None
-        return self._table("deletes")
+        live = [int(r["segment_id"]) for r in self.manifest_rows]
+        return self._table("deletes").filter(F.col("segment_id").isin(live))
 
     @cached_property
     def segment_bounds(self) -> dict[int, tuple[int, int]]:

@@ -113,6 +113,51 @@ def test_deletes_survive_merge(spark, corpus, tmp_path_factory):
     }
 
 
+def test_inplace_tiered_merge(spark, corpus, tmp_path_factory):
+    """maybe_merge executes TieredMergePolicy plans in place: results,
+    stats, and invariants are unchanged; obsolete segment dirs are gone."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from lucene_spark.index.invariants import check_index
+    from lucene_spark.index.merge import maybe_merge
+    from lucene_spark.index.mergepolicy import TieredMergePolicy
+
+    d = str(tmp_path_factory.mktemp("idx_tiered"))
+    build_index(spark, _df(spark, corpus), d, num_segments=6, stopwords=STOP)
+    s = Searcher(spark, d, stopwords=STOP)
+    victim = s.search("w0000", k=1, with_url=True).collect()[0]["url"]
+    add_deletes_by_url(spark, d, spark.createDataFrame([(victim,)], "url string"))
+    s = Searcher(spark, d, stopwords=STOP)
+    before = {
+        qs: [(r["docid"], np.float32(r["score"])) for r in s.search(qs, k=10).collect()]
+        for qs in ["w0000 OR w0001", "w0000 AND w0001", '"w0000 w0001"']
+    }
+    n_before = s.count("*")
+
+    res = maybe_merge(
+        spark, d, TieredMergePolicy(segments_per_tier=2, max_merge_at_once=10)
+    )
+    assert res and res[0]["merged_segments"] >= 2
+    assert check_index(spark, d) == []
+    s2 = Searcher(spark, d, stopwords=STOP)
+    assert len(s2.reader.manifest_rows) < 6
+    assert s2.count("*") == n_before
+    for qs, exp in before.items():
+        got = [(r["docid"], np.float32(r["score"])) for r in s2.search(qs, k=10).collect()]
+        assert got == exp, qs
+    assert victim not in {
+        r["url"] for r in s2.search("w0000", k=240, with_url=True).collect()
+    }
+    # obsolete partition dirs reclaimed
+    merged_away = res[0]["merged_segments"]
+    remaining = len(glob.glob(f"{d}/data/kind=2/segment_id=*"))
+    assert remaining == len(s2.reader.manifest_rows)
+    assert os.path.isdir(f"{d}/data/kind=2/segment_id={res[0]['new_segment_id']}")
+
+
 def test_streaming_index(spark, corpus, tmp_path_factory):
     """End-to-end Structured Streaming: file source → foreachBatch append →
     searchable index with upsert-by-url."""

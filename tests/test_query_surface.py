@@ -185,6 +185,37 @@ def test_fuzzy_blended_df(searcher, oracle):
     _check(searcher, oracle, q, msg="fuzzy-blended")
 
 
+def test_docid_slicing_identical(spark, index_dir, searcher):
+    """Intra-segment docid slices (IndexSearcher leaf-slice analog) must not
+    change any result: every doc is scored by exactly one (segment, slice)
+    task. span=97 is deliberately unaligned to stress straddling blocks."""
+    sliced = Searcher(spark, index_dir, stopwords=STOP, slice_docs=97)
+    for qs in [
+        "w0000 OR w0001 OR w0002",
+        "w0000 AND w0001",
+        '"w0000 w0001"',
+        '"w0000 w0002"~3',
+        "w0000 AND NOT w0001",
+        "w000*",
+        "w0000~1",
+    ]:
+        a = [(r["docid"], np.float32(r["score"])) for r in searcher.search(qs, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in sliced.search(qs, k=10).collect()]
+        assert a == b, qs
+        assert searcher.count(qs) == sliced.count(qs), qs
+    # batched path too
+    qs = {"q1": "w0000 OR w0001", "q2": "w0000 AND w0001"}
+    a = sorted(
+        (r["query_id"], r["docid"], np.float32(r["score"]))
+        for r in searcher.search_many(qs, k=10).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["docid"], np.float32(r["score"]))
+        for r in sliced.search_many(qs, k=10).collect()
+    )
+    assert a == b
+
+
 def test_count_new_query_types(searcher, oracle):
     for qs in ["w00?0", "w0000~1", "[w0000 TO w0003]", '"w0000 w0001"~2']:
         parsed = parse_query(qs, _an)

@@ -154,3 +154,32 @@ def test_ascii_fast_path_equals_dfa_edges():
             for t in _tokenize_ascii(s, MAX_TOKEN_LENGTH)
         ]
         assert fast == _dfa_tokenize(s), repr(s)
+
+
+def test_bulk_analyze_matches_token_chain():
+    """analyze_terms_positions must be (term, position)-identical to the
+    Token-object chain on random ASCII and on fixture/non-ASCII texts."""
+    import random
+
+    from lucene_spark.analysis.simple import simple_analyze, simple_terms_positions
+    from lucene_spark.analysis.tokenizer import analyze, analyze_terms_positions
+    from lucene_spark.constants import ENGLISH_STOP_WORDS
+    from lucene_spark.fixtures import generate_webtext
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ019 .,'_;-\t\n\"()" + "é漢カ한🙂"
+    cases = ["", "   ", "___", "a", "can't", "3.14", "1,000", "a.b.c",
+             "x" * 300, "a_b_c 4,5 e'f g.9"]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+              for _ in range(400)]
+    cases += [r["text"] for r in generate_webtext(25)]
+    for sw in (None, ENGLISH_STOP_WORDS, frozenset({"a", "b", "the"})):
+        for text in cases:
+            toks = analyze(text, stopwords=sw)
+            terms, poss = analyze_terms_positions(text, stopwords=sw)
+            assert terms == [t.term for t in toks], (text, sw)
+            assert poss == [t.position for t in toks], (text, sw)
+            stoks = simple_analyze(text, stopwords=sw)
+            sterms, sposs = simple_terms_positions(text, stopwords=sw)
+            assert sterms == [t.term for t in stoks], (text, sw)
+            assert sposs == [t.position for t in stoks], (text, sw)
