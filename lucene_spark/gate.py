@@ -106,10 +106,12 @@ def _term_scores_cte(name: str, term: str) -> str:
 )"""
 
 
-def _topk_wrap(inner: str, k: int) -> str:
-    """Cut on the unrounded score, then round for output."""
+def _topk_wrap(inner: str, k: int, raw: bool = False) -> str:
+    """Cut on the unrounded score, then round for output (``raw=True``
+    keeps the unrounded score — for composition into rescoring)."""
+    sel = "doc_id, score" if raw else "doc_id, round(score, 4) AS score"
     return f"""
-SELECT doc_id, round(score, 4) AS score FROM (
+SELECT {sel} FROM (
   SELECT * FROM ({inner}) ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
 
@@ -210,14 +212,14 @@ def _sql_and(terms: list[str], k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
-def _sql_or(terms: list[str], k: int = 10) -> str:
+def _sql_or(terms: list[str], k: int = 10, raw: bool = False) -> str:
     aliases = [f"s_{i}" for i in range(len(terms))]
     ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
     joins = aliases[0]
     for a in aliases[1:]:
         joins += f" FULL JOIN {a} USING (doc_id)"
     inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
-    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k, raw=raw)
 
 
 def _sql_and_not(term: str, not_term: str, k: int = 10) -> str:
@@ -236,7 +238,7 @@ def _sql_req_opt(must_term: str, opt_term: str, k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
-def _sql_phrase(t0: str, t1: str, k: int = 10) -> str:
+def _sql_phrase(t0: str, t1: str, k: int = 10, raw: bool = False) -> str:
     idf_a = _idf(f"(SELECT df FROM dft WHERE term = '{t0}')")
     idf_b = _idf(f"(SELECT df FROM dft WHERE term = '{t1}')")
     return f"""WITH {_BASE_CTES},
@@ -253,7 +255,7 @@ ps AS (
        stats s,
        (SELECT ({idf_a} + {idf_b}) AS w FROM stats s) w
 )
-""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k, raw=raw)
 
 
 def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
@@ -525,6 +527,105 @@ def _ast_term_in_set():
     from .search.query import TermInSetQuery
 
     return TermInSetQuery(terms=("scan", "merge", "nosuchterm"))
+
+
+def _ast_multi_phrase():
+    from .search.query import MultiPhraseQuery
+
+    return MultiPhraseQuery(slots=(("data",), ("stream", "window")))
+
+
+def _sql_multi_phrase(k: int = 10) -> str:
+    """slot0='data', slot1∈{'stream','window'}; weight = Σ idf over all
+    three terms (MultiPhraseQuery scoring)."""
+    idfs = " + ".join(
+        _idf(f"(SELECT df FROM dft WHERE term = '{t}')")
+        for t in ("data", "stream", "window")
+    )
+    return f"""WITH {_BASE_CTES},
+mp AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS freq
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.term IN ('stream', 'window')
+  WHERE a.term = 'data'
+  GROUP BY a.doc_id
+),
+ms AS (
+  SELECT mp.doc_id,
+         (w.w - w.w / {_tf_part("mp.freq", "qdl.qdl")}) AS score
+  FROM mp JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idfs}) AS w FROM stats s) w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ms", k)
+
+
+# --- field sort / rescore / function score ----------------------------------
+
+def _q_sort_by_field(spark, sf_dir, k: int = 20):
+    s = _searcher(spark, sf_dir)
+    out = s.search_sorted_by("stream", sort_col="doc_len", ascending=False, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("dl"),
+    )
+
+
+_SQL_SORT_BY_FIELD = f"""WITH {_BASE_CTES}
+SELECT doc_id, dl FROM (
+  SELECT d.doc_id, dl.dl
+  FROM documents d JOIN dl USING (doc_id)
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+  ORDER BY dl.dl DESC, d.doc_id ASC LIMIT 20
+)"""
+
+
+def _q_rescore(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    out = s.rescore(
+        "stream OR window", '"data stream"', k=k, window=50, weight=2.0
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_rescore(k: int = 10) -> str:
+    or_part = _sql_or(["stream", "window"], k=50, raw=True)
+    phrase_part = _sql_phrase("data", "stream", k=1_000_000, raw=True)
+    return f"""
+WITH first AS (
+  SELECT doc_id, score AS s1 FROM ({or_part})
+),
+second AS (
+  SELECT doc_id, score AS s2 FROM ({phrase_part})
+)
+SELECT doc_id, round(s1 + 2.0 * coalesce(s2, 0.0), 4) AS score
+FROM first LEFT JOIN second USING (doc_id)
+ORDER BY (s1 + 2.0 * coalesce(s2, 0.0)) DESC, doc_id ASC LIMIT {k}"""
+
+
+def _q_function_score(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    out = s.function_score("stream", "score * ln(2.0 + doc_len)", k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_function_score(k: int = 10) -> str:
+    return f"""WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'stream')}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s_a.doc_id, (s_a.score * ln(2.0 + dl.dl)) AS score
+  FROM s_a JOIN dl USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -928,12 +1029,16 @@ def gate_queries() -> dict:
         "bm25_range": _mk_topk("[scan TO stream]"),
         "bm25_boosted_or": _mk_topk("stream^2.0 OR window"),
         "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),  # rows-only gate
+        "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
         "bm25_search_after": _q_search_after,
+        "sort_by_field": _q_sort_by_field,
+        "rescore_topk": _q_rescore,
+        "function_score": _q_function_score,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "term_stats": _q_term_stats,
@@ -980,12 +1085,16 @@ def gate_oracle_sql() -> dict:
         # sweep (advance-min with 1/(1+matchLength) accumulation) is a
         # sequential recurrence; gated rows-only here and exactly by the
         # pure-python oracle in tests/test_query_surface.py
+        "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
+        "sort_by_field": _SQL_SORT_BY_FIELD,
+        "rescore_topk": _sql_rescore(),
+        "function_score": _sql_function_score(),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
         "term_stats": _SQL_TERM_STATS,

@@ -269,6 +269,36 @@ class PyIndex:
             return MatchNoDocsQuery()
         return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
 
+    def multi_phrase_scores(self, slots: tuple, boost: float = 1.0) -> dict[int, np.float32]:
+        """MultiPhraseQuery: per slot the union of alternatives' positions,
+        adjacency match, weight = summed idf over ALL involved terms
+        (MultiPhraseQuery.java:53 scoring)."""
+        # per slot: doc -> set of positions (union over alternatives)
+        slot_pos: list[dict[int, set]] = []
+        for slot in slots:
+            acc: dict[int, set] = defaultdict(set)
+            for t in slot:
+                for d, _f, pos in self.postings.get(t, ()):
+                    acc[d].update(pos)
+            slot_pos.append(acc)
+        common = set(slot_pos[0])
+        for sp in slot_pos[1:]:
+            common &= set(sp)
+        all_terms = [t for slot in slots for t in slot]
+        idf_sum = np.float32(sum(float(self.scorer(t).weight) for t in all_terms))
+        cache = Bm25Scorer.create(1, self.doc_count, self.sum_ttf).cache
+        sc = Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            freq = sum(
+                1
+                for p0 in slot_pos[0][d]
+                if all((p0 + i) in slot_pos[i][d] for i in range(1, len(slots)))
+            )
+            if freq > 0:
+                out[d] = sc.score(np.array([freq]), np.array([self.norms[d]]))[0]
+        return out
+
     def matching_docs(self, q) -> set[int]:
         from ..search.query import ConstantScoreQuery, TermInSetQuery
 
@@ -312,6 +342,10 @@ class PyIndex:
             }
         if isinstance(q, SynonymQuery):
             return self.synonym_scores(q.terms, q.boost)
+        from ..search.query import MultiPhraseQuery
+
+        if isinstance(q, MultiPhraseQuery):
+            return self.multi_phrase_scores(q.slots, q.boost)
         if isinstance(q, TermInSetQuery):
             return {d: np.float32(q.boost) for d in self.matching_docs(q)}
         if isinstance(q, ConstantScoreQuery):

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field, replace
 __all__ = [
     "TermQuery",
     "PhraseQuery",
+    "MultiPhraseQuery",
     "PrefixQuery",
     "WildcardQuery",
     "RegexpQuery",
@@ -79,6 +80,19 @@ class TermQuery:
 class PhraseQuery:
     terms: tuple[str, ...]
     slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Exact phrase with term alternatives per position
+    (search/MultiPhraseQuery.java:53): ``slots`` is one tuple of
+    alternative terms per phrase position; a doc matches where some
+    combination of alternatives is position-adjacent. Scored like a phrase
+    whose weight sums the idf of every involved term
+    (MultiPhraseQuery scoring via idfExplain over all terms)."""
+
+    slots: tuple[tuple[str, ...], ...]
     boost: float = 1.0
 
 
@@ -493,6 +507,18 @@ def _rewrite_once(q):
         return ConstantScoreQuery(query=inner, boost=q.boost)
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)
+    if isinstance(q, MultiPhraseQuery):
+        if not q.slots or any(not s for s in q.slots):
+            return MatchNoDocsQuery()
+        if all(len(s) == 1 for s in q.slots):
+            # plain phrase (MultiPhraseQuery.rewrite single-alternative case)
+            return PhraseQuery(tuple(s[0] for s in q.slots), boost=q.boost)
+        if len(q.slots) == 1:
+            # single position → SHOULD of its alternatives
+            # (MultiPhraseQuery.rewrite termArrays.size()==1 case)
+            return BooleanQuery(
+                should=tuple(TermQuery(t, q.boost) for t in q.slots[0])
+            )
     if isinstance(q, SynonymQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)  # SynonymQuery.rewrite
     if isinstance(q, TermInSetQuery):
@@ -519,6 +545,8 @@ def collect_terms(q) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for s in q.slots for t in s}
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):

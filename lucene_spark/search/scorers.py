@@ -37,6 +37,7 @@ from .query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -126,7 +127,9 @@ def scoring_leaves(q, out: set | None = None) -> set:
     and a leaf that never scores simply gets an unused scorer."""
     if out is None:
         out = set()
-    if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, TermInSetQuery)):
+    if isinstance(
+        q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery, TermInSetQuery)
+    ):
         out.add(q)
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -161,6 +164,17 @@ def build_scorers(
             scorers[leaf] = make_phrase_scorer(
                 mode,
                 [tstats.get(t, (0, 0))[0] for t in leaf.terms],
+                doc_count,
+                sum_ttf,
+                boost=leaf.boost,
+            )
+        elif isinstance(leaf, MultiPhraseQuery):
+            # idf summed over every involved term, slot-major order
+            # (MultiPhraseQuery scoring via idfExplain over all terms)
+            all_terms = [t for slot in leaf.slots for t in slot]
+            scorers[leaf] = make_phrase_scorer(
+                mode,
+                [tstats.get(t, (0, 0))[0] for t in all_terms],
                 doc_count,
                 sum_ttf,
                 boost=leaf.boost,

@@ -75,7 +75,12 @@ __all__ = ["Searcher", "wildcard_to_regex"]
 
 
 def _needs_positions(q) -> bool:
-    return any(isinstance(leaf, PhraseQuery) for leaf in scoring_leaves(q))
+    from .query import MultiPhraseQuery
+
+    return any(
+        isinstance(leaf, (PhraseQuery, MultiPhraseQuery))
+        for leaf in scoring_leaves(q)
+    )
 
 
 def _slice_bounds(pdf: pd.DataFrame, seg_meta, span):
@@ -439,6 +444,100 @@ class Searcher:
             hits.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .drop("rk")
+        )
+
+    def search_all(self, query) -> DataFrame:
+        """All matching (docid, score) rows, distributed (no top-k cut) —
+        the building block for field-sort / rescoring / function scoring."""
+        query = self._prepared(query)
+        if isinstance(query, MatchNoDocsQuery):
+            return self._empty_hits()
+        if isinstance(query, MatchAllDocsQuery):
+            return self._docmap_global().select(
+                "docid", F.lit(float(query.boost)).alias("score")
+            )
+        terms = sorted(collect_terms(query))
+        if not terms:
+            return self._empty_hits()
+        scorers = self._make_scorers([query])
+        seg_meta = self._seg_meta()
+        span = self._slice_span()
+        blocks = self._postings_blocks(terms, _needs_positions(query), span)
+        fn = partial(
+            _segment_search_fn,
+            query=query,
+            scorers=scorers,
+            seg_meta=seg_meta,
+            k=2**31,
+            prune=False,
+            span=span,
+        )
+        return blocks.groupBy("segment_id", "slice_id").applyInPandas(
+            lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
+        )
+
+    def search_sorted_by(
+        self,
+        query,
+        sort_col: str = "doc_len",
+        ascending: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k by an arbitrary stored field instead of relevance — the
+        TopFieldCollector analog (search/TopFieldCollector.java): matching
+        doc set joined to the docmap column, ``orderBy(field, docid)`` →
+        Spark's TakeOrderedAndProject. Returns (docid, <sort_col>)."""
+        hits = self.search_all(query).select("docid")
+        dm = self._docmap_global().select("docid", sort_col)
+        out = hits.join(dm, "docid")
+        order = F.asc(sort_col) if ascending else F.desc(sort_col)
+        return out.orderBy(order, F.asc("docid")).limit(k)
+
+    def rescore(
+        self,
+        query,
+        rescore_query,
+        k: int = 10,
+        window: int = 100,
+        weight: float = 1.0,
+    ) -> DataFrame:
+        """QueryRescorer (search/QueryRescorer.java): re-rank the top
+        ``window`` first-pass hits with ``first + weight·second`` where
+        ``second`` is the rescore query's score on those docs (0 when it
+        doesn't match). The window is driver-sized (≤ window rows); the
+        second pass joins it against the rescore query's distributed
+        scores."""
+        first = self.search(query, k=window).withColumnRenamed("score", "s1")
+        second = self.search_all(rescore_query).withColumnRenamed("score", "s2")
+        return (
+            first.join(second, "docid", "left")
+            .select(
+                "docid",
+                (
+                    F.col("s1") + F.lit(float(weight)) * F.coalesce("s2", F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def function_score(
+        self, query, score_expr: str, k: int = 10
+    ) -> DataFrame:
+        """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44):
+        replace the relevance score with a SQL expression over ``score`` and
+        docmap columns (url, doc_len, norm) — Spark SQL is the
+        DoubleValuesSource. Ranking is by the NEW score, so evaluation is
+        exhaustive-then-top-k (a FunctionScoreQuery cannot use relevance
+        pruning either)."""
+        hits = self.search_all(query)
+        dm = self._docmap_global()
+        return (
+            hits.join(dm, "docid")
+            .withColumn("fscore", F.expr(score_expr))
+            .select("docid", F.col("fscore").alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
         )
 
     def count(self, query) -> int:

@@ -41,6 +41,7 @@ from .query import (
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -188,6 +189,10 @@ class SegmentContext:
         self.max_doc = max_doc
         self.prune = prune
         self.deleted = deleted if deleted is not None and deleted.size else None
+        # per-leaf (docids, scores) memo shared across a batch of queries
+        # evaluated against this context (search_many runs hundreds of
+        # queries per (segment, slice) task; hot terms repeat across them)
+        self.eval_cache: dict = {}
 
     @classmethod
     def from_pdf(
@@ -299,6 +304,9 @@ class _SegmentSearcher:
         if isinstance(q, PhraseQuery):
             d, _f, _n, freq = self._phrase_match(q)
             return d
+        if isinstance(q, MultiPhraseQuery):
+            d, _f, _n, _ok = self._multi_phrase_match(q)
+            return d
         if isinstance(q, (SynonymQuery, TermInSetQuery)):
             parts = []
             for t in q.terms:
@@ -327,15 +335,23 @@ class _SegmentSearcher:
     def evaluate(self, q) -> tuple[np.ndarray, np.ndarray]:
         """Returns (sorted docids, scores aligned)."""
         if isinstance(q, TermQuery):
+            got = self.ctx.eval_cache.get(q)
+            if got is not None:
+                return got
             tp = self.term_postings(q.term)
             sc = self.ctx.scorers[q]
             dtype = _float_dtype(sc)
             if tp is None:
-                return _EMPTY, np.zeros(0, dtype=dtype)
-            d, f, m = tp.decode_all()
-            return d, sc.score(f, m).astype(dtype)
+                out = (_EMPTY, np.zeros(0, dtype=dtype))
+            else:
+                d, f, m = tp.decode_all()
+                out = (d, sc.score(f, m).astype(dtype))
+            self.ctx.eval_cache[q] = out
+            return out
         if isinstance(q, PhraseQuery):
             return self._phrase_scores(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase_scores(q)
         if isinstance(q, SynonymQuery):
             return self._evaluate_synonym(q)
         if isinstance(q, TermInSetQuery):
@@ -521,33 +537,11 @@ class _SegmentSearcher:
             cand = cand[np.isin(cand, d)]
         if cand.size == 0:
             return _EMPTY, _EMPTY, _EMPTY, False
-        # vectorized adjacency: encode (doc, position) as doc<<32 | pos and
-        # leapfrog phrase starts through each term's sorted key array
-        # (ExactPhraseMatcher.java:38 semantics, batch-wise)
-        def term_keys(tp) -> np.ndarray:
-            if tp.singleton is not None:
-                sd = int(tp.singleton["singleton_docid"])
-                if sd not in cand:
-                    return _EMPTY
-                pos = tp.positions_for(0)
-                return (np.int64(sd) << np.int64(32)) | pos
-            parts = []
-            for bi in tp.blocks_overlapping(cand):
-                d, f, _m = tp.decode_block(int(bi))
-                flat = tp.positions_for(int(bi))
-                docrep = np.repeat(d, f)
-                keep_mask = np.isin(docrep, cand)
-                if keep_mask.any():
-                    parts.append(
-                        (docrep[keep_mask] << np.int64(32)) | flat[keep_mask]
-                    )
-            return np.concatenate(parts) if parts else _EMPTY
-
-        starts = term_keys(tps[0])
+        starts = self._term_pos_keys(tps[0], cand)
         for off in range(1, len(tps)):
             if starts.size == 0:
                 return _EMPTY, _EMPTY, _EMPTY, False
-            keys = term_keys(tps[off])
+            keys = self._term_pos_keys(tps[off], cand)
             if keys.size == 0:
                 return _EMPTY, _EMPTY, _EMPTY, False
             want = starts + off
@@ -561,6 +555,92 @@ class _SegmentSearcher:
         d0, _f0, m0 = tps[0].decode_all()
         norms = m0[np.searchsorted(d0, docs)]
         return docs, freqs, norms, True
+
+    def _term_pos_keys(self, tp, cand: np.ndarray) -> np.ndarray:
+        """Sorted (doc<<32 | position) keys of one term restricted to the
+        candidate docs — the vectorized adjacency currency
+        (ExactPhraseMatcher.java:38 semantics, batch-wise)."""
+        if tp.singleton is not None:
+            sd = int(tp.singleton["singleton_docid"])
+            if sd not in cand:
+                return _EMPTY
+            pos = tp.positions_for(0)
+            return (np.int64(sd) << np.int64(32)) | pos
+        parts = []
+        for bi in tp.blocks_overlapping(cand):
+            d, f, _m = tp.decode_block(int(bi))
+            flat = tp.positions_for(int(bi))
+            docrep = np.repeat(d, f)
+            keep_mask = np.isin(docrep, cand)
+            if keep_mask.any():
+                parts.append(
+                    (docrep[keep_mask] << np.int64(32)) | flat[keep_mask]
+                )
+        return np.concatenate(parts) if parts else _EMPTY
+
+    def _multi_phrase_match(self, q: MultiPhraseQuery):
+        """Union the alternatives' position keys per slot, then the same
+        adjacency leapfrog as the exact phrase
+        (search/MultiPhraseQuery.java:53 — UnionPostingsEnum per position)."""
+        slot_tps: list[list] = []
+        for slot in q.slots:
+            tps = [self.term_postings(t) for t in slot]
+            tps = [tp for tp in tps if tp is not None]
+            if not tps:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            slot_tps.append(tps)
+
+        def slot_docs(tps) -> np.ndarray:
+            return np.unique(np.concatenate([tp.decode_all()[0] for tp in tps]))
+
+        cand = slot_docs(slot_tps[0])
+        for tps in slot_tps[1:]:
+            if cand.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            cand = cand[np.isin(cand, slot_docs(tps))]
+        if cand.size == 0:
+            return _EMPTY, _EMPTY, _EMPTY, False
+
+        def slot_keys(tps) -> np.ndarray:
+            parts = [self._term_pos_keys(tp, cand) for tp in tps]
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return _EMPTY
+            return np.unique(np.concatenate(parts))
+
+        starts = slot_keys(slot_tps[0])
+        for off in range(1, len(slot_tps)):
+            if starts.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            keys = slot_keys(slot_tps[off])
+            if keys.size == 0:
+                return _EMPTY, _EMPTY, _EMPTY, False
+            want = starts + off
+            idx = np.searchsorted(keys, want)
+            idx_c = np.minimum(idx, keys.size - 1)
+            starts = starts[keys[idx_c] == want]
+        if starts.size == 0:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        docs, freqs = np.unique(starts >> np.int64(32), return_counts=True)
+        # norm per doc from whichever slot-0 alternative holds it
+        dparts, mparts = [], []
+        for tp in slot_tps[0]:
+            d0, _f0, m0 = tp.decode_all()
+            dparts.append(d0)
+            mparts.append(m0)
+        alld = np.concatenate(dparts)
+        allm = np.concatenate(mparts)
+        uniq, first_idx = np.unique(alld, return_index=True)
+        norms = allm[first_idx][np.searchsorted(uniq, docs)]
+        return docs, freqs, norms, True
+
+    def _multi_phrase_scores(self, q: MultiPhraseQuery):
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        d, f, m, ok = self._multi_phrase_match(q)
+        if not ok or d.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        return d, sc.score(f, m).astype(dtype)
 
     def _sloppy_phrase_match(self, q: PhraseQuery):
         """SloppyPhraseMatcher semantics (search/SloppyPhraseMatcher.java:53)
@@ -639,12 +719,13 @@ class _SegmentSearcher:
 
     # --- pruned disjunction (windowed block-max MAXSCORE) ---------------
     def pruned_disjunction_terms(self, term_qs: list, k: int, after=None):
-        tps, scs = [], []
+        tps, scs, kept_tqs = [], [], []
         for tq in term_qs:
             tp = self.term_postings(tq.term)
             if tp is not None:
                 tps.append(tp)
                 scs.append(self.ctx.scorers[tq])
+                kept_tqs.append(tq)
         if not tps:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         dtype = _float_dtype(scs[0])
@@ -655,8 +736,11 @@ class _SegmentSearcher:
         n_win = (self.ctx.max_doc - 1 - off) // WINDOW_DOCS + 1
         ub_w = np.zeros(n_win, dtype=np.float64)
         per_term_win_blocks: list[dict[int, list[int]]] = []
-        for tp, sc in zip(tps, scs):
-            ubs = tp.block_ub(sc)
+        for tq, tp, sc in zip(kept_tqs, tps, scs):
+            ubs = self.ctx.eval_cache.get(("ub", tq))
+            if ubs is None:
+                ubs = tp.block_ub(sc)
+                self.ctx.eval_cache[("ub", tq)] = ubs
             t_ub = np.zeros(n_win, dtype=np.float64)
             win_blocks: dict[int, list[int]] = {}
             # with docid slicing, a straddling block can extend past the

@@ -104,6 +104,21 @@ def test_query_string_parity(searcher, oracle, qs):
     _check(searcher, oracle, qs)
 
 
+def test_multi_phrase_query(searcher, oracle):
+    from lucene_spark.search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery(slots=(("w0000", "w0001"), ("w0002",)))
+    _check(searcher, oracle, q, msg="multiphrase")
+    q2 = MultiPhraseQuery(
+        slots=(("w0000",), ("w0001", "w0002", "w0003")), boost=1.5
+    )
+    _check(searcher, oracle, q2, msg="multiphrase-boost")
+    # single-alternative slots rewrite to a plain phrase
+    from lucene_spark.search.query import PhraseQuery, rewrite
+
+    assert rewrite(MultiPhraseQuery(slots=(("a",), ("b",)))) == PhraseQuery(("a", "b"))
+
+
 def test_synonym_query(searcher, oracle):
     q = SynonymQuery(terms=("w0000", "w0001"))
     _check(searcher, oracle, q, msg="synonym")

@@ -117,6 +117,37 @@ def test_with_url(searcher, corpus):
     assert all(u.startswith("https://site") for u in by_url)
 
 
+def test_html_build_matches_text_build(spark, tmp_path_factory):
+    """html_input=True: the DemoHTMLParser-rule extraction chain inside the
+    build produces the same index as building from the pre-extracted text
+    (the per-row byte-identity invariant, end to end)."""
+    from lucene_spark.fixtures import generate_webtext
+
+    rows = generate_webtext(120)
+    d_html = str(tmp_path_factory.mktemp("idx_html"))
+    d_text = str(tmp_path_factory.mktemp("idx_text"))
+    df_html = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows], "url string, html binary"
+    )
+    df_text = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in rows], "url string, text string"
+    )
+    build_index(spark, df_html, d_html, num_segments=3, stopwords=STOP, html_input=True)
+    build_index(spark, df_text, d_text, num_segments=3, stopwords=STOP)
+    s_h = Searcher(spark, d_html, stopwords=STOP)
+    s_t = Searcher(spark, d_text, stopwords=STOP)
+    for qs in ["w0000", "w0000 OR w0001", "w0000 AND w0001", '"w0000 w0001"']:
+        a = [(r["docid"], np.float32(r["score"])) for r in s_h.search(qs, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_t.search(qs, k=10).collect()]
+        assert a == b, qs
+    from lucene_spark.index.reader import IndexReader
+
+    assert (
+        IndexReader(spark, d_html).global_stats
+        == IndexReader(spark, d_text).global_stats
+    )
+
+
 def test_resume_skips_done_segments(spark, corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("index_resume"))
     df = spark.createDataFrame(
