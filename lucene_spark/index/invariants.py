@@ -178,7 +178,28 @@ def check_index(spark: SparkSession, index_dir: str) -> list[str]:
     )
     if dm_bad:
         viols.append(f"{dm_bad} segments with non-dense docids")
-    dup_urls = r.docmap.groupBy("url").count().filter(F.col("count") > 1).count()
+    # url uniqueness holds over LIVE docs: update-by-url (NRT upsert)
+    # legitimately leaves the old copy in an older segment, tombstoned
+    live = r.docmap
+    if r.deletes is not None:
+        live = live.join(
+            r.deletes.select("segment_id", "docid").distinct(),
+            ["segment_id", "docid"],
+            "left_anti",
+        )
+    dup_urls = live.groupBy("url").count().filter(F.col("count") > 1).count()
     if dup_urls:
-        viols.append(f"{dup_urls} duplicate urls across segments")
+        viols.append(f"{dup_urls} duplicate urls among live docs")
+
+    # --- live docs (.liv analog) ----------------------------------------
+    if r.deletes is not None:
+        orphan = (
+            r.deletes.join(
+                r.docmap.select("segment_id", "docid"),
+                ["segment_id", "docid"],
+                "left_anti",
+            ).count()
+        )
+        if orphan:
+            viols.append(f"{orphan} delete tombstones referencing unknown docs")
     return viols

@@ -194,3 +194,8 @@ def test_streaming_index(spark, corpus, tmp_path_factory):
     assert len(got) == 10
     assert {r["url"] for r in got} == {r["url"] for r in updated}
     assert os.path.isdir(f"{idx}/deletes")
+    # invariants hold on the upserted index (duplicate urls exist in the
+    # docmap but all non-latest copies are tombstoned)
+    from lucene_spark.index.invariants import check_index
+
+    assert check_index(spark, idx) == []

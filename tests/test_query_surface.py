@@ -231,6 +231,32 @@ def test_docid_slicing_identical(spark, index_dir, searcher):
     assert a == b
 
 
+def test_hot_term_skew_no_stopfilter(spark, corpus, tmp_path_factory):
+    """Stopwords indexed (not filtered): 'the'/'of' hit ~25% of all token
+    positions — the web-scale hot-term skew case. Rank identity must hold
+    through the block-max pruned path on such dense postings."""
+    d = str(tmp_path_factory.mktemp("idx_hot"))
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], "url string, text string"
+    )
+    build_index(spark, df, d, num_segments=4, stopwords=None)
+    s = Searcher(spark, d, stopwords=None)
+    oracle_hot = PyIndex(stopwords=None)
+    dm = s._docmap_global().select("url", "docid").collect()
+    url_to_docid = {r["url"]: r["docid"] for r in dm}
+    for r in corpus:
+        oracle_hot.add(url_to_docid[r["url"]], r["text"])
+    from lucene_spark.analysis.tokenizer import analyze as _ana
+
+    for qs in ["the", "the OR w0000", "the AND w0000", '"of the"', "the OR of OR and"]:
+        parsed = parse_query(qs, lambda t: _ana(t))
+        expected = oracle_hot.search_query(parsed, k=10)
+        got = [(r["docid"], r["score"]) for r in s.search(qs, k=10).collect()]
+        assert [x for x, _ in got] == [x for x, _ in expected], qs
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert np.float32(gs) == np.float32(es), (qs, gd)
+
+
 def test_count_new_query_types(searcher, oracle):
     for qs in ["w00?0", "w0000~1", "[w0000 TO w0003]", '"w0000 w0001"~2']:
         parsed = parse_query(qs, _an)
