@@ -280,6 +280,9 @@ def _sum_contributions(parts: list[tuple[np.ndarray, np.ndarray]], dtype):
     parts = [p for p in parts if p[0].size]
     if not parts:
         return _EMPTY, np.zeros(0, dtype=dtype)
+    if len(parts) == 1:
+        # already sorted-unique (one term's postings) — skip the unique
+        return parts[0][0], parts[0][1].astype(dtype, copy=False)
     alld = np.concatenate([p[0] for p in parts])
     alls = np.concatenate([p[1] for p in parts])
     uniq, inv = np.unique(alld, return_inverse=True)
@@ -820,6 +823,12 @@ def search_segment(
     docid ASC (HitQueue.java:76-82). ``after=(score, docid)`` restricts to
     hits ranking strictly below the anchor (searchAfter pagination)."""
     s = _SegmentSearcher(ctx, k)
+    if ctx.prune and isinstance(query, TermQuery):
+        # single term: block-max skipping over one list (ImpactsDISI /
+        # MaxScoreCache semantics, search/ImpactsDISI.java:67-110) — the
+        # 1-clause case of the windowed MAXSCORE path
+        d, sc = s.pruned_disjunction_terms([query], k, after=after)
+        return d, sc
     if (
         ctx.prune
         and isinstance(query, BooleanQuery)
