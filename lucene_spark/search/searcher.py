@@ -69,7 +69,12 @@ from .query import (
     wildcard_to_regex,
 )
 from .scorers import build_scorers, scoring_leaves
-from .segment import WINDOW_DOCS, SegmentContext, search_segment
+from .segment import (
+    WINDOW_DOCS,
+    SegmentContext,
+    batch_search_segment,
+    search_segment,
+)
 
 __all__ = ["Searcher", "wildcard_to_regex"]
 
@@ -416,24 +421,18 @@ class Searcher:
         need_positions = any(_needs_positions(q) for q in parsed.values())
         blocks = self._postings_blocks(all_terms, need_positions, span)
         prune = self.prune
+        # broadcast the (large) query batch + scorer table: deserialized once
+        # per python worker and reused across its tasks, instead of being
+        # unpickled from the task command for every (segment, slice) group
+        bc = self.spark.sparkContext.broadcast((parsed, scorers, seg_meta))
 
         def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
-            ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
-            qids, docids, scores = [], [], []
-            for qid, q in parsed.items():
-                d, s = search_segment(ctx, q, k)
-                qids.extend([qid] * len(d))
-                docids.append(d + doc_base)
-                scores.append(s.astype(np.float64))
-            if not docids:
-                return pd.DataFrame({"query_id": [], "docid": [], "score": []})
+            b_parsed, b_scorers, b_meta = bc.value
+            doc_base, min_doc, max_doc = _slice_bounds(pdf, b_meta, span)
+            ctx = SegmentContext.from_pdf(pdf, b_scorers, min_doc, max_doc, prune)
+            qids, docids, scores = batch_search_segment(ctx, b_parsed, k)
             return pd.DataFrame(
-                {
-                    "query_id": qids,
-                    "docid": np.concatenate(docids),
-                    "score": np.concatenate(scores),
-                }
+                {"query_id": qids, "docid": docids + doc_base, "score": scores}
             )
 
         hits = blocks.groupBy("segment_id", "slice_id").applyInPandas(

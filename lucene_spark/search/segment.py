@@ -48,7 +48,12 @@ from .query import (
     TermQuery,
 )
 
-__all__ = ["SegmentContext", "search_segment", "WINDOW_DOCS"]
+__all__ = [
+    "SegmentContext",
+    "search_segment",
+    "batch_search_segment",
+    "WINDOW_DOCS",
+]
 
 WINDOW_DOCS = 4096  # MaxScoreBulkScorer.INNER_WINDOW_SIZE (:28)
 
@@ -738,33 +743,19 @@ class _SegmentSearcher:
         off = self.ctx.min_doc
         n_win = (self.ctx.max_doc - 1 - off) // WINDOW_DOCS + 1
         ub_w = np.zeros(n_win, dtype=np.float64)
-        per_term_win_blocks: list[dict[int, list[int]]] = []
+        term_maps: list[tuple[np.ndarray, np.ndarray]] = []
         for tq, tp, sc in zip(kept_tqs, tps, scs):
-            ubs = self.ctx.eval_cache.get(("ub", tq))
-            if ubs is None:
-                ubs = tp.block_ub(sc)
-                self.ctx.eval_cache[("ub", tq)] = ubs
-            t_ub = np.zeros(n_win, dtype=np.float64)
-            win_blocks: dict[int, list[int]] = {}
-            # with docid slicing, a straddling block can extend past the
-            # slice bounds — clamp its window span to this slice's array
-            wlo = np.clip((tp.block_first - off) // WINDOW_DOCS, 0, n_win - 1)
-            whi = np.clip((tp.block_last - off) // WINDOW_DOCS, 0, n_win - 1)
-            in_slice = (tp.block_last >= off) & (
-                tp.block_first < off + n_win * WINDOW_DOCS
-            )
-            for bi in np.flatnonzero(in_slice):
-                bi = int(bi)
-                lo, hi = int(wlo[bi]), int(whi[bi])
-                if hi > lo:
-                    seg = t_ub[lo : hi + 1]
-                    np.maximum(seg, ubs[bi], out=seg)
-                elif ubs[bi] > t_ub[lo]:
-                    t_ub[lo] = ubs[bi]
-                for w in range(lo, hi + 1):
-                    win_blocks.setdefault(w, []).append(bi)
+            got = self.ctx.eval_cache.get(("winmap", tq))
+            if got is None:
+                ubs = self.ctx.eval_cache.get(("ub", tq))
+                if ubs is None:
+                    ubs = tp.block_ub(sc)
+                    self.ctx.eval_cache[("ub", tq)] = ubs
+                got = _term_window_map(tp, ubs, off, n_win)
+                self.ctx.eval_cache[("winmap", tq)] = got
+            t_ub, _wins_s, _blocks_s = got
             ub_w += t_ub
-            per_term_win_blocks.append(win_blocks)
+            term_maps.append((_wins_s, _blocks_s))
         # inflate by a few float32 ulps: the true doc score is accumulated in
         # float32 (round-to-nearest can round *up* past the float64 UB sum);
         # WANDScorer solves the same problem with scaled-long math (:61-117)
@@ -783,11 +774,12 @@ class _SegmentSearcher:
             # belong to the next slice (they'd be double-counted there)
             hi_doc = min(lo_doc + WINDOW_DOCS, self.ctx.max_doc)
             parts = []
-            for tp, sc, win_blocks in zip(tps, scs, per_term_win_blocks):
-                bis = win_blocks.get(w)
-                if not bis:
+            for tp, sc, (wins_s, blocks_s) in zip(tps, scs, term_maps):
+                lo_i = np.searchsorted(wins_s, w, side="left")
+                hi_i = np.searchsorted(wins_s, w, side="right")
+                if hi_i == lo_i:
                     continue
-                d, f, m = tp.decode_blocks(bis)
+                d, f, m = tp.decode_blocks(blocks_s[lo_i:hi_i])
                 sel = (d >= lo_doc) & (d < hi_doc)
                 if not sel.any():
                     continue
@@ -806,6 +798,228 @@ class _SegmentSearcher:
             if top_d.size >= k:
                 theta = float(top_s[-1])
         return top_d, top_s
+
+
+def _term_window_map(tp: _TermPostings, ubs: np.ndarray, off: int, n_win: int):
+    """Vectorized block→window assignment for one term: returns
+    (per-window UB contribution, window-sorted incidence arrays
+    (windows, block indices)) — one numpy pass over the (block, window)
+    incidences instead of a per-block Python loop. A block straddling a
+    slice boundary is clamped to this slice's window range."""
+    if tp.n_blocks == 0:
+        return np.zeros(n_win, dtype=np.float64), _EMPTY, _EMPTY
+    wlo = np.clip(
+        (np.asarray(tp.block_first, dtype=np.int64) - off) // WINDOW_DOCS, 0, n_win - 1
+    )
+    whi = np.clip(
+        (np.asarray(tp.block_last, dtype=np.int64) - off) // WINDOW_DOCS, 0, n_win - 1
+    )
+    in_slice = (tp.block_last >= off) & (tp.block_first < off + n_win * WINDOW_DOCS)
+    bidx = np.flatnonzero(in_slice)
+    if bidx.size == 0:
+        return np.zeros(n_win, dtype=np.float64), _EMPTY, _EMPTY
+    wlo, whi = wlo[bidx], whi[bidx]
+    spans = whi - wlo + 1
+    total = int(spans.sum())
+    # ragged arange: one row per (block, overlapped window) incidence
+    starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
+    wins = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts, spans)
+        + np.repeat(wlo, spans)
+    )
+    blocks = np.repeat(bidx, spans)
+    ub_rep = np.repeat(np.asarray(ubs, dtype=np.float64)[bidx], spans)
+    order = np.argsort(wins, kind="stable")
+    wins_s, blocks_s, ub_s = wins[order], blocks[order], ub_rep[order]
+    t_ub = np.zeros(n_win, dtype=np.float64)
+    grp = np.flatnonzero(np.concatenate(([True], wins_s[1:] != wins_s[:-1])))
+    t_ub[wins_s[grp]] = np.maximum.reduceat(ub_s, grp)
+    return t_ub, wins_s, blocks_s
+
+
+def _batch_bool_parts(q):
+    """Decompose a query into (must, should, must_not, msm) tuples of
+    TermQuery leaves if it is expressible in the batched dense evaluator
+    (any boolean combination of plain term leaves), else None."""
+    if isinstance(q, TermQuery):
+        return (), (q,), (), 0
+    if not isinstance(q, BooleanQuery):
+        return None
+    clauses = (*q.must, *q.should, *q.must_not)
+    if not all(isinstance(c, TermQuery) for c in clauses):
+        return None
+    return q.must, q.should, q.must_not, q.min_should_match
+
+
+class _BatchEvaluator:
+    """Cross-query amortized evaluation over one SegmentContext.
+
+    The Spark analog of running Lucene's SearchTask loop against one leaf:
+    per-term postings are decoded and BM25-scored ONCE (shared across every
+    query in the batch), and each boolean-of-terms query reduces to dense
+    scatter-adds into a slice-sized float accumulator — O(Σ df_t) per query
+    with no sorts or uniques. Float accumulation order is "must clauses in
+    clause order, then should clauses in clause order", matching the
+    exhaustive evaluator bit-for-bit (same operands, same order), so results
+    are rank- and score-identical to ``search_segment``.
+    """
+
+    # slices bigger than this fall back to per-query evaluation rather than
+    # allocating unbounded dense accumulators (a slice is normally bounded
+    # by the searcher's docid span — this is a web-scale guard rail)
+    MAX_SPAN = 1 << 25  # 32M docs ≈ 128MB float32 + flags
+
+    def __init__(self, ctx: SegmentContext, dtype):
+        self.ctx = ctx
+        self.span = ctx.max_doc - ctx.min_doc
+        self.acc = np.zeros(self.span, dtype=dtype)
+        self.mcnt = np.zeros(self.span, dtype=np.int32)  # MUST-match counter
+        self.scnt = np.zeros(self.span, dtype=np.int32)  # SHOULD counter (msm)
+        self.seen = np.zeros(self.span, dtype=bool)  # OR candidate collection
+        self.excl = np.zeros(self.span, dtype=bool)  # MUST_NOT marks
+        self.del_mask = None
+        if ctx.deleted is not None:
+            didx = ctx.deleted - ctx.min_doc
+            didx = didx[(didx >= 0) & (didx < self.span)]
+            if didx.size:
+                self.del_mask = np.zeros(self.span, dtype=bool)
+                self.del_mask[didx] = True
+
+    def leaf(self, tq: TermQuery):
+        """(slice-relative idx, scores) of one term leaf, memoized."""
+        got = self.ctx.eval_cache.get(("bleaf", tq))
+        if got is not None:
+            return got
+        tp = self.ctx.postings.get(tq.term)
+        if tp is None:
+            out = (_EMPTY, np.zeros(0, dtype=self.acc.dtype))
+        else:
+            d, f, m = tp.decode_all()
+            sel = (d >= self.ctx.min_doc) & (d < self.ctx.max_doc)
+            if not sel.all():
+                d, f, m = d[sel], f[sel], m[sel]
+            sc = self.ctx.scorers[tq]
+            out = (d - self.ctx.min_doc, sc.score(f, m).astype(self.acc.dtype))
+        self.ctx.eval_cache[("bleaf", tq)] = out
+        return out
+
+    def evaluate(self, must, should, must_not, msm, k: int):
+        # single-term fast path: no accumulation needed at all
+        if len(must) + len(should) == 1 and not must_not:
+            tq = (tuple(must) + tuple(should))[0]
+            idx, s = self.leaf(tq)
+            if self.del_mask is not None and idx.size:
+                keep = ~self.del_mask[idx]
+                idx, s = idx[keep], s[keep]
+            return _topk(idx + self.ctx.min_doc, s, k)
+        acc, mcnt, scnt, seen, excl = (
+            self.acc, self.mcnt, self.scnt, self.seen, self.excl,
+        )
+        t_acc: list[np.ndarray] = []  # touched idx per accumulator, for reset
+        t_m: list[np.ndarray] = []
+        t_s: list[np.ndarray] = []
+        t_seen: list[np.ndarray] = []
+        t_ex: list[np.ndarray] = []
+        cand = _EMPTY
+        try:
+            if must:
+                lead = None
+                dead = False
+                for tq in must:
+                    idx, s = self.leaf(tq)
+                    if idx.size == 0:
+                        dead = True
+                        break
+                    acc[idx] += s
+                    mcnt[idx] += 1
+                    t_acc.append(idx)
+                    t_m.append(idx)
+                    if lead is None or idx.size < lead.size:
+                        lead = idx
+                if dead:
+                    return _EMPTY, np.zeros(0, dtype=acc.dtype)
+                cand = lead[mcnt[lead] == len(must)]
+                for tq in should:
+                    idx, s = self.leaf(tq)
+                    acc[idx] += s
+                    t_acc.append(idx)
+                    if msm > 0:
+                        scnt[idx] += 1
+                        t_s.append(idx)
+                if msm > 0 and cand.size:
+                    cand = cand[scnt[cand] >= msm]
+            elif should:
+                parts = []
+                for tq in should:
+                    idx, s = self.leaf(tq)
+                    acc[idx] += s
+                    t_acc.append(idx)
+                    if msm > 1:
+                        scnt[idx] += 1
+                        t_s.append(idx)
+                    new = idx[~seen[idx]]
+                    seen[new] = True
+                    t_seen.append(new)
+                    parts.append(new)
+                cand = np.concatenate(parts) if parts else _EMPTY
+                if msm > 1 and cand.size:
+                    cand = cand[scnt[cand] >= msm]
+            if cand.size and must_not:
+                for tq in must_not:
+                    idx, _s = self.leaf(tq)
+                    excl[idx] = True
+                    t_ex.append(idx)
+                cand = cand[~excl[cand]]
+            if cand.size and self.del_mask is not None:
+                cand = cand[~self.del_mask[cand]]
+            scores = acc[cand]
+            return _topk(cand + self.ctx.min_doc, scores, k)
+        finally:
+            for idx in t_acc:
+                acc[idx] = 0
+            for idx in t_m:
+                mcnt[idx] = 0
+            for idx in t_s:
+                scnt[idx] = 0
+            for idx in t_seen:
+                seen[idx] = False
+            for idx in t_ex:
+                excl[idx] = False
+
+
+def batch_search_segment(
+    ctx: SegmentContext, queries: dict[str, object], k: int
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Top-k per query for a BATCH of queries against one segment slice.
+
+    Boolean-of-terms queries (the overwhelming bulk of a web query log) run
+    through the shared dense evaluator; anything else (phrases, dismax,
+    constant-score, nested booleans) falls back to per-query
+    ``search_segment``. Returns (query_ids, docids, scores) flattened."""
+    dtype = None
+    evaluator = None
+    qids: list[str] = []
+    docid_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for qid, q in queries.items():
+        parts = _batch_bool_parts(q)
+        if parts is not None and (ctx.max_doc - ctx.min_doc) <= _BatchEvaluator.MAX_SPAN:
+            must, should, must_not, msm = parts
+            if evaluator is None:
+                first_leaf = (tuple(must) + tuple(should))[0]
+                dtype = _float_dtype(ctx.scorers[first_leaf])
+                evaluator = _BatchEvaluator(ctx, dtype)
+            d, s = evaluator.evaluate(must, should, must_not, msm, k)
+        else:
+            d, s = search_segment(ctx, q, k)
+        if d.size:
+            qids.extend([qid] * d.size)
+            docid_parts.append(d)
+            score_parts.append(s.astype(np.float64))
+    if not docid_parts:
+        return [], _EMPTY, np.zeros(0, dtype=np.float64)
+    return qids, np.concatenate(docid_parts), np.concatenate(score_parts)
 
 
 def _after_filter(d: np.ndarray, s: np.ndarray, after: tuple):
