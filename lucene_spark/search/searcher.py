@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.simple import simple_analyze
 from ..analysis.tokenizer import analyze as standard_analyze
+from ..index.builder import _balanced_segment_labels
 from ..index.pseudo import singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
@@ -318,6 +319,49 @@ class Searcher:
             out = out.withColumn("slice_id", F.lit(0))
         return out
 
+    def _balanced_grouping(self, blocks: DataFrame, seg_meta, span):
+        """Group block rows by (segment, slice) with every group on its OWN
+        shuffle partition.
+
+        ``groupBy(segment_id, slice_id)`` hashes G leaf-slice groups into
+        ``spark.sql.shuffle.partitions`` buckets; birthday collisions put
+        2-3 groups on one core and none on another, and the straggler sets
+        the stage time at EVERY parallelism level (the dominant query-stage
+        scaling loss measured on this engine). Fix = the builder's balanced
+        labels applied query-side: a driver-planned gkey per group whose
+        Murmur3 hash lands on a distinct residue mod G, then
+        ``repartition(G, gkey)`` (explicit numPartitions — AQE never
+        coalesces it) so the exchange assigns exactly one leaf slice per
+        task and the scheduler balances the waves. Beyond the map-literal
+        budget (at web scale, G ≫ cores), plain hash grouping is already
+        balanced by the law of large numbers."""
+        pairs: list[tuple[int, int]] = []
+        for seg in sorted(seg_meta):
+            _base, lo, hi = seg_meta[seg]
+            if hi <= lo:
+                continue
+            if span:
+                pairs.extend(
+                    (seg, sl) for sl in range(lo // span, (hi - 1) // span + 1)
+                )
+            else:
+                pairs.append((seg, 0))
+        n = len(pairs)
+        if n == 0 or n > 8192:
+            return blocks.groupBy("segment_id", "slice_id")
+        stride = max(sl for _seg, sl in pairs) + 1
+        labels = _balanced_segment_labels(n)
+        entries: list = []
+        for i, (seg, sl) in enumerate(pairs):
+            entries.append(F.lit(seg * stride + sl))
+            entries.append(F.lit(labels[i]))
+        key = F.col("segment_id").cast("long") * F.lit(stride) + F.col("slice_id")
+        # coalesce fallback: an unplanned (segment, slice) pair keeps its own
+        # distinct group key rather than collapsing into a null group
+        gkey = F.coalesce(F.create_map(*entries)[key], key).cast("int")
+        blocks = blocks.withColumn("gkey", gkey)
+        return blocks.repartition(n, "gkey").groupBy("gkey")
+
     def _make_scorers(self, queries: list) -> dict:
         all_terms = sorted(set().union(*(collect_terms(q) for q in queries)))
         doc_count, sum_ttf = self.reader.global_stats
@@ -382,7 +426,7 @@ class Searcher:
             after=after,
             span=span,
         )
-        hits = blocks.groupBy("segment_id", "slice_id").applyInPandas(
+        hits = self._balanced_grouping(blocks, seg_meta, span).applyInPandas(
             lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
         )
         out = hits.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -435,7 +479,7 @@ class Searcher:
                 {"query_id": qids, "docid": docids + doc_base, "score": scores}
             )
 
-        hits = blocks.groupBy("segment_id", "slice_id").applyInPandas(
+        hits = self._balanced_grouping(blocks, seg_meta, span).applyInPandas(
             many_fn, schema="query_id string, docid long, score double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
@@ -471,7 +515,7 @@ class Searcher:
             prune=False,
             span=span,
         )
-        return blocks.groupBy("segment_id", "slice_id").applyInPandas(
+        return self._balanced_grouping(blocks, seg_meta, span).applyInPandas(
             lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
         )
 
@@ -579,7 +623,7 @@ class Searcher:
             return pd.DataFrame({"n": [len(out)]})
 
         rows = (
-            blocks.groupBy("segment_id", "slice_id")
+            self._balanced_grouping(blocks, seg_meta, span)
             .applyInPandas(count_fn, schema="n long")
             .agg(F.sum("n").alias("n"))
             .collect()
