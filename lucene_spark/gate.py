@@ -258,6 +258,49 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k, raw=raw)
 
 
+def _sql_sloppy_phrase(t0: str, t1: str, slop: int, k: int = 10) -> str:
+    """Exact 2-term sloppy-phrase oracle. The engine's advance-min sweep
+    (segment._sloppy_phrase_match) visits pair-state (a, b) — a = pos(t0),
+    b = pos(t1)-1 — iff prev_a ≤ b AND prev_b < a (prev = previous adjusted
+    position of the same term in the doc; the asymmetry encodes the
+    tie-break "advance slot 0 first" and list-exhaustion break), weighting
+    each match 1/(1+|a-b|). Freq accumulates per match length, ascending,
+    left-assoc double — bit-identical to the numpy side."""
+    idf_a = _idf(f"(SELECT df FROM dft WHERE term = '{t0}')")
+    idf_b = _idf(f"(SELECT df FROM dft WHERE term = '{t1}')")
+    freq_expr = "0.0"
+    for length in range(slop + 1):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE len = {length})"
+            f" * (1.0/{length + 1}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (
+  SELECT doc_id, pos AS a,
+         lag(pos, 1, -1073741824) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_a
+  FROM toks WHERE term = '{t0}'
+),
+pb AS (
+  SELECT doc_id, pos - 1 AS b,
+         lag(pos - 1, 1, -1073741824) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_b
+  FROM toks WHERE term = '{t1}'
+),
+states AS (
+  SELECT pa.doc_id, abs(pa.a - pb.b) AS len
+  FROM pa JOIN pb USING (doc_id)
+  WHERE pa.prev_a <= pb.b AND pb.prev_b < pa.a AND abs(pa.a - pb.b) <= {slop}
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM states GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id, (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idf_a} + {idf_b}) AS w FROM stats s) w
+  WHERE pf.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
     idf = _idf("e.df")
     return f"""WITH {_BASE_CTES},
@@ -1028,7 +1071,7 @@ def gate_queries() -> dict:
         "bm25_fuzzy": _mk_topk("sort~2"),
         "bm25_range": _mk_topk("[scan TO stream]"),
         "bm25_boosted_or": _mk_topk("stream^2.0 OR window"),
-        "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),  # rows-only gate
+        "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
@@ -1081,10 +1124,7 @@ def gate_oracle_sql() -> dict:
         "bm25_fuzzy": _sql_fuzzy("sort", 2),
         "bm25_range": _sql_range("scan", "stream", incl=True),
         "bm25_boosted_or": _sql_boost_or([("stream", 2.0), ("window", 1.0)]),
-        # bm25_sloppy_phrase: intentionally NO SQL oracle — the sloppy-phrase
-        # sweep (advance-min with 1/(1+matchLength) accumulation) is a
-        # sequential recurrence; gated rows-only here and exactly by the
-        # pure-python oracle in tests/test_query_surface.py
+        "bm25_sloppy_phrase": _sql_sloppy_phrase("data", "stream", 2),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),

@@ -148,24 +148,56 @@ class PyIndex:
         )
         cache = Bm25Scorer.create(1, self.doc_count, self.sum_ttf).cache
         sc = Bm25Scorer(weight=np.float32(np.float32(boost) * idf_sum), cache=cache)
+        # repeat groups: one token occurrence cannot fill two slots of the
+        # same term (SloppyPhraseMatcher "with repeats")
+        groups: dict[str, list[int]] = {}
+        for slot, t in enumerate(phrase_terms):
+            groups.setdefault(t, []).append(slot)
         out: dict[int, np.float32] = {}
         for d in common:
             lists = [sorted(p - i for p in plists[i][d]) for i in range(len(plists))]
             idx = [0] * len(lists)
-            cur = [l[0] for l in lists]
-            freq = 0.0
+
+            def bump(idx=idx, lists=lists) -> bool:
+                changed = True
+                while changed:
+                    changed = False
+                    for slots in groups.values():
+                        if len(slots) < 2:
+                            continue
+                        taken: set[int] = set()
+                        for sl in slots:
+                            raw = lists[sl][idx[sl]] + sl
+                            while raw in taken:
+                                idx[sl] += 1
+                                if idx[sl] >= len(lists[sl]):
+                                    return False
+                                raw = lists[sl][idx[sl]] + sl
+                                changed = True
+                            taken.add(raw)
+                return True
+
+            if not bump():
+                continue
+            counts = [0] * (slop + 1)
             while True:
+                cur = [lists[i][idx[i]] for i in range(len(lists))]
                 lo, hi = min(cur), max(cur)
                 if hi - lo <= slop:
-                    freq += 1.0 / (1 + hi - lo)
+                    counts[hi - lo] += 1
                 mi = cur.index(lo)
                 idx[mi] += 1
-                if idx[mi] >= len(lists[mi]):
+                if idx[mi] >= len(lists[mi]) or not bump():
                     break
-                cur[mi] = lists[mi][idx[mi]]
+            # freq accumulated by match length, ascending, left-assoc double
+            # — the deterministic order shared with segment.py and the SQL
+            # oracle gate
+            freq = 0.0
+            for length_l in range(slop + 1):
+                freq += counts[length_l] * (1.0 / (1 + length_l))
             if freq > 0:
                 out[d] = sc.score(
-                    np.array([np.float32(freq)]), np.array([self.norms[d]])
+                    np.array([freq]), np.array([self.norms[d]])
                 )[0]
         return out
 

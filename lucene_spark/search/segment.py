@@ -650,72 +650,200 @@ class _SegmentSearcher:
             return _EMPTY, np.zeros(0, dtype=dtype)
         return d, sc.score(f, m).astype(dtype)
 
-    def _sloppy_phrase_match(self, q: PhraseQuery):
-        """SloppyPhraseMatcher semantics (search/SloppyPhraseMatcher.java:53)
-        for non-repeating terms: adjusted position = pos - slot; a match
-        exists when max(adj) - min(adj) ≤ slop, matchLength = max - min,
-        per-match weight = 1/(1+matchLength) (PhraseScorer.java:86-88
-        sloppyWeight accumulation → float freq), advancing the minimum
-        position each step (the classic sloppy-phrase sweep)."""
+    def _sloppy_candidates(self, q: PhraseQuery):
+        """(tps, cand): per-slot postings + docs containing every term."""
         tps = []
         for t in q.terms:
             tp = self.term_postings(t)
             if tp is None:
-                return _EMPTY, _EMPTY, _EMPTY, False
+                return None, _EMPTY
             tps.append(tp)
         cand = tps[0].decode_all()[0]
         for tp in tps[1:]:
             if cand.size == 0:
-                return _EMPTY, _EMPTY, _EMPTY, False
+                return None, _EMPTY
             idxs = tp.blocks_overlapping(cand)
             d = tp.decode_blocks(idxs)[0]
             cand = cand[np.isin(cand, d)]
         if cand.size == 0:
+            return None, _EMPTY
+        return tps, cand
+
+    def _slot_doc_pos(self, tp, slot: int, cand: np.ndarray):
+        """(docids-per-occurrence, adjusted positions) of one slot
+        restricted to candidate docs — flat vectors, doc-major order."""
+        if tp.singleton is not None:
+            sd = int(tp.singleton["singleton_docid"])
+            if sd not in cand:
+                return _EMPTY, _EMPTY
+            pos = tp.positions_for(0)
+            return np.full(pos.size, sd, dtype=np.int64), pos - slot
+        dparts, pparts = [], []
+        for bi in tp.blocks_overlapping(cand):
+            d, f, _m = tp.decode_block(int(bi))
+            flat = tp.positions_for(int(bi))
+            docrep = np.repeat(d, f)
+            keep = np.isin(docrep, cand)
+            if keep.any():
+                dparts.append(docrep[keep])
+                pparts.append(flat[keep] - slot)
+        if not dparts:
+            return _EMPTY, _EMPTY
+        return np.concatenate(dparts), np.concatenate(pparts)
+
+    def _sloppy_phrase_match(self, q: PhraseQuery):
+        """SloppyPhraseMatcher semantics (search/SloppyPhraseMatcher.java:53):
+        adjusted position = pos - slot; the advance-min sweep evaluates a
+        state, adds weight 1/(1+matchLength) when max(adj)-min(adj) ≤ slop
+        (PhraseScorer.java:86-88), advances the minimum, and stops when a
+        list exhausts.
+
+        Vectorized equivalence (no per-doc loop): the sweep consumes
+        positions in merged ascending order (ties by slot index), so the
+        j-th evaluated state has min = the j-th merged element and, for
+        every slot, cur = that slot's next occurrence at merged index ≥ j;
+        states run from j = doc start to j_end = min over slots of the
+        slot's LAST merged index (the state that exhausts a list is still
+        evaluated before the break). Per-doc freq is accumulated by match
+        length — Σ_L count_L · (1/(1+L)), ascending L, left-assoc float64 —
+        a deterministic order an ANSI-SQL oracle reproduces exactly;
+        weights for a given L are identical, so grouping only fixes the
+        float addition order."""
+        if len(set(q.terms)) != len(q.terms):
+            return self._sloppy_phrase_match_repeats(q)
+        tps, cand = self._sloppy_candidates(q)
+        if tps is None:
             return _EMPTY, _EMPTY, _EMPTY, False
+        m = len(tps)
+        dparts, pparts, sparts = [], [], []
+        for slot, tp in enumerate(tps):
+            dd, pp = self._slot_doc_pos(tp, slot, cand)
+            dparts.append(dd)
+            pparts.append(pp)
+            sparts.append(np.full(dd.size, slot, dtype=np.int64))
+        d = np.concatenate(dparts)
+        p = np.concatenate(pparts)
+        s = np.concatenate(sparts)
+        order = np.lexsort((s, p, d))
+        d, p, s = d[order], p[order], s[order]
+        n = d.size
+        # doc segmentation (cand is sorted; every cand doc has every slot)
+        newdoc = np.empty(n, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = d[1:] != d[:-1]
+        doc_idx = np.cumsum(newdoc) - 1  # 0..ndocs-1, == index into cand
+        ndocs = cand.size
+        # per-slot: next occurrence position at/after each merged row, and
+        # the slot's last merged index per doc
+        maxpos = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        j_end = np.full(ndocs, np.iinfo(np.int64).max, dtype=np.int64)
+        rows = np.arange(n, dtype=np.int64)
+        for t in range(m):
+            idx_t = np.flatnonzero(s == t)
+            k = np.searchsorted(idx_t, rows, side="left")
+            nxt = idx_t[np.minimum(k, idx_t.size - 1)]
+            np.maximum(maxpos, p[nxt], out=maxpos)
+            dt = doc_idx[idx_t]
+            tail = np.empty(idx_t.size, dtype=bool)
+            tail[-1] = True
+            tail[:-1] = dt[1:] != dt[:-1]
+            np.minimum.at(j_end, dt[tail], idx_t[tail])
+        valid = rows <= j_end[doc_idx]
+        length = maxpos - p  # ≥ 0: a slot's own next occurrence is itself
+        hit = valid & (length <= q.slop)
+        if not hit.any():
+            return _EMPTY, _EMPTY, _EMPTY, False
+        key = doc_idx[hit] * (q.slop + 1) + length[hit]
+        counts = np.bincount(key, minlength=ndocs * (q.slop + 1)).reshape(
+            ndocs, q.slop + 1
+        )
+        freq = np.zeros(ndocs, dtype=np.float64)
+        for length_l in range(q.slop + 1):
+            freq += counts[:, length_l] * (1.0 / (1 + length_l))
+        live = freq > 0
+        docs_a = cand[live]
+        d0, _f0, m0 = tps[0].decode_all()
+        norms = m0[np.searchsorted(d0, docs_a)]
+        return docs_a, freq[live], norms, True
 
-        # per-term {docid: sorted adjusted positions} over candidate docs
-        def doc_positions(tp, slot: int) -> dict[int, np.ndarray]:
+    def _sloppy_phrase_match_repeats(self, q: PhraseQuery):
+        """Sloppy matching when the same term fills several slots
+        (SloppyPhraseMatcher.java:376-429 "with repeats"): one token
+        occurrence cannot satisfy two slots, so after any advance a phrase
+        position colliding with a same-term one (identical raw token
+        position) is advanced again until collision-free. Per-doc python —
+        repeated-term sloppy phrases are rare; the non-repeating bulk takes
+        the vectorized path."""
+        tps, cand = self._sloppy_candidates(q)
+        if tps is None:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        # group slots by term for collision checks
+        groups: dict[str, list[int]] = {}
+        for slot, t in enumerate(q.terms):
+            groups.setdefault(t, []).append(slot)
+        per_slot: list[dict[int, np.ndarray]] = []
+        for slot, tp in enumerate(tps):
+            dd, pp = self._slot_doc_pos(tp, slot, cand)
             out: dict[int, np.ndarray] = {}
-            if tp.singleton is not None:
-                sd = int(tp.singleton["singleton_docid"])
-                if sd in cand:
-                    out[sd] = tp.positions_for(0) - slot
-                return out
-            for bi in tp.blocks_overlapping(cand):
-                d, f, _m = tp.decode_block(int(bi))
-                flat = tp.positions_for(int(bi))
-                starts = np.concatenate(([0], np.cumsum(f)))
-                for j in np.flatnonzero(np.isin(d, cand)):
-                    out[int(d[j])] = flat[starts[j] : starts[j + 1]] - slot
-            return out
-
-        per_term = [doc_positions(tp, i) for i, tp in enumerate(tps)]
+            if dd.size:
+                cuts = np.flatnonzero(np.concatenate(([True], dd[1:] != dd[:-1])))
+                ends = np.concatenate((cuts[1:], [dd.size]))
+                for c, e in zip(cuts, ends):
+                    out[int(dd[c])] = pp[c:e]
+            per_slot.append(out)
         slop = q.slop
-        docs, freqs = [], []
+        docs: list[int] = []
+        freqs: list[float] = []
         for doc in cand:
             doc = int(doc)
-            lists = [per_term[i][doc] for i in range(len(tps))]
+            lists = [per_slot[i][doc] for i in range(len(tps))]
             idx = [0] * len(lists)
-            cur = [int(l[0]) for l in lists]
-            freq = 0.0
+
+            def bump_collisions() -> bool:
+                """Advance any slot whose RAW position equals an earlier
+                same-term slot's raw position; False when a list exhausts."""
+                changed = True
+                while changed:
+                    changed = False
+                    for slots in groups.values():
+                        if len(slots) < 2:
+                            continue
+                        taken: set[int] = set()
+                        for sl in slots:
+                            raw = int(lists[sl][idx[sl]]) + sl
+                            while raw in taken:
+                                idx[sl] += 1
+                                if idx[sl] >= len(lists[sl]):
+                                    return False
+                                raw = int(lists[sl][idx[sl]]) + sl
+                                changed = True
+                            taken.add(raw)
+                return True
+
+            if not bump_collisions():
+                continue
+            counts = [0] * (slop + 1)
             while True:
+                cur = [int(lists[i][idx[i]]) for i in range(len(lists))]
                 lo, hi = min(cur), max(cur)
                 if hi - lo <= slop:
-                    freq += 1.0 / (1 + hi - lo)
+                    counts[hi - lo] += 1
                 mi = cur.index(lo)
                 idx[mi] += 1
-                if idx[mi] >= len(lists[mi]):
+                if idx[mi] >= len(lists[mi]) or not bump_collisions():
                     break
-                cur[mi] = int(lists[mi][idx[mi]])
+            freq = 0.0
+            for length_l in range(slop + 1):
+                freq += counts[length_l] * (1.0 / (1 + length_l))
             if freq > 0:
                 docs.append(doc)
-                freqs.append(np.float32(freq))
+                freqs.append(freq)
         if not docs:
             return _EMPTY, _EMPTY, _EMPTY, False
         docs_a = np.array(docs, dtype=np.int64)
         d0, _f0, m0 = tps[0].decode_all()
         norms = m0[np.searchsorted(d0, docs_a)]
-        return docs_a, np.array(freqs, dtype=np.float32), norms, True
+        return docs_a, np.array(freqs, dtype=np.float64), norms, True
 
     def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         sc = self.ctx.scorers[q]

@@ -93,6 +93,10 @@ QUERY_STRINGS = [
     '"w0000 w0001"~1',
     '"w0000 w0002"~4',
     '"w0001 w0000"~2',
+    # repeated-term sloppy phrases (collision-aware matcher)
+    '"w0000 w0001 w0000"~2',
+    '"w0000 w0000"~3',
+    '"w0002 w0002 w0003"~4',
     # combinations
     "w00?1 AND w0000",
     "w0000 AND NOT w9*",
@@ -198,6 +202,27 @@ def test_fuzzy_blended_df(searcher, oracle):
     assert boosts["w0000"] == 1.0
     assert all(0 < b <= 1.0 for b in boosts.values())
     _check(searcher, oracle, q, msg="fuzzy-blended")
+
+
+def test_repeated_term_sloppy_injective(spark, tmp_path_factory):
+    """A token occurrence can satisfy only ONE slot of a repeated term
+    (SloppyPhraseMatcher "with repeats"). Hand-derived membership:
+    docA has two w0000 occurrences -> matches; docB has only one -> cannot
+    fill both slots -> no match; docC matches at length 1."""
+    docs = [
+        ("doc://a", "w0000 w0001 w0000"),
+        ("doc://b", "w0000 w0001 w0002"),
+        ("doc://c", "w0000 w0001 w0003 w0000"),
+    ]
+    d = str(tmp_path_factory.mktemp("index_repeats"))
+    df = spark.createDataFrame(docs, "url string, text string")
+    build_index(spark, df, d, num_segments=1, stopwords=STOP)
+    s = Searcher(spark, d, stopwords=STOP)
+    hits = s.search('"w0000 w0001 w0000"~2', k=10, with_url=True).collect()
+    assert sorted(h["url"] for h in hits) == ["doc://a", "doc://c"]
+    # single-occurrence doc can never match a two-slot repeat, any slop
+    hits2 = s.search('"w0000 w0000"~9', k=10, with_url=True).collect()
+    assert sorted(h["url"] for h in hits2) == ["doc://a", "doc://c"]
 
 
 def test_docid_slicing_identical(spark, index_dir, searcher):
