@@ -526,6 +526,9 @@ def _q_search_after(spark, sf_dir, k: int = 10):
         should=(TermQuery("stream"), TermQuery("window"), TermQuery("batch"))
     )
     page1 = _hits_ast(spark, sf_dir, ast, k).collect()
+    if not page1:
+        # empty first page (tiny/filtered corpus): page 2 is empty too
+        return spark.createDataFrame([], "doc_id long, score double")
     last = page1[-1]
     anchor = (float(last["score"]), int(last["doc_id"]))
     return _hits_ast(spark, sf_dir, ast, k, after=anchor).select(

@@ -498,6 +498,7 @@ def build_index(
     index_positions: bool = True,
     resume: bool = False,
     append: bool = False,
+    lineage_tag: str | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -646,7 +647,8 @@ def build_index(
                 "done",
                 float(time.time()),
                 f"build(analyzer={analyzer},positions={index_positions},"
-                f"segments={num_segments},resumed={seg in done},append={append})",
+                f"segments={num_segments},resumed={seg in done},append={append})"
+                + (f";{lineage_tag}" if lineage_tag else ""),
                 json.dumps(
                     {
                         "n_terms": int(n_terms_map.get(seg, 0)),

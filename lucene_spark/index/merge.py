@@ -454,9 +454,15 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
     )
 
     # deletes of merged segments follow into the new coordinates (rewrite
-    # whole table: delete lists are tiny relative to postings)
+    # whole table: delete lists are tiny relative to postings). The
+    # old-segment rows are KEPT alongside the remapped new_id rows: the
+    # reader gates deletes on manifest-live segment ids, so before the
+    # manifest commit below the old rows are the active set and after it
+    # the new_id rows are — a crash between this swap and the manifest
+    # write leaves a fully consistent view either way, and a retried
+    # merge still sees the original tombstones. Stale rows fall out at
+    # the next rewrite (reader.deletes is manifest-filtered).
     if reader.deletes is not None:
-        keep = reader.deletes.filter(~sel)
         moved = (
             reader.deletes.filter(sel)
             .join(base_df, F.col("segment_id") == F.col("seg"))
@@ -466,7 +472,7 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
             )
         )
         tmp = f"{index_dir}/deletes.__tmp__"
-        keep.select("segment_id", "docid").unionByName(moved).write.mode(
+        reader.deletes.select("segment_id", "docid").unionByName(moved).write.mode(
             "overwrite"
         ).parquet(tmp)
         old = f"{index_dir}/deletes.__old__"

@@ -224,7 +224,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
-        (?P<plus>\+) | (?P<minus>-(?=\S)) |
+        (?P<plus>\+) | (?P<minus>-(?=\S)) | (?P<stray_minus>-) |
         (?P<range>[\[\{]\s*(?P<range_lo>\S+)\s+TO\s+(?P<range_hi>\S+)\s*[\]\}])
             (?P<range_suffix>\^[0-9.]+)? |
         (?P<regex>/(?P<regex_body>(?:[^/\\]|\\.)*)/)(?P<regex_suffix>\^[0-9.]+)? |
@@ -248,6 +248,8 @@ class _Tokens:
                     raise ValueError(f"cannot tokenize query at: {s[pos:]!r}")
                 break
             pos = m.end()
+            if m.group("stray_minus"):
+                continue  # isolated '-' ("a - b"): ignorable, like whitespace
             for kind in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
                 if m.group(kind):
                     self.toks.append((kind, m.group(kind)))

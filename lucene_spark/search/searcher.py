@@ -48,7 +48,7 @@ from ..index.builder import _balanced_segment_labels
 from ..index.pseudo import singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
-from .fuzzy import fuzzy_similarity, osa_distance
+from .fuzzy import fuzzy_similarity
 from .query import (
     BooleanQuery,
     ConstantScoreQuery,
@@ -253,19 +253,36 @@ class Searcher:
         return self._expand_fuzzy(q, max_terms)  # FuzzyQuery (only leaf left)
 
     def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
-        """Prefix+length-band superset scan, OSA verify, blended-freq SHOULD
-        (TopTermsBlendedFreqScoringRewrite, search/FuzzyQuery.java:52)."""
+        """Prefix+length-band pushdown, then OSA verification EXECUTOR-side
+        (a pandas UDF over the filtered term_dict scan), so only true
+        within-max_edits terms are ever collected — no pre-verification
+        candidate cap to silently drop matches on a large vocabulary, the
+        distributed analog of FuzzyQuery's automaton-intersects-term-dict
+        (search/FuzzyQuery.java:52); ranking + max_terms cap happen after,
+        as in TopTermsBlendedFreqScoringRewrite."""
         target = q.term
         pl = min(q.prefix_length, len(target))
         band = (max(0, len(target) - q.max_edits), len(target) + q.max_edits)
-        cands = self.reader.expand_terms_df(
-            prefix=target[:pl] or None, length_band=band, max_terms=4096
+        td = self.reader.term_dict
+        if target[:pl]:
+            td = td.filter(F.col("term").startswith(target[:pl]))
+        td = td.filter(F.length("term").between(*band))
+        tgt, me = target, q.max_edits
+
+        @F.pandas_udf("int")
+        def osa_udf(terms: pd.Series) -> pd.Series:
+            from lucene_spark.search.fuzzy import osa_distance as _osa
+
+            return terms.map(lambda t: _osa(tgt, t, me))
+
+        rows = (
+            td.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("edits", osa_udf("term"))
+            .filter(F.col("edits") <= me)
+            .collect()
         )
-        matched: list[tuple[str, int, int]] = []  # (term, edits, df)
-        for t, df in cands:
-            edits = osa_distance(target, t, q.max_edits)
-            if edits <= q.max_edits:
-                matched.append((t, edits, df))
+        matched = [(r["term"], int(r["edits"]), int(r["df"])) for r in rows]
         if not matched:
             return MatchNoDocsQuery()
         # TopTermsRewrite heap: best boost first, then highest df

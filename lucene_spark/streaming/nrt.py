@@ -18,11 +18,14 @@ search/ControlledRealTimeReopenThread.java:36) maps onto micro-batches:
   tombstones (deduplicated at read) and re-overwrites the same segments;
 - max staleness ≡ ``trigger(processingTime=...)``
   (ControlledRealTimeReopenThread's target latency);
-- exactly-once per batch: the builder's per-segment dynamic-partition
-  overwrite + fresh segment ids per batch make a replayed batch overwrite
-  its own output (Structured Streaming replays the last uncommitted batch
-  after a crash; segment labels depend only on existing ids, so the replay
-  picks the same labels and overwrites the same partitions).
+- exactly-once per batch, both crash windows: (a) crash BEFORE the
+  manifest swap — the builder's per-segment dynamic-partition overwrite +
+  id-set-derived labels make the replay overwrite the same uncommitted
+  partitions; (b) crash AFTER the swap but before the streaming
+  checkpoint advances — the batch_id is recorded in every new segment's
+  lineage, and a replayed batch whose tag already appears in the manifest
+  is skipped outright (foreachBatch idempotence by transaction id, the
+  standard Structured Streaming sink contract).
 """
 
 from __future__ import annotations
@@ -76,6 +79,18 @@ class StreamingIndexWriter:
         import os
 
         first = not os.path.isdir(f"{self.index_dir}/segment_manifest")
+        tag = f"stream_batch={batch_id}"
+        if not first:
+            # idempotent replay: a crash AFTER the manifest commit but
+            # BEFORE the streaming checkpoint advances replays this batch;
+            # the batch_id recorded in segment lineage detects that and
+            # skips (re-running would tombstone the batch's own docs via
+            # update_by_url and then append them a second time)
+            man = IndexReader(spark, self.index_dir).manifest_rows
+            if any(
+                tag in (r["lineage"] or "").split(";") for r in man
+            ):
+                return
         if self.update_by_url and not first:
             # tombstone before checking: the OLD docs for updated urls (the
             # docmap still only contains pre-batch segments at this point)
@@ -92,6 +107,7 @@ class StreamingIndexWriter:
             html_input=self.html_input,
             index_positions=self.index_positions,
             append=not first,
+            lineage_tag=tag,
         )
         self.batches_done += 1
         self.docs_indexed += metrics.get("new_docs", metrics["n_docs"])

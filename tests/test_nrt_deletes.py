@@ -199,3 +199,21 @@ def test_streaming_index(spark, corpus, tmp_path_factory):
     from lucene_spark.index.invariants import check_index
 
     assert check_index(spark, idx) == []
+
+
+def test_streaming_batch_replay_idempotent(spark, corpus, tmp_path_factory):
+    """A replayed foreachBatch call (same batch_id, post-commit crash
+    window) must be a no-op: the batch_id recorded in segment lineage
+    detects the already-committed batch."""
+    from lucene_spark.streaming.nrt import StreamingIndexWriter
+
+    idx = str(tmp_path_factory.mktemp("replay_idx"))
+    writer = StreamingIndexWriter(idx, stopwords=STOP, segments_per_batch=2)
+    writer(_df(spark, corpus[:60]), 0)
+    writer(_df(spark, corpus[60:100]), 1)
+    s = Searcher(spark, idx, stopwords=STOP)
+    assert s.count("*") == 100
+    # replay batch 1 (checkpoint lost after commit): must not re-append
+    writer(_df(spark, corpus[60:100]), 1)
+    s2 = Searcher(spark, idx, stopwords=STOP)
+    assert s2.count("*") == 100
