@@ -166,22 +166,11 @@ def _docs(spark, sf_dir) -> DataFrame:
 
 def _toks(spark, sf_dir) -> DataFrame:
     """(doc_id, term, pos): the simple-analyzer token stream as a DataFrame
-    (used by the text-pipeline queries; JVM-side split, no UDF)."""
-    from pyspark.sql.window import Window
+    (used by the text-pipeline queries; JVM-side split, no UDF, map-only —
+    see pipeline.dedup.tokens)."""
+    from .pipeline.dedup import tokens
 
-    w = Window.partitionBy("doc_id").orderBy("ord")
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-            ).alias("ord", "term"),
-        )
-        .filter(F.col("term") != "")
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .drop("ord")
-    )
+    return tokens(_docs(spark, sf_dir), id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -827,7 +816,11 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
 
 
 def _q_jaccard(spark, sf_dir):
-    return _dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    # cap disabled: the oracle computes exact Jaccard over every shingle;
+    # the (default-on) skew cap is a scale knob exercised by pytest
+    return _dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.1, max_shingle_df=None
+    )
 
 
 _SQL_JACCARD = f"""WITH {_SHINGLE_CTES},

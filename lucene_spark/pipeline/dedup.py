@@ -8,20 +8,31 @@ whole-stage codegen. Scale notes per operator:
   groupBy is the canonical map-side-combinable aggregation.
 - n-gram Jaccard: shingle inverted join. Pair count is Σ_s df(s)^2 — bounded
   in practice by dropping ultra-common shingles (like stopword pruning);
-  ``max_shingle_df`` caps the blowup explicitly (logged, not silent).
+  ``max_shingle_df`` caps the blowup explicitly, ON by default (an uncapped
+  hot shingle is a cartesian bomb at web scale), with dropped-shingle
+  counts logged.
 - MinHash/LSH: k independent permutations approximated by
   min(md5(seed:token)); band signatures bucket-join candidates so the pair
   join is per-band-bucket (classic MinHash-LSH: Broder '97; banding per the
   MMDS formulation).
-- SimHash: 60-bit (fits a signed BIGINT) charikar-style sketch; bit
-  aggregation is an explode over 60 bits — fully vectorized in codegen.
+- SimHash: 60-bit (fits a signed BIGINT) charikar-style sketch; the 60 bit
+  votes are 60 aggregate expressions in ONE groupBy pass — no explode, no
+  60x shuffle amplification.
+
+Token/shingle extraction is map-only: empty tokens are filtered on the
+ARRAY before posexplode and n-grams are sliced from the array, so position
+renumbering never shuffles the ~100x-doc-count token stream (the window
+formulation here would have been the largest shuffle in the pipeline).
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "tokens",
@@ -36,20 +47,21 @@ __all__ = [
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, term, pos) token stream — JVM-side regex split (simple analyzer)."""
-    w = Window.partitionBy(id_col).orderBy("ord")
-    return (
-        docs.select(
-            id_col,
-            F.posexplode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias(
-                "ord", "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .drop("ord")
+def _token_array(text_col: str) -> F.Column:
+    """Empty-token-free array of lowercased tokens (simple analyzer) —
+    filtering on the array keeps downstream position numbering map-only."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
     )
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term, pos) token stream — JVM-side regex split (simple
+    analyzer). Map-only: positions come straight from posexplode over the
+    pre-filtered array (no window/shuffle to renumber)."""
+    return docs.select(
+        id_col, F.posexplode(_token_array(text_col)).alias("pos", "term")
+    ).select(id_col, "term", "pos")
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -65,16 +77,19 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    t = tokens(docs, id_col=id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
-    return (
-        t.withColumn("shingle", F.concat_ws(" ", *cols))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
-        .select(id_col, "shingle")
-        .distinct()
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Map-only:
+    n-grams are sliced from the token array (array_distinct before the
+    explode), not assembled with lead() windows over an exploded stream."""
+    arr = _token_array(text_col)
+    idx = F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+    return docs.select(
+        id_col, F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -83,17 +98,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b, jaccard) with Jaccard(shingle sets) >= threshold.
 
     ``max_shingle_df`` drops shingles appearing in more docs than the cap
-    before the pair join (the skew guard at web scale)."""
+    before the pair join — the skew guard at web scale (each shingle
+    contributes df² candidate pairs; one boilerplate 3-gram across 10^6
+    docs is 10^12 pairs), so it is ON by default. Pass None to disable
+    (exact Jaccard over every shingle, small corpora only).
+    ``log_drops`` counts and logs the capped shingles (one cheap action
+    over the persisted shingle-df table, which the pair join reuses)."""
     sh = shingles(docs, n=n, id_col=id_col)
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        ).select("shingle")
+        cnt = sh.groupBy("shingle").count()
+        if log_drops:
+            cnt = cnt.persist()
+            dropped = cnt.filter(F.col("count") > max_shingle_df).count()
+            if dropped:
+                _LOG.warning(
+                    "ngram_jaccard_pairs: skew cap df<=%d dropped %d distinct "
+                    "shingles before the pair join",
+                    max_shingle_df,
+                    dropped,
+                )
+        keep = cnt.filter(F.col("count") <= max_shingle_df).select("shingle")
         sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -195,22 +225,20 @@ def simhash(docs: DataFrame, bits: int = 60, id_col: str = "doc_id") -> DataFram
             F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
         )
     )
-    bitsdf = t.select(
-        id_col,
-        "c",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).withColumn(
-        "w",
-        F.when(
-            F.expr("(h >> b) & 1") == 1, F.col("c")
-        ).otherwise(-F.col("c")),
-    )
-    per_bit = bitsdf.groupBy(id_col, "b").agg(F.sum("w").alias("w"))
-    return per_bit.groupBy(id_col).agg(
+    # all 60 bit votes as aggregate expressions of ONE groupBy — the
+    # (doc, term) row is never amplified 60x through a shuffle
+    votes = [
         F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-                F.lit(0).cast("long")
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("c")).otherwise(
+                -F.col("c")
             )
-        ).alias("simhash")
-    )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = t.groupBy(id_col).agg(*votes)
+    sketch = F.lit(0).cast("long")
+    for b in range(bits):
+        sketch = sketch + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(id_col, sketch.alias("simhash"))
