@@ -853,6 +853,222 @@ class _SegmentSearcher:
             return _EMPTY, np.zeros(0, dtype=dtype)
         return d, sc.score(f, m).astype(dtype)
 
+    # --- pruned boolean-of-terms (BlockMaxConjunction / WAND analog) ----
+    def _term_winmap(self, tq, tp, sc, off: int, n_win: int):
+        """Memoized (per-window UB, window-sorted incidence) for one term."""
+        got = self.ctx.eval_cache.get(("winmap", tq))
+        if got is None:
+            ubs = self.ctx.eval_cache.get(("ub", tq))
+            if ubs is None:
+                ubs = tp.block_ub(sc)
+                self.ctx.eval_cache[("ub", tq)] = ubs
+            got = _term_window_map(tp, ubs, off, n_win)
+            self.ctx.eval_cache[("winmap", tq)] = got
+        return got
+
+    def _window_leaf(self, tp, wmap, w: int, lo_doc: int, hi_doc: int):
+        """(docids, freqs, norms) of one term inside window w."""
+        wins_s, blocks_s = wmap
+        lo_i = np.searchsorted(wins_s, w, side="left")
+        hi_i = np.searchsorted(wins_s, w, side="right")
+        if hi_i == lo_i:
+            return _EMPTY, _EMPTY, _EMPTY
+        d, f, m = tp.decode_blocks(blocks_s[lo_i:hi_i])
+        sel = (d >= lo_doc) & (d < hi_doc)
+        if not sel.all():
+            d, f, m = d[sel], f[sel], m[sel]
+        return d, f, m
+
+    def pruned_boolean_terms(
+        self, must, should, must_not, msm: int, k: int, after=None
+    ):
+        """Windowed block-max evaluation of a boolean of plain term leaves —
+        the BlockMaxConjunctionBulkScorer / WANDScorer analog
+        (search/BlockMaxConjunctionBulkScorer.java:35,
+        search/WANDScorer.java:31-53) at 4096-doc window granularity:
+
+        - window UB = Σ must-term UB + Σ should-term UB (a true bound: NOT
+          clauses only remove docs);
+        - windows missing ANY must term are skipped outright (the
+          conjunction lead-advance at window granularity), and pure-should
+          windows with fewer than msm distinct present terms are skipped
+          (WAND's minShouldMatch contract);
+        - remaining windows evaluate in descending-UB order with the θ
+          break of MaxScoreBulkScorer; inside a window the combination
+          replicates _evaluate_bool exactly (same operands, same
+          clause-order float adds per doc — a doc's postings live in one
+          block per term, so window restriction never splits them), making
+          results rank- and score-identical to the exhaustive path."""
+        ctx = self.ctx
+        off = ctx.min_doc
+        n_win = (ctx.max_doc - 1 - off) // WINDOW_DOCS + 1
+        dtype = None
+        ub_w = np.zeros(n_win, dtype=np.float64)
+        must_maps, should_maps = [], []
+        must_present = np.ones(n_win, dtype=bool)
+        scount_w = np.zeros(n_win, dtype=np.int32)
+        for tq in must:
+            tp = self.term_postings(tq.term)
+            if tp is None:
+                return _EMPTY, np.zeros(0, dtype=np.float32)
+            sc = ctx.scorers[tq]
+            dtype = dtype or _float_dtype(sc)
+            t_ub, wins_s, blocks_s = self._term_winmap(tq, tp, sc, off, n_win)
+            ub_w += t_ub
+            pres = np.zeros(n_win, dtype=bool)
+            pres[wins_s] = True
+            must_present &= pres
+            must_maps.append((tq, tp, sc, (wins_s, blocks_s)))
+        for tq in should:
+            tp = self.term_postings(tq.term)
+            if tp is None:
+                continue
+            sc = ctx.scorers[tq]
+            dtype = dtype or _float_dtype(sc)
+            t_ub, wins_s, blocks_s = self._term_winmap(tq, tp, sc, off, n_win)
+            ub_w += t_ub
+            scount_w[np.unique(wins_s)] += 1
+            should_maps.append((tq, tp, sc, (wins_s, blocks_s)))
+        if must:
+            if not must_maps:
+                return _EMPTY, np.zeros(0, dtype=np.float32)
+            cand_w = must_present
+            if msm > 0:
+                cand_w = cand_w & (scount_w >= msm)
+        else:
+            if not should_maps:
+                return _EMPTY, np.zeros(0, dtype=np.float32)
+            cand_w = scount_w >= max(msm, 1)
+        excl_maps = []
+        for tq in must_not:
+            tp = self.term_postings(tq.term)
+            if tp is not None:
+                excl_maps.append((tp, tp.block_first, tp.block_last))
+        ub_w *= 1.0 + 4e-6  # float32 accumulation headroom (see disjunction)
+        wsel = np.flatnonzero(cand_w)
+        order = wsel[np.argsort(-ub_w[wsel], kind="stable")]
+        top_d = _EMPTY
+        top_s = np.zeros(0, dtype=dtype)
+
+        def eval_windows(wins: np.ndarray):
+            """One vectorized boolean evaluation restricted to a SET of
+            windows. Every doc lives wholly inside one window, so per-doc
+            float adds are the exhaustive path's, regardless of how the
+            window set is batched."""
+            win_mask = np.zeros(n_win, dtype=bool)
+            win_mask[wins] = True
+
+            def leaf(tp, wmap):
+                wins_s, blocks_s = wmap
+                sel = win_mask[wins_s]
+                if not sel.any():
+                    return _EMPTY, _EMPTY, _EMPTY
+                d, f, m = tp.decode_blocks(np.unique(blocks_s[sel]))
+                keep = (d >= off) & (d < ctx.max_doc)
+                keep &= win_mask[np.clip((d - off) // WINDOW_DOCS, 0, n_win - 1)]
+                if not keep.all():
+                    d, f, m = d[keep], f[keep], m[keep]
+                return d, f, m
+
+            if must:
+                base = None
+                leaves = []
+                for tq, tp, sc, wmap in must_maps:
+                    d, f, m = leaf(tp, wmap)
+                    if d.size == 0:
+                        return _EMPTY, np.zeros(0, dtype=dtype)
+                    leaves.append((d, f, m, sc))
+                    base = d if base is None else base[np.isin(base, d)]
+                    if base.size == 0:
+                        return _EMPTY, np.zeros(0, dtype=dtype)
+                score = np.zeros(base.size, dtype=dtype)
+                for d, f, m, sc in leaves:  # clause order
+                    pos = np.searchsorted(d, base)
+                    score += sc.score(f[pos], m[pos]).astype(dtype)
+                if should_maps:
+                    parts = [(base, score)]
+                    n_matched = np.zeros(base.size, dtype=np.int64)
+                    for tq, tp, sc, wmap in should_maps:
+                        d, f, m = leaf(tp, wmap)
+                        s = sc.score(f, m).astype(dtype)
+                        keep = np.isin(d, base)
+                        d, s = d[keep], s[keep]
+                        parts.append((d, s))
+                        if msm > 0 and d.size:
+                            n_matched[np.searchsorted(base, d)] += 1
+                    keep_docs = base if msm <= 0 else base[n_matched >= msm]
+                    base, score = _sum_contributions(parts, dtype)
+                    if msm > 0:
+                        keep = np.isin(base, keep_docs)
+                        base, score = base[keep], score[keep]
+            else:
+                parts = []
+                for tq, tp, sc, wmap in should_maps:
+                    d, f, m = leaf(tp, wmap)
+                    if d.size:
+                        parts.append((d, sc.score(f, m).astype(dtype)))
+                if msm > 1:
+                    counts_d = [p[0] for p in parts]
+                    if counts_d:
+                        alld = np.concatenate(counts_d)
+                        uniq, cnt = np.unique(alld, return_counts=True)
+                        keep_docs = uniq[cnt >= msm]
+                    else:
+                        keep_docs = _EMPTY
+                    base, score = _sum_contributions(parts, dtype)
+                    keep = np.isin(base, keep_docs)
+                    base, score = base[keep], score[keep]
+                else:
+                    base, score = _sum_contributions(parts, dtype)
+            if base.size and excl_maps:
+                # block [bw_lo, bw_hi] overlaps the window set iff any
+                # selected window falls in its range (prefix-sum test —
+                # endpoint checks would miss straddled middle windows)
+                pref = np.concatenate(([0], np.cumsum(win_mask)))
+                ex_parts = []
+                for tp, bf, bl in excl_maps:
+                    bw_lo = np.clip((bf - off) // WINDOW_DOCS, 0, n_win - 1)
+                    bw_hi = np.clip((bl - off) // WINDOW_DOCS, 0, n_win - 1)
+                    bidx = np.flatnonzero(pref[bw_hi + 1] - pref[bw_lo] > 0)
+                    if bidx.size:
+                        ex_parts.append(tp.decode_blocks(bidx)[0])
+                if ex_parts:
+                    excl = np.concatenate(ex_parts)
+                    keep = np.isin(base, excl, invert=True)
+                    base, score = base[keep], score[keep]
+            if base.size and ctx.deleted is not None:
+                keep = np.isin(base, ctx.deleted, invert=True)
+                base, score = base[keep], score[keep]
+            if base.size and after is not None:
+                base, score = _after_filter(base, score, after)
+            return base, score
+
+        # phase 1: descending-UB windows one at a time, only until the
+        # top-k floor θ exists (usually 1-2 windows)
+        i = 0
+        while i < order.size and top_d.size < k:
+            base, score = eval_windows(order[i : i + 1])
+            i += 1
+            if base.size:
+                top_d = np.concatenate((top_d, base))
+                top_s = np.concatenate((top_s, score))
+                top_d, top_s = _topk(top_d, top_s, k)
+        # phase 2: every remaining window that can still beat θ, in ONE
+        # vectorized pass (exhaustive-shaped work when nothing is
+        # skippable; a short tail when block-max skew prunes)
+        rest = order[i:]
+        if rest.size:
+            if top_d.size >= k:
+                theta = float(top_s[-1])
+                rest = rest[ub_w[rest] >= theta]
+            if rest.size:
+                base, score = eval_windows(rest)
+                if base.size:
+                    top_d = np.concatenate((top_d, base))
+                    top_s = np.concatenate((top_s, score))
+                    top_d, top_s = _topk(top_d, top_s, k)
+        return top_d, top_s
+
     # --- pruned disjunction (windowed block-max MAXSCORE) ---------------
     def pruned_disjunction_terms(self, term_qs: list, k: int, after=None):
         tps, scs, kept_tqs = [], [], []
@@ -873,15 +1089,7 @@ class _SegmentSearcher:
         ub_w = np.zeros(n_win, dtype=np.float64)
         term_maps: list[tuple[np.ndarray, np.ndarray]] = []
         for tq, tp, sc in zip(kept_tqs, tps, scs):
-            got = self.ctx.eval_cache.get(("winmap", tq))
-            if got is None:
-                ubs = self.ctx.eval_cache.get(("ub", tq))
-                if ubs is None:
-                    ubs = tp.block_ub(sc)
-                    self.ctx.eval_cache[("ub", tq)] = ubs
-                got = _term_window_map(tp, ubs, off, n_win)
-                self.ctx.eval_cache[("winmap", tq)] = got
-            t_ub, _wins_s, _blocks_s = got
+            t_ub, _wins_s, _blocks_s = self._term_winmap(tq, tp, sc, off, n_win)
             ub_w += t_ub
             term_maps.append((_wins_s, _blocks_s))
         # inflate by a few float32 ulps: the true doc score is accumulated in
@@ -1182,6 +1390,25 @@ def search_segment(
     ):
         d, sc = s.pruned_disjunction_terms(list(query.should), k, after=after)
         return d, sc
+    if ctx.prune and isinstance(query, BooleanQuery):
+        clauses = (*query.must, *query.should, *query.must_not)
+        if (
+            clauses
+            and (query.must or query.should)
+            and all(isinstance(c, TermQuery) for c in clauses)
+        ):
+            # conjunctions, MUST+SHOULD, minShouldMatch>1, and NOT-bearing
+            # term booleans: windowed block-max with window-level leapfrog
+            # (BlockMaxConjunctionBulkScorer / WANDScorer analog)
+            d, sc = s.pruned_boolean_terms(
+                query.must,
+                query.should,
+                query.must_not,
+                query.min_should_match,
+                k,
+                after=after,
+            )
+            return d, sc
     d, sc = s.evaluate(query)
     # docid-slice mask: straddling blocks decode docs owned by neighbor
     # slices; each doc must be scored by exactly one (segment, slice) task

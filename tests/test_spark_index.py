@@ -89,14 +89,92 @@ def test_pruned_equals_exhaustive(spark, index_dir, oracle):
     s_pruned = Searcher(spark, index_dir, stopwords=STOP, prune=True)
     s_exh = Searcher(spark, index_dir, stopwords=STOP, prune=False)
     for qs in [
+        # disjunctions (MAXSCORE path)
         "w0000 OR w0001",
         "w0001 OR w0002 OR w0100 OR w0203 OR w9999",
         "the OR w0350",
         "w8000 OR w9100",
+        # conjunctions (block-max conjunction path)
+        "w0000 AND w0001",
+        "w0000 AND w0001 AND w0002",
+        "w0000 AND w9999",
+        # MUST+SHOULD (req-opt), NOT, minShouldMatch (WAND analog)
+        "+w0000 w0001",
+        "+w0000 +w0001 w0002 w0100",
+        "w0000 AND NOT w0001",
     ]:
         a = [(r["docid"], np.float32(r["score"])) for r in s_pruned.search(qs, k=10).collect()]
         b = [(r["docid"], np.float32(r["score"])) for r in s_exh.search(qs, k=10).collect()]
         assert a == b, qs
+    # minShouldMatch > 1 (no string syntax: AST-built)
+    from lucene_spark.search.query import BooleanQuery, TermQuery
+
+    for ast in [
+        BooleanQuery(
+            should=(TermQuery("w0000"), TermQuery("w0001"), TermQuery("w0002"),
+                    TermQuery("w0100")),
+            min_should_match=2,
+        ),
+        BooleanQuery(
+            must=(TermQuery("w0000"),),
+            should=(TermQuery("w0001"), TermQuery("w0002"), TermQuery("w0100")),
+            min_should_match=2,
+        ),
+        BooleanQuery(
+            should=(TermQuery("w0000"), TermQuery("w0001"), TermQuery("w0002")),
+            must_not=(TermQuery("w9999"),),
+            min_should_match=2,
+        ),
+    ]:
+        a = [(r["docid"], np.float32(r["score"])) for r in s_pruned.search(ast, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_exh.search(ast, k=10).collect()]
+        assert a == b, ast
+
+
+def test_conjunction_blockmax_decode_reduction(spark, tmp_path_factory):
+    """Under impact skew (a few very-high-freq docs, the real-web-text
+    shape), the block-max boolean path must (a) return exactly the
+    exhaustive result and (b) decode strictly fewer blocks — the
+    BlockMaxConjunctionBulkScorer contract."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lucene_spark.search.query import BooleanQuery, TermQuery
+    from lucene_spark.search.scorers import build_scorers
+    from lucene_spark.search.segment import SegmentContext, search_segment
+
+    n = 40960  # 10 block-max windows of 4096 docs
+    rows = []
+    for i in range(n):
+        if i in (7, 100, 300, 500, 1000, 2000):  # skew inside window 0
+            text = " ".join(["wa"] * 60 + ["wb"] * 60)
+        else:
+            text = "wa wb filler%d" % i
+        rows.append((f"doc://{i:06d}", text))
+    d = str(tmp_path_factory.mktemp("idx_skew"))
+    build_index(
+        spark,
+        spark.createDataFrame(rows, "url string, text string"),
+        d,
+        num_segments=1,
+        stopwords=None,
+    )
+    pdf = pq.read_table(glob.glob(f"{d}/data/kind=2/segment_id=*")[0]).to_pandas()
+    sub = pdf[pdf["term"].isin(["wa", "wb"])].copy()
+    sub["segment_id"] = 0
+    sub["slice_id"] = 0
+    q = BooleanQuery(must=(TermQuery("wa"), TermQuery("wb")))
+    scorers = build_scorers([q], {"wa": (n, n), "wb": (n, n)}, n, 3 * n, "lucene")
+    decodes = {}
+    results = {}
+    for prune in (True, False):
+        ctx = SegmentContext.from_pdf(sub, scorers, 0, n, prune)
+        dd, ss = search_segment(ctx, q, 5)
+        results[prune] = (list(dd), [np.float32(x) for x in ss])
+        decodes[prune] = sum(len(tp._decoded) for tp in ctx.postings.values())
+    assert results[True] == results[False]
+    assert decodes[True] < decodes[False] * 0.5, decodes
 
 
 def test_prefix_query(searcher, oracle):
