@@ -168,16 +168,24 @@ def check_index(spark: SparkSession, index_dir: str) -> list[str]:
                 )
 
     # --- docmap ----------------------------------------------------------
-    # docids dense within a segment (merged segments start at a global base,
-    # so density is max-min == n-1, not max == n-1)
-    dm_bad = (
+    # docids fit the segment's reserved span (manifest n_docs — the maxDoc
+    # analog): merged segments start at a global base so density is about
+    # max-min, and a delete-compacted segment is legitimately SPARSE within
+    # its reservation (numDocs < maxDoc) but never exceeds it
+    span_of = {int(m["segment_id"]): int(m["n_docs"]) for m in r.manifest_rows}
+    for row in (
         r.docmap.groupBy("segment_id")
         .agg(F.count("*").alias("n"), F.max("docid").alias("mx"), F.min("docid").alias("mn"))
-        .filter(F.col("mx") - F.col("mn") != F.col("n") - 1)
-        .count()
-    )
-    if dm_bad:
-        viols.append(f"{dm_bad} segments with non-dense docids")
+        .collect()
+    ):
+        seg = int(row["segment_id"])
+        span = span_of.get(seg, 0)
+        n, spread = int(row["n"]), int(row["mx"]) - int(row["mn"])
+        if n > span or spread > span - 1 or (n == span and spread != n - 1):
+            viols.append(
+                f"seg={seg}: docids outside reservation "
+                f"(live={n}, spread={spread}, reserved={span})"
+            )
     # url uniqueness holds over LIVE docs: update-by-url (NRT upsert)
     # legitimately leaves the old copy in an older segment, tombstoned
     live = r.docmap

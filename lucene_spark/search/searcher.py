@@ -614,30 +614,22 @@ class Searcher:
         terms = sorted(collect_terms(query))
         if not terms:
             return 0
-        # dummy stats: counting never reads scores
-        doc_count, sum_ttf = self.reader.global_stats
-        scorers = build_scorers(
-            [query],
-            {t: (1, 1) for t in terms},
-            max(doc_count, 1),
-            max(sum_ttf, 1),
-            self.mode,
-        )
         seg_meta = self._seg_meta()
         span = self._slice_span()
         blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
         def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _segment_search_fn(
-                pdf,
-                query=query,
-                scorers=scorers,
-                seg_meta=seg_meta,
-                k=2**31,
-                prune=False,
-                span=span,
-            )
-            return pd.DataFrame({"n": [len(out)]})
+            # docid-set algebra only (TotalHitCountCollector): no scorers,
+            # no top-k, no float work
+            from .segment import _SegmentSearcher
+
+            doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
+            ctx = SegmentContext.from_pdf(pdf, {}, min_doc, max_doc, False)
+            d = _SegmentSearcher(ctx, 0).matching_docs(query)
+            d = d[(d >= min_doc) & (d < max_doc)]
+            if ctx.deleted is not None and d.size:
+                d = d[np.isin(d, ctx.deleted, invert=True)]
+            return pd.DataFrame({"n": [int(d.size)]})
 
         rows = (
             self._balanced_grouping(blocks, seg_meta, span)

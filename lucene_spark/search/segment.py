@@ -335,8 +335,47 @@ class _SegmentSearcher:
             parts = [p for p in parts if p.size]
             return np.unique(np.concatenate(parts)) if parts else _EMPTY
         if isinstance(q, BooleanQuery):
-            d, _ = self.evaluate(q)
-            return d
+            # pure docid-set algebra — no scorers touched, so counting and
+            # FILTER/MUST_NOT evaluation never pay scoring work
+            # (TotalHitCountCollector semantics)
+            base: np.ndarray | None = None
+            if q.must:
+                for c in q.must:
+                    d = self.matching_docs(c)
+                    base = d if base is None else base[np.isin(base, d)]
+                    if base.size == 0:
+                        return _EMPTY
+                if q.min_should_match > 0 and q.should:
+                    cnt = np.zeros(base.size, dtype=np.int64)
+                    for c in q.should:
+                        d = self.matching_docs(c)
+                        hit = np.isin(base, d)
+                        cnt[hit] += 1
+                    base = base[cnt >= q.min_should_match]
+            elif q.should:
+                msm = max(q.min_should_match, 1)
+                if msm > 1:
+                    parts = [self.matching_docs(c) for c in q.should]
+                    parts = [p for p in parts if p.size]
+                    if not parts:
+                        return _EMPTY
+                    alld = np.concatenate(parts)
+                    uniq, cnt = np.unique(alld, return_counts=True)
+                    base = uniq[cnt >= msm]
+                else:
+                    parts = [self.matching_docs(c) for c in q.should]
+                    parts = [p for p in parts if p.size]
+                    if not parts:
+                        return _EMPTY
+                    base = np.unique(np.concatenate(parts))
+            else:
+                return _EMPTY
+            if base.size and q.must_not:
+                excl = [self.matching_docs(c) for c in q.must_not]
+                excl = [e for e in excl if e.size]
+                if excl:
+                    base = base[np.isin(base, np.concatenate(excl), invert=True)]
+            return base
         raise TypeError(f"unsupported query node {type(q)}")
 
     # --- scored evaluation ---------------------------------------------

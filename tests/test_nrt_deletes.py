@@ -201,6 +201,48 @@ def test_streaming_index(spark, corpus, tmp_path_factory):
     assert check_index(spark, idx) == []
 
 
+def test_compact_deletes_physical_reclaim(spark, corpus, tmp_path_factory):
+    """compact_deletes drops tombstoned docs from the postings payloads.
+    Oracle: after compaction the index must score IDENTICALLY (per url,
+    bit-for-bit float32) to a fresh index built from only the live docs —
+    same segment assignment (url-hash), same stats, same postings."""
+    import os
+
+    from lucene_spark.index.compaction import compact_deletes
+    from lucene_spark.index.invariants import check_index
+
+    d = str(tmp_path_factory.mktemp("idx_compact"))
+    fresh = str(tmp_path_factory.mktemp("idx_fresh"))
+    victims = {r["url"] for r in corpus[::3]}  # 33% > 20% threshold
+    build_index(spark, _df(spark, corpus), d, num_segments=3, stopwords=STOP)
+    add_deletes_by_url(
+        spark, d, spark.createDataFrame([(u,) for u in victims], "url string")
+    )
+    live = [r for r in corpus if r["url"] not in victims]
+    build_index(spark, _df(spark, live), fresh, num_segments=3, stopwords=STOP)
+
+    metrics = compact_deletes(spark, d, max_deletes_pct=20.0)
+    assert metrics["compacted_segments"] == 3
+    assert metrics["reclaimed_docs"] == len(victims)
+    assert not os.path.isdir(f"{d}/deletes")  # every tombstone reclaimed
+    assert check_index(spark, d) == []
+
+    s_c = Searcher(spark, d, stopwords=STOP)
+    s_f = Searcher(spark, fresh, stopwords=STOP)
+    assert s_c.count("*") == len(live)
+    for qs in ["w0000", "w0000 OR w0001", "w0000 AND w0001", '"w0000 w0001"']:
+        got = {
+            (r["url"], np.float32(r["score"]))
+            for r in s_c.search(qs, k=len(live), with_url=True).collect()
+        }
+        exp = {
+            (r["url"], np.float32(r["score"]))
+            for r in s_f.search(qs, k=len(live), with_url=True).collect()
+        }
+        assert got == exp, qs
+        assert not {u for u, _ in got} & victims
+
+
 def test_streaming_batch_replay_idempotent(spark, corpus, tmp_path_factory):
     """A replayed foreachBatch call (same batch_id, post-commit crash
     window) must be a no-op: the batch_id recorded in segment lineage
