@@ -1047,6 +1047,211 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
+# multi-field family: per-field stats, BM25F (CombinedFieldQuery),
+# FieldExistsQuery — over a 2-field index (body = text, title = first 8
+# tokens, so the title stream is reproducible in SQL as pos < 8)
+# ---------------------------------------------------------------------------
+
+_TITLE_LEN = 8
+
+
+def _ensure_mf_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + "_mf"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            # title = first 8 simple-analyzer tokens (array filter before
+            # slice: map-only, same token stream the oracle derives)
+            F.array_join(
+                F.slice(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda x: x != F.lit(""),
+                    ),
+                    1,
+                    _TITLE_LEN,
+                ),
+                " ",
+            ).alias("title"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True,
+            fields={"body": "text", "title": "title"},
+        )
+    return idx
+
+
+def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(
+        spark, _ensure_mf_index(spark, sf_dir), analyzer="simple", mode="double"
+    )
+
+
+def _mk_mf_topk(make_q, k: int = 10):
+    """make_q(searcher) -> query string or AST."""
+
+    def run(spark, sf_dir):
+        s = _mf_searcher(spark, sf_dir)
+        h = s.search(make_q(s), k=k, with_url=True)
+        return h.select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+# per-field token/stat CTEs: t_* = title (pos < 8), b_* = body (aliases of
+# the base CTEs, with field docCount = docs having >=1 token — the exists
+# list's df, which is what the engine's per-field CollectionStatistics use)
+_MF_CTES = f"""
+t_toks AS (SELECT doc_id, term, pos FROM toks WHERE pos < {_TITLE_LEN}),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM t_toks GROUP BY doc_id, term),
+t_dft AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY term),
+t_dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS dl
+  FROM documents d LEFT JOIN t_toks t USING (doc_id) GROUP BY d.doc_id
+),
+t_qdl AS (
+  SELECT doc_id, dl, (SELECT max(v) FROM norm_tbl WHERE v <= t_dl.dl) AS qdl
+  FROM t_dl
+),
+t_stats AS (
+  SELECT (count(*) FILTER (WHERE dl > 0))::BIGINT AS n_docs,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf,
+         coalesce(sum(dl), 0)::DOUBLE
+           / (count(*) FILTER (WHERE dl > 0)) AS avgdl
+  FROM t_dl
+),
+b_tf AS (SELECT doc_id, term, freq FROM tf),
+b_dft AS (SELECT term, df FROM dft),
+b_qdl AS (SELECT doc_id, dl, qdl FROM qdl),
+b_stats AS (
+  SELECT (count(*) FILTER (WHERE dl > 0))::BIGINT AS n_docs,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf,
+         coalesce(sum(dl), 0)::DOUBLE
+           / (count(*) FILTER (WHERE dl > 0)) AS avgdl
+  FROM dl
+)"""
+
+
+def _mf_term_scores_cte(name: str, term: str, pfx: str) -> str:
+    """Per-doc BM25 of ``term`` in field ``pfx`` (t/b) against that field's
+    CollectionStatistics — the engine's stats_for() per-field scoring."""
+    idf = _idf("d.df")
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM {pfx}_tf tf
+  JOIN {pfx}_qdl qdl USING (doc_id),
+       {pfx}_stats s,
+       (SELECT df FROM {pfx}_dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _sql_field_term(term: str, k: int = 10) -> str:
+    return (
+        f"WITH {_BASE_CTES}, {_MF_CTES}, {_mf_term_scores_cte('s_a', term, 't')} "
+        + _topk_wrap("SELECT doc_id, score FROM s_a", k)
+    )
+
+
+def _sql_multifield_bool(title_term: str, body_term: str, k: int = 10) -> str:
+    # clause order: title leaf first, then body leaf — ((0+t)+b)
+    ctes = ", ".join(
+        [
+            _mf_term_scores_cte("s_t", title_term, "t"),
+            _mf_term_scores_cte("s_b", body_term, "b"),
+        ]
+    )
+    inner = f"""SELECT doc_id, {_sum_chain(["s_t", "s_b"])} AS score
+  FROM s_t FULL JOIN s_b USING (doc_id)"""
+    return f"WITH {_BASE_CTES}, {_MF_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
+def _sql_field_exists(k: int = 30) -> str:
+    # constant score = boost (1.0) for every doc with >=1 title token;
+    # tie-break docid ASC
+    return f"""WITH {_BASE_CTES}, {_MF_CTES}
+SELECT doc_id, round(1.0, 4) AS score FROM t_dl WHERE dl > 0
+ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def _sql_bm25f(tokens: list[str], w_body: float, w_title: float, k: int = 10) -> str:
+    """BM25F oracle (CombinedFieldQuery.java:273-315 + MultiNormsLeafSimScorer
+    semantics, mirrored float-op-for-float-op in the engine's field order
+    body→title):
+      freq   = (0 + w_b·freq_b) + w_t·freq_t              (double)
+      norm   = requantize(floor((0 + w_b·qdl_b) + w_t·qdl_t + 0.5))
+      df     = max(df_b, df_t);  docCount = max(dc_b, dc_t)
+      sumTTF = trunc(trunc(0 + w_b·sttf_b) + w_t·sttf_t)  (long += double)
+      avgdl  = sumTTF / docCount
+    tokens combine as SHOULD clauses in order."""
+    wb, wt = float(w_body), float(w_title)
+    ctes = [
+        f"""cnorm AS (
+  SELECT b.doc_id,
+         (SELECT max(v) FROM norm_tbl
+          WHERE v <= floor(((0.0 + {wb} * b.qdl::DOUBLE) + {wt} * t.qdl::DOUBLE) + 0.5)
+         ) AS qdl
+  FROM b_qdl b JOIN t_qdl t USING (doc_id)
+)"""
+    ]
+    aliases = []
+    for i, tok in enumerate(tokens):
+        stats = f"""cs_{i} AS (
+  SELECT greatest(
+           coalesce((SELECT df FROM b_dft WHERE term = '{tok}'), 0),
+           coalesce((SELECT df FROM t_dft WHERE term = '{tok}'), 0)
+         )::BIGINT AS df,
+         greatest((SELECT n_docs FROM b_stats), (SELECT n_docs FROM t_stats))::BIGINT AS n_docs,
+         trunc(trunc(0.0 + {wb} * (SELECT sum_ttf FROM b_stats)::DOUBLE)
+               + {wt} * (SELECT sum_ttf FROM t_stats)::DOUBLE)::BIGINT AS sttf
+)"""
+        freq = f"""cf_{i} AS (
+  SELECT u.doc_id,
+         ((0.0 + {wb} * coalesce(bf.freq, 0)::DOUBLE)
+          + {wt} * coalesce(tf2.freq, 0)::DOUBLE) AS freq
+  FROM (SELECT doc_id FROM b_tf WHERE term = '{tok}'
+        UNION SELECT doc_id FROM t_tf WHERE term = '{tok}') u
+  LEFT JOIN (SELECT doc_id, freq FROM b_tf WHERE term = '{tok}') bf USING (doc_id)
+  LEFT JOIN (SELECT doc_id, freq FROM t_tf WHERE term = '{tok}') tf2 USING (doc_id)
+)"""
+        idf = _idf("s.df")
+        score = f"""cfs_{i} AS (
+  SELECT cf.doc_id,
+         ({idf} - {idf} / (1.0 + cf.freq * (1.0 / ({K1} * ((1.0 - {B}) +
+            ({B} * cn.qdl::DOUBLE) / (s.sttf::DOUBLE / s.n_docs::DOUBLE)))))) AS score
+  FROM cf_{i} cf JOIN cnorm cn USING (doc_id), cs_{i} s
+)"""
+        ctes += [stats, freq, score]
+        aliases.append(f"cfs_{i}")
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return (
+        f"WITH {_BASE_CTES}, {_MF_CTES}, {', '.join(ctes)} " + _topk_wrap(inner, k)
+    )
+
+
+def _q_bm25f(spark, sf_dir):
+    s = _mf_searcher(spark, sf_dir)
+    q = s.combined_field_query("stream merge", {"body": 1.0, "title": 2.0})
+    h = s.search(q, k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1075,6 +1280,11 @@ def gate_queries() -> dict:
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
         "bm25_search_after": _q_search_after,
+        # multi-field index (body + derived title)
+        "bm25_field_term": _mk_mf_topk(lambda s: "title:stream"),
+        "bm25_multifield_bool": _mk_mf_topk(lambda s: "title:data OR merge"),
+        "bm25f_combined": _q_bm25f,
+        "field_exists": _mk_mf_topk(lambda s: "_exists_:title", k=30),
         "sort_by_field": _q_sort_by_field,
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
@@ -1128,6 +1338,10 @@ def gate_oracle_sql() -> dict:
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
+        "bm25_field_term": _sql_field_term("stream"),
+        "bm25_multifield_bool": _sql_multifield_bool("data", "merge"),
+        "bm25f_combined": _sql_bm25f(["stream", "merge"], w_body=1.0, w_title=2.0),
+        "field_exists": _sql_field_exists(k=30),
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),

@@ -37,6 +37,7 @@ Scale notes (the design target is 10^12 docs / 1000 executors):
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Callable, Iterable
 
@@ -109,12 +110,32 @@ def _delta_with_resets(values: np.ndarray, reset_mask: np.ndarray, reset_base) -
     return out
 
 
+FIELD_SEP = "\x1f"  # internal (field, token) key: "<field>\x1f<token>"
+
+
+def field_term(field: str, token: str) -> str:
+    """Internal term key of ``token`` in ``field`` (the per-field term-dict
+    namespacing Lucene gets from per-field codec files)."""
+    return f"{field}{FIELD_SEP}{token}"
+
+
+def exists_term(field: str) -> str:
+    """The per-field existence posting list's term key: one posting per doc
+    with ≥1 token in the field, freq = the field's token count, norm = the
+    field's norm byte. Doubles as the field's CollectionStatistics —
+    df = docCount(field), ttf = sumTotalTermFreq(field) — and as the
+    FieldExistsQuery doc set (search/FieldExistsQuery.java:39; Lucene reads
+    the same answers from norms metadata)."""
+    return f"{field}{FIELD_SEP}"
+
+
 def _invert_segment(
     pdf: pd.DataFrame,
     analyzer_name: str,
     stopwords: frozenset[str] | None,
     html_input: bool,
     index_positions: bool,
+    fields: list[tuple[str, str]] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -123,21 +144,17 @@ def _invert_segment(
     segment); the long tail (tail blocks and pulsed singletons) is encoded
     in single concatenated numpy passes with byte-offset slicing
     (codecs/intcodecs.vbyte_encode_concat), byte-identical to the per-term
-    path (differentially tested)."""
+    path (differentially tested).
+
+    ``fields`` = [(field_name, input_column), ...] turns on multi-field
+    mode: each field inverts independently with terms namespaced
+    ``field\\x1ftoken`` and that field's norms in its blocks (the per-field
+    postings/norms split of Lucene's IndexingChain), plus one existence
+    posting per (field, doc). docmap doc_len/norm come from the FIRST
+    (primary) field."""
     seg = int(pdf["segment_id"].iloc[0])
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
-
-    if html_input:
-        texts = [extract_text(raw) for raw in pdf["html"]]
-    else:
-        texts = pdf["text"].tolist()
-    # whole-batch vectorized analysis: byte-level boundary classification +
-    # exact 16-byte-pack dictionary encoding — no per-token python objects
-    # (analysis/vectorized.py; differentially tested vs the Token chain)
-    bt = analyze_batch(texts, stopwords=stopwords, analyzer=analyzer_name)
-    doc_lens = bt.doc_lens
-    norms = int_to_byte4(doc_lens)
 
     # column accumulators (one list per output column; bulk-extended)
     cols: dict[str, list] = {f.name: [] for f in UNIFIED_BUILD_SCHEMA.fields}
@@ -155,16 +172,116 @@ def _invert_segment(
             else:
                 cols[f].extend(v)
 
-    # --- doc rows --------------------------------------------------------
+    if fields is None:
+        if html_input:
+            texts = [extract_text(raw) for raw in pdf["html"]]
+        else:
+            texts = pdf["text"].tolist()
+        per_field = [(None, texts)]
+    else:
+        per_field = [(name, pdf[col].fillna("").tolist()) for name, col in fields]
+
+    total_len = np.zeros(n_docs, dtype=np.int64)
+    total_ttf_terms = 0
+    for fi, (fname, texts) in enumerate(per_field):
+        # whole-batch vectorized analysis: byte-level boundary classification
+        # + exact 16-byte-pack dictionary encoding — no per-token python
+        # objects (analysis/vectorized.py; tested vs the Token chain)
+        bt = analyze_batch(texts, stopwords=stopwords, analyzer=analyzer_name)
+        doc_lens = bt.doc_lens
+        norms = int_to_byte4(doc_lens)
+        prefix = "" if fname is None else fname + FIELD_SEP
+        if fi == 0:
+            # --- doc rows (primary field's length/norm) ------------------
+            extend(
+                KIND_DOC,
+                n_docs,
+                docid=range(n_docs),
+                url=pdf["url"].tolist(),
+                doc_len=[int(x) for x in doc_lens],
+                norm=[int(x) for x in norms],
+            )
+        total_len += doc_lens
+        total_ttf_terms += int(doc_lens.sum())
+        if fname is not None:
+            # existence postings: docs with ≥1 token, freq = field length
+            # (so term_dict df/ttf of this row ARE the field's
+            # CollectionStatistics), norm = the field's norm byte
+            e_docs = np.flatnonzero(doc_lens > 0).astype(np.int64)
+            if e_docs.size:
+                total_ttf_terms += int(doc_lens[e_docs].sum())
+                _emit_exists_postings(
+                    extend,
+                    exists_term(fname),
+                    e_docs,
+                    doc_lens[e_docs],
+                    norms[e_docs],
+                )
+        _emit_field_postings(
+            extend, bt, norms, prefix, index_positions
+        )
+    # per-segment stats row: the build's ONLY aggregation, computed here so
+    # no post-write scan is needed (column reuse per schemas.KIND_STATS).
+    # Multi-field: ttf = Σ ttf over ALL emitted term rows (incl. existence
+    # lists) so the Σttf(term_dict)==field_stats.sum_ttf invariant holds;
+    # per-field avgdl comes from the existence terms, not this row.
+    n_terms_total = sum(1 for k in cols["kind"] if k == KIND_TERM)
     extend(
-        KIND_DOC,
-        n_docs,
-        docid=range(n_docs),
-        url=pdf["url"].tolist(),
-        doc_len=[int(x) for x in doc_lens],
-        norm=[int(x) for x in norms],
+        KIND_STATS,
+        1,
+        df=[n_docs],
+        ttf=[int(total_ttf_terms)],
+        n_blocks=[n_terms_total],
+        first_docid=[0],
+        last_docid=[n_docs - 1],
+    )
+    # object dtype for nullable int columns: pandas would otherwise coerce
+    # int+None to float64, which silently loses precision past 2^53 (real
+    # risk for global docids at 10^12-doc scale)
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype=object) for k, v in cols.items()}
     )
 
+
+def _emit_exists_postings(extend, term, docids, freqs, norm_bytes) -> None:
+    """Existence list rows for one field (term key ``field\\x1f``)."""
+    df = int(docids.size)
+    ttf = int(freqs.sum())
+    if df == 1:
+        extend(
+            KIND_TERM,
+            1,
+            term=[term],
+            df=[1],
+            ttf=[ttf],
+            n_blocks=[0],
+            singleton_docid=[int(docids[0])],
+            singleton_freq=[int(freqs[0])],
+            singleton_norm=[int(norm_bytes[0])],
+        )
+        return
+    rows = encode_term_postings(docids, freqs, norm_bytes.astype(np.int64))
+    extend(KIND_TERM, 1, term=[term], df=[df], ttf=[ttf], n_blocks=[len(rows)])
+    extend(
+        KIND_BLOCK,
+        len(rows),
+        term=[term] * len(rows),
+        block_no=[r["block_no"] for r in rows],
+        n_docs=[r["n_docs"] for r in rows],
+        base_docid=[r["base_docid"] for r in rows],
+        first_docid=[r["first_docid"] for r in rows],
+        last_docid=[r["last_docid"] for r in rows],
+        encoding=[r["encoding"] for r in rows],
+        docids_enc=[r["docids_enc"] for r in rows],
+        freqs_enc=[r["freqs_enc"] for r in rows],
+        norms_enc=[r["norms_enc"] for r in rows],
+        positions_enc=[None] * len(rows),
+        impact_freqs=[[int(f) for f, _ in r["impacts"]] for r in rows],
+        impact_norms=[[int(n) for _, n in r["impacts"]] for r in rows],
+    )
+
+
+def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
     if bt.codes.size:
         docids_flat = bt.docids
         positions_flat = bt.positions
@@ -174,7 +291,9 @@ def _invert_segment(
         remap = np.empty(len(uniq_list), dtype=np.int64)
         remap[np.array(term_order)] = np.arange(len(uniq_list))
         codes = remap[codes]
-        sorted_terms = [uniq_list[i] for i in term_order]
+        # field namespacing preserves byte order within the field: every
+        # key shares the "<field>\x1f" prefix
+        sorted_terms = [prefix + uniq_list[i] for i in term_order]
 
         order = np.lexsort((positions_flat, docids_flat, codes))
         c = codes[order]
@@ -337,24 +456,6 @@ def _invert_segment(
                 impact_freqs=[[int(f) for f, _ in r["impacts"]] for r in rows],
                 impact_norms=[[int(n) for _, n in r["impacts"]] for r in rows],
             )
-    # per-segment stats row: the build's ONLY aggregation, computed here so
-    # no post-write scan is needed (column reuse per schemas.KIND_STATS)
-    n_terms_total = sum(1 for k in cols["kind"] if k == KIND_TERM)
-    extend(
-        KIND_STATS,
-        1,
-        df=[n_docs],
-        ttf=[int(doc_lens.sum())],
-        n_blocks=[n_terms_total],
-        first_docid=[0],
-        last_docid=[n_docs - 1],
-    )
-    # object dtype for nullable int columns: pandas would otherwise coerce
-    # int+None to float64, which silently loses precision past 2^53 (real
-    # risk for global docids at 10^12-doc scale)
-    return pd.DataFrame(
-        {k: pd.Series(v, dtype=object) for k, v in cols.items()}
-    )
 
 
 def _skylines_grouped(
@@ -499,9 +600,16 @@ def build_index(
     resume: bool = False,
     append: bool = False,
     lineage_tag: str | None = None,
+    fields: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
+
+    ``fields`` = {field_name: input_column} turns on multi-field indexing
+    (e.g. ``{"title": "title", "body": "text"}``): terms are namespaced per
+    field with per-field norms and existence lists (see _invert_segment);
+    queries then address fields as ``title:foo`` / CombinedFieldQuery.
+    Field names are recorded in ``index_meta.json`` for the searcher.
 
     ``append=True`` adds the rows as NEW segments to an existing index (the
     NRT micro-batch path, SearcherManager/openIfChanged analog): existing
@@ -538,7 +646,12 @@ def build_index(
             for r in rdr.field_stats.collect()
         ]
 
-    cols = ["url", "html"] if html_input else ["url", "text"]
+    if fields is not None:
+        if html_input:
+            raise ValueError("fields= and html_input are mutually exclusive")
+        cols = ["url", *dict.fromkeys(fields.values())]
+    else:
+        cols = ["url", "html"] if html_input else ["url", "text"]
     # url → bucket is a pure hash (resume-stable); bucket → label makes the
     # groupBy shuffle perfectly balanced (see _balanced_segment_labels)
     labels = _balanced_segment_labels(num_segments, exclude=existing_ids)
@@ -574,9 +687,16 @@ def build_index(
     spark.conf.set("spark.sql.shuffle.partitions", str(num_segments))
     sw = stopwords
     an, hi, ip = analyzer, html_input, index_positions
+    fl = sorted(fields.items()) if fields is not None else None
+    if fl is not None and fields:
+        # primary field first (docmap doc_len/norm source): dict order
+        primary = next(iter(fields))
+        fl = [(primary, fields[primary])] + [
+            (k, v) for k, v in sorted(fields.items()) if k != primary
+        ]
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _invert_segment(pdf, an, sw, hi, ip)
+        return _invert_segment(pdf, an, sw, hi, ip, fields=fl)
 
     unified = docs.groupBy("segment_id").applyInPandas(
         _builder, schema=UNIFIED_BUILD_SCHEMA
@@ -659,6 +779,11 @@ def build_index(
             )
         )
         doc_base += int(cnt)
+    if fl is not None:
+        with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
+            json.dump(
+                {"fields": [name for name, _col in fl], "primary": fl[0][0]}, fh
+            )
     # atomic-ish swap (temp dir + rename; Iceberg snapshot commit in
     # production)
     write_driver_table(

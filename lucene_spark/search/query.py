@@ -161,6 +161,35 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery:
+    """BM25F: scores a token as if the fields were one merged field
+    (search/CombinedFieldQuery.java:273-315, MultiNormsLeafSimScorer):
+    per-doc freq = Σ_f weight_f·freq_f, per-doc norm byte re-quantizes
+    Σ_f weight_f·quantized_len_f, pseudo TermStatistics docFreq = max_f df,
+    totalTermFreq = Σ trunc(weight·ttf), pseudo CollectionStatistics
+    docCount = max_f docCount(f), sumTTF = Σ trunc(weight·sumTTF(f)).
+
+    ``terms`` are the internal per-field term keys for one token,
+    ``exists_terms`` the per-field existence lists (the norms source),
+    both aligned with ``weights``."""
+
+    terms: tuple[str, ...]
+    exists_terms: tuple[str, ...]
+    weights: tuple[float, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery:
+    """Matches every doc with ≥1 token in ``field``, constant score
+    (search/FieldExistsQuery.java:39 — answered from norms existence there,
+    from the per-field existence posting list here)."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """Per-doc max(sub) + tie_breaker·(Σ others)
     (search/DisjunctionMaxQuery.java:44)."""
@@ -292,47 +321,57 @@ class _Tokens:
         return t
 
 
-def _make_word_leaf(text: str, analyzer) -> object:
+def _make_word_leaf(text: str, analyzer, fmap=None) -> object:
     m = _WORD_SUFFIX_RE.match(text)
     body, edits, boost_s = m.group("body"), m.group("edits"), m.group("boost")
     boost = float(boost_s) if boost_s else 1.0
-    # strip a field: prefix (single-field engine: field name is ignored)
+    # field: prefix — routed through ``fmap(field, token) -> term key`` on a
+    # multi-field index, ignored (classic single-field behavior) otherwise
+    field = None
     if ":" in body:
-        body = body.split(":", 1)[1]
+        field, body = body.split(":", 1)
+        if field == "_exists_":  # _exists_:fieldname (classic QP syntax)
+            return boosted(FieldExistsQuery(body), boost)
+    key = fmap if fmap is not None else (lambda _f, t: t)
     if edits is not None:  # trailing ~ or ~N → fuzzy (QueryParser.jj FUZZY_SLOP)
         max_edits = int(edits) if edits else 2
-        return boosted(FuzzyQuery(body.lower(), max_edits=max_edits), boost)
+        return boosted(
+            FuzzyQuery(key(field, body.lower()), max_edits=max_edits), boost
+        )
     if body == "*":
         return boosted(MatchAllDocsQuery(), boost)
     if "*" in body or "?" in body:
         if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
             ptoks = analyzer(body[:-1])
             if len(ptoks) == 1:
-                return boosted(PrefixQuery(ptoks[0].term), boost)
-        return boosted(WildcardQuery(body.lower()), boost)
+                return boosted(PrefixQuery(key(field, ptoks[0].term)), boost)
+        return boosted(WildcardQuery(key(field, body.lower())), boost)
     toks = analyzer(body)
     if not toks:
         return MatchNoDocsQuery()
     if len(toks) == 1:
-        return boosted(TermQuery(toks[0].term), boost)
-    return boosted(PhraseQuery(tuple(t.term for t in toks)), boost)
+        return boosted(TermQuery(key(field, toks[0].term)), boost)
+    return boosted(PhraseQuery(tuple(key(field, t.term) for t in toks)), boost)
 
 
-def _make_leaf(kind: str, val, analyzer) -> object:
+def _make_leaf(kind: str, val, analyzer, fmap=None) -> object:
+    key = fmap if fmap is not None else (lambda _f, t: t)
     if kind == "phrase":
         text, slop, boost = val
         toks = analyzer(text)
         if not toks:
             return MatchNoDocsQuery()
         if len(toks) == 1:
-            return boosted(TermQuery(toks[0].term), boost)
-        return boosted(PhraseQuery(tuple(t.term for t in toks), slop=slop), boost)
+            return boosted(TermQuery(key(None, toks[0].term)), boost)
+        return boosted(
+            PhraseQuery(tuple(key(None, t.term) for t in toks), slop=slop), boost
+        )
     if kind == "range":
         lo, hi, incl_lo, incl_hi, boost = val
         return boosted(
             TermRangeQuery(
-                None if lo == "*" else lo.lower(),
-                None if hi == "*" else hi.lower(),
+                None if lo == "*" else key(None, lo.lower()),
+                None if hi == "*" else key(None, hi.lower()),
                 include_lower=incl_lo,
                 include_upper=incl_hi,
             ),
@@ -341,19 +380,19 @@ def _make_leaf(kind: str, val, analyzer) -> object:
     if kind == "regex":
         body, boost = val
         return boosted(RegexpQuery(body), boost)
-    return _make_word_leaf(val, analyzer)
+    return _make_word_leaf(val, analyzer, fmap)
 
 
 _CLAUSE_START = {"word", "phrase", "range", "regex", "plus", "minus", "not", "lparen"}
 
 
-def _parse_or(tk: _Tokens, analyzer):
-    clauses = [_parse_and(tk, analyzer)]
+def _parse_or(tk: _Tokens, analyzer, fmap=None):
+    clauses = [_parse_and(tk, analyzer, fmap)]
     # explicit OR, or adjacency (default operator OR, QueryParserBase default)
     while tk.peek() == "or" or tk.peek() in _CLAUSE_START:
         if tk.peek() == "or":
             tk.next()
-        clauses.append(_parse_and(tk, analyzer))
+        clauses.append(_parse_and(tk, analyzer, fmap))
     if len(clauses) == 1:
         return clauses[0]
     should, must_not = [], []
@@ -365,11 +404,11 @@ def _parse_or(tk: _Tokens, analyzer):
     return BooleanQuery(should=tuple(should), must_not=tuple(must_not))
 
 
-def _parse_and(tk: _Tokens, analyzer):
-    clauses = [_parse_clause(tk, analyzer)]
+def _parse_and(tk: _Tokens, analyzer, fmap=None):
+    clauses = [_parse_clause(tk, analyzer, fmap)]
     while tk.peek() == "and":
         tk.next()
-        clauses.append(_parse_clause(tk, analyzer))
+        clauses.append(_parse_clause(tk, analyzer, fmap))
     if len(clauses) == 1:
         return clauses[0]
     must, must_not = [], []
@@ -386,28 +425,28 @@ class _Negated:
     q: object
 
 
-def _parse_clause(tk: _Tokens, analyzer):
+def _parse_clause(tk: _Tokens, analyzer, fmap=None):
     kind = tk.peek()
     if kind == "not" or kind == "minus":
         tk.next()
-        inner = _parse_clause(tk, analyzer)
+        inner = _parse_clause(tk, analyzer, fmap)
         if isinstance(inner, _Negated):
             return inner.q  # double negation
         return _Negated(inner)
     if kind == "plus":
         tk.next()
-        inner = _parse_clause(tk, analyzer)
+        inner = _parse_clause(tk, analyzer, fmap)
         return BooleanQuery(must=(inner,))
-    return _parse_atom(tk, analyzer)
+    return _parse_atom(tk, analyzer, fmap)
 
 
-def _parse_atom(tk: _Tokens, analyzer):
+def _parse_atom(tk: _Tokens, analyzer, fmap=None):
     kind = tk.peek()
     if kind is None:
         return MatchNoDocsQuery()
     if kind == "lparen":
         tk.next()
-        q = _parse_or(tk, analyzer)
+        q = _parse_or(tk, analyzer, fmap)
         if tk.peek() == "rparen":
             tk.next()
         # group boost: (a b)^2 arrives as a following bare word "^2"
@@ -421,15 +460,17 @@ def _parse_atom(tk: _Tokens, analyzer):
                     pass
         return q
     k, v = tk.next()
-    return _make_leaf(k, v, analyzer)
+    return _make_leaf(k, v, analyzer, fmap)
 
 
-def parse_query(s: str, analyzer) -> object:
-    """Parse a classic-syntax query string; ``analyzer(text) -> list[Token]``."""
+def parse_query(s: str, analyzer, fmap=None) -> object:
+    """Parse a classic-syntax query string; ``analyzer(text) -> list[Token]``.
+    ``fmap(field_or_None, token) -> term key`` namespaces tokens on a
+    multi-field index (field: prefixes and the default field)."""
     tk = _Tokens(s)
     if tk.peek() is None:
         return MatchNoDocsQuery()
-    q = _parse_or(tk, analyzer)
+    q = _parse_or(tk, analyzer, fmap)
     if isinstance(q, _Negated):
         q = BooleanQuery(must_not=(q.q,))
     return rewrite(q)
@@ -551,6 +592,9 @@ def collect_terms(q) -> set[str]:
         return {t for s in q.slots for t in s}
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
+    if isinstance(q, CombinedFieldQuery):
+        # exists lists ride along: they are the per-doc field-norms source
+        return set(q.terms) | set(q.exists_terms)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):

@@ -33,8 +33,10 @@ import numpy as np
 
 from ..functions.bm25 import Bm25Scorer, idf_value
 from ..functions.smallfloat import BYTE4_DECODE_TABLE
+from ..index.builder import FIELD_SEP
 from .query import (
     BooleanQuery,
+    CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MultiPhraseQuery,
@@ -128,7 +130,15 @@ def scoring_leaves(q, out: set | None = None) -> set:
     if out is None:
         out = set()
     if isinstance(
-        q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery, TermInSetQuery)
+        q,
+        (
+            TermQuery,
+            PhraseQuery,
+            MultiPhraseQuery,
+            SynonymQuery,
+            TermInSetQuery,
+            CombinedFieldQuery,
+        ),
     ):
         out.add(q)
     elif isinstance(q, BooleanQuery):
@@ -148,42 +158,79 @@ def build_scorers(
     doc_count: int,
     sum_ttf: int,
     mode: str,
+    field_stats: dict[str, tuple[int, int]] | None = None,
 ) -> dict:
-    """One scorer per scoring leaf across all given query ASTs."""
+    """One scorer per scoring leaf across all given query ASTs.
+
+    ``field_stats`` maps field name → (docCount, sumTotalTermFreq); leaves
+    whose term carries a ``field\x1f`` namespace score against that
+    field's CollectionStatistics (Lucene stats are per-field), all others
+    against the (doc_count, sum_ttf) default."""
+
+    def stats_for(term: str) -> tuple[int, int]:
+        if field_stats and FIELD_SEP in term:
+            f = term.split(FIELD_SEP, 1)[0]
+            got = field_stats.get(f)
+            if got is not None:
+                return got
+        return doc_count, sum_ttf
+
     leaves: set = set()
     for q in queries:
         scoring_leaves(q, leaves)
     scorers: dict = {}
     for leaf in leaves:
-        if isinstance(leaf, TermQuery):
-            df = getattr(leaf, "df_override", 0) or tstats.get(leaf.term, (0, 0))[0]
+        if isinstance(leaf, CombinedFieldQuery):
+            # pseudo TermStatistics: docFreq = max over fields, ttf =
+            # weighted sum; pseudo CollectionStatistics: docCount = max,
+            # sumTTF = weighted sum with Java's long-compound-assignment
+            # truncation (CombinedFieldQuery.java:273-315). The exists
+            # term's (df, ttf) ARE the field's (docCount, sumTTF).
+            df = 0
+            for t in leaf.terms:
+                df = max(df, tstats.get(t, (0, 0))[0])
+            dc, sttf = 0, 0
+            for et, w in zip(leaf.exists_terms, leaf.weights):
+                fdc, fst = tstats.get(et, (0, 0))
+                if fdc > 0:
+                    dc = max(dc, fdc)
+                    sttf = int(sttf + w * fst)  # long += double truncation
             scorers[leaf] = make_term_scorer(
-                mode, df, doc_count, sum_ttf, boost=leaf.boost
+                mode, df, max(dc, 1), max(sttf, 1), boost=leaf.boost
+            )
+        elif isinstance(leaf, TermQuery):
+            df = getattr(leaf, "df_override", 0) or tstats.get(leaf.term, (0, 0))[0]
+            dc, st = stats_for(leaf.term)
+            scorers[leaf] = make_term_scorer(
+                mode, df, dc, st, boost=leaf.boost
             )
         elif isinstance(leaf, PhraseQuery):
+            dc, st = stats_for(leaf.terms[0])
             scorers[leaf] = make_phrase_scorer(
                 mode,
                 [tstats.get(t, (0, 0))[0] for t in leaf.terms],
-                doc_count,
-                sum_ttf,
+                dc,
+                st,
                 boost=leaf.boost,
             )
         elif isinstance(leaf, MultiPhraseQuery):
             # idf summed over every involved term, slot-major order
             # (MultiPhraseQuery scoring via idfExplain over all terms)
             all_terms = [t for slot in leaf.slots for t in slot]
+            dc, st = stats_for(all_terms[0])
             scorers[leaf] = make_phrase_scorer(
                 mode,
                 [tstats.get(t, (0, 0))[0] for t in all_terms],
-                doc_count,
-                sum_ttf,
+                dc,
+                st,
                 boost=leaf.boost,
             )
         elif isinstance(leaf, SynonymQuery):
             # blended: df = max, ttf = sum (SynonymQuery.java createWeight)
             df = max((tstats.get(t, (0, 0))[0] for t in leaf.terms), default=0)
+            dc, st = stats_for(leaf.terms[0]) if leaf.terms else (doc_count, sum_ttf)
             scorers[leaf] = make_term_scorer(
-                mode, df, doc_count, sum_ttf, boost=leaf.boost
+                mode, df, dc, st, boost=leaf.boost
             )
         elif isinstance(leaf, TermInSetQuery):
             pass  # constant-score: no BM25 scorer needed

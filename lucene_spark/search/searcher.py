@@ -44,15 +44,22 @@ from pyspark.sql import functions as F
 
 from ..analysis.simple import simple_analyze
 from ..analysis.tokenizer import analyze as standard_analyze
-from ..index.builder import _balanced_segment_labels
+from ..index.builder import (
+    FIELD_SEP,
+    _balanced_segment_labels,
+    exists_term,
+    field_term,
+)
 from ..index.pseudo import singleton_pseudo_blocks
 from ..index.reader import IndexReader
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
 from .fuzzy import fuzzy_similarity
 from .query import (
     BooleanQuery,
+    CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldExistsQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -136,6 +143,33 @@ class Searcher:
         self._expand_cache: dict[object, object] = {}
         base = standard_analyze if analyzer == "standard" else simple_analyze
         self._analyzer = partial(base, stopwords=stopwords)
+        # multi-field index: field list + default field from the build's
+        # index_meta.json; None for classic single-field indexes
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(index_dir, "index_meta.json")
+        self.fields: list[str] | None = None
+        self.default_field: str | None = None
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            self.fields = list(meta.get("fields") or [])
+            self.default_field = meta.get("primary") or (
+                self.fields[0] if self.fields else None
+            )
+
+    def _fmap(self):
+        """(field | None, token) -> internal term key for parse_query."""
+        if not self.fields:
+            return None
+        fields, default = set(self.fields), self.default_field
+
+        def key(field: str | None, token: str) -> str:
+            f = field if field in fields else default
+            return field_term(f, token)
+
+        return key
 
     def _slice_span(self) -> int | None:
         """Docid span per search slice, or None for one slice per segment."""
@@ -152,7 +186,36 @@ class Searcher:
 
     # --- planning -------------------------------------------------------
     def parse(self, query_str: str):
-        return parse_query(query_str, self._analyzer)
+        return parse_query(query_str, self._analyzer, fmap=self._fmap())
+
+    def combined_field_query(
+        self,
+        text: str,
+        field_weights: dict[str, float] | None = None,
+        boost: float = 1.0,
+    ):
+        """BM25F over ``field_weights`` (default: every field, weight 1.0)
+        for each analyzed token of ``text`` — tokens combine as SHOULD
+        clauses (CombinedFieldQuery.Builder.addTerm per token)."""
+        if not self.fields:
+            raise ValueError("combined_field_query needs a multi-field index")
+        fw = field_weights or {f: 1.0 for f in self.fields}
+        items = sorted(fw.items())
+        toks = self._analyzer(text)
+        leaves = tuple(
+            CombinedFieldQuery(
+                terms=tuple(field_term(f, t.term) for f, _w in items),
+                exists_terms=tuple(exists_term(f) for f, _w in items),
+                weights=tuple(float(w) for _f, w in items),
+                boost=boost,
+            )
+            for t in toks
+        )
+        if not leaves:
+            return MatchNoDocsQuery()
+        if len(leaves) == 1:
+            return leaves[0]
+        return BooleanQuery(should=leaves)
 
     def _docmap_global(self) -> DataFrame:
         bases = [(int(s), int(b)) for s, b in self.reader.doc_bases.items()]
@@ -213,6 +276,12 @@ class Searcher:
             return ConstantScoreQuery(
                 query=self.expand_multiterm(q.query, max_terms), boost=q.boost
             )
+        if isinstance(q, FieldExistsQuery):
+            # constant-score over the per-field existence list
+            # (FieldExistsQuery.java:39 — norms-existence there)
+            return ConstantScoreQuery(
+                query=TermQuery(exists_term(q.field)), boost=q.boost
+            )
         return q
 
     def _expand_leaf(self, q, max_terms: int):
@@ -235,6 +304,13 @@ class Searcher:
                 rx = "^" + rx
             if not rx.endswith("$"):
                 rx = rx + "$"
+            if self.fields:
+                # regex applies to the token; anchor it inside the default
+                # field's namespace
+                import re as _re
+
+                pfx = field_term(self.default_field, "")
+                rx = "^" + _re.escape(pfx) + rx[1:]
             terms = self.reader.expand_terms(pattern=rx, max_terms=max_terms)
             if not terms:
                 return MatchNoDocsQuery()
@@ -261,19 +337,25 @@ class Searcher:
         (search/FuzzyQuery.java:52); ranking + max_terms cap happen after,
         as in TopTermsBlendedFreqScoringRewrite."""
         target = q.term
+        ns = ""  # field namespace: edit distance applies to the token only
+        if FIELD_SEP in target:
+            f, target = target.split(FIELD_SEP, 1)
+            ns = f + FIELD_SEP
         pl = min(q.prefix_length, len(target))
-        band = (max(0, len(target) - q.max_edits), len(target) + q.max_edits)
+        band = (
+            len(ns) + max(0, len(target) - q.max_edits),
+            len(ns) + len(target) + q.max_edits,
+        )
         td = self.reader.term_dict
-        if target[:pl]:
-            td = td.filter(F.col("term").startswith(target[:pl]))
+        td = td.filter(F.col("term").startswith(ns + target[:pl]))
         td = td.filter(F.length("term").between(*band))
-        tgt, me = target, q.max_edits
+        tgt, me, ns_len = target, q.max_edits, len(ns)
 
         @F.pandas_udf("int")
         def osa_udf(terms: pd.Series) -> pd.Series:
             from lucene_spark.search.fuzzy import osa_distance as _osa
 
-            return terms.map(lambda t: _osa(tgt, t, me))
+            return terms.map(lambda t: _osa(tgt, t[ns_len:], me))
 
         rows = (
             td.groupBy("term")
@@ -384,8 +466,16 @@ class Searcher:
         doc_count, sum_ttf = self.reader.global_stats
         if doc_count == 0:
             return {}
+        field_stats = None
+        if self.fields:
+            # per-field CollectionStatistics from the existence lists
+            # (df = docCount(field), ttf = sumTotalTermFreq(field))
+            est = self._cached_term_stats([exists_term(f) for f in self.fields])
+            field_stats = {f: est[exists_term(f)] for f in self.fields}
         tstats = self._cached_term_stats(all_terms)
-        return build_scorers(queries, tstats, doc_count, sum_ttf, self.mode)
+        return build_scorers(
+            queries, tstats, doc_count, sum_ttf, self.mode, field_stats=field_stats
+        )
 
     # --- search ---------------------------------------------------------
     def search(

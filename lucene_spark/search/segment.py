@@ -35,8 +35,10 @@ from ..codecs.blocks import (
     decode_block_freqs,
     decode_positions,
 )
+from ..functions.smallfloat import BYTE4_DECODE_TABLE, int_to_byte4
 from .query import (
     BooleanQuery,
+    CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
@@ -315,7 +317,7 @@ class _SegmentSearcher:
         if isinstance(q, MultiPhraseQuery):
             d, _f, _n, _ok = self._multi_phrase_match(q)
             return d
-        if isinstance(q, (SynonymQuery, TermInSetQuery)):
+        if isinstance(q, (SynonymQuery, TermInSetQuery, CombinedFieldQuery)):
             parts = []
             for t in q.terms:
                 tp = self.term_postings(t)
@@ -401,6 +403,8 @@ class _SegmentSearcher:
             return self._multi_phrase_scores(q)
         if isinstance(q, SynonymQuery):
             return self._evaluate_synonym(q)
+        if isinstance(q, CombinedFieldQuery):
+            return self._evaluate_combined(q)
         if isinstance(q, TermInSetQuery):
             # constant-score: TermInSetQuery rewrites to a filter over the
             # doc set, every match scores boost (TermInSetQuery.java:66)
@@ -441,6 +445,52 @@ class _SegmentSearcher:
         norms = np.zeros(uniq.size, dtype=np.int64)
         norms[inv] = alln  # same doc → same field norm for every term
         return uniq, sc.score(freqs, norms).astype(dtype)
+
+    def _evaluate_combined(self, q: CombinedFieldQuery) -> tuple[np.ndarray, np.ndarray]:
+        """BM25F (CombinedFieldQuery.java:404-450 + MultiNormsLeafSimScorer):
+        union the per-field postings of one token; per-doc freq =
+        Σ_f weight_f·freq_f (field order), per-doc norm byte re-quantizes
+        Σ_f weight_f·LENGTH_TABLE[norm_f] — summed over every field the doc
+        HAS (from the existence lists), not just matching fields — with
+        Math.round = floor(x+0.5). Accumulation dtype follows the scoring
+        mode (float32 lucene / float64 oracle-double)."""
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        parts = []
+        for t in q.terms:
+            tp = self.term_postings(t)
+            parts.append(tp.decode_all() if tp is not None else None)
+        live = [p[0] for p in parts if p is not None and p[0].size]
+        if not live:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        uniq = np.unique(np.concatenate(live))
+        freq = np.zeros(uniq.size, dtype=dtype)
+        for p, w in zip(parts, q.weights):
+            if p is None or p[0].size == 0:
+                continue
+            d, f, _m = p
+            pos = np.searchsorted(uniq, d)
+            freq[pos] += (np.asarray(w, dtype=dtype) * f.astype(dtype)).astype(
+                dtype
+            )
+        lt = BYTE4_DECODE_TABLE.astype(dtype)
+        normval = np.zeros(uniq.size, dtype=dtype)
+        for et, w in zip(q.exists_terms, q.weights):
+            tp = self.term_postings(et)
+            if tp is None:
+                continue
+            d, _f, m = tp.decode_all()
+            mask = np.isin(d, uniq)
+            if not mask.any():
+                continue
+            pos = np.searchsorted(uniq, d[mask])
+            normval[pos] += (
+                np.asarray(w, dtype=dtype) * lt[m[mask] & 0xFF]
+            ).astype(dtype)
+        norm_bytes = int_to_byte4(
+            np.floor(normval.astype(np.float64) + 0.5).astype(np.int64)
+        )
+        return uniq, sc.score(freq, norm_bytes).astype(dtype)
 
     def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """max(sub) + tie_breaker·(Σ others); float64 accumulation then one
