@@ -1056,31 +1056,29 @@ _TITLE_LEN = 8
 
 
 def _ensure_mf_index(spark: SparkSession, sf_dir: str) -> str:
-    name = sf_dir.strip("/").replace("/", "_") + "_mf"
+    name = sf_dir.strip("/").replace("/", "_") + "_mf2"
     idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
     probe = os.path.join(idx, "segment_manifest")
     if not os.path.exists(probe):
+        toks_arr = F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
             F.col("text"),
             # title = first 8 simple-analyzer tokens (array filter before
             # slice: map-only, same token stream the oracle derives)
-            F.array_join(
-                F.slice(
-                    F.filter(
-                        F.split(F.lower("text"), "[^a-z0-9]+"),
-                        lambda x: x != F.lit(""),
-                    ),
-                    1,
-                    _TITLE_LEN,
-                ),
-                " ",
-            ).alias("title"),
+            F.array_join(F.slice(toks_arr, 1, _TITLE_LEN), " ").alias("title"),
+            # static quality prior = token count capped at 255 (integers
+            # <= 511 round-trip the FeatureField freq encoding exactly,
+            # so the SQL oracle can use the raw value)
+            F.least(F.size(toks_arr), F.lit(255)).cast("double").alias("qfeat"),
         )
         build_index(
             spark, docs, idx, num_segments=1, analyzer="simple",
             stopwords=None, index_positions=True,
             fields={"body": "text", "title": "title"},
+            feature_fields={"quality": "qfeat"},
         )
     return idx
 
@@ -1241,6 +1239,37 @@ def _sql_bm25f(tokens: list[str], w_body: float, w_title: float, k: int = 10) ->
     )
 
 
+def _q_feature_rank(spark, sf_dir):
+    """BM25(body term) + saturation feature (FeatureField ranking recipe):
+    score = bm25 + w·(1 - pivot/(v + pivot)) with v = min(token_count, 255)."""
+    from lucene_spark.search.query import BooleanQuery, FeatureQuery
+
+    s = _mf_searcher(spark, sf_dir)
+    q = BooleanQuery(
+        should=(
+            s.parse("stream"),
+            FeatureQuery("quality", "saturation", weight=1.5, pivot=45.0),
+        )
+    )
+    h = s.search(q, k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_feature_rank(term: str, weight: float, pivot: float, k: int = 10) -> str:
+    ctes = _mf_term_scores_cte("s_t", term, "b")
+    feat = f"""s_f AS (
+  SELECT doc_id,
+         ({weight} * (1.0 - {pivot} / (least(dl, 255)::DOUBLE + {pivot}))) AS score
+  FROM dl WHERE dl > 0
+)"""
+    inner = f"""SELECT doc_id, {_sum_chain(["s_t", "s_f"])} AS score
+  FROM s_t FULL JOIN s_f USING (doc_id)"""
+    return f"WITH {_BASE_CTES}, {_MF_CTES}, {ctes}, {feat} " + _topk_wrap(inner, k)
+
+
 def _q_bm25f(spark, sf_dir):
     s = _mf_searcher(spark, sf_dir)
     q = s.combined_field_query("stream merge", {"body": 1.0, "title": 2.0})
@@ -1285,6 +1314,7 @@ def gate_queries() -> dict:
         "bm25_multifield_bool": _mk_mf_topk(lambda s: "title:data OR merge"),
         "bm25f_combined": _q_bm25f,
         "field_exists": _mk_mf_topk(lambda s: "_exists_:title", k=30),
+        "feature_rank": _q_feature_rank,
         "sort_by_field": _q_sort_by_field,
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
@@ -1342,6 +1372,7 @@ def gate_oracle_sql() -> dict:
         "bm25_multifield_bool": _sql_multifield_bool("data", "merge"),
         "bm25f_combined": _sql_bm25f(["stream", "merge"], w_body=1.0, w_title=2.0),
         "field_exists": _sql_field_exists(k=30),
+        "feature_rank": _sql_feature_rank("stream", weight=1.5, pivot=45.0),
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),

@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.featurefield import encode_feature
 from ..analysis.simple import simple_analyze, simple_terms_positions
 from ..analysis.tokenizer import analyze as standard_analyze
 from ..analysis.tokenizer import analyze_terms_positions
@@ -119,6 +120,14 @@ def field_term(field: str, token: str) -> str:
     return f"{field}{FIELD_SEP}{token}"
 
 
+def feature_term(name: str) -> str:
+    """Term key of feature ``name``'s posting list (FeatureField's pseudo
+    terms, document/FeatureField.java:184): freq = the encoded feature
+    value. The leading separator keeps it outside every field namespace
+    (field names are non-empty), so no text token can collide."""
+    return f"{FIELD_SEP}#{name}"
+
+
 def exists_term(field: str) -> str:
     """The per-field existence posting list's term key: one posting per doc
     with ≥1 token in the field, freq = the field's token count, norm = the
@@ -136,6 +145,7 @@ def _invert_segment(
     html_input: bool,
     index_positions: bool,
     fields: list[tuple[str, str]] | None = None,
+    features: list[tuple[str, str]] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -220,6 +230,23 @@ def _invert_segment(
         _emit_field_postings(
             extend, bt, norms, prefix, index_positions
         )
+    for fname, col in features or []:
+        # feature posting list (FeatureField.java:184-185): freq = encoded
+        # value, no norms, no positions; docs with null/non-positive values
+        # simply lack the feature
+        vals = pd.to_numeric(pdf[col], errors="coerce").to_numpy(np.float64)
+        valid = np.isfinite(vals) & (vals > 0)
+        f_docs = np.flatnonzero(valid).astype(np.int64)
+        if f_docs.size:
+            enc = encode_feature(vals[valid])
+            total_ttf_terms += int(enc.sum())
+            _emit_exists_postings(
+                extend,
+                feature_term(fname),
+                f_docs,
+                enc,
+                np.zeros(f_docs.size, dtype=np.int64),
+            )
     # per-segment stats row: the build's ONLY aggregation, computed here so
     # no post-write scan is needed (column reuse per schemas.KIND_STATS).
     # Multi-field: ttf = Σ ttf over ALL emitted term rows (incl. existence
@@ -601,6 +628,7 @@ def build_index(
     append: bool = False,
     lineage_tag: str | None = None,
     fields: dict[str, str] | None = None,
+    feature_fields: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -646,10 +674,20 @@ def build_index(
             for r in rdr.field_stats.collect()
         ]
 
+    if feature_fields and fields is None:
+        # features need per-field stats: without them the feature ttf would
+        # pollute the single global avgdl (Lucene stores features in their
+        # own field for the same reason)
+        raise ValueError("feature_fields requires fields= (per-field stats)")
     if fields is not None:
         if html_input:
             raise ValueError("fields= and html_input are mutually exclusive")
         cols = ["url", *dict.fromkeys(fields.values())]
+        if feature_fields:
+            cols += [
+                c for c in dict.fromkeys(feature_fields.values())
+                if c not in cols
+            ]
     else:
         cols = ["url", "html"] if html_input else ["url", "text"]
     # url → bucket is a pure hash (resume-stable); bucket → label makes the
@@ -695,8 +733,10 @@ def build_index(
             (k, v) for k, v in sorted(fields.items()) if k != primary
         ]
 
+    ftl = sorted(feature_fields.items()) if feature_fields else None
+
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _invert_segment(pdf, an, sw, hi, ip, fields=fl)
+        return _invert_segment(pdf, an, sw, hi, ip, fields=fl, features=ftl)
 
     unified = docs.groupBy("segment_id").applyInPandas(
         _builder, schema=UNIFIED_BUILD_SCHEMA
@@ -782,7 +822,12 @@ def build_index(
     if fl is not None:
         with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
             json.dump(
-                {"fields": [name for name, _col in fl], "primary": fl[0][0]}, fh
+                {
+                    "fields": [name for name, _col in fl],
+                    "primary": fl[0][0],
+                    "features": [name for name, _col in ftl or []],
+                },
+                fh,
             )
     # atomic-ish swap (temp dir + rename; Iceberg snapshot commit in
     # production)

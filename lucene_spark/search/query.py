@@ -180,6 +180,24 @@ class CombinedFieldQuery:
 
 
 @dataclass(frozen=True)
+class FeatureQuery:
+    """Static ranking signal stored as a feature posting list's term freq
+    (document/FeatureField.java:184-185, FeatureQuery.java). Score
+    contribution per matching doc = ``function`` of the decoded value:
+    log -> weight·ln(scaling + v); saturation -> weight·(1 - pivot/(v+pivot));
+    sigmoid -> weight·(1 - pivot^a/(v^a + pivot^a)). Combine with text
+    queries as a SHOULD clause (the FeatureField ranking recipe)."""
+
+    feature: str
+    function: str = "saturation"  # log | saturation | sigmoid
+    weight: float = 1.0
+    pivot: float | None = None
+    a: float | None = None
+    scaling: float | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc with ≥1 token in ``field``, constant score
     (search/FieldExistsQuery.java:39 — answered from norms existence there,
@@ -595,6 +613,10 @@ def collect_terms(q) -> set[str]:
     if isinstance(q, CombinedFieldQuery):
         # exists lists ride along: they are the per-doc field-norms source
         return set(q.terms) | set(q.exists_terms)
+    if isinstance(q, FeatureQuery):
+        from ..index.builder import feature_term
+
+        return {feature_term(q.feature)}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):

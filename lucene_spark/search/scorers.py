@@ -32,6 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..functions.bm25 import Bm25Scorer, idf_value
+from ..functions.featurefield import FeatureScorer
 from ..functions.smallfloat import BYTE4_DECODE_TABLE
 from ..index.builder import FIELD_SEP
 from .query import (
@@ -39,6 +40,7 @@ from .query import (
     CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     MultiPhraseQuery,
     PhraseQuery,
     SynonymQuery,
@@ -138,6 +140,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             SynonymQuery,
             TermInSetQuery,
             CombinedFieldQuery,
+            FeatureQuery,
         ),
     ):
         out.add(q)
@@ -180,7 +183,18 @@ def build_scorers(
         scoring_leaves(q, leaves)
     scorers: dict = {}
     for leaf in leaves:
-        if isinstance(leaf, CombinedFieldQuery):
+        if isinstance(leaf, FeatureQuery):
+            # no term/collection stats: the contribution is a pure function
+            # of the stored feature value (FeatureField.java:306-499)
+            scorers[leaf] = FeatureScorer(
+                mode,
+                leaf.function,
+                leaf.weight * leaf.boost,
+                pivot=leaf.pivot,
+                a=leaf.a,
+                scaling=leaf.scaling,
+            )
+        elif isinstance(leaf, CombinedFieldQuery):
             # pseudo TermStatistics: docFreq = max over fields, ttf =
             # weighted sum; pseudo CollectionStatistics: docCount = max,
             # sumTTF = weighted sum with Java's long-compound-assignment

@@ -41,6 +41,7 @@ from .query import (
     CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -326,6 +327,11 @@ class _SegmentSearcher:
             if not parts:
                 return _EMPTY
             return np.unique(np.concatenate(parts))
+        if isinstance(q, FeatureQuery):
+            from ..index.builder import feature_term
+
+            tp = self.term_postings(feature_term(q.feature))
+            return tp.decode_all()[0] if tp else _EMPTY
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
@@ -405,6 +411,8 @@ class _SegmentSearcher:
             return self._evaluate_synonym(q)
         if isinstance(q, CombinedFieldQuery):
             return self._evaluate_combined(q)
+        if isinstance(q, FeatureQuery):
+            return self._evaluate_feature(q)
         if isinstance(q, TermInSetQuery):
             # constant-score: TermInSetQuery rewrites to a filter over the
             # doc set, every match scores boost (TermInSetQuery.java:66)
@@ -491,6 +499,20 @@ class _SegmentSearcher:
             np.floor(normval.astype(np.float64) + 0.5).astype(np.int64)
         )
         return uniq, sc.score(freq, norm_bytes).astype(dtype)
+
+    def _evaluate_feature(self, q: FeatureQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded-feature scoring over the feature posting list
+        (FeatureQuery.java createWeight; freq = encoded value, norms
+        ignored)."""
+        from ..index.builder import feature_term
+
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        tp = self.term_postings(feature_term(q.feature))
+        if tp is None:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        d, f, _m = tp.decode_all()
+        return d, sc.score(f).astype(dtype)
 
     def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """max(sub) + tie_breaker·(Σ others); float64 accumulation then one
