@@ -41,6 +41,8 @@ __all__ = [
     "ENC_FOR_DELTA",
     "ENC_BITSET",
     "ENC_VBYTE_TAIL",
+    "ENC_L1_ROLLUP",
+    "L1_GROUP_BLOCKS",
     "skyline",
     "merge_skylines",
     "encode_term_postings",
@@ -54,6 +56,10 @@ ENC_CONSECUTIVE = 0  # docRange == n_docs: docids are base+1 .. base+n
 ENC_FOR_DELTA = 1    # FOR-packed deltas (delta[0] relative to base)
 ENC_BITSET = 2       # unary bitmap over (base, last_docid]
 ENC_VBYTE_TAIL = 3   # VByte deltas (tail block)
+# 4/5 are runtime pseudo-rows (singleton / delete-list, search/segment.py)
+ENC_L1_ROLLUP = 6    # level-1 skip row: merged skyline of 32 blocks, no
+                     # payload (Lucene103PostingsWriter.java:480-532)
+L1_GROUP_BLOCKS = 32  # LEVEL1_NUM_DOCS / BLOCK_SIZE (Lucene103PostingsFormat.java:345)
 
 
 def skyline(freqs: np.ndarray, norms: np.ndarray) -> list[tuple[int, int]]:

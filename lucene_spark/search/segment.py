@@ -65,6 +65,7 @@ _EMPTY = np.zeros(0, dtype=np.int64)
 
 ENC_SINGLETON = 4
 ENC_DELETE = 5  # pseudo rows carrying the live-docs delete list (deletes.py)
+ENC_L1 = 6      # level-1 rollup rows (codecs.blocks.ENC_L1_ROLLUP)
 
 
 class _TermPostings:
@@ -78,11 +79,24 @@ class _TermPostings:
         "lo", "hi", "encoding", "n_docs", "base", "block_first", "block_last",
         "docids_enc", "freqs_enc", "norms_enc", "positions_enc",
         "impact_freqs", "impact_norms", "singleton", "_decoded",
+        "l1_first", "l1_last", "l1_impact_freqs", "l1_impact_norms",
     )
 
-    def __init__(self, cols: dict, lo: int, hi: int, singleton: dict | None = None):
+    def __init__(
+        self,
+        cols: dict,
+        lo: int,
+        hi: int,
+        singleton: dict | None = None,
+        l1: tuple | None = None,
+    ):
         self.singleton = singleton
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.l1_first = self.l1_last = None
+        self.l1_impact_freqs = self.l1_impact_norms = None
+        if l1 is not None:
+            (self.l1_first, self.l1_last,
+             self.l1_impact_freqs, self.l1_impact_norms) = l1
         if singleton is not None:
             self.block_first = np.array([singleton["singleton_docid"]], dtype=np.int64)
             self.block_last = self.block_first
@@ -124,6 +138,55 @@ class _TermPostings:
         scores = scorer.score(all_f, all_n).astype(np.float64)
         bounds = np.concatenate(([0], np.cumsum(counts)))
         return np.maximum.reduceat(scores, bounds[:-1])
+
+    def coarse_block_ub(self, scorer) -> np.ndarray:
+        """Per-block UB via the level-1 rollups when present: groups' merged
+        skylines are scored (1/32 the level-0 entries) and broadcast to
+        every block fully inside the group's docid span; blocks outside any
+        group (tails, merged-in singletons) keep their own level-0 skyline.
+        A group UB equals the max of its blocks' UBs (skyline union keeps
+        every argmax pair), so pruning quality is unchanged at block
+        granularity ≥ the group span — the Lucene level-1 skip tradeoff
+        (Lucene103PostingsWriter.java:480-532)."""
+        if self.singleton is not None or self.l1_first is None:
+            return self.block_ub(scorer)
+        n = len(self.block_first)
+        # fully-contained coverage by docid span: robust to merge rebase
+        # and compaction re-blocking (partial overlap → level-0 fallback)
+        g_lo = np.searchsorted(self.block_first, self.l1_first, side="left")
+        g_hi = np.searchsorted(self.block_last, self.l1_last, side="right")
+        covered = np.zeros(n, dtype=bool)
+        gcounts = np.fromiter(
+            (len(x) for x in self.l1_impact_freqs), dtype=np.int64,
+            count=len(self.l1_impact_freqs),
+        )
+        gf = np.concatenate([np.asarray(x, dtype=np.int64) for x in self.l1_impact_freqs])
+        gn = np.concatenate([np.asarray(x, dtype=np.int64) for x in self.l1_impact_norms])
+        gscores = scorer.score(gf, gn).astype(np.float64)
+        gb = np.concatenate(([0], np.cumsum(gcounts)))
+        g_ub = np.maximum.reduceat(gscores, gb[:-1])
+        ubs = np.empty(n, dtype=np.float64)
+        for g in range(len(g_ub)):
+            lo, hi = int(g_lo[g]), int(g_hi[g])
+            if hi > lo:
+                ubs[lo:hi] = g_ub[g]
+                covered[lo:hi] = True
+        rest = np.flatnonzero(~covered)
+        if rest.size:
+            counts = np.fromiter(
+                (len(self.impact_freqs[i]) for i in rest), dtype=np.int64,
+                count=rest.size,
+            )
+            all_f = np.concatenate(
+                [np.asarray(self.impact_freqs[i], dtype=np.int64) for i in rest]
+            )
+            all_n = np.concatenate(
+                [np.asarray(self.impact_norms[i], dtype=np.int64) for i in rest]
+            )
+            scores = scorer.score(all_f, all_n).astype(np.float64)
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            ubs[rest] = np.maximum.reduceat(scores, bounds[:-1])
+        return ubs
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docids, freqs, norms) of block i."""
@@ -221,11 +284,16 @@ class SegmentContext:
             dmask = enc_all == ENC_DELETE
             deleted = np.unique(pdf["first_docid"].to_numpy()[dmask])
             pdf = pdf[~dmask]
-        pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+        # level-1 rollup rows sort AFTER a term's level-0 blocks regardless
+        # of their block_no (merge renumbering may interleave the numbers)
+        is_l1 = pdf["encoding"].to_numpy().astype(np.int64) == ENC_L1
+        pdf = pdf.assign(_l1=is_l1).sort_values(
+            ["term", "_l1", "block_no"], kind="mergesort"
+        )
         cols = {
             c: pdf[c].to_numpy()
             for c in pdf.columns
-            if c not in ("segment_id", "term", "slice_id")
+            if c not in ("segment_id", "term", "slice_id", "_l1")
         }
         terms = pdf["term"].to_numpy()
         enc = cols["encoding"].astype(np.int64)
@@ -256,7 +324,19 @@ class SegmentContext:
                     },
                 )
             else:
-                postings[term] = _TermPostings(cols, int(lo), int(hi))
+                split = int(hi)
+                l1 = None
+                if enc[hi - 1] == ENC_L1:
+                    split = int(lo) + int(
+                        np.searchsorted(enc[lo:hi] == ENC_L1, True)
+                    )
+                    l1 = (
+                        cols["first_docid"][split:hi],
+                        cols["last_docid"][split:hi],
+                        cols["impact_freqs"][split:hi],
+                        cols["impact_norms"][split:hi],
+                    )
+                postings[term] = _TermPostings(cols, int(lo), split, l1=l1)
         return cls(postings, scorers, min_doc, max_doc, prune, deleted)
 
 
@@ -971,7 +1051,7 @@ class _SegmentSearcher:
         if got is None:
             ubs = self.ctx.eval_cache.get(("ub", tq))
             if ubs is None:
-                ubs = tp.block_ub(sc)
+                ubs = tp.coarse_block_ub(sc)
                 self.ctx.eval_cache[("ub", tq)] = ubs
             got = _term_window_map(tp, ubs, off, n_win)
             self.ctx.eval_cache[("winmap", tq)] = got
