@@ -33,7 +33,8 @@ from .search import Searcher
 __all__ = ["gate_queries", "gate_oracle_sql", "entry_query"]
 
 K1, B = "1.2", "0.75"
-_FORMAT_V = "v2"  # bump when the index layout changes to invalidate caches
+_FORMAT_V = "v3"  # bump when the index layout changes to invalidate caches
+# v3: multi-field postings, feature fields, level-1 rollup rows (round 2)
 _GATE_ROOT = os.environ.get("LUCENE_SPARK_GATE_DIR", "/tmp/lucene_spark_gate")
 
 # ---------------------------------------------------------------------------
@@ -964,6 +965,84 @@ SELECT vec_id, round(cos, 4) AS cos FROM (
 )"""
 
 
+def _q_simsearch_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.ivf_topk(
+        emb, _qvec(spark, sf_dir), k=10, n_centroids=16, n_probe=4
+    )
+
+
+def _sql_sq_l2(elem, cent, dim: int) -> str:
+    """Left-assoc sum of squared diffs — the exact fold order of both the
+    engine's F.aggregate(zip_with(...)) and the driver-side python sum, so
+    argmin ties resolve identically in DuckDB."""
+    expr = "0.0"
+    for i in range(dim):
+        t = f"({elem(i)} - {cent(i)})"
+        expr = f"({expr} + ({t} * {t}))"
+    return expr
+
+
+def _sql_simsearch_ivf(dim: int = 64, c: int = 16, probe: int = 4, k: int = 10) -> str:
+    """Replays ivf_train/ivf_topk: seeds = first ``c`` vec_ids, one Lloyd
+    step with centroids rounded to 6dp, multi-probe + exact cosine."""
+    e_el = lambda i: f"e.embedding[{i + 1}]::DOUBLE"  # noqa: E731
+    s_el = lambda i: f"s.c[{i + 1}]"  # noqa: E731
+    c_el = lambda i: f"c.d{i}"  # noqa: E731
+    q_el = lambda i: f"q.qv[{i + 1}]"  # noqa: E731
+    cent_cols = ",\n       ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), 6) AS d{i}" for i in range(dim)
+    )
+    return f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {c})
+),
+a0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, s_el, dim)}, s.cell
+           ) AS rn
+    FROM embeddings e, seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell,
+       {cent_cols}
+  FROM a0 GROUP BY cell
+),
+a1 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, c_el, dim)}, c.cell
+           ) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY {_sql_sq_l2(q_el, c_el, dim)}, c.cell
+           ) AS rn
+    FROM cent c, q
+  ) WHERE rn <= {probe}
+),
+s AS (
+  SELECT e.vec_id,
+    {_COS_SQL} AS cos
+  FROM a1 e, q
+  WHERE e.cell IN (SELECT cell FROM probes)
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM s ORDER BY cos DESC, vec_id ASC LIMIT {k}
+)"""
+
+
 def _q_simsearch_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
@@ -1336,6 +1415,7 @@ def gate_queries() -> dict:
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
         "simsearch_signbucket": _q_simsearch_bucket,
+        "simsearch_ivf": _q_simsearch_ivf,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -1393,6 +1473,7 @@ def gate_oracle_sql() -> dict:
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
+        "simsearch_ivf": _sql_simsearch_ivf(),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "signbucket_topk"]
+__all__ = [
+    "cosine_topk",
+    "signbucket_topk",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_topk",
+    "recall_at_k",
+]
 
 
 def _dot(a, b) -> F.Column:
@@ -55,6 +62,138 @@ def _sign_key(vec_col: str, n_bits: int) -> F.Column:
         for i in range(n_bits)
     ]
     return F.concat(*bits)
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+#
+# The scale path beyond sign-bucket LSH: learned-centroid cells. Training is
+# one distributed pass (seed = first n_centroids vectors by id, one Lloyd
+# refinement as 64 map-side-combinable avg aggregates — no explode, no
+# per-row Python); centroids are tiny (C x dim floats) and broadcast as
+# literals into the assignment expression, so assignment is pure JVM codegen.
+#
+# At 100 TB the workflow is: ivf_train on a sample -> ivf_assign once at
+# write time -> store partitioned/bucketed by `cell` -> a query computes its
+# n_probe nearest cells driver-side (C-sized math) and reads only those
+# partitions (partition pruning), then exact-cosine re-ranks within. Here
+# the same operators run the assignment query-time at test scale.
+#
+# Determinism contract (gate-oracle reproducible): seeds are the
+# n_centroids smallest vec_ids; refined centroids are per-dim avgs rounded
+# to 6 decimals (absorbs f64 summation-order differences between engines);
+# all argmins tie-break on the smaller cell id via lexicographic
+# (dist, cell) ordering.
+
+
+def _sq_l2(vec_col, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_cell(vec_col, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Id of the nearest centroid (squared-L2, ties -> smaller cell id)."""
+    structs = F.array(
+        *[
+            F.struct(
+                _sq_l2(vec_col, c).alias("d"), F.lit(int(cid)).alias("c")
+            )
+            for cid, c in centroids
+        ]
+    )
+    return F.array_min(structs)["c"]
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """One-iteration k-means: deterministic seeds (the ``n_centroids``
+    smallest ids), one Lloyd refinement. Returns [(cell_id, centroid)]
+    sorted by cell_id; cells that lose all members are dropped. The
+    refinement is a single groupBy with ``dim`` avg aggregates (partial
+    aggregation, no shuffle amplification)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    seeds = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            emb.orderBy(F.asc(id_col)).limit(n_centroids).collect()
+        )
+    ]
+    v = F.col(vec_col)
+    assigned = emb.select(_argmin_cell(v, seeds).alias("cell"), vec_col)
+    rows = (
+        assigned.groupBy("cell")
+        .agg(
+            *[
+                F.round(F.avg(F.element_at(v, i + 1).cast("double")), 6).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        )
+        .collect()
+    )
+    return sorted(
+        (int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)]) for r in rows
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cell`` column: nearest-centroid id. At scale, run once at
+    write time and partition/bucket the table by ``cell``."""
+    return emb.withColumn("cell", _argmin_cell(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's ``n_probe``
+    nearest IVF cells. Pass precomputed ``centroids`` (from ivf_train) to
+    skip training; probe selection is driver-side C-sized math."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    probes = sorted(
+        cid
+        for _, cid in sorted(
+            (sum((float(q) - c) ** 2 for q, c in zip(qvec, cvec)), cid)
+            for cid, cvec in centroids
+        )[:n_probe]
+    )
+    cands = ivf_assign(emb, centroids, vec_col=vec_col).filter(
+        F.col("cell").isin(probes)
+    )
+    return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def recall_at_k(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    **ivf_kwargs,
+) -> float:
+    """|ivf_topk ∩ exact topk| / k — the ANN quality metric for BENCH."""
+    exact = {r[0] for r in cosine_topk(emb, qvec, k=k).collect()}
+    approx = {r[0] for r in ivf_topk(emb, qvec, k=k, **ivf_kwargs).collect()}
+    return len(exact & approx) / float(k)
 
 
 def signbucket_topk(

@@ -1,0 +1,65 @@
+"""IVF ANN: training determinism, assignment totality, probe recall.
+
+The exact-value gate (Spark vs DuckDB oracle) for ``simsearch_ivf`` lives in
+test_gate.py; these tests cover the operator properties the oracle can't:
+recall vs brute force, stability of the learned centroids, and that every
+vector lands in exactly one cell.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline import simsearch as ss
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EMB), reason="testdata parquet not present"
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+
+def test_train_deterministic(emb):
+    c1 = ss.ivf_train(emb, n_centroids=8)
+    c2 = ss.ivf_train(emb, n_centroids=8)
+    assert c1 == c2
+    assert all(len(v) == 64 for _, v in c1)
+    assert [cid for cid, _ in c1] == sorted({cid for cid, _ in c1})
+
+
+def test_assign_total_partition(emb):
+    cents = ss.ivf_train(emb, n_centroids=8)
+    assigned = ss.ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == n
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in cents}
+
+
+def test_probe_all_cells_is_exact(emb, qvec):
+    cents = ss.ivf_train(emb, n_centroids=8)
+    exact = ss.cosine_topk(emb, qvec, k=10).collect()
+    full = ss.ivf_topk(
+        emb, qvec, k=10, n_probe=len(cents), centroids=cents
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in exact] == [
+        (r["vec_id"], r["cos"]) for r in full
+    ]
+
+
+def test_recall_beats_floor(emb, qvec):
+    r = ss.recall_at_k(emb, qvec, k=10, n_centroids=16, n_probe=4)
+    assert r >= 0.5, r
