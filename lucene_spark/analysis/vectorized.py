@@ -184,8 +184,13 @@ def analyze_batch(
 ) -> BatchTokens:
     """Analyze a batch of documents in vectorized passes. ``texts`` is a
     sequence of strings (None/empty → no tokens). Output positions/terms are
-    identical to running the per-document chain on each text."""
-    standard = analyzer == "standard"
+    identical to running the per-document chain on each text.
+
+    ``analyzer="english"`` tokenizes like "standard", then applies the
+    EnglishAnalyzer term chain (possessive strip → stop → Porter) once per
+    UNIQUE vocabulary term and remaps codes — per-token cost is zero."""
+    english = analyzer == "english"
+    standard = analyzer == "standard" or english
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop
         max_token_length = 1 << 31
@@ -297,6 +302,33 @@ def analyze_batch(
     codes = np.concatenate(parts_codes)
     docids = np.concatenate(parts_docids)
     positions = np.concatenate(parts_positions)
+
+    if english:
+        # whole term chain on the VOCABULARY: possessive strip -> stop ->
+        # Porter stem (EnglishAnalyzer.java:102-110 order — "it's" strips
+        # to "it" and is THEN stop-filtered). Distinct raw terms may stem
+        # to the same word, so codes are remapped into a fresh dictionary.
+        from .en import english_term
+
+        remap = np.empty(len(uniques), dtype=np.int64)
+        new_uniques: list[str] = []
+        new_index: dict[str, int] = {}
+        for i, u in enumerate(uniques):
+            t = english_term(u, stopwords)
+            if t is None:
+                remap[i] = -1
+                continue
+            ci = new_index.get(t)
+            if ci is None:
+                ci = len(new_uniques)
+                new_uniques.append(t)
+                new_index[t] = ci
+            remap[i] = ci
+        codes = remap[codes]
+        keep = codes >= 0
+        codes, docids, positions = codes[keep], docids[keep], positions[keep]
+        np.add.at(doc_lens, docids, 1)
+        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
 
     # stop filter on the VOCABULARY (exact, tiny), keeping position
     # increments of dropped tokens

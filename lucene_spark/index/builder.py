@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
+from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.simple import simple_analyze, simple_terms_positions
 from ..analysis.tokenizer import analyze as standard_analyze
 from ..analysis.tokenizer import analyze_terms_positions
@@ -85,6 +86,7 @@ _UNIFIED_TAIL = UNIFIED_BUILD_SCHEMA.fieldNames()[2:]
 _ANALYZERS: dict[str, Callable] = {
     "standard": standard_analyze,
     "simple": simple_analyze,
+    "english": english_analyze,
 }
 
 
@@ -95,6 +97,7 @@ def get_analyzer(name: str) -> Callable:
 _BULK_ANALYZERS: dict[str, Callable] = {
     "standard": analyze_terms_positions,
     "simple": simple_terms_positions,
+    "english": english_terms_positions,
 }
 
 

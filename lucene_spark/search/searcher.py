@@ -42,8 +42,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.simple import simple_analyze
-from ..analysis.tokenizer import analyze as standard_analyze
 from ..index.builder import (
     FIELD_SEP,
     _balanced_segment_labels,
@@ -141,8 +139,9 @@ class Searcher:
         self.slice_docs = slice_docs
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
         self._expand_cache: dict[object, object] = {}
-        base = standard_analyze if analyzer == "standard" else simple_analyze
-        self._analyzer = partial(base, stopwords=stopwords)
+        from ..index.builder import get_analyzer
+
+        self._analyzer = partial(get_analyzer(analyzer), stopwords=stopwords)
         # multi-field index: field list + default field from the build's
         # index_meta.json; None for classic single-field indexes
         import json as _json
