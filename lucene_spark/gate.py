@@ -291,6 +291,67 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_interval_ordered():
+    from .search.query import IntervalNear
+
+    return IntervalNear(("data", "stream"), ordered=True, max_gaps=3)
+
+
+def _ast_interval_unordered():
+    from .search.query import IntervalNear
+
+    return IntervalNear(("stream", "window"), ordered=False, max_gaps=4)
+
+
+def _sql_interval(
+    t0: str, t1: str, ordered: bool, max_gaps: int,
+    pivot: float = 1.0, boost: float = 1.0, k: int = 10,
+) -> str:
+    """Exact 2-term interval oracle (queries/intervals semantics).
+
+    Candidates are greedy per start — ordered: for each pos of t0, the next
+    t1 strictly after (OrderedIntervalsSource); unordered: for each pos of
+    either term, the other's next at/after it (UnorderedIntervalsSource PQ
+    states). Ends are monotone in starts, so the minimal-interval antichain
+    is exactly max(start) per (doc, end). Gap filter w-2 <= max_gaps
+    (gaps() = width - minExtent), per-interval weight 1/(w-1) =
+    1/max(w - minExtent + 1, 1) (IntervalScorer.java:60-68), freq chained
+    per ascending width left-assoc double — bit-identical to
+    segment._interval_match — then the saturation score
+    boost * (1 - pivot/(pivot + freq)) (IntervalScoreFunction.java:66-74)."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 1}))"
+        )
+    fwd = """
+  SELECT pa.doc_id, pa.pos AS s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos"""
+    if ordered:
+        cand = fwd
+    else:
+        cand = fwd + """
+  UNION ALL
+  SELECT pb.doc_id, pb.pos AS s, min(pa.pos) AS e
+  FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+  GROUP BY pb.doc_id, pb.pos"""
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = '{t0}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = '{t1}'),
+cand AS ({cand}),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+iv AS (SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s - 1 <= {max_gaps}),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, ({float(boost)!r} * (1.0 - {float(pivot)!r} /
+         ({float(pivot)!r} + freq))) AS score
+  FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
     idf = _idf("e.df")
     return f"""WITH {_BASE_CTES},
@@ -1381,6 +1442,8 @@ def gate_queries() -> dict:
         "bm25_range": _mk_topk("[scan TO stream]"),
         "bm25_boosted_or": _mk_topk("stream^2.0 OR window"),
         "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),
+        "interval_ordered": _mk_topk_ast(_ast_interval_ordered),
+        "interval_unordered": _mk_topk_ast(_ast_interval_unordered),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
@@ -1441,6 +1504,8 @@ def gate_oracle_sql() -> dict:
         "bm25_range": _sql_range("scan", "stream", incl=True),
         "bm25_boosted_or": _sql_boost_or([("stream", 2.0), ("window", 1.0)]),
         "bm25_sloppy_phrase": _sql_sloppy_phrase("data", "stream", 2),
+        "interval_ordered": _sql_interval("data", "stream", True, 3),
+        "interval_unordered": _sql_interval("stream", "window", False, 4),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),

@@ -201,6 +201,90 @@ class PyIndex:
                 )[0]
         return out
 
+    def interval_scores(self, q) -> dict[int, np.float32]:
+        """IntervalQuery oracle (queries/intervals): per doc, enumerate the
+        MINIMAL ordered/unordered intervals over one occurrence of every
+        term, filter by max_gaps (gaps = width - minExtent:
+        Ordered/UnorderedIntervalIterator.gaps()) and max_width, sum the
+        sloppy freq 1/max(width - minExtent + 1, 1) per interval
+        (IntervalScorer.java:60-68), and apply the saturation function
+        boost * (1 - pivot/(pivot + freq))
+        (IntervalScoreFunction.java:66-74) in float32.
+
+        Independence from the engine: candidates come from a literal greedy
+        enumeration and minimality is an EXPLICIT containment antichain
+        filter (an interval is dropped iff it properly contains another
+        candidate) — not the engine's keep-max-start-per-end dedup — so a
+        shared monotonicity bug cannot pass both sides.
+        """
+        import bisect
+
+        m = len(q.terms)
+        plists = [{d: pos for d, _, pos in self.postings.get(t, ())} for t in q.terms]
+        common = set(plists[0]) if plists else set()
+        for p in plists[1:]:
+            common &= set(p)
+        out: dict[int, np.float32] = {}
+        for d in sorted(common):
+            lists = [sorted(plists[i][d]) for i in range(m)]
+            cands: list[tuple[int, int]] = []
+            if q.ordered:
+                # each term must start strictly after the previous term's
+                # position (OrderedIntervalsSource: single-position leaves)
+                for s in lists[0]:
+                    cur, ok = s, True
+                    for lst in lists[1:]:
+                        j = bisect.bisect_right(lst, cur)
+                        if j >= len(lst):
+                            ok = False
+                            break
+                        cur = lst[j]
+                    if ok:
+                        cands.append((s, cur))
+            else:
+                # span = [start, max over terms of first occurrence >= start]
+                # for every occurrence of any term as the start
+                # (UnorderedIntervalsSource PQ states, minimized)
+                starts = sorted(p for lst in lists for p in lst)
+                for s in starts:
+                    e, ok = s, True
+                    for lst in lists:
+                        j = bisect.bisect_left(lst, s)
+                        if j >= len(lst):
+                            ok = False
+                            break
+                        e = max(e, lst[j])
+                    if ok:
+                        cands.append((s, e))
+            minimal = [
+                (s, e)
+                for (s, e) in cands
+                if not any(
+                    s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                    for (s2, e2) in cands
+                )
+            ]
+            counts: dict[int, int] = defaultdict(int)
+            for s, e in set(minimal):
+                w = e - s + 1
+                if q.max_gaps >= 0 and (w - m) > q.max_gaps:
+                    continue
+                if q.max_width >= 0 and w > q.max_width:
+                    continue
+                counts[w] += 1
+            # per distinct width, ascending, left-assoc double — the
+            # deterministic grouping shared with segment._interval_match
+            freq = 0.0
+            for w in sorted(counts):
+                freq += counts[w] * (1.0 / max(w - m + 1, 1))
+            if freq > 0:
+                f = np.float32(freq)
+                p32 = np.float32(q.pivot)
+                out[d] = np.float32(
+                    np.float32(q.boost) * (np.float32(1.0) - p32 / (p32 + f))
+                )
+        return out
+
     def expand_multiterm(self, q, max_terms: int = 128):
         """Mirror of Searcher.expand_multiterm over the in-memory term dict:
         df-desc then term-asc ranking with the same cap, so engine and oracle
@@ -374,7 +458,10 @@ class PyIndex:
             }
         if isinstance(q, SynonymQuery):
             return self.synonym_scores(q.terms, q.boost)
-        from ..search.query import MultiPhraseQuery
+        from ..search.query import IntervalNear, MultiPhraseQuery
+
+        if isinstance(q, IntervalNear):
+            return self.interval_scores(q)
 
         if isinstance(q, MultiPhraseQuery):
             return self.multi_phrase_scores(q.slots, q.boost)

@@ -198,6 +198,43 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class IntervalNear:
+    """Positional interval query over term leaves: minimal intervals
+    (queries/intervals/IntervalQuery.java, Intervals.ordered/unordered +
+    maxgaps/maxwidth filters). A doc's sloppy freq sums, over its minimal
+    intervals, ``1 / max(width - minExtent + 1, 1)`` with minExtent =
+    len(terms) (IntervalScorer.java:60-68); the doc score is the
+    saturation function ``boost * freq / (freq + pivot)``
+    (IntervalScoreFunction.java:56-85) — no IDF, no length norm.
+
+    ``ordered``: terms must appear left-to-right, non-overlapping
+    (OrderedIntervalsSource.java minimal enumeration). ``ordered=False``:
+    any order (UnorderedIntervalsSource) — enumerated with
+    minimal-interval semantics (no enumerated interval contains another).
+    ``max_gaps`` filters intervals with more than that many non-term
+    positions inside (FilteredIntervalsSource.MaxGaps); ``max_width``
+    bounds end-start+1 (MaxWidth); -1 = unfiltered.
+
+    Freq accumulates per distinct interval width in ascending width order
+    (left-assoc), making the float result reproducible in SQL."""
+
+    terms: tuple[str, ...]
+    ordered: bool = True
+    max_gaps: int = -1
+    max_width: int = -1
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if len(set(self.terms)) != len(self.terms):
+            # Lucene wraps repeats in RepeatingIntervalsSource
+            # (OrderedIntervalsSource.java:40-57); not supported here
+            raise ValueError("IntervalNear requires distinct terms")
+        if not (self.pivot > 0):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc with ≥1 token in ``field``, constant score
     (search/FieldExistsQuery.java:39 — answered from norms existence there,
@@ -580,6 +617,8 @@ def _rewrite_once(q):
             return BooleanQuery(
                 should=tuple(TermQuery(t, q.boost) for t in q.slots[0])
             )
+    if isinstance(q, IntervalNear) and not q.terms:
+        return MatchNoDocsQuery()
     if isinstance(q, SynonymQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)  # SynonymQuery.rewrite
     if isinstance(q, TermInSetQuery):
@@ -608,7 +647,7 @@ def collect_terms(q) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for s in q.slots for t in s}
-    if isinstance(q, (SynonymQuery, TermInSetQuery)):
+    if isinstance(q, (SynonymQuery, TermInSetQuery, IntervalNear)):
         return set(q.terms)
     if isinstance(q, CombinedFieldQuery):
         # exists lists ride along: they are the per-doc field-norms source

@@ -41,6 +41,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalNear,
     MultiPhraseQuery,
     PhraseQuery,
     SynonymQuery,
@@ -92,6 +93,41 @@ class QuantizedDoubleBm25:
         return float(self.score(impacts[:, 0], impacts[:, 1]).max())
 
 
+@dataclass(frozen=True)
+class IntervalSaturationScorer:
+    """Saturation scoring of the sloppy interval frequency:
+    ``weight * (1 - pivot / (pivot + freq))`` — the default
+    ``IntervalQuery`` score function (IntervalScoreFunction.java:66-74,
+    written as 1 - k/(f+k) so rounding never makes it decrease with f).
+    No IDF, no length norm: ``getMaxScore == boost``
+    (IntervalScorer.java:91-94). ``weight`` is np.float32 in lucene mode
+    so _float_dtype picks the engine-wide float32 path."""
+
+    weight: object  # np.float32 (lucene) | float (double)
+    pivot: float
+
+    @classmethod
+    def create(cls, mode: str, pivot: float, boost: float):
+        if not (pivot > 0) or not np.isfinite(pivot):
+            raise ValueError(f"pivot must be > 0, got: {pivot}")
+        if mode == "lucene":
+            return cls(weight=np.float32(boost), pivot=pivot)
+        if mode == "double":
+            return cls(weight=float(boost), pivot=pivot)
+        raise ValueError(f"unknown scoring mode {mode!r}")
+
+    def score(self, freqs: np.ndarray, norms=None) -> np.ndarray:
+        if isinstance(self.weight, np.float32):
+            f = np.asarray(freqs, dtype=np.float32)
+            p = np.float32(self.pivot)
+            return self.weight * (np.float32(1.0) - p / (p + f))
+        f = np.asarray(freqs, dtype=np.float64)
+        return self.weight * (1.0 - self.pivot / (self.pivot + f))
+
+    def max_score(self, impacts=None) -> float:
+        return float(self.weight)
+
+
 def make_term_scorer(
     mode: str, doc_freq: int, doc_count: int, sum_ttf: int, boost: float = 1.0
 ):
@@ -141,6 +177,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             TermInSetQuery,
             CombinedFieldQuery,
             FeatureQuery,
+            IntervalNear,
         ),
     ):
         out.add(q)
@@ -183,6 +220,13 @@ def build_scorers(
         scoring_leaves(q, leaves)
     scorers: dict = {}
     for leaf in leaves:
+        if isinstance(leaf, IntervalNear):
+            # pure saturation of the sloppy interval freq — no stats/norms
+            # (IntervalQuery.java:71-72 default saturationFunction(pivot))
+            scorers[leaf] = IntervalSaturationScorer.create(
+                mode, leaf.pivot, leaf.boost
+            )
+            continue
         if isinstance(leaf, FeatureQuery):
             # no term/collection stats: the contribution is a pure function
             # of the stored feature value (FeatureField.java:306-499)

@@ -86,10 +86,10 @@ __all__ = ["Searcher", "wildcard_to_regex"]
 
 
 def _needs_positions(q) -> bool:
-    from .query import MultiPhraseQuery
+    from .query import IntervalNear, MultiPhraseQuery
 
     return any(
-        isinstance(leaf, (PhraseQuery, MultiPhraseQuery))
+        isinstance(leaf, (PhraseQuery, MultiPhraseQuery, IntervalNear))
         for leaf in scoring_leaves(q)
     )
 

@@ -42,6 +42,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalNear,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -412,6 +413,8 @@ class _SegmentSearcher:
 
             tp = self.term_postings(feature_term(q.feature))
             return tp.decode_all()[0] if tp else _EMPTY
+        if isinstance(q, IntervalNear):
+            return self._interval_match(q)[0]
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
@@ -508,6 +511,8 @@ class _SegmentSearcher:
             return d, np.full(d.size, q.boost, dtype=np.float32)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY, np.zeros(0, dtype=np.float32)
+        if isinstance(q, IntervalNear):
+            return self._evaluate_interval(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_bool(q)
         raise TypeError(f"unsupported query node {type(q)}")
@@ -1035,6 +1040,113 @@ class _SegmentSearcher:
         d0, _f0, m0 = tps[0].decode_all()
         norms = m0[np.searchsorted(d0, docs_a)]
         return docs_a, np.array(freqs, dtype=np.float64), norms, True
+
+    # --- minimal-interval positional queries (queries/intervals) --------
+    def _interval_match(self, q: IntervalNear):
+        """(docids, sloppy freqs) of the minimal-interval enumeration.
+
+        Semantics: queries/intervals — ordered
+        (OrderedIntervalsSource.java:123-181: each term's occurrence must
+        start strictly after the previous term's end) or unordered
+        (UnorderedIntervalsSource.java: span = [min start, max end] over one
+        occurrence of every term), restricted to MINIMAL intervals (no
+        enumerated interval contains another —
+        MinimizingConjunctionIntervalsSource), then filtered by
+        max_gaps/max_width (FilteredIntervalsSource.MaxGaps/MaxWidth) and
+        weighted 1/max(width - minExtent + 1, 1) per interval
+        (IntervalScorer.java:60-68, minExtent = Σ leaf extents = m).
+
+        Vectorized across all candidate docs, no per-doc loop. Candidate
+        intervals are generated greedily per start — the greedy end is the
+        smallest reachable for that start, so every minimal interval is a
+        candidate — and minimality is ends-are-monotone dedup: within a doc
+        starts ascend and greedy ends are non-decreasing, so keeping the
+        LAST row of each (doc, end) run leaves exactly the antichain of
+        minimal intervals (proof: a surviving candidate strictly containing
+        a minimal interval would force that interval's equal end with a
+        larger start, contradicting the max-start-per-end keep).
+
+        Per-doc freq accumulates per distinct width in ascending width
+        order, left-assoc float64 (count_w adds as one product) — the same
+        deterministic grouping as _sloppy_phrase_match, reproducible in
+        ANSI SQL. Docids are compressed to dense candidate indices before
+        any (doc, pos) keying, so int64 keys never overflow at 10^12-docid
+        global coordinates."""
+        no_hit = (_EMPTY, np.zeros(0, dtype=np.float64))
+        tps, cand = self._sloppy_candidates(q)
+        if tps is None or cand.size == 0:
+            return no_hit
+        m = len(tps)
+        kp = np.int64(1) << np.int64(31)  # positions < 2^31 (int32 contract)
+        keys = []  # per slot: sorted (dense doc idx, pos) keys
+        for tp in tps:
+            dd, pp = self._slot_doc_pos(tp, 0, cand)  # slot=0: raw positions
+            di = np.searchsorted(cand, dd)
+            keys.append(di * kp + pp)
+        if q.ordered:
+            k0 = keys[0]
+            doc_i = k0 // kp
+            starts = k0 % kp
+            cur = k0
+            for t in range(1, m):
+                kt = keys[t]
+                # next occurrence of term t strictly after cur, same doc
+                idx = np.searchsorted(kt, cur, side="right")
+                ok = idx < kt.size
+                nxt = kt[np.minimum(idx, kt.size - 1)]
+                ok &= (nxt // kp) == doc_i
+                doc_i, starts, cur = doc_i[ok], starts[ok], nxt[ok]
+                if doc_i.size == 0:
+                    return no_hit
+            ends = cur % kp
+        else:
+            allk = np.concatenate(keys)
+            allk.sort()
+            doc_i = allk // kp
+            starts = allk % kp
+            endp = np.zeros(allk.size, dtype=np.int64)
+            ok = np.ones(allk.size, dtype=bool)
+            for kt in keys:
+                # this term's next occurrence at/after the start (own slot
+                # resolves to the start itself), same doc
+                idx = np.searchsorted(kt, allk, side="left")
+                okt = idx < kt.size
+                nxt = kt[np.minimum(idx, kt.size - 1)]
+                okt &= (nxt // kp) == doc_i
+                ok &= okt
+                np.maximum(endp, nxt % kp, out=endp)
+            doc_i, starts, ends = doc_i[ok], starts[ok], endp[ok]
+            if doc_i.size == 0:
+                return no_hit
+        # minimality: last row per (doc, end) run == max start per end
+        key2 = doc_i * kp + ends
+        last = np.empty(key2.size, dtype=bool)
+        last[-1] = True
+        last[:-1] = key2[1:] != key2[:-1]
+        doc_i, starts, ends = doc_i[last], starts[last], ends[last]
+        width = ends - starts + 1
+        keep = np.ones(doc_i.size, dtype=bool)
+        if q.max_gaps >= 0:
+            keep &= (width - m) <= q.max_gaps
+        if q.max_width >= 0:
+            keep &= width <= q.max_width
+        doc_i, width = doc_i[keep], width[keep]
+        if doc_i.size == 0:
+            return no_hit
+        docs_u, inv = np.unique(doc_i, return_inverse=True)
+        freq = np.zeros(docs_u.size, dtype=np.float64)
+        for w in np.unique(width):  # ascending distinct widths
+            wt = 1.0 / max(int(w) - m + 1, 1)
+            freq += np.bincount(inv[width == w], minlength=docs_u.size) * wt
+        return cand[docs_u], freq
+
+    def _evaluate_interval(self, q: IntervalNear):
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        d, f = self._interval_match(q)
+        if d.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        return d, sc.score(f).astype(dtype)
 
     def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         sc = self.ctx.scorers[q]

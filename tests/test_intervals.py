@@ -1,0 +1,192 @@
+"""IntervalNear (queries/intervals analog): engine vs pure-python oracle —
+rank-identical docids AND bit-identical float32 scores — plus an oracle
+self-check against a full cartesian enumeration of minimal intervals.
+
+Reference semantics: OrderedIntervalsSource / UnorderedIntervalsSource
+minimal-interval enumeration, FilteredIntervalsSource maxgaps/maxwidth,
+IntervalScorer sloppy freq, IntervalScoreFunction saturation.
+"""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from lucene_spark.index import build_index
+from lucene_spark.oracle.pyindex import PyIndex
+from lucene_spark.search import Searcher
+from lucene_spark.search.query import (
+    BooleanQuery,
+    IntervalNear,
+    MatchNoDocsQuery,
+    TermQuery,
+    rewrite,
+)
+
+N_DOCS = 80
+# small dense vocab so every doc has many co-occurrences at varied gaps
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"] + [
+    f"pad{i}" for i in range(12)
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(N_DOCS):
+        n = int(rng.integers(8, 60))
+        toks = [VOCAB[int(t)] for t in rng.integers(0, len(VOCAB), size=n)]
+        rows.append({"url": f"doc://{i:06d}", "text": " ".join(toks)})
+    # hand-built corners: adjacency runs, missing terms, single-token doc
+    rows.append({"url": "doc://edge01", "text": "alpha beta alpha beta alpha"})
+    rows.append({"url": "doc://edge02", "text": "alpha pad0 pad1 pad2 beta"})
+    rows.append({"url": "doc://edge03", "text": "beta alpha"})
+    rows.append({"url": "doc://edge04", "text": "alpha"})
+    rows.append({"url": "doc://edge05", "text": "gamma beta alpha gamma beta"})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_iv"))
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], "url string, text string"
+    )
+    build_index(spark, df, d, num_segments=3, stopwords=None)
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return Searcher(spark, index_dir, stopwords=None)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus, searcher):
+    dm = searcher._docmap_global().select("url", "docid").collect()
+    url_to_docid = {r["url"]: r["docid"] for r in dm}
+    idx = PyIndex(stopwords=None)
+    for r in corpus:
+        idx.add(url_to_docid[r["url"]], r["text"])
+    return idx
+
+
+def _check(searcher, oracle, q, k=10):
+    expected = oracle.search_query(q, k=k)
+    got = [(r["docid"], r["score"]) for r in searcher.search(q, k=k).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected], (
+        f"{q}: docids diverge\n got={got}\n exp={expected}"
+    )
+    for (gd, gs), (_ed, es) in zip(got, expected):
+        assert np.float32(gs) == np.float32(es), (q, gd, gs, es)
+    return got
+
+
+GRID = [
+    IntervalNear(("alpha", "beta")),
+    IntervalNear(("alpha", "beta"), max_gaps=0),
+    IntervalNear(("alpha", "beta"), max_gaps=2),
+    IntervalNear(("alpha", "beta"), max_width=3),
+    IntervalNear(("alpha", "beta"), max_gaps=4, max_width=5),
+    IntervalNear(("beta", "alpha"), max_gaps=1),
+    IntervalNear(("alpha", "beta", "gamma"), max_gaps=6),
+    IntervalNear(("gamma", "delta", "eps"), max_gaps=3),
+    IntervalNear(("alpha", "beta"), ordered=False),
+    IntervalNear(("alpha", "beta"), ordered=False, max_gaps=0),
+    IntervalNear(("alpha", "beta"), ordered=False, max_gaps=3),
+    IntervalNear(("alpha", "beta", "gamma"), ordered=False, max_gaps=5),
+    IntervalNear(("delta", "zeta"), ordered=False, max_width=4),
+    IntervalNear(("alpha",)),  # single term: span [p,p], freq = tf
+    IntervalNear(("alpha", "beta"), max_gaps=2, pivot=0.5, boost=2.5),
+    IntervalNear(("alpha", "beta"), ordered=False, pivot=3.0),
+]
+
+
+@pytest.mark.parametrize("q", GRID, ids=lambda q: repr(q)[:60])
+def test_interval_parity(searcher, oracle, q):
+    _check(searcher, oracle, q)
+
+
+def test_interval_in_boolean(searcher, oracle):
+    # filter context + scored context inside a BooleanQuery
+    q = BooleanQuery(
+        must=(TermQuery("gamma"), IntervalNear(("alpha", "beta"), max_gaps=3))
+    )
+    _check(searcher, oracle, q)
+    q2 = BooleanQuery(
+        should=(
+            IntervalNear(("alpha", "beta"), ordered=False, max_gaps=2),
+            TermQuery("delta"),
+        )
+    )
+    _check(searcher, oracle, q2)
+
+
+def test_interval_rewrite_and_validation():
+    assert isinstance(rewrite(IntervalNear(())), MatchNoDocsQuery)
+    with pytest.raises(ValueError):
+        IntervalNear(("alpha", "beta", "alpha"))
+    with pytest.raises(ValueError):
+        IntervalNear(("alpha",), pivot=0.0)
+
+
+# --- oracle self-check: greedy+antichain == full cartesian enumeration ----
+
+def _brute_minimal(lists, ordered):
+    """Antichain of ALL valid intervals (one occurrence per term)."""
+    cands = set()
+    for combo in product(*lists):
+        if ordered:
+            if not all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+                continue
+            s, e = combo[0], combo[-1]
+        else:
+            s, e = min(combo), max(combo)
+        cands.add((s, e))
+    return {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            s2 >= s and e2 <= e and (s2, e2) != (s, e) for (s2, e2) in cands
+        )
+    }
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+@pytest.mark.parametrize("m", [2, 3])
+def test_oracle_matches_full_enumeration(ordered, m):
+    rng = np.random.default_rng(11)
+    terms = [f"t{i}" for i in range(m)]
+    for trial in range(40):
+        n = int(rng.integers(m, 14))
+        pool = terms + ["filler"]  # one non-query term mixed in
+        toks = [pool[int(i)] for i in rng.integers(0, len(pool), size=n)]
+        idx = PyIndex(stopwords=None)
+        idx.add(0, " ".join(toks))
+        q = IntervalNear(tuple(terms), ordered=ordered)
+        got = idx.interval_scores(q)
+        lists = [
+            sorted(p for tok_i, tok in enumerate(toks) if tok == t for p in [tok_i])
+            for t in terms
+        ]
+        if any(not lst for lst in lists):
+            assert got == {}
+            continue
+        minimal = _brute_minimal(lists, ordered)
+        freq = 0.0
+        counts: dict[int, int] = {}
+        for s, e in minimal:
+            w = e - s + 1
+            counts[w] = counts.get(w, 0) + 1
+        for w in sorted(counts):
+            freq += counts[w] * (1.0 / max(w - m + 1, 1))
+        if freq == 0:
+            assert got == {}
+            continue
+        f = np.float32(freq)
+        exp = np.float32(
+            np.float32(1.0) * (np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + f))
+        )
+        assert 0 in got, (toks, minimal)
+        assert got[0] == exp, (toks, minimal, got[0], exp)
