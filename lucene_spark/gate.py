@@ -729,6 +729,48 @@ SELECT doc_id, round(score, 4) AS score FROM (
 # stats / structure queries
 # ---------------------------------------------------------------------------
 
+def _q_join_max(spark, sf_dir, k: int = 10):
+    """Query-time join (JoinUtil.createJoinQuery, ScoreMode.Max): from =
+    every doc matching "stream AND window" with its BM25 score, join value
+    = the doc's ``source``, to = every doc sharing that source, scored by
+    the per-source max from-score. Max is order-independent, so the float
+    result is exactly reproducible in SQL."""
+    from .search.join import join_search
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    hits = s.search("stream AND window", k=n, with_url=True).select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("score"),
+    )
+    side = docs.select("doc_id", "source")
+    out = join_search(hits, side, "source", side, "source", score_mode="max")
+    return (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _sql_join_max(terms: list[str], k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" JOIN {a} USING (doc_id)"
+    return f"""WITH {_BASE_CTES}, {ctes},
+fh AS (SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}),
+vals AS (
+  SELECT d.source AS src, max(f.score) AS score
+  FROM fh f JOIN documents d USING (doc_id) GROUP BY d.source
+),
+th AS (
+  SELECT d.doc_id, v.score FROM documents d JOIN vals v ON d.source = v.src
+)
+""" + _topk_wrap("SELECT doc_id, score FROM th", k)
+
+
 def _q_term_stats(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return (
@@ -1460,6 +1502,7 @@ def gate_queries() -> dict:
         "sort_by_field": _q_sort_by_field,
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
+        "join_to_source": _q_join_max,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "term_stats": _q_term_stats,
@@ -1521,6 +1564,7 @@ def gate_oracle_sql() -> dict:
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),
+        "join_to_source": _sql_join_max(["stream", "window"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
         "term_stats": _SQL_TERM_STATS,

@@ -1,4 +1,5 @@
+from .join import join_search
 from .query import parse_query, rewrite
 from .searcher import Searcher
 
-__all__ = ["Searcher", "parse_query", "rewrite"]
+__all__ = ["Searcher", "join_search", "parse_query", "rewrite"]
