@@ -229,6 +229,29 @@ def run_suite(cores: int, corpus_path: str) -> dict:
         simsearch.cosine_topk(emb, qvec, k=10).collect()
         timings["simsearch"] = time.time() - t0
 
+        # IVF ANN: centroids trained once (write-time cost at scale), then
+        # multi-probe queries; recall@10 vs exact cosine over 4 query vecs
+        cents = simsearch.ivf_train(emb, n_centroids=16)
+        qvecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 4).collect()
+        }
+        t0 = time.time()
+        approx = {
+            qid: {r[0] for r in simsearch.ivf_topk(
+                emb, qv, k=10, n_probe=4, centroids=cents
+            ).collect()}
+            for qid, qv in qvecs.items()
+        }
+        timings["simsearch_ivf"] = time.time() - t0
+        exact = {
+            qid: {r[0] for r in simsearch.cosine_topk(emb, qv, k=10).collect()}
+            for qid, qv in qvecs.items()
+        }
+        ann_recall = sum(
+            len(exact[q] & approx[q]) / 10.0 for q in qvecs
+        ) / len(qvecs)
+
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         t0 = time.time()
         eventops.hourly_rollup(events).count()
@@ -242,6 +265,7 @@ def run_suite(cores: int, corpus_path: str) -> dict:
         "timings": timings,
         "docs_per_sec": N_DOCS / timings["index_build"],
         "qps": n_queries / timings["query_set"],
+        "ann_recall_at_10": ann_recall,
         "total_secs": sum(timings.values()),
     }
 
@@ -291,6 +315,7 @@ def main() -> None:
         }
         best["docs_per_sec"] = max(r["docs_per_sec"] for r in runs)
         best["qps"] = max(r["qps"] for r in runs)
+        best["ann_recall_at_10"] = runs[0]["ann_recall_at_10"]  # deterministic
         best["total_secs"] = sum(best["timings"].values())
         best["all_runs"] = [
             {"docs_per_sec": round(r["docs_per_sec"], 1), "qps": round(r["qps"], 2)}
@@ -332,6 +357,7 @@ def main() -> None:
         "sf": _sf(),
         "docs_per_sec": round(full["docs_per_sec"], 2),
         "qps": round(full["qps"], 2),
+        "ann_recall_at_10": round(full["ann_recall_at_10"], 3),
         "scaling": scaling,
     }
     print(json.dumps(out))
