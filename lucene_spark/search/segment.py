@@ -1438,6 +1438,88 @@ class _SegmentSearcher:
                 theta = float(top_s[-1])
         return top_d, top_s
 
+    def pruned_dismax_terms(
+        self, term_qs: list, tie: float, k: int, after=None
+    ):
+        """Windowed block-max DisjunctionMaxQuery over term disjuncts.
+
+        Lucene routes dismax top-k through WANDScorer
+        (BooleanScorerSupplier / DisjunctionMaxQuery.java rewrite to
+        WAND-eligible shape); the Spark analog reuses the MAXSCORE window
+        machinery with the dismax upper bound per window:
+        ``(1 - tie)·max_t ub_t + tie·Σ_t ub_t`` — for any doc in the
+        window, score = max + tie·(sum − max) ≤ that bound since every
+        per-term score is ≤ its window UB. Per-window evaluation applies
+        the exact ``_evaluate_dismax`` combine (same operands, same float64
+        accumulation order restricted to the window's docs), so results
+        are rank- and score-identical to the exhaustive path."""
+        tps, scs = [], []
+        for tq in term_qs:
+            tp = self.term_postings(tq.term)
+            if tp is not None:
+                tps.append(tp)
+                scs.append(self.ctx.scorers[tq])
+        if not tps:
+            return _EMPTY, np.zeros(0, dtype=np.float32)
+        dtype = _float_dtype(scs[0])
+        off = self.ctx.min_doc
+        n_win = (self.ctx.max_doc - 1 - off) // WINDOW_DOCS + 1
+        sum_w = np.zeros(n_win, dtype=np.float64)
+        max_w = np.zeros(n_win, dtype=np.float64)
+        term_maps: list[tuple[np.ndarray, np.ndarray]] = []
+        for i, (tp, sc) in enumerate(zip(tps, scs)):
+            t_ub, wins_s, blocks_s = self._term_winmap(
+                term_qs[i], tp, sc, off, n_win
+            )
+            sum_w += t_ub
+            np.maximum(max_w, t_ub, out=max_w)
+            term_maps.append((wins_s, blocks_s))
+        ub_w = (max_w + tie * (sum_w - max_w)) * (1.0 + 4e-6)
+        order = np.argsort(-ub_w, kind="stable")
+        top_d = _EMPTY
+        top_s = np.zeros(0, dtype=dtype)
+        theta = -np.inf
+        for w in order:
+            w = int(w)
+            if top_d.size >= k and ub_w[w] < theta:
+                break
+            lo_doc = off + w * WINDOW_DOCS
+            hi_doc = min(lo_doc + WINDOW_DOCS, self.ctx.max_doc)
+            parts = []
+            for tp, sc, (wins_s, blocks_s) in zip(tps, scs, term_maps):
+                lo_i = np.searchsorted(wins_s, w, side="left")
+                hi_i = np.searchsorted(wins_s, w, side="right")
+                if hi_i == lo_i:
+                    continue
+                d, f, m = tp.decode_blocks(blocks_s[lo_i:hi_i])
+                sel = (d >= lo_doc) & (d < hi_doc)
+                if not sel.any():
+                    continue
+                parts.append((d[sel], sc.score(f[sel], m[sel]).astype(dtype)))
+            if not parts:
+                continue
+            # exact _evaluate_dismax combine on the window's docs
+            alld = np.concatenate([p[0] for p in parts])
+            alls = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            uniq, inv = np.unique(alld, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            maxs = np.full(uniq.size, -np.inf, dtype=np.float64)
+            np.add.at(sums, inv, alls)
+            np.maximum.at(maxs, inv, alls)
+            d = uniq
+            s = (maxs + tie * (sums - maxs)).astype(dtype)
+            if self.ctx.deleted is not None:
+                keep = np.isin(d, self.ctx.deleted, invert=True)
+                d, s = d[keep], s[keep]
+            if after is not None:
+                d, s = _after_filter(d, s, after)
+            top_d = np.concatenate((top_d, d))
+            top_s = np.concatenate((top_s, s))
+            top_d, top_s = _topk(top_d, top_s, k)
+            if top_d.size >= k:
+                theta = float(top_s[-1])
+        return top_d, top_s
+
 
 def _term_window_map(tp: _TermPostings, ubs: np.ndarray, off: int, n_win: int):
     """Vectorized block→window assignment for one term: returns
@@ -1692,6 +1774,17 @@ def search_segment(
         and all(isinstance(c, TermQuery) for c in query.should)
     ):
         d, sc = s.pruned_disjunction_terms(list(query.should), k, after=after)
+        return d, sc
+    if (
+        ctx.prune
+        and isinstance(query, DisjunctionMaxQuery)
+        and len(query.disjuncts) >= 2
+        and all(isinstance(c, TermQuery) for c in query.disjuncts)
+    ):
+        # dismax top-k pruning (WANDScorer handles DisMax in Lucene)
+        d, sc = s.pruned_dismax_terms(
+            list(query.disjuncts), query.tie_breaker, k, after=after
+        )
         return d, sc
     if ctx.prune and isinstance(query, BooleanQuery):
         clauses = (*query.must, *query.should, *query.must_not)

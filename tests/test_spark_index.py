@@ -129,6 +129,29 @@ def test_pruned_equals_exhaustive(spark, index_dir, oracle):
         a = [(r["docid"], np.float32(r["score"])) for r in s_pruned.search(ast, k=10).collect()]
         b = [(r["docid"], np.float32(r["score"])) for r in s_exh.search(ast, k=10).collect()]
         assert a == b, ast
+    # dismax over terms (pruned via the windowed dismax UB)
+    from lucene_spark.search.query import DisjunctionMaxQuery
+
+    for ast in [
+        DisjunctionMaxQuery(
+            disjuncts=(TermQuery("w0000"), TermQuery("w0001")), tie_breaker=0.3
+        ),
+        DisjunctionMaxQuery(
+            disjuncts=(TermQuery("the"), TermQuery("w0350"), TermQuery("w9999")),
+            tie_breaker=0.0,
+        ),
+        DisjunctionMaxQuery(
+            disjuncts=(TermQuery("w0001"), TermQuery("w0002"), TermQuery("w0100")),
+            tie_breaker=1.0,
+        ),
+        DisjunctionMaxQuery(
+            disjuncts=(TermQuery("w0000", boost=2.0), TermQuery("w8000")),
+            tie_breaker=0.5,
+        ),
+    ]:
+        a = [(r["docid"], np.float32(r["score"])) for r in s_pruned.search(ast, k=10).collect()]
+        b = [(r["docid"], np.float32(r["score"])) for r in s_exh.search(ast, k=10).collect()]
+        assert a == b, ast
 
 
 def test_conjunction_blockmax_decode_reduction(spark, tmp_path_factory):
