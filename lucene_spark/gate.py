@@ -303,8 +303,15 @@ def _ast_interval_unordered():
     return IntervalNear(("stream", "window"), ordered=False, max_gaps=4)
 
 
+def _ast_interval_or():
+    from .search.query import IntervalNear
+
+    # slot 2 is Intervals.or(stream, window)
+    return IntervalNear(("data", ("stream", "window")), ordered=True, max_gaps=3)
+
+
 def _sql_interval(
-    t0: str, t1: str, ordered: bool, max_gaps: int,
+    t0, t1, ordered: bool, max_gaps: int,
     pivot: float = 1.0, boost: float = 1.0, k: int = 10,
 ) -> str:
     """Exact 2-term interval oracle (queries/intervals semantics).
@@ -337,9 +344,15 @@ def _sql_interval(
   SELECT pb.doc_id, pb.pos AS s, min(pa.pos) AS e
   FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
   GROUP BY pb.doc_id, pb.pos"""
+    def _slot_pred(t) -> str:
+        # a tuple slot is Intervals.or of its terms: positions = union
+        if isinstance(t, (tuple, list)):
+            return "term IN (" + ", ".join(f"'{x}'" for x in t) + ")"
+        return f"term = '{t}'"
+
     return f"""WITH {_BASE_CTES},
-pa AS (SELECT doc_id, pos FROM toks WHERE term = '{t0}'),
-pb AS (SELECT doc_id, pos FROM toks WHERE term = '{t1}'),
+pa AS (SELECT doc_id, pos FROM toks WHERE {_slot_pred(t0)}),
+pb AS (SELECT doc_id, pos FROM toks WHERE {_slot_pred(t1)}),
 cand AS ({cand}),
 mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
 iv AS (SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s - 1 <= {max_gaps}),
@@ -1486,6 +1499,7 @@ def gate_queries() -> dict:
         "bm25_sloppy_phrase": _mk_topk('"data stream"~2'),
         "interval_ordered": _mk_topk_ast(_ast_interval_ordered),
         "interval_unordered": _mk_topk_ast(_ast_interval_unordered),
+        "interval_or_slot": _mk_topk_ast(_ast_interval_or),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
@@ -1549,6 +1563,7 @@ def gate_oracle_sql() -> dict:
         "bm25_sloppy_phrase": _sql_sloppy_phrase("data", "stream", 2),
         "interval_ordered": _sql_interval("data", "stream", True, 3),
         "interval_unordered": _sql_interval("stream", "window", False, 4),
+        "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),

@@ -219,8 +219,15 @@ class PyIndex:
         """
         import bisect
 
-        m = len(q.terms)
-        plists = [{d: pos for d, _, pos in self.postings.get(t, ())} for t in q.terms]
+        slots = q.slots
+        m = len(slots)
+        plists: list[dict[int, list[int]]] = []
+        for alts in slots:
+            merged: dict[int, list[int]] = {}
+            for t in alts:
+                for d, _, pos in self.postings.get(t, ()):
+                    merged.setdefault(d, []).extend(pos)
+            plists.append(merged)
         common = set(plists[0]) if plists else set()
         for p in plists[1:]:
             common &= set(p)

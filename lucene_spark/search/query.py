@@ -216,17 +216,30 @@ class IntervalNear:
     bounds end-start+1 (MaxWidth); -1 = unfiltered.
 
     Freq accumulates per distinct interval width in ascending width order
-    (left-assoc), making the float result reproducible in SQL."""
+    (left-assoc), making the float result reproducible in SQL.
 
-    terms: tuple[str, ...]
+    A slot may be a single term or a tuple of alternatives —
+    ``Intervals.or`` of term sources (DisjunctionIntervalsSource): for
+    single-position term leaves its minimal intervals are exactly the
+    union of the alternatives' positions, so the slot's position list is
+    that sorted union."""
+
+    terms: tuple  # str | tuple[str, ...] per slot
     ordered: bool = True
     max_gaps: int = -1
     max_width: int = -1
     pivot: float = 1.0
     boost: float = 1.0
 
+    @property
+    def slots(self) -> tuple[tuple[str, ...], ...]:
+        return tuple(
+            (s,) if isinstance(s, str) else tuple(s) for s in self.terms
+        )
+
     def __post_init__(self):
-        if len(set(self.terms)) != len(self.terms):
+        flat = [t for s in self.slots for t in s]
+        if len(set(flat)) != len(flat):
             # Lucene wraps repeats in RepeatingIntervalsSource
             # (OrderedIntervalsSource.java:40-57); not supported here
             raise ValueError("IntervalNear requires distinct terms")
@@ -647,7 +660,9 @@ def collect_terms(q) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for s in q.slots for t in s}
-    if isinstance(q, (SynonymQuery, TermInSetQuery, IntervalNear)):
+    if isinstance(q, IntervalNear):
+        return {t for s in q.slots for t in s}
+    if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, CombinedFieldQuery):
         # exists lists ride along: they are the per-doc field-norms source

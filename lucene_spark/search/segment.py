@@ -1073,16 +1073,46 @@ class _SegmentSearcher:
         any (doc, pos) keying, so int64 keys never overflow at 10^12-docid
         global coordinates."""
         no_hit = (_EMPTY, np.zeros(0, dtype=np.float64))
-        tps, cand = self._sloppy_candidates(q)
-        if tps is None or cand.size == 0:
-            return no_hit
-        m = len(tps)
+        slots = q.slots
+        slot_tps: list[list] = []
+        for alts in slots:
+            tps = [
+                tp
+                for tp in (self.term_postings(t) for t in alts)
+                if tp is not None
+            ]
+            if not tps:
+                return no_hit
+            slot_tps.append(tps)
+        m = len(slots)
+        # candidate docs: ≥1 alternative of every slot (a slot is
+        # Intervals.or of its term leaves — union of positions — so doc
+        # candidacy is the conjunction of per-slot unions)
+        cand: np.ndarray | None = None
+        for tps in slot_tps:
+            if cand is None:
+                ds = [tp.decode_all()[0] for tp in tps]
+            else:
+                ds = [
+                    tp.decode_blocks(tp.blocks_overlapping(cand))[0]
+                    for tp in tps
+                ]
+            u = ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds))
+            cand = u if cand is None else cand[np.isin(cand, u)]
+            if cand.size == 0:
+                return no_hit
         kp = np.int64(1) << np.int64(31)  # positions < 2^31 (int32 contract)
         keys = []  # per slot: sorted (dense doc idx, pos) keys
-        for tp in tps:
-            dd, pp = self._slot_doc_pos(tp, 0, cand)  # slot=0: raw positions
-            di = np.searchsorted(cand, dd)
-            keys.append(di * kp + pp)
+        for tps in slot_tps:
+            parts = []
+            for tp in tps:
+                dd, pp = self._slot_doc_pos(tp, 0, cand)  # slot 0: raw pos
+                di = np.searchsorted(cand, dd)
+                parts.append(di * kp + pp)
+            kk = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            if len(parts) > 1:
+                kk.sort()
+            keys.append(kk)
         if q.ordered:
             k0 = keys[0]
             doc_i = k0 // kp

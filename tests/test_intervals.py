@@ -100,6 +100,10 @@ GRID = [
     IntervalNear(("alpha",)),  # single term: span [p,p], freq = tf
     IntervalNear(("alpha", "beta"), max_gaps=2, pivot=0.5, boost=2.5),
     IntervalNear(("alpha", "beta"), ordered=False, pivot=3.0),
+    # slot alternatives: Intervals.or of term leaves
+    IntervalNear(("alpha", ("beta", "gamma")), max_gaps=2),
+    IntervalNear((("alpha", "delta"), ("beta", "gamma")), ordered=False, max_gaps=3),
+    IntervalNear((("alpha", "eps"), "beta", ("gamma", "zeta")), max_gaps=8),
 ]
 
 
@@ -128,7 +132,47 @@ def test_interval_rewrite_and_validation():
     with pytest.raises(ValueError):
         IntervalNear(("alpha", "beta", "alpha"))
     with pytest.raises(ValueError):
+        IntervalNear(("alpha", ("beta", "alpha")))  # repeat across slots
+    with pytest.raises(ValueError):
         IntervalNear(("alpha",), pivot=0.0)
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+def test_or_slot_matches_full_enumeration(ordered):
+    """An OR slot's position list is the union of its alternatives — check
+    the oracle against full enumeration over the unioned lists."""
+    rng = np.random.default_rng(23)
+    pool = ["a", "b", "c", "d"]
+    for _trial in range(30):
+        n = int(rng.integers(3, 12))
+        toks = [pool[int(i)] for i in rng.integers(0, len(pool), size=n)]
+        idx = PyIndex(stopwords=None)
+        idx.add(0, " ".join(toks))
+        q = IntervalNear((("a", "b"), ("c", "d")), ordered=ordered)
+        got = idx.interval_scores(q)
+        lists = [
+            sorted(i for i, t in enumerate(toks) if t in ("a", "b")),
+            sorted(i for i, t in enumerate(toks) if t in ("c", "d")),
+        ]
+        if any(not lst for lst in lists):
+            assert got == {}
+            continue
+        minimal = _brute_minimal(lists, ordered)
+        counts: dict[int, int] = {}
+        for s, e in minimal:
+            counts[e - s + 1] = counts.get(e - s + 1, 0) + 1
+        freq = 0.0
+        for w in sorted(counts):
+            freq += counts[w] * (1.0 / max(w - 2 + 1, 1))
+        if freq == 0:
+            assert got == {}
+            continue
+        f = np.float32(freq)
+        exp = np.float32(
+            np.float32(1.0)
+            * (np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + f))
+        )
+        assert got.get(0) == exp, (toks, minimal, got)
 
 
 # --- oracle self-check: greedy+antichain == full cartesian enumeration ----
