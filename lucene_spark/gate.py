@@ -877,6 +877,39 @@ WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
 GROUP BY lang"""
 
 
+_NCHAR_RANGES = [
+    ("short", 0, 600),       # [0, 600)
+    ("medium", 400, 1200),   # [400, 1200) — overlaps "short" on purpose
+    ("long", 1200, 1 << 40),
+]
+
+
+def _q_facet_ranges(spark, sf_dir):
+    """LongRangeFacetCounts over the hits of "stream OR window": each range
+    counted independently (overlaps allowed), zero-count ranges present."""
+    from .search.facets import LongRange, range_facets
+
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    joined = docs.join(F.broadcast(hits), "doc_id")
+    return range_facets(
+        joined, "n_chars", [LongRange(lbl, lo, hi) for lbl, lo, hi in _NCHAR_RANGES]
+    )
+
+
+def _sql_facet_ranges() -> str:
+    hit = """(SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+     OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id))"""
+    selects = [
+        f"SELECT '{lbl}' AS bucket, "
+        f"coalesce(count(*) FILTER (WHERE n_chars >= {lo} AND n_chars < {hi}), 0)::BIGINT AS n_docs "
+        f"FROM {hit}"
+        for lbl, lo, hi in _NCHAR_RANGES
+    ]
+    return f"WITH {_BASE_CTES}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_group_topk_lang(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -1523,6 +1556,7 @@ def gate_queries() -> dict:
         "collection_stats": _q_collection_stats,
         "doc_lengths": _q_doc_lengths,
         "facet_lang": _q_facet_lang,
+        "facet_ranges": _q_facet_ranges,
         "group_topk_lang": _q_group_topk_lang,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
@@ -1586,6 +1620,7 @@ def gate_oracle_sql() -> dict:
         "collection_stats": _SQL_COLLECTION_STATS,
         "doc_lengths": _SQL_DOC_LENGTHS,
         "facet_lang": _SQL_FACET_LANG,
+        "facet_ranges": _sql_facet_ranges(),
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_JACCARD,

@@ -1,0 +1,76 @@
+"""Facet counting over search hits — the facets-module analogs that are
+not already native Spark group-bys.
+
+Value facets (SortedSetDocValuesFacetCounts) are a plain
+``groupBy(dim).count()`` over the hits join (see gate facet_lang). Range
+facets (facets/range/LongRangeFacetCounts.java:42: each requested range is
+counted independently, overlaps allowed, both endpoints optionally
+inclusive) need one conditional-sum aggregation pass — NO explode, NO per
+range scan: a single map-side-combinable agg over the hit rows, then an
+unpivot of the one result row. At 100 TB this is one pass over the hits
+with a k-column reduce, the same shape Lucene gets from one pass over the
+matching docs' doc values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_facets", "LongRange"]
+
+
+class LongRange:
+    """(label, min, max, min_inclusive, max_inclusive) — mirrors
+    facets/range/LongRange.java:28-47 (inclusive-flag endpoint
+    adjustment)."""
+
+    def __init__(
+        self,
+        label: str,
+        lo: int,
+        hi: int,
+        lo_inclusive: bool = True,
+        hi_inclusive: bool = False,
+    ):
+        self.label = label
+        self.lo = lo
+        self.hi = hi
+        self.lo_inclusive = lo_inclusive
+        self.hi_inclusive = hi_inclusive
+
+    def condition(self, col):
+        c_lo = (col >= self.lo) if self.lo_inclusive else (col > self.lo)
+        c_hi = (col <= self.hi) if self.hi_inclusive else (col < self.hi)
+        return c_lo & c_hi
+
+
+def range_facets(
+    hits: DataFrame, value_col: str, ranges: list[LongRange]
+) -> DataFrame:
+    """Count hits per requested range → (bucket:string, n_docs:long).
+
+    Ranges are counted independently (a doc in two overlapping ranges
+    counts in both) and every requested range appears in the output even
+    at count 0 — LongRangeFacetCounts semantics.
+    """
+    if not ranges:
+        raise ValueError("at least one range required")
+    labels = [r.label for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError("range labels must be distinct")
+    col = F.col(value_col)
+    row = hits.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(r.condition(col), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"_r{i}")
+            for i, r in enumerate(ranges)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{r.label.replace(chr(39), '')}', _r{i}" for i, r in enumerate(ranges)
+    )
+    return row.selectExpr(
+        f"stack({len(ranges)}, {stack_args}) AS (bucket, n_docs)"
+    )
