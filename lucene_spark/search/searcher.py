@@ -107,10 +107,13 @@ def _slice_bounds(pdf: pd.DataFrame, seg_meta, span):
 
 
 def _segment_search_fn(
-    pdf: pd.DataFrame, query, scorers, seg_meta, k, prune, after=None, span=None
+    pdf: pd.DataFrame, query, scorers, seg_meta, k, prune, after=None,
+    span=None, cache_tag=None,
 ) -> pd.DataFrame:
     doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
-    ctx = SegmentContext.from_pdf(pdf, scorers, min_doc, max_doc, prune)
+    ctx = SegmentContext.from_pdf(
+        pdf, scorers, min_doc, max_doc, prune, cache_tag=cache_tag
+    )
     d, s = search_segment(ctx, query, k, after=after)
     return pd.DataFrame(
         {"docid": d + doc_base, "score": s.astype(np.float64)}
@@ -232,6 +235,25 @@ class Searcher:
             for t in missing:
                 self._term_stats_cache[t] = got.get(t, (0, 0))
         return {t: self._term_stats_cache[t] for t in terms}
+
+    def _cache_tag(self) -> str:
+        """Index-generation tag for the worker-level filter LRU: digest of
+        the manifest rows (the commit point), so any append/merge/rebuild
+        — a new segments_N in Lucene terms — keys a fresh cache namespace
+        with no cross-executor coordination."""
+        tag = self.__dict__.get("_cache_tag_v")
+        if tag is None:
+            import hashlib
+
+            sig = repr(self.reader.manifest_rows).encode()
+            tag = (
+                self.reader.index_dir
+                + "#"
+                + hashlib.md5(sig).hexdigest()[:16]
+                + f"#{self.mode}"
+            )
+            self.__dict__["_cache_tag_v"] = tag
+        return tag
 
     def _seg_meta(self) -> dict[int, tuple[int, int, int]]:
         """segment_id → (doc_base, min_docid, max_docid+1) — doc_base remaps
@@ -531,6 +553,7 @@ class Searcher:
             prune=self.prune,
             after=after,
             span=span,
+            cache_tag=self._cache_tag(),
         )
         hits = self._balanced_grouping(blocks, seg_meta, span).applyInPandas(
             lambda pdf: fn(pdf), schema=SEARCH_HIT_SCHEMA
@@ -576,10 +599,14 @@ class Searcher:
         # unpickled from the task command for every (segment, slice) group
         bc = self.spark.sparkContext.broadcast((parsed, scorers, seg_meta))
 
+        tag = self._cache_tag()
+
         def many_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             b_parsed, b_scorers, b_meta = bc.value
             doc_base, min_doc, max_doc = _slice_bounds(pdf, b_meta, span)
-            ctx = SegmentContext.from_pdf(pdf, b_scorers, min_doc, max_doc, prune)
+            ctx = SegmentContext.from_pdf(
+                pdf, b_scorers, min_doc, max_doc, prune, cache_tag=tag
+            )
             qids, docids, scores = batch_search_segment(ctx, b_parsed, k)
             return pd.DataFrame(
                 {"query_id": qids, "docid": docids + doc_base, "score": scores}
@@ -707,13 +734,17 @@ class Searcher:
         span = self._slice_span()
         blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
+        tag = self._cache_tag()
+
         def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             # docid-set algebra only (TotalHitCountCollector): no scorers,
             # no top-k, no float work
             from .segment import _SegmentSearcher
 
             doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
-            ctx = SegmentContext.from_pdf(pdf, {}, min_doc, max_doc, False)
+            ctx = SegmentContext.from_pdf(
+                pdf, {}, min_doc, max_doc, False, cache_tag=tag
+            )
             d = _SegmentSearcher(ctx, 0).matching_docs(query)
             d = d[(d >= min_doc) & (d < max_doc)]
             if ctx.deleted is not None and d.size:

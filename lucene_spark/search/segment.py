@@ -254,6 +254,7 @@ class SegmentContext:
         max_doc: int,  # exclusive
         prune: bool = True,
         deleted: np.ndarray | None = None,  # sorted stored docids (.liv analog)
+        cache_key: tuple | None = None,  # (index tag, segment, slice) for the LRU
     ):
         self.postings = postings
         self.scorers = scorers
@@ -261,6 +262,7 @@ class SegmentContext:
         self.max_doc = max_doc
         self.prune = prune
         self.deleted = deleted if deleted is not None and deleted.size else None
+        self.cache_key = cache_key
         # per-leaf (docids, scores) memo shared across a batch of queries
         # evaluated against this context (search_many runs hundreds of
         # queries per (segment, slice) task; hot terms repeat across them)
@@ -274,11 +276,16 @@ class SegmentContext:
         min_doc: int,
         max_doc: int,
         prune: bool = True,
+        cache_tag: str | None = None,
     ) -> "SegmentContext":
         """Build from one segment's Arrow batch of block rows (+ singleton
         pseudo-blocks, encoding==ENC_SINGLETON) — columnar, no per-row dicts."""
         import pandas as pd  # noqa: F401
 
+        ckey = None
+        if cache_tag is not None and len(pdf):
+            seg = int(pdf["segment_id"].iloc[0])
+            ckey = (cache_tag, seg, min_doc, max_doc)
         deleted = None
         enc_all = pdf["encoding"].to_numpy().astype(np.int64)
         if (enc_all == ENC_DELETE).any():
@@ -301,7 +308,7 @@ class SegmentContext:
         postings: dict[str, _TermPostings] = {}
         n = len(terms)
         if n == 0:
-            return cls(postings, scorers, min_doc, max_doc, prune, deleted)
+            return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey)
         tchange = np.empty(n, dtype=bool)
         tchange[0] = True
         tchange[1:] = terms[1:] != terms[:-1]
@@ -338,7 +345,77 @@ class SegmentContext:
                         cols["impact_norms"][split:hi],
                     )
                 postings[term] = _TermPostings(cols, int(lo), split, l1=l1)
-        return cls(postings, scorers, min_doc, max_doc, prune, deleted)
+        return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey)
+
+
+class _FilterLRU:
+    """Worker-process LRU of filter-context docid sets — the
+    LRUQueryCache analog (search/LRUQueryCache.java:60-118: per
+    (query, leaf) DocIdSet cache bounded by entry count and RAM, LRU
+    eviction) with the usage-tracking admission policy reduced to "cache a
+    filter once it has been seen twice"
+    (UsageTrackingQueryCachingPolicy.java:60-95 applies 2 sightings to
+    costly queries, 5 to cheap ones; one uniform threshold here).
+
+    Spark-native placement: python workers are reused across tasks AND
+    jobs (spark.python.worker.reuse default), so a module-level instance
+    caches across queries/batches on the same executor — the same
+    lifetime an IndexSearcher-attached LRUQueryCache has per JVM. Keys
+    carry the index generation tag, so an append/merge (new manifest)
+    naturally invalidates without coordination. Deletes stay OUTSIDE the
+    cached value (live-docs masking happens after matching), matching
+    Lucene's cache-on-rewritten-query-before-deletes design."""
+
+    def __init__(self, max_entries: int = 256, max_bytes: int = 32 << 20):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self.data: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self.seen: "OrderedDict[tuple, int]" = OrderedDict()
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self.data.get(key)
+        if v is not None:
+            self.data.move_to_end(key)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def admit(self, key) -> bool:
+        """Record a sighting; True once the filter is worth caching."""
+        n = self.seen.get(key, 0) + 1
+        self.seen[key] = n
+        self.seen.move_to_end(key)
+        while len(self.seen) > 4 * self.max_entries:
+            self.seen.popitem(last=False)
+        return n >= 2
+
+    def put(self, key, arr: np.ndarray) -> None:
+        if key in self.data:
+            return
+        if arr.base is not None:  # never pin a decode buffer via a view
+            arr = arr.copy()
+        arr.flags.writeable = False  # shared across callers
+        self.data[key] = arr
+        self.bytes += arr.nbytes
+        while self.data and (
+            len(self.data) > self.max_entries or self.bytes > self.max_bytes
+        ):
+            _, old = self.data.popitem(last=False)
+            self.bytes -= old.nbytes
+
+    def clear(self):
+        self.data.clear()
+        self.seen.clear()
+        self.bytes = self.hits = self.misses = 0
+
+
+FILTER_CACHE = _FilterLRU()
 
 
 def _float_dtype(scorer) -> np.dtype:
@@ -390,6 +467,22 @@ class _SegmentSearcher:
 
     # --- docid-only evaluation (FILTER / MUST_NOT side) -----------------
     def matching_docs(self, q) -> np.ndarray:
+        """Docid set of a filter-context node, with the worker-level LRU
+        consulted per node (LRUQueryCache caches filter clauses, never
+        scoring clauses — this method IS the filter-context surface)."""
+        ck = self.ctx.cache_key
+        if ck is None or isinstance(q, (MatchAllDocsQuery, MatchNoDocsQuery)):
+            return self._matching_docs(q)
+        key = (*ck, repr(q))
+        v = FILTER_CACHE.get(key)
+        if v is not None:
+            return v
+        d = self._matching_docs(q)
+        if FILTER_CACHE.admit(key):
+            FILTER_CACHE.put(key, d)
+        return d
+
+    def _matching_docs(self, q) -> np.ndarray:
         if isinstance(q, TermQuery):
             tp = self.term_postings(q.term)
             return tp.decode_all()[0] if tp else _EMPTY
