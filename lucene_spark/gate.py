@@ -986,6 +986,38 @@ FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
 WHERE inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE >= 0.1"""
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: hash-min connected components over the exact
+    Jaccard pair graph (threshold 0.1) → (node, component=min reachable
+    doc id). The engine runs iterative label propagation; the oracle is a
+    recursive transitive closure — structurally different algorithms that
+    must agree exactly."""
+    pairs = _dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.1, max_shingle_df=None
+    )
+    return _dd.connected_components(pairs)
+
+
+_SQL_COMPONENTS = f"""WITH RECURSIVE {_SHINGLE_CTES},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+p AS (
+  SELECT a, b FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE >= 0.1
+),
+e AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+r AS (
+  SELECT s AS node, d AS reach FROM e
+  UNION
+  SELECT r.node, e.d FROM r JOIN e ON e.s = r.reach
+)
+SELECT node, least(node, min(reach))::BIGINT AS component FROM r GROUP BY node"""
+
+
 _N_MINHASH = 8
 
 
@@ -1561,6 +1593,7 @@ def gate_queries() -> dict:
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_components": _q_dedup_components,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
@@ -1624,6 +1657,7 @@ def gate_oracle_sql() -> dict:
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_JACCARD,
+        "dedup_components": _SQL_COMPONENTS,
         "minhash_signatures": _sql_minhash(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
         "simhash": _SQL_SIMHASH,

@@ -42,6 +42,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "connected_components",
 ]
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -242,3 +243,57 @@ def simhash(docs: DataFrame, bits: int = 60, id_col: str = "doc_id") -> DataFram
             F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select(id_col, sketch.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) over the near-dup pair graph: component = the
+    minimum doc id reachable from the node — the step that turns pairwise
+    candidates (``ngram_jaccard_pairs`` / ``lsh_candidate_pairs``) into
+    duplicate CLUSTERS (keep the min id as canonical, drop the rest).
+
+    Algorithm: hash-min label propagation — each round every node takes
+    the minimum label in its closed neighborhood (one shuffle per round:
+    an edges-to-labels join + min-aggregate). Rounds needed = graph
+    diameter; near-dup clusters are near-cliques, so 2-3 rounds in
+    practice. Labels are monotonically non-increasing, so the early-stop
+    test is ONE cheap aggregate (sum of labels unchanged == fixpoint) —
+    no change-count join. Each round's frontier is localCheckpoint()ed to
+    truncate the iterative-join lineage (at web scale use a reliable
+    checkpoint dir instead; the loop body is otherwise the standard
+    MapReduce-style hash-min CC).
+    """
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["s"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -1,0 +1,47 @@
+"""connected_components (hash-min label propagation): path graphs that
+need multiple propagation rounds, multi-component graphs, and the
+cluster-contract invariants (every edge internal, component = min member)."""
+
+import pytest
+
+from lucene_spark.pipeline.dedup import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_path_graph_needs_propagation(spark):
+    # 0-1-2-3-4-5: diameter 5, min label must travel the whole path
+    got = _cc(spark, [(i, i + 1) for i in range(5)])
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_two_components_and_reversed_edges(spark):
+    got = _cc(spark, [(3, 1), (2, 1), (10, 20), (30, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10}
+
+
+def test_invariants_on_random_graph(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(60, 2))
+        if a != b
+    ]
+    got = _cc(spark, pairs)
+    # every edge is internal to one component
+    for a, b in pairs:
+        assert got[a] == got[b], (a, b, got)
+    # each component's label is its minimum member
+    comps: dict[int, list[int]] = {}
+    for n, c in got.items():
+        comps.setdefault(c, []).append(n)
+    for c, members in comps.items():
+        assert c == min(members)
