@@ -1018,6 +1018,29 @@ r AS (
 SELECT node, least(node, min(reach))::BIGINT AS component FROM r GROUP BY node"""
 
 
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "ja": 1.0}  # fr/es fall to default
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (curation rebalancing):
+    keep iff u = md5('7:'||doc_id)[0:8]/2^32 < fraction(lang)."""
+    from .pipeline.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), "lang", _SAMPLE_FRACS,
+        default_fraction=0.1, seed=7,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    frac = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {f!r}" for s, f in sorted(_SAMPLE_FRACS.items())
+    ) + " ELSE 0.1 END"
+    u = "(('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0)"
+    return f"SELECT doc_id, lang FROM documents WHERE {u} < ({frac})"
+
+
 _N_MINHASH = 8
 
 
@@ -1594,6 +1617,7 @@ def gate_queries() -> dict:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_components": _q_dedup_components,
+        "stratified_sample": _q_stratified_sample,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
@@ -1658,6 +1682,7 @@ def gate_oracle_sql() -> dict:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "dedup_components": _SQL_COMPONENTS,
+        "stratified_sample": _sql_stratified_sample(),
         "minhash_signatures": _sql_minhash(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
         "simhash": _SQL_SIMHASH,

@@ -1,1 +1,1 @@
-from . import dedup, eventops, multimodal, simsearch, textstats  # noqa: F401
+from . import dedup, eventops, multimodal, sampling, simsearch, textstats  # noqa: F401
