@@ -465,6 +465,34 @@ class _SegmentSearcher:
     def term_postings(self, term: str) -> _TermPostings | None:
         return self.ctx.postings.get(term)
 
+    def _intersect_filter_sets(self, base: np.ndarray, d: np.ndarray) -> np.ndarray:
+        """AND of two sorted docid sets in filter context, with the dense
+        strategy switch (DenseConjunctionBulkScorer.java:55-61: when a
+        clause is expected to match more than 1/32 of the docs, intersect
+        via bit sets instead of iterator leapfrog; WINDOW_SIZE there is a
+        cache-residency concern that one vectorized pass doesn't have).
+        Sparse sides keep the searchsorted (leapfrog-analog) path."""
+        span = self.ctx.max_doc - self.ctx.min_doc
+        if (
+            span > 0
+            and min(base.size, d.size) * 32 >= span  # DENSITY_THRESHOLD_INVERSE
+            and span <= (1 << 26)  # bitset alloc bound: 64 MB of bools
+        ):
+            lo, hi = self.ctx.min_doc, self.ctx.max_doc
+            acc = np.zeros(span, dtype=bool)
+            b_in = base[(base >= lo) & (base < hi)]
+            acc[b_in - lo] = True
+            m = np.zeros(span, dtype=bool)
+            d_in = d[(d >= lo) & (d < hi)]
+            m[d_in - lo] = True
+            acc &= m
+            out = np.flatnonzero(acc) + lo
+            # docs outside the slice span (straddling blocks) can't be in
+            # the bitset; they are filtered by the caller's span mask
+            # anyway, so dropping them here preserves results
+            return out
+        return base[np.isin(base, d)]
+
     # --- docid-only evaluation (FILTER / MUST_NOT side) -----------------
     def matching_docs(self, q) -> np.ndarray:
         """Docid set of a filter-context node, with the worker-level LRU
@@ -526,7 +554,11 @@ class _SegmentSearcher:
             if q.must:
                 for c in q.must:
                     d = self.matching_docs(c)
-                    base = d if base is None else base[np.isin(base, d)]
+                    base = (
+                        d
+                        if base is None
+                        else self._intersect_filter_sets(base, d)
+                    )
                     if base.size == 0:
                         return _EMPTY
                 if q.min_should_match > 0 and q.should:

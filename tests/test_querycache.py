@@ -113,3 +113,26 @@ def test_cached_array_is_readonly_and_unshared_base():
     got = lru.data[("k",)]
     assert got.base is None  # copied, not pinning `big`
     assert not got.flags.writeable
+
+
+def test_dense_intersect_matches_sparse():
+    """Density-switch parity (DenseConjunctionBulkScorer analog): the
+    bitset path and the searchsorted path must produce identical sets."""
+    from lucene_spark.search.segment import SegmentContext, _SegmentSearcher
+
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        span = int(rng.integers(100, 5000))
+        lo = int(rng.integers(0, 1000))
+        ctx = SegmentContext({}, {}, lo, lo + span)
+        s = _SegmentSearcher(ctx, 10)
+        # dense sets: > span/32 members, within [lo, lo+span)
+        a = np.unique(rng.integers(lo, lo + span, size=span // 2)).astype(np.int64)
+        b = np.unique(rng.integers(lo, lo + span, size=span // 2)).astype(np.int64)
+        got = s._intersect_filter_sets(a, b)
+        exp = a[np.isin(a, b)]
+        assert list(got) == list(exp)
+        # sparse side forces the searchsorted path
+        c = np.unique(rng.integers(lo, lo + span, size=max(span // 64, 1))).astype(np.int64)
+        got2 = s._intersect_filter_sets(a, c)
+        assert list(got2) == list(a[np.isin(a, c)])
