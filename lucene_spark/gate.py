@@ -481,6 +481,55 @@ u AS (
 """ + _topk_wrap("SELECT doc_id, score FROM u", k)
 
 
+def _q_spellcheck(spark, sf_dir):
+    """DirectSpellChecker over the gate index: 'scal' -> scan (d=1) +
+    small (d=2). transpositions=False so DuckDB's levenshtein() is the
+    exact same metric (its damerau_levenshtein is full DL, not OSA)."""
+    from .search.spell import DirectSpellChecker
+
+    checker = DirectSpellChecker(
+        _searcher(spark, sf_dir), max_edits=2, transpositions=False
+    )
+    return checker.suggestions_df("scal", num_sug=10).select(
+        "word", F.round("score", 4).alias("score"), "freq"
+    )
+
+
+def _sql_spellcheck(target: str, k: int = 10) -> str:
+    """suggestSimilar mirror: score = 1 - lev/min(len), rank
+    (score DESC, freq DESC, word ASC), trim k. The query term is absent
+    from the corpus, so the mode/maxQueryFrequency gates are all open."""
+    n = len(target)
+    lev = f"levenshtein(term, '{target}')"
+    score = f"(1.0 - {lev}::DOUBLE / least(length(term), {n})::DOUBLE)"
+    return f"""WITH {_BASE_CTES}
+SELECT word, score, freq FROM (
+  SELECT term AS word, round({score}, 4) AS score, df AS freq
+  FROM dft
+  WHERE term <> '{target}'
+    AND substr(term, 1, 1) = '{target[:1]}'
+    AND abs(length(term) - {n}) <= 2
+    AND {lev} BETWEEN 1 AND 2
+    AND {score} >= 0.5
+  ORDER BY {score} DESC, df DESC, term ASC LIMIT {k}
+)"""
+
+
+def _q_suggest_prefix(spark, sf_dir):
+    """Lookup analog: top index terms under a prefix by docFreq weight."""
+    from .search.spell import prefix_suggest
+
+    pairs = prefix_suggest(_searcher(spark, sf_dir), "s", k=10)
+    return spark.createDataFrame(pairs, "word string, freq long")
+
+
+def _sql_suggest_prefix(prefix: str, k: int = 10) -> str:
+    return f"""WITH {_BASE_CTES}
+SELECT term AS word, df AS freq FROM dft
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
 def _sql_synonym(terms: list[str], k: int = 10) -> str:
     """SynonymQuery: blended df = max over terms, per-doc freq = Σ freqs,
     ONE scorer call."""
@@ -1595,6 +1644,8 @@ def gate_queries() -> dict:
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
         "bm25_search_after": _q_search_after,
+        "spellcheck_direct": _q_spellcheck,
+        "suggest_prefix": _q_suggest_prefix,
         # multi-field index (body + derived title)
         "bm25_field_term": _mk_mf_topk(lambda s: "title:stream"),
         "bm25_multifield_bool": _mk_mf_topk(lambda s: "title:data OR merge"),
@@ -1662,6 +1713,8 @@ def gate_oracle_sql() -> dict:
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
+        "spellcheck_direct": _sql_spellcheck("scal"),
+        "suggest_prefix": _sql_suggest_prefix("s"),
         "bm25_field_term": _sql_field_term("stream"),
         "bm25_multifield_bool": _sql_multifield_bool("data", "merge"),
         "bm25f_combined": _sql_bm25f(["stream", "merge"], w_body=1.0, w_title=2.0),

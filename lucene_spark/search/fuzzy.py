@@ -20,9 +20,11 @@ from __future__ import annotations
 __all__ = ["osa_distance", "fuzzy_similarity"]
 
 
-def osa_distance(a: str, b: str, max_edits: int) -> int:
+def osa_distance(a: str, b: str, max_edits: int, transpositions: bool = True) -> int:
     """Banded OSA edit distance; returns max_edits+1 when the distance
-    exceeds max_edits (early bail on the band)."""
+    exceeds max_edits (early bail on the band). ``transpositions=False``
+    degrades to plain Levenshtein (FuzzyQuery's transpositions=false mode,
+    spell/LevenshteinDistance.java metric)."""
     la, lb = len(a), len(b)
     bail = max_edits + 1
     if abs(la - lb) > max_edits:
@@ -42,7 +44,8 @@ def osa_distance(a: str, b: str, max_edits: int) -> int:
             cost = 0 if a[i - 1] == b[j - 1] else 1
             v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
             if (
-                prev2 is not None
+                transpositions
+                and prev2 is not None
                 and i > 1
                 and j > 1
                 and a[i - 1] == b[j - 2]

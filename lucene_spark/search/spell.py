@@ -1,0 +1,233 @@
+"""Spell correction + prefix suggestion over the distributed term dictionary.
+
+DirectSpellChecker analog (suggest/src/java/org/apache/lucene/search/spell/
+DirectSpellChecker.java). Lucene enumerates candidates with a FuzzyTermsEnum
+over the term dictionary and ranks survivors in a priority queue; the
+Spark-first shape is the same as FuzzyQuery expansion (_expand_fuzzy):
+push the cheap automaton invariants (shared prefix + length band) into the
+term_dict parquet scan, verify edit distance EXECUTOR-side with an
+Arrow-batched pandas UDF over the filtered scan, and rank the verified
+survivors. The verified set is one term's neighborhood (planning-sized),
+never postings-sized, so the final top-``num_sug`` collect is tiny; at
+100 TB the scan is the only distributed stage and it prunes on the sorted
+term column's row-group min/max.
+
+Semantics mirrored from DirectSpellChecker.suggestSimilar
+(DirectSpellChecker.java:321-392 and the candidate loop :410-476):
+
+- query-length gate: ``len(term) < min_query_length`` (or > max) -> []
+- ``when_not_in_index`` mode: docFreq(term) > 0 -> []
+- ``max_query_frequency``: absolute when >= 1, else a maxDoc ratio
+  (ceil(mqf * maxDoc)); query terms more frequent than it return []
+- candidate floor ``docfreq``: 0 unless ``more_popular`` mode (then the
+  query term's df), raised by ``threshold_frequency`` (absolute when >= 1,
+  else int(tf*maxDoc)-1); candidates need df STRICTLY greater (:457)
+- candidate prefix contract: Lucene's first pass enumerates distance<=1
+  candidates with ``min_prefix`` shared chars, the top-up pass distance<=
+  max_edits with ``max(min_prefix, max_edits-1)`` (FuzzyTermsEnum
+  construction at :425/:462). The union rule: a candidate at distance 1
+  needs ``min_prefix`` shared chars; at distance 2 it needs
+  ``max(min_prefix, 1)``. With the default ``min_prefix=1`` both collapse
+  to one startswith pushdown; candidates always differ from the query (:452)
+- score = 1 - d/min(len(term), len(candidate))
+  (LuceneLevenshteinDistance.java:104), d = OSA when transpositions else
+  plain Levenshtein; candidates with score < accuracy drop (:469)
+- ranking: score DESC, docFreq DESC, term ASC
+  (SuggestWordScoreComparator.java:32-50), trimmed to ``num_sug``
+
+Deliberate deviation: Lucene runs an edits=1 pass first and tops up with a
+maxEdits pass capped at ``num_sug * maxInspections`` candidates — a
+sequential-enumeration optimization whose caps can silently drop matches.
+The distributed scan verifies EVERY banded candidate, which equals the
+uncapped limit of Lucene's two-pass union, so no ``max_inspections`` knob
+exists here.
+
+docFreq is summed over segment term_dict rows and counts tombstoned docs
+until physical compaction — exactly IndexReader.docFreq's contract
+(deleted docs affect docFreq until merges reclaim them).
+
+The prefix suggester is the Lookup/LuceneDictionary analog
+(suggest/.../suggest/Lookup.java, spell/LuceneDictionary.java:28 — terms
+weighted by docFreq): top-k terms under a prefix ordered by
+(weight DESC, term ASC), i.e. exactly the TopTermsRewrite heap the reader's
+``expand_terms_df`` already implements.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import FIELD_SEP
+
+__all__ = ["SuggestWord", "DirectSpellChecker", "prefix_suggest"]
+
+MODES = ("when_not_in_index", "more_popular", "always")  # SuggestMode.java
+
+
+@dataclass(frozen=True)
+class SuggestWord:
+    """spell/SuggestWord.java: string + score + docFreq."""
+
+    word: str
+    score: float
+    freq: int
+
+
+class DirectSpellChecker:
+    """Distributed DirectSpellChecker over a ``Searcher``'s term dict."""
+
+    def __init__(
+        self,
+        searcher,
+        *,
+        max_edits: int = 2,
+        min_prefix: int = 1,
+        accuracy: float = 0.5,
+        min_query_length: int = 4,
+        max_query_length: int = 2**31 - 1,
+        max_query_frequency: float = 0.01,
+        threshold_frequency: float = 0.0,
+        transpositions: bool = True,
+        field: str | None = None,
+    ):
+        if not 1 <= max_edits <= 2:  # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+            raise ValueError("max_edits must be 1 or 2")
+        if min_query_length > max_query_length:
+            raise ValueError("min_query_length must not exceed max_query_length")
+        self.searcher = searcher
+        self.max_edits = max_edits
+        self.min_prefix = min_prefix
+        self.accuracy = accuracy
+        self.min_query_length = min_query_length
+        self.max_query_length = max_query_length
+        self.max_query_frequency = max_query_frequency
+        self.threshold_frequency = threshold_frequency
+        self.transpositions = transpositions
+        self.field = field
+
+    # --- internals -------------------------------------------------------
+    def _namespace(self) -> str:
+        if self.field:
+            return self.field + FIELD_SEP
+        s = self.searcher
+        if s.fields:
+            return s.default_field + FIELD_SEP
+        return ""
+
+    def _query_df(self, ns: str, term: str) -> int:
+        stats = self.searcher._cached_term_stats([ns + term])
+        return stats[ns + term][0]
+
+    def _candidates_df(self, term: str, min_df: int) -> DataFrame:
+        """(word, score, freq) of every verified candidate — the distributed
+        half of suggestSimilar, before the driver-side rank/trim."""
+        ns = self._namespace()
+        reader = self.searcher.reader
+        # weak prefix gates every candidate (pushed into the scan); the
+        # strong one re-gates distance>1 candidates after verification
+        pl_weak = min(self.min_prefix, len(term))
+        pl_strong = min(max(self.min_prefix, self.max_edits - 1), len(term))
+        band = (
+            len(ns) + max(1, len(term) - self.max_edits),
+            len(ns) + len(term) + self.max_edits,
+        )
+        td = reader.term_dict
+        if ns or pl_weak:
+            td = td.filter(F.col("term").startswith(ns + term[:pl_weak]))
+        td = td.filter(F.length("term").between(*band))
+        tgt, me, ns_len, transp = term, self.max_edits, len(ns), self.transpositions
+
+        @F.pandas_udf("int")
+        def dist_udf(terms: pd.Series) -> pd.Series:
+            from lucene_spark.search.fuzzy import osa_distance as _d
+
+            return terms.map(lambda t: _d(tgt, t[ns_len:], me, transp))
+
+        out = (
+            td.groupBy("term")
+            .agg(F.sum("df").alias("freq"))
+            .withColumn("edits", dist_udf("term"))
+            .filter(
+                (F.col("edits") <= me)
+                & (F.col("edits") > 0)  # never suggest the query itself
+                & (F.col("freq") > min_df)
+            )
+            .filter(  # strong-prefix re-gate for distance>1 candidates
+                (F.col("edits") <= 1)
+                | F.col("term").startswith(ns + term[:pl_strong])
+            )
+            .withColumn(
+                "word", F.col("term").substr(F.lit(ns_len + 1), F.length("term"))
+            )
+            .withColumn(
+                "score",
+                1.0
+                - F.col("edits").cast("double")
+                / F.least(F.length("word"), F.lit(len(term))).cast("double"),
+            )
+            .filter(F.col("score") >= self.accuracy)
+            .select("word", "score", "freq")
+        )
+        return out
+
+    # --- public API -------------------------------------------------------
+    def suggestions_df(
+        self, term: str, num_sug: int = 5, mode: str = "when_not_in_index"
+    ) -> DataFrame:
+        """Top suggestions as a DataFrame (word, score, freq) in SuggestWord
+        ranking order — the distributed entry point the gate exercises."""
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}")
+        s = self.searcher
+        empty = s.spark.createDataFrame(
+            [], "word string, score double, freq long"
+        )
+        if not (self.min_query_length <= len(term) <= self.max_query_length):
+            return empty
+        ns = self._namespace()
+        docfreq = self._query_df(ns, term)
+        if mode == "when_not_in_index" and docfreq > 0:
+            return empty
+        max_doc = int(s.reader.global_stats[0])
+        mqf = self.max_query_frequency
+        if mqf >= 1.0:
+            if docfreq > mqf:
+                return empty
+        elif docfreq > int(math.ceil(mqf * float(max_doc))):
+            return empty
+        min_df = docfreq if mode == "more_popular" else 0
+        tf = self.threshold_frequency
+        if tf >= 1.0:
+            min_df = max(min_df, int(tf))
+        elif tf > 0.0:
+            min_df = max(min_df, int(tf * float(max_doc)) - 1)
+        return (
+            self._candidates_df(term, min_df)
+            .orderBy(F.desc("score"), F.desc("freq"), F.asc("word"))
+            .limit(num_sug)
+        )
+
+    def suggest_similar(
+        self, term: str, num_sug: int = 5, mode: str = "when_not_in_index"
+    ) -> list[SuggestWord]:
+        return [
+            SuggestWord(r["word"], float(r["score"]), int(r["freq"]))
+            for r in self.suggestions_df(term, num_sug, mode).collect()
+        ]
+
+
+def prefix_suggest(searcher, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+    """Autocomplete lookup: top-k index terms under ``prefix`` ranked by
+    docFreq weight (Lookup.java ordering: weight DESC, key ASC via
+    LuceneDictionary's docFreq weights)."""
+    ns = ""
+    if searcher.fields:
+        ns = searcher.default_field + FIELD_SEP
+    pairs = searcher.reader.expand_terms_df(prefix=ns + prefix, max_terms=k)
+    return [(t[len(ns):], df) for t, df in pairs]
