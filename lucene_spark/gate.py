@@ -515,6 +515,88 @@ SELECT word, score, freq FROM (
 )"""
 
 
+def _q_mlt(spark, sf_dir):
+    """MoreLikeThis seeded with doc 0's text: select interesting terms
+    (tf>=2, df>=5, top-25 by tf*idf), search the OR query, drop the seed
+    doc itself (the conventional MLT usage; Lucene users add the exclusion
+    clause themselves)."""
+    from .search.mlt import MoreLikeThis
+
+    s = _searcher(spark, sf_dir)
+    text = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 0).select("text").head()[0]
+    )
+    mlt = MoreLikeThis(s)
+    h = s.search(mlt.like_text(text), k=11, with_url=True)
+    return (
+        h.select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.col("score"),
+        )
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _sql_mlt(src_doc: int, k: int = 10) -> str:
+    """Oracle: MLT term selection in SQL (tf*idf with ClassicSimilarity
+    idf = ln((N+1)/(df+1))+1, ties by term ASC, LIMIT 25), then the
+    standard expansion-sum BM25 scoring; seed doc excluded, cut k+1→k."""
+    idf_mlt = "(ln((s.n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE) + 1.0)"
+    exp = f"""
+  SELECT term, df FROM (
+    SELECT tf.term AS term, d.df AS df,
+           (tf.freq::DOUBLE * {idf_mlt}) AS mlt
+    FROM tf JOIN dft d USING (term), stats s
+    WHERE tf.doc_id = {src_doc} AND tf.freq >= 2 AND d.df >= 5
+  ) ORDER BY mlt DESC, term ASC LIMIT 25"""
+    idf = _idf("e.df")
+    return f"""WITH {_BASE_CTES},
+exp AS ({exp}),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN exp e USING (term) JOIN qdl USING (doc_id), stats s
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es WHERE doc_id <> {src_doc} GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
+def _q_mlt_terms(spark, sf_dir):
+    """The selection half alone: (word, mlt_score, tf, df) of doc 0."""
+    from .search.mlt import MoreLikeThis
+
+    s = _searcher(spark, sf_dir)
+    text = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 0).select("text").head()[0]
+    )
+    rows = [
+        (w, round(sc, 4), tf, df)
+        for w, sc, tf, df in MoreLikeThis(s).interesting_terms(text)
+    ]
+    return spark.createDataFrame(
+        rows, "word string, mlt_score double, tf long, df long"
+    )
+
+
+def _sql_mlt_terms(src_doc: int) -> str:
+    idf_mlt = "(ln((s.n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE) + 1.0)"
+    return f"""WITH {_BASE_CTES}
+SELECT word, mlt_score, tf, df FROM (
+  SELECT tf.term AS word,
+         round(tf.freq::DOUBLE * {idf_mlt}, 4) AS mlt_score,
+         tf.freq AS tf, d.df AS df,
+         (tf.freq::DOUBLE * {idf_mlt}) AS raw
+  FROM tf JOIN dft d USING (term), stats s
+  WHERE tf.doc_id = {src_doc} AND tf.freq >= 2 AND d.df >= 5
+) ORDER BY raw DESC, word ASC LIMIT 25"""
+
+
 def _q_suggest_prefix(spark, sf_dir):
     """Lookup analog: top index terms under a prefix by docFreq weight."""
     from .search.spell import prefix_suggest
@@ -1646,6 +1728,8 @@ def gate_queries() -> dict:
         "bm25_search_after": _q_search_after,
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
+        "mlt_topk": _q_mlt,
+        "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
         "bm25_field_term": _mk_mf_topk(lambda s: "title:stream"),
         "bm25_multifield_bool": _mk_mf_topk(lambda s: "title:data OR merge"),
@@ -1715,6 +1799,8 @@ def gate_oracle_sql() -> dict:
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
+        "mlt_topk": _sql_mlt(0),
+        "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),
         "bm25_multifield_bool": _sql_multifield_bool("data", "merge"),
         "bm25f_combined": _sql_bm25f(["stream", "merge"], w_body=1.0, w_title=2.0),
