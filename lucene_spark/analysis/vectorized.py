@@ -188,9 +188,15 @@ def analyze_batch(
 
     ``analyzer="english"`` tokenizes like "standard", then applies the
     EnglishAnalyzer term chain (possessive strip → stop → Porter) once per
-    UNIQUE vocabulary term and remaps codes — per-token cost is zero."""
+    UNIQUE vocabulary term and remaps codes — per-token cost is zero.
+
+    ``"shingle"``/``"ngram3"``/``"edge_ngram"`` run the standard+stop base
+    then a vectorized stream post-pass (see _shingle_post/_gram_post);
+    token multiset equals the per-document chain, emission ORDER may differ
+    (the index builder re-sorts by (term, doc, position) regardless)."""
     english = analyzer == "english"
-    standard = analyzer == "standard" or english
+    post = analyzer in ("shingle", "ngram3", "edge_ngram")
+    standard = analyzer == "standard" or english or post
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop
         max_token_length = 1 << 31
@@ -341,4 +347,132 @@ def analyze_batch(
             codes, docids, positions = codes[keep], docids[keep], positions[keep]
 
     np.add.at(doc_lens, docids, 1)
-    return BatchTokens(uniques, codes, docids, positions, doc_lens)
+    bt = BatchTokens(uniques, codes, docids, positions, doc_lens)
+    if analyzer == "shingle":
+        return _shingle_post(bt)
+    if analyzer == "ngram3":
+        return _gram_post(bt, 3, 3, edge=False)
+    if analyzer == "edge_ngram":
+        return _gram_post(bt, 2, 4, edge=True)
+    return bt
+
+
+def _shingle_post(bt: BatchTokens) -> BatchTokens:
+    """Bigram ShingleFilter over a BatchTokens stream (unigrams + shingles,
+    filler '_'; see analysis/shingle.py for the semantics contract). All
+    stream work is shift-compares; new-term construction happens once per
+    UNIQUE adjacent pair / hole neighbor, not per token. doc_lens become
+    distinct-output-position counts (= tokens + leading-hole shingles)."""
+    codes, docids, positions = bt.codes, bt.docids, bt.positions
+    n = codes.size
+    if n == 0:
+        return bt
+    uniques = list(bt.uniques)
+    uniq_index = {u: i for i, u in enumerate(uniques)}
+
+    def code_of(term: str) -> int:
+        ci = uniq_index.get(term)
+        if ci is None:
+            ci = len(uniques)
+            uniques.append(term)
+            uniq_index[term] = ci
+        return ci
+
+    same = np.empty(n, dtype=bool)
+    same[-1] = False
+    np.equal(docids[1:], docids[:-1], out=same[:-1])
+    gap = np.zeros(n, dtype=np.int64)
+    np.subtract(positions[1:], positions[:-1], out=gap[:-1])
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(docids[1:], docids[:-1], out=first[1:])
+
+    ai = np.flatnonzero(same & (gap == 1))          # "a b" at pos[i]
+    ti = np.flatnonzero(same & (gap >= 2))          # "a _" at pos[i]
+    ld = first & (positions > 0)                    # "_ b" at pos[j]-1
+    ld[1:] |= (~first[1:]) & (gap[:-1] >= 2)
+    li = np.flatnonzero(ld)
+
+    parts_c = [codes]
+    parts_d = [docids]
+    parts_p = [positions]
+    if ai.size:
+        lu = len(bt.uniques)
+        key = codes[ai] * lu + codes[ai + 1]
+        uk, inv = np.unique(key, return_inverse=True)
+        pair_codes = np.array(
+            [
+                code_of(bt.uniques[int(k) // lu] + " " + bt.uniques[int(k) % lu])
+                for k in uk
+            ],
+            dtype=np.int64,
+        )
+        parts_c.append(pair_codes[inv])
+        parts_d.append(docids[ai])
+        parts_p.append(positions[ai])
+    if ti.size:
+        uk, inv = np.unique(codes[ti], return_inverse=True)
+        t_codes = np.array(
+            [code_of(bt.uniques[int(k)] + " _") for k in uk], dtype=np.int64
+        )
+        parts_c.append(t_codes[inv])
+        parts_d.append(docids[ti])
+        parts_p.append(positions[ti])
+    if li.size:
+        uk, inv = np.unique(codes[li], return_inverse=True)
+        l_codes = np.array(
+            [code_of("_ " + bt.uniques[int(k)]) for k in uk], dtype=np.int64
+        )
+        parts_c.append(l_codes[inv])
+        parts_d.append(docids[li])
+        parts_p.append(positions[li] - 1)
+
+    doc_lens = np.zeros_like(bt.doc_lens)
+    np.add.at(doc_lens, docids, 1)
+    if li.size:
+        np.add.at(doc_lens, docids[li], 1)
+    return BatchTokens(
+        uniques,
+        np.concatenate(parts_c),
+        np.concatenate(parts_d),
+        np.concatenate(parts_p),
+        doc_lens,
+    )
+
+
+def _gram_post(bt: BatchTokens, min_gram: int, max_gram: int, edge: bool) -> BatchTokens:
+    """NGram/EdgeNGram filter over a BatchTokens stream: gram expansion is
+    computed once per UNIQUE vocabulary term, then broadcast to tokens with
+    repeat/gather (no per-token string work). Grams share the source
+    token's position; doc_lens count tokens that produced >=1 gram."""
+    from .ngram import _grams
+
+    new_uniques: list[str] = []
+    new_index: dict[str, int] = {}
+    flat: list[int] = []
+    offs = [0]
+    for u in bt.uniques:
+        for g in _grams(u, min_gram, max_gram, edge):
+            ci = new_index.get(g)
+            if ci is None:
+                ci = len(new_uniques)
+                new_uniques.append(g)
+                new_index[g] = ci
+            flat.append(ci)
+        offs.append(len(flat))
+    flat_a = np.asarray(flat, dtype=np.int64)
+    offs_a = np.asarray(offs, dtype=np.int64)
+    cnt = np.diff(offs_a)
+
+    tok_cnt = cnt[bt.codes]
+    total = int(tok_cnt.sum())
+    out_docids = np.repeat(bt.docids, tok_cnt)
+    out_positions = np.repeat(bt.positions, tok_cnt)
+    cum = np.cumsum(tok_cnt)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum - tok_cnt, tok_cnt)
+    out_codes = flat_a[np.repeat(offs_a[bt.codes], tok_cnt) + intra]
+
+    doc_lens = np.zeros_like(bt.doc_lens)
+    contrib = bt.docids[tok_cnt > 0]
+    np.add.at(doc_lens, contrib, 1)
+    return BatchTokens(new_uniques, out_codes, out_docids, out_positions, doc_lens)

@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
 from ..analysis.en import english_analyze, english_terms_positions
+from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
+from ..analysis.shingle import shingle_analyze, shingle_terms_positions
 from ..analysis.simple import simple_analyze, simple_terms_positions
 from ..analysis.tokenizer import analyze as standard_analyze
 from ..analysis.tokenizer import analyze_terms_positions
@@ -87,6 +89,9 @@ _ANALYZERS: dict[str, Callable] = {
     "standard": standard_analyze,
     "simple": simple_analyze,
     "english": english_analyze,
+    "shingle": shingle_analyze,      # standard + bigram shingles/unigrams
+    "ngram3": ngram_analyze,         # standard + char trigrams
+    "edge_ngram": edge_ngram_analyze,  # standard + edge grams 2..4
 }
 
 
@@ -94,10 +99,23 @@ def get_analyzer(name: str) -> Callable:
     return _ANALYZERS[name]
 
 
+def _ngram_terms_positions(text, stopwords=None):
+    toks = ngram_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]
+
+
+def _edge_terms_positions(text, stopwords=None):
+    toks = edge_ngram_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]
+
+
 _BULK_ANALYZERS: dict[str, Callable] = {
     "standard": analyze_terms_positions,
     "simple": simple_terms_positions,
     "english": english_terms_positions,
+    "shingle": shingle_terms_positions,
+    "ngram3": _ngram_terms_positions,
+    "edge_ngram": _edge_terms_positions,
 }
 
 

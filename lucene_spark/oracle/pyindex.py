@@ -29,6 +29,8 @@ def topk_sort(hits: list[tuple[int, float]], k: int) -> list[tuple[int, float]]:
 @dataclass
 class PyIndex:
     stopwords: frozenset[str] | None = None
+    # (text, stopwords) -> list[Token]; None = the standard chain
+    analyzer: object = None
     # term -> list[(docid, freq, positions)]
     postings: dict[str, list[tuple[int, int, list[int]]]] = field(
         default_factory=lambda: defaultdict(list)
@@ -39,11 +41,14 @@ class PyIndex:
     sum_ttf: int = 0
 
     def add(self, docid: int, text: str) -> None:
-        toks = analyze(text, stopwords=self.stopwords)
+        an = self.analyzer if self.analyzer is not None else analyze
+        toks = an(text, self.stopwords)
         per_term: dict[str, list[int]] = defaultdict(list)
         for t in toks:
             per_term[t.term].append(t.position)
-        length = len(toks)  # discountOverlaps: posIncr==0 tokens don't count
+        # discountOverlaps: posIncr==0 tokens don't count = one count per
+        # DISTINCT position (shingle/ngram chains stack tokens per position)
+        length = len({t.position for t in toks})
         for term, positions in sorted(per_term.items()):
             self.postings[term].append((docid, len(positions), positions))
         self.norms[docid] = int(int_to_byte4(length))
