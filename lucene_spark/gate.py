@@ -310,6 +310,98 @@ def _ast_interval_or():
     return IntervalNear(("data", ("stream", "window")), ordered=True, max_gaps=3)
 
 
+def _ast_interval_phrase():
+    from .search.query import IntervalNear, IntervalPhrase
+
+    # slot 1 is Intervals.phrase(data, stream) — extent 2
+    return IntervalNear(
+        (IntervalPhrase(("data", "stream")), "window"), ordered=True, max_gaps=6
+    )
+
+
+def _sql_interval_phrase(max_gaps: int = 6, k: int = 10) -> str:
+    """Ordered [phrase(data stream), window]: phrase occurrences are
+    adjacent (t.pos, t.pos+1) spans; the second leaf must START strictly
+    after the phrase END; minExtent = 3, weight 1/max(w-3+1, 1)."""
+    freq_expr = "0.0"
+    for w in range(3, max_gaps + 4):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 2}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (
+  SELECT t1.doc_id, t1.pos AS s, t1.pos + 1 AS e
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'data' AND t2.term = 'stream'
+),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+cand AS (
+  SELECT pa.doc_id, pa.s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.e
+  GROUP BY pa.doc_id, pa.s
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+iv AS (
+  SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s + 1 - 3 <= {max_gaps}
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _ast_interval_containing():
+    from .search.query import IntervalFilter, IntervalNear
+
+    return IntervalFilter(
+        IntervalNear(("data", "stream"), ordered=False, max_gaps=6),
+        IntervalNear(("window",)),
+        "containing",
+    )
+
+
+def _sql_interval_containing(max_gaps: int = 6, k: int = 10) -> str:
+    """Intervals.containing: minimal unordered (data,stream) intervals that
+    hold a 'window' position inside; weight keeps the source's minExtent=2."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 1}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+pc AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+cand AS (
+  SELECT pa.doc_id, pa.pos AS s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+  UNION ALL
+  SELECT pb.doc_id, pb.pos AS s, min(pa.pos) AS e
+  FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+  GROUP BY pb.doc_id, pb.pos
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+kept AS (
+  SELECT m.doc_id, m.e - m.s + 1 AS w
+  FROM mini m
+  WHERE m.e - m.s - 1 <= {max_gaps}
+    AND EXISTS (
+      SELECT 1 FROM pc
+      WHERE pc.doc_id = m.doc_id AND pc.pos BETWEEN m.s AND m.e
+    )
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM kept GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_interval(
     t0, t1, ordered: bool, max_gaps: int,
     pivot: float = 1.0, boost: float = 1.0, k: int = 10,
@@ -1719,6 +1811,8 @@ def gate_queries() -> dict:
         "interval_ordered": _mk_topk_ast(_ast_interval_ordered),
         "interval_unordered": _mk_topk_ast(_ast_interval_unordered),
         "interval_or_slot": _mk_topk_ast(_ast_interval_or),
+        "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
+        "interval_containing": _mk_topk_ast(_ast_interval_containing),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
@@ -1790,6 +1884,8 @@ def gate_oracle_sql() -> dict:
         "interval_ordered": _sql_interval("data", "stream", True, 3),
         "interval_unordered": _sql_interval("stream", "window", False, 4),
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
+        "interval_phrase_slot": _sql_interval_phrase(),
+        "interval_containing": _sql_interval_containing(),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),

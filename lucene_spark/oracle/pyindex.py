@@ -206,96 +206,159 @@ class PyIndex:
                 )[0]
         return out
 
-    def interval_scores(self, q) -> dict[int, np.float32]:
-        """IntervalQuery oracle (queries/intervals): per doc, enumerate the
-        MINIMAL ordered/unordered intervals over one occurrence of every
-        term, filter by max_gaps (gaps = width - minExtent:
-        Ordered/UnorderedIntervalIterator.gaps()) and max_width, sum the
-        sloppy freq 1/max(width - minExtent + 1, 1) per interval
-        (IntervalScorer.java:60-68), and apply the saturation function
-        boost * (1 - pivot/(pivot + freq))
-        (IntervalScoreFunction.java:66-74) in float32.
+    def _leaf_occurrences(self, leaf) -> dict[int, list[tuple[int, int]]]:
+        """doc -> sorted (start, end) occurrences of one interval leaf:
+        a term (width 1) or an exact phrase (Intervals.phrase, width L)."""
+        if len(leaf) == 1:
+            out: dict[int, list[tuple[int, int]]] = {}
+            for d, _, pos in self.postings.get(leaf[0], ()):
+                out.setdefault(d, []).extend((p, p) for p in pos)
+            return {d: sorted(v) for d, v in out.items()}
+        per_term = []
+        docs: set[int] | None = None
+        for t in leaf:
+            m = {d: set(pos) for d, _, pos in self.postings.get(t, ())}
+            per_term.append(m)
+            docs = set(m) if docs is None else docs & set(m)
+        out2: dict[int, list[tuple[int, int]]] = {}
+        for d in docs or ():
+            occ = [
+                (p, p + len(leaf) - 1)
+                for p in sorted(per_term[0][d])
+                if all(p + i in per_term[i][d] for i in range(1, len(leaf)))
+            ]
+            if occ:
+                out2[d] = occ
+        return out2
 
-        Independence from the engine: candidates come from a literal greedy
-        enumeration and minimality is an EXPLICIT containment antichain
-        filter (an interval is dropped iff it properly contains another
-        candidate) — not the engine's keep-max-start-per-end dedup — so a
-        shared monotonicity bug cannot pass both sides.
-        """
-        import bisect
-
+    def _interval_minimal(self, q) -> dict[int, list[tuple[int, int]]]:
+        """doc -> minimal intervals of an IntervalNear after its
+        max_gaps/max_width filters — brute-force enumeration with an
+        EXPLICIT containment-antichain minimality filter (not the engine's
+        keep-max-start-per-end dedup, so a shared monotonicity bug cannot
+        pass both sides)."""
         slots = q.slots
-        m = len(slots)
-        plists: list[dict[int, list[int]]] = []
+        exts = q.slot_extents
+        ext_total = sum(exts)
+        slot_occ: list[dict[int, list[tuple[int, int]]]] = []
         for alts in slots:
-            merged: dict[int, list[int]] = {}
-            for t in alts:
-                for d, _, pos in self.postings.get(t, ()):
-                    merged.setdefault(d, []).extend(pos)
-            plists.append(merged)
-        common = set(plists[0]) if plists else set()
-        for p in plists[1:]:
+            merged: dict[int, set[tuple[int, int]]] = {}
+            for leaf in alts:
+                for d, occ in self._leaf_occurrences(leaf).items():
+                    merged.setdefault(d, set()).update(occ)
+            slot_occ.append({d: sorted(v) for d, v in merged.items()})
+        common = set(slot_occ[0]) if slot_occ else set()
+        for p in slot_occ[1:]:
             common &= set(p)
-        out: dict[int, np.float32] = {}
+        out: dict[int, list[tuple[int, int]]] = {}
         for d in sorted(common):
-            lists = [sorted(plists[i][d]) for i in range(m)]
+            lists = [slot_occ[i][d] for i in range(len(slots))]
             cands: list[tuple[int, int]] = []
             if q.ordered:
-                # each term must start strictly after the previous term's
-                # position (OrderedIntervalsSource: single-position leaves)
-                for s in lists[0]:
-                    cur, ok = s, True
+                # each leaf must START strictly after the previous leaf's
+                # END (OrderedIntervalsSource over interval leaves)
+                for s, e0 in lists[0]:
+                    cur_end, ok = e0, True
                     for lst in lists[1:]:
-                        j = bisect.bisect_right(lst, cur)
-                        if j >= len(lst):
+                        nxt = next(
+                            ((s2, e2) for (s2, e2) in lst if s2 > cur_end),
+                            None,
+                        )
+                        if nxt is None:
                             ok = False
                             break
-                        cur = lst[j]
+                        cur_end = nxt[1]
                     if ok:
-                        cands.append((s, cur))
+                        cands.append((s, cur_end))
             else:
-                # span = [start, max over terms of first occurrence >= start]
-                # for every occurrence of any term as the start
-                # (UnorderedIntervalsSource PQ states, minimized)
-                starts = sorted(p for lst in lists for p in lst)
+                # span = [start, max over slots of (first own occurrence
+                # with start >= s) end] for every occurrence start
+                starts = sorted({s for lst in lists for (s, _e) in lst})
                 for s in starts:
                     e, ok = s, True
                     for lst in lists:
-                        j = bisect.bisect_left(lst, s)
-                        if j >= len(lst):
+                        nxt = next(
+                            ((s2, e2) for (s2, e2) in lst if s2 >= s), None
+                        )
+                        if nxt is None:
                             ok = False
                             break
-                        e = max(e, lst[j])
+                        e = max(e, nxt[1])
                     if ok:
                         cands.append((s, e))
-            minimal = [
-                (s, e)
-                for (s, e) in cands
-                if not any(
+            cset = set(cands)
+            ivs = []
+            for s, e in cset:
+                if any(
                     s2 >= s and e2 <= e and (s2, e2) != (s, e)
-                    for (s2, e2) in cands
-                )
-            ]
-            counts: dict[int, int] = defaultdict(int)
-            for s, e in set(minimal):
+                    for (s2, e2) in cset
+                ):
+                    continue
                 w = e - s + 1
-                if q.max_gaps >= 0 and (w - m) > q.max_gaps:
+                if q.max_gaps >= 0 and (w - ext_total) > q.max_gaps:
                     continue
                 if q.max_width >= 0 and w > q.max_width:
                     continue
-                counts[w] += 1
-            # per distinct width, ascending, left-assoc double — the
-            # deterministic grouping shared with segment._interval_match
+                ivs.append((s, e))
+            if ivs:
+                out[d] = sorted(ivs)
+        return out
+
+    def _interval_saturate(
+        self, per_doc: dict[int, list[tuple[int, int]]],
+        ext_total: int, pivot: float, boost: float,
+    ) -> dict[int, np.float32]:
+        """Sloppy freq 1/max(w - minExtent + 1, 1) per interval, grouped
+        per distinct width ascending left-assoc double
+        (IntervalScorer.java:60-68), then the saturation function
+        boost * (1 - pivot/(pivot + freq)) in float32
+        (IntervalScoreFunction.java:66-74)."""
+        out: dict[int, np.float32] = {}
+        for d, ivs in per_doc.items():
+            counts: dict[int, int] = defaultdict(int)
+            for s, e in ivs:
+                counts[e - s + 1] += 1
             freq = 0.0
             for w in sorted(counts):
-                freq += counts[w] * (1.0 / max(w - m + 1, 1))
+                freq += counts[w] * (1.0 / max(w - ext_total + 1, 1))
             if freq > 0:
                 f = np.float32(freq)
-                p32 = np.float32(q.pivot)
+                p32 = np.float32(pivot)
                 out[d] = np.float32(
-                    np.float32(q.boost) * (np.float32(1.0) - p32 / (p32 + f))
+                    np.float32(boost) * (np.float32(1.0) - p32 / (p32 + f))
                 )
         return out
+
+    def interval_scores(self, q) -> dict[int, np.float32]:
+        """IntervalQuery oracle (queries/intervals) — see _interval_minimal
+        for enumeration independence from the engine."""
+        return self._interval_saturate(
+            self._interval_minimal(q), sum(q.slot_extents), q.pivot, q.boost
+        )
+
+    def interval_filter_scores(self, q) -> dict[int, np.float32]:
+        """Containment-filtered interval oracle (Intervals.containing /
+        notContaining / containedBy / notContainedBy): explicit O(|A|·|B|)
+        relation test per doc over both sides' minimal intervals."""
+        a = self._interval_minimal(q.source)
+        b = self._interval_minimal(q.reference)
+        negate = q.kind.startswith("not_")
+        kept: dict[int, list[tuple[int, int]]] = {}
+        for d, ivs in a.items():
+            refs = b.get(d, [])
+            sel = []
+            for s, e in ivs:
+                if q.kind.endswith("containing"):
+                    rel = any(s2 >= s and e2 <= e for (s2, e2) in refs)
+                else:
+                    rel = any(s2 <= s and e2 >= e for (s2, e2) in refs)
+                if rel != negate:
+                    sel.append((s, e))
+            if sel:
+                kept[d] = sel
+        return self._interval_saturate(
+            kept, sum(q.source.slot_extents), q.pivot, q.boost
+        )
 
     def expand_multiterm(self, q, max_terms: int = 128):
         """Mirror of Searcher.expand_multiterm over the in-memory term dict:
@@ -470,10 +533,12 @@ class PyIndex:
             }
         if isinstance(q, SynonymQuery):
             return self.synonym_scores(q.terms, q.boost)
-        from ..search.query import IntervalNear, MultiPhraseQuery
+        from ..search.query import IntervalFilter, IntervalNear, MultiPhraseQuery
 
         if isinstance(q, IntervalNear):
             return self.interval_scores(q)
+        if isinstance(q, IntervalFilter):
+            return self.interval_filter_scores(q)
 
         if isinstance(q, MultiPhraseQuery):
             return self.multi_phrase_scores(q.slots, q.boost)

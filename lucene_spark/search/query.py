@@ -198,6 +198,20 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class IntervalPhrase:
+    """Interval leaf matching an exact phrase (Intervals.phrase →
+    BlockIntervalsSource: occurrences are fixed-width [start, start+L-1]
+    spans of L consecutive term positions). Usable wherever a term leaf is
+    (a slot of IntervalNear, alone or among Intervals.or alternatives)."""
+
+    terms: tuple
+
+    def __post_init__(self):
+        if not self.terms or not all(isinstance(t, str) for t in self.terms):
+            raise ValueError("IntervalPhrase needs 1+ terms")
+
+
+@dataclass(frozen=True)
 class IntervalNear:
     """Positional interval query over term leaves: minimal intervals
     (queries/intervals/IntervalQuery.java, Intervals.ordered/unordered +
@@ -218,13 +232,18 @@ class IntervalNear:
     Freq accumulates per distinct interval width in ascending width order
     (left-assoc), making the float result reproducible in SQL.
 
-    A slot may be a single term or a tuple of alternatives —
-    ``Intervals.or`` of term sources (DisjunctionIntervalsSource): for
-    single-position term leaves its minimal intervals are exactly the
-    union of the alternatives' positions, so the slot's position list is
-    that sorted union."""
+    A slot may be a single term, an :class:`IntervalPhrase` (Intervals.phrase
+    leaf — fixed-width [start, start+L-1] occurrences), or a tuple of such
+    alternatives — ``Intervals.or`` (DisjunctionIntervalsSource): the slot's
+    occurrence list is the union of the alternatives'. Alternatives within
+    one slot must share one extent so the slot has a single leaf width
+    (minExtent of a disjunction is the min over alternatives,
+    DisjunctionIntervalsSource.minExtent — equal extents make it exact).
+    The query's minExtent = Σ slot extents (ordered/unordered sources sum
+    their subsources' minExtent), which generalizes the sloppy weight to
+    ``1 / max(width - Σextents + 1, 1)``."""
 
-    terms: tuple  # str | tuple[str, ...] per slot
+    terms: tuple  # str | IntervalPhrase | tuple[str | IntervalPhrase, ...]
     ordered: bool = True
     max_gaps: int = -1
     max_width: int = -1
@@ -232,17 +251,75 @@ class IntervalNear:
     boost: float = 1.0
 
     @property
-    def slots(self) -> tuple[tuple[str, ...], ...]:
-        return tuple(
-            (s,) if isinstance(s, str) else tuple(s) for s in self.terms
-        )
+    def slots(self) -> tuple[tuple[tuple[str, ...], ...], ...]:
+        """Normal form: per slot, a tuple of leaves; each leaf a tuple of
+        terms (len 1 = plain term leaf, len L = phrase leaf of extent L)."""
+
+        def leaf(x):
+            if isinstance(x, str):
+                return (x,)
+            if isinstance(x, IntervalPhrase):
+                return tuple(x.terms)
+            raise TypeError(f"bad interval leaf: {x!r}")
+
+        out = []
+        for s in self.terms:
+            alts = (
+                (s,)
+                if isinstance(s, (str, IntervalPhrase))
+                else tuple(s)
+            )
+            out.append(tuple(leaf(a) for a in alts))
+        return tuple(out)
+
+    @property
+    def slot_extents(self) -> tuple[int, ...]:
+        return tuple(len(slot[0]) for slot in self.slots)
 
     def __post_init__(self):
-        flat = [t for s in self.slots for t in s]
+        flat = [t for s in self.slots for leaf in s for t in leaf]
         if len(set(flat)) != len(flat):
             # Lucene wraps repeats in RepeatingIntervalsSource
             # (OrderedIntervalsSource.java:40-57); not supported here
             raise ValueError("IntervalNear requires distinct terms")
+        for slot in self.slots:
+            if len({len(leaf) for leaf in slot}) > 1:
+                raise ValueError(
+                    "Intervals.or alternatives must share one extent"
+                )
+        if not (self.pivot > 0):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+@dataclass(frozen=True)
+class IntervalFilter:
+    """Containment-filtered intervals (ConjunctionIntervalsSource via
+    Intervals.containing / notContaining / containedBy / notContainedBy,
+    queries/intervals/Intervals.java). Scores exactly like IntervalNear
+    but only over the SOURCE's minimal intervals that stand in ``kind``
+    relation to some REFERENCE interval:
+
+    - ``containing``: source interval has a reference interval inside it
+      (ref.start >= src.start and ref.end <= src.end)
+    - ``not_containing``: no reference interval inside
+    - ``contained_by``: source interval lies inside a reference interval
+    - ``not_contained_by``: inside no reference interval
+
+    The sloppy weight keeps the SOURCE's minExtent; the reference
+    contributes no scoring of its own (FilteringIntervalsSource passes the
+    source intervals through)."""
+
+    source: IntervalNear
+    reference: IntervalNear
+    kind: str = "containing"
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    KINDS = ("containing", "not_containing", "contained_by", "not_contained_by")
+
+    def __post_init__(self):
+        if self.kind not in self.KINDS:
+            raise ValueError(f"kind must be one of {self.KINDS}")
         if not (self.pivot > 0):
             raise ValueError(f"pivot must be > 0, got: {self.pivot}")
 
@@ -632,6 +709,8 @@ def _rewrite_once(q):
             )
     if isinstance(q, IntervalNear) and not q.terms:
         return MatchNoDocsQuery()
+    if isinstance(q, IntervalFilter) and not q.source.terms:
+        return MatchNoDocsQuery()
     if isinstance(q, SynonymQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)  # SynonymQuery.rewrite
     if isinstance(q, TermInSetQuery):
@@ -661,7 +740,9 @@ def collect_terms(q) -> set[str]:
     if isinstance(q, MultiPhraseQuery):
         return {t for s in q.slots for t in s}
     if isinstance(q, IntervalNear):
-        return {t for s in q.slots for t in s}
+        return {t for s in q.slots for leaf in s for t in leaf}
+    if isinstance(q, IntervalFilter):
+        return collect_terms(q.source) | collect_terms(q.reference)
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, CombinedFieldQuery):

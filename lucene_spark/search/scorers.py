@@ -41,6 +41,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalFilter,
     IntervalNear,
     MultiPhraseQuery,
     PhraseQuery,
@@ -178,6 +179,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             CombinedFieldQuery,
             FeatureQuery,
             IntervalNear,
+            IntervalFilter,
         ),
     ):
         out.add(q)
@@ -220,7 +222,7 @@ def build_scorers(
         scoring_leaves(q, leaves)
     scorers: dict = {}
     for leaf in leaves:
-        if isinstance(leaf, IntervalNear):
+        if isinstance(leaf, (IntervalNear, IntervalFilter)):
             # pure saturation of the sloppy interval freq — no stats/norms
             # (IntervalQuery.java:71-72 default saturationFunction(pivot))
             scorers[leaf] = IntervalSaturationScorer.create(

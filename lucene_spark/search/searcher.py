@@ -86,10 +86,12 @@ __all__ = ["Searcher", "wildcard_to_regex"]
 
 
 def _needs_positions(q) -> bool:
-    from .query import IntervalNear, MultiPhraseQuery
+    from .query import IntervalFilter, IntervalNear, MultiPhraseQuery
 
     return any(
-        isinstance(leaf, (PhraseQuery, MultiPhraseQuery, IntervalNear))
+        isinstance(
+            leaf, (PhraseQuery, MultiPhraseQuery, IntervalNear, IntervalFilter)
+        )
         for leaf in scoring_leaves(q)
     )
 

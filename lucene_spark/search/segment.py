@@ -42,6 +42,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalFilter,
     IntervalNear,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -536,6 +537,8 @@ class _SegmentSearcher:
             return tp.decode_all()[0] if tp else _EMPTY
         if isinstance(q, IntervalNear):
             return self._interval_match(q)[0]
+        if isinstance(q, IntervalFilter):
+            return self._interval_filter_match(q)[0]
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
@@ -636,7 +639,7 @@ class _SegmentSearcher:
             return d, np.full(d.size, q.boost, dtype=np.float32)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY, np.zeros(0, dtype=np.float32)
-        if isinstance(q, IntervalNear):
+        if isinstance(q, (IntervalNear, IntervalFilter)):
             return self._evaluate_interval(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_bool(q)
@@ -1197,79 +1200,141 @@ class _SegmentSearcher:
         ANSI SQL. Docids are compressed to dense candidate indices before
         any (doc, pos) keying, so int64 keys never overflow at 10^12-docid
         global coordinates."""
-        no_hit = (_EMPTY, np.zeros(0, dtype=np.float64))
+        d, starts, ends, ext = self._interval_enumerate(q)
+        return self._interval_fold(d, ends - starts + 1, ext)
+
+    @staticmethod
+    def _interval_fold(gdocs, width, min_extent):
+        """Per-doc sloppy freq over intervals: per distinct width ascending,
+        left-assoc (the deterministic grouping shared with the SQL oracle).
+        Returns (unique global docids, freqs)."""
+        if gdocs.size == 0:
+            return _EMPTY, np.zeros(0, dtype=np.float64)
+        docs_u, inv = np.unique(gdocs, return_inverse=True)
+        freq = np.zeros(docs_u.size, dtype=np.float64)
+        for w in np.unique(width):  # ascending distinct widths
+            wt = 1.0 / max(int(w) - min_extent + 1, 1)
+            freq += np.bincount(inv[width == w], minlength=docs_u.size) * wt
+        return docs_u, freq
+
+    def _phrase_leaf_starts(self, terms, cand, kp) -> np.ndarray:
+        """(dense doc · kp + start) of exact-phrase occurrences —
+        Intervals.phrase leaf (BlockIntervalsSource): term_i at start+i for
+        every i. Vectorized key-membership walk over candidate docs."""
+        tps = [self.term_postings(t) for t in terms]
+        if any(tp is None for tp in tps):
+            return np.zeros(0, dtype=np.int64)
+        dd, pp = self._slot_doc_pos(tps[0], 0, cand)
+        if dd.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        k0 = np.searchsorted(cand, dd) * kp + pp
+        k0.sort()
+        for i in range(1, len(terms)):
+            dd, pp = self._slot_doc_pos(tps[i], 0, cand)
+            if dd.size == 0:
+                return np.zeros(0, dtype=np.int64)
+            ki = np.searchsorted(cand, dd) * kp + pp
+            ki.sort()
+            k0 = k0[np.isin(k0 + np.int64(i), ki)]
+            if k0.size == 0:
+                return k0
+        return k0
+
+    def _interval_enumerate(self, q: IntervalNear):
+        """All minimal intervals of ``q`` after max_gaps/max_width, as
+        (global docids, starts, ends, min_extent) sorted by (doc, start).
+        Shared by scoring (_interval_fold) and containment filters."""
+        no_hit = (_EMPTY, _EMPTY, _EMPTY, 0)
         slots = q.slots
-        slot_tps: list[list] = []
-        for alts in slots:
-            tps = [
-                tp
-                for tp in (self.term_postings(t) for t in alts)
-                if tp is not None
-            ]
-            if not tps:
-                return no_hit
-            slot_tps.append(tps)
+        exts = q.slot_extents
+        ext_total = int(sum(exts))
         m = len(slots)
-        # candidate docs: ≥1 alternative of every slot (a slot is
-        # Intervals.or of its term leaves — union of positions — so doc
-        # candidacy is the conjunction of per-slot unions)
+        if m == 0:
+            return no_hit
+        # candidate docs: ≥1 alternative leaf of every slot (slot =
+        # Intervals.or → union of leaf doc sets; a phrase leaf's candidate
+        # superset is the conjunction of its terms' doc sets)
         cand: np.ndarray | None = None
-        for tps in slot_tps:
-            if cand is None:
-                ds = [tp.decode_all()[0] for tp in tps]
-            else:
-                ds = [
-                    tp.decode_blocks(tp.blocks_overlapping(cand))[0]
-                    for tp in tps
-                ]
+        for alts in slots:
+            ds = []
+            for leaf in alts:
+                ld: np.ndarray | None = None
+                for t in leaf:
+                    tp = self.term_postings(t)
+                    if tp is None:
+                        ld = _EMPTY
+                        break
+                    if cand is None:
+                        td = tp.decode_all()[0]
+                    else:
+                        td = tp.decode_blocks(tp.blocks_overlapping(cand))[0]
+                    ld = td if ld is None else ld[np.isin(ld, td)]
+                    if ld.size == 0:
+                        break
+                if ld is not None and ld.size:
+                    ds.append(ld)
+            if not ds:
+                return no_hit
             u = ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds))
             cand = u if cand is None else cand[np.isin(cand, u)]
             if cand.size == 0:
                 return no_hit
         kp = np.int64(1) << np.int64(31)  # positions < 2^31 (int32 contract)
-        keys = []  # per slot: sorted (dense doc idx, pos) keys
-        for tps in slot_tps:
+        keys = []  # per slot: sorted (dense doc idx · kp + start) keys
+        for alts in slots:
             parts = []
-            for tp in tps:
-                dd, pp = self._slot_doc_pos(tp, 0, cand)  # slot 0: raw pos
-                di = np.searchsorted(cand, dd)
-                parts.append(di * kp + pp)
+            for leaf in alts:
+                if len(leaf) == 1:
+                    tp = self.term_postings(leaf[0])
+                    if tp is None:
+                        continue
+                    dd, pp = self._slot_doc_pos(tp, 0, cand)
+                    if dd.size:
+                        parts.append(np.searchsorted(cand, dd) * kp + pp)
+                else:
+                    pk = self._phrase_leaf_starts(leaf, cand, kp)
+                    if pk.size:
+                        parts.append(pk)
+            if not parts:
+                return no_hit
             kk = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if len(parts) > 1:
                 kk.sort()
             keys.append(kk)
         if q.ordered:
+            # each leaf occurrence must START strictly after the previous
+            # leaf occurrence's END (start + extent - 1)
             k0 = keys[0]
             doc_i = k0 // kp
             starts = k0 % kp
-            cur = k0
+            cur_end = k0 + np.int64(exts[0] - 1)
             for t in range(1, m):
                 kt = keys[t]
-                # next occurrence of term t strictly after cur, same doc
-                idx = np.searchsorted(kt, cur, side="right")
+                idx = np.searchsorted(kt, cur_end, side="right")
                 ok = idx < kt.size
                 nxt = kt[np.minimum(idx, kt.size - 1)]
                 ok &= (nxt // kp) == doc_i
-                doc_i, starts, cur = doc_i[ok], starts[ok], nxt[ok]
+                doc_i, starts = doc_i[ok], starts[ok]
+                cur_end = nxt[ok] + np.int64(exts[t] - 1)
                 if doc_i.size == 0:
                     return no_hit
-            ends = cur % kp
+            ends = cur_end % kp
         else:
+            # span = [candidate start s, max over slots of (first own
+            # occurrence with start >= s) + extent - 1]
             allk = np.concatenate(keys)
             allk.sort()
             doc_i = allk // kp
             starts = allk % kp
             endp = np.zeros(allk.size, dtype=np.int64)
             ok = np.ones(allk.size, dtype=bool)
-            for kt in keys:
-                # this term's next occurrence at/after the start (own slot
-                # resolves to the start itself), same doc
+            for t, kt in enumerate(keys):
                 idx = np.searchsorted(kt, allk, side="left")
                 okt = idx < kt.size
                 nxt = kt[np.minimum(idx, kt.size - 1)]
                 okt &= (nxt // kp) == doc_i
                 ok &= okt
-                np.maximum(endp, nxt % kp, out=endp)
+                np.maximum(endp, nxt % kp + np.int64(exts[t] - 1), out=endp)
             doc_i, starts, ends = doc_i[ok], starts[ok], endp[ok]
             if doc_i.size == 0:
                 return no_hit
@@ -1282,23 +1347,72 @@ class _SegmentSearcher:
         width = ends - starts + 1
         keep = np.ones(doc_i.size, dtype=bool)
         if q.max_gaps >= 0:
-            keep &= (width - m) <= q.max_gaps
+            keep &= (width - ext_total) <= q.max_gaps
         if q.max_width >= 0:
             keep &= width <= q.max_width
-        doc_i, width = doc_i[keep], width[keep]
+        doc_i, starts, ends = doc_i[keep], starts[keep], ends[keep]
         if doc_i.size == 0:
             return no_hit
-        docs_u, inv = np.unique(doc_i, return_inverse=True)
-        freq = np.zeros(docs_u.size, dtype=np.float64)
-        for w in np.unique(width):  # ascending distinct widths
-            wt = 1.0 / max(int(w) - m + 1, 1)
-            freq += np.bincount(inv[width == w], minlength=docs_u.size) * wt
-        return cand[docs_u], freq
+        return cand[doc_i], starts, ends, ext_total
 
-    def _evaluate_interval(self, q: IntervalNear):
+    def _interval_filter_match(self, q):
+        """(docids, sloppy freqs) of a containment-filtered interval source
+        (Intervals.containing/notContaining/containedBy/notContainedBy —
+        FilteringIntervalsSource passes SOURCE intervals through, so the
+        weight keeps the source's minExtent). Containment tests are
+        vectorized (pandas grouped cummin/cummax over per-doc runs):
+        reference intervals sorted by (doc, start) carry a
+        per-doc suffix-min of ends (for containing: ∃ ref with
+        start >= s and end <= e iff the suffix-min at the first ref with
+        start >= s is <= e) or prefix-max of ends (for contained_by)."""
+        import pandas as pd
+
+        ad, as_, ae, ext = self._interval_enumerate(q.source)
+        if ad.size == 0:
+            return _EMPTY, np.zeros(0, dtype=np.float64)
+        bd, bs, be, _ = self._interval_enumerate(q.reference)
+        negate = q.kind.startswith("not_")
+        if bd.size == 0:
+            if negate:
+                return self._interval_fold(ad, ae - as_ + 1, ext)
+            return _EMPTY, np.zeros(0, dtype=np.float64)
+        # dense shared doc domain keeps (doc · kp + pos) inside int64 at
+        # 10^12-docid global coordinates
+        du = np.union1d(ad, bd)
+        ai = np.searchsorted(du, ad)
+        bi = np.searchsorted(du, bd)
+        kp = np.int64(1) << np.int64(31)
+        bkey = bi * kp + bs
+        akey = ai * kp + as_
+        if q.kind.endswith("containing"):
+            suffmin = (
+                pd.Series(be[::-1])
+                .groupby(pd.Series(bi[::-1]))
+                .cummin()
+                .to_numpy()[::-1]
+            )
+            j = np.searchsorted(bkey, akey, side="left")
+            ok = j < bkey.size
+            jj = np.minimum(j, bkey.size - 1)
+            rel = ok & (bi[jj] == ai) & (suffmin[jj] <= ae)
+        else:  # contained_by / not_contained_by
+            prefmax = (
+                pd.Series(be).groupby(pd.Series(bi)).cummax().to_numpy()
+            )
+            j = np.searchsorted(bkey, akey, side="right") - 1
+            ok = j >= 0
+            jj = np.maximum(j, 0)
+            rel = ok & (bi[jj] == ai) & (prefmax[jj] >= ae)
+        keep = ~rel if negate else rel
+        return self._interval_fold(ad[keep], (ae - as_ + 1)[keep], ext)
+
+    def _evaluate_interval(self, q):
         sc = self.ctx.scorers[q]
         dtype = _float_dtype(sc)
-        d, f = self._interval_match(q)
+        if isinstance(q, IntervalFilter):
+            d, f = self._interval_filter_match(q)
+        else:
+            d, f = self._interval_match(q)
         if d.size == 0:
             return _EMPTY, np.zeros(0, dtype=dtype)
         return d, sc.score(f).astype(dtype)

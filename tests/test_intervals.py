@@ -234,3 +234,138 @@ def test_oracle_matches_full_enumeration(ordered, m):
         )
         assert 0 in got, (toks, minimal)
         assert got[0] == exp, (toks, minimal, got[0], exp)
+
+
+# --- phrase leaves + containment filters (round-2 breadth) ----------------
+
+from lucene_spark.search.query import IntervalFilter, IntervalPhrase  # noqa: E402
+
+PHRASE_GRID = [
+    IntervalNear((IntervalPhrase(("beta", "alpha")), "gamma"), max_gaps=6),
+    IntervalNear((IntervalPhrase(("alpha", "beta")), "gamma"), max_gaps=8),
+    IntervalNear(
+        (IntervalPhrase(("alpha", "beta")), "gamma"), ordered=False, max_gaps=8
+    ),
+    IntervalNear(("delta", IntervalPhrase(("beta", "alpha"))), max_gaps=10),
+    IntervalNear(
+        ("eps", IntervalPhrase(("gamma", "delta"))), ordered=False, max_width=12
+    ),
+    # phrase-only source (single slot): freq = phrase occurrence count
+    IntervalNear((IntervalPhrase(("alpha", "beta")),)),
+    # Intervals.or of two equal-extent phrase leaves
+    IntervalNear(
+        (
+            (IntervalPhrase(("alpha", "beta")), IntervalPhrase(("gamma", "delta"))),
+            "eps",
+        ),
+        ordered=False,
+        max_gaps=9,
+    ),
+]
+
+
+@pytest.mark.parametrize("q", PHRASE_GRID, ids=lambda q: repr(q)[:60])
+def test_phrase_leaf_parity(searcher, oracle, q):
+    got = _check(searcher, oracle, q)
+    assert got, f"{q}: fixture should produce hits"
+
+
+FILTER_GRID = [
+    IntervalFilter(
+        IntervalNear(("alpha", "beta"), ordered=False, max_gaps=6),
+        IntervalNear(("gamma",)),
+        "containing",
+    ),
+    IntervalFilter(
+        IntervalNear(("alpha", "beta"), ordered=False, max_gaps=6),
+        IntervalNear(("gamma",)),
+        "not_containing",
+    ),
+    IntervalFilter(
+        IntervalNear(("pad0", "pad2")),
+        IntervalNear(("alpha", "beta"), ordered=False, max_gaps=9),
+        "contained_by",
+    ),
+    IntervalFilter(
+        IntervalNear(("pad0", "pad2")),
+        IntervalNear(("alpha", "beta"), ordered=False, max_gaps=9),
+        "not_contained_by",
+    ),
+    IntervalFilter(
+        IntervalNear((IntervalPhrase(("beta", "alpha")),)),
+        IntervalNear(("gamma",)),
+        "not_containing",
+        pivot=0.5,
+        boost=2.0,
+    ),
+]
+
+
+@pytest.mark.parametrize("q", FILTER_GRID, ids=lambda q: repr(q)[:70])
+def test_interval_filter_parity(searcher, oracle, q):
+    got = _check(searcher, oracle, q)
+    assert got, f"{q}: fixture should produce hits"
+
+
+def test_interval_filter_in_boolean(searcher, oracle):
+    q = BooleanQuery(
+        must=(
+            TermQuery("delta"),
+            IntervalFilter(
+                IntervalNear(("alpha", "beta"), ordered=False, max_gaps=5),
+                IntervalNear(("gamma",)),
+                "not_containing",
+            ),
+        )
+    )
+    _check(searcher, oracle, q)
+
+
+def test_phrase_leaf_hand_case(oracle, searcher):
+    """edge05 = 'gamma beta alpha gamma beta': phrase (beta,alpha) occurs at
+    (1,2); ordered + 'gamma' next at 3 -> interval (1,3), width 3,
+    minExtent 3 -> freq 1 -> saturation 0.5."""
+    url_doc = {
+        r["url"]: r["docid"]
+        for r in searcher._docmap_global().select("url", "docid").collect()
+    }
+    d5 = url_doc["doc://edge05"]
+    q = IntervalNear((IntervalPhrase(("beta", "alpha")), "gamma"), max_gaps=0)
+    per = oracle._interval_minimal(q)
+    assert per.get(d5) == [(1, 3)]
+    got = {r["docid"]: r["score"] for r in searcher.search(q, k=100).collect()}
+    assert np.float32(got[d5]) == np.float32(0.5)
+
+
+def test_contained_by_hand_case(oracle, searcher):
+    """edge02 = 'alpha pad0 pad1 pad2 beta': source (pad0..pad2) = (1,3) is
+    inside reference unordered (alpha,beta) = (0,4)."""
+    url_doc = {
+        r["url"]: r["docid"]
+        for r in searcher._docmap_global().select("url", "docid").collect()
+    }
+    d2 = url_doc["doc://edge02"]
+    src = IntervalNear(("pad0", "pad2"), max_gaps=4)
+    ref = IntervalNear(("alpha", "beta"), ordered=False, max_gaps=9)
+    inside = oracle.interval_filter_scores(
+        IntervalFilter(src, ref, "contained_by")
+    )
+    assert d2 in inside
+    outside = oracle.interval_filter_scores(
+        IntervalFilter(src, ref, "not_contained_by")
+    )
+    assert d2 not in outside
+
+
+def test_interval_filter_validation():
+    src = IntervalNear(("alpha", "beta"))
+    with pytest.raises(ValueError):
+        IntervalFilter(src, src, "overlapping")
+    with pytest.raises(ValueError):
+        IntervalNear(
+            ((IntervalPhrase(("alpha", "beta")), "gamma"),)  # mixed extent
+        )
+    assert isinstance(
+        rewrite(IntervalFilter(IntervalNear(()), src, "containing")),
+        MatchNoDocsQuery,
+    )
