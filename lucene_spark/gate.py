@@ -1589,6 +1589,86 @@ def _ensure_mf_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ensure_bj_index(spark: SparkSession, sf_dir: str) -> str:
+    """Doc-block index for ToParentBlockJoin: every 4 consecutive docs form
+    a family of children (urls ...-c{rank}) followed by one parent doc
+    (url ...-p, text 'parentmarker' — sorts last in the family, so url-rank
+    docid assignment reproduces the addDocuments block layout). Single
+    segment: docid == url rank, SQL-computable from doc_id."""
+    name = sf_dir.strip("/").replace("/", "_") + "_bj"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        children = base.select(
+            F.format_string(
+                "doc://%09d-c%d",
+                F.floor(F.col("doc_id") / 4).cast("long"),
+                F.pmod(F.col("doc_id"), F.lit(4)).cast("long"),
+            ).alias("url"),
+            "text",
+        )
+        parents = (
+            base.select(F.floor(F.col("doc_id") / 4).cast("long").alias("g"))
+            .distinct()
+            .select(
+                F.format_string("doc://%09d-p", F.col("g")).alias("url"),
+                F.lit("parentmarker").alias("text"),
+            )
+        )
+        build_index(
+            spark, children.unionByName(parents), idx, num_segments=1,
+            analyzer="simple", stopwords=None, index_positions=True,
+        )
+    return idx
+
+
+def _q_block_join(spark, sf_dir):
+    from .search.query import TermQuery, ToParentBlockJoinQuery
+
+    s = Searcher(
+        spark, _ensure_bj_index(spark, sf_dir), analyzer="simple", mode="double"
+    )
+    q = ToParentBlockJoinQuery(
+        TermQuery("stream"), TermQuery("parentmarker"), "avg"
+    )
+    return s.search(q, k=10).select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _sql_block_join(term: str = "stream", k: int = 10) -> str:
+    """Mirror of the block-join gate index: the block corpus adds one
+    1-token parent per family of 4 base docs, so collection stats shift to
+    n_docs+G and sum_ttf+G (G = ceil(N/4)); child BM25 uses those, then
+    scores group per family with ScoreMode.Avg = ordered-sum / count, and
+    the parent's index docid = min(4(g+1), N) + g (children precede it)."""
+    idf = _idf("d.df")
+    return f"""WITH {_BASE_CTES},
+bs AS (
+  SELECT (s.n_docs + g.g)::BIGINT AS n_docs,
+         (s.sum_ttf + g.g)::DOUBLE / (s.n_docs + g.g) AS avgdl
+  FROM stats s,
+       (SELECT count(DISTINCT doc_id // 4)::BIGINT AS g FROM documents) g
+),
+es AS (
+  SELECT tf.doc_id,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       bs s,
+       (SELECT df FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+),
+u AS (
+  SELECT (least(4 * (doc_id // 4 + 1), (SELECT n_docs FROM stats))
+          + doc_id // 4)::BIGINT AS doc_id,
+         list_sum(list(score ORDER BY doc_id)) / count(*) AS score
+  FROM es GROUP BY doc_id // 4
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(
         spark, _ensure_mf_index(spark, sf_dir), analyzer="simple", mode="double"
@@ -1834,6 +1914,7 @@ def gate_queries() -> dict:
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
         "join_to_source": _q_join_max,
+        "block_join_avg": _q_block_join,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "term_stats": _q_term_stats,
@@ -1905,6 +1986,7 @@ def gate_oracle_sql() -> dict:
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),
+        "block_join_avg": _sql_block_join(),
         "join_to_source": _sql_join_max(["stream", "window"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),

@@ -698,9 +698,17 @@ def build_index(
     lineage_tag: str | None = None,
     fields: dict[str, str] | None = None,
     feature_fields: dict[str, str] | None = None,
+    block_key: str | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
+
+    ``block_key`` names a column that pins every row sharing its value to
+    ONE segment (segment bucket = hash of that column instead of url) —
+    the IndexWriter.addDocuments doc-block guarantee for
+    ToParentBlockJoinQuery: with family urls sharing a prefix and the
+    parent's url sorting last, url-rank docid assignment keeps each family
+    contiguous with the parent last.
 
     ``fields`` = {field_name: input_column} turns on multi-field indexing
     (e.g. ``{"title": "title", "body": "text"}``): terms are namespaced per
@@ -763,10 +771,12 @@ def build_index(
     # groupBy shuffle perfectly balanced (see _balanced_segment_labels)
     labels = _balanced_segment_labels(num_segments, exclude=existing_ids)
     label_arr = F.array(*[F.lit(l) for l in labels])
-    bucket = F.pmod(F.xxhash64("url"), F.lit(num_segments)).cast("int")
-    docs = df.select(*cols).withColumn(
+    bucket = F.pmod(
+        F.xxhash64(block_key or "url"), F.lit(num_segments)
+    ).cast("int")
+    docs = df.withColumn(
         "segment_id", F.element_at(label_arr, bucket + F.lit(1))
-    )
+    ).select(*cols, "segment_id")
 
     done: set[int] = set()
     if resume:

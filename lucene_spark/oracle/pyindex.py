@@ -490,6 +490,38 @@ class PyIndex:
                 out[d] = sc.score(np.array([freq]), np.array([self.norms[d]]))[0]
         return out
 
+    def block_join_scores(self, q) -> dict[int, np.float32]:
+        """ToParentBlockJoinQuery oracle: child scores grouped under the
+        first parent docid at/after each child (ParentApproximation),
+        combined per ScoreMode with a double accumulator in child-docid
+        order (Score.java:296-341), boost-scaled (except none -> 0)."""
+        import bisect
+
+        parents = sorted(self.matching_docs(q.parents))
+        child = self.eval_query(q.child)
+        per: dict[int, list[float]] = defaultdict(list)
+        for d in sorted(child):
+            j = bisect.bisect_left(parents, d)
+            if j < len(parents):
+                per[parents[j]].append(float(child[d]))
+        out: dict[int, np.float32] = {}
+        for p, scores in per.items():
+            if q.score_mode == "none":
+                out[p] = np.float32(0.0)
+                continue
+            acc = scores[0]
+            for s in scores[1:]:
+                if q.score_mode in ("total", "avg"):
+                    acc += s
+                elif q.score_mode == "max":
+                    acc = max(acc, s)
+                else:
+                    acc = min(acc, s)
+            if q.score_mode == "avg":
+                acc /= len(scores)
+            out[p] = np.float32(acc * q.boost)
+        return out
+
     def matching_docs(self, q) -> set[int]:
         from ..search.query import ConstantScoreQuery, TermInSetQuery
 
@@ -534,11 +566,14 @@ class PyIndex:
         if isinstance(q, SynonymQuery):
             return self.synonym_scores(q.terms, q.boost)
         from ..search.query import IntervalFilter, IntervalNear, MultiPhraseQuery
+        from ..search.query import ToParentBlockJoinQuery
 
         if isinstance(q, IntervalNear):
             return self.interval_scores(q)
         if isinstance(q, IntervalFilter):
             return self.interval_filter_scores(q)
+        if isinstance(q, ToParentBlockJoinQuery):
+            return self.block_join_scores(q)
 
         if isinstance(q, MultiPhraseQuery):
             return self.multi_phrase_scores(q.slots, q.boost)

@@ -325,6 +325,38 @@ class IntervalFilter:
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery:
+    """Parent/child doc-block join (join/src/java/org/apache/lucene/search/
+    join/ToParentBlockJoinQuery.java): matches PARENT docs whose block
+    contains >=1 child matching ``child``. A block = consecutive docids
+    with the parent LAST (the addDocuments layout; build_index keeps it
+    when families share a url prefix with the parent sorting last, and
+    ``block_key`` pins a family to one segment). ``parents`` is any
+    filter-context query marking exactly the parent docs (the
+    BitSetProducer analog — conventionally a marker term). A child's
+    parent is the first parent docid >= the child docid
+    (ParentApproximation.advance, :243-256).
+
+    ``score_mode`` combines child scores per parent (ScoreMode.java,
+    accumulation in child-docid order, double precision, Score.java
+    :296-341): none -> 0, total -> sum, avg -> sum/count, max, min.
+    ``boost`` scales the combined score (Lucene folds it into the child
+    weight — equivalent for every mode since min/max/avg commute with a
+    positive scale, and none stays 0)."""
+
+    child: object
+    parents: object
+    score_mode: str = "avg"
+    boost: float = 1.0
+
+    MODES = ("none", "avg", "max", "total", "min")
+
+    def __post_init__(self):
+        if self.score_mode not in self.MODES:
+            raise ValueError(f"score_mode must be one of {self.MODES}")
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc with ≥1 token in ``field``, constant score
     (search/FieldExistsQuery.java:39 — answered from norms existence there,
@@ -624,6 +656,18 @@ def parse_query(s: str, analyzer, fmap=None) -> object:
 # --- rewrite ----------------------------------------------------------------
 
 def _rewrite_once(q):
+    if isinstance(q, ToParentBlockJoinQuery):
+        child = _rewrite_once(q.child)
+        parents = _rewrite_once(q.parents)
+        if isinstance(child, MatchNoDocsQuery) or isinstance(
+            parents, MatchNoDocsQuery
+        ):
+            return MatchNoDocsQuery()
+        if child is not q.child or parents is not q.parents:
+            return ToParentBlockJoinQuery(
+                child, parents, q.score_mode, q.boost
+            )
+        return q
     if isinstance(q, BooleanQuery):
         must = tuple(_rewrite_once(c) for c in q.must)
         should = tuple(_rewrite_once(c) for c in q.should)
@@ -764,4 +808,23 @@ def collect_terms(q) -> set[str]:
         return out
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
+    if isinstance(q, ToParentBlockJoinQuery):
+        return collect_terms(q.child) | collect_terms(q.parents)
     return set()
+
+
+def contains_block_join(q) -> bool:
+    """True when the tree holds a ToParentBlockJoinQuery — such queries
+    must evaluate on whole segments (doc blocks never cross segments but
+    may straddle intra-segment docid slices)."""
+    if isinstance(q, ToParentBlockJoinQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(
+            contains_block_join(c) for c in (*q.must, *q.should, *q.must_not)
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(contains_block_join(c) for c in q.disjuncts)
+    if isinstance(q, ConstantScoreQuery):
+        return contains_block_join(q.query)
+    return False

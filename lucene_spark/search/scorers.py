@@ -48,6 +48,7 @@ from .query import (
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    ToParentBlockJoinQuery,
 )
 
 __all__ = [
@@ -191,6 +192,9 @@ def scoring_leaves(q, out: set | None = None) -> set:
             scoring_leaves(c, out)
     elif isinstance(q, ConstantScoreQuery):
         scoring_leaves(q.query, out)
+    elif isinstance(q, ToParentBlockJoinQuery):
+        scoring_leaves(q.child, out)
+        scoring_leaves(q.parents, out)
     return out
 
 

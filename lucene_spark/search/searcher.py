@@ -70,6 +70,7 @@ from .query import (
     TermRangeQuery,
     WildcardQuery,
     collect_terms,
+    contains_block_join,
     parse_query,
     rewrite,
     wildcard_to_regex,
@@ -298,6 +299,15 @@ class Searcher:
         if isinstance(q, ConstantScoreQuery):
             return ConstantScoreQuery(
                 query=self.expand_multiterm(q.query, max_terms), boost=q.boost
+            )
+        from .query import ToParentBlockJoinQuery
+
+        if isinstance(q, ToParentBlockJoinQuery):
+            return ToParentBlockJoinQuery(
+                self.expand_multiterm(q.child, max_terms),
+                self.expand_multiterm(q.parents, max_terms),
+                q.score_mode,
+                q.boost,
             )
         if isinstance(q, FieldExistsQuery):
             # constant-score over the per-field existence list
@@ -543,7 +553,9 @@ class Searcher:
         if not scorers and not terms:
             return self._empty_hits()
         seg_meta = self._seg_meta()
-        span = self._slice_span()
+        # doc blocks never cross segments but may straddle docid slices:
+        # block-join trees evaluate on whole segments
+        span = None if contains_block_join(query) else self._slice_span()
         blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
         fn = partial(
@@ -592,7 +604,11 @@ class Searcher:
             )
         scorers = self._make_scorers(list(parsed.values()))
         seg_meta = self._seg_meta()
-        span = self._slice_span()
+        span = (
+            None
+            if any(contains_block_join(q) for q in parsed.values())
+            else self._slice_span()
+        )
         need_positions = any(_needs_positions(q) for q in parsed.values())
         blocks = self._postings_blocks(all_terms, need_positions, span)
         prune = self.prune
@@ -639,7 +655,7 @@ class Searcher:
             return self._empty_hits()
         scorers = self._make_scorers([query])
         seg_meta = self._seg_meta()
-        span = self._slice_span()
+        span = None if contains_block_join(query) else self._slice_span()
         blocks = self._postings_blocks(terms, _needs_positions(query), span)
         fn = partial(
             _segment_search_fn,
@@ -733,7 +749,7 @@ class Searcher:
         if not terms:
             return 0
         seg_meta = self._seg_meta()
-        span = self._slice_span()
+        span = None if contains_block_join(query) else self._slice_span()
         blocks = self._postings_blocks(terms, _needs_positions(query), span)
 
         tag = self._cache_tag()

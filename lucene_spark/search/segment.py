@@ -44,6 +44,7 @@ from .query import (
     FeatureQuery,
     IntervalFilter,
     IntervalNear,
+    ToParentBlockJoinQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -539,6 +540,15 @@ class _SegmentSearcher:
             return self._interval_match(q)[0]
         if isinstance(q, IntervalFilter):
             return self._interval_filter_match(q)[0]
+        if isinstance(q, ToParentBlockJoinQuery):
+            # filter context: docid-set algebra only, no child scoring
+            parents = self.matching_docs(q.parents)
+            cd = self.matching_docs(q.child)
+            if parents.size == 0 or cd.size == 0:
+                return _EMPTY
+            pi = np.searchsorted(parents, cd, side="left")
+            pi = pi[pi < parents.size]
+            return np.unique(parents[pi])
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
@@ -641,9 +651,48 @@ class _SegmentSearcher:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         if isinstance(q, (IntervalNear, IntervalFilter)):
             return self._evaluate_interval(q)
+        if isinstance(q, ToParentBlockJoinQuery):
+            return self._evaluate_block_join(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_bool(q)
         raise TypeError(f"unsupported query node {type(q)}")
+
+    def _evaluate_block_join(self, q: ToParentBlockJoinQuery):
+        """ToParentBlockJoinQuery: child hits map to the first parent docid
+        at/after them (ParentApproximation.advance), then child scores
+        combine per parent in child-docid order with a double accumulator
+        (Score.java:296-341). Requires whole-segment evaluation (the
+        searcher disables intra-segment slicing for block-join trees)."""
+        parents = self.matching_docs(q.parents)
+        cd, cs = self.evaluate(q.child)
+        dtype = cs.dtype if cs.size else np.float32
+        if parents.size == 0 or cd.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        pi = np.searchsorted(parents, cd, side="left")
+        ok = pi < parents.size
+        cd, cs, pi = cd[ok], cs[ok], pi[ok]
+        if cd.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        uniq_pi, inv = np.unique(pi, return_inverse=True)
+        pdocs = parents[uniq_pi]
+        mode = q.score_mode
+        if mode == "none":
+            out = np.zeros(pdocs.size, dtype=np.float64)
+        elif mode in ("total", "avg"):
+            out = np.zeros(pdocs.size, dtype=np.float64)
+            np.add.at(out, inv, cs.astype(np.float64))
+            if mode == "avg":
+                cnt = np.bincount(inv, minlength=pdocs.size)
+                out /= cnt
+        elif mode == "max":
+            out = np.full(pdocs.size, -np.inf, dtype=np.float64)
+            np.maximum.at(out, inv, cs.astype(np.float64))
+        else:  # min
+            out = np.full(pdocs.size, np.inf, dtype=np.float64)
+            np.minimum.at(out, inv, cs.astype(np.float64))
+        if mode != "none":
+            out *= q.boost
+        return pdocs, out.astype(dtype)
 
     def _evaluate_synonym(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
         """Union docids, per-doc freq = Σ over synonym terms, then ONE BM25
