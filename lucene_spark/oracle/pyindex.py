@@ -522,6 +522,24 @@ class PyIndex:
             out[p] = np.float32(acc * q.boost)
         return out
 
+    def child_join_scores(self, q) -> dict[int, np.float32]:
+        """ToChildBlockJoinQuery oracle: every docid strictly between the
+        previous parent and a matching parent scores the parent's score."""
+        import bisect
+
+        parents = sorted(self.matching_docs(q.parents))
+        pset = set(parents)
+        out: dict[int, np.float32] = {}
+        for p, s in self.eval_query(q.parent).items():
+            if p not in pset:
+                continue
+            j = bisect.bisect_left(parents, p)
+            prev = parents[j - 1] if j > 0 else -1
+            for c in range(prev + 1, p):
+                if c in self.norms:  # existing doc
+                    out[c] = np.float32(float(s) * q.boost)
+        return out
+
     def matching_docs(self, q) -> set[int]:
         from ..search.query import ConstantScoreQuery, TermInSetQuery
 
@@ -574,6 +592,10 @@ class PyIndex:
             return self.interval_filter_scores(q)
         if isinstance(q, ToParentBlockJoinQuery):
             return self.block_join_scores(q)
+        from ..search.query import ToChildBlockJoinQuery
+
+        if isinstance(q, ToChildBlockJoinQuery):
+            return self.child_join_scores(q)
 
         if isinstance(q, MultiPhraseQuery):
             return self.multi_phrase_scores(q.slots, q.boost)

@@ -357,6 +357,21 @@ class ToParentBlockJoinQuery:
 
 
 @dataclass(frozen=True)
+class ToChildBlockJoinQuery:
+    """The inverse block join (join/.../ToChildBlockJoinQuery.java):
+    matches every CHILD doc of a matching parent — the children are the
+    docids strictly between the previous parent and the matching parent —
+    and each child scores the parent's score (boost-scaled). ``parents``
+    marks parent docs exactly as in ToParentBlockJoinQuery; the parent
+    query must only match parent docs (non-parent matches are ignored,
+    mirroring the reference's advance-past assertion)."""
+
+    parent: object
+    parents: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc with ≥1 token in ``field``, constant score
     (search/FieldExistsQuery.java:39 — answered from norms existence there,
@@ -656,6 +671,14 @@ def parse_query(s: str, analyzer, fmap=None) -> object:
 # --- rewrite ----------------------------------------------------------------
 
 def _rewrite_once(q):
+    if isinstance(q, ToChildBlockJoinQuery):
+        parent = _rewrite_once(q.parent)
+        parents = _rewrite_once(q.parents)
+        if isinstance(parent, MatchNoDocsQuery) or isinstance(
+            parents, MatchNoDocsQuery
+        ):
+            return MatchNoDocsQuery()
+        return ToChildBlockJoinQuery(parent, parents, q.boost)
     if isinstance(q, ToParentBlockJoinQuery):
         child = _rewrite_once(q.child)
         parents = _rewrite_once(q.parents)
@@ -810,6 +833,8 @@ def collect_terms(q) -> set[str]:
         return collect_terms(q.query)
     if isinstance(q, ToParentBlockJoinQuery):
         return collect_terms(q.child) | collect_terms(q.parents)
+    if isinstance(q, ToChildBlockJoinQuery):
+        return collect_terms(q.parent) | collect_terms(q.parents)
     return set()
 
 
@@ -817,7 +842,7 @@ def contains_block_join(q) -> bool:
     """True when the tree holds a ToParentBlockJoinQuery — such queries
     must evaluate on whole segments (doc blocks never cross segments but
     may straddle intra-segment docid slices)."""
-    if isinstance(q, ToParentBlockJoinQuery):
+    if isinstance(q, (ToParentBlockJoinQuery, ToChildBlockJoinQuery)):
         return True
     if isinstance(q, BooleanQuery):
         return any(

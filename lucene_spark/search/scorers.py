@@ -48,6 +48,7 @@ from .query import (
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
 )
 
@@ -194,6 +195,9 @@ def scoring_leaves(q, out: set | None = None) -> set:
         scoring_leaves(q.query, out)
     elif isinstance(q, ToParentBlockJoinQuery):
         scoring_leaves(q.child, out)
+        scoring_leaves(q.parents, out)
+    elif isinstance(q, ToChildBlockJoinQuery):
+        scoring_leaves(q.parent, out)
         scoring_leaves(q.parents, out)
     return out
 

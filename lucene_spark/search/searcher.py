@@ -300,13 +300,19 @@ class Searcher:
             return ConstantScoreQuery(
                 query=self.expand_multiterm(q.query, max_terms), boost=q.boost
             )
-        from .query import ToParentBlockJoinQuery
+        from .query import ToChildBlockJoinQuery, ToParentBlockJoinQuery
 
         if isinstance(q, ToParentBlockJoinQuery):
             return ToParentBlockJoinQuery(
                 self.expand_multiterm(q.child, max_terms),
                 self.expand_multiterm(q.parents, max_terms),
                 q.score_mode,
+                q.boost,
+            )
+        if isinstance(q, ToChildBlockJoinQuery):
+            return ToChildBlockJoinQuery(
+                self.expand_multiterm(q.parent, max_terms),
+                self.expand_multiterm(q.parents, max_terms),
                 q.boost,
             )
         if isinstance(q, FieldExistsQuery):

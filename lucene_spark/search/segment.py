@@ -44,6 +44,7 @@ from .query import (
     FeatureQuery,
     IntervalFilter,
     IntervalNear,
+    ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -549,6 +550,14 @@ class _SegmentSearcher:
             pi = np.searchsorted(parents, cd, side="left")
             pi = pi[pi < parents.size]
             return np.unique(parents[pi])
+        if isinstance(q, ToChildBlockJoinQuery):
+            parents = self.matching_docs(q.parents)
+            pd = self.matching_docs(q.parent)
+            if parents.size == 0 or pd.size == 0:
+                return _EMPTY
+            pd = pd[np.isin(pd, parents)]
+            children, _cnt, _keep = self._child_docs_of(pd, parents)
+            return children
         if isinstance(q, MatchAllDocsQuery):
             return np.arange(self.ctx.min_doc, self.ctx.max_doc, dtype=np.int64)
         if isinstance(q, MatchNoDocsQuery):
@@ -653,9 +662,53 @@ class _SegmentSearcher:
             return self._evaluate_interval(q)
         if isinstance(q, ToParentBlockJoinQuery):
             return self._evaluate_block_join(q)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return self._evaluate_child_join(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_bool(q)
         raise TypeError(f"unsupported query node {type(q)}")
+
+    def _child_docs_of(self, pd: np.ndarray, parents: np.ndarray):
+        """Child docid ranges (prev parent, parent) of the given matching
+        parent docids, plus the per-parent child counts (for score
+        propagation). Docids are dense per segment, so children = the
+        integer range — deletes are masked at the collection points like
+        every other docid source."""
+        idx = np.searchsorted(parents, pd, side="left")
+        prev = np.where(
+            idx > 0, parents[np.maximum(idx - 1, 0)], self.ctx.min_doc - 1
+        )
+        counts = pd - prev - 1
+        keep = counts > 0
+        pd, prev, counts = pd[keep], prev[keep], counts[keep]
+        total = int(counts.sum())
+        if total == 0:
+            return _EMPTY, np.zeros(0, dtype=np.int64), keep
+        cum = np.cumsum(counts)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum - counts, counts)
+        children = np.repeat(prev + 1, counts) + intra
+        return children, counts, keep
+
+    def _evaluate_child_join(self, q: ToChildBlockJoinQuery):
+        """ToChildBlockJoinQuery: children of each matching parent score
+        the parent's score (boost-scaled); non-parent matches of the
+        parent query are ignored (the reference's advance-past contract)."""
+        parents = self.matching_docs(q.parents)
+        pd, ps = self.evaluate(q.parent)
+        dtype = ps.dtype if ps.size else np.float32
+        if parents.size == 0 or pd.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        ok = np.isin(pd, parents)
+        pd, ps = pd[ok], ps[ok]
+        if pd.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        children, counts, keep = self._child_docs_of(pd, parents)
+        if children.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        scores = np.repeat(
+            (ps[keep].astype(np.float64) * q.boost), counts
+        ).astype(dtype)
+        return children, scores
 
     def _evaluate_block_join(self, q: ToParentBlockJoinQuery):
         """ToParentBlockJoinQuery: child hits map to the first parent docid

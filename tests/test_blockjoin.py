@@ -130,3 +130,52 @@ def test_rewrite_and_validation():
 def test_parents_count_matches(searcher, pyidx):
     q = ToParentBlockJoinQuery(TermQuery("alpha"), PARENTS, "none")
     assert searcher.count(q) == len(pyidx.eval_query(q))
+
+
+# --- ToChildBlockJoinQuery -------------------------------------------------
+
+from lucene_spark.search.query import ToChildBlockJoinQuery  # noqa: E402
+
+
+def test_child_join_scores(searcher, pyidx):
+    # parent query scores parents by their own content (the marker term);
+    # every child inherits its parent's score
+    q = ToChildBlockJoinQuery(TermQuery("parentmarker"), PARENTS, boost=1.5)
+    got = _check(searcher, pyidx, q, k=30)
+    assert got, "children expected"
+
+
+def test_child_join_filter_context_and_count(searcher, pyidx):
+    q = ToChildBlockJoinQuery(TermQuery("parentmarker"), PARENTS)
+    assert searcher.count(q) == len(pyidx.eval_query(q))
+    _check(searcher, pyidx, ConstantScoreQuery(q, boost=2.0), k=25)
+
+
+def test_child_join_roundtrip_with_parent_join(searcher, pyidx, corpus, docmap):
+    """children-of(parents-of(child query)) covers exactly the siblings of
+    matching children."""
+    bj = ToParentBlockJoinQuery(TermQuery("alpha"), PARENTS, "none")
+    cj = ToChildBlockJoinQuery(
+        BooleanQuery(must=(ConstantScoreQuery(bj), TermQuery("parentmarker"))),
+        PARENTS,
+    )
+    got_children = {d for d, _s in _check(searcher, pyidx, cj, k=10_000)}
+    # independent expectation from the corpus itself
+    fams_with_alpha = {
+        r["family"] for r in corpus if "alpha" in r["text"].split()
+    }
+    exp = {
+        docmap[r["url"]]
+        for r in corpus
+        if r["family"] in fams_with_alpha and not r["url"].endswith("-p")
+    }
+    assert got_children == exp
+
+
+def test_child_join_rewrite():
+    from lucene_spark.search.query import MatchNoDocsQuery, rewrite
+
+    assert isinstance(
+        rewrite(ToChildBlockJoinQuery(MatchNoDocsQuery(), PARENTS)),
+        MatchNoDocsQuery,
+    )
