@@ -689,6 +689,75 @@ SELECT word, mlt_score, tf, df FROM (
 ) ORDER BY raw DESC, word ASC LIMIT 25"""
 
 
+_WB_TARGETS = ("rowkey", "hashjoin", "thebigdata")
+
+
+def _q_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks over three run-together
+    targets (max_changes=2 → 2- and 3-part splits), ranked per target by
+    (parts ASC, max-frequency DESC, words ASC)."""
+    from .search.wordbreak import WordBreakSpellChecker
+
+    wb = WordBreakSpellChecker(_searcher(spark, sf_dir), max_changes=2)
+    rows = []
+    for t in _WB_TARGETS:
+        for ws in wb.suggest_word_breaks(t, max_suggestions=5):
+            rows.append(
+                (
+                    t,
+                    " ".join(w.word for w in ws),
+                    len(ws),
+                    max(w.freq for w in ws),
+                    sum(w.freq for w in ws),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "target string, words string, n_parts int, freq_max long, freq_sum long",
+    )
+
+
+def _sql_word_breaks(k: int = 5) -> str:
+    vals = ", ".join(f"('{t}')" for t in _WB_TARGETS)
+    return f"""WITH {_BASE_CTES},
+t(s) AS (VALUES {vals}),
+n(i) AS (SELECT unnest(range(1, 64))),
+two AS (
+  SELECT t.s AS target,
+         substr(s, 1, i::INT) AS w1, substr(s, i::INT + 1) AS w2,
+         d1.df AS f1, d2.df AS f2
+  FROM t JOIN n ON i < length(s)
+  JOIN dft d1 ON d1.term = substr(s, 1, i::INT)
+  JOIN dft d2 ON d2.term = substr(s, i::INT + 1)
+),
+three AS (
+  SELECT t.s AS target,
+         substr(s, 1, a.i::INT) AS w1,
+         substr(s, a.i::INT + 1, (b.i - a.i)::INT) AS w2,
+         substr(s, b.i::INT + 1) AS w3,
+         d1.df AS f1, d2.df AS f2, d3.df AS f3
+  FROM t
+  JOIN n a ON a.i < length(s)
+  JOIN n b ON b.i > a.i AND b.i < length(s)
+  JOIN dft d1 ON d1.term = substr(s, 1, a.i::INT)
+  JOIN dft d2 ON d2.term = substr(s, a.i::INT + 1, (b.i - a.i)::INT)
+  JOIN dft d3 ON d3.term = substr(s, b.i::INT + 1)
+),
+u AS (
+  SELECT target, w1 || ' ' || w2 AS words, 2 AS n_parts,
+         greatest(f1, f2)::BIGINT AS freq_max, (f1 + f2)::BIGINT AS freq_sum
+  FROM two
+  UNION ALL
+  SELECT target, w1 || ' ' || w2 || ' ' || w3, 3,
+         greatest(f1, f2, f3)::BIGINT, (f1 + f2 + f3)::BIGINT
+  FROM three
+)
+SELECT target, words, n_parts, freq_max, freq_sum FROM u
+QUALIFY row_number() OVER (
+  PARTITION BY target ORDER BY n_parts, freq_max DESC, words
+) <= {k}"""
+
+
 def _q_suggest_prefix(spark, sf_dir):
     """Lookup analog: top index terms under a prefix by docFreq weight."""
     from .search.spell import prefix_suggest
@@ -1902,6 +1971,7 @@ def gate_queries() -> dict:
         "bm25_search_after": _q_search_after,
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
+        "word_breaks": _q_word_breaks,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
@@ -1976,6 +2046,7 @@ def gate_oracle_sql() -> dict:
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
+        "word_breaks": _sql_word_breaks(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),
