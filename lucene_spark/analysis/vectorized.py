@@ -195,8 +195,9 @@ def analyze_batch(
     token multiset equals the per-document chain, emission ORDER may differ
     (the index builder re-sorts by (term, doc, position) regardless)."""
     english = analyzer == "english"
+    folded = analyzer == "ascii_folded"
     post = analyzer in ("shingle", "ngram3", "edge_ngram")
-    standard = analyzer == "standard" or english or post
+    standard = analyzer == "standard" or english or folded or post
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop
         max_token_length = 1 << 31
@@ -336,6 +337,31 @@ def analyze_batch(
         np.add.at(doc_lens, docids, 1)
         return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
 
+    if folded:
+        # fold-then-stop on the VOCABULARY (analysis/folding.py chain
+        # order), distinct raw terms may fold together -> remap codes
+        from .folding import fold_ascii
+
+        remap = np.empty(len(uniques), dtype=np.int64)
+        new_uniques: list[str] = []
+        new_index: dict[str, int] = {}
+        for i, u in enumerate(uniques):
+            t = fold_ascii(u)
+            if stopwords and t in stopwords:
+                remap[i] = -1
+                continue
+            ci = new_index.get(t)
+            if ci is None:
+                ci = len(new_uniques)
+                new_uniques.append(t)
+                new_index[t] = ci
+            remap[i] = ci
+        codes = remap[codes]
+        keep = codes >= 0
+        codes, docids, positions = codes[keep], docids[keep], positions[keep]
+        np.add.at(doc_lens, docids, 1)
+        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
+
     # stop filter on the VOCABULARY (exact, tiny), keeping position
     # increments of dropped tokens
     if stopwords:
@@ -438,6 +464,52 @@ def _shingle_post(bt: BatchTokens) -> BatchTokens:
         np.concatenate(parts_p),
         doc_lens,
     )
+
+
+def _synonym_post(
+    bt: BatchTokens, rules: dict, keep_original: bool = True
+) -> BatchTokens:
+    """Single-token synonym expansion over a BatchTokens stream: the
+    output list per UNIQUE vocabulary term (original if kept + synonyms)
+    broadcasts to tokens with the same repeat/gather as _gram_post.
+    doc_lens stay distinct-position counts: stacked synonyms add no
+    positions; a replaced-to-nothing term would drop one (cannot happen —
+    rules map to >=1 synonyms)."""
+    new_uniques: list[str] = []
+    new_index: dict[str, int] = {}
+
+    def code_of(w: str) -> int:
+        ci = new_index.get(w)
+        if ci is None:
+            ci = len(new_uniques)
+            new_uniques.append(w)
+            new_index[w] = ci
+        return ci
+
+    flat: list[int] = []
+    offs = [0]
+    for u in bt.uniques:
+        alts = rules.get(u)
+        if alts is None or keep_original:
+            flat.append(code_of(u))
+        if alts:
+            flat.extend(code_of(a) for a in alts)
+        offs.append(len(flat))
+    flat_a = np.asarray(flat, dtype=np.int64)
+    offs_a = np.asarray(offs, dtype=np.int64)
+    cnt = np.diff(offs_a)
+
+    tok_cnt = cnt[bt.codes]
+    total = int(tok_cnt.sum())
+    out_docids = np.repeat(bt.docids, tok_cnt)
+    out_positions = np.repeat(bt.positions, tok_cnt)
+    cum = np.cumsum(tok_cnt)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum - tok_cnt, tok_cnt)
+    out_codes = flat_a[np.repeat(offs_a[bt.codes], tok_cnt) + intra]
+
+    doc_lens = np.zeros_like(bt.doc_lens)
+    np.add.at(doc_lens, bt.docids[tok_cnt > 0], 1)
+    return BatchTokens(new_uniques, out_codes, out_docids, out_positions, doc_lens)
 
 
 def _gram_post(bt: BatchTokens, min_gram: int, max_gram: int, edge: bool) -> BatchTokens:

@@ -1738,6 +1738,57 @@ u AS (
 """ + _topk_wrap("SELECT doc_id, score FROM u", k)
 
 
+def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with index-time synonym rules stream->flow and
+    window->flow (keep_original): 'flow' becomes a real posting list whose
+    docs are the union and freqs the sums; doc lengths stay the
+    distinct-position counts, so base-corpus stats still apply."""
+    name = sf_dir.strip("/").replace("/", "_") + "_syn"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True,
+            synonyms={"stream": ("flow",), "window": ("flow",)},
+        )
+    return idx
+
+
+def _q_synonym_expanded(spark, sf_dir):
+    s = Searcher(
+        spark, _ensure_syn_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    h = s.search("flow", k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_synonym_expanded(terms=("stream", "window"), k: int = 10) -> str:
+    """The synonym posting list in SQL: df = docs containing any source
+    term, freq = summed occurrences; norms/avgdl unchanged (stacked
+    positions add no positions)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idf = _idf("d.df")
+    return f"""WITH {_BASE_CTES},
+sf AS (
+  SELECT doc_id, count(*)::BIGINT AS freq FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id
+),
+d AS (SELECT count(*)::BIGINT AS df FROM sf),
+ss AS (
+  SELECT sf.doc_id, ({idf} - {idf} / {_tf_part("sf.freq", "qdl.qdl")}) AS score
+  FROM sf JOIN qdl USING (doc_id), stats s, d
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ss", k)
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(
         spark, _ensure_mf_index(spark, sf_dir), analyzer="simple", mode="double"
@@ -1972,6 +2023,7 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
         "word_breaks": _q_word_breaks,
+        "synonym_expanded_index": _q_synonym_expanded,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
@@ -2047,6 +2099,7 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "word_breaks": _sql_word_breaks(),
+        "synonym_expanded_index": _sql_synonym_expanded(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),

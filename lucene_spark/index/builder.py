@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
 from ..analysis.en import english_analyze, english_terms_positions
+from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
 from ..analysis.shingle import shingle_analyze, shingle_terms_positions
 from ..analysis.simple import simple_analyze, simple_terms_positions
@@ -92,6 +93,7 @@ _ANALYZERS: dict[str, Callable] = {
     "shingle": shingle_analyze,      # standard + bigram shingles/unigrams
     "ngram3": ngram_analyze,         # standard + char trigrams
     "edge_ngram": edge_ngram_analyze,  # standard + edge grams 2..4
+    "ascii_folded": folded_analyze,  # standard + ASCII folding before stop
 }
 
 
@@ -116,6 +118,9 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "shingle": shingle_terms_positions,
     "ngram3": _ngram_terms_positions,
     "edge_ngram": _edge_terms_positions,
+    "ascii_folded": lambda text, stopwords=None: (
+        lambda toks: ([t.term for t in toks], [t.position for t in toks])
+    )(folded_analyze(text, stopwords)),
 }
 
 
@@ -174,6 +179,8 @@ def _invert_segment(
     index_positions: bool,
     fields: list[tuple[str, str]] | None = None,
     features: list[tuple[str, str]] | None = None,
+    synonyms: dict | None = None,
+    synonyms_keep_original: bool = True,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -226,6 +233,10 @@ def _invert_segment(
         # + exact 16-byte-pack dictionary encoding — no per-token python
         # objects (analysis/vectorized.py; tested vs the Token chain)
         bt = analyze_batch(texts, stopwords=stopwords, analyzer=analyzer_name)
+        if synonyms:
+            from ..analysis.vectorized import _synonym_post
+
+            bt = _synonym_post(bt, synonyms, synonyms_keep_original)
         doc_lens = bt.doc_lens
         norms = int_to_byte4(doc_lens)
         prefix = "" if fname is None else fname + FIELD_SEP
@@ -699,9 +710,16 @@ def build_index(
     fields: dict[str, str] | None = None,
     feature_fields: dict[str, str] | None = None,
     block_key: str | None = None,
+    synonyms: dict | None = None,
+    synonyms_keep_original: bool = True,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
+
+    ``synonyms`` = {analyzed_term: synonym | [synonyms...]} applies
+    index-time single-token synonym expansion after the analyzer chain
+    (stacked positions, ``synonyms_keep_original`` controls replace vs
+    add — see analysis/synonyms.py).
 
     ``block_key`` names a column that pins every row sharing its value to
     ONE segment (segment bucket = hash of that column instead of url) —
@@ -804,6 +822,13 @@ def build_index(
     spark.conf.set("spark.sql.shuffle.partitions", str(num_segments))
     sw = stopwords
     an, hi, ip = analyzer, html_input, index_positions
+    syn, syn_keep = None, synonyms_keep_original
+    if synonyms:
+        from ..analysis.synonyms import check_rules
+
+        # index-time synonym expansion (analysis/synonyms.py): applied to
+        # the analyzed stream as a vocabulary-level post-pass
+        syn = check_rules(synonyms)
     fl = sorted(fields.items()) if fields is not None else None
     if fl is not None and fields:
         # primary field first (docmap doc_len/norm source): dict order
@@ -815,7 +840,10 @@ def build_index(
     ftl = sorted(feature_fields.items()) if feature_fields else None
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _invert_segment(pdf, an, sw, hi, ip, fields=fl, features=ftl)
+        return _invert_segment(
+            pdf, an, sw, hi, ip, fields=fl, features=ftl,
+            synonyms=syn, synonyms_keep_original=syn_keep,
+        )
 
     unified = docs.groupBy("segment_id").applyInPandas(
         _builder, schema=UNIFIED_BUILD_SCHEMA
