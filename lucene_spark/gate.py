@@ -402,6 +402,90 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_interval_repeat_ordered():
+    from .search.query import IntervalNear
+
+    # repeated slot -> RepeatingIntervalsSource analog (consecutive pairs)
+    return IntervalNear(("data", "data"), ordered=True, max_gaps=5)
+
+
+def _sql_interval_repeat_ordered(term: str = "data", max_gaps: int = 5, k: int = 10) -> str:
+    """Ordered repeat (data data): consecutive occurrence pairs
+    (RepeatingIntervalsSource windows). Scoring minExtent is the CHILD's
+    extent counted once (Rep.minExtent) => weight 1/max(w-1+1,1) = 1/w;
+    the gaps filter keeps full copy widths (w - 2 <= max_gaps)."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w}) * (1.0/{w}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = '{term}'),
+cand AS (
+  SELECT a1.doc_id, a1.pos AS s, min(a2.pos) AS e
+  FROM pa a1 JOIN pa a2 ON a1.doc_id = a2.doc_id AND a2.pos > a1.pos
+  GROUP BY a1.doc_id, a1.pos
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+iv AS (SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s - 1 <= {max_gaps}),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _ast_interval_repeat_unordered():
+    from .search.query import IntervalNear
+
+    return IntervalNear(
+        ("stream", "window", "stream"), ordered=False, max_gaps=6
+    )
+
+
+def _sql_interval_repeat_unordered(
+    ta: str = "stream", tb: str = "window", max_gaps: int = 6, k: int = 10
+) -> str:
+    """Unordered (stream, window, stream): the repeated slot's copies take
+    CONSECUTIVE own occurrences (RepeatingIntervalsSource), so for each
+    candidate start s the span end = greatest(second {ta} pos >= s, first
+    {tb} pos >= s). Scoring minExtent = 1 (Rep counted once) + 1 = 2 =>
+    weight 1/(w-1); gaps keep full widths (w - 3 <= max_gaps)."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 4):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w}) * (1.0/{w - 1}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = '{ta}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = '{tb}'),
+nx AS (
+  SELECT x.doc_id, x.pos, min(y.pos) AS nxt
+  FROM pa x JOIN pa y ON x.doc_id = y.doc_id AND y.pos > x.pos
+  GROUP BY x.doc_id, x.pos
+),
+st AS (SELECT doc_id, pos AS s FROM pa UNION SELECT doc_id, pos FROM pb),
+cexp AS (
+  SELECT st.doc_id, st.s,
+    (SELECT min(nx.nxt) FROM nx
+     WHERE nx.doc_id = st.doc_id AND nx.pos >= st.s) AS ea,
+    (SELECT min(pb.pos) FROM pb
+     WHERE pb.doc_id = st.doc_id AND pb.pos >= st.s) AS eb
+  FROM st
+),
+cand AS (
+  SELECT doc_id, s, greatest(ea, eb) AS e FROM cexp
+  WHERE ea IS NOT NULL AND eb IS NOT NULL
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+iv AS (SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s + 1 - 3 <= {max_gaps}),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_interval(
     t0, t1, ordered: bool, max_gaps: int,
     pivot: float = 1.0, boost: float = 1.0, k: int = 10,
@@ -2013,6 +2097,8 @@ def gate_queries() -> dict:
         "interval_or_slot": _mk_topk_ast(_ast_interval_or),
         "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
+        "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
+        "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
@@ -2086,6 +2172,8 @@ def gate_oracle_sql() -> dict:
         "bm25_sloppy_phrase": _sql_sloppy_phrase("data", "stream", 2),
         "interval_ordered": _sql_interval("data", "stream", True, 3),
         "interval_unordered": _sql_interval("stream", "window", False, 4),
+        "interval_repeat_ordered": _sql_interval_repeat_ordered(),
+        "interval_repeat_unordered": _sql_interval_repeat_unordered(),
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),

@@ -272,18 +272,21 @@ class PyIndex:
                         cands.append((s, cur_end))
             else:
                 # span = [start, max over slots of (first own occurrence
-                # with start >= s) end] for every occurrence start
+                # with start >= s) end] for every occurrence start; the
+                # j-th copy of a repeated slot takes its (j+1)-th
+                # occurrence at/after s (RepeatingIntervalsSource
+                # consecutive windows — equal slots never share one
+                # occurrence)
+                dup = q.slot_dup_ranks
                 starts = sorted({s for lst in lists for (s, _e) in lst})
                 for s in starts:
                     e, ok = s, True
-                    for lst in lists:
-                        nxt = next(
-                            ((s2, e2) for (s2, e2) in lst if s2 >= s), None
-                        )
-                        if nxt is None:
+                    for j, lst in zip(dup, lists):
+                        at = [(s2, e2) for (s2, e2) in lst if s2 >= s]
+                        if len(at) <= j:
                             ok = False
                             break
-                        e = max(e, nxt[1])
+                        e = max(e, at[j][1])
                     if ok:
                         cands.append((s, e))
             cset = set(cands)
@@ -333,7 +336,7 @@ class PyIndex:
         """IntervalQuery oracle (queries/intervals) — see _interval_minimal
         for enumeration independence from the engine."""
         return self._interval_saturate(
-            self._interval_minimal(q), sum(q.slot_extents), q.pivot, q.boost
+            self._interval_minimal(q), q.min_extent, q.pivot, q.boost
         )
 
     def interval_filter_scores(self, q) -> dict[int, np.float32]:
@@ -357,7 +360,7 @@ class PyIndex:
             if sel:
                 kept[d] = sel
         return self._interval_saturate(
-            kept, sum(q.source.slot_extents), q.pivot, q.boost
+            kept, q.source.min_extent, q.pivot, q.boost
         )
 
     def expand_multiterm(self, q, max_terms: int = 128):

@@ -276,12 +276,49 @@ class IntervalNear:
     def slot_extents(self) -> tuple[int, ...]:
         return tuple(len(slot[0]) for slot in self.slots)
 
+    @property
+    def min_extent(self) -> int:
+        """Scoring minExtent with repeated slots deduplicated the way the
+        reference groups equal sources into a RepeatingIntervalsSource
+        whose minExtent is its CHILD's, counted once
+        (RepeatingIntervalsSource.java minExtent; grouping at
+        OrderedIntervalsSource.java:40-57 — adjacent equal sources only —
+        vs UnorderedIntervalsSource.java:43-55 — by count, any order).
+        Slot equality is the normalized slot tuple. Distinct slots that
+        merely share a term are independent sources (no grouping)."""
+        slots = self.slots
+        exts = self.slot_extents
+        if self.ordered:
+            total, prev = 0, None
+            for s, e in zip(slots, exts):
+                if s != prev:
+                    total += e
+                prev = s
+            return total
+        seen: set = set()
+        total = 0
+        for s, e in zip(slots, exts):
+            if s not in seen:
+                seen.add(s)
+                total += e
+        return total
+
+    @property
+    def slot_dup_ranks(self) -> tuple[int, ...]:
+        """Per slot, how many EQUAL slots precede it — the copy index
+        within its repeat group. An unordered repeat group's j-th copy must
+        take the (j+1)-th own occurrence at/after the candidate start
+        (DuplicateIntervalIterator's window of consecutive sub-intervals),
+        so equal slots never match on a single occurrence."""
+        counts: dict = {}
+        out = []
+        for s in self.slots:
+            j = counts.get(s, 0)
+            out.append(j)
+            counts[s] = j + 1
+        return tuple(out)
+
     def __post_init__(self):
-        flat = [t for s in self.slots for leaf in s for t in leaf]
-        if len(set(flat)) != len(flat):
-            # Lucene wraps repeats in RepeatingIntervalsSource
-            # (OrderedIntervalsSource.java:40-57); not supported here
-            raise ValueError("IntervalNear requires distinct terms")
         for slot in self.slots:
             if len({len(leaf) for leaf in slot}) > 1:
                 raise ValueError(

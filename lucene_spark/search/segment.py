@@ -1423,7 +1423,11 @@ class _SegmentSearcher:
             ends = cur_end % kp
         else:
             # span = [candidate start s, max over slots of (first own
-            # occurrence with start >= s) + extent - 1]
+            # occurrence with start >= s) + extent - 1]; the j-th copy of a
+            # repeated slot takes its (j+1)-th occurrence at/after s
+            # (RepeatingIntervalsSource consecutive-window semantics), so
+            # equal slots never share one occurrence
+            dup = q.slot_dup_ranks
             allk = np.concatenate(keys)
             allk.sort()
             doc_i = allk // kp
@@ -1431,7 +1435,7 @@ class _SegmentSearcher:
             endp = np.zeros(allk.size, dtype=np.int64)
             ok = np.ones(allk.size, dtype=bool)
             for t, kt in enumerate(keys):
-                idx = np.searchsorted(kt, allk, side="left")
+                idx = np.searchsorted(kt, allk, side="left") + dup[t]
                 okt = idx < kt.size
                 nxt = kt[np.minimum(idx, kt.size - 1)]
                 okt &= (nxt // kp) == doc_i
@@ -1455,7 +1459,10 @@ class _SegmentSearcher:
         doc_i, starts, ends = doc_i[keep], starts[keep], ends[keep]
         if doc_i.size == 0:
             return no_hit
-        return cand[doc_i], starts, ends, ext_total
+        # scoring minExtent deduplicates repeat groups (a Repeating source
+        # contributes its child's extent once) while the gaps filter above
+        # used the FULL ext_total (Rep.width() sums every copy's width)
+        return cand[doc_i], starts, ends, q.min_extent
 
     def _interval_filter_match(self, q):
         """(docids, sloppy freqs) of a containment-filtered interval source

@@ -104,6 +104,17 @@ GRID = [
     IntervalNear(("alpha", ("beta", "gamma")), max_gaps=2),
     IntervalNear((("alpha", "delta"), ("beta", "gamma")), ordered=False, max_gaps=3),
     IntervalNear((("alpha", "eps"), "beta", ("gamma", "zeta")), max_gaps=8),
+    # repeated slots (RepeatingIntervalsSource consecutive-window analog)
+    IntervalNear(("alpha", "alpha")),
+    IntervalNear(("alpha", "alpha"), max_gaps=2),
+    IntervalNear(("beta", "beta"), ordered=False, max_gaps=3),
+    IntervalNear(("alpha", "alpha", "beta"), max_gaps=5),  # adjacent group
+    IntervalNear(("alpha", "beta", "alpha"), max_gaps=6),  # non-adjacent
+    IntervalNear(("alpha", "beta", "alpha"), ordered=False, max_gaps=6),
+    # same term in two DIFFERENT slots: independent sources, may overlap
+    IntervalNear(("alpha", ("alpha", "beta")), ordered=False, max_gaps=4),
+    # equal OR slots form one repeat group
+    IntervalNear((("alpha", "beta"), ("alpha", "beta")), ordered=False),
 ]
 
 
@@ -130,11 +141,27 @@ def test_interval_in_boolean(searcher, oracle):
 def test_interval_rewrite_and_validation():
     assert isinstance(rewrite(IntervalNear(())), MatchNoDocsQuery)
     with pytest.raises(ValueError):
-        IntervalNear(("alpha", "beta", "alpha"))
-    with pytest.raises(ValueError):
-        IntervalNear(("alpha", ("beta", "alpha")))  # repeat across slots
-    with pytest.raises(ValueError):
         IntervalNear(("alpha",), pivot=0.0)
+
+
+def test_min_extent_deduplicates_repeat_groups():
+    """Rep(child, k).minExtent == child.minExtent, counted once per group:
+    adjacent-run grouping when ordered (OrderedIntervalsSource.java:40-57),
+    by-count grouping when unordered (UnorderedIntervalsSource.java:43-55)."""
+    assert IntervalNear(("a", "b")).min_extent == 2
+    assert IntervalNear(("a", "a")).min_extent == 1
+    assert IntervalNear(("a", "a", "b")).min_extent == 2
+    # ordered groups only ADJACENT equals: a,b,a stays three sources
+    assert IntervalNear(("a", "b", "a")).min_extent == 3
+    # unordered groups by count regardless of position
+    assert IntervalNear(("a", "b", "a"), ordered=False).min_extent == 2
+    assert IntervalNear(("a", "a"), ordered=False).min_extent == 1
+    # slot identity is the full normalized slot: sharing a term != equal
+    assert IntervalNear(("a", ("a", "b")), ordered=False).min_extent == 2
+    from lucene_spark.search.query import IntervalPhrase as IP
+
+    assert IntervalNear((IP(("a", "b")), IP(("a", "b")))).min_extent == 2
+    assert IntervalNear(("a", "b", "a")).slot_dup_ranks == (0, 0, 1)
 
 
 @pytest.mark.parametrize("ordered", [True, False])
@@ -234,6 +261,79 @@ def test_oracle_matches_full_enumeration(ordered, m):
         )
         assert 0 in got, (toks, minimal)
         assert got[0] == exp, (toks, minimal, got[0], exp)
+
+
+# --- repeats: oracle self-check vs distinct-assignment enumeration --------
+
+def _brute_minimal_rep(lists, ordered, slot_vals):
+    """Antichain of all valid intervals where slots with EQUAL value take
+    pairwise-distinct occurrences (the RepeatingIntervalsSource contract)
+    while different sources may share one. Independent of both the engine's
+    consecutive-window walk and the oracle's rank-j greedy — a passing
+    check confirms the antichain equivalence of all three."""
+    cands = set()
+    for combo in product(*lists):
+        if ordered:
+            if not all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+                continue
+            s, e = combo[0], combo[-1]
+        else:
+            taken: dict = {}
+            ok = True
+            for v, p in zip(slot_vals, combo):
+                grp = taken.setdefault(v, set())
+                if p in grp:
+                    ok = False
+                    break
+                grp.add(p)
+            if not ok:
+                continue
+            s, e = min(combo), max(combo)
+        cands.add((s, e))
+    return {
+        (s, e)
+        for (s, e) in cands
+        if not any(
+            s2 >= s and e2 <= e and (s2, e2) != (s, e) for (s2, e2) in cands
+        )
+    }
+
+
+REPEAT_SHAPES = [("t0", "t0"), ("t0", "t1", "t0"), ("t0", "t0", "t1")]
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+@pytest.mark.parametrize("shape", REPEAT_SHAPES, ids=lambda s: "-".join(s))
+def test_repeat_oracle_matches_distinct_assignment_enumeration(ordered, shape):
+    rng = np.random.default_rng(31)
+    for _trial in range(40):
+        n = int(rng.integers(3, 14))
+        pool = ["t0", "t1", "filler"]
+        toks = [pool[int(i)] for i in rng.integers(0, len(pool), size=n)]
+        idx = PyIndex(stopwords=None)
+        idx.add(0, " ".join(toks))
+        q = IntervalNear(shape, ordered=ordered)
+        got = idx.interval_scores(q)
+        lists = [
+            [i for i, tok in enumerate(toks) if tok == t] for t in shape
+        ]
+        minimal = _brute_minimal_rep(lists, ordered, shape)
+        counts: dict[int, int] = {}
+        for s, e in minimal:
+            counts[e - s + 1] = counts.get(e - s + 1, 0) + 1
+        freq = 0.0
+        me = q.min_extent
+        for w in sorted(counts):
+            freq += counts[w] * (1.0 / max(w - me + 1, 1))
+        if freq == 0:
+            assert got == {}, (toks, got)
+            continue
+        f = np.float32(freq)
+        exp = np.float32(
+            np.float32(1.0)
+            * (np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + f))
+        )
+        assert got.get(0) == exp, (toks, sorted(minimal), got, exp)
 
 
 # --- phrase leaves + containment filters (round-2 breadth) ----------------
