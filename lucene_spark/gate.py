@@ -1503,6 +1503,23 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks GROUP BY doc_id"""
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    return _ts.bpe_token_counts(_docs(spark, sf_dir))
+
+
+def _sql_bpe_tokens() -> str:
+    from .pipeline.textstats import BPE_PIECE_RE, _WS_TOKEN_RE
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_WS_TOKEN_RE}'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_PIECE_RE}'))::BIGINT AS n_pieces,
+       round(length(text)::DOUBLE /
+             nullif(len(regexp_extract_all(lower(text), '{BPE_PIECE_RE}')), 0),
+             4) AS chars_per_piece
+FROM documents"""
+
+
 def _q_fingerprint(spark, sf_dir):
     return _ts.doc_fingerprints(_docs(spark, sf_dir))
 
@@ -1822,6 +1839,40 @@ u AS (
 """ + _topk_wrap("SELECT doc_id, score FROM u", k)
 
 
+def _ensure_folded_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index over the corpus with EVERY a/o accented (translate a->á,
+    o->ö) built with the ascii_folded analyzer. Folding inverts the
+    injection exactly, so hits AND scores must equal plain BM25 over the
+    ORIGINAL text — the row fails if folding breaks anywhere in the
+    analyze/build/query chain."""
+    name = sf_dir.strip("/").replace("/", "_") + "_fold"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.translate("text", "ao", "áö").alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="ascii_folded",
+            stopwords=None, index_positions=True,
+        )
+    return idx
+
+
+def _q_folded(spark, sf_dir):
+    s = Searcher(
+        spark, _ensure_folded_index(spark, sf_dir),
+        analyzer="ascii_folded", mode="double",
+    )
+    # the accented query term exercises query-side folding too
+    h = s.search("dátá OR stream", k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built with index-time synonym rules stream->flow and
     window->flow (keep_original): 'flow' becomes a real posting list whose
@@ -2110,6 +2161,7 @@ def gate_queries() -> dict:
         "suggest_prefix": _q_suggest_prefix,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
+        "ascii_folded_index": _q_folded,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
@@ -2141,6 +2193,7 @@ def gate_queries() -> dict:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "bpe_token_counts": _q_bpe_tokens,
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
         "simsearch_signbucket": _q_simsearch_bucket,
@@ -2188,6 +2241,7 @@ def gate_oracle_sql() -> dict:
         "suggest_prefix": _sql_suggest_prefix("s"),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
+        "ascii_folded_index": _sql_or(["data", "stream"]),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),
@@ -2217,6 +2271,7 @@ def gate_oracle_sql() -> dict:
         "simhash": _SQL_SIMHASH,
         "lang_id": _SQL_LANG_ID,
         "quality_scores": _SQL_QUALITY,
+        "bpe_token_counts": _sql_bpe_tokens(),
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,

@@ -10,7 +10,40 @@ from pyspark.sql import functions as F
 from ..constants import ENGLISH_STOP_WORDS
 from .dedup import shingles, tokens
 
-__all__ = ["lang_id_heuristic", "quality_scores", "doc_fingerprints"]
+__all__ = [
+    "lang_id_heuristic",
+    "quality_scores",
+    "doc_fingerprints",
+    "bpe_token_counts",
+]
+
+# GPT-2-style pre-tokenizer shape over lowercased text: a piece is an
+# optionally-space-prefixed letter run, a 1-3 digit group (cl100k-style
+# number chunking), or a punctuation/symbol run. Deliberately restricted
+# to constructs RE2 and Java regex evaluate identically (no lookarounds,
+# explicit whitespace class) so the DuckDB oracle is exact.
+BPE_PIECE_RE = r" ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9 \t\n\r]+"
+_WS_TOKEN_RE = r"[^ \t\n\r]+"
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_pieces, chars_per_piece): LLM token-budget
+    estimation — whitespace token count plus a BPE-ish piece count from a
+    GPT-2-shaped pre-tokenizer regex (no merges table; the piece count is
+    the pre-merge upper bound, the standard cheap budget estimator).
+    Map-only JVM regex, no shuffle — scale-safe at 100 TB."""
+    pieces = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PIECE_RE), F.lit(0)))
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(_WS_TOKEN_RE), F.lit(0)))
+    return docs.select(
+        id_col,
+        ws.cast("long").alias("n_ws_tokens"),
+        pieces.cast("long").alias("n_pieces"),
+        F.round(
+            F.length("text").cast("double")
+            / F.nullif(pieces.cast("double"), F.lit(0.0)),
+            4,
+        ).alias("chars_per_piece"),
+    )
 
 # stable, sorted list so engine and oracle agree on the exact stop set
 STOPWORDS_SORTED = sorted(ENGLISH_STOP_WORDS)
