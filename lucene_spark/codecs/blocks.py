@@ -34,6 +34,7 @@ from .intcodecs import (
     pfor_encode,
     vbyte_decode,
     vbyte_encode,
+    vbyte_encode_concat,
 )
 
 __all__ = [
@@ -93,6 +94,73 @@ def merge_skylines(skylines: list[list[tuple[int, int]]]) -> list[tuple[int, int
     return skyline(freqs, norms)
 
 
+def skylines_grouped(
+    codes: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Competitive (freq, norm) skylines for many groups in ONE pass.
+
+    Exactly CompetitiveImpactAccumulator.getCompetitiveFreqNormPairs
+    (codecs/CompetitiveImpactAccumulator.java:104-125) per group: max freq
+    per norm, keep pairs with freq strictly above every lower norm's.
+    Returns (freqs, norms, group_bounds) with groups in ascending code
+    order; group g's pairs are ``freqs[bounds[g]:bounds[g+1]]`` (every
+    group has >=1 pair, so bounds has n_groups+1 entries). Pure numpy: the
+    per-group cummax is a segmented maximum-accumulate — offsetting each
+    value by code*BIG makes a new group's first value exceed everything
+    before it, so the accumulate resets at group starts."""
+    if codes.size == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+        )
+    codes = np.asarray(codes, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n64 = np.asarray(norms).astype(np.int64)
+    order = np.lexsort((freqs, n64, codes))
+    c, n, f = codes[order], n64[order], freqs[order]
+    # last element of each (code, norm) run = max freq for that norm
+    last = np.empty(c.size, dtype=bool)
+    last[-1] = True
+    np.logical_or(c[:-1] != c[1:], n[:-1] != n[1:], out=last[:-1])
+    c, n, f = c[last], n[last], f[last]
+    # strictly-increasing freq filter within each code (norms ascending):
+    # survivor iff freq > exclusive segmented cummax
+    big = np.int64(int(f.max()) + 1)
+    cm = np.maximum.accumulate(f + c * big) - c * big
+    first_in_group = np.empty(c.size, dtype=bool)
+    first_in_group[0] = True
+    np.not_equal(c[1:], c[:-1], out=first_in_group[1:])
+    excl = np.empty(c.size, dtype=np.int64)
+    excl[0] = -1
+    excl[1:] = cm[:-1]
+    excl[first_in_group] = -1
+    keep = f > excl
+    c, n, f = c[keep], n[keep], f[keep]
+    gfirst = np.empty(c.size, dtype=bool)
+    if c.size:
+        gfirst[0] = True
+        np.not_equal(c[1:], c[:-1], out=gfirst[1:])
+    starts = np.flatnonzero(gfirst)
+    bounds = np.concatenate((starts, [c.size]))
+    return f, n, bounds
+
+
+def positions_to_deltas(freqs: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Per-doc position delta form (first position absolute, rest deltas)
+    for a flat concatenation of per-doc sorted position lists — the input
+    shape VByte position payloads are built from (encode_positions)."""
+    positions = np.asarray(positions, dtype=np.int64)
+    if positions.size == 0:
+        return positions
+    deltas = np.diff(positions, prepend=0)
+    starts = np.zeros(positions.size, dtype=bool)
+    starts[np.cumsum(np.asarray(freqs, dtype=np.int64))[:-1]] = True
+    starts[0] = True
+    deltas[starts] = positions[starts]
+    return deltas
+
+
 def _encode_full_block(deltas: np.ndarray, base: int, last: int) -> tuple[int, bytes]:
     """Pick the storage-cheapest encoding for a full 128-doc block
     (decision rule of Lucene103PostingsWriter.java:428-455)."""
@@ -119,12 +187,7 @@ def encode_positions(freqs: np.ndarray, positions: np.ndarray) -> bytes:
     positions = np.asarray(positions, dtype=np.int64)
     if positions.size == 0:
         return b""
-    deltas = np.diff(positions, prepend=0)
-    starts = np.zeros(positions.size, dtype=bool)
-    starts[np.cumsum(np.asarray(freqs, dtype=np.int64))[:-1]] = True
-    starts[0] = True
-    deltas[starts] = positions[starts]
-    return vbyte_encode(deltas)
+    return vbyte_encode(positions_to_deltas(freqs, positions))
 
 
 def decode_positions(data: bytes, freqs: np.ndarray) -> np.ndarray:
@@ -171,14 +234,25 @@ def encode_term_postings(
     np.subtract(docids[1:], docids[:-1], out=all_deltas[1:])
     norm_bytes = (norms & 0xFF).astype(np.uint8).tobytes()
     with_pos = positions is not None or pos_deltas is not None
+    edges = list(range(0, n, BLOCK_SIZE)) + [n]
     if with_pos:
+        # one VByte pass for the whole term, sliced per block — the delta
+        # form is per-doc (first absolute), so block grouping is free
         pos_bounds = np.concatenate(([0], np.cumsum(freqs)))
+        if pos_deltas is None:
+            pos_deltas = positions_to_deltas(freqs, positions)
+        pstream, poffs = vbyte_encode_concat(
+            pos_deltas, pos_bounds[np.asarray(edges, dtype=np.int64)]
+        )
+    # per-block impact skylines in one grouped pass
+    sky_f, sky_n, sky_b = skylines_grouped(
+        np.arange(n, dtype=np.int64) // BLOCK_SIZE, freqs, norms
+    )
     rows: list[dict] = []
-    for block_no, start in enumerate(range(0, n, BLOCK_SIZE)):
-        end = min(start + BLOCK_SIZE, n)
+    for block_no, start in enumerate(edges[:-1]):
+        end = edges[block_no + 1]
         d = docids[start:end]
         f = freqs[start:end]
-        m = norms[start:end]
         deltas = all_deltas[start:end]
         first, last = int(d[0]), int(d[-1])
         if d.size < BLOCK_SIZE:
@@ -187,16 +261,6 @@ def encode_term_postings(
         else:
             enc, payload = _encode_full_block(deltas, base, last)
             freqs_enc = pfor_encode(f)
-        positions_enc = None
-        if with_pos:
-            if pos_deltas is not None:
-                positions_enc = vbyte_encode(
-                    pos_deltas[pos_bounds[start] : pos_bounds[end]]
-                )
-            else:
-                positions_enc = encode_positions(
-                    f, positions[pos_bounds[start] : pos_bounds[end]]
-                )
         rows.append(
             {
                 "block_no": block_no,
@@ -208,8 +272,17 @@ def encode_term_postings(
                 "docids_enc": payload,
                 "freqs_enc": freqs_enc,
                 "norms_enc": norm_bytes[start:end],
-                "positions_enc": positions_enc,
-                "impacts": skyline(f, m),
+                "positions_enc": (
+                    pstream[poffs[block_no] : poffs[block_no + 1]]
+                    if with_pos
+                    else None
+                ),
+                "impacts": list(
+                    zip(
+                        sky_f[sky_b[block_no] : sky_b[block_no + 1]].tolist(),
+                        sky_n[sky_b[block_no] : sky_b[block_no + 1]].tolist(),
+                    )
+                ),
             }
         )
         base = last

@@ -76,6 +76,10 @@ def vbyte_encode_concat(
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(len(bounds), dtype=np.int64)
+    # fast path (same as vbyte_encode): one byte per value means byte
+    # offsets ARE the value bounds
+    if int(v.max()) < 0x80:
+        return v.astype(np.uint8).tobytes(), np.asarray(bounds, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     for k in range(1, 5):
         nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)

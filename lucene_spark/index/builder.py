@@ -575,40 +575,9 @@ def _skylines_grouped(
     per norm, keep pairs with freq strictly above every lower norm's.
     Returns (freqs, norms, group_bounds) with groups in input code order.
     """
-    if codes.size == 0:
-        return (
-            np.zeros(0, dtype=np.int64),
-            np.zeros(0, dtype=np.int64),
-            np.zeros(1, dtype=np.int64),
-        )
-    n64 = norms.astype(np.int64)
-    order = np.lexsort((freqs, n64, codes))
-    c, n, f = codes[order], n64[order], freqs[order]
-    # last element of each (code, norm) run = max freq for that norm
-    last = np.empty(c.size, dtype=bool)
-    last[-1] = True
-    np.logical_or(c[:-1] != c[1:], n[:-1] != n[1:], out=last[:-1])
-    c, n, f = c[last], n[last], f[last]
-    # strictly-increasing freq filter within each code (norms ascending):
-    # survivor iff freq > exclusive cummax
-    s = pd.Series(f)
-    cm = s.groupby(pd.Series(c)).cummax().to_numpy()
-    first_in_group = np.empty(c.size, dtype=bool)
-    first_in_group[0] = True
-    np.not_equal(c[1:], c[:-1], out=first_in_group[1:])
-    excl = np.empty(c.size, dtype=np.int64)
-    excl[0] = -1
-    excl[1:] = cm[:-1]
-    excl[first_in_group] = -1
-    keep = f > excl
-    c, n, f = c[keep], n[keep], f[keep]
-    gfirst = np.empty(c.size, dtype=bool)
-    if c.size:
-        gfirst[0] = True
-        np.not_equal(c[1:], c[:-1], out=gfirst[1:])
-    starts = np.flatnonzero(gfirst)
-    bounds = np.concatenate((starts, [c.size]))
-    return f, n, bounds
+    from ..codecs.blocks import skylines_grouped
+
+    return skylines_grouped(codes, freqs, norms)
 
 
 def _table_path(index_dir: str, name: str) -> str:
