@@ -307,8 +307,19 @@ def main() -> None:
     low_cores = int(os.environ.get("BENCH_SCALE_N", "2"))
     high_cores = low_cores * 4
 
-    def best_suite(cores: int) -> dict:
+    def best_suite(cores: int, tiebreak: bool = False) -> dict:
         runs = [_run_suite_subprocess(cores, corpus) for _ in range(BEST_OF)]
+        if tiebreak:
+            # noise-triggered third run: the VM's ~2x run-to-run noise can
+            # leave best-of-2 far from the uncontended capability on one
+            # leg of the scaling ratio; when the two runs disagree badly,
+            # one more sample bounds that error at small fixed cost
+            def spread(key: str) -> float:
+                vals = [r[key] for r in runs]
+                return 1.0 - min(vals) / max(vals)
+
+            if spread("docs_per_sec") > 0.25 or spread("qps") > 0.25:
+                runs.append(_run_suite_subprocess(cores, corpus))
         best = dict(runs[0])
         best["timings"] = {
             k: min(r["timings"][k] for r in runs) for k in runs[0]["timings"]
@@ -324,8 +335,8 @@ def main() -> None:
         return best
 
     full = best_suite(CPUS)
-    high = best_suite(high_cores) if high_cores != CPUS else full
-    low = best_suite(low_cores)
+    high = best_suite(high_cores, tiebreak=True) if high_cores != CPUS else full
+    low = best_suite(low_cores, tiebreak=True)
     ratio = high_cores / low_cores
     scaling = {
         "n_cores": low_cores,
