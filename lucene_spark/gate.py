@@ -1520,6 +1520,89 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _q_repetition(spark, sf_dir):
+    return _ts.repetition_stats(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION = f"""WITH {_BASE_CTES},
+g2 AS (
+  SELECT doc_id, term || ' ' || lead(term, 1) OVER w AS g, 2 AS n
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g3 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS g,
+         3 AS n
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+allg AS (
+  SELECT doc_id, term AS g, 1 AS n FROM toks
+  UNION ALL SELECT * FROM g2 WHERE g IS NOT NULL
+  UNION ALL SELECT * FROM g3 WHERE g IS NOT NULL
+),
+cnt AS (SELECT doc_id, n, g, count(*)::BIGINT AS c FROM allg GROUP BY doc_id, n, g),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY doc_id),
+agg AS (
+  SELECT doc_id,
+         max(c) FILTER (WHERE n = 1) AS top_w,
+         max(c) FILTER (WHERE n = 2) AS top_b,
+         coalesce(sum(c) FILTER (WHERE n = 3 AND c >= 2), 0) AS dup_tri
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(top_w / n_tokens::DOUBLE, 4) AS frac_top_word,
+       CASE WHEN n_tokens >= 2
+            THEN round(top_b / (n_tokens - 1)::DOUBLE, 4) END AS frac_top_bigram,
+       CASE WHEN n_tokens >= 3
+            THEN round(dup_tri / (n_tokens - 2)::DOUBLE, 4) END AS frac_dup_trigrams
+FROM agg JOIN nt USING (doc_id)"""
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII ops over the corpus with synthetic per-doc PII appended (the
+    word-soup fixture has none); the oracle appends the identical suffix
+    in SQL, so counts, ordering rules, and the redacted-text md5 all
+    verify the regex semantics exactly."""
+    from .pipeline.scrub import pii_scrub
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".77 or call +1 (555) 010-"),
+            F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
+def _sql_pii_scrub() -> str:
+    from .pipeline.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    txt = (
+        "text || ' contact user' || doc_id || '@example.com via 10.1.' || "
+        "(doc_id % 200) || '.77 or call +1 (555) 010-' || "
+        "printf('%04d', doc_id % 10000)"
+    )
+    return f"""WITH d AS (SELECT doc_id, {txt} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+         regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<email>', 'g'),
+                        '{IPV4_RE}', '<ip>', 'g') AS c2
+  FROM d
+)
+SELECT doc_id, n_emails, n_ipv4,
+       len(regexp_extract_all(c2, '{PHONE_RE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(c2, '{PHONE_RE}', '<phone>', 'g')) AS clean_md5
+FROM c"""
+
+
 def _q_fingerprint(spark, sf_dir):
     return _ts.doc_fingerprints(_docs(spark, sf_dir))
 
@@ -2194,6 +2277,8 @@ def gate_queries() -> dict:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "bpe_token_counts": _q_bpe_tokens,
+        "repetition_stats": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
         "simsearch_signbucket": _q_simsearch_bucket,
@@ -2272,6 +2357,8 @@ def gate_oracle_sql() -> dict:
         "lang_id": _SQL_LANG_ID,
         "quality_scores": _SQL_QUALITY,
         "bpe_token_counts": _sql_bpe_tokens(),
+        "repetition_stats": _SQL_REPETITION,
+        "pii_scrub": _sql_pii_scrub(),
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,

@@ -15,7 +15,65 @@ __all__ = [
     "quality_scores",
     "doc_fingerprints",
     "bpe_token_counts",
+    "repetition_stats",
 ]
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, frac_top_word, frac_top_bigram, frac_dup_trigrams):
+    Gopher/C4-style repetition quality filters at token level — the
+    fraction of tokens taken by the most frequent word, the fraction of
+    word bigrams taken by the most frequent bigram, and the fraction of
+    word trigrams that occur 2+ times. Docs failing these are boilerplate
+    / template spam in pretraining corpora.
+
+    One shuffle on (doc, gram-size, gram) with map-side combine; the gram
+    arrays are sliced map-only from the token array (no window/shuffle to
+    assemble n-grams) — scale-safe at 100 TB. Fractions whose denominator
+    is empty (fewer tokens than the gram size) are NULL."""
+    from .dedup import _token_array
+
+    arr = _token_array("text")
+
+    def grams(n: int):
+        idx = F.when(
+            F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.concat_ws(" ", F.slice(arr, i, n)).alias("g")
+            ),
+        )
+
+    tagged = docs.select(
+        id_col,
+        F.size(arr).alias("n_tokens"),
+        F.explode(F.flatten(F.array(grams(1), grams(2), grams(3)))).alias("t"),
+    )
+    cnt = tagged.groupBy(
+        id_col, "n_tokens", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    ).count()
+    agg = cnt.groupBy(id_col, "n_tokens").agg(
+        F.max(F.when(F.col("n") == 1, F.col("count"))).alias("top_w"),
+        F.max(F.when(F.col("n") == 2, F.col("count"))).alias("top_b"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("count") >= 2), F.col("count"))
+        ).alias("dup_tri"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("top_w") / nt, 4).alias("frac_top_word"),
+        F.when(
+            F.col("n_tokens") >= 2, F.round(F.col("top_b") / (nt - 1), 4)
+        ).alias("frac_top_bigram"),
+        F.when(
+            F.col("n_tokens") >= 3,
+            F.round(F.coalesce(F.col("dup_tri"), F.lit(0)) / (nt - 2), 4),
+        ).alias("frac_dup_trigrams"),
+    )
 
 # GPT-2-style pre-tokenizer shape over lowercased text: a piece is an
 # optionally-space-prefixed letter run, a 1-3 digit group (cl100k-style
