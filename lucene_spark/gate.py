@@ -1603,6 +1603,62 @@ SELECT doc_id, n_emails, n_ipv4,
 FROM c"""
 
 
+_CHUNK_N = 8
+
+
+def _q_dedup_chunks(spark, sf_dir):
+    """C4-style duplicated-chunk stats over non-overlapping 8-token
+    windows (pipeline/dedup.duplicated_chunks)."""
+    return _dd.duplicated_chunks(_docs(spark, sf_dir), chunk=_CHUNK_N)
+
+
+_SQL_DEDUP_CHUNKS = f"""WITH {_BASE_CTES},
+chk AS (
+  SELECT doc_id, (pos // {_CHUNK_N}) AS cidx,
+         md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_hash
+  FROM toks GROUP BY doc_id, (pos // {_CHUNK_N}) HAVING count(*) = {_CHUNK_N}
+),
+dup AS (SELECT chunk_hash FROM chk GROUP BY chunk_hash HAVING count(*) > 1)
+SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       round(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 4) AS dup_frac
+FROM chk c LEFT JOIN dup d USING (chunk_hash)
+GROUP BY c.doc_id"""
+
+
+_PROBE_MOD = 97  # docs with doc_id % 97 == 0 play the eval benchmark
+
+
+def _q_contamination(spark, sf_dir):
+    """GPT-3-style benchmark contamination: candidate docs scored by the
+    fraction of their distinct 5-grams present in the probe corpus."""
+    from .pipeline.contamination import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    probes = d.filter(F.col("doc_id") % _PROBE_MOD == 0)
+    cands = d.filter(F.col("doc_id") % _PROBE_MOD != 0)
+    return ngram_contamination(cands, probes, n=5)
+
+
+_SQL_CONTAMINATION = f"""WITH {_BASE_CTES},
+g0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w || ' ' ||
+         lead(term,3) OVER w || ' ' || lead(term,4) OVER w AS ngram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT DISTINCT doc_id, ngram FROM g0 WHERE ngram IS NOT NULL),
+probe AS (SELECT DISTINCT ngram FROM g WHERE doc_id % {_PROBE_MOD} = 0),
+cand AS (SELECT * FROM g WHERE doc_id % {_PROBE_MOD} <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS n_ngrams,
+       sum(CASE WHEN p.ngram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN p.ngram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 4) AS contamination
+FROM cand c LEFT JOIN probe p USING (ngram)
+GROUP BY c.doc_id"""
+
+
 def _q_fingerprint(spark, sf_dir):
     return _ts.doc_fingerprints(_docs(spark, sf_dir))
 
@@ -1633,6 +1689,33 @@ def _q_simsearch(spark, sf_dir):
 _COS_SQL = """list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"""
+
+_SEM_T, _SEM_BITS = 0.4, 4  # synthetic embeddings are near-orthogonal
+# (max intra-bucket cosine ~0.51 at sf0.01), so the gate threshold sits
+# below a real dedup setting (>=0.95) to exercise nonzero pairs
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style near-dup pairs: same sign-bit bucket, cosine >= t."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.semantic_dup_pairs(emb, threshold=_SEM_T, n_bits=_SEM_BITS)
+
+
+def _sql_semantic_dedup() -> str:
+    key = " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(_SEM_BITS)
+    )
+    cos = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+    return f"""WITH k AS (SELECT vec_id, embedding, {key} AS bkey FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cos
+  FROM k a JOIN k b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= {_SEM_T}"""
+
 
 _SQL_SIMSEARCH = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -2268,7 +2351,10 @@ def gate_queries() -> dict:
         "group_topk_lang": _q_group_topk_lang,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
+        "dedup_chunks": _q_dedup_chunks,
         "dedup_ngram_jaccard": _q_jaccard,
+        "contamination_ngrams": _q_contamination,
+        "semantic_dedup": _q_semantic_dedup,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "minhash_signatures": _q_minhash,
@@ -2348,7 +2434,10 @@ def gate_oracle_sql() -> dict:
         "facet_ranges": _sql_facet_ranges(),
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_chunks": _SQL_DEDUP_CHUNKS,
         "dedup_ngram_jaccard": _SQL_JACCARD,
+        "contamination_ngrams": _SQL_CONTAMINATION,
+        "semantic_dedup": _sql_semantic_dedup(),
         "dedup_components": _SQL_COMPONENTS,
         "stratified_sample": _sql_stratified_sample(),
         "minhash_signatures": _sql_minhash(),

@@ -43,6 +43,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "connected_components",
+    "duplicated_chunks",
 ]
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -297,3 +298,59 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def duplicated_chunks(
+    docs: DataFrame,
+    chunk: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style chunk-level dedup stats: (id, n_chunks, n_dup_chunks,
+    dup_frac) over non-overlapping ``chunk``-token windows (full windows
+    only). A chunk instance is "duplicated" when its text occurs more than
+    once in the corpus (any doc, including the same one) — the C4 recipe
+    removes any three-sentence span that occurs twice; punctuation-free
+    corpora use fixed token windows instead.
+
+    Scale shape: chunking is map-only (array slices, no window shuffle);
+    the global chunk count is one map-side-combinable aggregation on the
+    chunk hash; only the *duplicated* chunk hashes (rare by construction)
+    come back in the semi-join, so the second join's build side is small
+    at any corpus size. Docs shorter than one full chunk drop out.
+    """
+    arr = _token_array(text_col)
+    n_full = (F.size(arr) / chunk).cast("int")
+    idx = F.when(
+        n_full > 0, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(arr, i * chunk + 1, chunk))
+    )
+    ch = docs.select(
+        id_col, F.explode(grams).alias("chunk_text")
+    ).select(id_col, F.md5("chunk_text").alias("chunk_hash"))
+    dup_hashes = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(F.broadcast(dup_hashes), "chunk_hash", "left_semi")
+    per_doc = ch.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    dup_per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_chunks")
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.coalesce("n_dup_chunks", F.lit(0)).cast("double")
+                / F.col("n_chunks").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "recall_at_k",
+    "semantic_dup_pairs",
 ]
 
 
@@ -208,3 +209,40 @@ def signbucket_topk(
     qkey = "".join("1" if float(v) >= 0 else "0" for v in qvec[:n_bits])
     cands = emb.filter(_sign_key(vec_col, n_bits) == qkey)
     return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate pairs: (a, b, cos) for
+    pairs in the SAME sign-bit bucket with cosine >= threshold (a < b).
+
+    The bucket key bounds the pair join exactly like MinHash-LSH bands
+    bound the Jaccard join: candidates are per-bucket, never all-pairs —
+    at 10^12 rows the bucket (or an IVF cell id via ``ivf_assign``)
+    becomes the table's partition key so each task joins one bucket.
+    Residual risk is intra-bucket blowup (standard for LSH); raise
+    ``n_bits`` (or switch the key to an IVF cell) to split hot buckets.
+    Recall caveat mirrors signbucket_topk: near-dups differing in an early
+    dim's sign are missed; multi-probe or IVF keys recover them.
+    """
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col), _sign_key(vec_col, n_bits).alias("bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(b, "bkey").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+    cos = _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )
