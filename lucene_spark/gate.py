@@ -1669,6 +1669,94 @@ SELECT doc_id,
 FROM sh GROUP BY doc_id"""
 
 
+# --- geo (LatLonPoint analog) ----------------------------------------------
+
+_GEO_BOX = (-30.0, 45.0, 10.0, 160.0)  # min_lat, max_lat, min_lon, max_lon
+_GEO_Q = (12.34, 56.78)  # distance-sort query point
+
+
+def _geo_docs(spark, sf_dir):
+    """documents with deterministic synthetic coordinates: integer mod of
+    doc_id then /100 — identical double arithmetic in Spark and DuckDB."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") * 37 % 18001) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 73 % 36001) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_GEO_SQL_CTE = """
+geo AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 18001) / 100.0 - 90.0 AS lat,
+         ((doc_id * 73) % 36001) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+genc AS (
+  SELECT doc_id,
+         least(floor(lat / 90.0 * 2147483648.0)::BIGINT, 2147483647) AS elat,
+         least(floor(lon / 180.0 * 2147483648.0)::BIGINT, 2147483647) AS elon
+  FROM geo
+)"""
+
+
+def _q_geo_box(spark, sf_dir):
+    """LatLonPoint.newBoxQuery over synthetic coords; output includes the
+    quantized int32 coordinates so the gate verifies the encode itself."""
+    from .search.geo import box_query, encode_latitude, encode_longitude
+
+    d = box_query(_geo_docs(spark, sf_dir), *_GEO_BOX)
+    return d.select(
+        "doc_id",
+        encode_latitude(F.col("lat")).cast("long").alias("elat"),
+        encode_longitude(F.col("lon")).cast("long").alias("elon"),
+    )
+
+
+def _sql_geo_box() -> str:
+    from .search.geo import _py_enc
+
+    min_lat, max_lat, min_lon, max_lon = _GEO_BOX
+    lo_lat, hi_lat = _py_enc(min_lat, 90.0, ceil=True), _py_enc(max_lat, 90.0)
+    lo_lon, hi_lon = _py_enc(min_lon, 180.0, ceil=True), _py_enc(max_lon, 180.0)
+    return f"""WITH {_GEO_SQL_CTE}
+SELECT doc_id, elat, elon FROM genc
+WHERE elat BETWEEN {lo_lat} AND {hi_lat}
+  AND elon BETWEEN {lo_lon} AND {hi_lon}"""
+
+
+def _q_geo_nearest(spark, sf_dir):
+    from .search.geo import nearest
+
+    return nearest(_geo_docs(spark, sf_dir), *_GEO_Q, k=10)
+
+
+def _sql_geo_nearest(k: int = 10) -> str:
+    # ::DOUBLE casts keep DuckDB off its DECIMAL arithmetic path (which
+    # overflows on literal*pi and would round differently anyway)
+    qlat, qlon = (f"{v}::DOUBLE" for v in _GEO_Q)
+    pi, r = "3.141592653589793::DOUBLE", "6371008.7714::DOUBLE"
+    return f"""WITH {_GEO_SQL_CTE},
+gdec AS (
+  SELECT doc_id,
+         elat::DOUBLE / 2147483648.0 * 90.0 AS lat,
+         elon::DOUBLE / 2147483648.0 * 180.0 AS lon
+  FROM genc
+),
+gd AS (
+  SELECT doc_id,
+         2.0 * {r} * asin(sqrt(
+           pow(sin((({qlat} - lat) * {pi} / 180.0) / 2.0), 2.0)
+           + cos(lat * {pi} / 180.0) * cos({qlat} * {pi} / 180.0)
+             * pow(sin((({qlon} - lon) * {pi} / 180.0) / 2.0), 2.0)
+         )) AS dist_m
+  FROM gdec
+)
+SELECT doc_id, round(dist_m, 3) AS dist_m FROM (
+  SELECT * FROM gd ORDER BY dist_m ASC, doc_id ASC LIMIT {k}
+)"""
+
+
 # --- similarity search ------------------------------------------------------
 
 def _qvec(spark, sf_dir) -> list[float]:
@@ -2343,6 +2431,8 @@ def gate_queries() -> dict:
         "block_join_avg": _q_block_join,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
+        "geo_box": _q_geo_box,
+        "geo_nearest": _q_geo_nearest,
         "term_stats": _q_term_stats,
         "collection_stats": _q_collection_stats,
         "doc_lengths": _q_doc_lengths,
@@ -2427,6 +2517,8 @@ def gate_oracle_sql() -> dict:
         "join_to_source": _sql_join_max(["stream", "window"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
+        "geo_box": _sql_geo_box(),
+        "geo_nearest": _sql_geo_nearest(),
         "term_stats": _SQL_TERM_STATS,
         "collection_stats": _SQL_COLLECTION_STATS,
         "doc_lengths": _SQL_DOC_LENGTHS,
