@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_facets", "LongRange"]
+__all__ = ["range_facets", "LongRange", "drill_sideways"]
 
 
 class LongRange:
@@ -74,3 +74,59 @@ def range_facets(
     return row.selectExpr(
         f"stack({len(ranges)}, {stack_args}) AS (bucket, n_docs)"
     )
+
+
+def drill_sideways(
+    docs: DataFrame, constraints: dict[str, str]
+) -> DataFrame:
+    """DrillSideways counting (facet/DrillSideways.java:63): for each
+    constrained dimension D, facet counts over docs that match the base
+    query AND every OTHER dimension's constraint — but not D's own — so
+    the UI can show what the D filter is hiding. Output rows
+    (dim, value, n_docs) for every dim, plus one ('__drilldown__', '', n)
+    row counting docs matching ALL constraints (the drill-down hits).
+
+    One-pass formulation (vs Lucene's per-scorer sideways collectors):
+    each doc computes a per-dim satisfied flag and the satisfied total,
+    stacks one (dim, value, sat) struct per dim (a bounded ndims-way
+    explode), and a doc contributes to dim D iff it satisfies the other
+    ndims-1 constraints. Single shuffle: the groupBy(dim, value) — no
+    per-dim rescans of the base hits at any corpus size.
+    """
+    if not constraints:
+        raise ValueError("at least one constrained dimension required")
+    dims = list(constraints)
+    nd = len(dims)
+    sat_cols = [
+        F.when(F.col(d) == constraints[d], 1).otherwise(0).alias(f"_sat_{i}")
+        for i, d in enumerate(dims)
+    ]
+    base = docs.select(*dims, *sat_cols)
+    nsat = sum((F.col(f"_sat_{i}") for i in range(nd)), F.lit(0))
+    base = base.withColumn("_nsat", nsat)
+    stacked = base.select(
+        "_nsat",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.col(d).cast("string").alias("value"),
+                        F.col(f"_sat_{i}").alias("sat"),
+                    )
+                    for i, d in enumerate(dims)
+                ]
+            )
+        ).alias("x"),
+    )
+    side = (
+        stacked.filter(F.col("_nsat") - F.col("x.sat") == nd - 1)
+        .groupBy(F.col("x.dim").alias("dim"), F.col("x.value").alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    drill = base.filter(F.col("_nsat") == nd).agg(
+        F.lit("__drilldown__").alias("dim"),
+        F.lit("").alias("value"),
+        F.count("*").alias("n_docs"),
+    )
+    return side.unionByName(drill)

@@ -47,3 +47,52 @@ def test_validation(vals):
         range_facets(vals, "v", [])
     with pytest.raises(ValueError):
         range_facets(vals, "v", [LongRange("a", 0, 1), LongRange("a", 1, 2)])
+
+
+def test_drill_sideways_three_dims(spark):
+    from lucene_spark.search.facets import drill_sideways
+
+    rows = [
+        # (id, color, size, shape)
+        (0, "red", "s", "circle"),
+        (1, "red", "s", "square"),
+        (2, "red", "m", "circle"),
+        (3, "blue", "s", "circle"),
+        (4, "blue", "m", "square"),
+        (5, "green", "s", "circle"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, color string, size string, shape string"
+    )
+    cons = {"color": "red", "size": "s", "shape": "circle"}
+    got = {
+        (r["dim"], r["value"]): r["n_docs"]
+        for r in drill_sideways(docs, cons).collect()
+    }
+    # sideways for color: size=s AND shape=circle -> docs 0,3,5
+    assert got[("color", "red")] == 1
+    assert got[("color", "blue")] == 1
+    assert got[("color", "green")] == 1
+    # sideways for size: color=red AND shape=circle -> docs 0,2
+    assert got[("size", "s")] == 1 and got[("size", "m")] == 1
+    # sideways for shape: color=red AND size=s -> docs 0,1
+    assert got[("shape", "circle")] == 1 and got[("shape", "square")] == 1
+    # drill-down hits: all three constraints -> doc 0 only
+    assert got[("__drilldown__", "")] == 1
+    # values failing every other-dim constraint never appear
+    assert ("color", "???") not in got
+
+
+def test_drill_sideways_single_dim_equals_plain_facets(spark):
+    from lucene_spark.search.facets import drill_sideways
+
+    docs = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    got = {
+        (r["dim"], r["value"]): r["n_docs"]
+        for r in drill_sideways(docs, {"lang": "en"}).collect()
+    }
+    # one dim: sideways = unfiltered facet counts over the base query
+    assert got[("lang", "en")] == 2 and got[("lang", "de")] == 1
+    assert got[("__drilldown__", "")] == 2
