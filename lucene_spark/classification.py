@@ -1,0 +1,114 @@
+"""Index-driven document classification — the classification-module analog.
+
+Reference behavior: classification/SimpleNaiveBayesClassifier.java:
+- log prior   = ln(docFreq(class=c)) - ln(docsWithClass)            (:279)
+- per word    = ln((hits + 1) / den), hits = #docs of class c that
+  CONTAIN the word (a doc-frequency AND-count, not a term frequency)
+  summed over every token INSTANCE of the input text                (:209)
+- den         = avgUniqueTermsPerDoc * docFreq(class=c)
+                + docsWithClass  (shared by all words of a class)   (:241)
+- results are normalized to [0,1] with a log-sum-exp softmax        (:296)
+
+The Spark-first restatement classifies an entire unlabeled corpus in one
+job instead of one doc per call: the per-(word, class) doc-frequency
+table is built once from the labeled corpus (distinct doc-term pairs,
+one aggregation), the test token stream joins against it, and the
+per-class denominator/prior fold in as per-class constants. Unmatched
+words contribute ln(1/den) — folded in as -n_tokens * ln(den) so only
+MATCHED words need join rows. Shuffles: the wcdf build (train-vocab
+sized), the token join + per-(doc, class) sum, and a per-doc window
+whose partitions hold n_classes rows; nothing is driver-sized except the
+n_classes prior table (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["naive_bayes_classify"]
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tok(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+    )
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    class_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+) -> DataFrame:
+    """(id, label, score): top-k classes per test doc by the reference's
+    naive-Bayes score, with the log-sum-exp-normalized score in [0,1]
+    rounded to 4 (ranking cuts on the unrounded value; ties break on
+    label ASC). ``k`` defaults to 1 (assignClass); pass k>1 for
+    getClasses(max)."""
+    tr_tokens = train.select(
+        F.col(id_col), F.col(class_col).alias("label"), F.explode(_tok(text_col)).alias("term")
+    )
+    # (word, class) -> #docs of the class containing the word
+    wcdf = (
+        tr_tokens.distinct()
+        .groupBy("term", "label")
+        .agg(F.count("*").alias("wdf"))
+    )
+    # per-class constants: prior and the word-independent denominator
+    n_train = train.count()
+    uniq = tr_tokens.distinct().groupBy(id_col).agg(F.count("*").alias("u"))
+    avg_unique = uniq.agg(
+        (F.sum("u").cast("double") / n_train).alias("a")
+    ).collect()[0]["a"]
+    classes = (
+        train.groupBy(F.col(class_col).alias("label"))
+        .agg(F.count("*").alias("cdf"))
+        .select(
+            "label",
+            (F.log(F.col("cdf").cast("double")) - F.log(F.lit(float(n_train)))).alias(
+                "log_prior"
+            ),
+            F.log(
+                F.lit(avg_unique) * F.col("cdf").cast("double") + F.lit(float(n_train))
+            ).alias("log_den"),
+        )
+    )
+    te_tokens = test.select(id_col, F.explode(_tok(text_col)).alias("term"))
+    n_tok = te_tokens.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    hits = (
+        te_tokens.join(wcdf, "term")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.log(F.col("wdf").cast("double") + 1.0)).alias("hit_sum"))
+    )
+    scored = (
+        n_tok.crossJoin(F.broadcast(classes))
+        .join(hits, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("log_prior")
+                + F.coalesce("hit_sum", F.lit(0.0))
+                - F.col("n_tokens").cast("double") * F.col("log_den")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy(id_col)
+    smax = F.max("s").over(w)
+    loga = smax + F.log(F.sum(F.exp(F.col("s") - smax)).over(w))
+    ranked = scored.select(
+        id_col,
+        "label",
+        F.exp(F.col("s") - loga).alias("score"),
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("label")))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        id_col, "label", F.round("score", 4).alias("score")
+    )
