@@ -1253,6 +1253,40 @@ WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
 GROUP BY lang"""
 
 
+_DRILL = {"lang": "en", "source": "src13"}
+
+
+def _q_facet_drill_sideways(spark, sf_dir):
+    """DrillSideways over the hits of "stream OR window" with drill-down
+    lang=en AND source=src13: per-dim counts with the other dim's filter
+    applied but not the dim's own, plus the all-constraints hit count."""
+    from .search.facets import drill_sideways
+
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    docs = _docs(spark, sf_dir)
+    return drill_sideways(docs.join(F.broadcast(hits), "doc_id"), _DRILL)
+
+
+def _sql_drill_sideways() -> str:
+    # deliberately per-dim re-scans (structurally different from the
+    # engine's one-pass stacked aggregation)
+    lang, src = _DRILL["lang"], _DRILL["source"]
+    return f"""WITH {_BASE_CTES},
+base AS (
+  SELECT d.* FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+     OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id)
+)
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n_docs
+FROM base WHERE source = '{src}' GROUP BY lang
+UNION ALL
+SELECT 'source', source, count(*)::BIGINT
+FROM base WHERE lang = '{lang}' GROUP BY source
+UNION ALL
+SELECT '__drilldown__', '', count(*)::BIGINT
+FROM base WHERE lang = '{lang}' AND source = '{src}'"""
+
+
 _NCHAR_RANGES = [
     ("short", 0, 600),       # [0, 600)
     ("medium", 400, 1200),   # [400, 1200) — overlaps "short" on purpose
@@ -1667,6 +1701,103 @@ _SQL_FINGERPRINT = f"""WITH {_SHINGLE_CTES}
 SELECT doc_id,
        min(('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS fingerprint
 FROM sh GROUP BY doc_id"""
+
+
+# --- monitor / percolator ---------------------------------------------------
+
+
+def _monitor_queries():
+    from .search.monitor import MonitorQuery
+
+    return [
+        MonitorQuery("q_term", "term", ("stream",)),
+        MonitorQuery("q_and", "and", ("scan", "merge")),
+        MonitorQuery("q_or", "or", ("batch", "filter")),
+        MonitorQuery("q_phrase", "phrase", ("data", "stream")),
+    ]
+
+
+def _q_monitor(spark, sf_dir):
+    """Percolation: four registered queries (term/AND/OR/phrase) matched
+    against the whole corpus; output (doc_id, query_id) pairs."""
+    from .search.monitor import monitor_matches
+
+    return monitor_matches(_docs(spark, sf_dir), _monitor_queries())
+
+
+_SQL_MONITOR = f"""WITH {_BASE_CTES}
+SELECT doc_id, 'q_term' AS query_id FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND term = 'stream')
+UNION ALL
+SELECT doc_id, 'q_and' FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND term = 'scan')
+  AND EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND term = 'merge')
+UNION ALL
+SELECT doc_id, 'q_or' FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND term = 'batch')
+   OR EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND term = 'filter')
+UNION ALL
+SELECT doc_id, 'q_phrase' FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM toks p0 JOIN toks p1
+    ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.doc_id = d.doc_id AND p0.term = 'data' AND p1.term = 'stream')"""
+
+
+# --- classification ---------------------------------------------------------
+
+
+def _q_classify_nb(spark, sf_dir):
+    """SimpleNaiveBayesClassifier over the corpus: train on doc_id%5!=0
+    (label = lang), classify the held-out fifth; top-1 class per doc with
+    the log-sum-exp-normalized score."""
+    from .classification import naive_bayes_classify
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    test = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    return naive_bayes_classify(train, test, class_col="label", k=1)
+
+
+_SQL_CLASSIFY_NB = f"""WITH {_BASE_CTES},
+tr AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+trt AS (SELECT t.doc_id, tr.label, t.term FROM toks t JOIN tr USING (doc_id)),
+trd AS (SELECT DISTINCT doc_id, label, term FROM trt),
+wcdf AS (SELECT term, label, count(*)::BIGINT AS wdf FROM trd GROUP BY term, label),
+ntr AS (SELECT count(*)::BIGINT AS n FROM tr),
+au AS (SELECT sum(u)::DOUBLE / (SELECT n FROM ntr) AS a
+       FROM (SELECT doc_id, count(*) AS u FROM trd GROUP BY doc_id)),
+classes AS (
+  SELECT label,
+         ln(count(*)::DOUBLE) - ln((SELECT n FROM ntr)::DOUBLE) AS log_prior,
+         ln((SELECT a FROM au) * count(*)::DOUBLE
+            + (SELECT n FROM ntr)::DOUBLE) AS log_den
+  FROM tr GROUP BY label
+),
+tet AS (SELECT t.doc_id, t.term FROM toks t JOIN te USING (doc_id)),
+ntok AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tet GROUP BY doc_id),
+hits AS (SELECT tet.doc_id, w.label, sum(ln(w.wdf::DOUBLE + 1.0)) AS hit_sum
+         FROM tet JOIN wcdf w USING (term) GROUP BY tet.doc_id, w.label),
+scored AS (
+  SELECT n.doc_id, c.label,
+         c.log_prior + coalesce(h.hit_sum, 0.0)
+           - n.n_tokens::DOUBLE * c.log_den AS s
+  FROM ntok n CROSS JOIN classes c
+  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.label = c.label
+),
+win AS (
+  SELECT *, max(s) OVER (PARTITION BY doc_id) AS smax FROM scored
+),
+norm AS (
+  SELECT doc_id, label,
+         exp(s - (smax + ln(sum(exp(s - smax)) OVER (PARTITION BY doc_id)))) AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS rk
+  FROM win
+)
+SELECT doc_id, label, round(score, 4) AS score FROM norm WHERE rk <= 1"""
 
 
 # --- geo (LatLonPoint analog) ----------------------------------------------
@@ -2431,6 +2562,8 @@ def gate_queries() -> dict:
         "block_join_avg": _q_block_join,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
+        "monitor_percolate": _q_monitor,
+        "classify_naive_bayes": _q_classify_nb,
         "geo_box": _q_geo_box,
         "geo_nearest": _q_geo_nearest,
         "term_stats": _q_term_stats,
@@ -2438,6 +2571,7 @@ def gate_queries() -> dict:
         "doc_lengths": _q_doc_lengths,
         "facet_lang": _q_facet_lang,
         "facet_ranges": _q_facet_ranges,
+        "facet_drill_sideways": _q_facet_drill_sideways,
         "group_topk_lang": _q_group_topk_lang,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
@@ -2517,6 +2651,8 @@ def gate_oracle_sql() -> dict:
         "join_to_source": _sql_join_max(["stream", "window"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
+        "monitor_percolate": _SQL_MONITOR,
+        "classify_naive_bayes": _SQL_CLASSIFY_NB,
         "geo_box": _sql_geo_box(),
         "geo_nearest": _sql_geo_nearest(),
         "term_stats": _SQL_TERM_STATS,
@@ -2524,6 +2660,7 @@ def gate_oracle_sql() -> dict:
         "doc_lengths": _SQL_DOC_LENGTHS,
         "facet_lang": _SQL_FACET_LANG,
         "facet_ranges": _sql_facet_ranges(),
+        "facet_drill_sideways": _sql_drill_sideways(),
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_chunks": _SQL_DEDUP_CHUNKS,
