@@ -1253,6 +1253,50 @@ WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
 GROUP BY lang"""
 
 
+def _q_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester: suggestion table = (doc text, n_chars as
+    weight); query "data st" — 'data' must occur as a token, 'st' as a
+    token prefix; weight DESC."""
+    from .search.spell import infix_suggest
+
+    sugg = _docs(spark, sf_dir).select(
+        "text", F.col("n_chars").cast("long").alias("weight")
+    )
+    return infix_suggest(sugg, "data st", k=10)
+
+
+def _sql_suggest_infix(k: int = 10) -> str:
+    arr = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""SELECT text, n_chars::BIGINT AS weight FROM documents
+WHERE list_contains({arr}, 'data')
+  AND len(list_filter({arr}, x -> x LIKE 'st%')) > 0
+ORDER BY weight DESC, text ASC LIMIT {k}"""
+
+
+def _q_facet_taxonomy(spark, sf_dir):
+    """Taxonomy facets with ancestor rollup over the hits of
+    "stream OR window"; path = lang/source."""
+    from .search.facets import taxonomy_facets
+
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    d = _docs(spark, sf_dir).join(F.broadcast(hits), "doc_id")
+    return taxonomy_facets(
+        d.select(F.concat_ws("/", "lang", "source").alias("path")), "path"
+    )
+
+
+def _sql_facet_taxonomy() -> str:
+    return f"""WITH {_BASE_CTES},
+base AS (
+  SELECT lang, source FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+     OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id)
+)
+SELECT lang AS path, count(*)::BIGINT AS n_docs FROM base GROUP BY lang
+UNION ALL
+SELECT lang || '/' || source, count(*)::BIGINT FROM base GROUP BY lang, source"""
+
+
 _DRILL = {"lang": "en", "source": "src13"}
 
 
@@ -2544,6 +2588,7 @@ def gate_queries() -> dict:
         "bm25_search_after": _q_search_after,
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
+        "suggest_infix": _q_suggest_infix,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
         "ascii_folded_index": _q_folded,
@@ -2572,6 +2617,7 @@ def gate_queries() -> dict:
         "facet_lang": _q_facet_lang,
         "facet_ranges": _q_facet_ranges,
         "facet_drill_sideways": _q_facet_drill_sideways,
+        "facet_taxonomy": _q_facet_taxonomy,
         "group_topk_lang": _q_group_topk_lang,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
@@ -2634,6 +2680,7 @@ def gate_oracle_sql() -> dict:
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
+        "suggest_infix": _sql_suggest_infix(),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
@@ -2661,6 +2708,7 @@ def gate_oracle_sql() -> dict:
         "facet_lang": _SQL_FACET_LANG,
         "facet_ranges": _sql_facet_ranges(),
         "facet_drill_sideways": _sql_drill_sideways(),
+        "facet_taxonomy": _sql_facet_taxonomy(),
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_chunks": _SQL_DEDUP_CHUNKS,

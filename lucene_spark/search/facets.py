@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_facets", "LongRange", "drill_sideways"]
+__all__ = ["range_facets", "LongRange", "drill_sideways", "taxonomy_facets"]
 
 
 class LongRange:
@@ -130,3 +130,25 @@ def drill_sideways(
         F.count("*").alias("n_docs"),
     )
     return side.unionByName(drill)
+
+
+def taxonomy_facets(
+    docs: DataFrame, path_col: str, sep: str = "/"
+) -> DataFrame:
+    """Hierarchical facet counts with ancestor rollup
+    (facet/taxonomy/FastTaxonomyFacetCounts.java semantics: a doc counts
+    at its category ordinal AND every ancestor): input rows carry a
+    ``sep``-joined category path; output (path, n_docs) for every prefix
+    at every depth. One bounded depth-way explode (paths are shallow) and
+    one groupBy(path) aggregation — the map-side combine does the rollup,
+    no per-level rescans."""
+    parts = F.split(F.col(path_col), sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda d: F.array_join(F.slice(parts, 1, d), sep),
+    )
+    return (
+        docs.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_docs"))
+    )

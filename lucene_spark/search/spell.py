@@ -56,6 +56,7 @@ weighted by docFreq): top-k terms under a prefix ordered by
 from __future__ import annotations
 
 import math
+import re as _re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -65,7 +66,7 @@ from pyspark.sql import functions as F
 
 from ..index.builder import FIELD_SEP
 
-__all__ = ["SuggestWord", "DirectSpellChecker", "prefix_suggest"]
+__all__ = ["SuggestWord", "DirectSpellChecker", "prefix_suggest", "infix_suggest"]
 
 MODES = ("when_not_in_index", "more_popular", "always")  # SuggestMode.java
 
@@ -231,3 +232,36 @@ def prefix_suggest(searcher, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         ns = searcher.default_field + FIELD_SEP
     pairs = searcher.reader.expand_terms_df(prefix=ns + prefix, max_terms=k)
     return [(t[len(ns):], df) for t, df in pairs]
+
+
+def infix_suggest(
+    suggestions,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    weight_col: str = "weight",
+):
+    """AnalyzingInfixSuggester analog (suggest/analyzing/
+    AnalyzingInfixSuggester.java:95): suggestions are (text, weight) rows;
+    the query is analyzed, every token but the last must occur as an
+    EXACT token anywhere in the suggestion, the last token matches as a
+    PREFIX of any token; ranking weight DESC then text ASC. Map-only
+    filter over the suggestion table + TakeOrderedAndProject — at scale
+    the suggestion table is dictionary-sized and the filter is pure
+    codegen (no UDF, no shuffle)."""
+    toks = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    *full, last = toks
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    cond = F.exists(arr, lambda x: x.startswith(last))
+    for t in full:
+        cond = cond & F.array_contains(arr, t)
+    return (
+        suggestions.filter(cond)
+        .orderBy(F.desc(weight_col), F.asc(text_col))
+        .limit(k)
+        .select(text_col, weight_col)
+    )

@@ -96,3 +96,16 @@ def test_drill_sideways_single_dim_equals_plain_facets(spark):
     # one dim: sideways = unfiltered facet counts over the base query
     assert got[("lang", "en")] == 2 and got[("lang", "de")] == 1
     assert got[("__drilldown__", "")] == 2
+
+
+def test_taxonomy_facets_rollup(spark):
+    from lucene_spark.search.facets import taxonomy_facets
+
+    docs = spark.createDataFrame(
+        [("a/x",), ("a/x",), ("a/y",), ("b/x",), ("b",)], "path string"
+    )
+    got = {
+        r["path"]: r["n_docs"] for r in taxonomy_facets(docs, "path").collect()
+    }
+    # ancestor rollup: 'a' counts both its leaves
+    assert got == {"a": 3, "a/x": 2, "a/y": 1, "b": 2, "b/x": 1}

@@ -198,3 +198,37 @@ def test_prefix_suggest(searcher, pyidx):
     cands = [(t, pyidx.doc_freq(t)) for t in pyidx.postings if t.startswith("w00")]
     cands.sort(key=lambda x: (-x[1], x[0]))
     assert got == cands[:10]
+
+
+def test_infix_suggest_semantics(spark):
+    from lucene_spark.search.spell import infix_suggest
+
+    rows = [
+        ("big data streaming engine", 50),
+        ("data stock ticker", 40),       # 'st' prefix on 'stock'
+        ("stream first no data", 30),    # has 'data' token and 'st' prefix
+        ("metadata stream", 20),         # 'metadata' != token 'data'
+        ("data warehouse", 10),          # no 'st' prefix token
+    ]
+    sugg = spark.createDataFrame(rows, "text string, weight long")
+    got = [r["text"] for r in infix_suggest(sugg, "data st", k=10).collect()]
+    # exact-token 'data' AND some token starting 'st', weight DESC
+    assert got == [
+        "big data streaming engine",
+        "data stock ticker",
+        "stream first no data",
+    ]
+
+
+def test_infix_suggest_last_token_only_prefix(spark):
+    from lucene_spark.search.spell import infix_suggest
+
+    sugg = spark.createDataFrame(
+        [("database x", 1)], "text string, weight long"
+    )
+    # single-token query: pure prefix match, no exact-token clause
+    assert infix_suggest(sugg, "data", k=5).count() == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        infix_suggest(sugg, "  ", k=5)
