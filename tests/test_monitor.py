@@ -63,3 +63,44 @@ def test_empty_doc_and_no_phrase_queries_path(spark):
     # the no-phrase fast path returns direct matches only
     got = _matches(spark, [MonitorQuery("t", "term", ("gamma",))])
     assert got == {(0, "t"), (4, "t")}
+
+
+def test_percolation_over_structured_stream(spark, tmp_path):
+    """Alerting shape: the registered-query set is static; each micro-batch
+    of a document stream percolates through monitor_matches inside
+    foreachBatch (the monitor module's streaming deployment)."""
+    import json
+    import os
+
+    src = tmp_path / "in"
+    out = tmp_path / "out.jsonl"
+    os.makedirs(src)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    queries = [
+        MonitorQuery("t", "term", ("alpha",)),
+        MonitorQuery("p", "phrase", ("alpha", "beta")),
+    ]
+
+    def percolate(batch_df, batch_id):
+        rows = [
+            (r["doc_id"], r["query_id"])
+            for r in monitor_matches(batch_df, queries).collect()
+        ]
+        with open(out, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(percolate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(json.loads(line)) for line in open(out)}
+    want = _matches(spark, queries)
+    assert streamed == want and streamed
