@@ -1747,6 +1747,66 @@ SELECT doc_id,
 FROM sh GROUP BY doc_id"""
 
 
+# --- url canonicalization ---------------------------------------------------
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Canonical-URL dup groups over messy synthetic URLs (upper-cased
+    scheme/host, default port, tracking params, fragments, trailing
+    slash): doc_id%250 collides pairs at sf0.01, and any canonicalization
+    divergence changes the group keys."""
+    from .pipeline.urlnorm import url_dup_groups
+
+    m = (F.col("doc_id") % 250).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), m, F.lit(".Example:443/Path/"), m,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b=2&a="), (F.col("doc_id") % 250 % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_dup_groups(d)
+
+
+_SQL_URL_DEDUP = r"""WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 250) || '.Example:443/Path/' || (doc_id % 250)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || '?utm_source=x&b=2&a=' || ((doc_id % 250) % 7)
+         || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/:?#]*:([0-9]+)', 1) AS port,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+q AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+    x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+         AND substr(x, 1, 6) <> 'fbclid' AND substr(x, 1, 5) <> 'gclid')) AS ps
+  FROM p
+),
+c AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+            THEN '' ELSE ':' || port END
+    || path
+    || CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END
+      AS canon_url
+  FROM q
+)
+SELECT canon_url, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+FROM c GROUP BY canon_url HAVING count(*) > 1"""
+
+
 # --- monitor / percolator ---------------------------------------------------
 
 
@@ -2622,6 +2682,7 @@ def gate_queries() -> dict:
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_chunks": _q_dedup_chunks,
+        "url_dedup": _q_url_dedup,
         "dedup_ngram_jaccard": _q_jaccard,
         "contamination_ngrams": _q_contamination,
         "semantic_dedup": _q_semantic_dedup,
@@ -2712,6 +2773,7 @@ def gate_oracle_sql() -> dict:
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_chunks": _SQL_DEDUP_CHUNKS,
+        "url_dedup": _SQL_URL_DEDUP,
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "contamination_ngrams": _SQL_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),
