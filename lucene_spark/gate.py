@@ -1047,6 +1047,36 @@ ms AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ms", k)
 
 
+def _sql_phrase_prefix(t0: str, prefix: str, k: int = 10) -> str:
+    """match_phrase_prefix ``"t0 prefix*"``: last slot = every dict term with
+    the prefix (the gate prefix expands to far fewer than the 128-term cap, so
+    cap ranking can't bite); weight = Σ idf over t0 + expansion in slot-major
+    order (MultiPhraseQuery idfExplain-over-all-terms scoring, engine order
+    [t0, expansion ASC] — the ordered aggregate mirrors the accumulation)."""
+    return f"""WITH {_BASE_CTES},
+exp AS (SELECT term, df FROM dft WHERE term LIKE '{prefix}%'),
+wsum AS (
+  SELECT ({_idf(f"(SELECT df FROM dft WHERE term = '{t0}')")}
+          + (SELECT sum({_idf("e.df")} ORDER BY e.term ASC)
+             FROM exp e, stats s)) AS w
+  FROM stats s
+),
+mp AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS freq
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN exp e ON b.term = e.term
+  WHERE a.term = '{t0}'
+  GROUP BY a.doc_id
+),
+ms AS (
+  SELECT mp.doc_id,
+         (w.w - w.w / {_tf_part("mp.freq", "qdl.qdl")}) AS score
+  FROM mp JOIN qdl USING (doc_id), stats s, wsum w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ms", k)
+
+
 # --- field sort / rescore / function score ----------------------------------
 
 def _q_sort_by_field(spark, sf_dir, k: int = 20):
@@ -2640,6 +2670,7 @@ def gate_queries() -> dict:
         "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
+        "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -2733,6 +2764,7 @@ def gate_oracle_sql() -> dict:
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),
         "bm25_multi_phrase": _sql_multi_phrase(),
+        "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),

@@ -439,6 +439,16 @@ class PyIndex:
                     for t, e, _df in matched
                 )
             )
+        elif type(q).__name__ == "PhrasePrefixQuery":
+            from ..search.query import MultiPhraseQuery
+
+            exp = pick(lambda t: t.startswith(q.prefix))[
+                : min(max_terms, q.max_expansions)
+            ]
+            if not exp:
+                return MatchNoDocsQuery()
+            slots = tuple((t,) for t in q.terms) + (tuple(sorted(exp)),)
+            return MultiPhraseQuery(slots=slots, boost=q.boost)
         elif isinstance(q, BooleanQuery):
             return BooleanQuery(
                 must=tuple(self.expand_multiterm(c, max_terms) for c in q.must),

@@ -97,6 +97,21 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class PhrasePrefixQuery:
+    """Exact phrase whose LAST position is a term *prefix* — the
+    match_phrase_prefix shape (reference: search/PhraseWildcardQuery.java:66
+    single-wildcard special case, and ComplexPhraseQueryParser's ``"a b*"``).
+    Rewrites to a MultiPhraseQuery whose final slot is the prefix expansion
+    (PhraseWildcardQuery rewrites to MultiPhraseQuery when every segment
+    expansion fits, PhraseWildcardQuery.java:155-163)."""
+
+    terms: tuple[str, ...]  # fixed leading positions
+    prefix: str
+    max_expansions: int = 128
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
     boost: float = 1.0
@@ -587,6 +602,24 @@ def _make_leaf(kind: str, val, analyzer, fmap=None) -> object:
     key = fmap if fmap is not None else (lambda _f, t: t)
     if kind == "phrase":
         text, slop, boost = val
+        # ``"a b c*"`` — trailing star on the last raw token, exact slots
+        # before it (ComplexPhraseQueryParser's phrase-prefix form); only
+        # for exact phrases (slop syntax wins over the star if both given)
+        raw = text.rstrip()
+        if slop == 0 and raw.endswith("*") and not raw.endswith("\\*"):
+            head = raw[:-1]
+            toks = analyzer(head)
+            if toks and head and not head[-1].isspace():
+                fixed, last = toks[:-1], toks[-1]
+                if fixed:
+                    return boosted(
+                        PhrasePrefixQuery(
+                            tuple(key(None, t.term) for t in fixed),
+                            prefix=key(None, last.term),
+                        ),
+                        boost,
+                    )
+                return boosted(PrefixQuery(key(None, last.term)), boost)
         toks = analyzer(text)
         if not toks:
             return MatchNoDocsQuery()
@@ -843,6 +876,9 @@ def collect_terms(q) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for s in q.slots for t in s}
+    if isinstance(q, PhrasePrefixQuery):
+        # pre-expansion view: only the fixed slots are concrete
+        return set(q.terms)
     if isinstance(q, IntervalNear):
         return {t for s in q.slots for leaf in s for t in leaf}
     if isinstance(q, IntervalFilter):

@@ -61,6 +61,7 @@ from .query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    PhrasePrefixQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -91,7 +92,14 @@ def _needs_positions(q) -> bool:
 
     return any(
         isinstance(
-            leaf, (PhraseQuery, MultiPhraseQuery, IntervalNear, IntervalFilter)
+            leaf,
+            (
+                PhraseQuery,
+                MultiPhraseQuery,
+                PhrasePrefixQuery,
+                IntervalNear,
+                IntervalFilter,
+            ),
         )
         for leaf in scoring_leaves(q)
     )
@@ -274,7 +282,15 @@ class Searcher:
     # --- multi-term expansion (ScoringRewrite / TopTermsRewrite layer) ---
     def expand_multiterm(self, q, max_terms: int = 128):
         if isinstance(
-            q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, FuzzyQuery)
+            q,
+            (
+                PrefixQuery,
+                WildcardQuery,
+                RegexpQuery,
+                TermRangeQuery,
+                FuzzyQuery,
+                PhrasePrefixQuery,
+            ),
         ):
             # memoize per (node, cap): expansion is a term_dict collect (a
             # Spark job) and the index is immutable for this reader's life
@@ -365,6 +381,19 @@ class Searcher:
             if not terms:
                 return MatchNoDocsQuery()
             return BooleanQuery(should=tuple(TermQuery(t, q.boost) for t in terms))
+        if isinstance(q, PhrasePrefixQuery):
+            # final slot = prefix expansion, sorted for a deterministic
+            # MultiPhraseQuery weight (PhraseWildcardQuery.java:155-163
+            # rewrite-to-MultiPhraseQuery path)
+            from .query import MultiPhraseQuery
+
+            terms = self.reader.expand_terms(
+                prefix=q.prefix, max_terms=min(max_terms, q.max_expansions)
+            )
+            if not terms:
+                return MatchNoDocsQuery()
+            slots = tuple((t,) for t in q.terms) + (tuple(sorted(terms)),)
+            return MultiPhraseQuery(slots=slots, boost=q.boost)
         return self._expand_fuzzy(q, max_terms)  # FuzzyQuery (only leaf left)
 
     def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):

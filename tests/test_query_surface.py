@@ -287,3 +287,24 @@ def test_count_new_query_types(searcher, oracle):
         parsed = parse_query(qs, _an)
         expected = len(oracle.search_query(parsed, k=N_DOCS))
         assert searcher.count(qs) == expected, qs
+
+
+def test_phrase_prefix_query(searcher, oracle):
+    """match_phrase_prefix: "w0000 w00*" — fixed slot + prefix expansion
+    (PhraseWildcardQuery.java:66 single-wildcard case → MultiPhraseQuery)."""
+    from lucene_spark.search.query import PhrasePrefixQuery
+
+    q = PhrasePrefixQuery(terms=("w0000",), prefix="w000")
+    _check(searcher, oracle, q, msg="phrase-prefix")
+    # parser form: trailing star inside a quoted phrase
+    parsed = parse_query('"w0000 w000*"', _an)
+    assert isinstance(parsed, PhrasePrefixQuery), parsed
+    assert parsed.terms == ("w0000",) and parsed.prefix == "w000"
+    _check(searcher, oracle, parsed, msg="phrase-prefix-parsed")
+    # star on the only token degrades to a plain PrefixQuery
+    from lucene_spark.search.query import PrefixQuery
+
+    assert parse_query('"w000*"', _an) == PrefixQuery("w000")
+    # no expansion -> no hits
+    q_none = PhrasePrefixQuery(terms=("w0000",), prefix="zzzzzzqq")
+    assert searcher.search(q_none, k=5).count() == 0
