@@ -1077,6 +1077,42 @@ ms AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ms", k)
 
 
+def _q_covering(spark, sf_dir, k: int = 10):
+    """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
+    match — the per-doc threshold is a LongValuesSource over a stored field
+    (queries/CoveringQuery.java:47)."""
+    from .search.query import TermQuery
+
+    s = _searcher(spark, sf_dir)
+    out = s.covering(
+        [TermQuery("stream"), TermQuery("window"), TermQuery("scan")],
+        min_match_expr="1 + (doc_len % 3)",
+        k=k,
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_covering(terms: list[str], k: int = 10) -> str:
+    aliases = [f"s_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_scores_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    matched = " + ".join(
+        f"(CASE WHEN {a}.score IS NOT NULL THEN 1 ELSE 0 END)" for a in aliases
+    )
+    inner = f"""SELECT doc_id, score FROM (
+  SELECT doc_id, {_sum_chain(aliases)} AS score, ({matched}) AS matched
+  FROM {joins}
+) m JOIN qdl USING (doc_id)
+WHERE m.matched >= 1 + (qdl.dl % 3)"""
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
 # --- field sort / rescore / function score ----------------------------------
 
 def _q_sort_by_field(spark, sf_dir, k: int = 20):
@@ -1283,6 +1319,24 @@ WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
 GROUP BY lang"""
 
 
+def _q_facet_assoc(spark, sf_dir):
+    """Association facets over the hit set: per lang, Σ n_chars + count
+    (TaxonomyFacetSumValueSource semantics)."""
+    from .search.facets import association_facets
+
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    docs = _docs(spark, sf_dir).join(F.broadcast(hits), "doc_id")
+    return association_facets(docs, "lang", "n_chars")
+
+
+_SQL_FACET_ASSOC = f"""WITH {_BASE_CTES}
+SELECT lang, sum(n_chars)::BIGINT AS sum_assoc, count(*)::BIGINT AS n_docs
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+   OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id)
+GROUP BY lang"""
+
+
 def _q_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester: suggestion table = (doc text, n_chars as
     weight); query "data st" — 'data' must occur as a token, 'st' as a
@@ -1301,6 +1355,36 @@ def _sql_suggest_infix(k: int = 10) -> str:
 WHERE list_contains({arr}, 'data')
   AND len(list_filter({arr}, x -> x LIKE 'st%')) > 0
 ORDER BY weight DESC, text ASC LIMIT {k}"""
+
+
+def _q_suggest_freetext(spark, sf_dir):
+    from .search.spell import freetext_suggest
+
+    return freetext_suggest(_docs(spark, sf_dir), "data s", k=10)
+
+
+_SQL_SUGGEST_FREETEXT = f"""WITH {_BASE_CTES},
+big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS cnt2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM uni),
+ctx AS (SELECT coalesce((SELECT cnt FROM uni WHERE term = 'data'), 0) AS c),
+scored AS (
+  SELECT u.term,
+         CASE WHEN b.cnt2 IS NOT NULL AND ctx.c > 0
+              THEN b.cnt2::DOUBLE / ctx.c::DOUBLE
+              ELSE 0.4 * (u.cnt::DOUBLE / tot.t::DOUBLE) END AS score
+  FROM uni u
+  LEFT JOIN (SELECT w2 AS term, cnt2 FROM big WHERE w1 = 'data') b USING (term),
+       tot, ctx
+  WHERE u.term LIKE 's%'
+)
+SELECT term, round(score, 6) AS score FROM (
+  SELECT * FROM scored ORDER BY score DESC, term ASC LIMIT 10
+)"""
 
 
 def _q_facet_taxonomy(spark, sf_dir):
@@ -2081,6 +2165,25 @@ SELECT vec_id, round(cos, 4) AS cos FROM (
 )"""
 
 
+def _q_knn_filtered(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.knn_filtered(
+        emb, _qvec(spark, sf_dir), filter_expr="label % 3 = 1", k=10
+    )
+
+
+_SQL_KNN_FILTERED = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    {_COS_SQL} AS cos
+  FROM embeddings e, q
+  WHERE e.label % 3 = 1
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+)"""
+
+
 def _q_simsearch_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.ivf_topk(
@@ -2671,6 +2774,7 @@ def gate_queries() -> dict:
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
+        "covering_query": _q_covering,
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -2680,6 +2784,7 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
+        "suggest_freetext": _q_suggest_freetext,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
         "ascii_folded_index": _q_folded,
@@ -2706,6 +2811,7 @@ def gate_queries() -> dict:
         "collection_stats": _q_collection_stats,
         "doc_lengths": _q_doc_lengths,
         "facet_lang": _q_facet_lang,
+        "facet_assoc_sum": _q_facet_assoc,
         "facet_ranges": _q_facet_ranges,
         "facet_drill_sideways": _q_facet_drill_sideways,
         "facet_taxonomy": _q_facet_taxonomy,
@@ -2729,6 +2835,7 @@ def gate_queries() -> dict:
         "pii_scrub": _q_pii_scrub,
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
+        "knn_filtered": _q_knn_filtered,
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
         "events_hourly": _q_events_hourly,
@@ -2765,6 +2872,7 @@ def gate_oracle_sql() -> dict:
         "interval_containing": _sql_interval_containing(),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
+        "covering_query": _sql_covering(["stream", "window", "scan"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
@@ -2774,6 +2882,7 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
+        "suggest_freetext": _SQL_SUGGEST_FREETEXT,
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
@@ -2799,6 +2908,7 @@ def gate_oracle_sql() -> dict:
         "collection_stats": _SQL_COLLECTION_STATS,
         "doc_lengths": _SQL_DOC_LENGTHS,
         "facet_lang": _SQL_FACET_LANG,
+        "facet_assoc_sum": _SQL_FACET_ASSOC,
         "facet_ranges": _sql_facet_ranges(),
         "facet_drill_sideways": _sql_drill_sideways(),
         "facet_taxonomy": _sql_facet_taxonomy(),
@@ -2821,6 +2931,7 @@ def gate_oracle_sql() -> dict:
         "pii_scrub": _sql_pii_scrub(),
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
+        "knn_filtered": _SQL_KNN_FILTERED,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
         "events_hourly": _SQL_EVENTS_HOURLY,

@@ -55,6 +55,24 @@ def cosine_topk(
     return top.select(id_col, F.round("cos", 4).alias("cos"))
 
 
+def knn_filtered(
+    emb: DataFrame,
+    qvec: list[float],
+    filter_expr: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered KNN (search/KnnFloatVectorQuery.java:61 filter ctor): Lucene
+    pre-filters the candidate bitset and falls back to exact scoring over the
+    survivors when the filter is selective. Here the filter is a Catalyst
+    predicate — pushed into the parquet scan when it references scan columns
+    — and scoring is the exact-cosine baseline over the filtered set, so
+    recall is 1.0 by construction (the brute-force arm Lucene uses below the
+    visit threshold). At 100 TB the same predicate prunes IVF cells first."""
+    return cosine_topk(emb.filter(F.expr(filter_expr)), qvec, k, id_col, vec_col)
+
+
 def _sign_key(vec_col: str, n_bits: int) -> F.Column:
     bits = [
         F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(

@@ -132,6 +132,22 @@ def drill_sideways(
     return side.unionByName(drill)
 
 
+def association_facets(
+    docs: DataFrame, dim_col: str, assoc_col: str
+) -> DataFrame:
+    """Association facets (facet/taxonomy/TaxonomyFacetSumIntAssociations.java,
+    TaxonomyFacetSumValueSource.java:47): each matching doc contributes a
+    per-doc association VALUE to its label instead of a bare count — e.g.
+    total chars per language over the hit set. One map-side-combinable
+    groupBy; the association rides the docs DataFrame as an ordinary column
+    (Lucene stores it in the BinaryDocValues payload of the assoc field).
+    Sums are integer-exact (no float accumulation-order dependence)."""
+    return docs.groupBy(dim_col).agg(
+        F.sum(F.col(assoc_col).cast("long")).alias("sum_assoc"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def taxonomy_facets(
     docs: DataFrame, path_col: str, sep: str = "/"
 ) -> DataFrame:

@@ -769,6 +769,42 @@ class Searcher:
             .limit(k)
         )
 
+    def covering(
+        self, queries: list, min_match_expr: str, k: int = 10
+    ) -> DataFrame:
+        """CoveringQuery (queries/CoveringQuery.java:47): a doc matches when
+        at least ``minimumNumberMatch`` of the clauses match it, where the
+        threshold is a PER-DOC long — here a Spark SQL expression over the
+        docmap columns (url, doc_len, norm), the LongValuesSource.fromLongField
+        analog. Score = sum of the matching clauses' scores, accumulated
+        left-associatively in clause order (CoveringScorer sums subscorers in
+        iteration order), so double-mode scores are bit-comparable to an
+        oracle using the same chain."""
+        per_clause = [
+            self.search_all(q).select(
+                "docid", F.col("score").alias(f"_cs{i}")
+            )
+            for i, q in enumerate(queries)
+        ]
+        joined = per_clause[0]
+        for d in per_clause[1:]:
+            joined = joined.join(d, "docid", "outer")
+        score = F.lit(0.0)
+        matched = F.lit(0)
+        for i in range(len(queries)):
+            c = F.col(f"_cs{i}")
+            score = score + F.coalesce(c, F.lit(0.0))
+            matched = matched + c.isNotNull().cast("int")
+        dm = self._docmap_global()
+        out = (
+            joined.withColumn("score", score)
+            .withColumn("_matched", matched)
+            .join(dm, "docid")
+            .filter(F.col("_matched") >= F.expr(min_match_expr))
+            .select("docid", "score")
+        )
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
     def count(self, query) -> int:
         """Total hit count (TotalHitCountCollector analog) — per-segment
         docid-set sizes summed, no scoring, no top-k."""

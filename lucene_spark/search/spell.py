@@ -265,3 +265,77 @@ def infix_suggest(
         .limit(k)
         .select(text_col, weight_col)
     )
+
+
+def freetext_suggest(
+    docs,
+    query: str,
+    k: int = 10,
+    alpha: float = 0.4,
+    text_col: str = "text",
+):
+    """FreeTextSuggester analog (suggest/analyzing/FreeTextSuggester.java:118):
+    a 2-gram language model with stupid backoff (the same model the reference
+    builds into an FST; ALPHA = 0.4, FreeTextSuggester.java:134). The query's
+    last token is a PREFIX of the completion, the token before it is the
+    bigram context:
+
+        score(w) = count(context, w) / count(context)        if the bigram exists
+                 = alpha * (count(w) / total_tokens)          otherwise
+
+    Model building is two map-side-combinable aggregations over map-only
+    token/bigram streams (bigrams come from zipping the token array with
+    itself shifted — no self-join, no window); candidate ranking is a
+    broadcast-sized join. At 100 TB the model tables are vocabulary-sized
+    (≪ corpus) and both aggregations combine map-side."""
+    from ..pipeline.dedup import _token_array
+
+    toks = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if len(toks) < 2:
+        raise ValueError("freetext_suggest needs a context token + a prefix")
+    context, prefix = toks[-2], toks[-1]
+
+    arr = _token_array(text_col)
+    uni = (
+        docs.select(F.explode(arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    big = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt2"))
+    )
+
+    total = uni.agg(F.sum("cnt")).collect()[0][0] or 1
+    ctx_cnt_row = uni.filter(F.col("term") == context).collect()
+    ctx_cnt = int(ctx_cnt_row[0]["cnt"]) if ctx_cnt_row else 0
+
+    cands = uni.filter(F.col("term").startswith(prefix))
+    big_ctx = big.filter(F.col("w1") == context).select(
+        F.col("w2").alias("term"), "cnt2"
+    )
+    scored = cands.join(F.broadcast(big_ctx), "term", "left").select(
+        "term",
+        F.when(
+            F.col("cnt2").isNotNull() & F.lit(ctx_cnt > 0),
+            F.col("cnt2").cast("double") / F.lit(float(ctx_cnt)),
+        )
+        .otherwise(
+            F.lit(float(alpha)) * (F.col("cnt").cast("double") / F.lit(float(total)))
+        )
+        .alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+        .select("term", F.round("score", 6).alias("score"))
+    )
