@@ -2353,6 +2353,46 @@ FROM documents"""
 _TITLE_LEN = 8
 
 
+def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with index_sort='doc_len' across 4 segments — the gate
+    row exercises per-segment early termination AND the cross-segment
+    sorted merge."""
+    name = sf_dir.strip("/").replace("/", "_") + "_sorted"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=4, analyzer="simple",
+            stopwords=None, index_positions=False, index_sort="doc_len",
+        )
+    return idx
+
+
+def _q_sorted_index_topk(spark, sf_dir, k: int = 20):
+    s = Searcher(
+        spark, _ensure_sorted_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.search_sorted_by("window", sort_col="doc_len", ascending=False, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("dl"),
+    )
+
+
+_SQL_SORTED_INDEX_TOPK = f"""WITH {_BASE_CTES}
+SELECT doc_id, dl FROM (
+  SELECT d.doc_id, dl.dl
+  FROM documents d JOIN dl USING (doc_id)
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id)
+  ORDER BY dl.dl DESC, d.doc_id ASC LIMIT 20
+)"""
+
+
 def _ensure_mf_index(spark: SparkSession, sf_dir: str) -> str:
     name = sf_dir.strip("/").replace("/", "_") + "_mf2"
     idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
@@ -2797,6 +2837,7 @@ def gate_queries() -> dict:
         "field_exists": _mk_mf_topk(lambda s: "_exists_:title", k=30),
         "feature_rank": _q_feature_rank,
         "sort_by_field": _q_sort_by_field,
+        "sorted_index_topk": _q_sorted_index_topk,
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
         "join_to_source": _q_join_max,
@@ -2894,6 +2935,7 @@ def gate_oracle_sql() -> dict:
         "field_exists": _sql_field_exists(k=30),
         "feature_rank": _sql_feature_rank("stream", weight=1.5, pivot=45.0),
         "sort_by_field": _SQL_SORT_BY_FIELD,
+        "sorted_index_topk": _SQL_SORTED_INDEX_TOPK,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),
         "block_join_avg": _sql_block_join(),

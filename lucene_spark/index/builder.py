@@ -181,6 +181,7 @@ def _invert_segment(
     features: list[tuple[str, str]] | None = None,
     synonyms: dict | None = None,
     synonyms_keep_original: bool = True,
+    index_sort: str | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -225,6 +226,30 @@ def _invert_segment(
         per_field = [(None, texts)]
     else:
         per_field = [(name, pdf[col].fillna("").tolist()) for name, col in fields]
+
+    if index_sort == "doc_len" and n_docs > 1:
+        # index sort (IndexWriterConfig.setIndexSort / index/Sorter.java):
+        # pre-pass the PRIMARY field through the same analysis chain as the
+        # main loop (synonym stacking can change distinct-position counts),
+        # then assign docids by (doc_len DESC, url ASC) — docid order
+        # becomes the sort order, enabling per-segment early termination
+        # for top-k-by-length queries (TopFieldCollector canEarlyTerminate)
+        bt0 = analyze_batch(
+            per_field[0][1], stopwords=stopwords, analyzer=analyzer_name
+        )
+        if synonyms:
+            from ..analysis.vectorized import _synonym_post
+
+            bt0 = _synonym_post(bt0, synonyms, synonyms_keep_original)
+        perm = np.lexsort((np.arange(n_docs), -bt0.doc_lens))
+        pdf = pdf.iloc[perm].reset_index(drop=True)
+        if fields is None:
+            texts = [texts[i] for i in perm]
+            per_field = [(None, texts)]
+        else:
+            per_field = [
+                (name, pdf[col].fillna("").tolist()) for name, col in fields
+            ]
 
     total_len = np.zeros(n_docs, dtype=np.int64)
     total_ttf_terms = 0
@@ -681,6 +706,7 @@ def build_index(
     block_key: str | None = None,
     synonyms: dict | None = None,
     synonyms_keep_original: bool = True,
+    index_sort: str | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -703,12 +729,25 @@ def build_index(
     queries then address fields as ``title:foo`` / CombinedFieldQuery.
     Field names are recorded in ``index_meta.json`` for the searcher.
 
+    ``index_sort="doc_len"`` assigns docids within each segment by the
+    primary field's length DESCENDING (url rank breaks ties) — the
+    IndexWriterConfig.setIndexSort analog (index/IndexWriterConfig.java
+    setIndexSort; Sorter.java sorts the flushed segment): top-k-by-length
+    queries then early-terminate per segment because docid order IS the
+    sort order (TopFieldCollector.java canEarlyTerminate). Incompatible
+    with ``block_key`` (doc blocks require insertion-order contiguity).
+
     ``append=True`` adds the rows as NEW segments to an existing index (the
     NRT micro-batch path, SearcherManager/openIfChanged analog): existing
     segments, their docids and doc_bases are untouched; new segments get
     fresh ids and doc_bases after the current maximum, and the manifest swap
     is the commit that makes them visible.
     """
+    if index_sort is not None:
+        if index_sort != "doc_len":
+            raise ValueError(f"unsupported index_sort {index_sort!r}")
+        if block_key is not None:
+            raise ValueError("index_sort and block_key are mutually exclusive")
     if num_segments is None:
         num_segments = max(df.rdd.getNumPartitions(), 1)
 
@@ -808,10 +847,13 @@ def build_index(
 
     ftl = sorted(feature_fields.items()) if feature_fields else None
 
+    isort = index_sort
+
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
+            index_sort=isort,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(
@@ -895,16 +937,20 @@ def build_index(
             )
         )
         doc_base += int(cnt)
+    meta: dict = {}
     if fl is not None:
+        meta.update(
+            {
+                "fields": [name for name, _col in fl],
+                "primary": fl[0][0],
+                "features": [name for name, _col in ftl or []],
+            }
+        )
+    if index_sort is not None:
+        meta["index_sort"] = index_sort
+    if meta:
         with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
-            json.dump(
-                {
-                    "fields": [name for name, _col in fl],
-                    "primary": fl[0][0],
-                    "features": [name for name, _col in ftl or []],
-                },
-                fh,
-            )
+            json.dump(meta, fh)
     # atomic-ish swap (temp dir + rename; Iceberg snapshot commit in
     # production)
     write_driver_table(

@@ -109,6 +109,31 @@ def _rebased_postings_cols():
     ]
 
 
+def _propagate_index_meta(index_dir: str, out_dir: str | None = None) -> None:
+    """Carry index_meta.json (field list, features) across a merge, DROPPING
+    ``index_sort``: the shift-invariant metadata merge concatenates source
+    docid ranges, so the per-segment sort guarantee does not survive (Lucene
+    re-sorts merged segments via Sorter.java / MergeState; a payload-free
+    merge cannot), and the searcher must not early-terminate on the result.
+    Dropping the flag before the manifest commit is the safe direction: a
+    crash in between only loses an optimization, never correctness."""
+    import json as _json
+    import os as _os
+
+    src = _os.path.join(index_dir, "index_meta.json")
+    if not _os.path.exists(src):
+        return
+    with open(src) as fh:
+        meta = _json.load(fh)
+    meta.pop("index_sort", None)
+    dst = _os.path.join(out_dir or index_dir, "index_meta.json")
+    if meta:
+        with open(dst, "w") as fh:
+            _json.dump(meta, fh)
+    elif out_dir is None:
+        _os.remove(src)
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
@@ -248,6 +273,7 @@ def merge_segments(
         .parquet(f"{out_dir}/data")
     )
 
+    _propagate_index_meta(index_dir, out_dir)
     # --- field_stats + manifest (commit point) --------------------------
     # merged stats derive from the SOURCE stats driver-side — no read-back
     # job: counts/ttf sum per group; docid bounds come from doc_base + the
@@ -492,6 +518,7 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
         os.rename(tmp, f"{index_dir}/deletes")
         shutil.rmtree(old, ignore_errors=True)
 
+    _propagate_index_meta(index_dir)
     # commit: stats + manifest swap (old rows out, merged row in)
     fs_rows, man_rows = [], []
     src_stats = {

@@ -164,13 +164,15 @@ class Searcher:
         meta_path = _os.path.join(index_dir, "index_meta.json")
         self.fields: list[str] | None = None
         self.default_field: str | None = None
+        self.index_sort: str | None = None
         if _os.path.exists(meta_path):
             with open(meta_path) as fh:
                 meta = _json.load(fh)
-            self.fields = list(meta.get("fields") or [])
+            self.fields = list(meta.get("fields") or []) or None
             self.default_field = meta.get("primary") or (
                 self.fields[0] if self.fields else None
             )
+            self.index_sort = meta.get("index_sort")
 
     def _fmap(self):
         """(field | None, token) -> internal term key for parse_query."""
@@ -715,8 +717,42 @@ class Searcher:
         """Top-k by an arbitrary stored field instead of relevance — the
         TopFieldCollector analog (search/TopFieldCollector.java): matching
         doc set joined to the docmap column, ``orderBy(field, docid)`` →
-        Spark's TakeOrderedAndProject. Returns (docid, <sort_col>)."""
+        Spark's TakeOrderedAndProject. Returns (docid, <sort_col>).
+
+        On an index built with ``index_sort`` matching the requested sort,
+        the query EARLY-TERMINATES per segment (TopFieldCollector
+        canEarlyTerminate): docid order within a segment IS the sort order,
+        so only the k lowest matching docids per segment survive to the
+        docmap join — the join input shrinks from |matches| to segments·k
+        rows, and the global cut stays a TakeOrderedAndProject. Tie-break
+        on the sorted path follows the build's secondary sort key (url
+        rank, the insertion order Lucene's Sorter keeps for equal values)."""
         hits = self.search_all(query).select("docid")
+        if self.index_sort == sort_col and not ascending:
+            from pyspark.sql.window import Window as _W
+
+            seg_df = self.spark.createDataFrame(
+                [
+                    (int(s), int(b) + int(mn), int(b) + int(mx))
+                    for s, (b, mn, mx) in self._seg_meta().items()
+                ],
+                "segment_id int, lo long, hi long",
+            )
+            h = hits.join(
+                F.broadcast(seg_df),
+                (hits.docid >= F.col("lo")) & (hits.docid < F.col("hi")),
+            )
+            rn = F.row_number().over(
+                _W.partitionBy("segment_id").orderBy(F.asc("docid"))
+            )
+            top = h.withColumn("_rn", rn).filter(F.col("_rn") <= k)
+            dm = self._docmap_global().select("docid", sort_col, "url")
+            out = top.join(dm, "docid")
+            return (
+                out.orderBy(F.desc(sort_col), F.asc("url"))
+                .limit(k)
+                .select("docid", sort_col)
+            )
         dm = self._docmap_global().select("docid", sort_col)
         out = hits.join(dm, "docid")
         order = F.asc(sort_col) if ascending else F.desc(sort_col)
