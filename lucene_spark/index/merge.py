@@ -215,14 +215,27 @@ def merge_segments(
         reader.postings.join(base_df, F.col("segment_id") == F.col("seg"))
         .select(F.col("grp").alias("segment_id"), *_rebased_postings_cols())
     )
-    multi_terms = merged_td.filter(F.col("df") > 1).select(
-        F.col("grp").alias("segment_id"), "term"
+    # demotion candidates: (group, term) pairs where SOME source pulsed a
+    # singleton but the merged df > 1. Computed as a second SKINNY
+    # aggregation (4 narrow columns, no payloads) instead of reusing the
+    # wide merged_td — cheaper than persisting it — and BROADCAST into the
+    # pseudo-block join: the candidate set is the cross-segment rare-term
+    # tail (global df in [2, group size]), vocabulary-bounded, so the
+    # pseudo-block side stays map-only (no shuffle of singleton payloads)
+    demote_keys = (
+        td.groupBy("grp", "term")
+        .agg(
+            F.sum("df").alias("_df"),
+            F.count("singleton_docid").alias("_ns"),
+        )
+        .filter((F.col("_df") > 1) & (F.col("_ns") > 0))
+        .select(F.col("grp").alias("segment_id"), "term")
     )
     demoted = (
         singleton_pseudo_blocks(reader.term_dict, True)
         .join(base_df, F.col("segment_id") == F.col("seg"))
         .select(F.col("grp").alias("segment_id"), *_rebased_postings_cols())
-        .join(multi_terms, ["segment_id", "term"])
+        .join(F.broadcast(demote_keys), ["segment_id", "term"])
         .select(rebased.columns)
         .mapInPandas(_materialize_singletons, schema=rebased.schema)
     )
@@ -433,14 +446,22 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
         .join(base_df, F.col("segment_id") == F.col("seg"))
         .select(F.lit(new_id).alias("segment_id"), *_rebased_postings_cols())
     )
-    multi_terms = merged_td.filter(F.col("df") > 1).select(
-        F.lit(new_id).alias("segment_id"), "term"
+    # skinny-aggregation demote keys + broadcast (see merge_segments): the
+    # pseudo-block side stays map-only
+    demote_keys = (
+        td.groupBy("term")
+        .agg(
+            F.sum("df").alias("_df"),
+            F.count("singleton_docid").alias("_ns"),
+        )
+        .filter((F.col("_df") > 1) & (F.col("_ns") > 0))
+        .select(F.lit(new_id).alias("segment_id"), "term")
     )
     demoted = (
         singleton_pseudo_blocks(reader.term_dict.filter(sel), True)
         .join(base_df, F.col("segment_id") == F.col("seg"))
         .select(F.lit(new_id).alias("segment_id"), *_rebased_postings_cols())
-        .join(multi_terms, ["segment_id", "term"])
+        .join(F.broadcast(demote_keys), ["segment_id", "term"])
         .select(rebased.columns)
         .mapInPandas(_materialize_singletons, schema=rebased.schema)
     )
