@@ -1134,6 +1134,35 @@ SELECT doc_id, dl FROM (
 )"""
 
 
+def _q_sort_page2(spark, sf_dir, k: int = 10):
+    """Field-sort paging (IndexSearcher.searchAfter with a Sort): page 2 of
+    the doc_len-descending sort, anchored on page 1's last FieldDoc."""
+    s = _searcher(spark, sf_dir)
+    p1 = s.search_sorted_by(
+        "stream", sort_col="doc_len", ascending=False, k=10
+    ).collect()
+    if not p1:
+        return spark.createDataFrame([], "doc_id long, dl long")
+    anchor = (float(p1[-1]["doc_len"]), int(p1[-1]["docid"]))
+    out = s.search_sorted_by(
+        "stream", sort_col="doc_len", ascending=False, k=k, after=anchor
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("dl"),
+    )
+
+
+_SQL_SORT_PAGE2 = f"""WITH {_BASE_CTES}
+SELECT doc_id, dl FROM (
+  SELECT d.doc_id, dl.dl
+  FROM documents d JOIN dl USING (doc_id)
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+  ORDER BY dl.dl DESC, d.doc_id ASC LIMIT 10 OFFSET 10
+)"""
+
+
 def _q_rescore(spark, sf_dir, k: int = 10):
     s = _searcher(spark, sf_dir)
     out = s.rescore(
@@ -2838,6 +2867,7 @@ def gate_queries() -> dict:
         "feature_rank": _q_feature_rank,
         "sort_by_field": _q_sort_by_field,
         "sorted_index_topk": _q_sorted_index_topk,
+        "sort_page2": _q_sort_page2,
         "rescore_topk": _q_rescore,
         "function_score": _q_function_score,
         "join_to_source": _q_join_max,
@@ -2936,6 +2966,7 @@ def gate_oracle_sql() -> dict:
         "feature_rank": _sql_feature_rank("stream", weight=1.5, pivot=45.0),
         "sort_by_field": _SQL_SORT_BY_FIELD,
         "sorted_index_topk": _SQL_SORTED_INDEX_TOPK,
+        "sort_page2": _SQL_SORT_PAGE2,
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),
         "block_join_avg": _sql_block_join(),

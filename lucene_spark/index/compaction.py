@@ -178,7 +178,21 @@ def compact_deletes(
 ) -> dict:
     """Physically drop tombstoned docs from every segment whose delete
     ratio exceeds ``max_deletes_pct`` (``force=True`` compacts any segment
-    with ≥1 delete — forceMergeDeletes semantics). Returns metrics."""
+    with ≥1 delete — forceMergeDeletes semantics). Returns metrics.
+
+    Refuses while snapshots exist: compaction rewrites segment partitions
+    IN PLACE (same segment_id), which would mutate a snapshot's
+    point-in-time view — Lucene never overwrites committed files
+    (IndexFileDeleter protects every snapshotted IndexCommit), so the
+    conservative analog is to require releasing snapshots first."""
+    from .snapshots import list_snapshots
+
+    snaps = list_snapshots(index_dir)
+    if snaps:
+        raise RuntimeError(
+            f"cannot compact {index_dir}: snapshots {snaps} pin the current "
+            "segment data (release them first)"
+        )
     reader = IndexReader(spark, index_dir)
     if reader.deletes is None:
         return {"compacted_segments": 0, "reclaimed_docs": 0}

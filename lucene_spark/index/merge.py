@@ -574,8 +574,15 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
     write_driver_table(f"{index_dir}/field_stats", sorted(fs_rows), FIELD_STATS_SCHEMA)
     write_driver_table(f"{index_dir}/segment_manifest", man_rows, MANIFEST_SCHEMA)
 
-    # reclaim obsolete partition dirs (IndexFileDeleter)
+    # reclaim obsolete partition dirs (IndexFileDeleter) — EXCEPT segments
+    # pinned by a snapshot (SnapshotDeletionPolicy holds their IndexCommit;
+    # snapshots.prune_unreferenced reclaims them after release)
+    from .snapshots import referenced_segments
+
+    pinned = referenced_segments(index_dir)
     for s in merge_ids:
+        if s in pinned:
+            continue
         for kind_dir in ("0", "1", "2", "3"):
             shutil.rmtree(
                 f"{index_dir}/data/kind={kind_dir}/segment_id={s}",

@@ -28,12 +28,24 @@ class IndexReader:
     (a single write+commit at build time); the three logical tables are
     partition-pruned views of it."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, snapshot: str | None = None
+    ):
         self.spark = spark
         self.index_dir = index_dir
+        # point-in-time commit (DirectoryReader.open(IndexCommit)): commit
+        # metadata resolves from the snapshot dir, data partitions are
+        # shared with the live index (see index/snapshots.py)
+        self.snapshot = snapshot
+        self._meta_root = (
+            f"{index_dir}/snapshots/{snapshot}" if snapshot else index_dir
+        )
 
     def _table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/{name}")
+        root = self._meta_root if name in (
+            "segment_manifest", "field_stats", "deletes"
+        ) else self.index_dir
+        return self.spark.read.parquet(f"{root}/{name}")
 
     @cached_property
     def _data(self) -> DataFrame:
@@ -67,7 +79,7 @@ class IndexReader:
         index has no deletions (the common case costs one os.path check)."""
         import os
 
-        if not os.path.isdir(f"{self.index_dir}/deletes"):
+        if not os.path.isdir(f"{self._meta_root}/deletes"):
             return None
         live = [int(r["segment_id"]) for r in self.manifest_rows]
         return self._table("deletes").filter(F.col("segment_id").isin(live))

@@ -142,9 +142,10 @@ class Searcher:
         mode: str = "lucene",
         prune: bool = True,
         slice_docs: int | None = None,
+        snapshot: str | None = None,
     ):
         self.spark = spark
-        self.reader = IndexReader(spark, index_dir)
+        self.reader = IndexReader(spark, index_dir, snapshot=snapshot)
         self.mode = mode
         self.prune = prune
         # intra-segment search concurrency (IndexSearcher leaf slices,
@@ -161,7 +162,8 @@ class Searcher:
         import json as _json
         import os as _os
 
-        meta_path = _os.path.join(index_dir, "index_meta.json")
+        # snapshot readers resolve the build metadata as of the snapshot
+        meta_path = _os.path.join(self.reader._meta_root, "index_meta.json")
         self.fields: list[str] | None = None
         self.default_field: str | None = None
         self.index_sort: str | None = None
@@ -713,6 +715,7 @@ class Searcher:
         sort_col: str = "doc_len",
         ascending: bool = False,
         k: int = 10,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k by an arbitrary stored field instead of relevance — the
         TopFieldCollector analog (search/TopFieldCollector.java): matching
@@ -726,9 +729,25 @@ class Searcher:
         docmap join — the join input shrinks from |matches| to segments·k
         rows, and the global cut stays a TakeOrderedAndProject. Tie-break
         on the sorted path follows the build's secondary sort key (url
-        rank, the insertion order Lucene's Sorter keeps for equal values)."""
+        rank, the insertion order Lucene's Sorter keeps for equal values).
+
+        ``after=(field_value, docid)`` pages past a previous page's last hit
+        — the FieldDoc form of searchAfter (IndexSearcher.searchAfter with a
+        Sort, search/FieldComparator analog): strictly worse in the sort
+        order, docid breaks ties. Paging composes with the docid-tie-break
+        (non-early) path."""
         hits = self.search_all(query).select("docid")
-        if self.index_sort == sort_col and not ascending:
+        if after is not None:
+            av, ad = float(after[0]), int(after[1])
+            dm_a = self._docmap_global().select("docid", sort_col)
+            strictly = (
+                (F.col(sort_col) > av) if ascending else (F.col(sort_col) < av)
+            )
+            tie = (F.col(sort_col) == av) & (F.col("docid") > ad)
+            hits = (
+                hits.join(dm_a, "docid").filter(strictly | tie).select("docid")
+            )
+        if self.index_sort == sort_col and not ascending and after is None:
             from pyspark.sql.window import Window as _W
 
             seg_df = self.spark.createDataFrame(
@@ -883,6 +902,23 @@ class Searcher:
             .collect()
         )
         return int(rows[0]["n"] or 0)
+
+    def count_with_relation(
+        self, query, total_hits_threshold: int = 1_000
+    ) -> tuple[int, str]:
+        """TotalHits semantics (search/TotalHits.java, IndexSearcher
+        TOTAL_HITS_THRESHOLD=1000 default — IndexSearcher.java:100): an exact
+        count is only promised up to the threshold; past it the collector
+        reports a LOWER BOUND and stops counting. Returns ``(value,
+        relation)`` with relation ``"EQUAL_TO"`` or
+        ``"GREATER_THAN_OR_EQUAL_TO"``. The distributed count is already
+        scoring-free set algebra (one long per slice), so unlike Lucene
+        there is nothing left to early-terminate — the threshold here fixes
+        the REPORTING contract callers rely on when swapping engines."""
+        n = self.count(query)  # per-slice docid-set sizes, no scoring
+        if n <= total_hits_threshold:
+            return n, "EQUAL_TO"
+        return total_hits_threshold, "GREATER_THAN_OR_EQUAL_TO"
 
     def _maybe_url(self, hits: DataFrame, with_url: bool) -> DataFrame:
         if not with_url:

@@ -106,3 +106,30 @@ def test_merge_drops_sort_flag(spark, sorted_index, tmp_path):
     assert len(rows) == 5
     dls = [r["doc_len"] for r in rows]
     assert dls == sorted(dls, reverse=True)
+
+
+def test_sorted_search_after_pages(s):
+    """FieldDoc searchAfter: page 2 = the next k in (doc_len DESC, docid ASC)
+    order strictly after page 1's last hit (non-early path contract)."""
+    full = s.search_sorted_by(
+        "w0001", sort_col="doc_len", ascending=False, k=20, after=(10**9, -1)
+    ).collect()
+    page1 = full[:8]
+    anchor = (float(page1[-1]["doc_len"]), int(page1[-1]["docid"]))
+    page2 = s.search_sorted_by(
+        "w0001", sort_col="doc_len", ascending=False, k=8, after=anchor
+    ).collect()
+    got = [(r["docid"], r["doc_len"]) for r in page2]
+    exp = [(r["docid"], r["doc_len"]) for r in full[8:16]]
+    assert got == exp
+
+
+def test_count_with_relation(s):
+    q = s.parse("w0001")
+    exact = s.count(q)
+    assert s.count_with_relation(q, total_hits_threshold=10**9) == (
+        exact, "EQUAL_TO"
+    )
+    if exact > 1:
+        v, rel = s.count_with_relation(q, total_hits_threshold=1)
+        assert (v, rel) == (1, "GREATER_THAN_OR_EQUAL_TO")
