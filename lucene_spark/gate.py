@@ -1077,6 +1077,48 @@ ms AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ms", k)
 
 
+def _q_lm_dirichlet(spark, sf_dir, k: int = 10):
+    """LM Dirichlet similarity (similarities/LMDirichletSimilarity.java):
+    the pluggable-Similarity gate row — same index, different SimScorer."""
+    s = Searcher(
+        spark, _ensure_index(spark, sf_dir), analyzer="simple",
+        mode="lm_dirichlet",
+    )
+    h = s.search("stream OR window", k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _lm_term_cte(name: str, term: str, mu: str = "2000.0") -> str:
+    """Per-doc LM Dirichlet score CTE for one term, expression-shape
+    identical to LMDirichletScorer.score (clamped at 0)."""
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           1.0 * (ln(1.0 + tf.freq::DOUBLE
+                     / ({mu} * ((d.ttf::DOUBLE + 1.0) / (s.sum_ttf::DOUBLE + 1.0))))
+                  + ln({mu} / (qdl.qdl::DOUBLE + {mu})))) AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ttf FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _sql_lm_dirichlet(terms: list[str], k: int = 10) -> str:
+    aliases = [f"lm_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_lm_term_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
 def _q_covering(spark, sf_dir, k: int = 10):
     """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
     match — the per-doc threshold is a LongValuesSource over a stored field
@@ -1891,6 +1933,26 @@ FROM sh GROUP BY doc_id"""
 
 
 # --- url canonicalization ---------------------------------------------------
+
+
+def _q_source_stats(spark, sf_dir):
+    from .pipeline.textstats import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+_SQL_SOURCE_STATS = f"""WITH {_BASE_CTES},
+tc AS (
+  SELECT d.doc_id, d.source, length(d.text) AS n_chars,
+         (SELECT count(*) FROM toks t WHERE t.doc_id = d.doc_id) AS n_toks
+  FROM documents d
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_toks)::BIGINT AS total_tokens,
+       (sum(n_toks)::BIGINT / count(*)::BIGINT::DOUBLE) AS mean_tokens
+FROM tc GROUP BY source"""
 
 
 def _q_url_dedup(spark, sf_dir):
@@ -2844,6 +2906,7 @@ def gate_queries() -> dict:
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "covering_query": _q_covering,
+        "lm_dirichlet_topk": _q_lm_dirichlet,
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -2891,6 +2954,7 @@ def gate_queries() -> dict:
         "dedup_exact": _q_dedup_exact,
         "dedup_chunks": _q_dedup_chunks,
         "url_dedup": _q_url_dedup,
+        "source_stats": _q_source_stats,
         "dedup_ngram_jaccard": _q_jaccard,
         "contamination_ngrams": _q_contamination,
         "semantic_dedup": _q_semantic_dedup,
@@ -2944,6 +3008,7 @@ def gate_oracle_sql() -> dict:
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "covering_query": _sql_covering(["stream", "window", "scan"]),
+        "lm_dirichlet_topk": _sql_lm_dirichlet(["stream", "window"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
@@ -2989,6 +3054,7 @@ def gate_oracle_sql() -> dict:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_chunks": _SQL_DEDUP_CHUNKS,
         "url_dedup": _SQL_URL_DEDUP,
+        "source_stats": _SQL_SOURCE_STATS,
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "contamination_ngrams": _SQL_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),

@@ -149,3 +149,23 @@ def doc_fingerprints(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> Dat
     sh = shingles(docs, n=n, id_col=id_col)
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     return sh.groupBy(id_col).agg(F.min(h).alias("fingerprint"))
+
+
+def source_stats(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus rollup — the curation table behind training-mixture
+    weights (how much of each domain/source goes into the mix): doc count,
+    total chars, total simple-analyzer tokens, and mean doc length. One
+    map-side-combinable aggregation over map-only token counting (token
+    count = size of the filtered split array, no explode) — at 100 TB this
+    is a single shuffle of ~|sources| rows."""
+    from .dedup import _token_array
+
+    n_toks = F.size(_token_array(text_col))
+    return docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.sum(n_toks.cast("long")).alias("total_tokens"),
+        (F.sum(n_toks.cast("long")) / F.count("*")).alias("mean_tokens"),
+    )

@@ -97,6 +97,72 @@ class QuantizedDoubleBm25:
 
 
 @dataclass(frozen=True)
+class LMDirichletScorer:
+    """LM Dirichlet similarity (similarities/LMDirichletSimilarity.java:58-66,
+    mu = 2000 default):
+
+        score = boost * (ln(1 + freq / (mu·p)) + ln(mu / (dl + mu)))
+        p     = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+                (LMSimilarity.DefaultCollectionModel.computeProbability)
+
+    clamped at 0 (the reference returns ``score > 0 ? score : 0``). dl is the
+    SmallFloat-quantized stored length, like every scorer here. Computed in
+    float64 with DuckDB-reproducible expression shape (ln(1+x), not log1p).
+    Monotone increasing in freq and decreasing in dl, so the block-max
+    impact-skyline pruning bound stays valid unchanged."""
+
+    weight: float
+    mu_p: float
+    cache: np.ndarray  # float64[256]: ln(mu / (dl + mu)) per norm byte
+
+    @classmethod
+    def create(
+        cls, ttf: int, sum_ttf: int, mu: float = 2000.0, boost: float = 1.0
+    ) -> "LMDirichletScorer":
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        return cls(
+            weight=float(boost), mu_p=mu * p, cache=np.log(mu / (lens + mu))
+        )
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        s = self.weight * (
+            np.log(1.0 + freqs / self.mu_p)
+            + self.cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        )
+        return np.maximum(s, 0.0)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class SumSimScorer:
+    """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:73):
+    phrase/multi-term weights under a SimilarityBase similarity score as the
+    SUM of one subscorer per involved term, each evaluated at the phrase
+    frequency — the path PhraseWeight takes when the Similarity builds one
+    BasicStats per TermStatistics."""
+
+    weight: float  # float64 marker for _float_dtype
+    subs: tuple
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        out = self.subs[0].score(freqs, norms)
+        for sub in self.subs[1:]:
+            out = out + sub.score(freqs, norms)
+        return out
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(sum(s.max_score(impacts) for s in self.subs))
+
+
+@dataclass(frozen=True)
 class IntervalSaturationScorer:
     """Saturation scoring of the sloppy interval frequency:
     ``weight * (1 - pivot / (pivot + freq))`` — the default
@@ -115,7 +181,9 @@ class IntervalSaturationScorer:
             raise ValueError(f"pivot must be > 0, got: {pivot}")
         if mode == "lucene":
             return cls(weight=np.float32(boost), pivot=pivot)
-        if mode == "double":
+        if mode in ("double", "lm_dirichlet"):
+            # interval saturation has no similarity dependence — any
+            # non-float32 mode takes the double path
             return cls(weight=float(boost), pivot=pivot)
         raise ValueError(f"unknown scoring mode {mode!r}")
 
@@ -132,12 +200,19 @@ class IntervalSaturationScorer:
 
 
 def make_term_scorer(
-    mode: str, doc_freq: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    mode: str,
+    doc_freq: int,
+    doc_count: int,
+    sum_ttf: int,
+    boost: float = 1.0,
+    ttf: int = 0,
 ):
     if mode == "lucene":
         return Bm25Scorer.create(doc_freq, doc_count, sum_ttf, boost=boost)
     if mode == "double":
         return QuantizedDoubleBm25.create(doc_freq, doc_count, sum_ttf, boost=boost)
+    if mode == "lm_dirichlet":
+        return LMDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     raise ValueError(f"unknown scoring mode {mode!r}")
 
 
@@ -147,7 +222,14 @@ def make_phrase_scorer(
     doc_count: int,
     sum_ttf: int,
     boost: float = 1.0,
+    per_term_ttfs: list[int] | None = None,
 ):
+    if mode == "lm_dirichlet":
+        subs = tuple(
+            LMDirichletScorer.create(t, max(sum_ttf, 1), boost=boost)
+            for t in (per_term_ttfs or [0] * len(per_term_doc_freqs))
+        )
+        return SumSimScorer(weight=float(boost), subs=subs)
     if mode == "lucene":
         idf_sum = np.float32(
             sum(float(idf_value(df, doc_count)) for df in per_term_doc_freqs)
@@ -270,7 +352,8 @@ def build_scorers(
             df = getattr(leaf, "df_override", 0) or tstats.get(leaf.term, (0, 0))[0]
             dc, st = stats_for(leaf.term)
             scorers[leaf] = make_term_scorer(
-                mode, df, dc, st, boost=leaf.boost
+                mode, df, dc, st, boost=leaf.boost,
+                ttf=tstats.get(leaf.term, (0, 0))[1],
             )
         elif isinstance(leaf, PhraseQuery):
             dc, st = stats_for(leaf.terms[0])
@@ -280,6 +363,7 @@ def build_scorers(
                 dc,
                 st,
                 boost=leaf.boost,
+                per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in leaf.terms],
             )
         elif isinstance(leaf, MultiPhraseQuery):
             # idf summed over every involved term, slot-major order
@@ -292,13 +376,15 @@ def build_scorers(
                 dc,
                 st,
                 boost=leaf.boost,
+                per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in all_terms],
             )
         elif isinstance(leaf, SynonymQuery):
             # blended: df = max, ttf = sum (SynonymQuery.java createWeight)
             df = max((tstats.get(t, (0, 0))[0] for t in leaf.terms), default=0)
             dc, st = stats_for(leaf.terms[0]) if leaf.terms else (doc_count, sum_ttf)
             scorers[leaf] = make_term_scorer(
-                mode, df, dc, st, boost=leaf.boost
+                mode, df, dc, st, boost=leaf.boost,
+                ttf=sum(tstats.get(t, (0, 0))[1] for t in leaf.terms),
             )
         elif isinstance(leaf, TermInSetQuery):
             pass  # constant-score: no BM25 scorer needed
