@@ -182,6 +182,7 @@ def _invert_segment(
     synonyms: dict | None = None,
     synonyms_keep_original: bool = True,
     index_sort: str | None = None,
+    field_analyzers: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -235,7 +236,11 @@ def _invert_segment(
         # becomes the sort order, enabling per-segment early termination
         # for top-k-by-length queries (TopFieldCollector canEarlyTerminate)
         bt0 = analyze_batch(
-            per_field[0][1], stopwords=stopwords, analyzer=analyzer_name
+            per_field[0][1],
+            stopwords=stopwords,
+            analyzer=(field_analyzers or {}).get(
+                fields[0][0] if fields else None, analyzer_name
+            ),
         )
         if synonyms:
             from ..analysis.vectorized import _synonym_post
@@ -257,7 +262,8 @@ def _invert_segment(
         # whole-batch vectorized analysis: byte-level boundary classification
         # + exact 16-byte-pack dictionary encoding — no per-token python
         # objects (analysis/vectorized.py; tested vs the Token chain)
-        bt = analyze_batch(texts, stopwords=stopwords, analyzer=analyzer_name)
+        an_f = (field_analyzers or {}).get(fname, analyzer_name)
+        bt = analyze_batch(texts, stopwords=stopwords, analyzer=an_f)
         if synonyms:
             from ..analysis.vectorized import _synonym_post
 
@@ -707,6 +713,7 @@ def build_index(
     synonyms: dict | None = None,
     synonyms_keep_original: bool = True,
     index_sort: str | None = None,
+    field_analyzers: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -722,6 +729,12 @@ def build_index(
     ToParentBlockJoinQuery: with family urls sharing a prefix and the
     parent's url sorting last, url-rank docid assignment keeps each family
     contiguous with the parent last.
+
+    ``field_analyzers`` = {field_name: analyzer_name} overrides the
+    analyzer per field (analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51
+    — e.g. a stemmed body next to a verbatim keyword-ish title); unlisted
+    fields use ``analyzer``. Recorded in index_meta.json so the query parser
+    analyzes ``field:token`` with that field's chain.
 
     ``fields`` = {field_name: input_column} turns on multi-field indexing
     (e.g. ``{"title": "title", "body": "text"}``): terms are namespaced per
@@ -743,6 +756,14 @@ def build_index(
     fresh ids and doc_bases after the current maximum, and the manifest swap
     is the commit that makes them visible.
     """
+    if field_analyzers:
+        if fields is None:
+            raise ValueError("field_analyzers requires fields=")
+        unknown = set(field_analyzers) - set(fields)
+        if unknown:
+            raise ValueError(f"field_analyzers for unknown fields {sorted(unknown)}")
+        for a in field_analyzers.values():
+            get_analyzer(a)  # fail fast on a bad name
     if index_sort is not None:
         if index_sort != "doc_len":
             raise ValueError(f"unsupported index_sort {index_sort!r}")
@@ -848,12 +869,13 @@ def build_index(
     ftl = sorted(feature_fields.items()) if feature_fields else None
 
     isort = index_sort
+    fan = dict(field_analyzers) if field_analyzers else None
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
-            index_sort=isort,
+            index_sort=isort, field_analyzers=fan,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(
@@ -948,6 +970,8 @@ def build_index(
         )
     if index_sort is not None:
         meta["index_sort"] = index_sort
+    if field_analyzers:
+        meta["field_analyzers"] = dict(field_analyzers)
     if meta:
         with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
             json.dump(meta, fh)

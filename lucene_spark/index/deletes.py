@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from .reader import IndexReader
 
-__all__ = ["ENC_DELETE", "DELETES_SCHEMA", "add_deletes_by_url", "delete_pseudo_blocks"]
+__all__ = [
+    "ENC_DELETE",
+    "DELETES_SCHEMA",
+    "add_deletes_by_url",
+    "add_deletes_by_query",
+    "delete_pseudo_blocks",
+]
 
 ENC_DELETE = 5
 _DELETE_TERM = "\x00deleted"  # NUL prefix: unreachable by any analyzed term
@@ -66,3 +72,48 @@ def delete_pseudo_blocks(deletes: DataFrame) -> DataFrame:
         F.array().cast("array<long>").alias("impact_freqs"),
         F.array().cast("array<int>").alias("impact_norms"),
     )
+
+
+def add_deletes_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query,
+    *,
+    analyzer: str = "standard",
+    stopwords: frozenset[str] | None = None,
+) -> int:
+    """IndexWriter.deleteDocuments(Query) (index/IndexWriter.java:1560
+    deleteDocuments(Query...) — buffered query deletes resolved against a
+    reader at flush; here resolved immediately against the committed
+    index): every doc matching ``query`` (string or AST) gets a tombstone.
+    The match runs the normal distributed evaluation; global docids map
+    back to (segment, stored docid) through the broadcast segment-range
+    table — no collect of the hit set."""
+    from ..search.searcher import Searcher
+
+    s = Searcher(
+        spark, index_dir, analyzer=analyzer, stopwords=stopwords
+    )
+    seg_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(sid), int(b), int(b) + int(mn), int(b) + int(mx))
+                for sid, (b, mn, mx) in s._seg_meta().items()
+            ],
+            "seg int, doc_base long, lo long, hi long",
+        )
+    )
+    hits = s.search_all(query).select("docid")
+    mapped = (
+        hits.join(seg_df, (hits.docid >= F.col("lo")) & (hits.docid < F.col("hi")))
+        .select(
+            F.col("seg").alias("segment_id"),
+            (F.col("docid") - F.col("doc_base")).alias("docid"),
+        )
+    )
+    # don't double-tombstone already-deleted docs (search_all is already
+    # live-docs-filtered, so this is just the idempotent-replay guard)
+    n = mapped.count()
+    if n:
+        mapped.write.mode("append").parquet(f"{index_dir}/deletes")
+    return n

@@ -576,6 +576,11 @@ def _make_word_leaf(text: str, analyzer, fmap=None) -> object:
         field, body = body.split(":", 1)
         if field == "_exists_":  # _exists_:fieldname (classic QP syntax)
             return boosted(FieldExistsQuery(body), boost)
+    if field is not None and hasattr(analyzer, "for_field"):
+        # PerFieldAnalyzerWrapper (analysis/miscellaneous/
+        # PerFieldAnalyzerWrapper.java:51): a fielded token analyzes with
+        # THAT field's chain, like QueryParser.getAnalyzer() per field
+        analyzer = analyzer.for_field(field)
     key = fmap if fmap is not None else (lambda _f, t: t)
     if edits is not None:  # trailing ~ or ~N → fuzzy (QueryParser.jj FUZZY_SLOP)
         max_edits = int(edits) if edits else 2

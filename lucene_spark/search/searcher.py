@@ -131,6 +131,22 @@ def _segment_search_fn(
     )
 
 
+class _PerFieldQueryAnalyzer:
+    """Query-time PerFieldAnalyzerWrapper (analysis/miscellaneous/
+    PerFieldAnalyzerWrapper.java:51): callable like the default analyzer;
+    the parser calls ``for_field(field)`` on fielded tokens."""
+
+    def __init__(self, default, per_field: dict):
+        self._default = default
+        self.per_field = per_field
+
+    def __call__(self, text):
+        return self._default(text)
+
+    def for_field(self, field: str):
+        return self.per_field.get(field, self._default)
+
+
 class Searcher:
     def __init__(
         self,
@@ -157,6 +173,7 @@ class Searcher:
         from ..index.builder import get_analyzer
 
         self._analyzer = partial(get_analyzer(analyzer), stopwords=stopwords)
+        self._stopwords = stopwords
         # multi-field index: field list + default field from the build's
         # index_meta.json; None for classic single-field indexes
         import json as _json
@@ -175,6 +192,18 @@ class Searcher:
                 self.fields[0] if self.fields else None
             )
             self.index_sort = meta.get("index_sort")
+            fa = meta.get("field_analyzers") or {}
+            if fa:
+                # PerFieldAnalyzerWrapper: the query parser analyzes a
+                # ``field:token`` with that field's chain (the reference
+                # QueryParser consults the wrapper per field)
+                self._analyzer = _PerFieldQueryAnalyzer(
+                    self._analyzer,
+                    {
+                        f: partial(get_analyzer(n), stopwords=self._stopwords)
+                        for f, n in fa.items()
+                    },
+                )
 
     def _fmap(self):
         """(field | None, token) -> internal term key for parse_query."""
@@ -902,6 +931,65 @@ class Searcher:
             .collect()
         )
         return int(rows[0]["n"] or 0)
+
+    def explain(self, query, docid: int) -> dict:
+        """IndexSearcher.explain analog (search/IndexSearcher.java explain →
+        Weight.explain): a nested explanation tree for why ``docid`` scores
+        what it scores — {match, value, description, details}. Every node's
+        value comes from the REAL evaluator restricted to the doc (not a
+        re-derivation), so ``explain(q, d)["value"]`` equals the score
+        ``search(q)`` would give d, clause by clause. A debugging API: one
+        small job per query node."""
+        q = self._prepared(query)
+        return self._explain_node(q, int(docid))
+
+    def _node_value(self, q, docid: int):
+        rows = (
+            self.search_all(q).filter(F.col("docid") == docid).collect()
+        )
+        return float(rows[0]["score"]) if rows else None
+
+    def _explain_node(self, q, docid: int) -> dict:
+        name = type(q).__name__
+        details: list[dict] = []
+        if isinstance(q, BooleanQuery):
+            for c in q.must:
+                details.append({**self._explain_node(c, docid), "clause": "MUST"})
+            for c in q.should:
+                details.append({**self._explain_node(c, docid), "clause": "SHOULD"})
+            for c in q.must_not:
+                sub = self._explain_node(c, docid)
+                details.append(
+                    {
+                        "match": not sub["match"],
+                        "value": 0.0,
+                        "description": f"MUST_NOT({sub['description']})",
+                        "clause": "MUST_NOT",
+                        "details": [sub],
+                    }
+                )
+            desc = (
+                f"BooleanQuery(must={len(q.must)}, should={len(q.should)}, "
+                f"must_not={len(q.must_not)}, msm={q.min_should_match}): "
+                "sum of matching clauses"
+            )
+        elif isinstance(q, DisjunctionMaxQuery):
+            for c in q.disjuncts:
+                details.append(self._explain_node(c, docid))
+            desc = f"DisjunctionMax(tie={q.tie_breaker}): max + tie·others"
+        elif isinstance(q, ConstantScoreQuery):
+            details.append(self._explain_node(q.query, docid))
+            desc = f"ConstantScore(boost={q.boost})"
+        else:
+            term = getattr(q, "term", None) or getattr(q, "terms", None)
+            desc = f"{name}({term!r})" if term is not None else name
+        v = self._node_value(q, docid)
+        return {
+            "match": v is not None,
+            "value": v if v is not None else 0.0,
+            "description": desc,
+            "details": details,
+        }
 
     def count_with_relation(
         self, query, total_hits_threshold: int = 1_000

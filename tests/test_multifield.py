@@ -242,3 +242,44 @@ def test_single_vs_multifield_body_parity(spark, corpus, tmp_path_factory, searc
     assert [r["docid"] for r in h_mf] == [r["docid"] for r in h_sf]
     for a, b in zip(h_mf, h_sf):
         assert np.float32(a["score"]) == np.float32(b["score"])
+
+
+def test_per_field_analyzers(spark, tmp_path):
+    """PerFieldAnalyzerWrapper: body stems (english), title doesn't
+    (simple) — the same surface token matches differently per field, and
+    the parser analyzes field:token with that field's chain."""
+    from lucene_spark.index import build_index
+    from lucene_spark.search import Searcher
+
+    d = str(tmp_path / "pfa_idx")
+    df = spark.createDataFrame(
+        [
+            ("u1", "running quickly", "Running Shoes"),
+            ("u2", "runs daily", "Marathon Runners"),
+            ("u3", "walked slowly", "Walking Boots"),
+        ],
+        "url string, body string, title string",
+    )
+    build_index(
+        spark, df, d, num_segments=1,
+        fields={"body": "body", "title": "title"},
+        analyzer="simple",
+        field_analyzers={"body": "english"},
+    )
+    s = Searcher(spark, d, analyzer="simple")
+    # body:running stems to 'run' -> matches u1 (running) AND u2 (runs)
+    body_hits = {r["docid"] for r in s.search("body:running", k=10).collect()}
+    dm = {r["url"]: r["docid"]
+          for r in s._docmap_global().select("url", "docid").collect()}
+    assert body_hits == {dm["u1"], dm["u2"]}
+    # title:running does NOT stem -> only u1's title has the exact token
+    title_hits = {r["docid"] for r in s.search("title:running", k=10).collect()}
+    assert title_hits == {dm["u1"]}
+    # bad field name in field_analyzers fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_index(
+            spark, df, str(tmp_path / "x"), num_segments=1,
+            fields={"body": "body"}, field_analyzers={"nope": "english"},
+        )
