@@ -1680,6 +1680,41 @@ def _sql_stratified_sample() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {u} < ({frac})"
 
 
+_BUDGET_TOKENS = 5000
+
+
+def _q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling: per source, admit docs in
+    deterministic hash order until the cumulative token count reaches the
+    budget (overshoot ≤ 1 doc)."""
+    from .pipeline.sampling import budget_sample
+
+    return budget_sample(
+        _docs(spark, sf_dir), _BUDGET_TOKENS, stratum_col="source", seed=7
+    )
+
+
+def _sql_budget_sample() -> str:
+    u = "(('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0)"
+    return f"""WITH {_BASE_CTES},
+nt AS (
+  SELECT d.doc_id, d.source,
+         (SELECT count(*) FROM toks t WHERE t.doc_id = d.doc_id)::BIGINT AS n_toks,
+         {u} AS u
+  FROM documents d
+),
+cum AS (
+  SELECT doc_id, source AS stratum, n_toks,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY u ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS cum_before
+  FROM nt
+)
+SELECT doc_id, stratum, n_toks, cum_before FROM cum
+WHERE cum_before < {_BUDGET_TOKENS}"""
+
+
 _N_MINHASH = 8
 
 
@@ -2955,6 +2990,7 @@ def gate_queries() -> dict:
         "dedup_chunks": _q_dedup_chunks,
         "url_dedup": _q_url_dedup,
         "source_stats": _q_source_stats,
+        "budget_sample": _q_budget_sample,
         "dedup_ngram_jaccard": _q_jaccard,
         "contamination_ngrams": _q_contamination,
         "semantic_dedup": _q_semantic_dedup,
@@ -3055,6 +3091,7 @@ def gate_oracle_sql() -> dict:
         "dedup_chunks": _SQL_DEDUP_CHUNKS,
         "url_dedup": _SQL_URL_DEDUP,
         "source_stats": _SQL_SOURCE_STATS,
+        "budget_sample": _sql_budget_sample(),
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "contamination_ngrams": _SQL_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),

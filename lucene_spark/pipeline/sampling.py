@@ -62,3 +62,43 @@ def stratified_sample(
     for s, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == s, F.lit(float(f))).otherwise(frac)
     return docs.filter(_u(seed, id_col) < frac)
+
+
+def budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget sampling: per stratum, admit docs in deterministic
+    hash order until the stratum's cumulative simple-analyzer token count
+    reaches ``token_budget`` — the "take N tokens of each source" step of
+    training-mixture assembly (the per-source budgets usually come from
+    ``textstats.source_stats`` + mixture weights).
+
+    A doc is admitted iff the cumulative tokens of all docs BEFORE it (in
+    hash order) are < budget, so the sample overshoots by at most one doc
+    and never depends on partitioning. One window per stratum (shuffle
+    keyed by stratum; at 100 TB strata are domains — many and bounded) —
+    no driver-side loop, no collect. Returns (id, stratum, n_toks,
+    cum_before)."""
+    from .dedup import _token_array
+
+    u = _u(seed, id_col)
+    n_toks = F.size(_token_array(text_col)).cast("long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(u.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = docs.select(
+        id_col,
+        F.col(stratum_col).alias("stratum"),
+        n_toks.alias("n_toks"),
+        F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("cum_before"),
+    )
+    return out.filter(F.col("cum_before") < token_budget)
