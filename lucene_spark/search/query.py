@@ -52,18 +52,33 @@ __all__ = [
 
 def wildcard_to_regex(pattern: str) -> tuple[str, str]:
     """(literal_prefix, anchored_regex) for a ``*``/``?`` wildcard pattern
-    (WildcardQuery.java:38 WILDCARD_STRING/WILDCARD_CHAR automaton)."""
-    m = re.match(r"^[^*?]*", pattern)
-    lit = m.group(0) if m else ""
-    out = []
-    for ch in pattern:
+    (WildcardQuery.java:38 WILDCARD_STRING/WILDCARD_CHAR automaton).
+    ``\\x`` escapes make x literal — WildcardQuery.toAutomaton's escape
+    handling (WildcardQuery.java:73-90)."""
+    out: list[str] = []
+    lit: list[str] = []
+    in_lit = True
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            if in_lit:
+                lit.append(pattern[i + 1])
+            i += 2
+            continue
         if ch == "*":
+            in_lit = False
             out.append(".*")
         elif ch == "?":
+            in_lit = False
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return lit, "^" + "".join(out) + "$"
+            if in_lit:
+                lit.append(ch)
+        i += 1
+    return "".join(lit), "^" + "".join(out) + "$"
 
 
 @dataclass(frozen=True)
@@ -501,13 +516,36 @@ _TOKEN_RE = re.compile(
         (?P<range>[\[\{]\s*(?P<range_lo>\S+)\s+TO\s+(?P<range_hi>\S+)\s*[\]\}])
             (?P<range_suffix>\^[0-9.]+)? |
         (?P<regex>/(?P<regex_body>(?:[^/\\]|\\.)*)/)(?P<regex_suffix>\^[0-9.]+)? |
-        (?P<phrase>"(?P<phrase_body>[^"]*)")(?P<phrase_suffix>(?:~\d+)?(?:\^[0-9.]+)?) |
-        (?P<word>[^\s()+\-"/][^\s()"]*)
+        (?P<phrase>"(?P<phrase_body>(?:[^"\\]|\\.)*)")(?P<phrase_suffix>(?:~\d+)?(?:\^[0-9.]+)?) |
+        (?P<word>(?:\\.|[^\s()+\-"/\\])(?:\\.|[^\s()"\\])*)
     )""",
     re.VERBOSE,
 )
 
-_WORD_SUFFIX_RE = re.compile(r"^(?P<body>.*?)(?:~(?P<edits>\d*))?(?:\^(?P<boost>[0-9.]+))?$")
+_WORD_SUFFIX_RE = re.compile(
+    r"^(?P<body>.*?)(?:(?<!\\)~(?P<edits>\d*))?(?:(?<!\\)\^(?P<boost>[0-9.]+))?$"
+)
+_UNESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str) -> str:
+    """QueryParser backslash escaping (queryparser/classic/QueryParser.jj
+    _ESCAPED_CHAR; QueryParserBase.discardEscapeChar): ``\\x`` -> ``x``."""
+    return _UNESCAPE_RE.sub(r"\1", s)
+
+
+def _unescape_keep_wild(s: str) -> str:
+    """Lowercase a wildcard body, PRESERVING backslash escapes (they resolve
+    inside wildcard_to_regex, so ``\\*`` stays a literal star)."""
+    return s.lower()
+
+
+def _split_field(body: str) -> tuple[str | None, str]:
+    """Split ``field:token`` on the first UNESCAPED colon."""
+    for i, ch in enumerate(body):
+        if ch == ":" and (i == 0 or body[i - 1] != "\\"):
+            return body[:i], body[i + 1:]
+    return None, body
 
 
 class _Tokens:
@@ -571,31 +609,37 @@ def _make_word_leaf(text: str, analyzer, fmap=None) -> object:
     boost = float(boost_s) if boost_s else 1.0
     # field: prefix — routed through ``fmap(field, token) -> term key`` on a
     # multi-field index, ignored (classic single-field behavior) otherwise
-    field = None
-    if ":" in body:
-        field, body = body.split(":", 1)
-        if field == "_exists_":  # _exists_:fieldname (classic QP syntax)
-            return boosted(FieldExistsQuery(body), boost)
+    field, body = _split_field(body)
+    if field == "_exists_":  # _exists_:fieldname (classic QP syntax)
+        return boosted(FieldExistsQuery(_unescape(body)), boost)
     if field is not None and hasattr(analyzer, "for_field"):
         # PerFieldAnalyzerWrapper (analysis/miscellaneous/
         # PerFieldAnalyzerWrapper.java:51): a fielded token analyzes with
         # THAT field's chain, like QueryParser.getAnalyzer() per field
         analyzer = analyzer.for_field(field)
+    if field is not None:
+        field = _unescape(field)
     key = fmap if fmap is not None else (lambda _f, t: t)
     if edits is not None:  # trailing ~ or ~N → fuzzy (QueryParser.jj FUZZY_SLOP)
         max_edits = int(edits) if edits else 2
         return boosted(
-            FuzzyQuery(key(field, body.lower()), max_edits=max_edits), boost
+            FuzzyQuery(key(field, _unescape(body).lower()), max_edits=max_edits),
+            boost,
         )
     if body == "*":
         return boosted(MatchAllDocsQuery(), boost)
-    if "*" in body or "?" in body:
-        if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
-            ptoks = analyzer(body[:-1])
+    # wildcard metachars count only when UNESCAPED (QueryParser.jj
+    # _ESCAPED_CHAR precedes the wildcard alternatives)
+    naked = _UNESCAPE_RE.sub("", body)  # escaped pairs removed entirely
+    if "*" in naked or "?" in naked:
+        if naked.endswith("*") and body.endswith("*") and (
+            "*" not in naked[:-1] and "?" not in naked
+        ):
+            ptoks = analyzer(_unescape(body[:-1]))
             if len(ptoks) == 1:
                 return boosted(PrefixQuery(key(field, ptoks[0].term)), boost)
-        return boosted(WildcardQuery(key(field, body.lower())), boost)
-    toks = analyzer(body)
+        return boosted(WildcardQuery(key(field, _unescape_keep_wild(body))), boost)
+    toks = analyzer(_unescape(body))
     if not toks:
         return MatchNoDocsQuery()
     if len(toks) == 1:
@@ -613,7 +657,7 @@ def _make_leaf(kind: str, val, analyzer, fmap=None) -> object:
         raw = text.rstrip()
         if slop == 0 and raw.endswith("*") and not raw.endswith("\\*"):
             head = raw[:-1]
-            toks = analyzer(head)
+            toks = analyzer(_unescape(head))
             if toks and head and not head[-1].isspace():
                 fixed, last = toks[:-1], toks[-1]
                 if fixed:
@@ -625,7 +669,7 @@ def _make_leaf(kind: str, val, analyzer, fmap=None) -> object:
                         boost,
                     )
                 return boosted(PrefixQuery(key(None, last.term)), boost)
-        toks = analyzer(text)
+        toks = analyzer(_unescape(text))
         if not toks:
             return MatchNoDocsQuery()
         if len(toks) == 1:

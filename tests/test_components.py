@@ -45,3 +45,31 @@ def test_invariants_on_random_graph(spark):
         comps.setdefault(c, []).append(n)
     for c, members in comps.items():
         assert c == min(members)
+
+
+def test_read_webtext_adapter(spark, tmp_path):
+    """Input adapter: path and catalog-table forms, schema validation,
+    binary html -> string normalization (BASELINE input_hint shape)."""
+    import datetime
+
+    from lucene_spark.io import read_webtext
+
+    rows = [
+        ("http://a", datetime.datetime(2026, 1, 1), b"<p>hi</p>", "hi", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    p = str(tmp_path / "webtext.parquet")
+    df.write.parquet(p)
+    got = read_webtext(spark, p)
+    assert dict(got.dtypes)["html"] == "string"
+    assert got.collect()[0]["html"] == "<p>hi</p>"
+    # catalog-table form
+    df.createOrReplaceTempView("webtext_tmp")
+    got2 = read_webtext(spark, "webtext_tmp")
+    assert got2.count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="required columns"):
+        read_webtext(spark, p, require=("url", "nope"))

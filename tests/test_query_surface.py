@@ -308,3 +308,35 @@ def test_phrase_prefix_query(searcher, oracle):
     # no expansion -> no hits
     q_none = PhrasePrefixQuery(terms=("w0000",), prefix="zzzzzzqq")
     assert searcher.search(q_none, k=5).count() == 0
+
+
+def test_parser_escapes():
+    """Classic QP backslash escaping (QueryParser.jj _ESCAPED_CHAR): escaped
+    metachars are literal — no wildcard/fuzzy/field split — and unescape
+    before analysis."""
+    from lucene_spark.search.query import (
+        FuzzyQuery,
+        PhraseQuery,
+        TermQuery,
+        WildcardQuery,
+        wildcard_to_regex,
+    )
+
+    # escaped colon: no field split (single analyzed token stream)
+    assert parse_query(r"w0001\:w0002", _an) == PhraseQuery(("w0001", "w0002"))
+    # escaped star: not a wildcard
+    q = parse_query(r"data\*", _an)
+    assert not isinstance(q, WildcardQuery)
+    # unescaped star still is
+    assert isinstance(parse_query("dat*a", _an), WildcardQuery)
+    # escaped tilde: not fuzzy; unescaped is
+    assert not isinstance(parse_query(r"sort\~2", _an), FuzzyQuery)
+    assert isinstance(parse_query("sort~2", _an), FuzzyQuery)
+    # escaped quote inside a phrase
+    assert parse_query(r'"say \"hi\""', _an) == PhraseQuery(("say", "hi"))
+    # wildcard regex honors escapes: literal star matched, trailing run free
+    lit, rx = wildcard_to_regex(r"a\*b*")
+    assert lit == "a*b" and rx == r"^a\*b.*$"
+    import re as _re
+
+    assert _re.match(rx, "a*bxyz") and not _re.match(rx, "aXbxyz")
