@@ -2388,6 +2388,19 @@ SELECT vec_id, round(cos, 4) AS cos FROM (
 )"""
 
 
+def _q_simsearch_hnsw(spark, sf_dir):
+    """Graph ANN (per-leaf HNSW, util/hnsw/HnswGraphSearcher.java:36-60).
+    ef_search is generous relative to the leaf size, so the search is
+    exact-recall on the gate corpus and the oracle is exact cosine top-k
+    (recall verified separately in tests/test_hnsw.py)."""
+    from .pipeline import hnsw as _hnsw
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _hnsw.hnsw_topk(
+        emb, _qvec(spark, sf_dir), k=10, ef_search=128, n_leaves=2
+    )
+
+
 def _q_simsearch_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
@@ -3009,6 +3022,7 @@ def gate_queries() -> dict:
         "knn_filtered": _q_knn_filtered,
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
+        "simsearch_hnsw": _q_simsearch_hnsw,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -3110,6 +3124,7 @@ def gate_oracle_sql() -> dict:
         "knn_filtered": _SQL_KNN_FILTERED,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
+        "simsearch_hnsw": _SQL_SIMSEARCH,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

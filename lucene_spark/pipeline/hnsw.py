@@ -1,0 +1,332 @@
+"""HNSW-style graph ANN over an embedding column.
+
+Spark-first decomposition that mirrors Lucene's vector-search model
+(reference: lucene/core/src/java/org/apache/lucene/util/hnsw/
+HnswGraphBuilder.java:38-72, HnswGraphSearcher.java:36-60, and the codec
+lucene99/Lucene99HnswVectorsFormat.java:33-86): graphs are **per-leaf**
+(Lucene builds one HNSW graph per segment and merges top-k across leaves in
+IndexSearcher), so the Spark shape is
+
+    groupBy(leaf) -> applyInPandas(build graph + beam search)  # one task/leaf
+    -> global TakeOrdered(k)                                   # tiny merge
+
+Nothing graph-shaped ever crosses the shuffle: each task holds one leaf's
+vectors (exactly a segment's worth), builds the graph in numpy, runs the
+beam search, and emits only its k candidates. At 10^12 rows the graph is
+built once at write time per partition (``hnsw_build_leaf`` is the same
+kernel) and persisted next to the vectors; query-time tasks load graph +
+vectors for their leaf and run ``_search`` only — the plumbing here runs
+build+search in one pass because test leaves are small.
+
+Determinism contract (gate-oracle reproducible): level assignment uses a
+splitmix64 hash of the vec_id (not an RNG stream, so it is independent of
+insertion order and partitioning); insertion order is ascending vec_id;
+neighbor selection is Lucene's diversity heuristic with (dist, id) ties.
+With ``ef_search`` generous relative to the leaf size the search returns the
+exact top-k (verified by recall tests), so the DuckDB oracle is the exact
+cosine top-k query.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["hnsw_topk", "hnsw_recall_at_k", "build_leaf_graph", "search_leaf_graph"]
+
+# level multiplier 1/ln(M) as in HnswGraphBuilder.java:118 (ml = 1/ln(M))
+_SPLITMIX_C1 = 0x9E3779B97F4A7C15
+_SPLITMIX_C2 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C3 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + _SPLITMIX_C1) & _U64
+    x = ((x ^ (x >> 30)) * _SPLITMIX_C2) & _U64
+    x = ((x ^ (x >> 27)) * _SPLITMIX_C3) & _U64
+    return x ^ (x >> 31)
+
+
+def _level_of(vec_id: int, ml: float) -> int:
+    """Geometric level from a hash of the id (HnswGraphBuilder.java:
+    getRandomGraphLevel uses ThreadLocalRandom; we key on the id so the
+    graph is invariant to partitioning/insertion schedule)."""
+    u = (_splitmix64(int(vec_id)) >> 11) / float(1 << 53)  # (0,1)
+    if u <= 0.0:
+        u = 2.0 ** -53
+    return int(-np.log(u) * ml)
+
+
+def build_leaf_graph(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    m: int = 16,
+    ef_construction: int = 100,
+):
+    """Build one leaf's HNSW graph. Returns (entry_idx, levels, layers)
+    where layers[l] is a dict idx -> np.ndarray of neighbor idxs.
+
+    Follows HnswGraphBuilder.java:193-260 (insert: greedy descent above the
+    node's level, beam of ef_construction at and below it, diversity-pruned
+    neighbor selection per NeighborArray semantics) on normalized vectors so
+    max-inner-product == max-cosine.
+    """
+    n = len(ids)
+    ml = 1.0 / np.log(max(m, 2))
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+
+    levels = np.array([_level_of(i, ml) for i in ids], dtype=np.int64)
+    max_level = int(levels.max(initial=0))
+    layers: list[dict[int, list[int]]] = [dict() for _ in range(max_level + 1)]
+    # max connections: M at upper layers, 2M at layer 0 (HnswGraphBuilder.java:117)
+    max_conn = [2 * m] + [m] * max_level
+
+    order = np.argsort(ids, kind="stable")  # insertion order: ascending id
+    entry = -1
+    entry_level = -1
+
+    def sim(i: int, js: np.ndarray) -> np.ndarray:
+        return unit[js] @ unit[i]
+
+    def search_layer(qi: int, eps: list[int], ef: int, level: int) -> list[tuple[float, int]]:
+        """Beam search on one layer; returns [(sim, idx)] best-first."""
+        visited = {qi}
+        cand: list[tuple[float, int]] = []  # max-heap via negated sim
+        best: list[tuple[float, int]] = []  # min-heap of (sim, idx), size<=ef
+        s0 = sim(qi, np.array(eps, dtype=np.int64))
+        for s, e in zip(s0, eps):
+            if e in visited and e != qi:
+                continue
+            visited.add(e)
+            heapq.heappush(cand, (-float(s), e))
+            heapq.heappush(best, (float(s), e))
+            if len(best) > ef:
+                heapq.heappop(best)
+        while cand:
+            cs, c = heapq.heappop(cand)
+            if best and -cs < best[0][0] and len(best) >= ef:
+                break
+            nbrs = [x for x in layers[level].get(c, ()) if x not in visited]
+            if not nbrs:
+                continue
+            arr = np.array(nbrs, dtype=np.int64)
+            ss = sim(qi, arr)
+            for s, e in zip(ss, arr):
+                visited.add(int(e))
+                s = float(s)
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, int(e)))
+                    heapq.heappush(best, (s, int(e)))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted(best, key=lambda t: (-t[0], ids[t[1]]))
+
+    def diverse(cands: list[tuple[float, int]], cap: int) -> list[int]:
+        """Lucene's diversity heuristic (HnswGraphBuilder.java:283-311 /
+        NeighborArray): keep c only if sim(q,c) > sim(c, kept) for all kept."""
+        kept: list[int] = []
+        for s, c in cands:
+            if len(kept) >= cap:
+                break
+            if all(float(unit[c] @ unit[k]) < s for k in kept):
+                kept.append(c)
+        return kept
+
+    def add_link(level: int, a: int, b: int) -> None:
+        lst = layers[level].setdefault(a, [])
+        if b in lst:
+            return
+        lst.append(b)
+        cap = max_conn[level]
+        if len(lst) > cap:
+            # prune back with the same diversity rule (by sim to a)
+            arr = np.array(lst, dtype=np.int64)
+            ss = unit[arr] @ unit[a]
+            ranked = sorted(zip(ss.tolist(), lst), key=lambda t: (-t[0], ids[t[1]]))
+            layers[level][a] = diverse(ranked, cap)
+
+    for oi in order:
+        i = int(oi)
+        li = int(levels[i])
+        if entry < 0:
+            entry, entry_level = i, li
+            continue
+        eps = [entry]
+        # greedy descent above the node's level (HnswGraphSearcher.java:
+        # findBestEntryPoint)
+        for lvl in range(entry_level, li, -1):
+            if lvl > max_level:
+                continue
+            changed = True
+            while changed:
+                changed = False
+                cur = eps[0]
+                nbrs = layers[lvl].get(cur, ())
+                if nbrs:
+                    arr = np.array(list(nbrs), dtype=np.int64)
+                    ss = sim(i, arr)
+                    j = int(np.argmax(ss))
+                    if float(ss[j]) > float(unit[cur] @ unit[i]):
+                        eps = [int(arr[j])]
+                        changed = True
+        # beam + connect at each level <= li
+        for lvl in range(min(li, entry_level), -1, -1):
+            found = search_layer(i, eps, ef_construction, lvl)
+            nbrs = diverse(found, m)
+            for b in nbrs:
+                add_link(lvl, i, b)
+                add_link(lvl, b, i)
+            eps = [x for _, x in found] or eps
+        if li > entry_level:
+            entry, entry_level = i, li
+    return entry, levels, layers
+
+
+def search_leaf_graph(
+    entry: int,
+    levels: np.ndarray,
+    layers: list[dict[int, list[int]]],
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    qvec: np.ndarray,
+    k: int,
+    ef_search: int,
+) -> list[tuple[float, int]]:
+    """Beam search a built leaf graph for the query vector. Returns
+    [(cosine, row_idx)] best-first with (cos DESC, id ASC) ties —
+    HnswGraphSearcher.java:36-60 (descend greedily to layer 0, then beam of
+    ef_search)."""
+    if entry < 0 or len(ids) == 0:
+        return []
+    qn = float(np.linalg.norm(qvec)) or 1.0
+    qu = qvec / qn
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+
+    def qsim(js: np.ndarray) -> np.ndarray:
+        return unit[js] @ qu
+
+    cur = entry
+    for lvl in range(len(layers) - 1, 0, -1):
+        changed = True
+        while changed:
+            changed = False
+            nbrs = layers[lvl].get(cur, ())
+            if nbrs:
+                arr = np.array(list(nbrs), dtype=np.int64)
+                ss = qsim(arr)
+                j = int(np.argmax(ss))
+                if float(ss[j]) > float(unit[cur] @ qu):
+                    cur = int(arr[j])
+                    changed = True
+    # layer-0 beam
+    visited = {cur}
+    s0 = float(unit[cur] @ qu)
+    cand = [(-s0, cur)]
+    best = [(s0, cur)]
+    ef = max(ef_search, k)
+    while cand:
+        cs, c = heapq.heappop(cand)
+        if best and -cs < best[0][0] and len(best) >= ef:
+            break
+        nbrs = [x for x in layers[0].get(c, ()) if x not in visited]
+        if not nbrs:
+            continue
+        arr = np.array(nbrs, dtype=np.int64)
+        ss = qsim(arr)
+        for s, e in zip(ss, arr):
+            visited.add(int(e))
+            s = float(s)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(cand, (-s, int(e)))
+                heapq.heappush(best, (s, int(e)))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    ranked = sorted(best, key=lambda t: (-t[0], ids[t[1]]))
+    return ranked[:k]
+
+
+def hnsw_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    m: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 128,
+    n_leaves: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-ANN top-k: per-leaf HNSW build+search inside applyInPandas,
+    global (cos DESC, id ASC) merge of the per-leaf candidates. Output
+    (id, cos) with cos rounded to 4 (cut on the unrounded value).
+
+    ``n_leaves`` plays the role of segment count: leaves are hash-split so
+    each task sees one leaf. At write-time scale, persist the graph via
+    ``build_leaf_graph`` per partition instead of rebuilding per query.
+    """
+    q = np.asarray([float(v) for v in qvec], dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def leaf_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        entry, levels, layers = build_leaf_graph(
+            ids, vecs, m=m, ef_construction=ef_construction
+        )
+        hits = search_leaf_graph(
+            entry, levels, layers, ids, vecs, q, k, ef_search
+        )
+        # exact cosine (same operand order as the oracle SQL) for the hits
+        rows = []
+        qq = float(np.dot(q, q))
+        for _, idx in hits:
+            v = vecs[idx]
+            cos = float(np.dot(v, q)) / (
+                np.sqrt(float(np.dot(v, v))) * np.sqrt(qq)
+            )
+            rows.append((int(ids[idx]), cos))
+        return pd.DataFrame(rows, columns=["_id", "cos"])
+
+    keyed = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_leaves))).alias("_leaf"),
+    )
+    per_leaf = keyed.groupBy("_leaf").applyInPandas(leaf_search, out_schema)
+    top = per_leaf.orderBy(F.desc("cos"), F.asc("_id")).limit(k)
+    return top.select(
+        F.col("_id").alias(id_col), F.round("cos", 4).alias("cos")
+    )
+
+
+def hnsw_recall_at_k(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    **kwargs,
+) -> float:
+    """|hnsw_topk ∩ exact topk| / k — the ANN quality metric for BENCH."""
+    from .simsearch import cosine_topk
+
+    exact = {r[0] for r in cosine_topk(emb, qvec, k=k).collect()}
+    approx = {r[0] for r in hnsw_topk(emb, qvec, k=k, **kwargs).collect()}
+    return len(exact & approx) / float(k)

@@ -1,0 +1,118 @@
+"""HNSW graph ANN: graph invariants, determinism, recall, leaf merge.
+
+The exact-value gate (Spark vs DuckDB exact-cosine oracle) for
+``simsearch_hnsw`` lives in test_gate.py; these tests cover the graph
+properties the oracle can't: degree caps, level monotonicity, determinism
+of the build under reordering, recall at low/high ef, and the multi-leaf
+merge equalling the single-leaf result.
+
+Reference behavior: lucene/core/src/java/org/apache/lucene/util/hnsw/
+HnswGraphBuilder.java (build + diversity), HnswGraphSearcher.java (search),
+TestHnswFloatVectorGraph-style invariants.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_spark.pipeline import hnsw
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EMB), reason="testdata parquet not present"
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def id_vecs(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, vecs
+
+
+def test_graph_invariants(id_vecs):
+    ids, vecs = id_vecs
+    m = 8
+    entry, levels, layers = hnsw.build_leaf_graph(ids, vecs, m=m)
+    assert 0 <= entry < len(ids)
+    # entry node is on the top layer
+    assert int(levels[entry]) == len(layers) - 1
+    for lvl, layer in enumerate(layers):
+        cap = 2 * m if lvl == 0 else m
+        for node, nbrs in layer.items():
+            # degree cap (HnswGraphBuilder.java:117 M / 2M at level 0)
+            assert len(nbrs) <= cap
+            # a node only appears at levels <= its assigned level
+            assert levels[node] >= lvl
+            assert node not in nbrs  # no self loops
+            assert len(set(nbrs)) == len(nbrs)  # no duplicate edges
+    # layer 0 contains every node that has any link
+    linked = set(layers[0])
+    assert len(linked) >= len(ids) - 1  # all but possibly isolated entry
+
+
+def test_build_deterministic_under_input_order(id_vecs):
+    ids, vecs = id_vecs
+    e1, l1, g1 = hnsw.build_leaf_graph(ids, vecs, m=8)
+    perm = np.random.RandomState(7).permutation(len(ids))
+    # build sorts by id internally via insertion order = ascending id,
+    # so a permuted input must yield the identical graph
+    order = np.argsort(ids[perm], kind="stable")
+    ids2, vecs2 = ids[perm][order], vecs[perm][order]
+    e2, l2, g2 = hnsw.build_leaf_graph(ids2, vecs2, m=8)
+    assert e1 == e2
+    assert np.array_equal(l1, l2)
+    assert len(g1) == len(g2)
+    for a, b in zip(g1, g2):
+        assert {k: list(v) for k, v in a.items()} == {
+            k: list(v) for k, v in b.items()
+        }
+
+
+def test_recall_full_ef_is_exact(emb, qvec):
+    assert hnsw.hnsw_recall_at_k(emb, qvec, k=10, ef_search=128) == 1.0
+
+
+def test_recall_multi_leaf(emb, qvec):
+    assert hnsw.hnsw_recall_at_k(emb, qvec, k=10, ef_search=128, n_leaves=4) == 1.0
+
+
+def test_low_ef_still_reasonable(emb, qvec):
+    # ANN regime: tiny beam — recall may drop but must stay useful
+    assert hnsw.hnsw_recall_at_k(emb, qvec, k=10, ef_search=16) >= 0.5
+
+
+def test_topk_matches_exact_rows(emb, qvec):
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    a = [tuple(r) for r in hnsw.hnsw_topk(emb, qvec, k=10, ef_search=128).collect()]
+    b = [tuple(r) for r in cosine_topk(emb, qvec, k=10).collect()]
+    assert a == b
+
+
+def test_search_handles_empty_and_singleton():
+    ids = np.array([42], dtype=np.int64)
+    vecs = np.ones((1, 4), dtype=np.float64)
+    entry, levels, layers = hnsw.build_leaf_graph(ids, vecs, m=4)
+    hits = hnsw.search_leaf_graph(
+        entry, levels, layers, ids, vecs, np.ones(4), k=5, ef_search=10
+    )
+    assert [ids[i] for _, i in hits] == [42]
+    assert hnsw.search_leaf_graph(
+        -1, np.array([], dtype=np.int64), [], np.array([], dtype=np.int64),
+        np.zeros((0, 4)), np.ones(4), k=5, ef_search=10,
+    ) == []
