@@ -51,6 +51,7 @@ __all__ = [
     "decode_block_freqs",
     "encode_positions",
     "decode_positions",
+    "decode_payloads",
 ]
 
 ENC_CONSECUTIVE = 0  # docRange == n_docs: docids are base+1 .. base+n
@@ -205,6 +206,19 @@ def decode_positions(data: bytes, freqs: np.ndarray) -> np.ndarray:
     return cs - corrections
 
 
+def decode_payloads(data: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Flat per-position payload ints for a block (inverse of the VByte
+    value stream written by encode_term_postings' ``payloads`` path).
+    Payloads are absolute non-negative ints (not deltas — payload bytes
+    carry arbitrary app data, Lucene stores them verbatim per position,
+    Lucene103PostingsWriter.java:299-340 writes payload bytes alongside the
+    position deltas); ``freqs`` gives the per-doc split points."""
+    total = int(np.asarray(freqs, dtype=np.int64).sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return vbyte_decode(data, total)
+
+
 def encode_term_postings(
     docids: np.ndarray,
     freqs: np.ndarray,
@@ -212,6 +226,7 @@ def encode_term_postings(
     positions: np.ndarray | None = None,
     base: int = -1,
     pos_deltas: np.ndarray | None = None,
+    payloads: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode one term's postings (sorted unique docids) into block rows.
 
@@ -235,14 +250,18 @@ def encode_term_postings(
     norm_bytes = (norms & 0xFF).astype(np.uint8).tobytes()
     with_pos = positions is not None or pos_deltas is not None
     edges = list(range(0, n, BLOCK_SIZE)) + [n]
+    if with_pos or payloads is not None:
+        pos_bounds = np.concatenate(([0], np.cumsum(freqs)))
+        block_bounds = pos_bounds[np.asarray(edges, dtype=np.int64)]
     if with_pos:
         # one VByte pass for the whole term, sliced per block — the delta
         # form is per-doc (first absolute), so block grouping is free
-        pos_bounds = np.concatenate(([0], np.cumsum(freqs)))
         if pos_deltas is None:
             pos_deltas = positions_to_deltas(freqs, positions)
-        pstream, poffs = vbyte_encode_concat(
-            pos_deltas, pos_bounds[np.asarray(edges, dtype=np.int64)]
+        pstream, poffs = vbyte_encode_concat(pos_deltas, block_bounds)
+    if payloads is not None:
+        ystream, yoffs = vbyte_encode_concat(
+            np.asarray(payloads, dtype=np.int64), block_bounds
         )
     # per-block impact skylines in one grouped pass
     sky_f, sky_n, sky_b = skylines_grouped(
@@ -275,6 +294,11 @@ def encode_term_postings(
                 "positions_enc": (
                     pstream[poffs[block_no] : poffs[block_no + 1]]
                     if with_pos
+                    else None
+                ),
+                "payloads_enc": (
+                    ystream[yoffs[block_no] : yoffs[block_no + 1]]
+                    if payloads is not None
                     else None
                 ),
                 "impacts": list(

@@ -2484,6 +2484,93 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
+# payloads: per-position ints stored in the postings blocks at build time,
+# aggregated by PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java).
+# The build-time payload function is position-derived ((pos*31+7) % 97 — a
+# NumericPayloadTokenFilter analog), so the oracle recomputes it from the
+# toks CTE; the ENGINE reads the stored payloads_enc bytes, never positions.
+# ---------------------------------------------------------------------------
+
+_PAY_EXPR = "(pos * 31 + 7) % 97"
+
+
+def _gate_payload_fn(pos, doc):
+    return (pos * 31 + 7) % 97
+
+
+def _ensure_payload_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + "_pay"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True,
+            payload_fn=_gate_payload_fn,
+        )
+    return idx
+
+
+def _q_payload_score(spark, sf_dir, k: int = 10):
+    from .search.query import PayloadScoreQuery
+
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    h = s.search(PayloadScoreQuery("stream", func="sum"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_payload_score(term: str = "stream", k: int = 10) -> str:
+    # integer-exact per-doc payload sum; score = sum cast to double
+    return f"""WITH {_BASE_CTES},
+pay AS (
+  SELECT doc_id, sum({_PAY_EXPR})::DOUBLE AS score
+  FROM toks WHERE term = '{term}' GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM pay", k)
+
+
+def _q_payload_score_span(spark, sf_dir, k: int = 10):
+    from .search.query import PayloadScoreQuery
+
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    h = s.search(
+        PayloadScoreQuery("stream", func="max", include_span_score=True),
+        k=k, with_url=True,
+    )
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_payload_score_span(term: str = "stream", k: int = 10) -> str:
+    # engine: (max_payload * boost[=1.0]) * bm25(term) — *1.0 is exact, so
+    # the SQL product (pay * s_a.score) is bit-identical in float64
+    return f"""WITH {_BASE_CTES}, {_term_scores_cte("s_a", term)},
+pay AS (
+  SELECT doc_id, max({_PAY_EXPR})::DOUBLE AS pay
+  FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+ps AS (
+  SELECT pay.doc_id, (pay.pay * s_a.score) AS score
+  FROM pay JOIN s_a USING (doc_id)
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+# ---------------------------------------------------------------------------
 # multi-field family: per-field stats, BM25F (CombinedFieldQuery),
 # FieldExistsQuery — over a 2-field index (body = text, title = first 8
 # tokens, so the title stream is reproducible in SQL as pos < 8)
@@ -3023,6 +3110,8 @@ def gate_queries() -> dict:
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
         "simsearch_hnsw": _q_simsearch_hnsw,
+        "payload_score": _q_payload_score,
+        "payload_score_span": _q_payload_score_span,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -3125,6 +3214,8 @@ def gate_oracle_sql() -> dict:
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
+        "payload_score": _sql_payload_score(),
+        "payload_score_span": _sql_payload_score_span(),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

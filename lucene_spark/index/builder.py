@@ -183,6 +183,7 @@ def _invert_segment(
     synonyms_keep_original: bool = True,
     index_sort: str | None = None,
     field_analyzers: dict[str, str] | None = None,
+    payload_fn: Callable | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -298,7 +299,7 @@ def _invert_segment(
                     norms[e_docs],
                 )
         _emit_field_postings(
-            extend, bt, norms, prefix, index_positions
+            extend, bt, norms, prefix, index_positions, payload_fn=payload_fn
         )
     for fname, col in features or []:
         # feature posting list (FeatureField.java:184-185): freq = encoded
@@ -378,7 +379,9 @@ def _emit_exists_postings(extend, term, docids, freqs, norm_bytes) -> None:
     )
 
 
-def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
+def _emit_field_postings(
+    extend, bt, norms, prefix, index_positions, payload_fn=None
+) -> None:
     if bt.codes.size:
         docids_flat = bt.docids
         positions_flat = bt.positions
@@ -434,6 +437,26 @@ def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
                 return None
             return pos_stream[pos_offsets[run_lo] : pos_offsets[run_hi]]
 
+        # payloads: one VByte value stream aligned with positions (per-token
+        # app data; the NumericPayload/TokenOffsetPayload token-filter family
+        # — analysis/payloads/NumericPayloadTokenFilter.java — computed here
+        # as payload_fn(position, docid) per occurrence), stored verbatim
+        # like Lucene's .pos payload bytes (Lucene103PostingsWriter.java:299-340)
+        if payload_fn is not None:
+            pay = np.asarray(payload_fn(p, d), dtype=np.int64)
+            if pay.shape != p.shape:
+                raise ValueError("payload_fn must return one int per token")
+            if pay.size and int(pay.min()) < 0:
+                raise ValueError("payloads must be non-negative ints")
+            pay_stream, pay_offsets = vbyte_encode_concat(
+                pay, np.concatenate(([0], np.cumsum(run_freqs)))
+            )
+
+        def payloads_slice(run_lo: int, run_hi: int) -> bytes | None:
+            if payload_fn is None:
+                return None
+            return pay_stream[pay_offsets[run_lo] : pay_offsets[run_hi]]
+
         singles = t_df == 1
         tails = (t_df > 1) & (t_df <= BLOCK_SIZE)
         bigs = t_df > BLOCK_SIZE
@@ -454,6 +477,9 @@ def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
                 singleton_positions=[
                     positions_slice(i, i + 1) for i in s_idx
                 ] if index_positions else None,
+                singleton_payloads=[
+                    payloads_slice(i, i + 1) for i in s_idx
+                ] if payload_fn is not None else None,
             )
 
         # --- tail terms (2..128 docs → one VByte tail block each) --------
@@ -505,6 +531,10 @@ def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
                     positions_slice(int(s), int(e))
                     for s, e in zip(tl_starts, tl_ends)
                 ] if index_positions else None,
+                payloads_enc=[
+                    payloads_slice(int(s), int(e))
+                    for s, e in zip(tl_starts, tl_ends)
+                ] if payload_fn is not None else None,
                 impact_freqs=[
                     [int(x) for x in sky_f[sky_bounds[i] : sky_bounds[i + 1]]]
                     for i in range(n_tail)
@@ -525,8 +555,11 @@ def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
             if index_positions:
                 # already in delta form (one segment-wide pass above)
                 t_posdel = pos_deltas[freq_cs[ts] : freq_cs[te]]
+            t_pay = None
+            if payload_fn is not None:
+                t_pay = pay[freq_cs[ts] : freq_cs[te]]
             rows = encode_term_postings(
-                t_docids, t_freqs, t_norms, pos_deltas=t_posdel
+                t_docids, t_freqs, t_norms, pos_deltas=t_posdel, payloads=t_pay
             )
             extend(
                 KIND_TERM,
@@ -550,6 +583,7 @@ def _emit_field_postings(extend, bt, norms, prefix, index_positions) -> None:
                 freqs_enc=[r["freqs_enc"] for r in rows],
                 norms_enc=[r["norms_enc"] for r in rows],
                 positions_enc=[r["positions_enc"] for r in rows],
+                payloads_enc=[r["payloads_enc"] for r in rows],
                 impact_freqs=[[int(f) for f, _ in r["impacts"]] for r in rows],
                 impact_norms=[[int(n) for _, n in r["impacts"]] for r in rows],
             )
@@ -714,9 +748,16 @@ def build_index(
     synonyms_keep_original: bool = True,
     index_sort: str | None = None,
     field_analyzers: dict[str, str] | None = None,
+    payload_fn: Callable | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
+
+    ``payload_fn(positions, docids) -> int array`` attaches one non-negative
+    int payload to every token occurrence (vectorized over the segment's
+    token stream) — the NumericPayload/TokenOffsetPayload token-filter
+    family. Payloads are stored per position in the postings blocks
+    (``payloads_enc``) and consumed by PayloadScoreQuery.
 
     ``synonyms`` = {analyzed_term: synonym | [synonyms...]} applies
     index-time single-token synonym expansion after the analyzer chain
@@ -871,11 +912,13 @@ def build_index(
     isort = index_sort
     fan = dict(field_analyzers) if field_analyzers else None
 
+    payfn = payload_fn
+
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
-            index_sort=isort, field_analyzers=fan,
+            index_sort=isort, field_analyzers=fan, payload_fn=payfn,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(

@@ -41,11 +41,13 @@ from ..codecs.blocks import (
     L1_GROUP_BLOCKS,
     decode_block_docids,
     decode_block_freqs,
+    decode_payloads,
     decode_positions,
     encode_positions,
     encode_term_postings,
     merge_skylines,
 )
+from ..codecs.intcodecs import vbyte_encode
 from .reader import IndexReader
 from .schemas import (
     KIND_BLOCK,
@@ -70,8 +72,11 @@ def _rewrite_term_group(
     # blocks below so group spans track the new block boundaries
     pdf = pdf[pdf["encoding"] != ENC_L1_ROLLUP]
     pdf = pdf.sort_values("block_no", kind="mergesort")
-    d_parts, f_parts, n_parts, p_parts = [], [], [], []
+    d_parts, f_parts, n_parts, p_parts, y_parts = [], [], [], [], []
     with_pos = pdf["positions_enc"].iloc[0] is not None
+    with_pay = (
+        "payloads_enc" in pdf.columns and pdf["payloads_enc"].iloc[0] is not None
+    )
     for r in pdf.itertuples(index=False):
         d = decode_block_docids(
             int(r.encoding), r.docids_enc, int(r.n_docs), int(r.base_docid),
@@ -86,6 +91,9 @@ def _rewrite_term_group(
         if with_pos:
             pos = decode_positions(r.positions_enc, f)
             p_parts.append(pos[np.repeat(keep, f)])
+        if with_pay:
+            pay = decode_payloads(r.payloads_enc, f)
+            y_parts.append(pay[np.repeat(keep, f)])
         d_parts.append(d[keep])
         f_parts.append(f[keep])
         n_parts.append(m[keep])
@@ -106,6 +114,7 @@ def _rewrite_term_group(
     freqs = np.concatenate(f_parts)
     norms = np.concatenate(n_parts)
     positions = np.concatenate(p_parts) if with_pos else None
+    payloads = np.concatenate(y_parts) if with_pay else None
     df, ttf = int(docids.size), int(freqs.sum())
     if df == 1:
         # re-pulse: a term left with one posting collapses back into the
@@ -120,6 +129,9 @@ def _rewrite_term_group(
                 "singleton_positions": (
                     bytes(encode_positions(freqs, positions)) if with_pos else None
                 ),
+                "singleton_payloads": (
+                    bytes(vbyte_encode(payloads)) if with_pay else None
+                ),
             }
         )
         return frame()
@@ -127,6 +139,7 @@ def _rewrite_term_group(
         docids, freqs, norms,
         positions=positions if with_pos else None,
         base=int(docids[0]) - 1,
+        payloads=payloads,
     )
     emit(
         {
@@ -146,6 +159,9 @@ def _rewrite_term_group(
                 "norms_enc": bytes(r["norms_enc"]),
                 "positions_enc": (
                     bytes(r["positions_enc"]) if r["positions_enc"] is not None else None
+                ),
+                "payloads_enc": (
+                    bytes(r["payloads_enc"]) if r["payloads_enc"] is not None else None
                 ),
                 "impact_freqs": [int(f) for f, _ in r["impacts"]],
                 "impact_norms": [int(n) for _, n in r["impacts"]],

@@ -104,6 +104,7 @@ def _rebased_postings_cols():
         "freqs_enc",
         "norms_enc",
         "positions_enc",
+        "payloads_enc",
         "impact_freqs",
         "impact_norms",
     ]
@@ -196,6 +197,7 @@ def merge_segments(
         F.first("singleton_freq", ignorenulls=True).alias("g_singleton_freq"),
         F.first("singleton_norm", ignorenulls=True).alias("g_singleton_norm"),
         F.first("singleton_positions", ignorenulls=True).alias("g_singleton_positions"),
+        F.first("singleton_payloads", ignorenulls=True).alias("g_singleton_payloads"),
     )
     keep_pulsed = F.col("df") == 1
     term_rows = merged_td.select(
@@ -208,6 +210,7 @@ def merge_segments(
         F.when(keep_pulsed, F.col("g_singleton_freq")).alias("singleton_freq"),
         F.when(keep_pulsed, F.col("g_singleton_norm")).alias("singleton_norm"),
         F.when(keep_pulsed, F.col("g_singleton_positions")).alias("singleton_positions"),
+        F.when(keep_pulsed, F.col("g_singleton_payloads")).alias("singleton_payloads"),
     )
 
     # --- postings rows: shift-invariant rebase, no payload decode --------
@@ -427,6 +430,7 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
         F.first("singleton_freq", ignorenulls=True).alias("g_singleton_freq"),
         F.first("singleton_norm", ignorenulls=True).alias("g_singleton_norm"),
         F.first("singleton_positions", ignorenulls=True).alias("g_singleton_positions"),
+        F.first("singleton_payloads", ignorenulls=True).alias("g_singleton_payloads"),
     )
     keep_pulsed = F.col("df") == 1
     term_rows = merged_td.select(
@@ -439,6 +443,7 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
         F.when(keep_pulsed, F.col("g_singleton_freq")).alias("singleton_freq"),
         F.when(keep_pulsed, F.col("g_singleton_norm")).alias("singleton_norm"),
         F.when(keep_pulsed, F.col("g_singleton_positions")).alias("singleton_positions"),
+        F.when(keep_pulsed, F.col("g_singleton_payloads")).alias("singleton_payloads"),
     )
 
     rebased = (

@@ -37,6 +37,7 @@ def singleton_pseudo_blocks(term_dict: DataFrame, with_positions: bool) -> DataF
             if with_positions
             else F.lit(None).cast("binary")
         ).alias("positions_enc"),
+        F.col("singleton_payloads").alias("payloads_enc"),
         F.array(F.col("singleton_freq").cast("long")).alias("impact_freqs"),
         F.array(F.col("singleton_norm")).alias("impact_norms"),
     )

@@ -61,13 +61,30 @@ class IndexReader:
     def docmap(self) -> DataFrame:
         return self._data.filter(F.col("kind") == KIND_DOC).select(*DOCMAP_COLS)
 
+    @staticmethod
+    def _select_compat(df: DataFrame, cols: list[str]) -> DataFrame:
+        """Select ``cols``, filling columns an older-format index lacks with
+        typed nulls (schema evolution: payloads were added after v1 — old
+        indexes stay readable, payload queries just see no payloads)."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast("binary").alias(c)
+                for c in cols
+            ]
+        )
+
     @cached_property
     def postings(self) -> DataFrame:
-        return self._data.filter(F.col("kind") == KIND_BLOCK).select(*POSTINGS_COLS)
+        return self._select_compat(
+            self._data.filter(F.col("kind") == KIND_BLOCK), POSTINGS_COLS
+        )
 
     @cached_property
     def term_dict(self) -> DataFrame:
-        return self._data.filter(F.col("kind") == KIND_TERM).select(*TERM_DICT_COLS)
+        return self._select_compat(
+            self._data.filter(F.col("kind") == KIND_TERM), TERM_DICT_COLS
+        )
 
     @cached_property
     def field_stats(self) -> DataFrame:

@@ -52,6 +52,7 @@ UNIFIED_BUILD_SCHEMA = T.StructType(
         T.StructField("singleton_freq", T.IntegerType(), True),
         T.StructField("singleton_norm", T.IntegerType(), True),
         T.StructField("singleton_positions", T.BinaryType(), True),
+        T.StructField("singleton_payloads", T.BinaryType(), True),
         # block rows
         T.StructField("block_no", T.IntegerType(), True),
         T.StructField("n_docs", T.IntegerType(), True),
@@ -63,6 +64,7 @@ UNIFIED_BUILD_SCHEMA = T.StructType(
         T.StructField("freqs_enc", T.BinaryType(), True),
         T.StructField("norms_enc", T.BinaryType(), True),
         T.StructField("positions_enc", T.BinaryType(), True),
+        T.StructField("payloads_enc", T.BinaryType(), True),
         T.StructField("impact_freqs", T.ArrayType(T.LongType()), True),
         T.StructField("impact_norms", T.ArrayType(T.IntegerType()), True),
     ]
@@ -79,6 +81,7 @@ TERM_DICT_COLS = [
     "singleton_freq",
     "singleton_norm",
     "singleton_positions",
+    "singleton_payloads",
 ]
 POSTINGS_COLS = [
     "segment_id",
@@ -93,6 +96,7 @@ POSTINGS_COLS = [
     "freqs_enc",
     "norms_enc",
     "positions_enc",
+    "payloads_enc",
     "impact_freqs",
     "impact_norms",
 ]

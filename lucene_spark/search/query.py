@@ -127,6 +127,26 @@ class PhrasePrefixQuery:
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery:
+    """Score docs by the per-position payload ints stored at the term's
+    matched positions (reference: queries/src/java/org/apache/lucene/queries/
+    payloads/PayloadScoreQuery.java:42-66 with PayloadFunction = Sum/Max/
+    MinPayloadFunction and PayloadDecoder-style int decoding). ``func`` is
+    one of sum|max|min|first; with ``include_span_score`` the payload
+    aggregate is multiplied by the wrapped term's BM25 score
+    (PayloadScoreQuery.java:204-208: payloadScore * spanScore)."""
+
+    term: str
+    func: str = "sum"
+    include_span_score: bool = False
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.func not in ("sum", "max", "min", "first"):
+            raise ValueError(f"unknown payload function {self.func!r}")
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
     boost: float = 1.0
@@ -941,6 +961,8 @@ def collect_terms(q) -> set[str]:
         from ..index.builder import feature_term
 
         return {feature_term(q.feature)}
+    if isinstance(q, PayloadScoreQuery):
+        return {q.term}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):

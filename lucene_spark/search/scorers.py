@@ -44,6 +44,7 @@ from .query import (
     IntervalFilter,
     IntervalNear,
     MultiPhraseQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -264,6 +265,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             FeatureQuery,
             IntervalNear,
             IntervalFilter,
+            PayloadScoreQuery,
         ),
     ):
         out.add(q)
@@ -347,6 +349,17 @@ def build_scorers(
                     sttf = int(sttf + w * fst)  # long += double truncation
             scorers[leaf] = make_term_scorer(
                 mode, df, max(dc, 1), max(sttf, 1), boost=leaf.boost
+            )
+        elif isinstance(leaf, PayloadScoreQuery):
+            # the wrapped term's SimScorer — consulted only when
+            # include_span_score multiplies payloadScore by spanScore
+            # (PayloadScoreQuery.java:204-208); boost rides on the payload
+            # side so it applies in both modes
+            df = tstats.get(leaf.term, (0, 0))[0]
+            dc, st = stats_for(leaf.term)
+            scorers[leaf] = make_term_scorer(
+                mode, df, dc, st, boost=1.0,
+                ttf=tstats.get(leaf.term, (0, 0))[1],
             )
         elif isinstance(leaf, TermQuery):
             df = getattr(leaf, "df_override", 0) or tstats.get(leaf.term, (0, 0))[0]

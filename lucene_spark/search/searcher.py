@@ -105,6 +105,12 @@ def _needs_positions(q) -> bool:
     )
 
 
+def _needs_payloads(q) -> bool:
+    from .query import PayloadScoreQuery
+
+    return any(isinstance(leaf, PayloadScoreQuery) for leaf in scoring_leaves(q))
+
+
 def _slice_bounds(pdf: pd.DataFrame, seg_meta, span):
     """(doc_base, lo, hi) of this task's docid slice — the intersection of
     the segment's stored-docid range with the slice's span window."""
@@ -489,9 +495,20 @@ class Searcher:
         return rewrite(self.expand_multiterm(query, max_terms))
 
     def _postings_blocks(
-        self, terms: list[str], need_positions: bool, span: int | None = None
+        self,
+        terms: list[str],
+        need_positions: bool,
+        span: int | None = None,
+        need_payloads: bool = False,
     ) -> DataFrame:
-        cols = [c for c in POSTINGS_COLS if need_positions or c != "positions_enc"]
+        # column pruning: positions/payloads reach the parquet scan only for
+        # queries that consume them (ReadSchema stays narrow otherwise)
+        drop = set()
+        if not need_positions:
+            drop.add("positions_enc")
+        if not need_payloads:
+            drop.add("payloads_enc")
+        cols = [c for c in POSTINGS_COLS if c not in drop]
         blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
         singles = singleton_pseudo_blocks(
             self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
@@ -624,7 +641,10 @@ class Searcher:
         # doc blocks never cross segments but may straddle docid slices:
         # block-join trees evaluate on whole segments
         span = None if contains_block_join(query) else self._slice_span()
-        blocks = self._postings_blocks(terms, _needs_positions(query), span)
+        blocks = self._postings_blocks(
+            terms, _needs_positions(query), span,
+            need_payloads=_needs_payloads(query),
+        )
 
         fn = partial(
             _segment_search_fn,
@@ -678,7 +698,10 @@ class Searcher:
             else self._slice_span()
         )
         need_positions = any(_needs_positions(q) for q in parsed.values())
-        blocks = self._postings_blocks(all_terms, need_positions, span)
+        need_payloads = any(_needs_payloads(q) for q in parsed.values())
+        blocks = self._postings_blocks(
+            all_terms, need_positions, span, need_payloads=need_payloads
+        )
         prune = self.prune
         # broadcast the (large) query batch + scorer table: deserialized once
         # per python worker and reused across its tasks, instead of being
@@ -724,7 +747,10 @@ class Searcher:
         scorers = self._make_scorers([query])
         seg_meta = self._seg_meta()
         span = None if contains_block_join(query) else self._slice_span()
-        blocks = self._postings_blocks(terms, _needs_positions(query), span)
+        blocks = self._postings_blocks(
+            terms, _needs_positions(query), span,
+            need_payloads=_needs_payloads(query),
+        )
         fn = partial(
             _segment_search_fn,
             query=query,
@@ -905,7 +931,10 @@ class Searcher:
             return 0
         seg_meta = self._seg_meta()
         span = None if contains_block_join(query) else self._slice_span()
-        blocks = self._postings_blocks(terms, _needs_positions(query), span)
+        blocks = self._postings_blocks(
+            terms, _needs_positions(query), span,
+            need_payloads=_needs_payloads(query),
+        )
 
         tag = self._cache_tag()
 

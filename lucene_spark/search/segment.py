@@ -49,6 +49,7 @@ from .query import (
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -81,7 +82,7 @@ class _TermPostings:
 
     __slots__ = (
         "lo", "hi", "encoding", "n_docs", "base", "block_first", "block_last",
-        "docids_enc", "freqs_enc", "norms_enc", "positions_enc",
+        "docids_enc", "freqs_enc", "norms_enc", "positions_enc", "payloads_enc",
         "impact_freqs", "impact_norms", "singleton", "_decoded",
         "l1_first", "l1_last", "l1_impact_freqs", "l1_impact_norms",
     )
@@ -117,6 +118,9 @@ class _TermPostings:
         self.positions_enc = cols.get("positions_enc")
         if self.positions_enc is not None:
             self.positions_enc = self.positions_enc[lo:hi]
+        self.payloads_enc = cols.get("payloads_enc")
+        if self.payloads_enc is not None:
+            self.payloads_enc = self.payloads_enc[lo:hi]
         self.impact_freqs = cols["impact_freqs"][lo:hi]
         self.impact_norms = cols["impact_norms"][lo:hi]
 
@@ -236,6 +240,22 @@ class _TermPostings:
         _, f, _ = self.decode_block(block_i)
         return decode_positions(self.positions_enc[block_i], f)
 
+    def payloads_for(self, block_i: int) -> np.ndarray | None:
+        """Flat per-position payload ints of block i (None when the index
+        carries no payloads for this term)."""
+        from ..codecs.blocks import decode_payloads
+
+        if self.singleton is not None:
+            s = self.singleton
+            data = s.get("singleton_payloads")
+            if data is None:
+                return None
+            return decode_payloads(data, np.array([s["singleton_freq"]]))
+        if self.payloads_enc is None or self.payloads_enc[block_i] is None:
+            return None
+        _, f, _ = self.decode_block(block_i)
+        return decode_payloads(self.payloads_enc[block_i], f)
+
     def blocks_overlapping(self, candidates: np.ndarray) -> np.ndarray:
         """Indices of blocks whose [first,last] span contains ≥1 candidate
         (block-granularity leapfrog advance)."""
@@ -331,6 +351,11 @@ class SegmentContext:
                         "singleton_norm": int(cols["impact_norms"][lo][0]),
                         "singleton_positions": (
                             pos_col[lo] if pos_col is not None else None
+                        ),
+                        "singleton_payloads": (
+                            cols["payloads_enc"][lo]
+                            if cols.get("payloads_enc") is not None
+                            else None
                         ),
                     },
                 )
@@ -537,6 +562,9 @@ class _SegmentSearcher:
 
             tp = self.term_postings(feature_term(q.feature))
             return tp.decode_all()[0] if tp else _EMPTY
+        if isinstance(q, PayloadScoreQuery):
+            tp = self.term_postings(q.term)
+            return tp.decode_all()[0] if tp else _EMPTY
         if isinstance(q, IntervalNear):
             return self._interval_match(q)[0]
         if isinstance(q, IntervalFilter):
@@ -643,6 +671,8 @@ class _SegmentSearcher:
             return self._evaluate_combined(q)
         if isinstance(q, FeatureQuery):
             return self._evaluate_feature(q)
+        if isinstance(q, PayloadScoreQuery):
+            return self._evaluate_payload(q)
         if isinstance(q, TermInSetQuery):
             # constant-score: TermInSetQuery rewrites to a filter over the
             # doc set, every match scores boost (TermInSetQuery.java:66)
@@ -828,6 +858,49 @@ class _SegmentSearcher:
             return _EMPTY, np.zeros(0, dtype=dtype)
         d, f, _m = tp.decode_all()
         return d, sc.score(f).astype(dtype)
+
+    def _evaluate_payload(self, q: PayloadScoreQuery) -> tuple[np.ndarray, np.ndarray]:
+        """PayloadScoreQuery (payloads/PayloadScoreQuery.java:42-66): per
+        doc, aggregate the stored per-position payload ints at the term's
+        positions with ``func`` (Sum/Max/Min/first-occurrence PayloadFunction),
+        score = boost * payloadScore, optionally * the term's BM25 score
+        (include_span_score, :204-208). Vectorized: the per-doc aggregation
+        is a segmented reduceat over the block's flat payload stream."""
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        tp = self.term_postings(q.term)
+        if tp is None:
+            return _EMPTY, np.zeros(0, dtype=np.float64)
+        d_parts, agg_parts, f_parts, n_parts = [], [], [], []
+        for i in range(tp.n_blocks):
+            d, f, m = tp.decode_block(i)
+            pay = tp.payloads_for(i)
+            if pay is None:
+                # index built without payloads: every payload reads as 0
+                agg = np.zeros(d.size, dtype=np.float64)
+            else:
+                bounds = np.concatenate(([0], np.cumsum(f)))[:-1]
+                pay = pay.astype(np.float64)
+                if q.func == "sum":
+                    agg = np.add.reduceat(pay, bounds)
+                elif q.func == "max":
+                    agg = np.maximum.reduceat(pay, bounds)
+                elif q.func == "min":
+                    agg = np.minimum.reduceat(pay, bounds)
+                else:  # first occurrence's payload
+                    agg = pay[bounds]
+            d_parts.append(d)
+            agg_parts.append(agg)
+            f_parts.append(f)
+            n_parts.append(m)
+        docids = np.concatenate(d_parts)
+        scores = np.concatenate(agg_parts) * float(q.boost)
+        if q.include_span_score:
+            span = sc.score(
+                np.concatenate(f_parts), np.concatenate(n_parts)
+            ).astype(np.float64)
+            scores = scores * span
+        return docids, scores.astype(dtype if q.include_span_score else np.float64)
 
     def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """max(sub) + tie_breaker·(Σ others); float64 accumulation then one
