@@ -33,7 +33,7 @@ from .search import Searcher
 __all__ = ["gate_queries", "gate_oracle_sql", "entry_query"]
 
 K1, B = "1.2", "0.75"
-_FORMAT_V = "v3"  # bump when the index layout changes to invalidate caches
+_FORMAT_V = "v4"  # bump when the index layout changes to invalidate caches
 # v3: multi-field postings, feature fields, level-1 rollup rows (round 2)
 _GATE_ROOT = os.environ.get("LUCENE_SPARK_GATE_DIR", "/tmp/lucene_spark_gate")
 
@@ -2504,14 +2504,43 @@ def _ensure_payload_index(spark: SparkSession, sf_dir: str) -> str:
     probe = os.path.join(idx, "segment_manifest")
     if not os.path.exists(probe):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            "text",
+            # named numeric doc-value, recomputable by the oracle
+            ((F.col("doc_id") * 37) % 211).cast("double").alias("prio"),
         )
         build_index(
             spark, docs, idx, num_segments=1, analyzer="simple",
             stopwords=None, index_positions=True,
             payload_fn=_gate_payload_fn,
+            doc_values={"prio": "prio"},
         )
     return idx
+
+
+def _q_sort_by_docvalue(spark, sf_dir, k: int = 20):
+    """Top-k matches of 'stream' ordered by the stored numeric doc-value
+    (SortField(name, Type.DOUBLE) over NumericDocValues)."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.search_sorted_by("stream", sort_col="dv:prio", ascending=False, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("dv_prio").cast("long").alias("prio"),
+    )
+
+
+def _sql_sort_by_docvalue(k: int = 20) -> str:
+    return f"""WITH {_BASE_CTES}
+SELECT doc_id, prio FROM (
+  SELECT d.doc_id, (d.doc_id * 37) % 211 AS prio
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+  ORDER BY prio DESC, d.doc_id ASC LIMIT {k}
+)"""
 
 
 def _q_payload_score(spark, sf_dir, k: int = 10):
@@ -3112,6 +3141,7 @@ def gate_queries() -> dict:
         "simsearch_hnsw": _q_simsearch_hnsw,
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
+        "sort_by_docvalue": _q_sort_by_docvalue,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -3216,6 +3246,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
+        "sort_by_docvalue": _sql_sort_by_docvalue(),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

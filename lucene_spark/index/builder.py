@@ -184,6 +184,7 @@ def _invert_segment(
     index_sort: str | None = None,
     field_analyzers: dict[str, str] | None = None,
     payload_fn: Callable | None = None,
+    doc_values: list[tuple[str, str]] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -273,6 +274,26 @@ def _invert_segment(
         norms = int_to_byte4(doc_lens)
         prefix = "" if fname is None else fname + FIELD_SEP
         if fi == 0:
+            # numeric doc-values (NumericDocValuesField analog): one named
+            # double per doc, NaN/non-numeric = missing key
+            dv_list = None
+            if doc_values:
+                import math
+
+                series = {
+                    n: pd.to_numeric(pdf[c], errors="coerce")
+                    .astype(float)
+                    .tolist()
+                    for n, c in doc_values
+                }
+                dv_list = [
+                    {
+                        n: v[i]
+                        for n, v in series.items()
+                        if not math.isnan(v[i])
+                    }
+                    for i in range(n_docs)
+                ]
             # --- doc rows (primary field's length/norm) ------------------
             extend(
                 KIND_DOC,
@@ -281,6 +302,7 @@ def _invert_segment(
                 url=pdf["url"].tolist(),
                 doc_len=[int(x) for x in doc_lens],
                 norm=[int(x) for x in norms],
+                dv=dv_list,
             )
         total_len += doc_lens
         total_ttf_terms += int(doc_lens.sum())
@@ -749,6 +771,7 @@ def build_index(
     index_sort: str | None = None,
     field_analyzers: dict[str, str] | None = None,
     payload_fn: Callable | None = None,
+    doc_values: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -758,6 +781,12 @@ def build_index(
     token stream) — the NumericPayload/TokenOffsetPayload token-filter
     family. Payloads are stored per position in the postings blocks
     (``payloads_enc``) and consumed by PayloadScoreQuery.
+
+    ``doc_values`` = {name: input_column} stores named numeric doc-values
+    per doc in the docmap (NumericDocValuesField / .dvd analog): sort with
+    ``Searcher.search_sorted_by(sort_col="dv:<name>")``; nulls/non-numeric
+    values are missing (sort last on DESC, like Lucene's missing-value
+    default).
 
     ``synonyms`` = {analyzed_term: synonym | [synonyms...]} applies
     index-time single-token synonym expansion after the analyzer chain
@@ -855,6 +884,8 @@ def build_index(
             ]
     else:
         cols = ["url", "html"] if html_input else ["url", "text"]
+    if doc_values:
+        cols += [c for c in dict.fromkeys(doc_values.values()) if c not in cols]
     # url → bucket is a pure hash (resume-stable); bucket → label makes the
     # groupBy shuffle perfectly balanced (see _balanced_segment_labels)
     labels = _balanced_segment_labels(num_segments, exclude=existing_ids)
@@ -913,12 +944,14 @@ def build_index(
     fan = dict(field_analyzers) if field_analyzers else None
 
     payfn = payload_fn
+    dvl = sorted(doc_values.items()) if doc_values else None
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
             index_sort=isort, field_analyzers=fan, payload_fn=payfn,
+            doc_values=dvl,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(
@@ -1015,6 +1048,8 @@ def build_index(
         meta["index_sort"] = index_sort
     if field_analyzers:
         meta["field_analyzers"] = dict(field_analyzers)
+    if doc_values:
+        meta["doc_values"] = sorted(doc_values)
     if meta:
         with open(os.path.join(index_dir, "index_meta.json"), "w") as fh:
             json.dump(meta, fh)

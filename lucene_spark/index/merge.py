@@ -179,6 +179,7 @@ def merge_segments(
             "url",
             "doc_len",
             "norm",
+            "dv",
         )
     )
 
@@ -414,6 +415,7 @@ def execute_merge_plan(spark: SparkSession, index_dir: str, plan) -> dict:
             "url",
             "doc_len",
             "norm",
+            "dv",
         )
     )
     td = reader.term_dict.filter(sel).join(base_df, F.col("segment_id") == F.col("seg"))

@@ -59,17 +59,24 @@ class IndexReader:
 
     @cached_property
     def docmap(self) -> DataFrame:
-        return self._data.filter(F.col("kind") == KIND_DOC).select(*DOCMAP_COLS)
+        return self._select_compat(
+            self._data.filter(F.col("kind") == KIND_DOC), DOCMAP_COLS
+        )
 
     @staticmethod
     def _select_compat(df: DataFrame, cols: list[str]) -> DataFrame:
         """Select ``cols``, filling columns an older-format index lacks with
-        typed nulls (schema evolution: payloads were added after v1 — old
-        indexes stay readable, payload queries just see no payloads)."""
+        typed nulls (schema evolution: payloads/doc-values were added after
+        v1 — old indexes stay readable, the new queries just see nulls)."""
+        from .schemas import UNIFIED_BUILD_SCHEMA
+
         have = set(df.columns)
+        types = {f.name: f.dataType for f in UNIFIED_BUILD_SCHEMA.fields}
         return df.select(
             *[
-                F.col(c) if c in have else F.lit(None).cast("binary").alias(c)
+                F.col(c)
+                if c in have
+                else F.lit(None).cast(types[c]).alias(c)
                 for c in cols
             ]
         )

@@ -43,6 +43,10 @@ UNIFIED_BUILD_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), True),
         T.StructField("doc_len", T.IntegerType(), True),
         T.StructField("norm", T.IntegerType(), True),
+        # numeric doc-values (NumericDocValuesField analog): per-doc named
+        # doubles for sorting / function scoring, stored columnar with the
+        # docmap (Lucene's .dvd); absent keys = missing values
+        T.StructField("dv", T.MapType(T.StringType(), T.DoubleType()), True),
         # term rows (term also set on block rows)
         T.StructField("term", T.StringType(), True),
         T.StructField("df", T.LongType(), True),
@@ -70,7 +74,7 @@ UNIFIED_BUILD_SCHEMA = T.StructType(
     ]
 )
 
-DOCMAP_COLS = ["segment_id", "docid", "url", "doc_len", "norm"]
+DOCMAP_COLS = ["segment_id", "docid", "url", "doc_len", "norm", "dv"]
 TERM_DICT_COLS = [
     "segment_id",
     "term",

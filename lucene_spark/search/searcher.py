@@ -790,11 +790,24 @@ class Searcher:
         — the FieldDoc form of searchAfter (IndexSearcher.searchAfter with a
         Sort, search/FieldComparator analog): strictly worse in the sort
         order, docid breaks ties. Paging composes with the docid-tie-break
-        (non-early) path."""
+        (non-early) path.
+
+        ``sort_col="dv:<name>"`` sorts by the named numeric doc-value
+        stored at build time (``build_index(doc_values=...)``, the
+        SortField(name, Type.DOUBLE) analog); docs missing the value sort
+        after every present value in either direction (nulls-last, Lucene's
+        missing-value default). Output column is ``dv_<name>``."""
+        if sort_col.startswith("dv:"):
+            dv_name = sort_col.split(":", 1)[1]
+            out_name = f"dv_{dv_name}"
+            sort_expr = F.col("dv").getItem(dv_name).alias(out_name)
+            sort_col = out_name
+        else:
+            sort_expr = F.col(sort_col)
         hits = self.search_all(query).select("docid")
         if after is not None:
             av, ad = float(after[0]), int(after[1])
-            dm_a = self._docmap_global().select("docid", sort_col)
+            dm_a = self._docmap_global().select("docid", sort_expr)
             strictly = (
                 (F.col(sort_col) > av) if ascending else (F.col(sort_col) < av)
             )
@@ -827,9 +840,11 @@ class Searcher:
                 .limit(k)
                 .select("docid", sort_col)
             )
-        dm = self._docmap_global().select("docid", sort_col)
+        dm = self._docmap_global().select("docid", sort_expr)
         out = hits.join(dm, "docid")
-        order = F.asc(sort_col) if ascending else F.desc(sort_col)
+        order = (
+            F.asc_nulls_last(sort_col) if ascending else F.desc_nulls_last(sort_col)
+        )
         return out.orderBy(order, F.asc("docid")).limit(k)
 
     def rescore(
