@@ -28,6 +28,7 @@ resurrected.
 from __future__ import annotations
 
 import shutil
+import time
 from typing import Iterator
 
 import numpy as np
@@ -56,7 +57,7 @@ from .schemas import (
     KIND_TERM,
     UNIFIED_BUILD_SCHEMA,
 )
-from .smallio import FIELD_STATS_SCHEMA, write_driver_table
+from .smallio import FIELD_STATS_SCHEMA, MANIFEST_SCHEMA, write_driver_table
 
 __all__ = ["compact_deletes"]
 
@@ -196,19 +197,18 @@ def compact_deletes(
     ratio exceeds ``max_deletes_pct`` (``force=True`` compacts any segment
     with ≥1 delete — forceMergeDeletes semantics). Returns metrics.
 
-    Refuses while snapshots exist: compaction rewrites segment partitions
-    IN PLACE (same segment_id), which would mutate a snapshot's
-    point-in-time view — Lucene never overwrites committed files
-    (IndexFileDeleter protects every snapshotted IndexCommit), so the
-    conservative analog is to require releasing snapshots first."""
-    from .snapshots import list_snapshots
+    SNAPSHOT-SAFE: each compacted segment is rewritten under a NEW
+    segment_id that inherits the old one's doc_base and docid span (docids
+    are never renumbered), so committed partitions are never mutated —
+    Lucene's write-once discipline (IndexFileDeleter protects every
+    snapshotted IndexCommit; a merge always produces new files). Commit
+    protocol: new data partitions → field_stats staged with BOTH old and
+    new rows (readers gate stats on the manifest, so either commit point
+    reads consistently) → manifest swap (THE commit) → field_stats pruned,
+    stale delete rows dropped, and old partitions removed unless a
+    snapshot still pins them (prune_unreferenced reclaims those later)."""
+    from .snapshots import referenced_segments
 
-    snaps = list_snapshots(index_dir)
-    if snaps:
-        raise RuntimeError(
-            f"cannot compact {index_dir}: snapshots {snaps} pin the current "
-            "segment data (release them first)"
-        )
     reader = IndexReader(spark, index_dir)
     if reader.deletes is None:
         return {"compacted_segments": 0, "reclaimed_docs": 0}
@@ -296,11 +296,25 @@ def compact_deletes(
         # n_blocks=n_terms (0 here), first/last_docid=min/max docid
         "segment_id int, df long, ttf long, n_blocks int, first_docid long, last_docid long",
     )
+    # NEW segment ids for the rewritten data (write-once: committed
+    # partitions are never overwritten). Ids start past everything the live
+    # manifest OR any snapshot references, and each new segment inherits
+    # its source's doc_base/docid span — docids are NOT renumbered.
+    manifest = reader.manifest_rows
+    pinned = referenced_segments(index_dir)
+    next_id = max({int(r["segment_id"]) for r in manifest} | pinned) + 1
+    new_of = {s: next_id + i for i, s in enumerate(targets)}
+    remap = F.create_map(
+        *[F.lit(x) for kv in new_of.items() for x in kv]
+    )
     unified = (
         kind_rows(kept_docmap, KIND_DOC)
         .unionByName(kind_rows(kept_singles, KIND_TERM))
         .unionByName(rewritten)
         .unionByName(kind_rows(stats_df, KIND_STATS))
+        .withColumn(
+            "segment_id", remap[F.col("segment_id")].cast("int")
+        )
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -316,28 +330,65 @@ def compact_deletes(
     )
     kept_docmap.unpersist()
 
-    # field_stats: live counts for compacted segments, others carried over
-    fs_rows = []
-    for r in reader.field_stats.collect():
-        s = int(r["segment_id"])
-        if s in stats_rows:
-            sr = stats_rows[s]
-            fs_rows.append(
-                (s, int(sr["dc"]), int(sr["sttf"] or 0), int(sr["mx"]), int(sr["mn"]))
-            )
-        elif s in targets:  # fully emptied segment
-            fs_rows.append((s, 0, 0, -1, 0))
-        else:
-            fs_rows.append(
-                (s, int(r["doc_count"]), int(r["sum_ttf"]), int(r["max_docid"]),
-                 int(r["min_docid"]))
-            )
+    def _fs_row(old: int, sid: int):
+        if old in stats_rows:
+            sr = stats_rows[old]
+            return (sid, int(sr["dc"]), int(sr["sttf"] or 0), int(sr["mx"]),
+                    int(sr["mn"]))
+        return (sid, 0, 0, -1, 0)  # fully emptied segment
+
+    untouched = [
+        (int(r["segment_id"]), int(r["doc_count"]), int(r["sum_ttf"]),
+         int(r["max_docid"]), int(r["min_docid"]))
+        for r in reader.field_stats.collect()
+        if int(r["segment_id"]) not in set(targets)
+    ]
+    old_rows = [
+        (s, int(r["doc_count"]), int(r["sum_ttf"]), int(r["max_docid"]),
+         int(r["min_docid"]))
+        for r in reader.field_stats.collect()
+        if (s := int(r["segment_id"])) in set(targets)
+    ]
+    new_rows = [_fs_row(s, new_of[s]) for s in targets]
+    # stage old + new: whichever manifest a crashed reader sees, its live
+    # segments all have stats rows (readers gate stats on the manifest)
     write_driver_table(
-        f"{index_dir}/field_stats", sorted(fs_rows), FIELD_STATS_SCHEMA
+        f"{index_dir}/field_stats",
+        sorted(untouched + old_rows + new_rows),
+        FIELD_STATS_SCHEMA,
     )
 
-    # deletes cleanup LAST: until this point the tombstones still gate the
-    # (already physically pruned) docids — harmless double filtering
+    # manifest swap — THE commit: target rows move to their new ids with
+    # doc_base and the n_docs docid-span reservation unchanged
+    man_rows = []
+    for r in manifest:
+        s = int(r["segment_id"])
+        if s in new_of:
+            man_rows.append(
+                (
+                    new_of[s], int(r["n_docs"]), int(r["doc_base"]), "done",
+                    float(time.time()),
+                    f"compact(from={s})", r["metrics_json"],
+                )
+            )
+        else:
+            man_rows.append(
+                (
+                    s, int(r["n_docs"]), int(r["doc_base"]), r["status"],
+                    float(r["checkpoint_ts"]), r["lineage"], r["metrics_json"],
+                )
+            )
+    write_driver_table(
+        f"{index_dir}/segment_manifest", sorted(man_rows), MANIFEST_SCHEMA
+    )
+
+    # post-commit cleanup: prune staged old stats rows, drop stale delete
+    # rows, and remove unpinned old partitions (pinned ones wait for
+    # prune_unreferenced after the snapshot is released)
+    write_driver_table(
+        f"{index_dir}/field_stats", sorted(untouched + new_rows),
+        FIELD_STATS_SCHEMA,
+    )
     remaining = reader.deletes.filter(~F.col("segment_id").isin(targets))
     import os
 
@@ -352,9 +403,17 @@ def compact_deletes(
         shutil.rmtree(old, ignore_errors=True)
     else:
         shutil.rmtree(f"{index_dir}/deletes", ignore_errors=True)
+    data_root = f"{index_dir}/data"
+    for s in targets:
+        if s in pinned:
+            continue
+        for kind_dir in os.listdir(data_root):
+            kd = os.path.join(data_root, kind_dir, f"segment_id={s}")
+            shutil.rmtree(kd, ignore_errors=True)
     return {
         "compacted_segments": len(targets),
         "reclaimed_docs": int(sum(by_seg[s].size for s in by_seg)),
+        "new_segment_ids": {int(s): int(n) for s, n in new_of.items()},
     }
 
 

@@ -95,7 +95,12 @@ class IndexReader:
 
     @cached_property
     def field_stats(self) -> DataFrame:
-        return self._table("field_stats")
+        """Per-segment stats, gated on the manifest's segment list like the
+        data tree: a compaction/merge may stage stats rows for segments it
+        has not committed yet (the manifest write IS the commit), and those
+        rows must not leak into CollectionStatistics."""
+        live = [int(r["segment_id"]) for r in self.manifest_rows]
+        return self._table("field_stats").filter(F.col("segment_id").isin(live))
 
     @cached_property
     def deletes(self) -> DataFrame | None:

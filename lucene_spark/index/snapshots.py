@@ -20,10 +20,10 @@ Reclaim protocol (IndexFileDeleter refcount analog):
 - ``release_snapshot`` drops the pin; ``prune_unreferenced`` then removes
   data partitions referenced by neither the live manifest nor a snapshot
   (the deferred delete IndexFileDeleter runs on commit);
-- ``compact_deletes`` REFUSES to run while snapshots exist: compaction
-  rewrites segment partitions in place (same segment_id), which would
-  mutate the snapshot's view — Lucene never overwrites committed files, so
-  refusing is the conservative analog of the deletion policy's protection.
+- ``compact_deletes`` is snapshot-safe: it rewrites each compacted segment
+  under a NEW segment_id (write-once, like every Lucene merge) and removes
+  the old partitions only when no snapshot pins them — pinned ones are
+  reclaimed by ``prune_unreferenced`` after release.
 
 Everything here is driver-side metadata I/O: snapshot dirs hold three tiny
 parquet tables + one json file; no data bytes are copied, so snapshotting a

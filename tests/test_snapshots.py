@@ -1,6 +1,7 @@
 """Point-in-time snapshots (SnapshotDeletionPolicy / IndexCommit analog):
 a snapshot pins the commit metadata; merges must not reclaim pinned
-segments; compaction refuses while pins exist; release + prune reclaims."""
+segments; compaction rewrites into new segment ids so pins stay intact;
+release + prune reclaims."""
 
 import os
 
@@ -82,11 +83,43 @@ def test_merge_keeps_pinned_segments(spark, idx):
     assert len(_hits(live)) == 10
 
 
-def test_compaction_refuses_with_snapshots(spark, idx):
+def test_compaction_snapshot_safe(spark, idx):
+    """Compaction under a snapshot pin: rewrites into NEW segment ids
+    (write-once — committed partitions are never mutated), the live view
+    loses the victims physically, and the snapshot still reads its exact
+    point-in-time state from the pinned old partitions."""
     from lucene_spark.index.compaction import compact_deletes
+    from lucene_spark.index.deletes import add_deletes_by_url
 
-    with pytest.raises(RuntimeError, match="snapshots"):
-        compact_deletes(spark, idx)
+    s_snap = Searcher(spark, idx, stopwords=STOP, snapshot="pre_append")
+    snap_before = _hits(s_snap)
+    live = Searcher(spark, idx, stopwords=STOP)
+    victims = [
+        r["url"] for r in live.search(Q, k=3, with_url=True).collect()
+    ]
+    assert victims
+    old_live_ids = {int(r["segment_id"]) for r in live.reader.manifest_rows}
+    add_deletes_by_url(
+        spark, idx, spark.createDataFrame([(u,) for u in victims], "url string")
+    )
+    metrics = compact_deletes(spark, idx, force=True)
+    assert metrics["compacted_segments"] >= 1
+    assert metrics["new_segment_ids"]
+    # new ids never collide with anything previously committed or pinned
+    assert set(metrics["new_segment_ids"].values()).isdisjoint(
+        old_live_ids | referenced_segments(idx)
+    )
+    # live view: victims physically gone
+    live2 = Searcher(spark, idx, stopwords=STOP)
+    live_urls = {
+        r["url"] for r in live2.search(Q, k=50, with_url=True).collect()
+    }
+    assert not (live_urls & set(victims))
+    # pinned old partitions survive on disk; snapshot view is unchanged
+    for s in referenced_segments(idx):
+        assert os.path.isdir(f"{idx}/data/kind=0/segment_id={s}")
+    s_snap2 = Searcher(spark, idx, stopwords=STOP, snapshot="pre_append")
+    assert _hits(s_snap2) == snap_before
 
 
 def test_release_and_prune_reclaims(spark, idx):
