@@ -291,6 +291,58 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_term_automaton():
+    """Automaton accepting 'data stream' OR 'stream data' (adjacent, either
+    order) — two accepted paths through shared states, the TermAutomatonQuery
+    shape MultiPhraseQuery can't express."""
+    from .search.query import TermAutomatonBuilder
+
+    b = TermAutomatonBuilder()
+    mid_a, mid_b, end = b.create_state(), b.create_state(), b.create_state()
+    b.add_transition(0, mid_a, "data")
+    b.add_transition(mid_a, end, "stream")
+    b.add_transition(0, mid_b, "stream")
+    b.add_transition(mid_b, end, "data")
+    b.set_accept(end)
+    return b.finish()
+
+
+def _q_term_automaton(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    h = s.search(_ast_term_automaton(), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_term_automaton(t0: str = "data", t1: str = "stream", k: int = 10) -> str:
+    """Spans = UNION (dedup) of both adjacency orders; freq = distinct
+    (start, len) spans per doc; weight = idf(t0)+idf(t1) (distinct terms,
+    path order)."""
+    idf_a = _idf(f"(SELECT df FROM dft WHERE term = '{t0}')")
+    idf_b = _idf(f"(SELECT df FROM dft WHERE term = '{t1}')")
+    return f"""WITH {_BASE_CTES},
+spans AS (
+  SELECT a.doc_id, a.pos AS start, 2 AS len
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = '{t1}'
+  WHERE a.term = '{t0}'
+  UNION
+  SELECT a.doc_id, a.pos AS start, 2 AS len
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = '{t0}'
+  WHERE a.term = '{t1}'
+),
+pf AS (SELECT doc_id, count(*)::BIGINT AS freq FROM spans GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id,
+         (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idf_a} + {idf_b}) AS w FROM stats s) w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ast_interval_ordered():
     from .search.query import IntervalNear
 
@@ -3142,6 +3194,7 @@ def gate_queries() -> dict:
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
+        "term_automaton": _q_term_automaton,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -3247,6 +3300,7 @@ def gate_oracle_sql() -> dict:
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
+        "term_automaton": _sql_term_automaton(),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

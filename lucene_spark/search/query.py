@@ -127,6 +127,80 @@ class PhrasePrefixQuery:
 
 
 @dataclass(frozen=True)
+class TermAutomatonQuery:
+    """Automaton over terms (reference: lucene/sandbox/src/java/org/apache/
+    lucene/sandbox/search/TermAutomatonQuery.java:64-118 — states +
+    term-labeled transitions, accepted paths matched against consecutive
+    token positions; the synonym-graph phrase shape, where alternatives may
+    consume DIFFERENT numbers of positions — beyond MultiPhraseQuery).
+
+    ``paths`` is the enumerated set of accepted term sequences (use
+    TermAutomatonBuilder for the state/transition API; finite automata
+    only, like a determinized graph token stream). A doc matches where any
+    path's terms appear at consecutive positions; freq = number of distinct
+    (start, length) match spans; scored like a phrase whose weight sums the
+    idf of the automaton's distinct terms (TermAutomatonQuery createWeight
+    gathers TermStates for every term id)."""
+
+    paths: tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if any(len(p) == 0 for p in self.paths):
+            raise ValueError("empty path in TermAutomatonQuery")
+
+    @property
+    def distinct_terms(self) -> tuple[str, ...]:
+        return tuple(dict.fromkeys(t for p in self.paths for t in p))
+
+
+class TermAutomatonBuilder:
+    """State/transition builder mirroring TermAutomatonQuery's public API
+    (createState/addTransition/setAccept/finish,
+    sandbox/search/TermAutomatonQuery.java:88-118). ``finish`` enumerates
+    the accepted paths from state 0 (the automaton must be acyclic — the
+    determinized-graph-token-stream case) into a TermAutomatonQuery."""
+
+    def __init__(self):
+        self._n = 1  # state 0 = initial
+        self._edges: dict[int, list[tuple[int, str]]] = {}
+        self._accept: set[int] = set()
+
+    def create_state(self) -> int:
+        self._n += 1
+        return self._n - 1
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if not (0 <= src < self._n and 0 <= dst < self._n):
+            raise ValueError("unknown state")
+        self._edges.setdefault(src, []).append((dst, term))
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        if accept:
+            self._accept.add(state)
+        else:
+            self._accept.discard(state)
+
+    def finish(self, max_paths: int = 256, boost: float = 1.0) -> TermAutomatonQuery:
+        paths: list[tuple[str, ...]] = []
+
+        def walk(state: int, prefix: tuple[str, ...], seen: frozenset[int]):
+            if len(paths) >= max_paths:
+                raise ValueError(f"more than {max_paths} accepted paths")
+            if state in self._accept and prefix:
+                paths.append(prefix)
+            for dst, term in self._edges.get(state, ()):  # insertion order
+                if dst in seen:
+                    raise ValueError("cyclic automaton not supported")
+                walk(dst, prefix + (term,), seen | {dst})
+
+        walk(0, (), frozenset({0}))
+        return TermAutomatonQuery(
+            paths=tuple(dict.fromkeys(paths)), boost=boost
+        )
+
+
+@dataclass(frozen=True)
 class PayloadScoreQuery:
     """Score docs by the per-position payload ints stored at the term's
     matched positions (reference: queries/src/java/org/apache/lucene/queries/
@@ -917,6 +991,8 @@ def _rewrite_once(q):
         return MatchNoDocsQuery()
     if isinstance(q, IntervalFilter) and not q.source.terms:
         return MatchNoDocsQuery()
+    if isinstance(q, TermAutomatonQuery) and not q.paths:
+        return MatchNoDocsQuery()
     if isinstance(q, SynonymQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)  # SynonymQuery.rewrite
     if isinstance(q, TermInSetQuery):
@@ -963,6 +1039,8 @@ def collect_terms(q) -> set[str]:
         return {feature_term(q.feature)}
     if isinstance(q, PayloadScoreQuery):
         return {q.term}
+    if isinstance(q, TermAutomatonQuery):
+        return set(q.distinct_terms)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):

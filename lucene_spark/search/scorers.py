@@ -47,6 +47,7 @@ from .query import (
     PayloadScoreQuery,
     PhraseQuery,
     SynonymQuery,
+    TermAutomatonQuery,
     TermInSetQuery,
     TermQuery,
     ToChildBlockJoinQuery,
@@ -266,6 +267,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             IntervalNear,
             IntervalFilter,
             PayloadScoreQuery,
+            TermAutomatonQuery,
         ),
     ):
         out.add(q)
@@ -377,6 +379,20 @@ def build_scorers(
                 st,
                 boost=leaf.boost,
                 per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in leaf.terms],
+            )
+        elif isinstance(leaf, TermAutomatonQuery):
+            # idf summed over the automaton's DISTINCT terms (createWeight
+            # gathers one TermStates per term id — each term contributes
+            # once regardless of how many transitions carry it)
+            terms = list(leaf.distinct_terms)
+            dc, st = stats_for(terms[0]) if terms else (doc_count, sum_ttf)
+            scorers[leaf] = make_phrase_scorer(
+                mode,
+                [tstats.get(t, (0, 0))[0] for t in terms],
+                dc,
+                st,
+                boost=leaf.boost,
+                per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in terms],
             )
         elif isinstance(leaf, MultiPhraseQuery):
             # idf summed over every involved term, slot-major order

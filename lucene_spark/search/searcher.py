@@ -88,7 +88,12 @@ __all__ = ["Searcher", "wildcard_to_regex"]
 
 
 def _needs_positions(q) -> bool:
-    from .query import IntervalFilter, IntervalNear, MultiPhraseQuery
+    from .query import (
+        IntervalFilter,
+        IntervalNear,
+        MultiPhraseQuery,
+        TermAutomatonQuery,
+    )
 
     return any(
         isinstance(
@@ -99,6 +104,7 @@ def _needs_positions(q) -> bool:
                 PhrasePrefixQuery,
                 IntervalNear,
                 IntervalFilter,
+                TermAutomatonQuery,
             ),
         )
         for leaf in scoring_leaves(q)

@@ -52,6 +52,7 @@ from .query import (
     PayloadScoreQuery,
     PhraseQuery,
     SynonymQuery,
+    TermAutomatonQuery,
     TermInSetQuery,
     TermQuery,
 )
@@ -565,6 +566,9 @@ class _SegmentSearcher:
         if isinstance(q, PayloadScoreQuery):
             tp = self.term_postings(q.term)
             return tp.decode_all()[0] if tp else _EMPTY
+        if isinstance(q, TermAutomatonQuery):
+            d, _f, _n, _ok = self._automaton_match(q)
+            return d
         if isinstance(q, IntervalNear):
             return self._interval_match(q)[0]
         if isinstance(q, IntervalFilter):
@@ -673,6 +677,13 @@ class _SegmentSearcher:
             return self._evaluate_feature(q)
         if isinstance(q, PayloadScoreQuery):
             return self._evaluate_payload(q)
+        if isinstance(q, TermAutomatonQuery):
+            sc = self.ctx.scorers[q]
+            dtype = _float_dtype(sc)
+            d, f, m, ok = self._automaton_match(q)
+            if not ok or d.size == 0:
+                return _EMPTY, np.zeros(0, dtype=dtype)
+            return d, sc.score(f, m).astype(dtype)
         if isinstance(q, TermInSetQuery):
             # constant-score: TermInSetQuery rewrites to a filter over the
             # doc set, every match scores boost (TermInSetQuery.java:66)
@@ -1135,6 +1146,68 @@ class _SegmentSearcher:
             d0, _f0, m0 = tp.decode_all()
             dparts.append(d0)
             mparts.append(m0)
+        alld = np.concatenate(dparts)
+        allm = np.concatenate(mparts)
+        uniq, first_idx = np.unique(alld, return_index=True)
+        norms = allm[first_idx][np.searchsorted(uniq, docs)]
+        return docs, freqs, norms, True
+
+    def _automaton_match(self, q: TermAutomatonQuery):
+        """TermAutomatonScorer semantics (sandbox/search/
+        TermAutomatonQuery.java:64 + its scorer): each accepted path is an
+        exact-adjacency run over (doc<<32|pos) keys (the ExactPhraseMatcher
+        currency shared with _phrase_match); freq = distinct (start, length)
+        spans per doc, deduped so a synonym-stacked index counting two paths
+        over the same span counts it once. Returns (docids, freqs, norms,
+        ok)."""
+        span_keys, span_lens = [], []
+        any_tp = None
+        for path in q.paths:
+            tps = [self.term_postings(t) for t in path]
+            if any(tp is None for tp in tps):
+                continue
+            any_tp = any_tp or tps[0]
+            cand = tps[0].decode_all()[0]
+            for tp in tps[1:]:
+                if cand.size == 0:
+                    break
+                idxs = tp.blocks_overlapping(cand)
+                d = tp.decode_blocks(idxs)[0]
+                cand = cand[np.isin(cand, d)]
+            if cand.size == 0:
+                continue
+            starts = self._term_pos_keys(tps[0], cand)
+            for off in range(1, len(tps)):
+                if starts.size == 0:
+                    break
+                keys = self._term_pos_keys(tps[off], cand)
+                if keys.size == 0:
+                    starts = _EMPTY
+                    break
+                want = starts + off
+                idx = np.searchsorted(keys, want)
+                idx_c = np.minimum(idx, keys.size - 1)
+                starts = starts[keys[idx_c] == want]
+            if starts.size:
+                span_keys.append(starts)
+                span_lens.append(
+                    np.full(starts.size, len(path), dtype=np.int64)
+                )
+        if not span_keys:
+            return _EMPTY, _EMPTY, _EMPTY, False
+        spans = np.stack(
+            (np.concatenate(span_keys), np.concatenate(span_lens)), axis=1
+        )
+        spans = np.unique(spans, axis=0)
+        docs, freqs = np.unique(spans[:, 0] >> np.int64(32), return_counts=True)
+        # norm per doc from any involved term's postings that holds it
+        dparts, mparts = [], []
+        for t in q.distinct_terms:
+            tp = self.term_postings(t)
+            if tp is not None:
+                d0, _f0, m0 = tp.decode_all()
+                dparts.append(d0)
+                mparts.append(m0)
         alld = np.concatenate(dparts)
         allm = np.concatenate(mparts)
         uniq, first_idx = np.unique(alld, return_index=True)
