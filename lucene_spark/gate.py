@@ -1853,6 +1853,38 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks GROUP BY doc_id"""
 
 
+def _q_length_percentiles(spark, sf_dir):
+    return _ts.length_percentiles(_docs(spark, sf_dir))
+
+
+_SQL_LENGTH_PCT = f"""WITH {_BASE_CTES}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       round(avg(dl), 4) AS mean_len,
+       round(quantile_cont(dl, 0.25), 4) AS p25,
+       round(quantile_cont(dl, 0.5), 4) AS p50,
+       round(quantile_cont(dl, 0.75), 4) AS p75
+FROM dl"""
+
+
+def _q_lm_quality(spark, sf_dir, k: int = 10):
+    """Bottom-k mean unigram logprob: the LM-gibberish filter's victims."""
+    lp = _ts.lm_doc_logprob(_docs(spark, sf_dir))
+    low = lp.orderBy(F.asc("lp"), F.asc("doc_id")).limit(k)
+    return low.select("doc_id", F.round("lp", 4).alias("lp"))
+
+
+_SQL_LM_QUALITY = f"""WITH {_BASE_CTES},
+mod AS (SELECT term, count(*)::BIGINT AS ttf FROM toks GROUP BY term),
+tot AS (SELECT sum(ttf)::DOUBLE AS total FROM mod),
+lp AS (
+  SELECT t.doc_id, sum(ln(m.ttf::DOUBLE / tot.total)) / count(*) AS lp
+  FROM toks t JOIN mod m USING (term), tot GROUP BY t.doc_id
+)
+SELECT doc_id, round(lp, 4) AS lp FROM (
+  SELECT * FROM lp ORDER BY lp ASC, doc_id ASC LIMIT 10
+)"""
+
+
 def _q_bpe_tokens(spark, sf_dir):
     return _ts.bpe_token_counts(_docs(spark, sf_dir))
 
@@ -3182,6 +3214,8 @@ def gate_queries() -> dict:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "length_percentiles": _q_length_percentiles,
+        "lm_doc_quality": _q_lm_quality,
         "bpe_token_counts": _q_bpe_tokens,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -3288,6 +3322,8 @@ def gate_oracle_sql() -> dict:
         "simhash": _SQL_SIMHASH,
         "lang_id": _SQL_LANG_ID,
         "quality_scores": _SQL_QUALITY,
+        "length_percentiles": _SQL_LENGTH_PCT,
+        "lm_doc_quality": _SQL_LM_QUALITY,
         "bpe_token_counts": _sql_bpe_tokens(),
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _sql_pii_scrub(),

@@ -16,6 +16,8 @@ __all__ = [
     "doc_fingerprints",
     "bpe_token_counts",
     "repetition_stats",
+    "length_percentiles",
+    "lm_doc_logprob",
 ]
 
 
@@ -149,6 +151,51 @@ def doc_fingerprints(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> Dat
     sh = shingles(docs, n=n, id_col=id_col)
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     return sh.groupBy(id_col).agg(F.min(h).alias("fingerprint"))
+
+
+def length_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus length distribution: doc count, mean token count,
+    and exact p25/p50/p75 of the per-doc token counts (linear-interpolated
+    percentiles — Spark's exact ``percentile``, matching SQL
+    ``quantile_cont``). The curation dashboard row behind sequence-length
+    budgeting. Token counting is map-only (filtered split array size, no
+    explode); the aggregate is one single-row reduction — at 100 TB this is
+    a scan plus a scalar combine, no shuffle of the token stream."""
+    from .dedup import _token_array
+
+    dl = F.size(_token_array(text_col)).cast("long")
+    d = docs.select(dl.alias("dl"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 4).alias("mean_len"),
+        F.round(F.percentile("dl", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("dl", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("dl", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def lm_doc_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lp): mean unigram log-probability of the doc's tokens under the
+    corpus's own unigram model — the cheap LM-quality score (docs of
+    unusually low mean logprob are gibberish/rare-token spam; the
+    KenLM-perplexity-filter baseline with a unigram model).
+
+    lp(doc) = Σ_tokens ln(ttf(term) / total_tokens) / n_tokens(doc).
+
+    Shape: one groupBy(term) builds the model, one join token-stream ⋈
+    model, one groupBy(doc). At 100 TB the model table is precomputed once
+    per corpus snapshot and the join key (term) is Zipf-skewed — broadcast
+    the model's hot head (or let AQE skew-split); here the whole model is a
+    regular shuffle join at test scale."""
+    t = tokens(docs, id_col=id_col)
+    model = t.groupBy("term").agg(F.count("*").alias("ttf"))
+    total = float(model.agg(F.sum("ttf")).collect()[0][0] or 1)
+    lp_tok = F.log(F.col("ttf").cast("double") / F.lit(total))
+    return (
+        t.join(model, "term")
+        .groupBy(id_col)
+        .agg((F.sum(lp_tok) / F.count("*")).alias("lp"))
+    )
 
 
 def source_stats(
