@@ -1129,6 +1129,35 @@ ms AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ms", k)
 
 
+def _sql_wildcard_phrase(pattern_like: str, t1: str, k: int = 10) -> str:
+    """``"s* window"`` — wildcard in the FIRST slot (PhraseWildcardQuery):
+    slot0 = every dict term matching the pattern (engine cap 128 can't bite
+    at gate vocabulary size), slot1 literal; weight = Σ idf over [expansion
+    ASC, t1] in the engine's slot-major accumulation order."""
+    return f"""WITH {_BASE_CTES},
+exp AS (SELECT term, df FROM dft WHERE term LIKE '{pattern_like}'),
+wsum AS (
+  SELECT ((SELECT sum({_idf("e.df")} ORDER BY e.term ASC)
+           FROM exp e, stats s)
+          + {_idf(f"(SELECT df FROM dft WHERE term = '{t1}')")}) AS w
+  FROM stats s
+),
+mp AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS freq
+  FROM toks a
+  JOIN exp e ON a.term = e.term
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.term = '{t1}'
+  GROUP BY a.doc_id
+),
+ms AS (
+  SELECT mp.doc_id,
+         (w.w - w.w / {_tf_part("mp.freq", "qdl.qdl")}) AS score
+  FROM mp JOIN qdl USING (doc_id), stats s, wsum w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ms", k)
+
+
 def _q_lm_dirichlet(spark, sf_dir, k: int = 10):
     """LM Dirichlet similarity (similarities/LMDirichletSimilarity.java):
     the pluggable-Similarity gate row — same index, different SimScorer."""
@@ -3229,6 +3258,7 @@ def gate_queries() -> dict:
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
         "term_automaton": _q_term_automaton,
+        "bm25_wildcard_phrase": _mk_topk('"s* window"'),
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
@@ -3337,6 +3367,7 @@ def gate_oracle_sql() -> dict:
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
         "term_automaton": _sql_term_automaton(),
+        "bm25_wildcard_phrase": _sql_wildcard_phrase("s%", "window"),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,

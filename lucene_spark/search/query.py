@@ -221,6 +221,21 @@ class PayloadScoreQuery:
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery:
+    """Exact phrase with a wildcard pattern at ANY slot (reference:
+    search/PhraseWildcardQuery.java:66 — multiple wildcards supported,
+    ComplexPhraseQueryParser's ``"s* window"`` / ``"da?a stream"`` forms).
+    A slot containing unescaped ``*``/``?`` expands against the term dict;
+    rewrites to a MultiPhraseQuery when every slot's expansion fits
+    (PhraseWildcardQuery.java:155-163), so scoring sums idf over all
+    involved terms slot-major like MultiPhraseQuery."""
+
+    slots: tuple[str, ...]  # literal term or wildcard pattern per slot
+    max_expansions: int = 128
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     prefix: str
     boost: float = 1.0
@@ -751,18 +766,46 @@ def _make_leaf(kind: str, val, analyzer, fmap=None) -> object:
         raw = text.rstrip()
         if slop == 0 and raw.endswith("*") and not raw.endswith("\\*"):
             head = raw[:-1]
-            toks = analyzer(_unescape(head))
-            if toks and head and not head[-1].isspace():
-                fixed, last = toks[:-1], toks[-1]
-                if fixed:
+            naked_head = _UNESCAPE_RE.sub("", head)
+            if "*" not in naked_head and "?" not in naked_head:
+                toks = analyzer(_unescape(head))
+                if toks and head and not head[-1].isspace():
+                    fixed, last = toks[:-1], toks[-1]
+                    if fixed:
+                        return boosted(
+                            PhrasePrefixQuery(
+                                tuple(key(None, t.term) for t in fixed),
+                                prefix=key(None, last.term),
+                            ),
+                            boost,
+                        )
+                    return boosted(PrefixQuery(key(None, last.term)), boost)
+        # general wildcard-in-phrase (ComplexPhraseQueryParser /
+        # PhraseWildcardQuery): any raw whitespace token carrying an
+        # UNESCAPED * or ? becomes a wildcard slot; literal tokens must
+        # analyze 1:1 (else fall through to the plain-phrase path)
+        if slop == 0:
+            raw_toks = raw.split()
+            if any(
+                "*" in _UNESCAPE_RE.sub("", rt) or "?" in _UNESCAPE_RE.sub("", rt)
+                for rt in raw_toks
+            ) and len(raw_toks) >= 2:
+                slots: list[str] = []
+                ok = True
+                for rt in raw_toks:
+                    naked = _UNESCAPE_RE.sub("", rt)
+                    if "*" in naked or "?" in naked:
+                        slots.append(key(None, _unescape_keep_wild(rt).lower()))
+                    else:
+                        ts = analyzer(_unescape(rt))
+                        if len(ts) != 1:
+                            ok = False
+                            break
+                        slots.append(key(None, ts[0].term))
+                if ok:
                     return boosted(
-                        PhrasePrefixQuery(
-                            tuple(key(None, t.term) for t in fixed),
-                            prefix=key(None, last.term),
-                        ),
-                        boost,
+                        PhraseWildcardQuery(slots=tuple(slots)), boost
                     )
-                return boosted(PrefixQuery(key(None, last.term)), boost)
         toks = analyzer(_unescape(text))
         if not toks:
             return MatchNoDocsQuery()
@@ -1024,6 +1067,8 @@ def collect_terms(q) -> set[str]:
     if isinstance(q, PhrasePrefixQuery):
         # pre-expansion view: only the fixed slots are concrete
         return set(q.terms)
+    if isinstance(q, PhraseWildcardQuery):
+        return {s for s in q.slots if "*" not in s and "?" not in s}
     if isinstance(q, IntervalNear):
         return {t for s in q.slots for leaf in s for t in leaf}
     if isinstance(q, IntervalFilter):

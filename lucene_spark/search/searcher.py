@@ -62,6 +62,7 @@ from .query import (
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     PhrasePrefixQuery,
+    PhraseWildcardQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -335,6 +336,7 @@ class Searcher:
                 TermRangeQuery,
                 FuzzyQuery,
                 PhrasePrefixQuery,
+                PhraseWildcardQuery,
             ),
         ):
             # memoize per (node, cap): expansion is a term_dict collect (a
@@ -439,6 +441,26 @@ class Searcher:
                 return MatchNoDocsQuery()
             slots = tuple((t,) for t in q.terms) + (tuple(sorted(terms)),)
             return MultiPhraseQuery(slots=slots, boost=q.boost)
+        if isinstance(q, PhraseWildcardQuery):
+            # wildcard at ANY slot → per-slot dict expansion, then the
+            # MultiPhraseQuery rewrite (PhraseWildcardQuery.java:155-163)
+            from .query import MultiPhraseQuery
+
+            slots: list[tuple[str, ...]] = []
+            for s in q.slots:
+                if "*" in s or "?" in s:
+                    lit, rx = wildcard_to_regex(s)
+                    terms = self.reader.expand_terms(
+                        prefix=lit or None,
+                        pattern=rx,
+                        max_terms=min(max_terms, q.max_expansions),
+                    )
+                    if not terms:
+                        return MatchNoDocsQuery()
+                    slots.append(tuple(sorted(terms)))
+                else:
+                    slots.append((s,))
+            return MultiPhraseQuery(slots=tuple(slots), boost=q.boost)
         return self._expand_fuzzy(q, max_terms)  # FuzzyQuery (only leaf left)
 
     def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
