@@ -230,6 +230,29 @@ def _invert_segment(
     else:
         per_field = [(name, pdf[col].fillna("").tolist()) for name, col in fields]
 
+    if (
+        index_sort is not None
+        and index_sort.startswith("dv:")
+        and n_docs > 1
+    ):
+        # index sort by a numeric doc-value (setIndexSort with
+        # SortField(name, Type.DOUBLE)): docids assigned by (value DESC,
+        # url ASC), missing values last — same order search_sorted_by
+        # produces, so sorted top-k early-terminates per segment
+        dv_name = index_sort.split(":", 1)[1]
+        dv_col = dict(doc_values or [])[dv_name]
+        vals = pd.to_numeric(pdf[dv_col], errors="coerce").to_numpy(np.float64)
+        vals = np.where(np.isnan(vals), -np.inf, vals)
+        perm = np.lexsort((np.arange(n_docs), -vals))
+        pdf = pdf.iloc[perm].reset_index(drop=True)
+        if fields is None:
+            texts = [texts[i] for i in perm]
+            per_field = [(None, texts)]
+        else:
+            per_field = [
+                (name, pdf[col].fillna("").tolist()) for name, col in fields
+            ]
+
     if index_sort == "doc_len" and n_docs > 1:
         # index sort (IndexWriterConfig.setIndexSort / index/Sorter.java):
         # pre-pass the PRIMARY field through the same analysis chain as the
@@ -835,7 +858,12 @@ def build_index(
         for a in field_analyzers.values():
             get_analyzer(a)  # fail fast on a bad name
     if index_sort is not None:
-        if index_sort != "doc_len":
+        if index_sort.startswith("dv:"):
+            if not doc_values or index_sort[3:] not in doc_values:
+                raise ValueError(
+                    f"index_sort {index_sort!r} needs doc_values[{index_sort[3:]!r}]"
+                )
+        elif index_sort != "doc_len":
             raise ValueError(f"unsupported index_sort {index_sort!r}")
         if block_key is not None:
             raise ValueError("index_sort and block_key are mutually exclusive")

@@ -825,6 +825,7 @@ class Searcher:
         SortField(name, Type.DOUBLE) analog); docs missing the value sort
         after every present value in either direction (nulls-last, Lucene's
         missing-value default). Output column is ``dv_<name>``."""
+        requested = sort_col
         if sort_col.startswith("dv:"):
             dv_name = sort_col.split(":", 1)[1]
             out_name = f"dv_{dv_name}"
@@ -843,7 +844,7 @@ class Searcher:
             hits = (
                 hits.join(dm_a, "docid").filter(strictly | tie).select("docid")
             )
-        if self.index_sort == sort_col and not ascending and after is None:
+        if self.index_sort == requested and not ascending and after is None:
             from pyspark.sql.window import Window as _W
 
             seg_df = self.spark.createDataFrame(
@@ -861,10 +862,10 @@ class Searcher:
                 _W.partitionBy("segment_id").orderBy(F.asc("docid"))
             )
             top = h.withColumn("_rn", rn).filter(F.col("_rn") <= k)
-            dm = self._docmap_global().select("docid", sort_col, "url")
+            dm = self._docmap_global().select("docid", sort_expr, "url")
             out = top.join(dm, "docid")
             return (
-                out.orderBy(F.desc(sort_col), F.asc("url"))
+                out.orderBy(F.desc_nulls_last(sort_col), F.asc("url"))
                 .limit(k)
                 .select("docid", sort_col)
             )

@@ -98,6 +98,58 @@ def test_meta_records_doc_values(index_dir):
     assert meta["doc_values"] == ["rank"]
 
 
+def test_index_sorted_by_docvalue_early_terminates(spark, corpus, index_dir, tmp_path):
+    """index_sort='dv:rank' (setIndexSort with a numeric SortField): docid
+    order within each segment IS (rank DESC, url ASC), and sorted top-k
+    through the early-termination path matches the exhaustive path of an
+    UNSORTED index over the same docs."""
+    d = str(tmp_path / "dvsorted")
+    rows = [
+        (r["url"], r["text"], None if i % 7 == 0 else float((i * 13) % 101))
+        for i, r in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, rank double")
+    build_index(
+        spark, df, d, num_segments=3, analyzer="simple",
+        doc_values={"rank": "rank"}, index_sort="dv:rank",
+    )
+    s = Searcher(spark, d, analyzer="simple", mode="double")
+    assert s.index_sort == "dv:rank"
+    # docid order == value order within each segment
+    dm = s.reader.docmap.orderBy("segment_id", "docid").collect()
+    by_seg: dict = {}
+    for r in dm:
+        by_seg.setdefault(r["segment_id"], []).append(
+            (r["dv"] or {}).get("rank")
+        )
+    for seg, vals in by_seg.items():
+        present = [v for v in vals if v is not None]
+        assert present == sorted(present, reverse=True), f"segment {seg}"
+        # missing values trail
+        first_none = next((i for i, v in enumerate(vals) if v is None), len(vals))
+        assert all(v is None for v in vals[first_none:])
+    got = s.search_sorted_by("w0001", sort_col="dv:rank", k=10).collect()
+    # reference: the UNSORTED module-fixture index over the same docs takes
+    # the exhaustive path — values must agree
+    ref = (
+        Searcher(spark, index_dir, analyzer="simple", mode="double")
+        .search_sorted_by("w0001", sort_col="dv:rank", k=10)
+        .collect()
+    )
+    assert [r["dv_rank"] for r in got] == [r["dv_rank"] for r in ref]
+
+
+def test_index_sort_dv_requires_doc_value(spark, corpus, tmp_path):
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus[:20]], "url string, text string"
+    )
+    with pytest.raises(ValueError, match="needs doc_values"):
+        build_index(
+            spark, df, str(tmp_path / "bad2"), num_segments=1,
+            analyzer="simple", index_sort="dv:rank",
+        )
+
+
 def test_index_without_dv_reads_null(spark, corpus, tmp_path):
     d = str(tmp_path / "plain")
     df = spark.createDataFrame(
