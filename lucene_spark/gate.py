@@ -2631,6 +2631,33 @@ def _ensure_payload_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _q_function_score_dv(spark, sf_dir, k: int = 10):
+    """FunctionScoreQuery over a stored numeric doc-value: BM25 boosted by
+    the 'prio' doc-value (DoubleValuesSource.fromField analog — the static-
+    rank boost pattern)."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.function_score(
+        "stream", "score * (1.0 + dv['prio'] / 211.0)", k=k
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
+    inner = f"""SELECT s_a.doc_id,
+  (s_a.score * (1.0 + (((s_a.doc_id * 37) % 211)::DOUBLE / 211.0))) AS score
+  FROM s_a"""
+    return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(
+        inner, k
+    )
+
+
 def _q_sort_by_docvalue(spark, sf_dir, k: int = 20):
     """Top-k matches of 'stream' ordered by the stored numeric doc-value
     (SortField(name, Type.DOUBLE) over NumericDocValues)."""
@@ -3257,6 +3284,7 @@ def gate_queries() -> dict:
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
+        "function_score_dv": _q_function_score_dv,
         "term_automaton": _q_term_automaton,
         "bm25_wildcard_phrase": _mk_topk('"s* window"'),
         "events_hourly": _q_events_hourly,
@@ -3366,6 +3394,7 @@ def gate_oracle_sql() -> dict:
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
+        "function_score_dv": _sql_function_score_dv(),
         "term_automaton": _sql_term_automaton(),
         "bm25_wildcard_phrase": _sql_wildcard_phrase("s%", "window"),
         "events_hourly": _SQL_EVENTS_HOURLY,
