@@ -338,6 +338,39 @@ def main() -> None:
     high = best_suite(high_cores, tiebreak=True) if high_cores != CPUS else full
     low = best_suite(low_cores, tiebreak=True)
     ratio = high_cores / low_cores
+
+    def merge_run(best: dict, r: dict) -> dict:
+        out = dict(best)
+        out["timings"] = {
+            k: min(best["timings"][k], r["timings"][k]) for k in best["timings"]
+        }
+        out["docs_per_sec"] = max(best["docs_per_sec"], r["docs_per_sec"])
+        out["qps"] = max(best["qps"], r["qps"])
+        out["total_secs"] = sum(out["timings"].values())
+        out["all_runs"] = best["all_runs"] + [
+            {"docs_per_sec": round(r["docs_per_sec"], 1), "qps": round(r["qps"], 2)}
+        ]
+        return out
+
+    def _eff(key: str) -> float:
+        return (high[key] / low[key]) / ratio
+
+    # borderline-verdict re-measurement: the ~2x one-sided VM noise (it only
+    # ever SLOWS a run) can leave an efficiency just either side of the 0.8
+    # bar even when both per-leg spreads are under the 25% tiebreak trigger
+    # (observed: back-to-back full benches measuring build 0.836/0.683 and
+    # qps 0.77/0.948 from leg noise alone). When a verdict lands in the
+    # ambiguous band, add one more sample to BOTH legs — extra samples move
+    # both bests toward the uncontended capability, so the ratio converges
+    # on the true ratio regardless of which leg was slowed.
+    extra_rounds = 0
+    while extra_rounds < 2 and any(
+        0.7 <= _eff(k) < 0.9 for k in ("docs_per_sec", "qps")
+    ):
+        low = merge_run(low, _run_suite_subprocess(low_cores, corpus))
+        high = merge_run(high, _run_suite_subprocess(high_cores, corpus))
+        extra_rounds += 1
+
     scaling = {
         "n_cores": low_cores,
         "4n_cores": high_cores,
@@ -350,6 +383,7 @@ def main() -> None:
         "qps_4n": round(high["qps"], 2),
         "qps_efficiency": round((high["qps"] / low["qps"]) / ratio, 3),
         "best_of": BEST_OF,
+        "borderline_extra_rounds": extra_rounds,
         "runs_n": low["all_runs"],
         "runs_4n": high["all_runs"],
         # full-parallelism point, for the saturation picture (see BENCH.md)
