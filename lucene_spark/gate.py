@@ -2514,6 +2514,23 @@ def _q_simsearch_hnsw(spark, sf_dir):
     )
 
 
+def _q_simsearch_hnsw_persisted(spark, sf_dir):
+    """Write-time HNSW graphs (Lucene99HnswVectorsFormat analog: graph
+    written at flush, search-only at query time). Graph cached like the
+    purpose-built indexes; ef generous ⇒ exact recall, oracle = exact
+    cosine top-k."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswgraph"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    return _hnsw.hnsw_topk_persisted(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128
+    )
+
+
 def _q_simsearch_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
@@ -3281,6 +3298,7 @@ def gate_queries() -> dict:
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
         "simsearch_hnsw": _q_simsearch_hnsw,
+        "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
@@ -3391,6 +3409,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
+        "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),

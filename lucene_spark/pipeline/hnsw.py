@@ -37,7 +37,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["hnsw_topk", "hnsw_recall_at_k", "build_leaf_graph", "search_leaf_graph"]
+__all__ = [
+    "hnsw_topk",
+    "hnsw_recall_at_k",
+    "build_leaf_graph",
+    "search_leaf_graph",
+    "hnsw_write",
+    "hnsw_topk_persisted",
+    "GRAPH_SCHEMA",
+]
 
 # level multiplier 1/ln(M) as in HnswGraphBuilder.java:118 (ml = 1/ln(M))
 _SPLITMIX_C1 = 0x9E3779B97F4A7C15
@@ -330,3 +338,155 @@ def hnsw_recall_at_k(
     exact = {r[0] for r in cosine_topk(emb, qvec, k=k).collect()}
     approx = {r[0] for r in hnsw_topk(emb, qvec, k=k, **kwargs).collect()}
     return len(exact & approx) / float(k)
+
+
+# --- persisted graphs (write-time build, the Lucene99HnswVectorsFormat
+# analog: graphs are codec files written at flush, not rebuilt per query) --
+
+GRAPH_SCHEMA = "leaf int, node long, lvl int, nbrs array<long>"
+
+
+def _leaf_col(id_col: str, n_leaves: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_leaves)).cast("int")
+
+
+def hnsw_write(
+    emb: DataFrame,
+    path: str,
+    n_leaves: int = 1,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build per-leaf HNSW graphs ONCE and persist them as parquet rows
+    (leaf, node, lvl, nbrs) partitioned by leaf — the write-time codec path
+    (Lucene99HnswVectorsFormat writes the graph at segment flush). Every
+    (node, lvl ≤ node's level) pair gets a row (possibly empty nbrs), so a
+    reader recovers layer membership and the entry point (min node id on
+    the top layer — the build rule's deterministic entry). Returns the
+    meta dict, also written to ``<path>/meta.json``."""
+    import json
+    import os
+
+    def build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        leaf = int(pdf["_leaf"].iloc[0])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        _entry, levels, layers = build_leaf_graph(
+            ids, vecs, m=m, ef_construction=ef_construction
+        )
+        out_leaf, out_node, out_lvl, out_nbrs = [], [], [], []
+        for lvl in range(len(layers)):
+            members = np.flatnonzero(levels >= lvl)
+            layer = layers[lvl]
+            for idx in members:
+                out_leaf.append(leaf)
+                out_node.append(int(ids[idx]))
+                out_lvl.append(lvl)
+                out_nbrs.append([int(ids[j]) for j in layer.get(int(idx), ())])
+        return pd.DataFrame(
+            {"leaf": out_leaf, "node": out_node, "lvl": out_lvl, "nbrs": out_nbrs}
+        )
+
+    keyed = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _leaf_col(id_col, n_leaves).alias("_leaf"),
+    )
+    rows = keyed.groupBy("_leaf").applyInPandas(build_rows, GRAPH_SCHEMA)
+    rows.write.mode("overwrite").partitionBy("leaf").parquet(f"{path}/graph")
+    meta = {
+        "n_leaves": int(n_leaves),
+        "m": int(m),
+        "ef_construction": int(ef_construction),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def hnsw_topk_persisted(
+    spark,
+    emb: DataFrame,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    ef_search: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted graph: vectors and graph rows cogroup per leaf
+    (one task per leaf holds its vectors + its graph — no build cost at
+    query time), beam-search, global (cos DESC, id ASC) merge. At 10^12
+    rows the leaf is the table's partition key, so each query task reads
+    one graph partition and one vector partition."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_leaves = int(meta["n_leaves"])
+    q = np.asarray([float(v) for v in qvec], dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def leaf_search(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"_id": [], "cos": []}).astype(
+                {"_id": "int64", "cos": "float64"}
+            )
+        ids = left["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in left["_vec"]])
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        max_lvl = int(right["lvl"].max())
+        layers: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
+        levels = np.zeros(ids.size, dtype=np.int64)
+        top_nodes = []
+        for node, lvl, nbrs in zip(right["node"], right["lvl"], right["nbrs"]):
+            i = idx_of[int(node)]
+            lvl = int(lvl)
+            levels[i] = max(levels[i], lvl)
+            if len(nbrs):
+                layers[lvl][i] = [idx_of[int(x)] for x in nbrs]
+            if lvl == max_lvl:
+                top_nodes.append(i)
+        entry = min(top_nodes, key=lambda i: int(ids[i]))
+        hits = search_leaf_graph(
+            entry, levels, layers, ids, vecs, q, k, ef_search
+        )
+        rows = []
+        qq = float(np.dot(q, q))
+        for _, idx in hits:
+            v = vecs[idx]
+            cos = float(np.dot(v, q)) / (
+                np.sqrt(float(np.dot(v, v))) * np.sqrt(qq)
+            )
+            rows.append((int(ids[idx]), cos))
+        return pd.DataFrame(rows, columns=["_id", "cos"])
+
+    graph = spark.read.parquet(f"{path}/graph").select(
+        F.col("leaf").cast("int").alias("leaf"), "node", "lvl", "nbrs"
+    )
+    keyed = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _leaf_col(id_col, n_leaves).alias("_leaf"),
+    )
+    per_leaf = (
+        keyed.groupBy("_leaf")
+        .cogroup(graph.groupBy("leaf"))
+        .applyInPandas(leaf_search, out_schema)
+    )
+    top = per_leaf.orderBy(F.desc("cos"), F.asc("_id")).limit(k)
+    return top.select(
+        F.col("_id").alias(id_col), F.round("cos", 4).alias("cos")
+    )

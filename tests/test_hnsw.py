@@ -104,6 +104,46 @@ def test_topk_matches_exact_rows(emb, qvec):
     assert a == b
 
 
+def test_persisted_graph_roundtrip(spark, emb, qvec, tmp_path):
+    """hnsw_write → hnsw_topk_persisted == in-memory hnsw_topk == exact
+    (Lucene99HnswVectorsFormat: graph written at flush, search-only later)."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    path = str(tmp_path / "g")
+    meta = hnsw.hnsw_write(emb, path, n_leaves=3, m=16)
+    assert meta["n_leaves"] == 3
+    a = [
+        tuple(r)
+        for r in hnsw.hnsw_topk_persisted(
+            spark, emb, path, qvec, k=10, ef_search=128
+        ).collect()
+    ]
+    b = [tuple(r) for r in cosine_topk(emb, qvec, k=10).collect()]
+    c = [
+        tuple(r)
+        for r in hnsw.hnsw_topk(
+            emb, qvec, k=10, ef_search=128, n_leaves=3
+        ).collect()
+    ]
+    assert a == b == c
+
+
+def test_persisted_graph_row_shape(spark, emb, tmp_path):
+    path = str(tmp_path / "g2")
+    hnsw.hnsw_write(emb, path, n_leaves=2, m=8)
+    rows = spark.read.parquet(f"{path}/graph")
+    n_emb = emb.count()
+    # every vector appears at layer 0 exactly once per leaf
+    assert rows.filter("lvl = 0").count() == n_emb
+    # degree caps respected in the stored rows (2M at layer 0, M above)
+    import pyspark.sql.functions as F
+
+    mx0 = rows.filter("lvl = 0").agg(F.max(F.size("nbrs"))).first()[0]
+    assert mx0 <= 16
+    mx1 = rows.filter("lvl > 0").agg(F.max(F.size("nbrs"))).first()[0]
+    assert mx1 is None or mx1 <= 8
+
+
 def test_search_handles_empty_and_singleton():
     ids = np.array([42], dtype=np.int64)
     vecs = np.ones((1, 4), dtype=np.float64)
