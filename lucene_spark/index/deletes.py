@@ -69,6 +69,7 @@ def delete_pseudo_blocks(deletes: DataFrame) -> DataFrame:
         F.lit(None).cast("binary").alias("freqs_enc"),
         F.lit(None).cast("binary").alias("norms_enc"),
         F.lit(None).cast("binary").alias("positions_enc"),
+        F.lit(None).cast("binary").alias("payloads_enc"),
         F.array().cast("array<long>").alias("impact_freqs"),
         F.array().cast("array<int>").alias("impact_norms"),
     )

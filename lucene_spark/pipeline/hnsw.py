@@ -398,10 +398,19 @@ def hnsw_write(
     )
     rows = keyed.groupBy("_leaf").applyInPandas(build_rows, GRAPH_SCHEMA)
     rows.write.mode("overwrite").partitionBy("leaf").parquet(f"{path}/graph")
+    # staleness fingerprint: per-leaf vector counts at build time. A later
+    # append/delete on the vector table changes a leaf's count, and the
+    # search path refuses to silently skip the un-indexed vectors.
+    leaf_counts = {
+        str(int(r["_leaf"])): int(r["cnt"])
+        for r in keyed.groupBy("_leaf").agg(F.count("*").alias("cnt")).collect()
+    }
     meta = {
         "n_leaves": int(n_leaves),
         "m": int(m),
         "ef_construction": int(ef_construction),
+        "n_vectors": int(sum(leaf_counts.values())),
+        "leaf_counts": leaf_counts,
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -437,7 +446,18 @@ def hnsw_topk_persisted(
         ]
     )
 
-    def leaf_search(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    leaf_counts = {int(k2): int(v) for k2, v in meta.get("leaf_counts", {}).items()}
+
+    def leaf_search(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        leaf = int(key[0])
+        expected = leaf_counts.get(leaf)
+        if expected is not None and len(left) != expected:
+            raise ValueError(
+                f"hnsw graph at leaf {leaf} is stale: {len(left)} vectors in "
+                f"the table vs {expected} indexed at hnsw_write time — "
+                "rebuild required (vectors appended/removed after the graph "
+                "was persisted would otherwise be silently unsearchable)"
+            )
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"_id": [], "cos": []}).astype(
                 {"_id": "int64", "cos": "float64"}
@@ -447,6 +467,13 @@ def hnsw_topk_persisted(
         order = np.argsort(ids, kind="stable")
         ids, vecs = ids[order], vecs[order]
         idx_of = {int(v): i for i, v in enumerate(ids)}
+        missing = [int(n2) for n2 in right["node"] if int(n2) not in idx_of]
+        if missing:
+            raise ValueError(
+                f"hnsw graph at leaf {leaf} is stale: graph node(s) "
+                f"{missing[:5]} not present in the vector table — rebuild "
+                "required"
+            )
         max_lvl = int(right["lvl"].max())
         layers: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
         levels = np.zeros(ids.size, dtype=np.int64)

@@ -810,15 +810,18 @@ class Searcher:
         canEarlyTerminate): docid order within a segment IS the sort order,
         so only the k lowest matching docids per segment survive to the
         docmap join — the join input shrinks from |matches| to segments·k
-        rows, and the global cut stays a TakeOrderedAndProject. Tie-break
-        on the sorted path follows the build's secondary sort key (url
-        rank, the insertion order Lucene's Sorter keeps for equal values).
+        rows, and the global cut stays a TakeOrderedAndProject. BOTH paths
+        tie-break equal field values by url ASC — the stable doc key, so
+        the result is identical whichever path runs AND invariant to the
+        index's physical layout (segment count / docid assignment), unlike
+        Lucene's docid tie-break which differs between a sorted and an
+        unsorted index of the same corpus.
 
         ``after=(field_value, docid)`` pages past a previous page's last hit
         — the FieldDoc form of searchAfter (IndexSearcher.searchAfter with a
         Sort, search/FieldComparator analog): strictly worse in the sort
-        order, docid breaks ties. Paging composes with the docid-tie-break
-        (non-early) path.
+        order; ties resolved by the anchor doc's url so paging follows the
+        same url-secondary total order.
 
         ``sort_col="dv:<name>"`` sorts by the named numeric doc-value
         stored at build time (``build_index(doc_values=...)``, the
@@ -836,11 +839,26 @@ class Searcher:
         hits = self.search_all(query).select("docid")
         if after is not None:
             av, ad = float(after[0]), int(after[1])
-            dm_a = self._docmap_global().select("docid", sort_expr)
+            if ad < 0:
+                # sentinel anchor (docid -1): before every url
+                a_url = ""
+            else:
+                a_row = (
+                    self._docmap_global()
+                    .filter(F.col("docid") == ad)
+                    .select("url")
+                    .first()
+                )
+                if a_row is None:
+                    raise ValueError(
+                        f"searchAfter anchor docid {ad} not in index"
+                    )
+                a_url = a_row["url"]
+            dm_a = self._docmap_global().select("docid", sort_expr, "url")
             strictly = (
                 (F.col(sort_col) > av) if ascending else (F.col(sort_col) < av)
             )
-            tie = (F.col(sort_col) == av) & (F.col("docid") > ad)
+            tie = (F.col(sort_col) == av) & (F.col("url") > a_url)
             hits = (
                 hits.join(dm_a, "docid").filter(strictly | tie).select("docid")
             )
@@ -869,12 +887,14 @@ class Searcher:
                 .limit(k)
                 .select("docid", sort_col)
             )
-        dm = self._docmap_global().select("docid", sort_expr)
+        dm = self._docmap_global().select("docid", sort_expr, "url")
         out = hits.join(dm, "docid")
         order = (
             F.asc_nulls_last(sort_col) if ascending else F.desc_nulls_last(sort_col)
         )
-        return out.orderBy(order, F.asc("docid")).limit(k)
+        return (
+            out.orderBy(order, F.asc("url")).limit(k).select("docid", sort_col)
+        )
 
     def rescore(
         self,

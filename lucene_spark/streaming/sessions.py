@@ -82,7 +82,12 @@ def _session_fn(gap_sec: int):
                 closed.append(cur)
                 cur = (t, t, 1)
             else:
-                cur = (cur[0], t, cur[2] + 1)
+                # cross-batch out-of-order event (ts < state.last but
+                # >= watermark): extend, never REGRESS the open session —
+                # last is the max event time seen so the gap test and the
+                # timeout horizon only move forward, matching the batch
+                # operator's global sort semantics
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         if cur is not None:
             state.update(cur)
             # flush horizon: if no event arrives before last+gap (event

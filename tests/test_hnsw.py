@@ -144,6 +144,27 @@ def test_persisted_graph_row_shape(spark, emb, tmp_path):
     assert mx1 is None or mx1 <= 8
 
 
+def test_persisted_graph_stale_detection(spark, emb, qvec, tmp_path):
+    """Vectors appended after hnsw_write must raise a clear 'stale' error,
+    not silently go unsearched (meta.json records per-leaf counts)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "g3")
+    meta = hnsw.hnsw_write(emb, path, n_leaves=2, m=8)
+    assert meta["n_vectors"] == emb.count()
+    dim = len(qvec)
+    extra = spark.createDataFrame(
+        [(10_000_000, [0.5] * dim)], "vec_id long, embedding array<double>"
+    )
+    grown = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(extra)
+    with pytest.raises(Exception, match="stale"):
+        hnsw.hnsw_topk_persisted(
+            spark, grown, path, qvec, k=5, ef_search=64
+        ).collect()
+
+
 def test_search_handles_empty_and_singleton():
     ids = np.array([42], dtype=np.int64)
     vecs = np.ones((1, 4), dtype=np.float64)

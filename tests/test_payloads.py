@@ -126,6 +126,28 @@ def test_payloads_survive_merge(spark, corpus, index_dir, tmp_path):
     assert got == _py_oracle(corpus, "w0001", "sum")
 
 
+def test_payloads_with_uncompacted_deletes(spark, corpus, index_dir, tmp_path):
+    """PayloadScoreQuery over an index with LIVE tombstones (deletes table
+    present, no compaction): the delete pseudo-blocks must carry every
+    postings column the payload path selects (payloads_enc included), and
+    deleted docs must not score."""
+    from lucene_spark.index.deletes import add_deletes_by_url
+
+    d = str(tmp_path / "delidx")
+    shutil.copytree(index_dir, d)
+    victims = [r["url"] for r in corpus[:25]]
+    add_deletes_by_url(
+        spark, d, spark.createDataFrame([(u,) for u in victims], "url string")
+    )
+    got = _hits(spark, d, PayloadScoreQuery("w0001", func="sum"))
+    exp = {
+        u: v
+        for u, v in _py_oracle(corpus, "w0001", "sum").items()
+        if u not in set(victims)
+    }
+    assert got == exp
+
+
 def test_payloads_survive_compaction(spark, corpus, index_dir, tmp_path):
     from lucene_spark.index.compaction import compact_deletes
     from lucene_spark.index.deletes import add_deletes_by_url

@@ -106,3 +106,39 @@ def test_streaming_sessions_end_to_end(spark, dirs):
                 last, n = t, n + 1
         offline.add((u, start, last, n))
     assert got <= offline, "every closed streaming session is an offline session"
+
+
+def test_out_of_order_cross_batch_never_regresses_session(
+    spark, tmp_path_factory
+):
+    """A cross-batch out-of-order event (ts < state.last but >= watermark)
+    must EXTEND the open session, never move session_end / the timeout
+    horizon backwards (last is the max event time seen, matching the batch
+    operator's global-sort semantics)."""
+    base = tmp_path_factory.mktemp("sess_ooo")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(src)
+    gap = 30 * 60
+
+    # batch 1: user 1 at T0 and T0+600 -> state.last = T0+600
+    _write_events(spark, src, "b1", [(1, T0), (1, T0 + 600)])
+    _run_once(spark, src, out, ckpt)
+
+    # batch 2: out-of-order event at T0+300 (within the watermark window)
+    _write_events(spark, src, "b2", [(1, T0 + 300)])
+    _run_once(spark, src, out, ckpt)
+
+    # batch 3: event gap+60 after the TRUE last (T0+600) -> closes session.
+    # With the regression bug, last would have been reset to T0+300 and the
+    # closed session would wrongly end at T0+300.
+    _write_events(spark, src, "b3", [(1, T0 + 600 + gap + 60)])
+    _run_once(spark, src, out, ckpt)
+
+    got = _collect(spark, out)
+    closed = [s for s in got if s[0] == 1 and s[1] == T0]
+    assert len(closed) == 1, f"exactly one closed session expected, got {got}"
+    _, start, end, n = closed[0]
+    assert end == T0 + 600, "session_end must be the max event time seen"
+    # n is 3 if Spark delivered the late row to the stateful op, 2 if the
+    # watermark dropped it — both are valid; regressing end is not
+    assert n in (2, 3)
