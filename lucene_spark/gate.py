@@ -2531,6 +2531,21 @@ def _q_simsearch_hnsw_persisted(spark, sf_dir):
     )
 
 
+def _q_simsearch_ivf_persisted(spark, sf_dir):
+    """Write-time IVF (train + assign once, table partitioned by cell;
+    the inverted-file twin of the persisted HNSW row). The query reads
+    ONLY its n_probe cell partitions — score-identical to ivf_topk with
+    the same centroids, so the oracle is the same full IVF replay."""
+    name = sf_dir.strip("/").replace("/", "_") + "_ivfcells"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _ss.ivf_write(emb, path, n_centroids=16)
+    return _ss.ivf_topk_persisted(
+        spark, path, _qvec(spark, sf_dir), k=10, n_probe=4
+    )
+
+
 def _q_simsearch_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
@@ -3297,6 +3312,7 @@ def gate_queries() -> dict:
         "knn_filtered": _q_knn_filtered,
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
+        "simsearch_ivf_persisted": _q_simsearch_ivf_persisted,
         "simsearch_hnsw": _q_simsearch_hnsw,
         "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
         "payload_score": _q_payload_score,
@@ -3408,6 +3424,7 @@ def gate_oracle_sql() -> dict:
         "knn_filtered": _SQL_KNN_FILTERED,
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
+        "simsearch_ivf_persisted": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
         "payload_score": _sql_payload_score(),

@@ -22,6 +22,8 @@ __all__ = [
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
+    "ivf_write",
+    "ivf_topk_persisted",
     "recall_at_k",
     "semantic_dup_pairs",
 ]
@@ -175,6 +177,20 @@ def ivf_assign(
     return emb.withColumn("cell", _argmin_cell(F.col(vec_col), centroids))
 
 
+def _probe_cells(
+    qvec: list[float], centroids: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest cell ids — driver-side C-sized math
+    (squared-L2 to each centroid, ties -> smaller cell id)."""
+    return sorted(
+        cid
+        for _, cid in sorted(
+            (sum((float(q) - c) ** 2 for q, c in zip(qvec, cvec)), cid)
+            for cid, cvec in centroids
+        )[:n_probe]
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -187,20 +203,81 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's ``n_probe``
     nearest IVF cells. Pass precomputed ``centroids`` (from ivf_train) to
-    skip training; probe selection is driver-side C-sized math."""
+    skip training; probe selection is driver-side C-sized math.
+
+    NOTE: this form recomputes the cell assignment over ``emb`` per query —
+    fine for one-off queries, wrong as a steady state. The scale path is
+    ``ivf_write`` once at write time + ``ivf_topk_persisted`` per query,
+    which reads only the ``n_probe`` probed partitions."""
     if centroids is None:
         centroids = ivf_train(emb, n_centroids, id_col=id_col, vec_col=vec_col)
-    probes = sorted(
-        cid
-        for _, cid in sorted(
-            (sum((float(q) - c) ** 2 for q, c in zip(qvec, cvec)), cid)
-            for cid, cvec in centroids
-        )[:n_probe]
-    )
+    probes = _probe_cells(qvec, centroids, n_probe)
     cands = ivf_assign(emb, centroids, vec_col=vec_col).filter(
         F.col("cell").isin(probes)
     )
     return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_write(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> dict:
+    """Train + assign ONCE and materialize the table partitioned by
+    ``cell`` — the write-time half of IVF (the inverted-file analog of
+    Lucene writing vector data at segment flush,
+    codecs/lucene99/Lucene99HnswVectorsFormat.java's write-time contract).
+    Centroids go to ``<path>/meta.json``; vectors go to ``<path>/cells``
+    partitioned by cell so a query's partition filter prunes to its
+    ``n_probe`` directories. Returns the meta dict."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_train(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    meta = {
+        "n_centroids": int(n_centroids),
+        "centroids": [[int(cid), [float(x) for x in cvec]] for cid, cvec in centroids],
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query-time half of persisted IVF: pick the ``n_probe`` nearest cells
+    driver-side, read ONLY those partitions of the write-time table (the
+    cell filter is a partition filter — ``n_probe/n_centroids`` of a scan),
+    exact-cosine re-rank within. Score-identical to ``ivf_topk`` with the
+    same centroids by construction."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = [
+        (int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]
+    ]
+    probes = _probe_cells(qvec, centroids, n_probe)
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probes))
+    return cosine_topk(
+        cells, qvec, k=k, id_col=meta["id_col"], vec_col=meta["vec_col"]
+    )
 
 
 def recall_at_k(
