@@ -2531,6 +2531,46 @@ def _q_simsearch_hnsw_persisted(spark, sf_dir):
     )
 
 
+def _q_simsearch_hnsw_quantized(spark, sf_dir):
+    """int8 scalar-quantized vector search
+    (Lucene99ScalarQuantizedVectorsFormat.java:40): the graph search runs
+    on 7-bit codes (1/4 the float32 scan bandwidth), then the oversampled
+    candidates are rescored with exact float cosine — generous ef +
+    oversample make the re-ranked top-k exact on the gate corpus, so the
+    oracle is exact cosine top-k."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswq"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16, quantize=True)
+    return _hnsw.hnsw_topk_quantized(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
+        oversample=3,
+    )
+
+
+def _q_knn_filtered_hnsw(spark, sf_dir):
+    """Filtered vector search THROUGH the persisted HNSW graph
+    (KnnFloatVectorQuery.java:61 + HnswGraphSearcher acceptOrds): the
+    accept flag is a Catalyst predicate evaluated JVM-side, the per-leaf
+    cost switch picks graph+mask or exact-over-survivors (selective
+    filters like this one resolve to the exact arm — recall 1.0 by
+    construction, so the oracle is exact cosine over the filtered set)."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswgraph"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    return _hnsw.hnsw_topk_persisted(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
+        filter_expr="label % 3 = 1",
+    )
+
+
 def _q_simsearch_ivf_persisted(spark, sf_dir):
     """Write-time IVF (train + assign once, table partitioned by cell;
     the inverted-file twin of the persisted HNSW row). The query reads
@@ -3315,6 +3355,8 @@ def gate_queries() -> dict:
         "simsearch_ivf_persisted": _q_simsearch_ivf_persisted,
         "simsearch_hnsw": _q_simsearch_hnsw,
         "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
+        "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
+        "knn_filtered_hnsw": _q_knn_filtered_hnsw,
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
@@ -3427,6 +3469,8 @@ def gate_oracle_sql() -> dict:
         "simsearch_ivf_persisted": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
+        "simsearch_hnsw_quantized": _SQL_SIMSEARCH,
+        "knn_filtered_hnsw": _SQL_KNN_FILTERED,
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),

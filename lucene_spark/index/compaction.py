@@ -231,10 +231,17 @@ def compact_deletes(
     if not targets:
         return {"compacted_segments": 0, "reclaimed_docs": 0}
 
-    by_seg: dict[int, np.ndarray] = {}
-    for r in reader.deletes.filter(F.col("segment_id").isin(targets)).collect():
-        by_seg.setdefault(int(r["segment_id"]), []).append(int(r["docid"]))  # type: ignore[arg-type]
-    by_seg = {s: np.unique(np.array(v, dtype=np.int64)) for s, v in by_seg.items()}
+    # per-segment sorted tombstone arrays built DISTRIBUTIVELY (dedup +
+    # sort are executor-side aggregates; the driver receives one compact
+    # array row per target segment, not one Python row per tombstone) and
+    # broadcast to the rewrite tasks — no driver-side per-row loop
+    by_seg: dict[int, np.ndarray] = {
+        int(r["segment_id"]): np.asarray(r["ds"], dtype=np.int64)
+        for r in reader.deletes.filter(F.col("segment_id").isin(targets))
+        .groupBy("segment_id")
+        .agg(F.array_sort(F.collect_set("docid")).alias("ds"))
+        .collect()
+    }
     bc = spark.sparkContext.broadcast(by_seg)
 
     sel = F.col("segment_id").isin(targets)

@@ -44,6 +44,8 @@ __all__ = [
     "search_leaf_graph",
     "hnsw_write",
     "hnsw_topk_persisted",
+    "hnsw_topk_quantized",
+    "quantize_leaf",
     "GRAPH_SCHEMA",
 ]
 
@@ -207,11 +209,22 @@ def search_leaf_graph(
     qvec: np.ndarray,
     k: int,
     ef_search: int,
-) -> list[tuple[float, int]]:
+    accept: np.ndarray | None = None,
+    visited_limit: int | None = None,
+) -> list[tuple[float, int]] | None:
     """Beam search a built leaf graph for the query vector. Returns
     [(cosine, row_idx)] best-first with (cos DESC, id ASC) ties —
     HnswGraphSearcher.java:36-60 (descend greedily to layer 0, then beam of
-    ef_search)."""
+    ef_search).
+
+    ``accept`` (acceptDocs, HnswGraphSearcher acceptOrds): boolean mask
+    over row idxs — traversal crosses every node (graph connectivity) but
+    only accepted nodes enter the result set, exactly Lucene's filtered
+    graph search. ``visited_limit`` is the KnnCollector visitedLimit:
+    returns None once more nodes have been visited than the limit — the
+    caller then falls back to exact scoring over the accepted set, which
+    by that point is provably cheaper (KnnFloatVectorQuery.java:61
+    approximateSearch → exact fallback contract)."""
     if entry < 0 or len(ids) == 0:
         return []
     qn = float(np.linalg.norm(qvec)) or 1.0
@@ -240,9 +253,15 @@ def search_leaf_graph(
     visited = {cur}
     s0 = float(unit[cur] @ qu)
     cand = [(-s0, cur)]
-    best = [(s0, cur)]
+    best = (
+        [(s0, cur)] if accept is None or bool(accept[cur]) else []
+    )
+    if best:
+        heapq.heapify(best)
     ef = max(ef_search, k)
     while cand:
+        if visited_limit is not None and len(visited) > visited_limit:
+            return None  # budget blown: exact-over-accepted is cheaper now
         cs, c = heapq.heappop(cand)
         if best and -cs < best[0][0] and len(best) >= ef:
             break
@@ -256,11 +275,80 @@ def search_leaf_graph(
             s = float(s)
             if len(best) < ef or s > best[0][0]:
                 heapq.heappush(cand, (-s, int(e)))
-                heapq.heappush(best, (s, int(e)))
-                if len(best) > ef:
-                    heapq.heappop(best)
+                if accept is None or bool(accept[int(e)]):
+                    heapq.heappush(best, (s, int(e)))
+                    if len(best) > ef:
+                        heapq.heappop(best)
     ranked = sorted(best, key=lambda t: (-t[0], ids[t[1]]))
     return ranked[:k]
+
+
+def _leaf_hits_frame(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    q: np.ndarray,
+    hits: list[tuple[float, int]] | None,
+    acc: np.ndarray | None,
+    k: int,
+) -> pd.DataFrame:
+    """Exact cosine (same operand order as the oracle SQL) for graph hits;
+    ``hits is None`` = visited budget blown -> exact scoring over the
+    accepted rows (the KnnFloatVectorQuery exact fallback arm)."""
+    qq = float(np.dot(q, q))
+    if hits is None:
+        idxs = np.flatnonzero(acc) if acc is not None else np.arange(ids.size)
+        sims = [
+            (
+                float(np.dot(vecs[i], q))
+                / (np.sqrt(float(np.dot(vecs[i], vecs[i]))) * np.sqrt(qq)),
+                int(ids[i]),
+                int(i),
+            )
+            for i in idxs
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        return pd.DataFrame(
+            [(vid, c) for c, vid, _ in sims[:k]], columns=["_id", "cos"]
+        )
+    rows = []
+    for _, idx in hits:
+        v = vecs[idx]
+        cos = float(np.dot(v, q)) / (np.sqrt(float(np.dot(v, v))) * np.sqrt(qq))
+        rows.append((int(ids[idx]), cos))
+    return pd.DataFrame(rows, columns=["_id", "cos"])
+
+
+def _filtered_leaf_search(
+    entry,
+    levels,
+    layers,
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    q: np.ndarray,
+    acc: np.ndarray | None,
+    k: int,
+    ef_search: int,
+) -> pd.DataFrame:
+    """The per-leaf cost switch of KnnFloatVectorQuery.java:61: no filter →
+    plain graph search; selective filter (accepted ≤ ef) → exact over the
+    survivors (graph search cannot beat it); otherwise graph search with
+    acceptOrds + visitedLimit = |accepted| (if the graph visits more nodes
+    than an exact scan of the survivors would score, fall back)."""
+    if acc is None:
+        hits = search_leaf_graph(entry, levels, layers, ids, vecs, q, k, ef_search)
+        return _leaf_hits_frame(ids, vecs, q, hits, None, k)
+    n_acc = int(acc.sum())
+    if n_acc == 0:
+        return pd.DataFrame({"_id": [], "cos": []}).astype(
+            {"_id": "int64", "cos": "float64"}
+        )
+    if n_acc <= max(ef_search, k):
+        return _leaf_hits_frame(ids, vecs, q, None, acc, k)
+    hits = search_leaf_graph(
+        entry, levels, layers, ids, vecs, q, k, ef_search,
+        accept=acc, visited_limit=n_acc,
+    )
+    return _leaf_hits_frame(ids, vecs, q, hits, acc, k)
 
 
 def hnsw_topk(
@@ -273,6 +361,7 @@ def hnsw_topk(
     n_leaves: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Graph-ANN top-k: per-leaf HNSW build+search inside applyInPandas,
     global (cos DESC, id ASC) merge of the per-leaf candidates. Output
@@ -281,7 +370,12 @@ def hnsw_topk(
     ``n_leaves`` plays the role of segment count: leaves are hash-split so
     each task sees one leaf. At write-time scale, persist the graph via
     ``build_leaf_graph`` per partition instead of rebuilding per query.
-    """
+
+    ``filter_expr`` (acceptDocs): a Catalyst predicate over ``emb``'s
+    columns evaluated JVM-side into a per-row accept flag that rides into
+    the leaf task; the graph is built/searched over ALL rows but only
+    accepted rows can be returned, with the exact-over-survivors cost
+    switch per leaf (KnnFloatVectorQuery semantics)."""
     q = np.asarray([float(v) for v in qvec], dtype=np.float64)
     out_schema = T.StructType(
         [
@@ -295,30 +389,28 @@ def hnsw_topk(
         vecs = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
         )
+        acc = (
+            pdf["_ok"].to_numpy(dtype=bool) if "_ok" in pdf.columns else None
+        )
         order = np.argsort(ids, kind="stable")
         ids, vecs = ids[order], vecs[order]
+        if acc is not None:
+            acc = acc[order]
         entry, levels, layers = build_leaf_graph(
             ids, vecs, m=m, ef_construction=ef_construction
         )
-        hits = search_leaf_graph(
-            entry, levels, layers, ids, vecs, q, k, ef_search
+        return _filtered_leaf_search(
+            entry, levels, layers, ids, vecs, q, acc, k, ef_search
         )
-        # exact cosine (same operand order as the oracle SQL) for the hits
-        rows = []
-        qq = float(np.dot(q, q))
-        for _, idx in hits:
-            v = vecs[idx]
-            cos = float(np.dot(v, q)) / (
-                np.sqrt(float(np.dot(v, v))) * np.sqrt(qq)
-            )
-            rows.append((int(ids[idx]), cos))
-        return pd.DataFrame(rows, columns=["_id", "cos"])
 
-    keyed = emb.select(
+    cols = [
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_leaves))).alias("_leaf"),
-    )
+    ]
+    if filter_expr is not None:
+        cols.append(F.expr(filter_expr).cast("boolean").alias("_ok"))
+    keyed = emb.select(*cols)
     per_leaf = keyed.groupBy("_leaf").applyInPandas(leaf_search, out_schema)
     top = per_leaf.orderBy(F.desc("cos"), F.asc("_id")).limit(k)
     return top.select(
@@ -358,6 +450,7 @@ def hnsw_write(
     ef_construction: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> dict:
     """Build per-leaf HNSW graphs ONCE and persist them as parquet rows
     (leaf, node, lvl, nbrs) partitioned by leaf — the write-time codec path
@@ -398,6 +491,35 @@ def hnsw_write(
     )
     rows = keyed.groupBy("_leaf").applyInPandas(build_rows, GRAPH_SCHEMA)
     rows.write.mode("overwrite").partitionBy("leaf").parquet(f"{path}/graph")
+    if quantize:
+        # int8 codes next to the graph (Lucene99ScalarQuantizedVectorsFormat
+        # writes .veq alongside .vex): per-leaf confidence-interval
+        # quantization, [lo, hi] stored as a node=-1 sentinel row per leaf
+        import struct as _struct
+
+        def quant_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            leaf = int(pdf["_leaf"].iloc[0])
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            order = np.argsort(ids, kind="stable")
+            ids, vecs = ids[order], vecs[order]
+            codes, lo, hi = quantize_leaf(vecs)
+            out = [(leaf, _QMETA_NODE, _struct.pack("<2d", lo, hi))]
+            out.extend(
+                (leaf, int(i), codes[r].tobytes())
+                for r, i in enumerate(ids)
+            )
+            return pd.DataFrame(out, columns=["leaf", "node", "qv"])
+
+        (
+            keyed.groupBy("_leaf")
+            .applyInPandas(quant_rows, _QVEC_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("leaf")
+            .parquet(f"{path}/qvecs")
+        )
     # staleness fingerprint: per-leaf vector counts at build time. A later
     # append/delete on the vector table changes a leaf's count, and the
     # search path refuses to silently skip the un-indexed vectors.
@@ -411,10 +533,157 @@ def hnsw_write(
         "ef_construction": int(ef_construction),
         "n_vectors": int(sum(leaf_counts.values())),
         "leaf_counts": leaf_counts,
+        "quantized": bool(quantize),
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+# --- int8 scalar quantization (Lucene99ScalarQuantizedVectorsFormat.java:40
+# confidence-interval scheme: clip components to the [lo, hi] quantile
+# interval of the NORMALIZED component distribution, 7-bit quantize; search
+# runs on the quantized bytes — 1/4 the scan bandwidth of float32 — and the
+# float vectors are touched only to rescore the oversampled top candidates) -
+
+
+def quantize_leaf(
+    vecs: np.ndarray, confidence: float | None = None
+) -> tuple[np.ndarray, float, float]:
+    """Quantize one leaf's vectors: normalize (cosine similarity becomes a
+    dot product, the VectorSimilarityFunction.COSINE pre-step), take the
+    [1-ci, ci] component quantiles as the clip interval (the
+    Lucene99ScalarQuantizer confidenceInterval default 1 - 1/(dim+1)),
+    quantize to 7-bit uint8. Returns (qvecs uint8 [n, dim], lo, hi)."""
+    dim = vecs.shape[1]
+    if confidence is None:
+        confidence = 1.0 - 1.0 / (dim + 1)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    lo = float(np.quantile(unit, 1.0 - confidence))
+    hi = float(np.quantile(unit, confidence))
+    if hi <= lo:
+        hi = lo + 1e-9
+    step = (hi - lo) / 127.0
+    q = np.clip(np.rint((np.clip(unit, lo, hi) - lo) / step), 0, 127)
+    return q.astype(np.uint8), lo, hi
+
+
+def _dequantize(qbytes: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    return lo + qbytes.astype(np.float64) * ((hi - lo) / 127.0)
+
+
+_QVEC_SCHEMA = "leaf int, node long, qv binary"
+_QMETA_NODE = -1  # sentinel row per leaf: qv = struct.pack('<2d', lo, hi)
+
+
+def hnsw_topk_quantized(
+    spark,
+    emb: DataFrame,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    ef_search: int = 128,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the persisted graph on the int8-QUANTIZED vectors (written by
+    ``hnsw_write(..., quantize=True)``) — the query-time scan reads the
+    graph + 1-byte-per-component codes, never the float table — then
+    rescore the ``k*oversample`` merged candidates with exact float cosine
+    (a selective semi-join against ``emb`` of O(k) rows). Output matches
+    ``hnsw_topk_persisted`` whenever the true top-k survive the
+    oversampled candidate set (Lucene99's quantized-search + re-rank
+    shape)."""
+    import json
+    import os
+    import struct as _struct
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if not meta.get("quantized"):
+        raise ValueError(
+            f"no quantized vectors at {path}: rebuild with "
+            "hnsw_write(..., quantize=True)"
+        )
+    q = np.asarray([float(v) for v in qvec], dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    qu = q / qn
+    n_cand = max(int(k) * int(oversample), int(k))
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("qcos", T.DoubleType(), False),
+        ]
+    )
+
+    def leaf_search(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_id": [], "qcos": []}).astype(
+            {"_id": "int64", "qcos": "float64"}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        meta_mask = left["node"].to_numpy() == _QMETA_NODE
+        metas = left[meta_mask]
+        if len(metas) != 1:
+            return empty
+        lo, hi = _struct.unpack("<2d", bytes(metas["qv"].iloc[0]))
+        data = left[~meta_mask]
+        ids = data["node"].to_numpy(dtype=np.int64)
+        codes = np.stack(
+            [np.frombuffer(bytes(b), dtype=np.uint8) for b in data["qv"]]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, codes = ids[order], codes[order]
+        vecs = _dequantize(codes, lo, hi)  # ~unit vectors
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        max_lvl = int(right["lvl"].max())
+        layers: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
+        levels = np.zeros(ids.size, dtype=np.int64)
+        top_nodes = []
+        for node, lvl, nbrs in zip(right["node"], right["lvl"], right["nbrs"]):
+            i = idx_of[int(node)]
+            lvl = int(lvl)
+            levels[i] = max(levels[i], lvl)
+            if len(nbrs):
+                layers[lvl][i] = [idx_of[int(x)] for x in nbrs]
+            if lvl == max_lvl:
+                top_nodes.append(i)
+        entry = min(top_nodes, key=lambda i: int(ids[i]))
+        hits = search_leaf_graph(
+            entry, levels, layers, ids, vecs, qu, n_cand, max(ef_search, n_cand)
+        )
+        return pd.DataFrame(
+            [(int(ids[i]), float(s)) for s, i in hits], columns=["_id", "qcos"]
+        )
+
+    qvecs = spark.read.parquet(f"{path}/qvecs").select(
+        F.col("leaf").cast("int").alias("leaf"), "node", "qv"
+    )
+    graph = spark.read.parquet(f"{path}/graph").select(
+        F.col("leaf").cast("int").alias("leaf"), "node", "lvl", "nbrs"
+    )
+    cands = (
+        qvecs.groupBy("leaf")
+        .cogroup(graph.groupBy("leaf"))
+        .applyInPandas(leaf_search, out_schema)
+        .orderBy(F.desc("qcos"), F.asc("_id"))
+        .limit(n_cand)
+        .select("_id")
+    )
+    # float rescore: exact cosine for the few surviving candidates only —
+    # the one touch of the float table, a broadcast semi-join by id
+    from .simsearch import _cosine
+
+    scored = emb.join(
+        F.broadcast(cands), emb[id_col] == cands["_id"], "leftsemi"
+    ).select(
+        F.col(id_col), _cosine(vec_col, [float(v) for v in qvec]).alias("cos")
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    return top.select(F.col(id_col), F.round("cos", 4).alias("cos"))
 
 
 def hnsw_topk_persisted(
@@ -426,12 +695,18 @@ def hnsw_topk_persisted(
     ef_search: int = 128,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Search a persisted graph: vectors and graph rows cogroup per leaf
     (one task per leaf holds its vectors + its graph — no build cost at
     query time), beam-search, global (cos DESC, id ASC) merge. At 10^12
     rows the leaf is the table's partition key, so each query task reads
-    one graph partition and one vector partition."""
+    one graph partition and one vector partition.
+
+    ``filter_expr`` (acceptDocs): evaluated JVM-side over ``emb``'s
+    columns into a per-row flag; the persisted graph is searched with the
+    accept mask + visited budget, falling back to exact-over-survivors
+    when the filter is selective (KnnFloatVectorQuery.java:61)."""
     import json
     import os
 
@@ -464,8 +739,13 @@ def hnsw_topk_persisted(
             )
         ids = left["_id"].to_numpy(dtype=np.int64)
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in left["_vec"]])
+        acc = (
+            left["_ok"].to_numpy(dtype=bool) if "_ok" in left.columns else None
+        )
         order = np.argsort(ids, kind="stable")
         ids, vecs = ids[order], vecs[order]
+        if acc is not None:
+            acc = acc[order]
         idx_of = {int(v): i for i, v in enumerate(ids)}
         missing = [int(n2) for n2 in right["node"] if int(n2) not in idx_of]
         if missing:
@@ -487,27 +767,21 @@ def hnsw_topk_persisted(
             if lvl == max_lvl:
                 top_nodes.append(i)
         entry = min(top_nodes, key=lambda i: int(ids[i]))
-        hits = search_leaf_graph(
-            entry, levels, layers, ids, vecs, q, k, ef_search
+        return _filtered_leaf_search(
+            entry, levels, layers, ids, vecs, q, acc, k, ef_search
         )
-        rows = []
-        qq = float(np.dot(q, q))
-        for _, idx in hits:
-            v = vecs[idx]
-            cos = float(np.dot(v, q)) / (
-                np.sqrt(float(np.dot(v, v))) * np.sqrt(qq)
-            )
-            rows.append((int(ids[idx]), cos))
-        return pd.DataFrame(rows, columns=["_id", "cos"])
 
     graph = spark.read.parquet(f"{path}/graph").select(
         F.col("leaf").cast("int").alias("leaf"), "node", "lvl", "nbrs"
     )
-    keyed = emb.select(
+    sel = [
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
         _leaf_col(id_col, n_leaves).alias("_leaf"),
-    )
+    ]
+    if filter_expr is not None:
+        sel.append(F.expr(filter_expr).cast("boolean").alias("_ok"))
+    keyed = emb.select(*sel)
     per_leaf = (
         keyed.groupBy("_leaf")
         .cogroup(graph.groupBy("leaf"))

@@ -165,6 +165,134 @@ def test_persisted_graph_stale_detection(spark, emb, qvec, tmp_path):
         ).collect()
 
 
+def _exact_filtered(emb, qvec, pred, k=10):
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    return [tuple(r) for r in cosine_topk(emb.filter(pred), qvec, k=k).collect()]
+
+
+def test_filtered_topk_matches_exact_on_survivors(emb, qvec):
+    """acceptDocs end-to-end: filtered graph search == exact cosine over
+    the filtered set (selective filter -> the per-leaf cost switch takes
+    the exact-over-survivors arm, KnnFloatVectorQuery's fallback)."""
+    got = [
+        tuple(r)
+        for r in hnsw.hnsw_topk(
+            emb, qvec, k=10, ef_search=128, n_leaves=2,
+            filter_expr="label % 3 = 1",
+        ).collect()
+    ]
+    assert got == _exact_filtered(emb, qvec, "label % 3 = 1")
+
+
+def test_filtered_persisted_matches_exact(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "gf")
+    hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    got = [
+        tuple(r)
+        for r in hnsw.hnsw_topk_persisted(
+            spark, emb, path, qvec, k=10, ef_search=128,
+            filter_expr="label % 3 = 1",
+        ).collect()
+    ]
+    assert got == _exact_filtered(emb, qvec, "label % 3 = 1")
+
+
+def test_filtered_zero_matches_is_empty(emb, qvec):
+    out = hnsw.hnsw_topk(
+        emb, qvec, k=10, n_leaves=2, filter_expr="label < 0"
+    ).collect()
+    assert out == []
+
+
+def test_graph_arm_recall_floor_10pct_filter(id_vecs):
+    """The GRAPH+mask arm itself (no cost switch): ~10%-selectivity accept
+    mask, moderate beam, no visited budget — recall@10 vs exact over the
+    accepted set must stay useful (HnswGraphSearcher acceptOrds path)."""
+    ids, vecs = id_vecs
+    acc = (ids % 10) == 3  # ~10% accepted
+    entry, levels, layers = hnsw.build_leaf_graph(ids, vecs, m=16)
+    q = vecs[0]
+    hits = hnsw.search_leaf_graph(
+        entry, levels, layers, ids, vecs, q, k=10, ef_search=64, accept=acc
+    )
+    assert hits is not None
+    got = {int(ids[i]) for _, i in hits}
+    assert all(i % 10 == 3 for i in got), "only accepted ids may be returned"
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    qs = unit @ (q / np.linalg.norm(q))
+    exact = {
+        int(i)
+        for i in sorted(ids[acc], key=lambda i: (-qs[np.where(ids == i)[0][0]], i))[:10]
+    }
+    assert len(got & exact) / 10.0 >= 0.5
+
+
+def test_visited_budget_triggers_exact_fallback(id_vecs):
+    """A tiny visitedLimit must abort the graph search (return None) —
+    the signal the caller uses to fall back to exact-over-survivors."""
+    ids, vecs = id_vecs
+    acc = (ids % 10) == 3
+    entry, levels, layers = hnsw.build_leaf_graph(ids, vecs, m=16)
+    out = hnsw.search_leaf_graph(
+        entry, levels, layers, ids, vecs, vecs[0], k=10, ef_search=64,
+        accept=acc, visited_limit=3,
+    )
+    assert out is None
+
+
+def test_quantize_leaf_roundtrip_error(id_vecs):
+    """7-bit confidence-interval quantization: dequantized unit vectors
+    stay close (max per-component error ≤ one quantization step outside
+    the clipped tail; cosine of a vector with its own code ≥ 0.99)."""
+    _ids, vecs = id_vecs
+    codes, lo, hi = hnsw.quantize_leaf(vecs)
+    assert codes.dtype == np.uint8 and codes.max() <= 127
+    assert hi > lo
+    deq = lo + codes.astype(np.float64) * ((hi - lo) / 127.0)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    # self-similarity of code vs float vector
+    num = (deq * unit).sum(axis=1)
+    den = np.linalg.norm(deq, axis=1)
+    assert float((num / den).min()) >= 0.97
+
+
+def test_quantized_search_recall_floor(spark, emb, qvec, tmp_path):
+    """Quantized-code graph search + float rescore: recall@10 vs the exact
+    float path must be high (the re-rank recovers quantization loss)."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    path = str(tmp_path / "gq")
+    meta = hnsw.hnsw_write(emb, path, n_leaves=2, m=16, quantize=True)
+    assert meta["quantized"]
+    got = {
+        int(r[0])
+        for r in hnsw.hnsw_topk_quantized(
+            spark, emb, path, qvec, k=10, ef_search=128, oversample=3
+        ).collect()
+    }
+    exact = {int(r[0]) for r in cosine_topk(emb, qvec, k=10).collect()}
+    assert len(got & exact) / 10.0 >= 0.9
+    # rescored scores are EXACT float cosines: any overlap ids agree with
+    # the exact rows bit-for-bit
+    exact_rows = {int(r[0]): r[1] for r in cosine_topk(emb, qvec, k=10).collect()}
+    got_rows = {
+        int(r[0]): r[1]
+        for r in hnsw.hnsw_topk_quantized(
+            spark, emb, path, qvec, k=10, ef_search=128, oversample=3
+        ).collect()
+    }
+    for vid in got & exact:
+        assert got_rows[vid] == exact_rows[vid]
+
+
+def test_quantized_requires_quantized_write(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "gnq")
+    hnsw.hnsw_write(emb, path, n_leaves=1, m=8)  # no quantize
+    with pytest.raises(ValueError, match="quantize=True"):
+        hnsw.hnsw_topk_quantized(spark, emb, path, qvec, k=5)
+
+
 def test_search_handles_empty_and_singleton():
     ids = np.array([42], dtype=np.int64)
     vecs = np.ones((1, 4), dtype=np.float64)
