@@ -1931,6 +1931,30 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _q_bpe_true(spark, sf_dir):
+    """Exact BPE token counts under the fixture merges table: the engine
+    runs the real rank-ordered merge loop (pandas UDF over distinct
+    terms); the oracle exploits the fixture's character-disjoint
+    single-level rules — every merge application removes exactly one
+    token, and applications(rule) = non-overlapping occurrences of the
+    rule string inside each term (replace-count arithmetic)."""
+    return _ts.bpe_token_counts_true(_docs(spark, sf_dir))
+
+
+def _sql_bpe_true() -> str:
+    from .pipeline.textstats import FIXTURE_MERGES
+
+    apps = " + ".join(
+        f"(length(term) - length(replace(term, '{a}{b}', ''))) // 2"
+        for a, b in FIXTURE_MERGES
+    )
+    return f"""WITH {_BASE_CTES}
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(length(term) - ({apps}))::BIGINT AS n_bpe_tokens
+FROM toks GROUP BY doc_id"""
+
+
 def _q_repetition(spark, sf_dir):
     return _ts.repetition_stats(_docs(spark, sf_dir))
 
@@ -2313,6 +2337,50 @@ WHERE elat BETWEEN {lo_lat} AND {hi_lat}
   AND elon BETWEEN {lo_lon} AND {hi_lon}"""
 
 
+# (lat, lon) pentagon: irregular, non-convex-ish span over the synthetic
+# coordinate cloud; edges avoid the 0.01-degree doc grid so the strict
+# ray-cast boundary rule can't differ between engines
+_GEO_POLY = [
+    (0.005, 10.005), (40.005, 30.005), (60.005, 90.005),
+    (20.005, 140.005), (-25.005, 70.005),
+]
+
+
+def _q_geo_polygon(spark, sf_dir):
+    """LatLonShape polygon query (document/LatLonShape.java:48): bbox
+    prune + even-odd ray-cast refine on decoded quantized coords; output
+    includes the quantized ints so the gate verifies encode + refine."""
+    from .search.geo import encode_latitude, encode_longitude, polygon_query
+
+    d = polygon_query(_geo_docs(spark, sf_dir), _GEO_POLY)
+    return d.select(
+        "doc_id",
+        encode_latitude(F.col("lat")).cast("long").alias("elat"),
+        encode_longitude(F.col("lon")).cast("long").alias("elon"),
+    )
+
+
+def _sql_geo_polygon() -> str:
+    from .search.geo import _py_enc, polygon_edge_sql
+
+    lats = [v[0] for v in _GEO_POLY]
+    lons = [v[1] for v in _GEO_POLY]
+    lo_lat, hi_lat = _py_enc(min(lats), 90.0, ceil=True), _py_enc(max(lats), 90.0)
+    lo_lon, hi_lon = _py_enc(min(lons), 180.0, ceil=True), _py_enc(max(lons), 180.0)
+    refine = polygon_edge_sql(_GEO_POLY, "dlat", "dlon")
+    return f"""WITH {_GEO_SQL_CTE},
+gdec AS (
+  SELECT doc_id, elat, elon,
+         elat::DOUBLE / 2147483648.0 * 90.0 AS dlat,
+         elon::DOUBLE / 2147483648.0 * 180.0 AS dlon
+  FROM genc
+)
+SELECT doc_id, elat, elon FROM gdec
+WHERE elat BETWEEN {lo_lat} AND {hi_lat}
+  AND elon BETWEEN {lo_lon} AND {hi_lon}
+  AND {refine}"""
+
+
 def _q_geo_nearest(spark, sf_dir):
     from .search.geo import nearest
 
@@ -2652,19 +2720,25 @@ SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
 FROM e GROUP BY event_type"""
 
 
-# --- multimodal stub --------------------------------------------------------
+# --- multimodal: real image-header decode -----------------------------------
 
 def _q_multimodal(spark, sf_dir):
-    return _mm.decode_metadata(_mm.attach_payload(_docs(spark, sf_dir)))
+    """REAL header decode over synthesized byte-valid images: the engine
+    parses PNG IHDR / JPEG SOFn / GIF screen-descriptor bytes with pure
+    struct; the oracle recomputes the expected metadata from the synth's
+    doc_id arithmetic (format = doc_id%3, width = 160 + doc_id%241,
+    height = 90 + doc_id%181, n_bytes = header base + doc_id%50) — the
+    engine never sees the formulas, only the bytes."""
+    return _mm.image_metadata(_mm.attach_image_payload(_docs(spark, sf_dir)))
 
 
-_SQL_MULTIMODAL = """
+_SQL_MULTIMODAL = f"""
 SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       md5(text) AS payload_md5,
-       (160 + ('0x' || substr(md5(text), 1, 2))::INT) AS fake_width,
-       (90 + ('0x' || substr(md5(text), 3, 2))::INT) AS fake_height,
-       (1 + ('0x' || substr(md5(text), 5, 1))::INT) AS fake_frames
+       (CASE doc_id % 3 WHEN 0 THEN {_mm.PNG_BASE} WHEN 1 THEN {_mm.JPEG_BASE}
+             ELSE {_mm.GIF_BASE} END + doc_id % 50)::BIGINT AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       (160 + doc_id % 241)::INT AS width,
+       (90 + doc_id % 181)::INT AS height
 FROM documents"""
 
 
@@ -3316,6 +3390,7 @@ def gate_queries() -> dict:
         "monitor_percolate": _q_monitor,
         "classify_naive_bayes": _q_classify_nb,
         "geo_box": _q_geo_box,
+        "geo_polygon": _q_geo_polygon,
         "geo_nearest": _q_geo_nearest,
         "term_stats": _q_term_stats,
         "collection_stats": _q_collection_stats,
@@ -3345,6 +3420,7 @@ def gate_queries() -> dict:
         "length_percentiles": _q_length_percentiles,
         "lm_doc_quality": _q_lm_quality,
         "bpe_token_counts": _q_bpe_tokens,
+        "bpe_true_tokens": _q_bpe_true,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "doc_fingerprints": _q_fingerprint,
@@ -3431,6 +3507,7 @@ def gate_oracle_sql() -> dict:
         "monitor_percolate": _SQL_MONITOR,
         "classify_naive_bayes": _SQL_CLASSIFY_NB,
         "geo_box": _sql_geo_box(),
+        "geo_polygon": _sql_geo_polygon(),
         "geo_nearest": _sql_geo_nearest(),
         "term_stats": _SQL_TERM_STATS,
         "collection_stats": _SQL_COLLECTION_STATS,
@@ -3459,6 +3536,7 @@ def gate_oracle_sql() -> dict:
         "length_percentiles": _SQL_LENGTH_PCT,
         "lm_doc_quality": _SQL_LM_QUALITY,
         "bpe_token_counts": _sql_bpe_tokens(),
+        "bpe_true_tokens": _sql_bpe_true(),
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _sql_pii_scrub(),
         "doc_fingerprints": _SQL_FINGERPRINT,

@@ -4,6 +4,7 @@ SQL-reproducible for the oracle gate."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -15,6 +16,9 @@ __all__ = [
     "quality_scores",
     "doc_fingerprints",
     "bpe_token_counts",
+    "bpe_encode",
+    "bpe_token_counts_true",
+    "FIXTURE_MERGES",
     "repetition_stats",
     "length_percentiles",
     "lm_doc_logprob",
@@ -104,6 +108,82 @@ def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             4,
         ).alias("chars_per_piece"),
     )
+
+# --- true BPE (the published GPT-2 byte-pair-encoding merge loop, Sennrich
+# et al. 2016 / the gpt-2 repo's public encoder.py algorithm): repeatedly
+# merge the lowest-rank adjacent pair until no ranked pair remains. The
+# merges table is pluggable — drop in the public GPT-2 merges.txt ranks to
+# match that tokenizer exactly; FIXTURE_MERGES below is the deterministic
+# test vocabulary (single-level, character-disjoint rules, so the DuckDB
+# oracle can recompute counts by substring arithmetic).
+
+# character-disjoint: every letter appears in at most one rule, so merges
+# never interact and tokens(word) = len(word) - Σ occurrences(rule-string)
+FIXTURE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "r"), ("a", "n"), ("o", "w"),
+    ("s", "c"), ("l", "d"), ("u", "p"),
+]
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy rank-ordered BPE: start from characters, repeatedly merge
+    every occurrence of the lowest-rank adjacent pair. Handles multi-level
+    merges (a rule whose output feeds a later rule) — the real algorithm,
+    not the single-pass approximation."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank: int | None = None
+        best: tuple[str, str] | None = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (parts[i], parts[i + 1])
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def bpe_token_counts_true(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens): EXACT BPE token budget under the given
+    merges table (default: the fixture vocabulary). Zipf dictionary trick
+    for scale: the iterative merge loop (a Python kernel by necessity) runs
+    once per DISTINCT term via an Arrow-batched pandas UDF, then the counts
+    join back to the token stream — at 100 TB the vocab is orders of
+    magnitude smaller than the corpus, and AQE broadcast-joins it when it
+    fits."""
+    rules = FIXTURE_MERGES if merges is None else merges
+    ranks = {(str(a), str(b)): i for i, (a, b) in enumerate(rules)}
+
+    @F.pandas_udf("long")
+    def _n_bpe(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda w: len(bpe_encode(str(w), ranks)))
+
+    t = tokens(docs, id_col=id_col)
+    vocab = t.select("term").distinct().select("term", _n_bpe("term").alias("n_bpe"))
+    joined = t.join(vocab, "term")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
 
 # stable, sorted list so engine and oracle agree on the exact stop set
 STOPWORDS_SORTED = sorted(ENGLISH_STOP_WORDS)

@@ -42,6 +42,7 @@ __all__ = [
     "decode_longitude",
     "box_query",
     "distance_query",
+    "polygon_query",
     "nearest",
     "EARTH_MEAN_RADIUS_METERS",
 ]
@@ -165,6 +166,74 @@ def distance_query(
     dlat = decode_latitude(encode_latitude(F.col(lat_col)))
     dlon = decode_longitude(encode_longitude(F.col(lon_col)))
     return boxed.filter(haversine_meters(dlat, dlon, qlat, qlon) <= radius_m)
+
+
+def polygon_query(
+    df: DataFrame,
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """LatLonShape polygon containment (document/LatLonShape.java:48
+    newPolygonQuery with QueryRelation.CONTAINS-the-point semantics, i.e.
+    LatLonPoint.newPolygonQuery): two-phase like the distance query — the
+    polygon's bounding box prunes first (four int range predicates that
+    reach the parquet scan, the BKD-outer-box analog of
+    Polygon2D's relateTriangle bbox check), then the survivors refine with
+    the even-odd ray-casting crossing test (GeoUtils.pointInPolygon /
+    EdgeTree crossing semantics) evaluated on the DECODED QUANTIZED
+    coordinates as one flat JVM-codegen expression — no UDF, map-only.
+
+    ``vertices`` is [(lat, lon), ...] in order (either winding); the
+    closing edge last→first is implicit. Dateline-crossing polygons are
+    not supported (split them into two, as Lucene's Polygon docs advise).
+    Boundary points follow the strict ray-casting rule (lower-inclusive in
+    y, strict in x) — pick test polygons whose edges avoid exact doc
+    coordinates for oracle-exact gating."""
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    lats = [float(v[0]) for v in vertices]
+    lons = [float(v[1]) for v in vertices]
+    boxed = box_query(
+        df, min(lats), max(lats), min(lons), max(lons), lat_col, lon_col
+    )
+    y = decode_latitude(encode_latitude(F.col(lat_col)))
+    x = decode_longitude(encode_longitude(F.col(lon_col)))
+    crossings: Column | None = None
+    for i in range(n):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[i - 1], lons[i - 1]
+        dy, dx = yj - yi, xj - xi
+        # identical operand order to the oracle SQL (polygon_edge_sql)
+        cond = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x < F.lit(dx) * (y - F.lit(yi)) / F.lit(dy) + F.lit(xi)
+        )
+        term = F.when(cond, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return boxed.filter(crossings % 2 == 1)
+
+
+def polygon_edge_sql(
+    vertices: list[tuple[float, float]], lat_expr: str, lon_expr: str
+) -> str:
+    """The ANSI-SQL twin of ``polygon_query``'s refine expression (same
+    edge order, same operand order — the oracle gate relies on both
+    engines evaluating the identical double tree)."""
+    n = len(vertices)
+    lats = [float(v[0]) for v in vertices]
+    lons = [float(v[1]) for v in vertices]
+    terms = []
+    for i in range(n):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[i - 1], lons[i - 1]
+        dy, dx = yj - yi, xj - xi
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat_expr}) <> ({yj!r} > {lat_expr})) "
+            f"AND ({lon_expr} < {dx!r} * ({lat_expr} - {yi!r}) / {dy!r} + {xi!r}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
 def nearest(

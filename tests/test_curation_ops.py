@@ -93,3 +93,55 @@ def test_semantic_dup_pairs_bucketed(spark):
     # documented LSH behavior
     low_t = semantic_dup_pairs(emb, threshold=0.0, n_bits=4).collect()
     assert all({r["a"], r["b"]} <= {0, 1, 2} for r in low_t)
+
+
+# --- true BPE (rank-ordered merge loop) --------------------------------------
+
+def test_bpe_encode_multilevel():
+    """The real algorithm: a rule whose OUTPUT feeds a later rule."""
+    from lucene_spark.pipeline.textstats import bpe_encode
+
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert bpe_encode("lower", ranks) == ["low", "er"]
+    assert bpe_encode("low", ranks) == ["low"]
+    assert bpe_encode("l", ranks) == ["l"]
+    assert bpe_encode("", ranks) == []
+
+
+def test_bpe_encode_rank_order_matters():
+    from lucene_spark.pipeline.textstats import bpe_encode
+
+    # (i,n) outranks (n,t): "int" -> [in],t  (never n,t)
+    assert bpe_encode("int", {("i", "n"): 0, ("n", "t"): 1}) == ["in", "t"]
+    # reversed ranks: (n,t) merges first -> i,[nt]
+    assert bpe_encode("int", {("i", "n"): 1, ("n", "t"): 0}) == ["i", "nt"]
+
+
+def test_bpe_encode_merges_all_occurrences():
+    from lucene_spark.pipeline.textstats import bpe_encode
+
+    assert bpe_encode("ththt", {("t", "h"): 0}) == ["th", "th", "t"]
+    assert bpe_encode("aaa", {("a", "a"): 0}) == ["aa", "a"]
+
+
+def test_bpe_token_counts_true_fixture(spark):
+    from lucene_spark.pipeline.textstats import (
+        FIXTURE_MERGES,
+        bpe_encode,
+        bpe_token_counts_true,
+    )
+
+    ranks = {p: i for i, p in enumerate(FIXTURE_MERGES)}
+    docs = spark.createDataFrame(
+        [(0, "the fast sort order"), (1, "window scan up"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts_true(docs).collect()
+    }
+    exp = {}
+    for d, txt in [(0, "the fast sort order"), (1, "window scan up")]:
+        words = txt.split()
+        exp[d] = (len(words), sum(len(bpe_encode(w, ranks)) for w in words))
+    assert got == exp  # doc 2 (no tokens) absent on both sides

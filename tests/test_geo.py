@@ -135,3 +135,43 @@ def test_nearest_order_and_ties(spark):
     )[:5]
     assert ids == [i for _, i in brute]
     assert dists[0] == pytest.approx(brute[0][0], abs=1e-3)
+
+
+# --- polygon containment (LatLonShape.java:48 analog) ------------------------
+
+def test_polygon_square_contains(spark):
+    from lucene_spark.search.geo import polygon_query
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 5.0, 15.0), (4, -5.0, 5.0),
+         (5, 9.99, 9.99), (6, 0.01, 0.01)],
+        "doc_id long, lat double, lon double",
+    )
+    square = [(0.005, 0.005), (10.005, 0.005), (10.005, 10.005), (0.005, 10.005)]
+    got = {r["doc_id"] for r in polygon_query(pts, square).collect()}
+    assert got == {1, 5, 6}
+
+
+def test_polygon_nonconvex(spark):
+    from lucene_spark.search.geo import polygon_query
+
+    # chevron whose top boundary dips to (lat=5, lon=4): the point
+    # (lat=8, lon=4) sits in the notch — inside the bbox, OUTSIDE the
+    # polygon; (5,1) and (5,8) sit under the two roof slopes (inside)
+    chevron = [(0.0, 0.0), (10.0, 0.0), (5.0, 4.0), (10.0, 10.0), (0.0, 10.0)]
+    pts = spark.createDataFrame(
+        [(1, 8.0, 4.0), (2, 5.0, 1.0), (3, 5.0, 8.0)],
+        "doc_id long, lat double, lon double",
+    )
+    got = {r["doc_id"] for r in polygon_query(pts, chevron).collect()}
+    assert 1 not in got  # the notch
+    assert got == {2, 3}
+
+
+def test_polygon_needs_3_vertices(spark):
+    import pytest
+    from lucene_spark.search.geo import polygon_query
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "doc_id long, lat double, lon double")
+    with pytest.raises(ValueError, match="3 vertices"):
+        polygon_query(pts, [(0.0, 0.0), (1.0, 1.0)])
