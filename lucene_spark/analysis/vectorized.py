@@ -176,6 +176,39 @@ def _decode_key(k1: int, k2: int) -> str:
     return raw.rstrip(b"\x00").decode("ascii")
 
 
+def _batch_from_chain(texts, chain) -> BatchTokens:
+    """BatchTokens from an exact per-document Token chain (the lane for
+    analyzers whose output is position-dependent, e.g. CJK bigrams)."""
+    n_docs = len(texts)
+    uniques: list[str] = []
+    uniq_index: dict[str, int] = {}
+    codes_l: list[int] = []
+    docids_l: list[int] = []
+    positions_l: list[int] = []
+    doc_lens = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = chain(t)
+        doc_lens[i] = len(toks)
+        for tok in toks:
+            ci = uniq_index.get(tok.term)
+            if ci is None:
+                ci = len(uniques)
+                uniques.append(tok.term)
+                uniq_index[tok.term] = ci
+            codes_l.append(ci)
+            docids_l.append(i)
+            positions_l.append(tok.position)
+    return BatchTokens(
+        uniques,
+        np.asarray(codes_l, dtype=np.int64),
+        np.asarray(docids_l, dtype=np.int64),
+        np.asarray(positions_l, dtype=np.int64),
+        doc_lens,
+    )
+
+
 def analyze_batch(
     texts,
     stopwords: frozenset[str] | None = None,
@@ -195,9 +228,23 @@ def analyze_batch(
     token multiset equals the per-document chain, emission ORDER may differ
     (the index builder re-sorts by (term, doc, position) regardless)."""
     english = analyzer == "english"
+    german = analyzer == "german"
     folded = analyzer == "ascii_folded"
     post = analyzer in ("shingle", "ngram3", "edge_ngram")
-    standard = analyzer == "standard" or english or folded or post
+    standard = analyzer == "standard" or english or german or folded or post
+    if analyzer == "cjk":
+        # CJK bigrams are POSITION-dependent (adjacent-run joins), not a
+        # per-term transform, so the vocabulary trick doesn't apply; CJK
+        # text is non-ASCII and would take the per-document fallback lane
+        # anyway — run the exact per-document chain for the whole batch.
+        from .cjk import cjk_analyze as _cjk_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _cjk_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop
         max_token_length = 1 << 31
@@ -322,6 +369,32 @@ def analyze_batch(
         new_index: dict[str, int] = {}
         for i, u in enumerate(uniques):
             t = english_term(u, stopwords)
+            if t is None:
+                remap[i] = -1
+                continue
+            ci = new_index.get(t)
+            if ci is None:
+                ci = len(new_uniques)
+                new_uniques.append(t)
+                new_index[t] = ci
+            remap[i] = ci
+        codes = remap[codes]
+        keep = codes >= 0
+        codes, docids, positions = codes[keep], docids[keep], positions[keep]
+        np.add.at(doc_lens, docids, 1)
+        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
+
+    if german:
+        # GermanAnalyzer chain on the VOCABULARY: stop (surface form) ->
+        # normalization -> light stem (analysis/de.py), remapped like the
+        # english path since distinct raw terms can stem together
+        from .de import german_term
+
+        remap = np.empty(len(uniques), dtype=np.int64)
+        new_uniques: list[str] = []
+        new_index: dict[str, int] = {}
+        for i, u in enumerate(uniques):
+            t = german_term(u, stopwords)
             if t is None:
                 remap[i] = -1
                 continue

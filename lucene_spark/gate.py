@@ -343,6 +343,45 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _q_synonym_graph(spark, sf_dir, k: int = 10):
+    """Query-time multi-word synonym: "hash join" ≡ "merge" — the rule's
+    two sides consume DIFFERENT position counts, so the match runs through
+    TermAutomatonQuery's path automaton (SynonymGraphFilter.java:41 →
+    QueryBuilder graph path). Oracle: spans = 2-adjacency (hash→join)
+    UNION single-term merge positions; freq = distinct (start, len) spans;
+    weight = idf(hash)+idf(join)+idf(merge) in path order."""
+    s = _searcher(spark, sf_dir)
+    q = s.synonym_graph_query("hash join", {"hash join": "merge"})
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_synonym_graph(k: int = 10) -> str:
+    idf_h = _idf("(SELECT df FROM dft WHERE term = 'hash')")
+    idf_j = _idf("(SELECT df FROM dft WHERE term = 'join')")
+    idf_m = _idf("(SELECT df FROM dft WHERE term = 'merge')")
+    return f"""WITH {_BASE_CTES},
+spans AS (
+  SELECT a.doc_id, a.pos AS start, 2 AS len
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'join'
+  WHERE a.term = 'hash'
+  UNION
+  SELECT doc_id, pos AS start, 1 AS len FROM toks WHERE term = 'merge'
+),
+pf AS (SELECT doc_id, count(*)::BIGINT AS freq FROM spans GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id,
+         (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT (({idf_h} + {idf_j}) + {idf_m}) AS w FROM stats s) w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ast_interval_ordered():
     from .search.query import IntervalNear
 
@@ -3076,6 +3115,150 @@ def _q_folded(spark, sf_dir):
     )
 
 
+# --- multi-language analyzers ------------------------------------------------
+#
+# CJK: corpus = 4-character Han snippets driven by doc_id's base-5 digits
+# over a 5-char alphabet; the cjk analyzer (CJKAnalyzer.java:38 chain,
+# CJKBigramFilter) indexes 3 overlapping bigrams per doc, so tf/df of any
+# bigram is doc_id arithmetic the oracle reproduces without tokenizing.
+# German: corpus = 6 words drawn from a fixed lexicon by doc_id arithmetic;
+# the german analyzer (GermanAnalyzer.java:1 chain: normalize + Savoy light
+# stem) maps each lexicon word to a HAND-DERIVED stem baked into the oracle
+# — if the stemmer deviates from the published algorithm the row fails.
+
+_CJK_ALPHABET = "数据流处理"
+_CJK_QUERY = _CJK_ALPHABET[1] + _CJK_ALPHABET[2]  # bigram a[1]a[2]
+
+_DE_LEX = [
+    "häuser", "hauses", "kindern", "kinder", "blumen", "blume", "haus", "kind",
+]
+# hand-derived from GermanNormalizationFilter + GermanLightStemmer
+# (Savoy 2006): häuser/hauses/haus -> haus; kindern/kinder/kind -> kind;
+# blumen/blume -> blum
+_DE_STEMS = ["haus", "haus", "kind", "kind", "blum", "blum", "haus", "kind"]
+_DE_QUERY = "häuser"  # analyzes to 'haus'
+_DE_HAUS_IDXS = (0, 1, 6)
+
+
+def _ensure_cjk_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + "_cjk"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        chars = F.array(*[F.lit(c) for c in _CJK_ALPHABET])
+        digit = lambda e: F.element_at(chars, (e % 5 + 1).cast("int"))  # noqa: E731
+        d = F.col("doc_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", d).alias("url"),
+            F.concat(
+                digit(d), digit(F.expr("doc_id div 5")),
+                digit(F.expr("doc_id div 25")), digit(F.expr("doc_id div 125")),
+            ).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="cjk",
+            stopwords=None, index_positions=False,
+        )
+    return idx
+
+
+def _q_cjk_bigram(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_cjk_index(spark, sf_dir), analyzer="cjk", mode="double",
+    )
+    h = s.search(_CJK_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_cjk_bigram(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    x, y = 1, 2  # digit pair of _CJK_QUERY
+    pair = lambda a, b: (  # noqa: E731
+        f"(CASE WHEN {a} = {x} AND {b} = {y} THEN 1 ELSE 0 END)"
+    )
+    return f"""WITH cj AS (
+  SELECT doc_id, doc_id % 5 AS d0, (doc_id // 5) % 5 AS d1,
+         (doc_id // 25) % 5 AS d2, (doc_id // 125) % 5 AS d3
+  FROM documents
+),
+tfq AS (
+  SELECT doc_id,
+         ({pair('d0', 'd1')} + {pair('d1', 'd2')} + {pair('d2', 'd3')})::BIGINT AS freq
+  FROM cj
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         3.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '3')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _ensure_german_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + "_de"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        lex = F.array(*[F.lit(w) for w in _DE_LEX])
+        word = lambda i: F.element_at(  # noqa: E731
+            lex, ((F.col("doc_id") * 7 + i * 3) % 8 + 1).cast("int")
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.concat_ws(" ", *[word(i) for i in range(6)]).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="german",
+            stopwords=None, index_positions=False,
+        )
+    return idx
+
+
+def _q_german_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_german_index(spark, sf_dir), analyzer="german",
+        mode="double",
+    )
+    h = s.search(_DE_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_german_stem(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    idxs = ", ".join(str(i) for i in _DE_HAUS_IDXS)
+    hits = " + ".join(
+        f"(CASE WHEN ((doc_id * 7 + {3 * i}) % 8) IN ({idxs}) THEN 1 ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""WITH tfq AS (
+  SELECT doc_id, ({hits})::BIGINT AS freq FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         6.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '6')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built with index-time synonym rules stream->flow and
     window->flow (keep_original): 'flow' becomes a real posting list whose
@@ -3370,6 +3553,8 @@ def gate_queries() -> dict:
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
         "ascii_folded_index": _q_folded,
+        "cjk_bigram_index": _q_cjk_bigram,
+        "german_light_index": _q_german_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
@@ -3438,6 +3623,7 @@ def gate_queries() -> dict:
         "sort_by_docvalue": _q_sort_by_docvalue,
         "function_score_dv": _q_function_score_dv,
         "term_automaton": _q_term_automaton,
+        "synonym_graph_query": _q_synonym_graph,
         "bm25_wildcard_phrase": _mk_topk('"s* window"'),
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
@@ -3488,6 +3674,8 @@ def gate_oracle_sql() -> dict:
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
+        "cjk_bigram_index": _sql_cjk_bigram(),
+        "german_light_index": _sql_german_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),
@@ -3554,6 +3742,7 @@ def gate_oracle_sql() -> dict:
         "sort_by_docvalue": _sql_sort_by_docvalue(),
         "function_score_dv": _sql_function_score_dv(),
         "term_automaton": _sql_term_automaton(),
+        "synonym_graph_query": _sql_synonym_graph(),
         "bm25_wildcard_phrase": _sql_wildcard_phrase("s%", "window"),
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_SESSIONIZE,

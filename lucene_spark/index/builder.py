@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
+from ..analysis.cjk import cjk_analyze, cjk_terms_positions
+from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -94,6 +96,8 @@ _ANALYZERS: dict[str, Callable] = {
     "ngram3": ngram_analyze,         # standard + char trigrams
     "edge_ngram": edge_ngram_analyze,  # standard + edge grams 2..4
     "ascii_folded": folded_analyze,  # standard + ASCII folding before stop
+    "cjk": cjk_analyze,              # standard + CJK bigrams (CJKAnalyzer)
+    "german": german_analyze,        # standard + normalize + light stem
 }
 
 
@@ -121,6 +125,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "ascii_folded": lambda text, stopwords=None: (
         lambda toks: ([t.term for t in toks], [t.position for t in toks])
     )(folded_analyze(text, stopwords)),
+    "cjk": cjk_terms_positions,
+    "german": german_terms_positions,
 }
 
 

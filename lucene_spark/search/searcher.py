@@ -247,6 +247,34 @@ class Searcher:
     def parse(self, query_str: str):
         return parse_query(query_str, self._analyzer, fmap=self._fmap())
 
+    def synonym_graph_query(
+        self,
+        text: str,
+        rules: dict,
+        keep_original: bool = True,
+        boost: float = 1.0,
+        max_paths: int = 256,
+    ):
+        """Query-time MULTI-WORD synonyms: analyze ``text``, overlay
+        {phrase: phrase(s)} rules as a synonym token graph
+        (analysis/common/.../synonym/SynonymGraphFilter.java:41 — held
+        positions + posLength), and match it with TermAutomatonQuery
+        (sandbox/search/TermAutomatonQuery.java:64), whose accepted paths
+        may consume different numbers of positions — "machine learning" ≡
+        "ml" works in both directions. This is Lucene's own split: index
+        time cannot faithfully flatten a graph (SynonymGraphFilter javadoc),
+        so multi-word rules apply at query time via the automaton."""
+        from ..analysis.synonyms import synonym_graph_paths
+        from .query import TermAutomatonQuery
+
+        terms = [t.term for t in self._analyzer(text)]
+        if not terms:
+            return MatchNoDocsQuery()
+        paths = synonym_graph_paths(
+            terms, rules, keep_original=keep_original, max_paths=max_paths
+        )
+        return TermAutomatonQuery(paths=paths, boost=boost)
+
     def combined_field_query(
         self,
         text: str,

@@ -1,0 +1,125 @@
+"""CJK bigram and German light-stem analyzer chains.
+
+Behavioral references: analysis/common/.../cjk/CJKAnalyzer.java:38 +
+CJKBigramFilter.java (overlapping bigrams over adjacent single-char CJK
+tokens), de/GermanAnalyzer.java:1 + GermanNormalizationFilter.java +
+GermanLightStemmer.java (Savoy 2006). The oracle-exact BM25 gate rows are
+cjk_bigram_index / german_light_index in test_gate.py; these tests pin the
+chain semantics the oracle arithmetic abstracts away.
+"""
+
+import pytest
+
+from lucene_spark.analysis.cjk import cjk_analyze, cjk_width_fold
+from lucene_spark.analysis.de import (
+    GERMAN_STOP_WORDS,
+    german_analyze,
+    german_light_stem,
+    german_normalize,
+)
+
+
+def _tp(toks):
+    return [(t.term, t.position) for t in toks]
+
+
+# --- CJK ----------------------------------------------------------------------
+
+def test_cjk_bigrams_han_run():
+    assert _tp(cjk_analyze("数据处理")) == [
+        ("数据", 0), ("据处", 1), ("处理", 2),
+    ]
+
+
+def test_cjk_lone_han_unigram():
+    assert _tp(cjk_analyze("spark 数 engine")) == [
+        ("spark", 0), ("数", 1), ("engine", 2),
+    ]
+
+
+def test_cjk_mixed_text_positions_dense():
+    got = _tp(cjk_analyze("big 数据 and ストリーム"))
+    assert got == [("big", 0), ("数据", 1), ("and", 2), ("ストリーム", 3)]
+
+
+def test_cjk_hiragana_bigrams_and_katakana_run_passthrough():
+    # hiragana chars are single tokens -> bigrammed; katakana runs stay whole
+    got = [t.term for t in cjk_analyze("すしや ストリーム")]
+    assert got == ["すし", "しや", "ストリーム"]
+
+
+def test_cjk_runs_split_by_non_cjk_do_not_bigram_across():
+    got = [t.term for t in cjk_analyze("数 x 据")]
+    assert got == ["数", "x", "据"]
+
+
+def test_cjk_width_fold():
+    assert cjk_width_fold("ＦＵＬＬ　ｗｉｄｔｈ") != "ＦＵＬＬ　ｗｉｄｔｈ"
+    assert [t.term for t in cjk_analyze("ＳＰＡＲＫ")] == ["spark"]
+
+
+def test_cjk_stopword_bigram_leaves_position_gap():
+    got = _tp(cjk_analyze("数据处", stopwords=frozenset({"据处"})))
+    assert got == [("数据", 0)]  # position 1 consumed by the stopped bigram
+
+
+# --- German -------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("häuser", "haus"), ("hauses", "haus"), ("haus", "haus"),
+        ("kindern", "kind"), ("kinder", "kind"), ("kind", "kind"),
+        ("blumen", "blum"), ("blume", "blum"),
+        ("feinesten", "fein"),     # step1 -en, then step2 -est
+        ("quelle", "quell"),       # ue kept after q
+        ("straße", "strass"),      # ß -> ss, then -e
+        ("bäume", "baum"),         # umlaut fold + -e
+    ],
+)
+def test_german_light_stem(word, stem):
+    assert german_light_stem(german_normalize(word)) == stem
+
+
+def test_german_normalize_digraphs():
+    assert german_normalize("haeuser") == "hauser"
+    assert german_normalize("goethe") == "gothe"
+    assert german_normalize("quelle") == "quelle"
+    assert german_normalize("mueller") == "muller"
+
+
+def test_german_short_words_untouched():
+    # length guards: 3-char words never stemmed
+    assert german_light_stem("rote") == "rot"  # len 4 > 3: -e drops
+    assert german_light_stem("rot") == "rot"
+    assert german_light_stem("see") == "see"
+
+
+def test_german_analyze_chain_with_stopwords():
+    got = _tp(german_analyze("die Häuser und Kinder", GERMAN_STOP_WORDS))
+    # 'die'/'und' stopped with position gaps preserved
+    assert got == [("haus", 1), ("kind", 3)]
+
+
+def test_batch_matches_token_chain(spark):
+    """Differential: vectorized analyze_batch == per-document chain for
+    both new analyzers."""
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "spark 数据处理 engine", "数 x 据", "", "ストリーム 数据",
+        "Häuser und KINDERN blume", "quelle straße feinesten",
+    ]
+    for an, chain in (("cjk", cjk_analyze), ("german", german_analyze)):
+        bt = analyze_batch(texts, analyzer=an)
+        got = {}
+        for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+            got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+        exp = {
+            i: [(t.term, t.position) for t in chain(txt)]
+            for i, txt in enumerate(texts)
+            if txt and chain(txt)
+        }
+        assert {k: sorted(v) for k, v in got.items()} == {
+            k: sorted(v) for k, v in exp.items()
+        }, an

@@ -124,3 +124,92 @@ def test_phrase_through_stacked_position(searcher, pyidx):
     got = _check(searcher, pyidx, PhraseQuery(("flow", "gamma")))
     assert got
     _check(searcher, pyidx, SynonymQuery(("flow", "delta")))
+
+
+# --- query-time multi-word synonym graph -------------------------------------
+
+def test_graph_paths_multiword_to_single():
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    paths = synonym_graph_paths(
+        ["machine", "learning", "rocks"], {"machine learning": "ml"}
+    )
+    assert set(paths) == {
+        ("machine", "learning", "rocks"),
+        ("ml", "rocks"),
+    }
+
+
+def test_graph_paths_single_to_multiword():
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    paths = synonym_graph_paths(["ml", "rocks"], {"ml": "machine learning"})
+    assert set(paths) == {("ml", "rocks"), ("machine", "learning", "rocks")}
+
+
+def test_graph_paths_longest_match_wins():
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    paths = synonym_graph_paths(
+        ["new", "york", "city"],
+        {"new york": "ny", "new york city": "nyc"},
+    )
+    # the 3-token rule wins; the 2-token rule never fires
+    assert set(paths) == {("new", "york", "city"), ("nyc",)}
+
+
+def test_graph_paths_no_keep_original():
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    paths = synonym_graph_paths(["a", "b"], {"a b": "c"}, keep_original=False)
+    assert paths == (("c",),)
+
+
+def test_graph_paths_multiple_rules_compose():
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    paths = synonym_graph_paths(
+        ["fast", "hash", "join"], {"hash join": "merge", "fast": "quick"}
+    )
+    assert set(paths) == {
+        ("fast", "hash", "join"), ("fast", "merge"),
+        ("quick", "hash", "join"), ("quick", "merge"),
+    }
+
+
+def test_graph_paths_cap():
+    import pytest
+    from lucene_spark.analysis.synonyms import synonym_graph_paths
+
+    toks = ["a"] * 12
+    with pytest.raises(ValueError, match="paths"):
+        synonym_graph_paths(toks, {"a": ["b", "c", "d"]}, max_paths=100)
+
+
+def test_searcher_synonym_graph_end_to_end(spark, tmp_path):
+    """A doc matching only via the synonym alternative is found, and its
+    score equals the automaton query's score for the same paths."""
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.query import TermAutomatonQuery
+    from lucene_spark.search.searcher import Searcher
+
+    docs = spark.createDataFrame(
+        [
+            ("doc://000000000000", "the hash join plan wins"),
+            ("doc://000000000001", "a merge strategy instead"),
+            ("doc://000000000002", "nothing relevant here"),
+        ],
+        "url string, text string",
+    )
+    d = str(tmp_path / "syn")
+    build_index(spark, docs, d, num_segments=1, analyzer="simple")
+    s = Searcher(spark, d, analyzer="simple", mode="double")
+    q = s.synonym_graph_query("hash join", {"hash join": "merge"})
+    assert isinstance(q, TermAutomatonQuery)
+    got = {r["url"]: r["score"] for r in s.search(q, k=10, with_url=True).collect()}
+    assert set(got) == {"doc://000000000000", "doc://000000000001"}
+    manual = TermAutomatonQuery(paths=(("hash", "join"), ("merge",)))
+    manual_scores = {
+        r["url"]: r["score"] for r in s.search(manual, k=10, with_url=True).collect()
+    }
+    assert got == manual_scores
