@@ -1548,6 +1548,42 @@ WHERE list_contains({arr}, 'data')
 ORDER BY weight DESC, text ASC LIMIT {k}"""
 
 
+def _q_suggest_fuzzy(spark, sf_dir, k: int = 10):
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:66):
+    suggestion table = term vocabulary weighted by docFreq
+    (LuceneDictionary), query "strem" — a 1-edit typo whose automaton
+    accepts any completion SOME PREFIX of which is within 1 edit (first
+    char exact). transpositions=False so the oracle's plain levenshtein()
+    is the identical metric."""
+    from .pipeline.dedup import tokens as _tokens
+    from .search.spell import fuzzy_suggest
+
+    sugg = (
+        _tokens(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("weight"))
+        .select(F.col("term").alias("text"), "weight")
+    )
+    return fuzzy_suggest(
+        sugg, "strem", k=k, max_edits=1, non_fuzzy_prefix=1,
+        transpositions=False,
+    )
+
+
+def _sql_suggest_fuzzy(q: str = "strem", k: int = 10) -> str:
+    lq = len(q)
+    lev = lambda n: f"levenshtein('{q}', substr(term, 1, {n}))"  # noqa: E731
+    return f"""WITH {_BASE_CTES},
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS weight FROM toks GROUP BY term
+)
+SELECT term AS text, weight FROM vocab
+WHERE substr(term, 1, 1) = '{q[0]}'
+  AND length(term) >= {lq - 1}
+  AND least({lev(lq - 1)}, {lev(lq)}, {lev(lq + 1)}) <= 1
+ORDER BY weight DESC, text ASC LIMIT {k}"""
+
+
 def _q_suggest_freetext(spark, sf_dir):
     from .search.spell import freetext_suggest
 
@@ -3549,6 +3585,7 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
+        "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_freetext": _q_suggest_freetext,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
@@ -3670,6 +3707,7 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
+        "suggest_fuzzy": _sql_suggest_fuzzy(),
         "suggest_freetext": _SQL_SUGGEST_FREETEXT,
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),

@@ -66,7 +66,13 @@ from pyspark.sql import functions as F
 
 from ..index.builder import FIELD_SEP
 
-__all__ = ["SuggestWord", "DirectSpellChecker", "prefix_suggest", "infix_suggest"]
+__all__ = [
+    "SuggestWord",
+    "DirectSpellChecker",
+    "prefix_suggest",
+    "infix_suggest",
+    "fuzzy_suggest",
+]
 
 MODES = ("when_not_in_index", "more_popular", "always")  # SuggestMode.java
 
@@ -265,6 +271,70 @@ def infix_suggest(
         .limit(k)
         .select(text_col, weight_col)
     )
+
+
+def fuzzy_suggest(
+    suggestions,
+    query: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    transpositions: bool = True,
+    text_col: str = "text",
+    weight_col: str = "weight",
+):
+    """FuzzySuggester analog (suggest/analyzing/FuzzySuggester.java:66):
+    completion that tolerates typos in the typed prefix. Lucene intersects
+    a Levenshtein automaton of the analyzed query against the suggestion
+    FST's prefix paths; the equivalent set semantics here: a suggestion
+    matches when SOME PREFIX of its lowercased text is within
+    ``max_edits`` of the query (OSA when ``transpositions``, plain
+    Levenshtein otherwise — LevenshteinAutomata's two flavors), with the
+    first ``non_fuzzy_prefix`` characters matching exactly
+    (FuzzySuggester.DEFAULT_NON_FUZZY_PREFIX=1) and queries shorter than
+    ``min_fuzzy_length`` matching as plain prefixes
+    (DEFAULT_MIN_FUZZY_LENGTH=3).
+
+    Spark shape: the exact non-fuzzy prefix + a length floor push into the
+    scan as codegen predicates; the edit-distance verify is an
+    Arrow-batched pandas UDF over the pre-filtered candidates (the same
+    two-phase plan as FuzzyQuery expansion). Ranking: weight DESC, text
+    ASC (Lookup ordering)."""
+    if not 1 <= max_edits <= 2:
+        raise ValueError("max_edits must be 1 or 2")
+    q = query.lower()
+    if not q:
+        raise ValueError("empty suggest query")
+    lowered = F.lower(F.col(text_col))
+    ranked = lambda df: (  # noqa: E731
+        df.orderBy(F.desc(weight_col), F.asc(text_col))
+        .limit(k)
+        .select(text_col, weight_col)
+    )
+    if len(q) < min_fuzzy_length:
+        return ranked(suggestions.filter(lowered.startswith(q)))
+    nfp = min(non_fuzzy_prefix, len(q))
+    cand = suggestions.filter(
+        lowered.startswith(q[:nfp])
+        & (F.length(text_col) >= len(q) - max_edits)
+    )
+    lq, me, transp = len(q), max_edits, transpositions
+
+    @F.pandas_udf("boolean")
+    def prefix_within(texts: pd.Series) -> pd.Series:
+        from lucene_spark.search.fuzzy import osa_distance as _d
+
+        def ok(t: str) -> bool:
+            t = t.lower()
+            for ln in range(max(0, lq - me), min(len(t), lq + me) + 1):
+                if _d(q, t[:ln], me, transp) <= me:
+                    return True
+            return False
+
+        return texts.map(ok)
+
+    return ranked(cand.filter(prefix_within(F.col(text_col))))
 
 
 def freetext_suggest(

@@ -232,3 +232,59 @@ def test_infix_suggest_last_token_only_prefix(spark):
 
     with _pt.raises(ValueError):
         infix_suggest(sugg, "  ", k=5)
+
+
+# --- FuzzySuggester (suggest/analyzing/FuzzySuggester.java:66) ---------------
+
+def _sugg_table(spark):
+    rows = [
+        ("stream", 90), ("streams", 40), ("strength", 30), ("stem", 25),
+        ("merge", 70), ("storm", 20), ("xstream", 60),
+    ]
+    return spark.createDataFrame(rows, "text string, weight long")
+
+
+def test_fuzzy_suggest_typo_prefix(spark):
+    from lucene_spark.search.spell import fuzzy_suggest
+
+    got = [tuple(r) for r in fuzzy_suggest(_sugg_table(spark), "strem", k=10).collect()]
+    # 'stream'/'streams' prefix 'strea' & 'stream' within 1 edit; 'stem'
+    # via delete-r; 'strength' prefix 'stren' via delete... 'strem'->'stren'
+    # is 1 substitution; 'storm'/'merge'/'xstream' excluded (xstream fails
+    # the exact first char? no — starts with 'x' != 's')
+    texts = [t for t, _w in got]
+    assert "stream" in texts and "streams" in texts and "stem" in texts
+    assert "xstream" not in texts  # non_fuzzy_prefix: first char exact
+    assert "merge" not in texts
+    # ranking: weight DESC, text ASC
+    weights = [w for _t, w in got]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_fuzzy_suggest_short_query_is_plain_prefix(spark):
+    from lucene_spark.search.spell import fuzzy_suggest
+
+    got = [r["text"] for r in fuzzy_suggest(_sugg_table(spark), "st", k=10).collect()]
+    assert set(got) == {"stream", "streams", "strength", "stem", "storm"}
+
+
+def test_fuzzy_suggest_transpositions_flag(spark):
+    from lucene_spark.search.spell import fuzzy_suggest
+
+    # 'srteam': transposition of 'stream'[1:3] -> OSA distance 1, plain 2
+    with_t = [r["text"] for r in fuzzy_suggest(
+        _sugg_table(spark), "srteam", k=10, transpositions=True
+    ).collect()]
+    without = [r["text"] for r in fuzzy_suggest(
+        _sugg_table(spark), "srteam", k=10, transpositions=False
+    ).collect()]
+    assert "stream" in with_t
+    assert "stream" not in without
+
+
+def test_fuzzy_suggest_max_edits_validation(spark):
+    import pytest
+    from lucene_spark.search.spell import fuzzy_suggest
+
+    with pytest.raises(ValueError, match="max_edits"):
+        fuzzy_suggest(_sugg_table(spark), "strem", max_edits=3)
