@@ -229,9 +229,12 @@ def analyze_batch(
     (the index builder re-sorts by (term, doc, position) regardless)."""
     english = analyzer == "english"
     german = analyzer == "german"
+    french = analyzer == "french"
     folded = analyzer == "ascii_folded"
     post = analyzer in ("shingle", "ngram3", "edge_ngram")
-    standard = analyzer == "standard" or english or german or folded or post
+    standard = (
+        analyzer == "standard" or english or german or french or folded or post
+    )
     if analyzer == "cjk":
         # CJK bigrams are POSITION-dependent (adjacent-run joins), not a
         # per-term transform, so the vocabulary trick doesn't apply; CJK
@@ -395,6 +398,34 @@ def analyze_batch(
         new_index: dict[str, int] = {}
         for i, u in enumerate(uniques):
             t = german_term(u, stopwords)
+            if t is None:
+                remap[i] = -1
+                continue
+            ci = new_index.get(t)
+            if ci is None:
+                ci = len(new_uniques)
+                new_uniques.append(t)
+                new_index[t] = ci
+            remap[i] = ci
+        codes = remap[codes]
+        keep = codes >= 0
+        codes, docids, positions = codes[keep], docids[keep], positions[keep]
+        np.add.at(doc_lens, docids, 1)
+        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
+
+    if french:
+        # FrenchAnalyzer chain on the VOCABULARY: elision -> stop (elided
+        # surface form) -> light stem (analysis/fr.py). Elision is a pure
+        # per-term transform here because the tokenizer keeps
+        # apostrophe-joined words whole (UAX#29 MidLetter), so the same
+        # vocabulary-remap trick applies.
+        from .fr import french_term
+
+        remap = np.empty(len(uniques), dtype=np.int64)
+        new_uniques: list[str] = []
+        new_index: dict[str, int] = {}
+        for i, u in enumerate(uniques):
+            t = french_term(u, stopwords)
             if t is None:
                 remap[i] = -1
                 continue

@@ -3295,6 +3295,76 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+# French: same doc_id-arithmetic recipe as German — corpus = 6 words drawn
+# from a fixed lexicon, the french analyzer (fr/FrenchAnalyzer.java:129
+# chain: elision + Savoy UniNE light stem) maps each word to a HAND-DERIVED
+# stem baked into the oracle. "l'avion" exercises elision inside the build.
+_FR_LEX = [
+    "chevaux", "cheval", "chanteuse", "chanteur",
+    "l'avion", "avions", "chante", "avion",
+]
+# chevaux/cheval -> cheval; chanteuse/chanteur/chante -> chant;
+# l'avion/avions/avion -> avion
+_FR_QUERY = "chevaux"  # analyzes to 'cheval'
+_FR_CHEVAL_IDXS = (0, 1)
+
+
+def _ensure_french_index(spark: SparkSession, sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + "_fr"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        lex = F.array(*[F.lit(w) for w in _FR_LEX])
+        word = lambda i: F.element_at(  # noqa: E731
+            lex, ((F.col("doc_id") * 7 + i * 3) % 8 + 1).cast("int")
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.concat_ws(" ", *[word(i) for i in range(6)]).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="french",
+            stopwords=None, index_positions=False,
+        )
+    return idx
+
+
+def _q_french_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_french_index(spark, sf_dir), analyzer="french",
+        mode="double",
+    )
+    h = s.search(_FR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_french_stem(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    idxs = ", ".join(str(i) for i in _FR_CHEVAL_IDXS)
+    hits = " + ".join(
+        f"(CASE WHEN ((doc_id * 7 + {3 * i}) % 8) IN ({idxs}) THEN 1 ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""WITH tfq AS (
+  SELECT doc_id, ({hits})::BIGINT AS freq FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         6.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '6')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built with index-time synonym rules stream->flow and
     window->flow (keep_original): 'flow' becomes a real posting list whose
@@ -3592,6 +3662,7 @@ def gate_queries() -> dict:
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
+        "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
         # multi-field index (body + derived title)
@@ -3714,6 +3785,7 @@ def gate_oracle_sql() -> dict:
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
+        "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),
         "bm25_field_term": _sql_field_term("stream"),

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..functions.featurefield import encode_feature
 from ..analysis.cjk import cjk_analyze, cjk_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
+from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -98,6 +99,7 @@ _ANALYZERS: dict[str, Callable] = {
     "ascii_folded": folded_analyze,  # standard + ASCII folding before stop
     "cjk": cjk_analyze,              # standard + CJK bigrams (CJKAnalyzer)
     "german": german_analyze,        # standard + normalize + light stem
+    "french": french_analyze,        # standard + elision + light stem
 }
 
 
@@ -127,6 +129,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     )(folded_analyze(text, stopwords)),
     "cjk": cjk_terms_positions,
     "german": german_terms_positions,
+    "french": french_terms_positions,
 }
 
 

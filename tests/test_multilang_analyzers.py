@@ -123,3 +123,95 @@ def test_batch_matches_token_chain(spark):
         assert {k: sorted(v) for k, v in got.items()} == {
             k: sorted(v) for k, v in exp.items()
         }, an
+
+
+# --- French (fr/FrenchAnalyzer.java:129 chain) -------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # plural -aux rewrite (aux -> al) and plain plural strips
+        ("chevaux", "cheval"),
+        ("journaux", "journal"),
+        ("nationaux", "national"),
+        # the -teur/-teuse/-ter/-te family conflates
+        ("chanteur", "chant"),
+        ("chanteuse", "chant"),
+        ("chanter", "chant"),
+        ("chante", "chant"),
+        ("chantée", "chant"),
+        # -issement/-issant -> -ir stem
+        ("investissement", "investi"),
+        ("finissant", "fini"),
+        # -ation strip + double-letter collapse in norm
+        ("communication", "comunic"),
+        ("confirmation", "confirm"),
+        # folle/molle -> fou/mou
+        ("folle", "fou"),
+        ("molle", "mou"),
+        # len-gated rules: personnelle (>9) stems, personnel (==9) only norms
+        ("personnelle", "person"),
+        ("personnel", "personel"),
+        # accent fold only happens in norm when len > 4
+        ("été", "été"),
+        ("électricité", "electricit"),
+    ],
+)
+def test_french_light_stem(word, stem):
+    from lucene_spark.analysis.fr import french_light_stem
+
+    assert french_light_stem(word) == stem
+
+
+def test_french_elision():
+    from lucene_spark.analysis.fr import french_elide
+
+    assert french_elide("l'avion") == "avion"
+    assert french_elide("jusqu'à") == "à"
+    assert french_elide("d'été") == "été"
+    # U+2019 apostrophe form
+    assert french_elide("l’avion") == "avion"
+    # non-article prefix untouched
+    assert french_elide("aujourd'hui") == "aujourd'hui"
+
+
+def test_french_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.fr import FRENCH_STOP_WORDS, french_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in french_analyze(
+            "l'avion et les chanteuses", stopwords=FRENCH_STOP_WORDS
+        )
+    ]
+    # 'et'/'les' stopped with position gaps; elision before stem
+    assert got == [("avion", 0), ("chant", 3)]
+    # elided article resolving to a stopword drops the whole token
+    got2 = [
+        t.term
+        for t in french_analyze("qu'elle chante", stopwords=FRENCH_STOP_WORDS)
+    ]
+    assert got2 == ["chant"]
+
+
+def test_french_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.fr import FRENCH_STOP_WORDS, french_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "l'avion des chanteuses nationales",
+        "chevaux journaux communication",
+        "", "aujourd'hui l’été qu'elle",
+    ]
+    bt = analyze_batch(texts, stopwords=FRENCH_STOP_WORDS, analyzer="french")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in french_analyze(txt, FRENCH_STOP_WORDS)]
+        for i, txt in enumerate(texts)
+        if txt and french_analyze(txt, FRENCH_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
