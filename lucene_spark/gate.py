@@ -2879,6 +2879,45 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+# the Lucene-expressions source for the expression_score gate row: exercises
+# ternary + comparison + ln + arithmetic; compiled ONCE and bound per engine
+# (expressions.py emits the identical SQL tree for Spark and DuckDB)
+_EXPR_SRC = "_score * (prio > 100.0 ? 1.5 : 1.0) + ln(1.0 + prio / 211.0)"
+
+
+def _q_expression_score(spark, sf_dir, k: int = 10):
+    """Expression-module scoring (expressions/js/JavascriptCompiler.java):
+    BM25 rescored by a compiled expression over the score and a numeric
+    doc-value binding."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.expression_score("stream", _EXPR_SRC, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_expression_score(term: str = "stream", k: int = 10) -> str:
+    from .search.expressions import compile_expression
+
+    tree = compile_expression(_EXPR_SRC).sql(
+        {
+            "_score": "s_a.score",
+            # the doc-value is recomputable from doc_id (see build above);
+            # binding text is per-engine, the tree around it is identical
+            "prio": "((s_a.doc_id * 37) % 211)::DOUBLE",
+        }
+    )
+    inner = f"SELECT s_a.doc_id, {tree} AS score FROM s_a"
+    return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(
+        inner, k
+    )
+
+
 def _q_sort_by_docvalue(spark, sf_dir, k: int = 20):
     """Top-k matches of 'stream' ordered by the stored numeric doc-value
     (SortField(name, Type.DOUBLE) over NumericDocValues)."""
@@ -3730,6 +3769,7 @@ def gate_queries() -> dict:
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
         "function_score_dv": _q_function_score_dv,
+        "expression_score": _q_expression_score,
         "term_automaton": _q_term_automaton,
         "synonym_graph_query": _q_synonym_graph,
         "bm25_wildcard_phrase": _mk_topk('"s* window"'),
@@ -3851,6 +3891,7 @@ def gate_oracle_sql() -> dict:
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
         "function_score_dv": _sql_function_score_dv(),
+        "expression_score": _sql_expression_score(),
         "term_automaton": _sql_term_automaton(),
         "synonym_graph_query": _sql_synonym_graph(),
         "bm25_wildcard_phrase": _sql_wildcard_phrase("s%", "window"),

@@ -971,6 +971,33 @@ class Searcher:
             .limit(k)
         )
 
+    def expression_score(
+        self,
+        query,
+        source: str,
+        bindings: dict[str, str] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Expression-language FunctionScoreQuery (expressions/Expression.java,
+        js/JavascriptCompiler.java): ``source`` is a Lucene-expressions string
+        (``_score * (prio > 100 ? 1.5 : 1.0) + ln(1 + prio)``), compiled once
+        to a Spark SQL arithmetic tree — Catalyst is the bytecode compiler,
+        so the expression runs JVM-side inside whole-stage codegen.
+
+        Bindings (expressions/Bindings.java): ``_score`` is pre-bound to the
+        relevance score; any other free variable defaults to the numeric
+        doc-value of the same name (``DoubleValuesSource.fromDoubleField``),
+        overridable via ``bindings`` with any SQL over the docmap columns."""
+        from .expressions import compile_expression
+
+        expr = compile_expression(source)
+        b = {"_score": "score"}
+        for v in expr.variables:
+            if v == "_score":
+                continue
+            b[v] = (bindings or {}).get(v, f"dv['{v}']")
+        return self.function_score(query, expr.sql(b), k=k)
+
     def covering(
         self, queries: list, min_match_expr: str, k: int = 10
     ) -> DataFrame:
