@@ -74,9 +74,10 @@ _FR_FOLD = str.maketrans(
 )
 
 
-def french_elide(term: str) -> str:
-    """ElisionFilter: find the FIRST apostrophe (' or U+2019); if the
-    prefix before it is one of the articles, strip prefix + apostrophe."""
+def elide(term: str, articles: frozenset[str]) -> str:
+    """ElisionFilter (util/ElisionFilter.java:49), language-neutral core:
+    find the FIRST apostrophe (' or U+2019); if the prefix before it is one
+    of the articles, strip prefix + apostrophe."""
     for ap in _APOSTROPHES:
         i = term.find(ap)
         if i >= 0:
@@ -87,7 +88,12 @@ def french_elide(term: str) -> str:
     j = term.find(_APOSTROPHES[1] if ap == _APOSTROPHES[0] else _APOSTROPHES[0])
     if 0 <= j < i:
         i = j
-    return term[i + 1 :] if term[:i] in ELISION_ARTICLES else term
+    return term[i + 1 :] if term[:i] in articles else term
+
+
+def french_elide(term: str) -> str:
+    """ElisionFilter with FrenchAnalyzer.DEFAULT_ARTICLES."""
+    return elide(term, ELISION_ARTICLES)
 
 
 def _norm(s: str) -> str:

@@ -209,6 +209,73 @@ def _batch_from_chain(texts, chain) -> BatchTokens:
     )
 
 
+def _vocab_chain(analyzer: str):
+    """Per-term chains safe to run once per DISTINCT vocabulary term (the
+    Zipf dictionary trick): each returns ``fn(term, stopwords) -> str|None``
+    where None drops the token (stop), keeping position increments. Every
+    analyzer here tokenizes like "standard" — only the term transform
+    differs — so they all share the vectorized tokenize pass."""
+    if analyzer == "english":
+        from .en import english_term
+
+        return english_term
+    if analyzer == "german":
+        from .de import german_term
+
+        return german_term
+    if analyzer == "french":
+        from .fr import french_term
+
+        return french_term
+    if analyzer == "spanish":
+        from .es import spanish_term
+
+        return spanish_term
+    if analyzer == "italian":
+        from .it import italian_term
+
+        return italian_term
+    if analyzer == "ascii_folded":
+        # fold-then-stop (analysis/folding.py chain order)
+        from .folding import fold_ascii
+
+        def folded_term(u: str, stopwords):
+            t = fold_ascii(u)
+            if stopwords and t in stopwords:
+                return None
+            return t
+
+        return folded_term
+    return None
+
+
+def _remap_vocab(
+    uniques, codes, docids, positions, doc_lens, term_fn
+) -> BatchTokens:
+    """Apply a per-term chain to the VOCABULARY and remap token codes:
+    distinct raw terms may map to the same output term (stemming) or to
+    None (stop) — per-token cost is zero."""
+    remap = np.empty(len(uniques), dtype=np.int64)
+    new_uniques: list[str] = []
+    new_index: dict[str, int] = {}
+    for i, u in enumerate(uniques):
+        t = term_fn(u)
+        if t is None:
+            remap[i] = -1
+            continue
+        ci = new_index.get(t)
+        if ci is None:
+            ci = len(new_uniques)
+            new_uniques.append(t)
+            new_index[t] = ci
+        remap[i] = ci
+    codes = remap[codes]
+    keep = codes >= 0
+    codes, docids, positions = codes[keep], docids[keep], positions[keep]
+    np.add.at(doc_lens, docids, 1)
+    return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
+
+
 def analyze_batch(
     texts,
     stopwords: frozenset[str] | None = None,
@@ -227,14 +294,9 @@ def analyze_batch(
     then a vectorized stream post-pass (see _shingle_post/_gram_post);
     token multiset equals the per-document chain, emission ORDER may differ
     (the index builder re-sorts by (term, doc, position) regardless)."""
-    english = analyzer == "english"
-    german = analyzer == "german"
-    french = analyzer == "french"
-    folded = analyzer == "ascii_folded"
+    vocab_chain = _vocab_chain(analyzer)
     post = analyzer in ("shingle", "ngram3", "edge_ngram")
-    standard = (
-        analyzer == "standard" or english or german or french or folded or post
-    )
+    standard = analyzer == "standard" or post or vocab_chain is not None
     if analyzer == "cjk":
         # CJK bigrams are POSITION-dependent (adjacent-run joins), not a
         # per-term transform, so the vocabulary trick doesn't apply; CJK
@@ -360,111 +422,17 @@ def analyze_batch(
     docids = np.concatenate(parts_docids)
     positions = np.concatenate(parts_positions)
 
-    if english:
-        # whole term chain on the VOCABULARY: possessive strip -> stop ->
-        # Porter stem (EnglishAnalyzer.java:102-110 order — "it's" strips
-        # to "it" and is THEN stop-filtered). Distinct raw terms may stem
-        # to the same word, so codes are remapped into a fresh dictionary.
-        from .en import english_term
-
-        remap = np.empty(len(uniques), dtype=np.int64)
-        new_uniques: list[str] = []
-        new_index: dict[str, int] = {}
-        for i, u in enumerate(uniques):
-            t = english_term(u, stopwords)
-            if t is None:
-                remap[i] = -1
-                continue
-            ci = new_index.get(t)
-            if ci is None:
-                ci = len(new_uniques)
-                new_uniques.append(t)
-                new_index[t] = ci
-            remap[i] = ci
-        codes = remap[codes]
-        keep = codes >= 0
-        codes, docids, positions = codes[keep], docids[keep], positions[keep]
-        np.add.at(doc_lens, docids, 1)
-        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
-
-    if german:
-        # GermanAnalyzer chain on the VOCABULARY: stop (surface form) ->
-        # normalization -> light stem (analysis/de.py), remapped like the
-        # english path since distinct raw terms can stem together
-        from .de import german_term
-
-        remap = np.empty(len(uniques), dtype=np.int64)
-        new_uniques: list[str] = []
-        new_index: dict[str, int] = {}
-        for i, u in enumerate(uniques):
-            t = german_term(u, stopwords)
-            if t is None:
-                remap[i] = -1
-                continue
-            ci = new_index.get(t)
-            if ci is None:
-                ci = len(new_uniques)
-                new_uniques.append(t)
-                new_index[t] = ci
-            remap[i] = ci
-        codes = remap[codes]
-        keep = codes >= 0
-        codes, docids, positions = codes[keep], docids[keep], positions[keep]
-        np.add.at(doc_lens, docids, 1)
-        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
-
-    if french:
-        # FrenchAnalyzer chain on the VOCABULARY: elision -> stop (elided
-        # surface form) -> light stem (analysis/fr.py). Elision is a pure
-        # per-term transform here because the tokenizer keeps
-        # apostrophe-joined words whole (UAX#29 MidLetter), so the same
-        # vocabulary-remap trick applies.
-        from .fr import french_term
-
-        remap = np.empty(len(uniques), dtype=np.int64)
-        new_uniques: list[str] = []
-        new_index: dict[str, int] = {}
-        for i, u in enumerate(uniques):
-            t = french_term(u, stopwords)
-            if t is None:
-                remap[i] = -1
-                continue
-            ci = new_index.get(t)
-            if ci is None:
-                ci = len(new_uniques)
-                new_uniques.append(t)
-                new_index[t] = ci
-            remap[i] = ci
-        codes = remap[codes]
-        keep = codes >= 0
-        codes, docids, positions = codes[keep], docids[keep], positions[keep]
-        np.add.at(doc_lens, docids, 1)
-        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
-
-    if folded:
-        # fold-then-stop on the VOCABULARY (analysis/folding.py chain
-        # order), distinct raw terms may fold together -> remap codes
-        from .folding import fold_ascii
-
-        remap = np.empty(len(uniques), dtype=np.int64)
-        new_uniques: list[str] = []
-        new_index: dict[str, int] = {}
-        for i, u in enumerate(uniques):
-            t = fold_ascii(u)
-            if stopwords and t in stopwords:
-                remap[i] = -1
-                continue
-            ci = new_index.get(t)
-            if ci is None:
-                ci = len(new_uniques)
-                new_uniques.append(t)
-                new_index[t] = ci
-            remap[i] = ci
-        codes = remap[codes]
-        keep = codes >= 0
-        codes, docids, positions = codes[keep], docids[keep], positions[keep]
-        np.add.at(doc_lens, docids, 1)
-        return BatchTokens(new_uniques, codes, docids, positions, doc_lens)
+    if vocab_chain is not None:
+        # whole term chain on the VOCABULARY (e.g. EnglishAnalyzer's
+        # possessive strip -> stop -> Porter, EnglishAnalyzer.java:102-110
+        # order — "it's" strips to "it" and is THEN stop-filtered; the
+        # German/French/Spanish/Italian light chains; fold-then-stop):
+        # distinct raw terms may map together, so codes are remapped into
+        # a fresh dictionary — per-token cost is zero.
+        return _remap_vocab(
+            uniques, codes, docids, positions, doc_lens,
+            lambda u: vocab_chain(u, stopwords),
+        )
 
     # stop filter on the VOCABULARY (exact, tiny), keeping position
     # increments of dropped tokens

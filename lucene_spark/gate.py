@@ -3404,6 +3404,107 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+# Spanish / Italian: same doc_id-arithmetic recipe as German/French —
+# corpus = 6 words drawn from a fixed 8-word lexicon, the language chain
+# (es/SpanishAnalyzer.java:113 + SpanishLightStemmer; it/ItalianAnalyzer.java
+# :113 + ElisionFilter + ItalianLightStemmer — both Savoy CLEF-2001 light
+# stemmers) maps each word to a HAND-DERIVED stem baked into the oracle.
+
+# libros/libro -> libr; veces/vez -> vez; meses/mes -> mes;
+# canciones/canción -> cancion
+_ES_LEX = [
+    "libros", "libro", "veces", "vez",
+    "meses", "mes", "canciones", "canción",
+]
+_ES_QUERY = "libros"  # analyzes to 'libr'
+_ES_LIBR_IDXS = (0, 1)
+
+# ragazzo/ragazzi/ragazza/ragazze -> ragazz; storie/storia -> stor;
+# l'aereo/aereo -> aereo (elision; 5 chars — under the stemmer's length gate)
+_IT_LEX = [
+    "ragazzo", "ragazzi", "ragazza", "ragazze",
+    "storie", "storia", "l'aereo", "aereo",
+]
+_IT_QUERY = "storie"  # analyzes to 'stor'
+_IT_STOR_IDXS = (4, 5)
+
+
+def _ensure_lex_index(
+    spark: SparkSession, sf_dir: str, tag: str, lex: list, analyzer: str
+) -> str:
+    """Build-once cached index whose corpus is 6 lexicon words per doc
+    chosen by ``(doc_id*7 + 3i) % 8`` — the oracle recomputes term
+    frequencies from the same arithmetic."""
+    name = sf_dir.strip("/").replace("/", "_") + "_" + tag
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        arr = F.array(*[F.lit(w) for w in lex])
+        word = lambda i: F.element_at(  # noqa: E731
+            arr, ((F.col("doc_id") * 7 + i * 3) % 8 + 1).cast("int")
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.concat_ws(" ", *[word(i) for i in range(6)]).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer=analyzer,
+            stopwords=None, index_positions=False,
+        )
+    return idx
+
+
+def _sql_lex_stem(match_idxs: tuple, k: int = 100000) -> str:
+    """Oracle for one stemmed-term BM25 query over a lexicon index: a doc's
+    term frequency = how many of its 6 slots drew a lexicon word whose
+    hand-derived stem equals the query's stem."""
+    idf = _idf("d.df")
+    idxs = ", ".join(str(i) for i in match_idxs)
+    hits = " + ".join(
+        f"(CASE WHEN ((doc_id * 7 + {3 * i}) % 8) IN ({idxs}) THEN 1 ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""WITH tfq AS (
+  SELECT doc_id, ({hits})::BIGINT AS freq FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         6.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '6')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _q_spanish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "es", _ES_LEX, "spanish"),
+        analyzer="spanish", mode="double",
+    )
+    h = s.search(_ES_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_italian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "it", _IT_LEX, "italian"),
+        analyzer="italian", mode="double",
+    )
+    h = s.search(_IT_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built with index-time synonym rules stream->flow and
     window->flow (keep_original): 'flow' becomes a real posting list whose
@@ -3701,6 +3802,8 @@ def gate_queries() -> dict:
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
+        "spanish_light_index": _q_spanish_stem,
+        "italian_light_index": _q_italian_stem,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -3825,6 +3928,8 @@ def gate_oracle_sql() -> dict:
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
+        "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
+        "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -50,7 +50,9 @@ from pyspark.sql import functions as F
 from ..functions.featurefield import encode_feature
 from ..analysis.cjk import cjk_analyze, cjk_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
+from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
+from ..analysis.it import italian_analyze, italian_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -100,6 +102,8 @@ _ANALYZERS: dict[str, Callable] = {
     "cjk": cjk_analyze,              # standard + CJK bigrams (CJKAnalyzer)
     "german": german_analyze,        # standard + normalize + light stem
     "french": french_analyze,        # standard + elision + light stem
+    "spanish": spanish_analyze,      # standard + Savoy light stem
+    "italian": italian_analyze,      # standard + elision + light stem
 }
 
 
@@ -130,6 +134,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "cjk": cjk_terms_positions,
     "german": german_terms_positions,
     "french": french_terms_positions,
+    "spanish": spanish_terms_positions,
+    "italian": italian_terms_positions,
 }
 
 

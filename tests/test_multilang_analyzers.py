@@ -215,3 +215,157 @@ def test_french_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Spanish (es/SpanishAnalyzer.java:113, SpanishLightStemmer — Savoy CLEF-2001)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # final vowel strip
+        ("libro", "libr"),
+        ("casa", "casa"),  # len < 5: untouched
+        ("grande", "grand"),
+        # -s with preceding vowel
+        ("libros", "libr"),
+        ("casas", "cas"),
+        ("grandes", "grand"),
+        # -eses keeps one 'es'
+        ("meses", "mes"),
+        ("ingleses", "ingles"),
+        # -ces -> z
+        ("veces", "vez"),
+        ("peces", "pez"),
+        # accent fold only at len >= 5
+        ("canción", "cancion"),
+        ("él", "él"),
+        # consonant tail: no rule fires (post-fold form kept)
+        ("ciudad", "ciudad"),
+    ],
+)
+def test_spanish_light_stem(word, stem):
+    from lucene_spark.analysis.es import spanish_light_stem
+
+    assert spanish_light_stem(word) == stem
+
+
+def test_spanish_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.es import SPANISH_STOP_WORDS, spanish_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in spanish_analyze(
+            "los libros de las canciones", stopwords=SPANISH_STOP_WORDS
+        )
+    ]
+    # 'los'/'de'/'las' stopped with position gaps
+    assert got == [("libr", 1), ("cancion", 4)]
+
+
+def test_spanish_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.es import SPANISH_STOP_WORDS, spanish_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "los libros grandes de la ciudad",
+        "veces meses canciones ingleses",
+        "", "canción él peces",
+    ]
+    bt = analyze_batch(texts, stopwords=SPANISH_STOP_WORDS, analyzer="spanish")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in spanish_analyze(txt, SPANISH_STOP_WORDS)]
+        for i, txt in enumerate(texts)
+        if txt and spanish_analyze(txt, SPANISH_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Italian (it/ItalianAnalyzer.java:113, ElisionFilter + ItalianLightStemmer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # final vowel strip (len >= 6 gate)
+        ("ragazzo", "ragazz"),
+        ("ragazzi", "ragazz"),
+        ("ragazza", "ragazz"),
+        ("ragazze", "ragazz"),
+        ("libro", "libro"),  # len < 6: untouched
+        # -ia/-ie/-io/-ii absorb the i
+        ("storia", "stor"),
+        ("storie", "stor"),
+        ("studio", "stud"),
+        # -he/-hi keep the hard consonant
+        ("amiche", "amic"),
+        ("luoghi", "luog"),
+        # accent fold only at len >= 6
+        ("qualità", "qualit"),
+        ("città", "città"),  # len < 6: untouched, accent kept
+        ("però", "però"),
+        # consonant tail: no rule fires
+        ("cantar", "cantar"),
+    ],
+)
+def test_italian_light_stem(word, stem):
+    from lucene_spark.analysis.it import italian_light_stem
+
+    assert italian_light_stem(word) == stem
+
+
+def test_italian_elision():
+    from lucene_spark.analysis.it import italian_elide
+
+    assert italian_elide("l'aereo") == "aereo"
+    assert italian_elide("dell'arte") == "arte"
+    assert italian_elide("un'amica") == "amica"
+    # U+2019 apostrophe form
+    assert italian_elide("l’aereo") == "aereo"
+    # non-article prefix untouched
+    assert italian_elide("po'co") == "po'co"
+
+
+def test_italian_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.it import ITALIAN_STOP_WORDS, italian_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in italian_analyze(
+            "i ragazzi e le storie dell'arte", stopwords=ITALIAN_STOP_WORDS
+        )
+    ]
+    # 'i'/'e'/'le' stopped with position gaps; elision before stem
+    assert got == [("ragazz", 1), ("stor", 4), ("arte", 5)]
+
+
+def test_italian_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.it import ITALIAN_STOP_WORDS, italian_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "i ragazzi e le ragazze della città",
+        "storie dell'arte l'aereo",
+        "", "amiche luoghi studio però",
+    ]
+    bt = analyze_batch(texts, stopwords=ITALIAN_STOP_WORDS, analyzer="italian")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in italian_analyze(txt, ITALIAN_STOP_WORDS)]
+        for i, txt in enumerate(texts)
+        if txt and italian_analyze(txt, ITALIAN_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
