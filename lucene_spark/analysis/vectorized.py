@@ -235,6 +235,14 @@ def _vocab_chain(analyzer: str):
         from .it import italian_term
 
         return italian_term
+    if analyzer == "portuguese":
+        from .pt import portuguese_term
+
+        return portuguese_term
+    if analyzer == "russian":
+        from .ru import russian_term
+
+        return russian_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -3505,6 +3505,49 @@ def _q_italian_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# livros/livro -> livr; canções/canção -> canca (ões→ão rewrite, vowel
+# strip, then fold); bons/bom -> bom (ns→m); famosas/famoso -> famos
+_PT_LEX = [
+    "livros", "livro", "canções", "canção",
+    "bons", "bom", "famosas", "famoso",
+]
+_PT_QUERY = "livros"  # analyzes to 'livr'
+_PT_LIVR_IDXS = (0, 1)
+
+# книгами/книга -> книг; красного/красный -> красн; домов/дом -> дом;
+# синяя/синий -> син
+_RU_LEX = [
+    "книгами", "книга", "красного", "красный",
+    "домов", "дом", "синяя", "синий",
+]
+_RU_QUERY = "книги"  # an UNSEEN case form; analyzes to 'книг'
+_RU_KNIG_IDXS = (0, 1)
+
+
+def _q_portuguese_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "pt", _PT_LEX, "portuguese"),
+        analyzer="portuguese", mode="double",
+    )
+    h = s.search(_PT_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_russian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ru", _RU_LEX, "russian"),
+        analyzer="russian", mode="double",
+    )
+    h = s.search(_RU_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built with index-time synonym rules stream->flow and
     window->flow (keep_original): 'flow' becomes a real posting list whose
@@ -3804,6 +3847,8 @@ def gate_queries() -> dict:
         "german_light_index": _q_german_stem,
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
+        "portuguese_light_index": _q_portuguese_stem,
+        "russian_light_index": _q_russian_stem,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -3930,6 +3975,8 @@ def gate_oracle_sql() -> dict:
         "german_light_index": _sql_german_stem(),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
+        "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
+        "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

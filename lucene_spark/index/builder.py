@@ -53,6 +53,8 @@ from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
+from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
+from ..analysis.ru import russian_analyze, russian_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -104,6 +106,8 @@ _ANALYZERS: dict[str, Callable] = {
     "french": french_analyze,        # standard + elision + light stem
     "spanish": spanish_analyze,      # standard + Savoy light stem
     "italian": italian_analyze,      # standard + elision + light stem
+    "portuguese": portuguese_analyze,  # standard + Savoy light stem
+    "russian": russian_analyze,      # standard + Dolamic-Savoy light stem
 }
 
 
@@ -136,6 +140,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "french": french_terms_positions,
     "spanish": spanish_terms_positions,
     "italian": italian_terms_positions,
+    "portuguese": portuguese_terms_positions,
+    "russian": russian_terms_positions,
 }
 
 

@@ -369,3 +369,157 @@ def test_italian_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (pt/PortugueseAnalyzer.java:113, PortugueseLightStemmer — Savoy
+# UniNE SAC 2006)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("livros", "livr"),
+        ("livro", "livr"),
+        # plural rewrites
+        ("bons", "bom"),
+        ("bom", "bom"),  # len < 4: untouched
+        ("papéis", "papel"),
+        ("animais", "animal"),
+        ("lençóis", "lencol"),
+        ("barris", "barril"),
+        ("canções", "canca"),
+        ("canção", "canca"),
+        ("rapidamente", "rapid"),
+        # feminine normalization
+        ("famosa", "famos"),
+        ("famosas", "famos"),
+        ("portuguesa", "portugues"),
+        ("grandona", "granda"),
+        ("menininha", "menininh"),
+        # fold runs LAST and only for len >= 4
+        ("será", "sera"),
+        ("até", "até"),  # len 3: untouched, accent kept
+    ],
+)
+def test_portuguese_light_stem(word, stem):
+    from lucene_spark.analysis.pt import portuguese_light_stem
+
+    assert portuguese_light_stem(word) == stem
+
+
+def test_portuguese_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.pt import (
+        PORTUGUESE_STOP_WORDS,
+        portuguese_analyze,
+    )
+
+    got = [
+        (t.term, t.position)
+        for t in portuguese_analyze(
+            "os livros e as canções", stopwords=PORTUGUESE_STOP_WORDS
+        )
+    ]
+    assert got == [("livr", 1), ("canca", 4)]
+
+
+def test_portuguese_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.pt import (
+        PORTUGUESE_STOP_WORDS,
+        portuguese_analyze,
+    )
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "os livros famosos de portugal",
+        "canções e papéis bons",
+        "", "a menininha portuguesa rapidamente",
+    ]
+    bt = analyze_batch(
+        texts, stopwords=PORTUGUESE_STOP_WORDS, analyzer="portuguese"
+    )
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [
+            (t.term, t.position)
+            for t in portuguese_analyze(txt, PORTUGUESE_STOP_WORDS)
+        ]
+        for i, txt in enumerate(texts)
+        if txt and portuguese_analyze(txt, PORTUGUESE_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Russian (ru/RussianAnalyzer.java, RussianLightStemmer — Dolamic & Savoy)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # case endings, longest-first
+        ("книгами", "книг"),
+        ("книга", "книг"),
+        ("книги", "книг"),
+        ("красного", "красн"),
+        ("красный", "красн"),
+        ("домов", "дом"),
+        ("дом", "дом"),  # len <= 3: untouched
+        ("синяя", "син"),
+        ("синий", "син"),
+        # normalize pass: -нн does NOT collapse after a case strip already
+        # consumed the ending (single normalize pass, like the reference)
+        ("осенние", "осенн"),
+        # final -ь
+        ("ночь", "ноч"),
+    ],
+)
+def test_russian_light_stem(word, stem):
+    from lucene_spark.analysis.ru import russian_light_stem
+
+    assert russian_light_stem(word) == stem
+
+
+def test_russian_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.ru import RUSSIAN_STOP_WORDS, russian_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in russian_analyze(
+            "и книги в доме", stopwords=RUSSIAN_STOP_WORDS
+        )
+    ]
+    # 'и'/'в' stopped with position gaps; 'доме' -> 'дом'
+    assert got == [("книг", 1), ("дом", 3)]
+
+
+def test_russian_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.ru import RUSSIAN_STOP_WORDS, russian_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "книгами и книга красного дома",
+        "синяя ночь осенние дни",
+        "", "красный дом книги",
+    ]
+    bt = analyze_batch(texts, stopwords=RUSSIAN_STOP_WORDS, analyzer="russian")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [
+            (t.term, t.position)
+            for t in russian_analyze(txt, RUSSIAN_STOP_WORDS)
+        ]
+        for i, txt in enumerate(texts)
+        if txt and russian_analyze(txt, RUSSIAN_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
