@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["naive_bayes_classify"]
+__all__ = ["naive_bayes_classify", "knn_classify"]
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -112,3 +112,71 @@ def naive_bayes_classify(
     return ranked.filter(F.col("rk") <= k).select(
         id_col, "label", F.round("score", 4).alias("score")
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    qvecs: dict[int, list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """K-nearest-neighbor classification over an embedding column — the
+    KNearestNeighborClassifier analog (classification/
+    KNearestNeighborClassifier.java:190 buildListFromTopDocs) with vector
+    similarity standing in for the MLT query (the KnnVectorQuery-era form
+    of the same classifier).
+
+    Reference scoring, reproduced exactly: each of the k nearest neighbors
+    votes for its class with weight ``score / maxScore`` (maxScore = the
+    top neighbor's score); a class's score is its weight sum divided by k
+    (count * normalizedBoost / k in the reference simplifies to exactly
+    that), and the argmax class is assigned. Every neighbor here carries a
+    label, so the reference's sumdoc<k correction never fires.
+
+    Plan: the query set broadcasts (Q rows), cosines compute JVM-side in
+    one pass over the table, per-query top-k is a window over (qid) —
+    at scale each query reads the table once and only ≤ Q·k rows shuffle
+    into the vote aggregation. Returns one (qid, label, score) row per
+    query, tie-break (score DESC, label ASC), score rounded to 4.
+    """
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in sorted(qvecs.items())],
+        "qid long, qv array<double>",
+    )
+    v = F.col(vec_col)
+    q = F.col("qv")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(v, q) / (F.sqrt(dot(v, v)) * F.sqrt(dot(q, q)))
+    scored = emb.crossJoin(F.broadcast(qdf)).select(
+        "qid", F.col(id_col), F.col(label_col).alias("label"), cos.alias("cos")
+    )
+    top = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(id_col))
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .withColumn("m", F.max("cos").over(Window.partitionBy("qid")))
+    )
+    votes = top.groupBy("qid", "label").agg(
+        (F.sum(F.col("cos") / F.col("m")) / F.lit(float(k))).alias("score")
+    )
+    best = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("label"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select("qid", "label", F.round("score", 4).alias("score"))

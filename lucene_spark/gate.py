@@ -1906,6 +1906,57 @@ FROM bands x JOIN bands y
   ON y.band = x.band AND y.band_key = x.band_key AND x.doc_id < y.doc_id"""
 
 
+def _ensure_streaming_dedup_store(spark: SparkSession, sf_dir: str) -> str:
+    """Run the incremental streaming deduper (streaming/dedup.py) over the
+    documents table split into THREE ascending-doc_id micro-batches, once
+    per sf_dir; later calls reuse the committed store. At threshold 1.0 the
+    match relation (all 8 MinHash components equal) is an equivalence
+    relation, so the streaming first-seen-canonical rule provably equals
+    the batch min-id-per-signature-class rule the oracle computes."""
+    from .streaming.dedup import StreamingDeduper
+
+    name = sf_dir.strip("/").replace("/", "_") + "_sdedup"
+    store = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    deduper = StreamingDeduper(store, min_est_jaccard=1.0)
+    if deduper._committed() >= {0, 1, 2}:
+        return store
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = (0, n // 3, 2 * n // 3, n + 1)
+    for i in range(3):
+        deduper(
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ),
+            i,
+        )
+    return store
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Cross-batch near-dup verdicts from the incremental streaming store:
+    (doc_id, dup_of=first-seen canonical with the identical signature)."""
+    from .streaming.dedup import StreamingDeduper
+
+    store = _ensure_streaming_dedup_store(spark, sf_dir)
+    return (
+        StreamingDeduper(store, min_est_jaccard=1.0)
+        .duplicates(spark)
+        .select("doc_id", "dup_of")
+    )
+
+
+def _sql_streaming_dedup() -> str:
+    sig_cols = ", ".join(f"sig_{i}" for i in range(_N_MINHASH))
+    return f"""WITH sig AS ({_sql_minhash()}),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY {sig_cols}) AS dup_of
+  FROM sig
+)
+SELECT doc_id, dup_of FROM g WHERE doc_id <> dup_of"""
+
+
 def _q_simhash(spark, sf_dir):
     return _dd.simhash(_docs(spark, sf_dir))
 
@@ -2301,6 +2352,50 @@ WHERE EXISTS (
 
 
 # --- classification ---------------------------------------------------------
+
+
+def _q_classify_knn(spark, sf_dir, k: int = 10):
+    """KNearestNeighborClassifier over the embeddings table: assign each of
+    4 query vectors the majority-by-normalized-score class of its 10
+    nearest cosine neighbors (KNearestNeighborClassifier.java:190 vote)."""
+    from .classification import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    return knn_classify(emb, qvecs, k=k)
+
+
+def _sql_classify_knn() -> str:
+    # f-string in a function body: _COS_SQL is defined further down the
+    # module and exists by registry-build time
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+s AS (
+  SELECT q.qid, e.vec_id, e.label,
+    {_COS_SQL} AS cos
+  FROM embeddings e, q
+),
+top AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM s
+  ) WHERE rn <= 10
+),
+mx AS (SELECT qid, max(cos) AS m FROM top GROUP BY qid),
+cl AS (
+  SELECT t.qid, t.label, (sum(t.cos / mx.m) / 10.0) AS score
+  FROM top t JOIN mx USING (qid) GROUP BY t.qid, t.label
+)
+SELECT qid, label, round(score, 4) AS score FROM (
+  SELECT cl.*, row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, label ASC) AS rk
+  FROM cl
+) WHERE rk = 1"""  # noqa: E501
 
 
 def _q_classify_nb(spark, sf_dir):
@@ -3869,6 +3964,7 @@ def gate_queries() -> dict:
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "monitor_percolate": _q_monitor,
         "classify_naive_bayes": _q_classify_nb,
+        "classify_knn": _q_classify_knn,
         "geo_box": _q_geo_box,
         "geo_polygon": _q_geo_polygon,
         "geo_nearest": _q_geo_nearest,
@@ -3894,6 +3990,7 @@ def gate_queries() -> dict:
         "stratified_sample": _q_stratified_sample,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "streaming_dedup": _q_streaming_dedup,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
@@ -3996,6 +4093,7 @@ def gate_oracle_sql() -> dict:
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
         "monitor_percolate": _SQL_MONITOR,
         "classify_naive_bayes": _SQL_CLASSIFY_NB,
+        "classify_knn": _sql_classify_knn(),
         "geo_box": _sql_geo_box(),
         "geo_polygon": _sql_geo_polygon(),
         "geo_nearest": _sql_geo_nearest(),
@@ -4020,6 +4118,7 @@ def gate_oracle_sql() -> dict:
         "stratified_sample": _sql_stratified_sample(),
         "minhash_signatures": _sql_minhash(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "streaming_dedup": _sql_streaming_dedup(),
         "simhash": _SQL_SIMHASH,
         "lang_id": _SQL_LANG_ID,
         "quality_scores": _SQL_QUALITY,
