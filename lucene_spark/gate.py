@@ -2398,6 +2398,78 @@ SELECT qid, label, round(score, 4) AS score FROM (
 ) WHERE rk = 1"""  # noqa: E501
 
 
+def _q_quality_eval(spark, sf_dir):
+    """benchmark/quality QualityStats over a synthetic judged run: one
+    "query" per language, ranked run = that language's first 20 docs by
+    doc_id, qrels = the language's doc_id%3==0 docs (including never-
+    retrieved ones — they count in the recall denominator)."""
+    from pyspark.sql import Window as _W
+
+    from .search.quality import quality_stats
+
+    d = _docs(spark, sf_dir)
+    results = (
+        d.withColumn(
+            "rank",
+            F.row_number().over(_W.partitionBy("lang").orderBy("doc_id")),
+        )
+        .filter(F.col("rank") <= 20)
+        .select(F.col("lang").alias("query_id"), "doc_id", "rank")
+    )
+    judgments = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("lang").alias("query_id"), "doc_id"
+    )
+    return quality_stats(results, judgments)
+
+
+_SQL_QUALITY_EVAL = """WITH res AS (
+  SELECT * FROM (
+    SELECT lang AS query_id, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rank
+    FROM documents
+  ) WHERE rank <= 20
+),
+j AS (SELECT lang AS query_id, doc_id FROM documents WHERE doc_id % 3 = 0),
+mg AS (SELECT query_id, count(*)::BIGINT AS maxgood FROM j GROUP BY query_id),
+s AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r LEFT JOIN j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+p AS (
+  SELECT query_id, rank, rel,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / rank::DOUBLE AS prec
+  FROM s
+),
+a AS (
+  SELECT query_id,
+    max(rank) AS n_results,
+    sum(rel) AS n_found,
+    sum(CASE WHEN rel = 1 THEN prec END) AS prelsum,
+    min(CASE WHEN rel = 1 THEN rank END) AS frst,
+    sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS rel5,
+    sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS rel10,
+    sum(CASE WHEN rank <= 20 THEN rel ELSE 0 END) AS rel20
+  FROM p GROUP BY query_id
+)
+SELECT a.query_id,
+  n_results::BIGINT AS n_results,
+  n_found::BIGINT AS n_found,
+  coalesce(mg.maxgood, 0)::BIGINT AS max_good,
+  round(CASE WHEN coalesce(mg.maxgood, 0) <= 0
+    THEN n_found::DOUBLE / n_results::DOUBLE
+    ELSE n_found::DOUBLE / mg.maxgood::DOUBLE END, 6) AS recall,
+  round(CASE WHEN frst <= 5 THEN 1.0 / frst::DOUBLE ELSE 0.0 END, 6) AS mrr,
+  round(CASE WHEN coalesce(mg.maxgood, 0) = 0 THEN 0.0
+    ELSE coalesce(prelsum, 0.0) / mg.maxgood::DOUBLE END, 6) AS avp,
+  round(coalesce(rel5, 0)::DOUBLE / 5.0, 6) AS p_at_5,
+  round(coalesce(rel10, 0)::DOUBLE / 10.0, 6) AS p_at_10,
+  round(coalesce(rel20, 0)::DOUBLE / 20.0, 6) AS p_at_20
+FROM a LEFT JOIN mg USING (query_id)"""
+
+
 def _q_classify_nb(spark, sf_dir):
     """SimpleNaiveBayesClassifier over the corpus: train on doc_id%5!=0
     (label = lang), classify the held-out fifth; top-1 class per doc with
@@ -3011,6 +3083,77 @@ def _sql_expression_score(term: str = "stream", k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(
         inner, k
     )
+
+
+def _ensure_dvu_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with base doc-value prio=(doc_id*37)%211, then TWO update
+    gens over doc_id%10==0 docs (first 250.0, then doc_id%50+300 — the
+    second must win), applied through update_numeric_doc_values. A marker
+    file gates the whole build+update sequence."""
+    from .index import update_numeric_doc_values
+
+    name = sf_dir.strip("/").replace("/", "_") + "_dvu"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    marker = os.path.join(idx, "_dvu_done")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = src.select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            "text",
+            ((F.col("doc_id") * 37) % 211).cast("double").alias("prio"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="simple",
+            stopwords=None, index_positions=False,
+            doc_values={"prio": "prio"},
+        )
+        tenth = src.filter(F.col("doc_id") % 10 == 0)
+        update_numeric_doc_values(
+            spark, idx,
+            tenth.select(
+                F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+                F.lit(250.0).alias("value"),
+            ),
+            name="prio",
+        )
+        update_numeric_doc_values(
+            spark, idx,
+            tenth.select(
+                F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+                ((F.col("doc_id") % 50) + 300).cast("double").alias("value"),
+            ),
+            name="prio",
+        )
+        open(marker, "w").close()
+    return idx
+
+
+def _q_dv_update_sort(spark, sf_dir, k: int = 20):
+    """Top-k matches of 'stream' by the UPDATED doc-value
+    (updateNumericDocValue + SortField): docs with doc_id%10==0 carry
+    latest-gen values that beat every base value."""
+    s = Searcher(
+        spark, _ensure_dvu_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.search_sorted_by("stream", sort_col="dv:prio", ascending=False, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.col("dv_prio").cast("long").alias("prio"),
+    )
+
+
+def _sql_dv_update_sort(k: int = 20) -> str:
+    return f"""WITH {_BASE_CTES}
+SELECT doc_id, prio FROM (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 10 = 0 THEN (d.doc_id % 50) + 300
+         ELSE (d.doc_id * 37) % 211 END AS prio
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+  ORDER BY prio DESC, d.doc_id ASC LIMIT {k}
+)"""
 
 
 def _q_sort_by_docvalue(spark, sf_dir, k: int = 20):
@@ -3965,6 +4108,8 @@ def gate_queries() -> dict:
         "monitor_percolate": _q_monitor,
         "classify_naive_bayes": _q_classify_nb,
         "classify_knn": _q_classify_knn,
+        "quality_eval": _q_quality_eval,
+        "dv_update_sort": _q_dv_update_sort,
         "geo_box": _q_geo_box,
         "geo_polygon": _q_geo_polygon,
         "geo_nearest": _q_geo_nearest,
@@ -4094,6 +4239,8 @@ def gate_oracle_sql() -> dict:
         "monitor_percolate": _SQL_MONITOR,
         "classify_naive_bayes": _SQL_CLASSIFY_NB,
         "classify_knn": _sql_classify_knn(),
+        "quality_eval": _SQL_QUALITY_EVAL,
+        "dv_update_sort": _sql_dv_update_sort(),
         "geo_box": _sql_geo_box(),
         "geo_polygon": _sql_geo_polygon(),
         "geo_nearest": _sql_geo_nearest(),

@@ -43,7 +43,7 @@ class IndexReader:
 
     def _table(self, name: str) -> DataFrame:
         root = self._meta_root if name in (
-            "segment_manifest", "field_stats", "deletes"
+            "segment_manifest", "field_stats", "deletes", "dv_updates"
         ) else self.index_dir
         return self.spark.read.parquet(f"{root}/{name}")
 
@@ -59,9 +59,60 @@ class IndexReader:
 
     @cached_property
     def docmap(self) -> DataFrame:
-        return self._select_compat(
+        base = self._select_compat(
             self._data.filter(F.col("kind") == KIND_DOC), DOCMAP_COLS
         )
+        upd = self.dv_updates
+        if upd is None:
+            return base
+        # overlay numeric doc-value updates (IndexWriter.updateNumericDocValue
+        # semantics, index/ReadersAndUpdates.java docValuesGen): latest gen
+        # per (segment, docid, name) wins over the stored dv map. Applied
+        # HERE so every docmap consumer — sorts, function scores, merges,
+        # compaction — sees updated values, and a merge/compaction rewrite
+        # bakes them into its output docmap (Lucene merges fold DV gens in
+        # the same way).
+        from pyspark.sql.window import Window as _W
+
+        latest = (
+            upd.withColumn(
+                "_rk",
+                F.row_number().over(
+                    _W.partitionBy("segment_id", "docid", "name").orderBy(
+                        F.desc("gen")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .groupBy("segment_id", "docid")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("name", "value"))
+                ).alias("_upd")
+            )
+        )
+        joined = base.join(latest, ["segment_id", "docid"], "left")
+        kept = F.map_filter(
+            F.coalesce(
+                F.col("dv"), F.create_map().cast("map<string,double>")
+            ),
+            lambda k, _v: ~F.array_contains(F.map_keys(F.col("_upd")), k),
+        )
+        new_dv = F.when(F.col("_upd").isNull(), F.col("dv")).otherwise(
+            F.map_concat(kept, F.col("_upd"))
+        )
+        return joined.withColumn("dv", new_dv).select(*DOCMAP_COLS)
+
+    @cached_property
+    def dv_updates(self) -> DataFrame | None:
+        """Numeric doc-value update deltas (segment_id, docid, name, value,
+        gen), or None when the index has none (one os.path check)."""
+        import os
+
+        if not os.path.isdir(f"{self._meta_root}/dv_updates"):
+            return None
+        live = [int(r["segment_id"]) for r in self.manifest_rows]
+        return self._table("dv_updates").filter(F.col("segment_id").isin(live))
 
     @staticmethod
     def _select_compat(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -45,7 +45,7 @@ __all__ = [
     "prune_unreferenced",
 ]
 
-_META_TABLES = ("segment_manifest", "field_stats", "deletes")
+_META_TABLES = ("segment_manifest", "field_stats", "deletes", "dv_updates")
 
 
 def _snap_root(index_dir: str) -> str:
