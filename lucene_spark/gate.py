@@ -1548,6 +1548,38 @@ WHERE list_contains({arr}, 'data')
 ORDER BY weight DESC, text ASC LIMIT {k}"""
 
 
+_AS_STOPS = ("the", "a", "of", "and", "in", "to")
+
+
+def _q_suggest_analyzing(spark, sf_dir, k: int = 10):
+    """AnalyzingSuggester: suggestion table = (doc text, n_chars weight);
+    query "the table s" analyzes to ["table","s"] (stop removal), so a
+    suggestion matches when its FIRST analyzed token is 'table' and its
+    second starts with 's' — analyzed-prefix completion returning the
+    surface text."""
+    from .search.spell import analyzing_suggest
+
+    sugg = _docs(spark, sf_dir).select(
+        "text", F.col("n_chars").cast("long").alias("weight")
+    )
+    return analyzing_suggest(
+        sugg, "the table s", k=k, stopwords=frozenset(_AS_STOPS)
+    )
+
+
+def _sql_suggest_analyzing(k: int = 10) -> str:
+    stops = ", ".join(f"'{w}'" for w in _AS_STOPS)
+    arr = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        f"x -> x <> '' AND x NOT IN ({stops}))"
+    )
+    return f"""SELECT text, n_chars::BIGINT AS weight FROM documents
+WHERE len({arr}) >= 2
+  AND {arr}[1] = 'table'
+  AND {arr}[2] LIKE 's%'
+ORDER BY weight DESC, text ASC LIMIT {k}"""
+
+
 def _q_suggest_fuzzy(spark, sf_dir, k: int = 10):
     """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:66):
     suggestion table = term vocabulary weighted by docFreq
@@ -2932,6 +2964,33 @@ SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def _q_events_sliding(spark, sf_dir):
+    """Sliding-window rollup: 60-minute windows sliding by 15 — every
+    event lands in 4 overlapping windows (the streaming window('60m','15m')
+    shape in batch form)."""
+    return _ev.sliding_rollup(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        window_minutes=60, slide_minutes=15,
+    )
+
+
+# each event belongs to the 4 slide-aligned windows covering it:
+# w_start_us = (floor(e/slide) - j) * slide for j in 0..3, all of which
+# satisfy w_start > e - len when len = 4*slide (exact integer micros)
+_SQL_EVENTS_SLIDING = """WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS eu FROM events
+),
+wins AS (
+  SELECT e.event_type, e.value,
+         ((eu // 900000000) - j.j) * 900000000 AS ws
+  FROM e, generate_series(0, 3) AS j(j)
+  WHERE ((eu // 900000000) - j.j) * 900000000 > eu - 3600000000
+)
+SELECT ws // 1000000 AS w_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM wins GROUP BY 1, 2"""
+
+
 def _q_sessionize(spark, sf_dir):
     return _ev.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -4076,6 +4135,7 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
+        "suggest_analyzing": _q_suggest_analyzing,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_freetext": _q_suggest_freetext,
         "word_breaks": _q_word_breaks,
@@ -4164,6 +4224,7 @@ def gate_queries() -> dict:
         "synonym_graph_query": _q_synonym_graph,
         "bm25_wildcard_phrase": _mk_topk('"s* window"'),
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
         "multimodal_metadata": _q_multimodal,
@@ -4208,6 +4269,7 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
+        "suggest_analyzing": _sql_suggest_analyzing(),
         "suggest_fuzzy": _sql_suggest_fuzzy(),
         "suggest_freetext": _SQL_SUGGEST_FREETEXT,
         "word_breaks": _sql_word_breaks(),
@@ -4294,6 +4356,7 @@ def gate_oracle_sql() -> dict:
         "synonym_graph_query": _sql_synonym_graph(),
         "bm25_wildcard_phrase": _sql_wildcard_phrase("s%", "window"),
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_sliding": _SQL_EVENTS_SLIDING,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_props_rollup": _SQL_PROPS_ROLLUP,
         "multimodal_metadata": _SQL_MULTIMODAL,

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hourly_rollup", "sessionize", "props_rollup"]
+__all__ = ["hourly_rollup", "sessionize", "props_rollup", "sliding_rollup"]
 
 _US_PER_HOUR = 3_600_000_000
 
@@ -67,5 +67,40 @@ def props_rollup(events: DataFrame) -> DataFrame:
             F.round(
                 F.sum("k").cast("double") / F.count("*").cast("double"), 4
             ).alias("avg_k"),
+        )
+    )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> DataFrame:
+    """(w_start, event_type, n, sum_value): SLIDING windows — each event
+    lands in window_minutes/slide_minutes overlapping windows, the batch
+    equivalent of a Structured Streaming ``window(ts, '60 minutes',
+    '15 minutes')`` aggregation, and expressed with exactly that built-in
+    (Catalyst expands the window assignment; no explode is written here).
+    ``w_start`` is the window start in epoch seconds, aligned to the epoch
+    like Spark's window() (NTZ wallclock treated as UTC, matching the
+    oracle's epoch_us arithmetic)."""
+    if window_minutes % slide_minutes:
+        raise ValueError("slide must divide window")
+    w = F.window(
+        "ts", f"{window_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)"
+            ).alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
         )
     )

@@ -273,6 +273,53 @@ def infix_suggest(
     )
 
 
+def analyzing_suggest(
+    suggestions,
+    query: str,
+    k: int = 10,
+    stopwords: frozenset[str] | None = None,
+    text_col: str = "text",
+    weight_col: str = "weight",
+):
+    """AnalyzingSuggester analog (suggest/analyzing/AnalyzingSuggester.java
+    :129): completion matches on the ANALYZED form of the key but returns
+    the SURFACE form — "the ghost chr" completes "The Ghost of Christmas
+    Past" because analysis (lowercase + stop removal) runs on both sides
+    before matching, unlike the raw-prefix Lookup. The analyzed query must
+    be a PREFIX of the analyzed key token sequence: every query token but
+    the last equals the key token at the SAME position from the start, and
+    the last query token is a prefix of the next key token (Lucene
+    intersects the analyzed-query automaton with the suggestion FST's
+    prefix paths — position-anchored, where the infix suggester matches
+    anywhere). Ranking weight DESC, text ASC (Lookup ordering).
+
+    Spark shape: the token array, stop filter, and position-anchored
+    comparisons are all codegen expressions over the suggestion table —
+    map-only filter + TakeOrderedAndProject, no UDF, no shuffle."""
+    toks = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    if not toks:
+        raise ValueError("suggest query analyzes to no tokens")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    if stopwords:
+        stop_arr = F.array(*[F.lit(w) for w in sorted(stopwords)])
+        arr = F.filter(arr, lambda x: ~F.array_contains(stop_arr, x))
+    *full, last = toks
+    cond = F.size(arr) >= len(toks)
+    for i, t in enumerate(full):
+        cond = cond & (F.element_at(arr, i + 1) == t)
+    cond = cond & F.element_at(arr, len(toks)).startswith(last)
+    return (
+        suggestions.filter(cond)
+        .orderBy(F.desc(weight_col), F.asc(text_col))
+        .limit(k)
+        .select(text_col, weight_col)
+    )
+
+
 def fuzzy_suggest(
     suggestions,
     query: str,
