@@ -243,6 +243,10 @@ def _vocab_chain(analyzer: str):
         from .ru import russian_term
 
         return russian_term
+    if analyzer == "hungarian":
+        from .hu import hungarian_term
+
+        return hungarian_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -1239,6 +1239,51 @@ def _sql_lm_dirichlet(terms: list[str], k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
+def _q_lm_jelinek(spark, sf_dir, k: int = 10):
+    """LM Jelinek-Mercer similarity (similarities/
+    LMJelinekMercerSimilarity.java, lambda=0.1): the second pluggable-
+    Similarity gate row — same index, same query shape, different mixing
+    model (linear interpolation instead of Dirichlet priors)."""
+    s = Searcher(
+        spark, _ensure_index(spark, sf_dir), analyzer="simple",
+        mode="lm_jelinek_mercer",
+    )
+    h = s.search("stream OR window", k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _lmjm_term_cte(name: str, term: str, lam: str = "0.1") -> str:
+    """Per-doc LM Jelinek-Mercer score CTE for one term, expression-shape
+    identical to LMJelinekMercerScorer.score (freq times a per-doc factor
+    ((1-λ)/dl)/(λ·p), clamped at 0)."""
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         greatest(0.0,
+           1.0 * ln(1.0 + tf.freq::DOUBLE
+             * (((1.0 - {lam}) / qdl.qdl::DOUBLE)
+                / ({lam} * ((d.ttf::DOUBLE + 1.0) / (s.sum_ttf::DOUBLE + 1.0)))))) AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ttf FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _sql_lm_jelinek(terms: list[str], k: int = 10) -> str:
+    aliases = [f"jm_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_lmjm_term_cte(a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
 def _q_covering(spark, sf_dir, k: int = 10):
     """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
     match — the per-doc threshold is a LongValuesSource over a stored field
@@ -3821,6 +3866,28 @@ _RU_QUERY = "книги"  # an UNSEEN case form; analyzes to 'книг'
 _RU_KNIG_IDXS = (0, 1)
 
 
+# házak/ház -> haz; könyvek/könyv -> konyv (plural -ek, vowel fold);
+# városban/város -> varos (case -ban); emberek/ember -> ember
+_HU_LEX = [
+    "házak", "ház", "könyvek", "könyv",
+    "városban", "város", "emberek", "ember",
+]
+_HU_QUERY = "házak"  # analyzes to 'haz'
+_HU_HAZ_IDXS = (0, 1)
+
+
+def _q_hungarian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "hu", _HU_LEX, "hungarian"),
+        analyzer="hungarian", mode="double",
+    )
+    h = s.search(_HU_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_portuguese_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "pt", _PT_LEX, "portuguese"),
@@ -4126,6 +4193,7 @@ def gate_queries() -> dict:
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "covering_query": _q_covering,
         "lm_dirichlet_topk": _q_lm_dirichlet,
+        "lm_jelinek_topk": _q_lm_jelinek,
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -4147,6 +4215,7 @@ def gate_queries() -> dict:
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
         "russian_light_index": _q_russian_stem,
+        "hungarian_light_index": _q_hungarian_stem,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -4260,6 +4329,7 @@ def gate_oracle_sql() -> dict:
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "covering_query": _sql_covering(["stream", "window", "scan"]),
         "lm_dirichlet_topk": _sql_lm_dirichlet(["stream", "window"]),
+        "lm_jelinek_topk": _sql_lm_jelinek(["stream", "window"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
@@ -4281,6 +4351,7 @@ def gate_oracle_sql() -> dict:
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
+        "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -53,6 +53,7 @@ from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
+from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
 from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
 from ..analysis.ru import russian_analyze, russian_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
@@ -108,6 +109,7 @@ _ANALYZERS: dict[str, Callable] = {
     "italian": italian_analyze,      # standard + elision + light stem
     "portuguese": portuguese_analyze,  # standard + Savoy light stem
     "russian": russian_analyze,      # standard + Dolamic-Savoy light stem
+    "hungarian": hungarian_analyze,  # standard + Savoy 4-pass light stem
 }
 
 
@@ -142,6 +144,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "italian": italian_terms_positions,
     "portuguese": portuguese_terms_positions,
     "russian": russian_terms_positions,
+    "hungarian": hungarian_terms_positions,
 }
 
 

@@ -142,6 +142,45 @@ class LMDirichletScorer:
 
 
 @dataclass(frozen=True)
+class LMJelinekMercerScorer:
+    """LM Jelinek-Mercer similarity (similarities/
+    LMJelinekMercerSimilarity.java:60-67, lambda = 0.1 default):
+
+        score = boost * ln(1 + ((1-λ)·freq/dl) / (λ·p))
+        p     = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+
+    clamped at 0 like the reference. dl is the SmallFloat-quantized stored
+    length; the per-norm-byte cache holds ((1-λ)/dl) / (λ·p) so scoring is
+    one ln per posting. Monotone increasing in freq and decreasing in dl —
+    the block-max impact-skyline pruning bound stays valid unchanged."""
+
+    weight: float
+    cache: np.ndarray  # float64[256]: ((1-λ)/dl) / (λ·p) per norm byte
+
+    @classmethod
+    def create(
+        cls, ttf: int, sum_ttf: int, lam: float = 0.1, boost: float = 1.0
+    ) -> "LMJelinekMercerScorer":
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            factor = ((1.0 - lam) / lens) / (lam * p)
+        return cls(weight=float(boost), cache=factor)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        s = self.weight * np.log(
+            1.0 + freqs * self.cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        )
+        return np.maximum(s, 0.0)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
 class SumSimScorer:
     """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:73):
     phrase/multi-term weights under a SimilarityBase similarity score as the
@@ -183,7 +222,7 @@ class IntervalSaturationScorer:
             raise ValueError(f"pivot must be > 0, got: {pivot}")
         if mode == "lucene":
             return cls(weight=np.float32(boost), pivot=pivot)
-        if mode in ("double", "lm_dirichlet"):
+        if mode in ("double", "lm_dirichlet", "lm_jelinek_mercer"):
             # interval saturation has no similarity dependence — any
             # non-float32 mode takes the double path
             return cls(weight=float(boost), pivot=pivot)
@@ -215,6 +254,8 @@ def make_term_scorer(
         return QuantizedDoubleBm25.create(doc_freq, doc_count, sum_ttf, boost=boost)
     if mode == "lm_dirichlet":
         return LMDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
+    if mode == "lm_jelinek_mercer":
+        return LMJelinekMercerScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     raise ValueError(f"unknown scoring mode {mode!r}")
 
 
@@ -229,6 +270,12 @@ def make_phrase_scorer(
     if mode == "lm_dirichlet":
         subs = tuple(
             LMDirichletScorer.create(t, max(sum_ttf, 1), boost=boost)
+            for t in (per_term_ttfs or [0] * len(per_term_doc_freqs))
+        )
+        return SumSimScorer(weight=float(boost), subs=subs)
+    if mode == "lm_jelinek_mercer":
+        subs = tuple(
+            LMJelinekMercerScorer.create(t, max(sum_ttf, 1), boost=boost)
             for t in (per_term_ttfs or [0] * len(per_term_doc_freqs))
         )
         return SumSimScorer(weight=float(boost), subs=subs)

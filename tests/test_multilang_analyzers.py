@@ -523,3 +523,78 @@ def test_russian_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (hu/HungarianAnalyzer.java, HungarianLightStemmer — Savoy UniNE
+# SAC 2006: fold, case, possessive, plural, normalize)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("házak", "haz"),
+        ("ház", "haz"),
+        ("könyvek", "konyv"),
+        ("könyv", "konyv"),
+        ("városban", "varos"),   # case -ban
+        ("város", "varos"),
+        ("emberek", "ember"),
+        ("ember", "ember"),
+        ("kertként", "kert"),    # case -ként
+        ("tollal", "tol"),       # doubled-consonant -al
+        ("szerintem", "szerint"),  # possessive -em after consonant
+    ],
+)
+def test_hungarian_light_stem(word, stem):
+    from lucene_spark.analysis.hu import hungarian_light_stem
+
+    assert hungarian_light_stem(word) == stem
+
+
+def test_hungarian_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.hu import (
+        HUNGARIAN_STOP_WORDS,
+        hungarian_analyze,
+    )
+
+    got = [
+        (t.term, t.position)
+        for t in hungarian_analyze(
+            "a házak és könyvek", stopwords=HUNGARIAN_STOP_WORDS
+        )
+    ]
+    # 'a' stopped ('és' is a stopword) with position gaps
+    assert got == [("haz", 1), ("konyv", 3)]
+
+
+def test_hungarian_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.hu import (
+        HUNGARIAN_STOP_WORDS,
+        hungarian_analyze,
+    )
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "a házak és a könyvek",
+        "városban emberek tollal",
+        "", "kertként szerintem ház",
+    ]
+    bt = analyze_batch(
+        texts, stopwords=HUNGARIAN_STOP_WORDS, analyzer="hungarian"
+    )
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [
+            (t.term, t.position)
+            for t in hungarian_analyze(txt, HUNGARIAN_STOP_WORDS)
+        ]
+        for i, txt in enumerate(texts)
+        if txt and hungarian_analyze(txt, HUNGARIAN_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
