@@ -322,6 +322,15 @@ def analyze_batch(
                 t, stopwords=stopwords, max_token_length=max_token_length
             ),
         )
+    if analyzer == "word_delimiter":
+        # case-change splitting needs the ORIGINAL case, which the
+        # lowercasing vectorized tokenizer has already destroyed — run the
+        # exact per-document chain (same lane as CJK)
+        from .worddelim import word_delimiter_analyze as _wd_py
+
+        return _batch_from_chain(
+            texts, lambda t: _wd_py(t, stopwords=stopwords)
+        )
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop
         max_token_length = 1 << 31

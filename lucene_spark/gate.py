@@ -3866,6 +3866,67 @@ _RU_QUERY = "книги"  # an UNSEEN case form; analyzes to 'книг'
 _RU_KNIG_IDXS = (0, 1)
 
 
+# Word-delimiter: mixed-case compounds split into parts; doc LENGTH varies
+# with which lexicon words a doc draws (parts per word below), so the
+# oracle recomputes both tf and dl from the doc_id arithmetic and runs the
+# full variable-length BM25 (dl <= 18 < 41, under the SmallFloat-exact
+# range, so the stored quantized norm equals the raw length).
+_WD_LEX = [
+    "PowerShot500", "WiFi", "DataBase", "OpenSource",
+    "power", "shot", "wifi", "database",
+]
+_WD_PARTS = (3, 2, 2, 2, 1, 1, 1, 1)
+_WD_QUERY = "shot"  # a PART: matches PowerShot500 (idx 0) and shot (idx 5)
+_WD_SHOT_IDXS = (0, 5)
+
+
+def _q_word_delimiter(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "wd", _WD_LEX, "word_delimiter"),
+        analyzer="word_delimiter", mode="double",
+    )
+    h = s.search(_WD_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_word_delimiter(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    widx = lambda i: f"((doc_id * 7 + {3 * i}) % 8)"  # noqa: E731
+    part_case = lambda i: (  # noqa: E731
+        "CASE "
+        + " ".join(
+            f"WHEN {widx(i)} = {j} THEN {p}" for j, p in enumerate(_WD_PARTS)
+        )
+        + " END"
+    )
+    idxs = ", ".join(str(i) for i in _WD_SHOT_IDXS)
+    hits = " + ".join(
+        f"(CASE WHEN {widx(i)} IN ({idxs}) THEN 1 ELSE 0 END)" for i in range(6)
+    )
+    dl = " + ".join(f"({part_case(i)})" for i in range(6))
+    return f"""WITH cj AS (
+  SELECT doc_id, ({hits})::BIGINT AS freq, ({dl})::BIGINT AS dl
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT sum(dl) FROM cj)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', 't.dl')}) AS score
+  FROM cj t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM cj WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 # házak/ház -> haz; könyvek/könyv -> konyv (plural -ek, vowel fold);
 # városban/város -> varos (case -ban); emberek/ember -> ember
 _HU_LEX = [
@@ -4216,6 +4277,7 @@ def gate_queries() -> dict:
         "portuguese_light_index": _q_portuguese_stem,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
+        "word_delimiter_index": _q_word_delimiter,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -4352,6 +4414,7 @@ def gate_oracle_sql() -> dict:
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
+        "word_delimiter_index": _sql_word_delimiter(),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -56,6 +56,10 @@ from ..analysis.it import italian_analyze, italian_terms_positions
 from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
 from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
 from ..analysis.ru import russian_analyze, russian_terms_positions
+from ..analysis.worddelim import (
+    word_delimiter_analyze,
+    word_delimiter_terms_positions,
+)
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -110,6 +114,7 @@ _ANALYZERS: dict[str, Callable] = {
     "portuguese": portuguese_analyze,  # standard + Savoy light stem
     "russian": russian_analyze,      # standard + Dolamic-Savoy light stem
     "hungarian": hungarian_analyze,  # standard + Savoy 4-pass light stem
+    "word_delimiter": word_delimiter_analyze,  # case/number part splitting
 }
 
 
@@ -145,6 +150,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "portuguese": portuguese_terms_positions,
     "russian": russian_terms_positions,
     "hungarian": hungarian_terms_positions,
+    "word_delimiter": word_delimiter_terms_positions,
 }
 
 
