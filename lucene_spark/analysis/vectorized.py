@@ -247,6 +247,10 @@ def _vocab_chain(analyzer: str):
         from .hu import hungarian_term
 
         return hungarian_term
+    if analyzer == "arabic":
+        from .ar import arabic_term
+
+        return arabic_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -1284,6 +1284,29 @@ def _sql_lm_jelinek(terms: list[str], k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
+def _q_boolean_sim(spark, sf_dir, k: int = 10):
+    """BooleanSimilarity (similarities/BooleanSimilarity.java:31): every
+    matching term scores exactly its boost (1.0) regardless of freq/norm,
+    so an OR ranks purely by match count — the filter-context scoring
+    model as a pluggable SimScorer."""
+    s = Searcher(
+        spark, _ensure_index(spark, sf_dir), analyzer="simple",
+        mode="boolean",
+    )
+    h = s.search("stream OR window", k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_boolean_sim(terms: list[str], k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    inner = f"""SELECT doc_id, count(DISTINCT term)::DOUBLE AS score
+  FROM tf WHERE term IN ({tlist}) GROUP BY doc_id"""
+    return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
+
+
 def _q_covering(spark, sf_dir, k: int = 10):
     """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
     match — the per-doc threshold is a LongValuesSource over a stored field
@@ -3866,6 +3889,29 @@ _RU_QUERY = "книги"  # an UNSEEN case form; analyzes to 'книг'
 _RU_KNIG_IDXS = (0, 1)
 
 
+# الكتاب/كتاب/والكتاب/كتابها -> كتاب (article+conjunction prefixes, ها
+# suffix); المدرسة/مدرسة -> مدرس (teh marbuta normalizes to heh, then
+# strips); مسلمون/مسلمين -> مسلم (plural suffixes)
+_AR_LEX = [
+    "الكتاب", "كتاب", "والكتاب", "كتابها",
+    "المدرسة", "مدرسة", "مسلمون", "مسلمين",
+]
+_AR_QUERY = "الكتاب"  # analyzes to كتاب
+_AR_KITAB_IDXS = (0, 1, 2, 3)
+
+
+def _q_arabic_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ar", _AR_LEX, "arabic"),
+        analyzer="arabic", mode="double",
+    )
+    h = s.search(_AR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Word-delimiter: mixed-case compounds split into parts; doc LENGTH varies
 # with which lexicon words a doc draws (parts per word below), so the
 # oracle recomputes both tf and dl from the doc_id arithmetic and runs the
@@ -4255,6 +4301,7 @@ def gate_queries() -> dict:
         "covering_query": _q_covering,
         "lm_dirichlet_topk": _q_lm_dirichlet,
         "lm_jelinek_topk": _q_lm_jelinek,
+        "boolean_sim_topk": _q_boolean_sim,
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -4278,6 +4325,7 @@ def gate_queries() -> dict:
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
+        "arabic_light_index": _q_arabic_stem,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -4392,6 +4440,7 @@ def gate_oracle_sql() -> dict:
         "covering_query": _sql_covering(["stream", "window", "scan"]),
         "lm_dirichlet_topk": _sql_lm_dirichlet(["stream", "window"]),
         "lm_jelinek_topk": _sql_lm_jelinek(["stream", "window"]),
+        "boolean_sim_topk": _sql_boolean_sim(["stream", "window"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
@@ -4415,6 +4464,7 @@ def gate_oracle_sql() -> dict:
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),
+        "arabic_light_index": _sql_lex_stem(_AR_KITAB_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -53,6 +53,7 @@ from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
+from ..analysis.ar import arabic_analyze, arabic_terms_positions
 from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
 from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
 from ..analysis.ru import russian_analyze, russian_terms_positions
@@ -115,6 +116,7 @@ _ANALYZERS: dict[str, Callable] = {
     "russian": russian_analyze,      # standard + Dolamic-Savoy light stem
     "hungarian": hungarian_analyze,  # standard + Savoy 4-pass light stem
     "word_delimiter": word_delimiter_analyze,  # case/number part splitting
+    "arabic": arabic_analyze,        # standard + normalize + light10 stem
 }
 
 
@@ -151,6 +153,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "russian": russian_terms_positions,
     "hungarian": hungarian_terms_positions,
     "word_delimiter": word_delimiter_terms_positions,
+    "arabic": arabic_terms_positions,
 }
 
 

@@ -181,6 +181,22 @@ class LMJelinekMercerScorer:
 
 
 @dataclass(frozen=True)
+class BooleanScorer:
+    """BooleanSimilarity (similarities/BooleanSimilarity.java:31): score =
+    boost, independent of freq, norm and collection stats — filter-style
+    matching where only the match count (via clause sums) ranks. Trivially
+    monotone, so every pruning bound holds (max_score == boost)."""
+
+    weight: float
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        return np.full(np.asarray(freqs).shape, self.weight, dtype=np.float64)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        return float(self.weight)
+
+
+@dataclass(frozen=True)
 class SumSimScorer:
     """MultiSimilarity.MultiSimScorer (similarities/MultiSimilarity.java:73):
     phrase/multi-term weights under a SimilarityBase similarity score as the
@@ -222,7 +238,7 @@ class IntervalSaturationScorer:
             raise ValueError(f"pivot must be > 0, got: {pivot}")
         if mode == "lucene":
             return cls(weight=np.float32(boost), pivot=pivot)
-        if mode in ("double", "lm_dirichlet", "lm_jelinek_mercer"):
+        if mode in ("double", "lm_dirichlet", "lm_jelinek_mercer", "boolean"):
             # interval saturation has no similarity dependence — any
             # non-float32 mode takes the double path
             return cls(weight=float(boost), pivot=pivot)
@@ -256,6 +272,8 @@ def make_term_scorer(
         return LMDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     if mode == "lm_jelinek_mercer":
         return LMJelinekMercerScorer.create(ttf, max(sum_ttf, 1), boost=boost)
+    if mode == "boolean":
+        return BooleanScorer(weight=float(boost))
     raise ValueError(f"unknown scoring mode {mode!r}")
 
 
@@ -279,6 +297,8 @@ def make_phrase_scorer(
             for t in (per_term_ttfs or [0] * len(per_term_doc_freqs))
         )
         return SumSimScorer(weight=float(boost), subs=subs)
+    if mode == "boolean":
+        return BooleanScorer(weight=float(boost))
     if mode == "lucene":
         idf_sum = np.float32(
             sum(float(idf_value(df, doc_count)) for df in per_term_doc_freqs)

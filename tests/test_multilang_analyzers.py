@@ -598,3 +598,80 @@ def test_hungarian_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Arabic (ar/ArabicAnalyzer.java chain: ArabicNormalizer + ArabicStemmer —
+# Larkey/Ballesteros/Connell light10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("الكتاب", "كتاب"),     # definite article
+        ("والكتاب", "كتاب"),    # conjunction + article
+        ("بالكتاب", "كتاب"),
+        ("كتابها", "كتاب"),     # possessive suffix
+        ("المدرسة", "مدرس"),    # teh marbuta -> heh, then strips
+        ("مدرسة", "مدرس"),
+        ("مسلمون", "مسلم"),     # masculine plural
+        ("مسلمين", "مسلم"),
+        ("كتاب", "كتاب"),
+        # length guards: bare waw prefix needs 4+ chars (the ه suffix at
+        # len 3 still strips — 2 chars remain, the reference's floor)
+        ("وله", "ول"),
+        ("لل", "لل"),
+    ],
+)
+def test_arabic_light_stem(word, stem):
+    from lucene_spark.analysis.ar import arabic_light_stem, arabic_normalize
+
+    assert arabic_light_stem(arabic_normalize(word)) == stem
+
+
+def test_arabic_normalize():
+    from lucene_spark.analysis.ar import arabic_normalize
+
+    assert arabic_normalize("أآإ") == "ااا"    # hamza alef forms fold
+    assert arabic_normalize("مكتبى") == "مكتبي"  # dotless yeh
+    assert arabic_normalize("مَكْتَبة") == "مكتبه"  # harakat deleted, ة->ه
+
+
+def test_arabic_analyze_chain_with_stopwords():
+    from lucene_spark.analysis.ar import ARABIC_STOP_WORDS, arabic_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in arabic_analyze(
+            "من الكتاب في المدرسة", stopwords=ARABIC_STOP_WORDS
+        )
+    ]
+    # 'من'/'في' stopped with position gaps
+    assert got == [("كتاب", 1), ("مدرس", 3)]
+
+
+def test_arabic_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.ar import ARABIC_STOP_WORDS, arabic_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "من الكتاب والكتاب كتابها",
+        "المدرسة مدرسة مسلمون مسلمين",
+        "", "في مكتبى مَكْتَبة",
+    ]
+    bt = analyze_batch(texts, stopwords=ARABIC_STOP_WORDS, analyzer="arabic")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [
+            (t.term, t.position)
+            for t in arabic_analyze(txt, ARABIC_STOP_WORDS)
+        ]
+        for i, txt in enumerate(texts)
+        if txt and arabic_analyze(txt, ARABIC_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
