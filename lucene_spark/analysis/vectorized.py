@@ -251,6 +251,10 @@ def _vocab_chain(analyzer: str):
         from .ar import arabic_term
 
         return arabic_term
+    if analyzer == "soundex":
+        from .phonetic import soundex_term
+
+        return soundex_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -3889,6 +3889,29 @@ _RU_QUERY = "книги"  # an UNSEEN case form; analyzes to 'книг'
 _RU_KNIG_IDXS = (0, 1)
 
 
+# Soundex codes (classic, incl. the HW rule): robert/rupert -> R163;
+# ashcraft/ashcroft -> A261; tymczak/tymczack -> T522;
+# honeyman/honeymann -> H555
+_SX_LEX = [
+    "robert", "rupert", "ashcraft", "ashcroft",
+    "tymczak", "tymczack", "honeyman", "honeymann",
+]
+_SX_QUERY = "rupert"  # encodes to R163, matching robert too
+_SX_R163_IDXS = (0, 1)
+
+
+def _q_soundex_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "sx", _SX_LEX, "soundex"),
+        analyzer="soundex", mode="double",
+    )
+    h = s.search(_SX_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # الكتاب/كتاب/والكتاب/كتابها -> كتاب (article+conjunction prefixes, ها
 # suffix); المدرسة/مدرسة -> مدرس (teh marbuta normalizes to heh, then
 # strips); مسلمون/مسلمين -> مسلم (plural suffixes)
@@ -4326,6 +4349,7 @@ def gate_queries() -> dict:
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
         "arabic_light_index": _q_arabic_stem,
+        "phonetic_soundex_index": _q_soundex_stem,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -4465,6 +4489,7 @@ def gate_oracle_sql() -> dict:
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),
         "arabic_light_index": _sql_lex_stem(_AR_KITAB_IDXS),
+        "phonetic_soundex_index": _sql_lex_stem(_SX_R163_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -55,6 +55,7 @@ from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
 from ..analysis.ar import arabic_analyze, arabic_terms_positions
 from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
+from ..analysis.phonetic import soundex_analyze, soundex_terms_positions
 from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
 from ..analysis.ru import russian_analyze, russian_terms_positions
 from ..analysis.worddelim import (
@@ -117,6 +118,7 @@ _ANALYZERS: dict[str, Callable] = {
     "hungarian": hungarian_analyze,  # standard + Savoy 4-pass light stem
     "word_delimiter": word_delimiter_analyze,  # case/number part splitting
     "arabic": arabic_analyze,        # standard + normalize + light10 stem
+    "soundex": soundex_analyze,      # standard + classic Soundex codes
 }
 
 
@@ -154,6 +156,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "hungarian": hungarian_terms_positions,
     "word_delimiter": word_delimiter_terms_positions,
     "arabic": arabic_terms_positions,
+    "soundex": soundex_terms_positions,
 }
 
 

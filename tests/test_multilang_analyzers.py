@@ -675,3 +675,53 @@ def test_arabic_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Phonetic (phonetic/PhoneticFilter.java replace form — classic Soundex)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,code",
+    [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Ashcraft", "A261"),   # HW rule: s,c across h code once
+        ("Ashcroft", "A261"),
+        ("Tymczak", "T522"),    # vowel separates, cz collapses
+        ("Pfister", "P236"),    # p,f collapse against the first letter
+        ("Honeyman", "H555"),
+        ("Gutierrez", "G362"),
+        ("Lee", "L000"),        # padding
+        ("Washington", "W252"),
+        ("x123", "X000"),       # non-letters ignored
+    ],
+)
+def test_soundex_codes(word, code):
+    from lucene_spark.analysis.phonetic import soundex
+
+    assert soundex(word.lower()) == code
+
+
+def test_soundex_analyze_chain(spark):
+    from lucene_spark.analysis.phonetic import soundex_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    got = [(t.term, t.position) for t in soundex_analyze("robert lee 42")]
+    # the all-digit token has no letters -> dropped with a position gap
+    assert got == [("R163", 0), ("L000", 1)]
+
+    texts = ["robert rupert", "ashcraft 42 lee", ""]
+    bt = analyze_batch(texts, analyzer="soundex")
+    by_doc = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        by_doc.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in soundex_analyze(txt)]
+        for i, txt in enumerate(texts)
+        if txt and soundex_analyze(txt)
+    }
+    assert {k: sorted(v) for k, v in by_doc.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
