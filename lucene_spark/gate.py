@@ -493,6 +493,57 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_interval_not_containing():
+    from .search.query import IntervalFilter, IntervalNear
+
+    return IntervalFilter(
+        IntervalNear(("data", "stream"), ordered=False, max_gaps=6),
+        IntervalNear(("window",)),
+        "not_containing",
+    )
+
+
+def _sql_interval_not_containing(max_gaps: int = 6, k: int = 10) -> str:
+    """Intervals.notContaining: the complement filter — minimal unordered
+    (data,stream) intervals with NO 'window' position inside (same
+    candidate/minimality algebra as the containing oracle, negated
+    EXISTS)."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 1}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+pc AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+cand AS (
+  SELECT pa.doc_id, pa.pos AS s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+  UNION ALL
+  SELECT pb.doc_id, pb.pos AS s, min(pa.pos) AS e
+  FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+  GROUP BY pb.doc_id, pb.pos
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+kept AS (
+  SELECT m.doc_id, m.e - m.s + 1 AS w
+  FROM mini m
+  WHERE m.e - m.s - 1 <= {max_gaps}
+    AND NOT EXISTS (
+      SELECT 1 FROM pc
+      WHERE pc.doc_id = m.doc_id AND pc.pos BETWEEN m.s AND m.e
+    )
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM kept GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ast_interval_repeat_ordered():
     from .search.query import IntervalNear
 
@@ -4317,6 +4368,7 @@ def gate_queries() -> dict:
         "interval_or_slot": _mk_topk_ast(_ast_interval_or),
         "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
+        "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
         "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
@@ -4459,6 +4511,7 @@ def gate_oracle_sql() -> dict:
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),
+        "interval_not_containing": _sql_interval_not_containing(),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "covering_query": _sql_covering(["stream", "window", "scan"]),
