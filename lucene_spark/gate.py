@@ -1358,6 +1358,107 @@ def _sql_boolean_sim(terms: list[str], k: int = 10) -> str:
     return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
 
 
+# --- pluggable-Similarity family: one gate row per reference similarity ----
+#
+# Same cached index, same "stream OR window" query shape as the LM rows —
+# only the SimScorer changes. Each SQL oracle re-derives the scorer's
+# float64 expression in the exact operand order of the corresponding class
+# in search/scorers.py, so the 4-decimal hash comparison is exact.
+
+_SIM_MODE_DOC = {
+    "classic": "ClassicSimilarity TF-IDF (similarities/ClassicSimilarity.java)",
+    "dfr_gb2": "DFR GB2 (similarities/DFRSimilarity.java: BasicModelG, "
+    "AfterEffectB, NormalizationH2 c=1)",
+    "ib_ll": "Information-based LL-DF-H2 (similarities/IBSimilarity.java)",
+    "dfi_chi2": "Divergence-from-independence, chi-squared "
+    "(similarities/DFISimilarity.java)",
+    "axiomatic_f2exp": "Axiomatic F2EXP s=0.25 k=0.35 "
+    "(similarities/AxiomaticF2EXP.java)",
+    "indri_dirichlet": "Indri Dirichlet mu=2000 "
+    "(similarities/IndriDirichletSimilarity.java) — negative "
+    "log-probability scores rank correctly (top-k θ starts at −inf)",
+}
+
+
+def _make_q_similarity(mode: str):
+    def q(spark, sf_dir, k: int = 10):
+        s = Searcher(
+            spark, _ensure_index(spark, sf_dir), analyzer="simple", mode=mode
+        )
+        h = s.search("stream OR window", k=k, with_url=True)
+        return h.select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    q.__doc__ = f"Pluggable-Similarity gate row: {_SIM_MODE_DOC[mode]}."
+    q.__name__ = f"_q_sim_{mode}"
+    return q
+
+
+# shared SQL fragments (qdl is the SmallFloat-quantized length; avgdl and
+# collection stats come from the `stats` CTE; d = one term's dft row)
+_TFN_H2 = "(tf.freq::DOUBLE * (ln(1.0 + s.avgdl / qdl.qdl::DOUBLE) / ln(2.0)))"
+
+
+def _sim_term_cte(mode: str, name: str, term: str) -> str:
+    if mode == "classic":
+        score = (
+            "((ln((s.n_docs::DOUBLE + 1.0) / (d.df::DOUBLE + 1.0)) + 1.0)"
+            " * sqrt(tf.freq::DOUBLE) * (1.0 / sqrt(qdl.qdl::DOUBLE)))"
+        )
+    elif mode == "dfr_gb2":
+        lam = "((d.ttf::DOUBLE + 1.0) / (s.n_docs::DOUBLE + (d.ttf::DOUBLE + 1.0)))"
+        a = f"(ln({lam} + 1.0) / ln(2.0))"
+        b = f"(ln((1.0 + {lam}) / {lam}) / ln(2.0))"
+        ae1p = "((d.ttf::DOUBLE + 2.0) / (d.df::DOUBLE + 1.0))"
+        score = f"(1.0 * (({b} - ({b} - {a}) / (1.0 + {_TFN_H2})) * {ae1p}))"
+    elif mode == "ib_ll":
+        lam = "(((d.df::DOUBLE + 1.0) / (s.n_docs::DOUBLE + 1.0))::REAL::DOUBLE)"
+        score = f"(1.0 * -ln({lam} / ({_TFN_H2} + {lam})))"
+    elif mode == "dfi_chi2":
+        e = "(((d.ttf::DOUBLE + 1.0) * qdl.qdl::DOUBLE) / (s.sum_ttf::DOUBLE + 1.0))"
+        m = f"(((tf.freq::DOUBLE - {e}) * (tf.freq::DOUBLE - {e})) / {e})"
+        score = (
+            f"(CASE WHEN tf.freq::DOUBLE <= {e} THEN 0.0"
+            f" ELSE (1.0 * (ln({m} + 1.0) / ln(2.0))) END)"
+        )
+    elif mode == "axiomatic_f2exp":
+        den = "(0.25 + (0.25 * qdl.qdl::DOUBLE) / s.avgdl)"
+        idf = "pow((s.n_docs::DOUBLE + 1.0) / d.df::DOUBLE, 0.35)"
+        score = (
+            f"greatest(0.0, 1.0 * ((tf.freq::DOUBLE"
+            f" / (tf.freq::DOUBLE + {den})) * {idf}))"
+        )
+    elif mode == "indri_dirichlet":
+        cp = "(d.ttf::DOUBLE / s.sum_ttf::DOUBLE)"
+        score = (
+            f"(1.0 * ln((tf.freq::DOUBLE + (2000.0 * {cp}))"
+            f" / (qdl.qdl::DOUBLE + 2000.0)))"
+        )
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    return f"""
+{name} AS (
+  SELECT tf.doc_id, {score} AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT df, ttf FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}'
+)"""
+
+
+def _sql_similarity(mode: str, terms: list[str], k: int = 10) -> str:
+    aliases = [f"sim_{i}" for i in range(len(terms))]
+    ctes = ", ".join(_sim_term_cte(mode, a, t) for a, t in zip(aliases, terms))
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    inner = f"SELECT doc_id, {_sum_chain(aliases)} AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
 def _q_covering(spark, sf_dir, k: int = 10):
     """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
     match — the per-doc threshold is a LongValuesSource over a stored field
@@ -4377,6 +4478,12 @@ def gate_queries() -> dict:
         "lm_dirichlet_topk": _q_lm_dirichlet,
         "lm_jelinek_topk": _q_lm_jelinek,
         "boolean_sim_topk": _q_boolean_sim,
+        "classic_topk": _make_q_similarity("classic"),
+        "dfr_gb2_topk": _make_q_similarity("dfr_gb2"),
+        "ib_ll_topk": _make_q_similarity("ib_ll"),
+        "dfi_chi2_topk": _make_q_similarity("dfi_chi2"),
+        "axiomatic_f2exp_topk": _make_q_similarity("axiomatic_f2exp"),
+        "indri_dirichlet_topk": _make_q_similarity("indri_dirichlet"),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -4518,6 +4625,16 @@ def gate_oracle_sql() -> dict:
         "lm_dirichlet_topk": _sql_lm_dirichlet(["stream", "window"]),
         "lm_jelinek_topk": _sql_lm_jelinek(["stream", "window"]),
         "boolean_sim_topk": _sql_boolean_sim(["stream", "window"]),
+        "classic_topk": _sql_similarity("classic", ["stream", "window"]),
+        "dfr_gb2_topk": _sql_similarity("dfr_gb2", ["stream", "window"]),
+        "ib_ll_topk": _sql_similarity("ib_ll", ["stream", "window"]),
+        "dfi_chi2_topk": _sql_similarity("dfi_chi2", ["stream", "window"]),
+        "axiomatic_f2exp_topk": _sql_similarity(
+            "axiomatic_f2exp", ["stream", "window"]
+        ),
+        "indri_dirichlet_topk": _sql_similarity(
+            "indri_dirichlet", ["stream", "window"]
+        ),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),

@@ -180,6 +180,281 @@ class LMJelinekMercerScorer:
         return float(self.score(impacts[:, 0], impacts[:, 1]).max())
 
 
+_LOG_2 = float(np.log(2.0))
+
+#: every float64 scoring mode (everything except the float32 ``lucene``
+#: rank-identical BM25); all share the double evaluation path
+DOUBLE_MODES = frozenset(
+    {
+        "double",
+        "lm_dirichlet",
+        "lm_jelinek_mercer",
+        "boolean",
+        "classic",
+        "dfr_gb2",
+        "ib_ll",
+        "dfi_chi2",
+        "axiomatic_f2exp",
+        "indri_dirichlet",
+    }
+)
+
+
+@dataclass(frozen=True)
+class ClassicScorer:
+    """ClassicSimilarity — Lucene's historic TF-IDF
+    (similarities/ClassicSimilarity.java:45-71 composed by
+    TFIDFSimilarity.TFIDFScorer.score, TFIDFSimilarity.java:472-476):
+
+        score = boost · idf · sqrt(freq) · normTable[dl_byte]
+        idf   = ln((docCount + 1) / (docFreq + 1)) + 1
+        normTable[i≥1] = 1 / sqrt(len_i),  normTable[0] = 1 / normTable[255]
+
+    dl is the SmallFloat-quantized length like every scorer here. Computed
+    in float64 with the same expression order so the DuckDB oracle
+    reproduces it bit-for-bit at 4-decimal rounding. Monotone increasing in
+    freq and decreasing in dl ⇒ the impact-skyline pruning bound holds."""
+
+    weight: float
+    cache: np.ndarray  # float64[256]: TFIDF normTable
+
+    @classmethod
+    def create(cls, doc_freq: int, doc_count: int, boost: float = 1.0):
+        idf = np.log((doc_count + 1.0) / (doc_freq + 1.0)) + 1.0
+        return cls(weight=float(boost * idf), cache=_classic_norm_table())
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        return (
+            self.weight
+            * np.sqrt(f)
+            * self.cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        )
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+def _classic_norm_table() -> np.ndarray:
+    lens = BYTE4_DECODE_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        norm = 1.0 / np.sqrt(lens)
+    norm[0] = 1.0 / norm[255]  # TFIDFSimilarity.java:447
+    return norm
+
+
+@dataclass(frozen=True)
+class DFRGB2Scorer:
+    """DFR similarity in the GB2 configuration — BasicModelG ·
+    AfterEffectB · NormalizationH2(c=1)
+    (similarities/DFRSimilarity.java:127-130, BasicModelG.java:36-50,
+    AfterEffectB.java:32-36, NormalizationH2.java:57-58):
+
+        tfn    = freq · log2(1 + c·avgdl/dl)
+        ae1p   = (ttf + 2) / (df + 1)          # AfterEffect.scoreTimes1pTfn
+        λ      = (ttf + 1) / (N + ttf + 1)
+        A      = log2(λ + 1),  B = log2((1 + λ)/λ)
+        score  = boost · (B − (B − A)/(1 + tfn)) · ae1p
+
+    B ≥ A so the score is non-decreasing in tfn (the reference rewrites
+    A + B·tfn exactly this way to keep the bound monotone); tfn is
+    increasing in freq and decreasing in dl ⇒ pruning bounds hold."""
+
+    weight: float
+    ae1p: float
+    a: float
+    b: float
+    tfn_cache: np.ndarray  # float64[256]: log2(1 + avgdl/len) per norm byte
+
+    @classmethod
+    def create(
+        cls, df: int, ttf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ):
+        avgdl = sum_ttf / doc_count
+        lam = (ttf + 1.0) / (doc_count + (ttf + 1.0))
+        a = np.log(lam + 1.0) / _LOG_2
+        b = np.log((1.0 + lam) / lam) / _LOG_2
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            tfn_cache = np.log(1.0 + avgdl / lens) / _LOG_2
+        return cls(
+            weight=float(boost),
+            ae1p=(ttf + 2.0) / (df + 1.0),
+            a=float(a),
+            b=float(b),
+            tfn_cache=tfn_cache,
+        )
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * self.tfn_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return self.weight * (
+            (self.b - (self.b - self.a) / (1.0 + tfn)) * self.ae1p
+        )
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class IBLLScorer:
+    """Information-based similarity in the LL-DF-H2 configuration —
+    DistributionLL · LambdaDF · NormalizationH2(c=1)
+    (similarities/IBSimilarity.java:115-118, DistributionLL.java:33-35,
+    LambdaDF.java:32-38, NormalizationH2.java:57-58):
+
+        λ     = float32((df + 1) / (N + 1))    # LambdaDF casts to float
+        tfn   = freq · log2(1 + c·avgdl/dl)
+        score = boost · (−ln(λ / (tfn + λ)))
+
+    Monotone increasing in tfn ⇒ pruning bounds hold."""
+
+    weight: float
+    lam: float
+    tfn_cache: np.ndarray  # float64[256]
+
+    @classmethod
+    def create(cls, df: int, doc_count: int, sum_ttf: int, boost: float = 1.0):
+        avgdl = sum_ttf / doc_count
+        lam = float(np.float32((df + 1.0) / (doc_count + 1.0)))
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            tfn_cache = np.log(1.0 + avgdl / lens) / _LOG_2
+        return cls(weight=float(boost), lam=lam, tfn_cache=tfn_cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * self.tfn_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return self.weight * -np.log(self.lam / (tfn + self.lam))
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class DFIScorer:
+    """Divergence-from-independence with the chi-squared measure
+    (similarities/DFISimilarity.java:70-80,
+    IndependenceChiSquared.java:33-35):
+
+        expected = (ttf + 1) · dl / (sumTTF + 1)
+        score    = 0                         if freq ≤ expected
+                 = boost · log2((freq − expected)² / expected + 1)
+
+    Increasing in freq and decreasing in dl on the matching side, and the
+    zero branch only lowers scores ⇒ the impact-skyline upper bound
+    (max over (freq, norm) pairs) remains valid."""
+
+    weight: float
+    exp_cache: np.ndarray  # float64[256]: expected per norm byte
+
+    @classmethod
+    def create(cls, ttf: int, sum_ttf: int, boost: float = 1.0):
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        exp_cache = (ttf + 1.0) * lens / (sum_ttf + 1.0)
+        return cls(weight=float(boost), exp_cache=exp_cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        e = self.exp_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = (f - e) * (f - e) / e
+            s = self.weight * (np.log(measure + 1.0) / _LOG_2)
+        return np.where(f <= e, 0.0, s)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXPScorer:
+    """Axiomatic F2EXP (similarities/AxiomaticF2EXP.java:59-85 composed by
+    Axiomatic.java:107-117, defaults s=0.25, k=0.35):
+
+        tfln  = freq / (freq + s + s·dl/avgdl)
+        idf   = ((N + 1) / df) ^ k
+        score = max(0, boost · tfln · idf)     # tf = ln = 1, gamma = 0
+
+    Increasing in freq, decreasing in dl ⇒ pruning bounds hold."""
+
+    weight: float
+    idf_part: float
+    den_cache: np.ndarray  # float64[256]: s + s·dl/avgdl per norm byte
+
+    @classmethod
+    def create(
+        cls,
+        df: int,
+        doc_count: int,
+        sum_ttf: int,
+        boost: float = 1.0,
+        s: float = 0.25,
+        k: float = 0.35,
+    ):
+        avgdl = sum_ttf / doc_count
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        den_cache = s + (s * lens) / avgdl
+        idf_part = float(((doc_count + 1.0) / df) ** k) if df > 0 else 0.0
+        return cls(weight=float(boost), idf_part=idf_part, den_cache=den_cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        den = self.den_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        s = self.weight * ((f / (f + den)) * self.idf_part)
+        return np.maximum(s, 0.0)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class IndriDirichletScorer:
+    """Indri's Dirichlet-smoothed LM (similarities/
+    IndriDirichletSimilarity.java:69-73,105-119, mu = 2000 default):
+
+        cp    = ttf / sumTTF                  # IndriCollectionModel
+        score = ln((freq + mu·cp) / (dl + mu))
+
+    NOT clamped at 0 (scores are log-probabilities, always negative) and
+    the reference applies no boost in score(); ``weight`` is kept at the
+    boost value only to drive the engine's float64 dtype selection and is
+    multiplied in (identity at the default boost=1). The engine's top-k /
+    WAND θ starts at −inf so negative scores rank correctly. Monotone
+    increasing in freq, decreasing in dl ⇒ pruning bounds hold."""
+
+    weight: float
+    mu_cp: float
+    den_cache: np.ndarray  # float64[256]: dl + mu per norm byte
+
+    @classmethod
+    def create(
+        cls, ttf: int, sum_ttf: int, mu: float = 2000.0, boost: float = 1.0
+    ):
+        cp = ttf / max(sum_ttf, 1)
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        return cls(weight=float(boost), mu_cp=mu * cp, den_cache=lens + mu)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        den = self.den_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return self.weight * np.log((f + self.mu_cp) / den)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
 @dataclass(frozen=True)
 class BooleanScorer:
     """BooleanSimilarity (similarities/BooleanSimilarity.java:31): score =
@@ -238,7 +513,7 @@ class IntervalSaturationScorer:
             raise ValueError(f"pivot must be > 0, got: {pivot}")
         if mode == "lucene":
             return cls(weight=np.float32(boost), pivot=pivot)
-        if mode in ("double", "lm_dirichlet", "lm_jelinek_mercer", "boolean"):
+        if mode in DOUBLE_MODES:
             # interval saturation has no similarity dependence — any
             # non-float32 mode takes the double path
             return cls(weight=float(boost), pivot=pivot)
@@ -274,6 +549,22 @@ def make_term_scorer(
         return LMJelinekMercerScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     if mode == "boolean":
         return BooleanScorer(weight=float(boost))
+    if mode == "classic":
+        return ClassicScorer.create(max(doc_freq, 1), doc_count, boost=boost)
+    if mode == "dfr_gb2":
+        return DFRGB2Scorer.create(
+            doc_freq, ttf, doc_count, max(sum_ttf, 1), boost=boost
+        )
+    if mode == "ib_ll":
+        return IBLLScorer.create(doc_freq, doc_count, max(sum_ttf, 1), boost=boost)
+    if mode == "dfi_chi2":
+        return DFIScorer.create(ttf, max(sum_ttf, 1), boost=boost)
+    if mode == "axiomatic_f2exp":
+        return AxiomaticF2EXPScorer.create(
+            max(doc_freq, 1), doc_count, max(sum_ttf, 1), boost=boost
+        )
+    if mode == "indri_dirichlet":
+        return IndriDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     raise ValueError(f"unknown scoring mode {mode!r}")
 
 
@@ -285,6 +576,26 @@ def make_phrase_scorer(
     boost: float = 1.0,
     per_term_ttfs: list[int] | None = None,
 ):
+    if mode in ("dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp", "indri_dirichlet"):
+        # SimilarityBase similarities score multi-term weights as a SUM of
+        # one BasicSimScorer per involved term, each evaluated at the
+        # phrase frequency (SimilarityBase.java:56-68 → MultiSimScorer)
+        ttfs = per_term_ttfs or [0] * len(per_term_doc_freqs)
+        subs = tuple(
+            make_term_scorer(mode, df, doc_count, sum_ttf, boost=boost, ttf=t)
+            for df, t in zip(per_term_doc_freqs, ttfs)
+        )
+        return SumSimScorer(weight=float(boost), subs=subs)
+    if mode == "classic":
+        # TFIDFSimilarity fakes one phrase idf by summing the per-term
+        # idfs (TFIDFSimilarity.idfExplain over termStats[])
+        idf_sum = sum(
+            np.log((doc_count + 1.0) / (df + 1.0)) + 1.0
+            for df in per_term_doc_freqs
+        )
+        return ClassicScorer(
+            weight=float(boost * idf_sum), cache=_classic_norm_table()
+        )
     if mode == "lm_dirichlet":
         subs = tuple(
             LMDirichletScorer.create(t, max(sum_ttf, 1), boost=boost)
