@@ -255,6 +255,18 @@ def _vocab_chain(analyzer: str):
         from .phonetic import soundex_term
 
         return soundex_term
+    if analyzer == "swedish":
+        from .sv import swedish_term
+
+        return swedish_term
+    if analyzer == "norwegian":
+        from .no_ import norwegian_term
+
+        return norwegian_term
+    if analyzer == "finnish":
+        from .fi import finnish_term
+
+        return finnish_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -4170,6 +4170,73 @@ def _q_hungarian_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Swedish UniNE light stems (analysis/sv/SwedishLightStemmer.java):
+# flickor/flickorna -> flick; bilar/bilens -> bil; starkaste/starkast ->
+# stark; hemligheten/hemlighet -> hemlig
+_SV_LEX = [
+    "flickor", "flickorna", "bilar", "bilens",
+    "starkaste", "starkast", "hemligheten", "hemlighet",
+]
+_SV_QUERY = "flickors"  # an UNSEEN possessive form; analyzes to 'flick'
+_SV_FLICK_IDXS = (0, 1)
+
+# Norwegian Bokmål light stems (analysis/no/NorwegianLightStemmer.java):
+# husene/huset -> hus; hemmeligheter/hemmeligheten -> hemmelig;
+# finere/finest -> fin; følelser/følelsen -> føl
+_NO_LEX = [
+    "husene", "huset", "hemmeligheter", "hemmeligheten",
+    "finere", "finest", "følelser", "følelsen",
+]
+_NO_QUERY = "husenes"  # an UNSEEN possessive form; analyzes to 'hus'
+_NO_HUS_IDXS = (0, 1)
+
+# Finnish UniNE light stems (analysis/fi/FinnishLightStemmer.java):
+# kirjassa/kirjat -> kirj; talossa/taloja -> talo; autolla/autoja -> auto;
+# nopeasti/nopea -> nop
+_FI_LEX = [
+    "kirjassa", "kirjat", "talossa", "taloja",
+    "autolla", "autoja", "nopeasti", "nopea",
+]
+_FI_QUERY = "kirjaan"  # an UNSEEN illative form; analyzes to 'kirj'
+_FI_KIRJ_IDXS = (0, 1)
+
+
+def _q_swedish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "sv", _SV_LEX, "swedish"),
+        analyzer="swedish", mode="double",
+    )
+    h = s.search(_SV_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_norwegian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "no", _NO_LEX, "norwegian"),
+        analyzer="norwegian", mode="double",
+    )
+    h = s.search(_NO_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_finnish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "fi", _FI_LEX, "finnish"),
+        analyzer="finnish", mode="double",
+    )
+    h = s.search(_FI_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_portuguese_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "pt", _PT_LEX, "portuguese"),
@@ -4504,6 +4571,9 @@ def gate_queries() -> dict:
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
+        "swedish_light_index": _q_swedish_stem,
+        "norwegian_light_index": _q_norwegian_stem,
+        "finnish_light_index": _q_finnish_stem,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -4655,6 +4725,9 @@ def gate_oracle_sql() -> dict:
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
+        "swedish_light_index": _sql_lex_stem(_SV_FLICK_IDXS),
+        "norwegian_light_index": _sql_lex_stem(_NO_HUS_IDXS),
+        "finnish_light_index": _sql_lex_stem(_FI_KIRJ_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

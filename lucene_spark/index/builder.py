@@ -62,6 +62,9 @@ from ..analysis.worddelim import (
     word_delimiter_analyze,
     word_delimiter_terms_positions,
 )
+from ..analysis.sv import swedish_analyze, swedish_terms_positions
+from ..analysis.no_ import norwegian_analyze, norwegian_terms_positions
+from ..analysis.fi import finnish_analyze, finnish_terms_positions
 from ..analysis.en import english_analyze, english_terms_positions
 from ..analysis.folding import folded_analyze
 from ..analysis.ngram import edge_ngram_analyze, ngram_analyze
@@ -119,6 +122,9 @@ _ANALYZERS: dict[str, Callable] = {
     "word_delimiter": word_delimiter_analyze,  # case/number part splitting
     "arabic": arabic_analyze,        # standard + normalize + light10 stem
     "soundex": soundex_analyze,      # standard + classic Soundex codes
+    "swedish": swedish_analyze,      # standard + UniNE light stem
+    "norwegian": norwegian_analyze,  # standard + UniNE light stem (Bokmål)
+    "finnish": finnish_analyze,      # standard + UniNE 5-pass light stem
 }
 
 
@@ -157,6 +163,9 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "word_delimiter": word_delimiter_terms_positions,
     "arabic": arabic_terms_positions,
     "soundex": soundex_terms_positions,
+    "swedish": swedish_terms_positions,
+    "norwegian": norwegian_terms_positions,
+    "finnish": finnish_terms_positions,
 }
 
 

@@ -725,3 +725,117 @@ def test_soundex_analyze_chain(spark):
     assert {k: sorted(v) for k, v in by_doc.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Swedish / Norwegian / Finnish (sv/SwedishLightStemmer.java,
+# no/NorwegianLightStemmer.java flags=BOKMAAL, fi/FinnishLightStemmer.java —
+# the UniNE light stemmers, Savoy)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("flickor", "flick"), ("flickorna", "flick"), ("flickors", "flick"),
+        ("bilar", "bil"), ("bilens", "bil"),
+        ("starkaste", "stark"), ("starkast", "stark"),
+        ("hemligheten", "hemlig"), ("hemlighet", "hemlig"),
+        ("bok", "bok"),  # len<=3 passthrough via guards
+    ],
+)
+def test_swedish_light_stem(word, stem):
+    from lucene_spark.analysis.sv import swedish_light_stem
+
+    assert swedish_light_stem(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("husene", "hus"), ("huset", "hus"), ("husenes", "hus"),
+        ("hemmeligheter", "hemmelig"), ("hemmeligheten", "hemmelig"),
+        ("finere", "fin"), ("finest", "fin"),
+        ("følelser", "føl"), ("følelsen", "føl"),
+        ("kristendom", "kristen"),
+        ("hus", "hus"),
+    ],
+)
+def test_norwegian_light_stem(word, stem):
+    from lucene_spark.analysis.no_ import norwegian_light_stem
+
+    assert norwegian_light_stem(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("kirjassa", "kirj"), ("kirjat", "kirj"), ("kirjaan", "kirj"),
+        ("talossa", "talo"), ("taloja", "talo"),
+        ("autolla", "auto"), ("autoja", "auto"),
+        ("nopeasti", "nop"), ("nopea", "nop"),
+        ("tie", "tie"),  # len<4 passthrough, unfolded
+        ("yö", "yö"),
+    ],
+)
+def test_finnish_light_stem(word, stem):
+    from lucene_spark.analysis.fi import finnish_light_stem
+
+    assert finnish_light_stem(word) == stem
+
+
+def test_scandinavian_chains_with_stopwords():
+    from lucene_spark.analysis.sv import SWEDISH_STOP_WORDS, swedish_analyze
+    from lucene_spark.analysis.no_ import (
+        NORWEGIAN_STOP_WORDS,
+        norwegian_analyze,
+    )
+    from lucene_spark.analysis.fi import FINNISH_STOP_WORDS, finnish_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in swedish_analyze(
+            "och flickorna är starkast", stopwords=SWEDISH_STOP_WORDS
+        )
+    ]
+    assert got == [("flick", 1), ("stark", 3)]
+
+    got = [
+        (t.term, t.position)
+        for t in norwegian_analyze(
+            "og husene er finere", stopwords=NORWEGIAN_STOP_WORDS
+        )
+    ]
+    assert got == [("hus", 1), ("fin", 3)]
+
+    got = [
+        (t.term, t.position)
+        for t in finnish_analyze(
+            "että kirjat ovat talossa", stopwords=FINNISH_STOP_WORDS
+        )
+    ]
+    assert got == [("kirj", 1), ("talo", 3)]
+
+
+@pytest.mark.parametrize("lang", ["swedish", "norwegian", "finnish"])
+def test_nordic_batch_matches_token_chain(spark, lang):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer(lang)
+    texts = {
+        "swedish": ["flickorna bilar hemligheten", "starkaste bilens", ""],
+        "norwegian": ["husene finere følelser", "hemmeligheter huset", ""],
+        "finnish": ["kirjassa taloja autolla", "nopeasti kirjat", ""],
+    }[lang]
+    bt = analyze_batch(texts, analyzer=lang)
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
