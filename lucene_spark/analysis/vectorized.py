@@ -267,6 +267,18 @@ def _vocab_chain(analyzer: str):
         from .fi import finnish_term
 
         return finnish_term
+    if analyzer == "czech":
+        from .cs import czech_term
+
+        return czech_term
+    if analyzer == "bulgarian":
+        from .bg import bulgarian_term
+
+        return bulgarian_term
+    if analyzer == "persian":
+        from .fa import persian_term
+
+        return persian_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -4201,6 +4201,74 @@ _FI_QUERY = "kirjaan"  # an UNSEEN illative form; analyzes to 'kirj'
 _FI_KIRJ_IDXS = (0, 1)
 
 
+# Czech light stems (analysis/cz/CzechStemmer.java): studentech/studenti
+# -> student; pražského/pražský -> pražsk; matčin/matka -> matk (č->k
+# palatalization); otcové/otci -> otk (c->k)
+_CS_LEX = [
+    "studentech", "studenti", "pražského", "pražský",
+    "matčin", "matka", "otcové", "otci",
+]
+_CS_QUERY = "studentovi"  # an UNSEEN dative form; analyzes to 'student'
+_CS_STUDENT_IDXS = (0, 1)
+
+# Bulgarian BulStem light stems (analysis/bg/BulgarianStemmer.java):
+# градът/градове -> град; книгата/книги -> книг; ученикът/ученици ->
+# ученик (ци->к); хубава/хубаво -> хубав
+_BG_LEX = [
+    "градът", "градове", "книгата", "книги",
+    "ученикът", "ученици", "хубава", "хубаво",
+]
+_BG_QUERY = "градовете"  # an UNSEEN plural-definite form -> 'град'
+_BG_GRAD_IDXS = (0, 1)
+
+# Persian normalization (analysis/fa/PersianNormalizer.java +
+# ArabicNormalizer): farsi yeh علی ≡ yeh علي; keheh کتاب ≡ kaf كتاب;
+# alef-madda آزاد ≡ ازاد; teh-marbuta خانة ≡ خانه. No stemmer — the chain
+# is pure normalization, so the query is one of the variant spellings.
+_FA_LEX = [
+    "علی", "علي", "کتاب", "كتاب",
+    "آزاد", "ازاد", "خانة", "خانه",
+]
+_FA_QUERY = "کتاب"  # keheh form; normalizes to the kaf form كتاب
+_FA_KETAB_IDXS = (2, 3)
+
+
+def _q_czech_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "cs", _CS_LEX, "czech"),
+        analyzer="czech", mode="double",
+    )
+    h = s.search(_CS_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_bulgarian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "bg", _BG_LEX, "bulgarian"),
+        analyzer="bulgarian", mode="double",
+    )
+    h = s.search(_BG_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_persian_norm(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "fa", _FA_LEX, "persian"),
+        analyzer="persian", mode="double",
+    )
+    h = s.search(_FA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_swedish_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "sv", _SV_LEX, "swedish"),
@@ -4574,6 +4642,9 @@ def gate_queries() -> dict:
         "swedish_light_index": _q_swedish_stem,
         "norwegian_light_index": _q_norwegian_stem,
         "finnish_light_index": _q_finnish_stem,
+        "czech_light_index": _q_czech_stem,
+        "bulgarian_light_index": _q_bulgarian_stem,
+        "persian_norm_index": _q_persian_norm,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -4728,6 +4799,9 @@ def gate_oracle_sql() -> dict:
         "swedish_light_index": _sql_lex_stem(_SV_FLICK_IDXS),
         "norwegian_light_index": _sql_lex_stem(_NO_HUS_IDXS),
         "finnish_light_index": _sql_lex_stem(_FI_KIRJ_IDXS),
+        "czech_light_index": _sql_lex_stem(_CS_STUDENT_IDXS),
+        "bulgarian_light_index": _sql_lex_stem(_BG_GRAD_IDXS),
+        "persian_norm_index": _sql_lex_stem(_FA_KETAB_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -62,6 +62,9 @@ from ..analysis.worddelim import (
     word_delimiter_analyze,
     word_delimiter_terms_positions,
 )
+from ..analysis.bg import bulgarian_analyze, bulgarian_terms_positions
+from ..analysis.cs import czech_analyze, czech_terms_positions
+from ..analysis.fa import persian_analyze, persian_terms_positions
 from ..analysis.sv import swedish_analyze, swedish_terms_positions
 from ..analysis.no_ import norwegian_analyze, norwegian_terms_positions
 from ..analysis.fi import finnish_analyze, finnish_terms_positions
@@ -125,6 +128,9 @@ _ANALYZERS: dict[str, Callable] = {
     "swedish": swedish_analyze,      # standard + UniNE light stem
     "norwegian": norwegian_analyze,  # standard + UniNE light stem (Bokmål)
     "finnish": finnish_analyze,      # standard + UniNE 5-pass light stem
+    "czech": czech_analyze,          # standard + Dolamic-Savoy light stem
+    "bulgarian": bulgarian_analyze,  # standard + BulStem light stem
+    "persian": persian_analyze,      # standard + Arabic+Persian normalize
 }
 
 
@@ -166,6 +172,9 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "swedish": swedish_terms_positions,
     "norwegian": norwegian_terms_positions,
     "finnish": finnish_terms_positions,
+    "czech": czech_terms_positions,
+    "bulgarian": bulgarian_terms_positions,
+    "persian": persian_terms_positions,
 }
 
 

@@ -839,3 +839,97 @@ def test_nordic_batch_matches_token_chain(spark, lang):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Czech / Bulgarian / Persian (cz/CzechStemmer.java — Dolamic & Savoy,
+# bg/BulgarianStemmer.java — BulStem with the perl-fixed ен→н rule,
+# fa/PersianNormalizer.java + ArabicNormalizer — normalization only)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("studentech", "student"), ("studenti", "student"),
+        ("studentovi", "student"),
+        ("pražského", "pražsk"), ("pražský", "pražsk"),
+        ("matčin", "matk"), ("matka", "matk"),   # č -> k palatalization
+        ("otcové", "otk"), ("otci", "otk"),      # c -> k
+        ("domek", "domk"),                       # e-insertion squeeze
+        # normalize() has no length guard — the e-squeeze fires even on
+        # 3-char words, exactly like CzechStemmer.java
+        ("les", "ls"),
+    ],
+)
+def test_czech_stem(word, stem):
+    from lucene_spark.analysis.cs import czech_stem
+
+    assert czech_stem(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("градът", "град"), ("градове", "град"), ("градовете", "град"),
+        ("книгата", "книг"), ("книги", "книг"),
+        ("ученикът", "ученик"), ("ученици", "ученик"),  # ци -> к
+        ("хубава", "хубав"), ("хубаво", "хубав"),
+        ("дом", "дом"),  # len<4 passthrough
+    ],
+)
+def test_bulgarian_stem(word, stem):
+    from lucene_spark.analysis.bg import bulgarian_stem
+
+    assert bulgarian_stem(word) == stem
+
+
+def test_persian_normalize_variants():
+    from lucene_spark.analysis.fa import persian_normalize
+
+    # farsi yeh == yeh, keheh == kaf, alef madda == alef, teh marbuta == heh
+    assert persian_normalize("علی") == persian_normalize("علي")
+    assert persian_normalize("کتاب") == persian_normalize("كتاب")
+    assert persian_normalize("آزاد") == persian_normalize("ازاد")
+    assert persian_normalize("خانة") == persian_normalize("خانه")
+    # extended arabic-indic digits fold to ascii (DecimalDigitFilter)
+    assert persian_normalize("۱۲۳") == "123"
+
+
+def test_persian_stop_after_normalization():
+    from lucene_spark.analysis.fa import PERSIAN_STOP_WORDS, persian_analyze
+
+    # که is a stopword; the keheh spelling must ALSO stop because the stop
+    # test runs on the normalized form (PersianAnalyzer.java:136-139)
+    got = [t.term for t in persian_analyze("که کتاب", PERSIAN_STOP_WORDS)]
+    assert got == [persian_normalize_ref("کتاب")]
+
+
+def persian_normalize_ref(w):
+    from lucene_spark.analysis.fa import persian_normalize
+
+    return persian_normalize(w)
+
+
+@pytest.mark.parametrize("lang", ["czech", "bulgarian", "persian"])
+def test_cbf_batch_matches_token_chain(spark, lang):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer(lang)
+    texts = {
+        "czech": ["studentech matka otcové", "pražského studenti", ""],
+        "bulgarian": ["градът книгата ученици", "хубава градове", ""],
+        "persian": ["علی کتاب خانة", "آزاد كتاب علي", ""],
+    }[lang]
+    bt = analyze_batch(texts, analyzer=lang)
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
