@@ -3113,6 +3113,30 @@ def _q_simsearch_hnsw_quantized(spark, sf_dir):
     )
 
 
+def _q_simsearch_hnsw_appended(spark, sf_dir):
+    """Incremental HNSW append (pipeline/hnsw.py hnsw_append — the NRT
+    segment-append analog: committed leaves untouched, the appended batch
+    becomes a new leaf routed by the persisted ownership table). The graph
+    is written over 80% of the vectors and the remaining 20% appended;
+    generous ef ⇒ exact recall, oracle = exact cosine top-k over the FULL
+    table, so a silently-unsearchable appended vector fails the hash."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswappend"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "assign")):
+        _hnsw.hnsw_write(
+            emb.filter("vec_id % 5 != 0"), path, n_leaves=2, m=16
+        )
+        _hnsw.hnsw_append(
+            spark, emb.filter("vec_id % 5 = 0"), path, n_new_leaves=1
+        )
+    return _hnsw.hnsw_topk_persisted(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128
+    )
+
+
 def _q_knn_filtered_hnsw(spark, sf_dir):
     """Filtered vector search THROUGH the persisted HNSW graph
     (KnnFloatVectorQuery.java:61 + HnswGraphSearcher acceptOrds): the
@@ -4717,6 +4741,7 @@ def gate_queries() -> dict:
         "simsearch_hnsw": _q_simsearch_hnsw,
         "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
         "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
+        "simsearch_hnsw_appended": _q_simsearch_hnsw_appended,
         "knn_filtered_hnsw": _q_knn_filtered_hnsw,
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
@@ -4872,6 +4897,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
         "simsearch_hnsw_quantized": _SQL_SIMSEARCH,
+        "simsearch_hnsw_appended": _SQL_SIMSEARCH,
         "knn_filtered_hnsw": _SQL_KNN_FILTERED,
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),

@@ -442,25 +442,9 @@ def _leaf_col(id_col: str, n_leaves: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_leaves)).cast("int")
 
 
-def hnsw_write(
-    emb: DataFrame,
-    path: str,
-    n_leaves: int = 1,
-    m: int = 16,
-    ef_construction: int = 100,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    quantize: bool = False,
-) -> dict:
-    """Build per-leaf HNSW graphs ONCE and persist them as parquet rows
-    (leaf, node, lvl, nbrs) partitioned by leaf — the write-time codec path
-    (Lucene99HnswVectorsFormat writes the graph at segment flush). Every
-    (node, lvl ≤ node's level) pair gets a row (possibly empty nbrs), so a
-    reader recovers layer membership and the entry point (min node id on
-    the top layer — the build rule's deterministic entry). Returns the
-    meta dict, also written to ``<path>/meta.json``."""
-    import json
-    import os
+def _graph_rows_fn(m: int, ef_construction: int):
+    """applyInPandas body: one leaf's vectors → its persisted graph rows
+    (leaf, node, lvl, nbrs) — shared by hnsw_write and hnsw_append."""
 
     def build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
         leaf = int(pdf["_leaf"].iloc[0])
@@ -484,38 +468,68 @@ def hnsw_write(
             {"leaf": out_leaf, "node": out_node, "lvl": out_lvl, "nbrs": out_nbrs}
         )
 
+    return build_rows
+
+
+def _qvec_rows_fn():
+    """applyInPandas body: one leaf's vectors → int8 code rows with the
+    [lo, hi] sentinel — shared by hnsw_write and hnsw_append."""
+    import struct as _struct
+
+    def quant_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        leaf = int(pdf["_leaf"].iloc[0])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        codes, lo, hi = quantize_leaf(vecs)
+        out = [(leaf, _QMETA_NODE, _struct.pack("<2d", lo, hi))]
+        out.extend(
+            (leaf, int(i), codes[r].tobytes()) for r, i in enumerate(ids)
+        )
+        return pd.DataFrame(out, columns=["leaf", "node", "qv"])
+
+    return quant_rows
+
+
+def hnsw_write(
+    emb: DataFrame,
+    path: str,
+    n_leaves: int = 1,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: bool = False,
+) -> dict:
+    """Build per-leaf HNSW graphs ONCE and persist them as parquet rows
+    (leaf, node, lvl, nbrs) partitioned by leaf — the write-time codec path
+    (Lucene99HnswVectorsFormat writes the graph at segment flush). Every
+    (node, lvl ≤ node's level) pair gets a row (possibly empty nbrs), so a
+    reader recovers layer membership and the entry point (min node id on
+    the top layer — the build rule's deterministic entry). Returns the
+    meta dict, also written to ``<path>/meta.json``."""
+    import json
+    import os
+
     keyed = emb.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
         _leaf_col(id_col, n_leaves).alias("_leaf"),
     )
-    rows = keyed.groupBy("_leaf").applyInPandas(build_rows, GRAPH_SCHEMA)
+    rows = keyed.groupBy("_leaf").applyInPandas(
+        _graph_rows_fn(m, ef_construction), GRAPH_SCHEMA
+    )
     rows.write.mode("overwrite").partitionBy("leaf").parquet(f"{path}/graph")
     if quantize:
         # int8 codes next to the graph (Lucene99ScalarQuantizedVectorsFormat
         # writes .veq alongside .vex): per-leaf confidence-interval
         # quantization, [lo, hi] stored as a node=-1 sentinel row per leaf
-        import struct as _struct
-
-        def quant_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-            leaf = int(pdf["_leaf"].iloc[0])
-            ids = pdf["_id"].to_numpy(dtype=np.int64)
-            vecs = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
-            )
-            order = np.argsort(ids, kind="stable")
-            ids, vecs = ids[order], vecs[order]
-            codes, lo, hi = quantize_leaf(vecs)
-            out = [(leaf, _QMETA_NODE, _struct.pack("<2d", lo, hi))]
-            out.extend(
-                (leaf, int(i), codes[r].tobytes())
-                for r, i in enumerate(ids)
-            )
-            return pd.DataFrame(out, columns=["leaf", "node", "qv"])
-
         (
             keyed.groupBy("_leaf")
-            .applyInPandas(quant_rows, _QVEC_SCHEMA)
+            .applyInPandas(_qvec_rows_fn(), _QVEC_SCHEMA)
             .write.mode("overwrite")
             .partitionBy("leaf")
             .parquet(f"{path}/qvecs")
@@ -537,6 +551,90 @@ def hnsw_write(
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    return meta
+
+
+def hnsw_append(
+    spark,
+    emb_new: DataFrame,
+    path: str,
+    n_new_leaves: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally index appended vectors as NEW leaves — the NRT
+    micro-batch analog (Lucene appends segments at flush and never rewrites
+    committed ones; IndexWriter.addDocument → new segment,
+    index/IndexWriter.java). Each append batch becomes ``n_new_leaves``
+    fresh leaves holding exactly that batch's vectors:
+
+    - graph rows land in NEW leaf partitions of ``<path>/graph`` (parquet
+      append — committed partitions untouched, readers of a prior snapshot
+      stay consistent)
+    - quantized codes follow into ``<path>/qvecs`` when the index was
+      written with ``quantize=True``
+    - the (vec_id → leaf) ownership of appended ids is recorded in
+      ``<path>/assign`` (the docBase analog: base ids keep the hash rule,
+      appended ids route by ownership); the query-side join is co-keyed on
+      the id and broadcast by AQE while the appended set is small
+    - ``meta.json`` is atomically replaced with the new per-leaf counts, so
+      the searcher's staleness check covers the appended leaves too
+
+    Appending a vec_id that already exists in the base table is NOT
+    merged: the id re-routes to its append leaf and the base leaf's count
+    check then fails loudly at query time — rebuild (hnsw_write) to dedup,
+    exactly like Lucene needs an explicit update-document, not a raw add.
+
+    Returns the updated meta dict."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    m = int(meta["m"])
+    efc = int(meta["ef_construction"])
+    leaf_counts = {int(k): int(v) for k, v in meta["leaf_counts"].items()}
+    next_leaf = max(leaf_counts) + 1
+
+    keyed = emb_new.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        (
+            F.lit(next_leaf)
+            + F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_new_leaves)).cast("int")
+        ).cast("int").alias("_leaf"),
+    )
+    rows = keyed.groupBy("_leaf").applyInPandas(
+        _graph_rows_fn(m, efc), GRAPH_SCHEMA
+    )
+    rows.write.mode("append").partitionBy("leaf").parquet(f"{path}/graph")
+    if meta.get("quantized"):
+        (
+            keyed.groupBy("_leaf")
+            .applyInPandas(_qvec_rows_fn(), _QVEC_SCHEMA)
+            .write.mode("append")
+            .partitionBy("leaf")
+            .parquet(f"{path}/qvecs")
+        )
+    keyed.select(
+        F.col("_id").alias("vec_id"), F.col("_leaf").cast("int").alias("leaf")
+    ).write.mode("append").parquet(f"{path}/assign")
+
+    new_counts = {
+        int(r["_leaf"]): int(r["cnt"])
+        for r in keyed.groupBy("_leaf").agg(F.count("*").alias("cnt")).collect()
+    }
+    leaf_counts.update(new_counts)
+    meta["leaf_counts"] = {str(k2): v for k2, v in sorted(leaf_counts.items())}
+    meta["n_vectors"] = int(sum(leaf_counts.values()))
+    # meta["n_leaves"] stays the BASE leaf count — it parameterizes the
+    # hash-routing of base ids and must never change on append
+    meta["n_total_leaves"] = len(leaf_counts)
+    meta["appended"] = True
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
     return meta
 
 
@@ -782,6 +880,18 @@ def hnsw_topk_persisted(
     if filter_expr is not None:
         sel.append(F.expr(filter_expr).cast("boolean").alias("_ok"))
     keyed = emb.select(*sel)
+    if meta.get("appended"):
+        # appended ids route by recorded ownership (hnsw_append), base ids
+        # by the hash rule — coalesce order makes ownership win
+        assign = spark.read.parquet(f"{path}/assign").select(
+            F.col("vec_id").cast("long").alias("_aid"),
+            F.col("leaf").cast("int").alias("_aleaf"),
+        )
+        keyed = (
+            keyed.join(assign, keyed["_id"] == assign["_aid"], "left")
+            .withColumn("_leaf", F.coalesce("_aleaf", "_leaf"))
+            .drop("_aid", "_aleaf")
+        )
     per_leaf = (
         keyed.groupBy("_leaf")
         .cogroup(graph.groupBy("leaf"))

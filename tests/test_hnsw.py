@@ -305,3 +305,67 @@ def test_search_handles_empty_and_singleton():
         -1, np.array([], dtype=np.int64), [], np.array([], dtype=np.int64),
         np.zeros((0, 4)), np.ones(4), k=5, ef_search=10,
     ) == []
+
+
+# --- incremental append (hnsw_append: the NRT segment-append analog) --------
+
+def test_append_searches_old_and_new(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "g_app")
+    hnsw.hnsw_write(emb.filter("vec_id % 5 != 0"), path, n_leaves=2, m=16)
+    meta = hnsw.hnsw_append(
+        spark, emb.filter("vec_id % 5 = 0"), path, n_new_leaves=2
+    )
+    assert meta["appended"] and meta["n_vectors"] == emb.count()
+    assert meta["n_leaves"] == 2  # base hash-routing parameter unchanged
+    assert meta["n_total_leaves"] == 4
+    got = [
+        r["vec_id"]
+        for r in hnsw.hnsw_topk_persisted(
+            spark, emb, path, qvec, k=10, ef_search=256
+        ).collect()
+    ]
+    exact = [
+        r["vec_id"]
+        for r in __import__(
+            "lucene_spark.pipeline.simsearch", fromlist=["cosine_topk"]
+        ).cosine_topk(emb, qvec, k=10).collect()
+    ]
+    assert got == exact  # appended vectors are searchable, merge is global
+
+
+def test_append_twice_accumulates(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "g_app2")
+    hnsw.hnsw_write(emb.filter("vec_id % 3 = 0"), path, n_leaves=1, m=16)
+    hnsw.hnsw_append(spark, emb.filter("vec_id % 3 = 1"), path)
+    meta = hnsw.hnsw_append(spark, emb.filter("vec_id % 3 = 2"), path)
+    assert meta["n_vectors"] == emb.count()
+    assert meta["n_total_leaves"] == 3
+    got = hnsw.hnsw_topk_persisted(
+        spark, emb, path, qvec, k=5, ef_search=256
+    ).collect()
+    assert len(got) == 5 and got[0]["vec_id"] == 0  # self-match tops
+
+
+def test_append_quantized_follows(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "g_appq")
+    hnsw.hnsw_write(
+        emb.filter("vec_id % 5 != 0"), path, n_leaves=1, m=16, quantize=True
+    )
+    hnsw.hnsw_append(spark, emb.filter("vec_id % 5 = 0"), path)
+    got = hnsw.hnsw_topk_quantized(
+        spark, emb, path, qvec, k=10, ef_search=256, oversample=4
+    ).collect()
+    assert got and got[0]["vec_id"] == 0
+    # an appended vector must be reachable through the quantized arm too
+    ids = {r["vec_id"] for r in got}
+    assert any(v % 5 == 0 for v in ids)
+
+
+def test_append_duplicate_base_id_fails_loudly(spark, emb, qvec, tmp_path):
+    path = str(tmp_path / "g_dup")
+    hnsw.hnsw_write(emb, path, n_leaves=1, m=16)
+    hnsw.hnsw_append(spark, emb.filter("vec_id = 1"), path)  # id 1 re-added
+    with pytest.raises(Exception, match="stale"):
+        hnsw.hnsw_topk_persisted(
+            spark, emb, path, qvec, k=5, ef_search=64
+        ).collect()
