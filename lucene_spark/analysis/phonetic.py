@@ -66,6 +66,162 @@ def soundex(term: str) -> str:
     return (out + "000")[:4]
 
 
+# --- Refined Soundex (commons-codec RefinedSoundex, wrapped by the same
+# PhoneticFilter): retain the first letter, then append EVERY letter's code
+# digit (vowels/h/w/y code 0 and are kept), collapsing only adjacent equal
+# codes; no length cap. The mapping is the commons-codec US_ENGLISH table
+# "01360240043788015936020505" for a..z (javadoc example:
+# refinedSoundex("testing") == "T6036084").
+
+_REFINED = "01360240043788015936020505"
+
+
+def refined_soundex(term: str) -> str:
+    letters = [c for c in term.lower() if "a" <= c <= "z"]
+    if not letters:
+        return ""
+    out = [letters[0].upper()]
+    last = None
+    for ch in letters:
+        code = _REFINED[ord(ch) - 97]
+        if code != last:
+            out.append(code)
+        last = code
+    return "".join(out)
+
+
+def refined_soundex_term(
+    term: str, stopwords: frozenset[str] | None
+) -> str | None:
+    if stopwords and term in stopwords:
+        return None
+    code = refined_soundex(term)
+    return code or None
+
+
+def refined_soundex_analyze(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[Token]:
+    out: list[Token] = []
+    for tok in _standard_analyze(
+        text, stopwords=None, max_token_length=max_token_length
+    ):
+        t = refined_soundex_term(tok.term, stopwords)
+        if t is None:
+            continue
+        out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
+    return out
+
+
+def refined_soundex_terms_positions(
+    text: str, stopwords: frozenset[str] | None = None
+):
+    toks = refined_soundex_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]
+
+
+# --- Caverphone 2.0 (commons-codec Caverphone2, wrapped by the same
+# PhoneticFilter): David Hood's revised Caverphone (Caversham project,
+# University of Otago, 2004) — the published replacement cascade, 10-char
+# code padded with '1'. Verified against the published vectors
+# (Stevenson → STFNSN1111, Thompson → TMPSN11111, Peter → PTA1111111).
+
+import re as _re
+
+_CV_STARTS = (
+    ("cough", "cou2f"), ("rough", "rou2f"), ("tough", "tou2f"),
+    ("enough", "enou2f"), ("trough", "trou2f"), ("gn", "2n"),
+)
+_CV_PAIRS = (
+    ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+    ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"), ("v", "f"),
+    ("dg", "2g"), ("tio", "sio"), ("tia", "sia"), ("d", "t"),
+    ("ph", "fh"), ("b", "p"), ("sh", "s2"), ("z", "s"),
+)
+
+
+def caverphone2(term: str) -> str:
+    s = "".join(c for c in term.lower() if "a" <= c <= "z")
+    if not s:
+        return ""
+    if s.endswith("e"):
+        s = s[:-1]
+    for pre, rep in _CV_STARTS:
+        if s.startswith(pre):
+            s = rep + s[len(pre):]
+            break
+    if s.endswith("mb"):
+        s = s[:-2] + "m2"
+    for pat, rep in _CV_PAIRS:
+        s = s.replace(pat, rep)
+    if s and s[0] in "aeiou":
+        s = "A" + s[1:]
+    s = _re.sub(r"[aeiou]", "3", s)
+    s = s.replace("j", "y")
+    if s.startswith("y3"):
+        s = "Y3" + s[2:]
+    if s.startswith("y"):
+        s = "A" + s[1:]
+    s = s.replace("y", "3")
+    s = s.replace("3gh3", "3kh3")
+    s = s.replace("gh", "22")
+    s = s.replace("g", "k")
+    for ch in "stpkfmn":
+        s = _re.sub(ch + "+", ch.upper(), s)
+    s = s.replace("w3", "W3").replace("wh3", "Wh3")
+    if s.endswith("w"):
+        s = s[:-1] + "3"
+    s = s.replace("w", "2")
+    if s.startswith("h"):
+        s = "A" + s[1:]
+    s = s.replace("h", "2")
+    s = s.replace("r3", "R3")
+    if s.endswith("r"):
+        s = s[:-1] + "3"
+    s = s.replace("r", "2")
+    s = s.replace("l3", "L3")
+    if s.endswith("l"):
+        s = s[:-1] + "3"
+    s = s.replace("l", "2")
+    s = s.replace("2", "")
+    if s.endswith("3"):
+        s = s[:-1] + "A"
+    s = s.replace("3", "")
+    return (s + "1111111111")[:10]
+
+
+def caverphone2_term(term: str, stopwords: frozenset[str] | None) -> str | None:
+    if stopwords and term in stopwords:
+        return None
+    code = caverphone2(term)
+    return code or None
+
+
+def caverphone2_analyze(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[Token]:
+    out: list[Token] = []
+    for tok in _standard_analyze(
+        text, stopwords=None, max_token_length=max_token_length
+    ):
+        t = caverphone2_term(tok.term, stopwords)
+        if t is None:
+            continue
+        out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
+    return out
+
+
+def caverphone2_terms_positions(
+    text: str, stopwords: frozenset[str] | None = None
+):
+    toks = caverphone2_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]
+
+
 def soundex_term(term: str, stopwords: frozenset[str] | None) -> str | None:
     """Chain for one lowercased term: stop (surface form), then encode."""
     if stopwords and term in stopwords:

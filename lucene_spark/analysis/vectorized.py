@@ -279,6 +279,14 @@ def _vocab_chain(analyzer: str):
         from .fa import persian_term
 
         return persian_term
+    if analyzer == "refined_soundex":
+        from .phonetic import refined_soundex_term
+
+        return refined_soundex_term
+    if analyzer == "caverphone2":
+        from .phonetic import caverphone2_term
+
+        return caverphone2_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -4076,6 +4076,53 @@ _SX_QUERY = "rupert"  # encodes to R163, matching robert too
 _SX_R163_IDXS = (0, 1)
 
 
+# Refined Soundex (commons-codec RefinedSoundex via PhoneticFilter):
+# braz/broz -> B1905; caren/caron -> C30908; lambert/lombard -> L7081096;
+# hayers/heers -> H093
+_RSX_LEX = [
+    "braz", "broz", "caren", "caron",
+    "lambert", "lombard", "hayers", "heers",
+]
+_RSX_QUERY = "bruz"  # an UNSEEN spelling; encodes to B1905 too
+_RSX_B1905_IDXS = (0, 1)
+
+# Caverphone 2.0 (commons-codec Caverphone2 via PhoneticFilter, Hood 2004):
+# stevenson/stivenson -> STFNSN1111; peter/pieter -> PTA1111111;
+# thompson/tompson -> TMPSN11111; lee/leigh -> LA11111111
+_CV_LEX = [
+    "stevenson", "stivenson", "peter", "pieter",
+    "thompson", "tompson", "lee", "leigh",
+]
+_CV_QUERY = "stefanson"  # an UNSEEN spelling; encodes to STFNSN1111 too
+_CV_STFNSN_IDXS = (0, 1)
+
+
+def _q_refined_soundex(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "rsx", _RSX_LEX, "refined_soundex"),
+        analyzer="refined_soundex", mode="double",
+    )
+    h = s.search(_RSX_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_caverphone2(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "cv2", _CV_LEX, "caverphone2"),
+        analyzer="caverphone2", mode="double",
+    )
+    h = s.search(_CV_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_soundex_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "sx", _SX_LEX, "soundex"),
@@ -4669,6 +4716,8 @@ def gate_queries() -> dict:
         "czech_light_index": _q_czech_stem,
         "bulgarian_light_index": _q_bulgarian_stem,
         "persian_norm_index": _q_persian_norm,
+        "refined_soundex_index": _q_refined_soundex,
+        "caverphone2_index": _q_caverphone2,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -4827,6 +4876,8 @@ def gate_oracle_sql() -> dict:
         "czech_light_index": _sql_lex_stem(_CS_STUDENT_IDXS),
         "bulgarian_light_index": _sql_lex_stem(_BG_GRAD_IDXS),
         "persian_norm_index": _sql_lex_stem(_FA_KETAB_IDXS),
+        "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
+        "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

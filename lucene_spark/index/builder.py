@@ -55,7 +55,14 @@ from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
 from ..analysis.ar import arabic_analyze, arabic_terms_positions
 from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
-from ..analysis.phonetic import soundex_analyze, soundex_terms_positions
+from ..analysis.phonetic import (
+    caverphone2_analyze,
+    caverphone2_terms_positions,
+    refined_soundex_analyze,
+    refined_soundex_terms_positions,
+    soundex_analyze,
+    soundex_terms_positions,
+)
 from ..analysis.pt import portuguese_analyze, portuguese_terms_positions
 from ..analysis.ru import russian_analyze, russian_terms_positions
 from ..analysis.worddelim import (
@@ -131,6 +138,8 @@ _ANALYZERS: dict[str, Callable] = {
     "czech": czech_analyze,          # standard + Dolamic-Savoy light stem
     "bulgarian": bulgarian_analyze,  # standard + BulStem light stem
     "persian": persian_analyze,      # standard + Arabic+Persian normalize
+    "refined_soundex": refined_soundex_analyze,  # commons-codec refined
+    "caverphone2": caverphone2_analyze,  # Caverphone 2.0 (Hood 2004)
 }
 
 
@@ -175,6 +184,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "czech": czech_terms_positions,
     "bulgarian": bulgarian_terms_positions,
     "persian": persian_terms_positions,
+    "refined_soundex": refined_soundex_terms_positions,
+    "caverphone2": caverphone2_terms_positions,
 }
 
 

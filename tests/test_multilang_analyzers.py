@@ -933,3 +933,61 @@ def test_cbf_batch_matches_token_chain(spark, lang):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Refined Soundex + Caverphone 2.0 (commons-codec encoders wrapped by
+# analysis/phonetic PhoneticFilter; published test vectors)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,code",
+    [
+        ("testing", "T6036084"),  # commons-codec RefinedSoundex javadoc
+        ("braz", "B1905"), ("broz", "B1905"), ("bruz", "B1905"),
+        ("caren", "C30908"), ("caron", "C30908"),
+        ("lambert", "L7081096"), ("lombard", "L7081096"),
+        ("hayers", "H093"), ("heers", "H093"),
+    ],
+)
+def test_refined_soundex(word, code):
+    from lucene_spark.analysis.phonetic import refined_soundex
+
+    assert refined_soundex(word) == code
+
+
+@pytest.mark.parametrize(
+    "word,code",
+    [
+        ("stevenson", "STFNSN1111"),  # published Caverphone 2.0 vectors
+        ("stivenson", "STFNSN1111"), ("stefanson", "STFNSN1111"),
+        ("peter", "PTA1111111"), ("pieter", "PTA1111111"),
+        ("thompson", "TMPSN11111"), ("tompson", "TMPSN11111"),
+        ("lee", "LA11111111"), ("leigh", "LA11111111"),
+    ],
+)
+def test_caverphone2(word, code):
+    from lucene_spark.analysis.phonetic import caverphone2
+
+    assert caverphone2(word) == code
+
+
+@pytest.mark.parametrize("lang", ["refined_soundex", "caverphone2"])
+def test_phonetic_batch_matches_token_chain(spark, lang):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer(lang)
+    texts = ["braz caren lambert", "stevenson peter 42 lee", ""]
+    bt = analyze_batch(texts, analyzer=lang)
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
