@@ -176,9 +176,12 @@ def _decode_key(k1: int, k2: int) -> str:
     return raw.rstrip(b"\x00").decode("ascii")
 
 
-def _batch_from_chain(texts, chain) -> BatchTokens:
+def _batch_from_chain(texts, chain, distinct_positions: bool = False) -> BatchTokens:
     """BatchTokens from an exact per-document Token chain (the lane for
-    analyzers whose output is position-dependent, e.g. CJK bigrams)."""
+    analyzers whose output is position-dependent, e.g. CJK bigrams).
+    ``distinct_positions=True`` counts doc length as DISTINCT positions —
+    the discountOverlaps norm rule for chains that stack posIncrement-0
+    tokens (common grams)."""
     n_docs = len(texts)
     uniques: list[str] = []
     uniq_index: dict[str, int] = {}
@@ -190,7 +193,11 @@ def _batch_from_chain(texts, chain) -> BatchTokens:
         if not t:
             continue
         toks = chain(t)
-        doc_lens[i] = len(toks)
+        doc_lens[i] = (
+            len({tok.position for tok in toks})
+            if distinct_positions
+            else len(toks)
+        )
         for tok in toks:
             ci = uniq_index.get(tok.term)
             if ci is None:
@@ -361,6 +368,19 @@ def analyze_batch(
             lambda t: _cjk_py(
                 t, stopwords=stopwords, max_token_length=max_token_length
             ),
+        )
+    if analyzer == "common_grams":
+        # gram emission is adjacency-dependent (not per-term) and grams
+        # stack at posIncrement 0 — per-document chain lane with
+        # distinct-position doc lengths (discountOverlaps)
+        from .commongrams import common_grams_analyze as _cg_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _cg_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+            distinct_positions=True,
         )
     if analyzer == "word_delimiter":
         # case-change splitting needs the ORIGINAL case, which the

@@ -1366,6 +1366,8 @@ def _sql_boolean_sim(terms: list[str], k: int = 10) -> str:
 # in search/scorers.py, so the 4-decimal hash comparison is exact.
 
 _SIM_MODE_DOC = {
+    "multi_bm25_classic": "MultiSimilarity summing BM25 + Classic "
+    "(similarities/MultiSimilarity.java:56-70)",
     "classic": "ClassicSimilarity TF-IDF (similarities/ClassicSimilarity.java)",
     "dfr_gb2": "DFR GB2 (similarities/DFRSimilarity.java: BasicModelG, "
     "AfterEffectB, NormalizationH2 c=1)",
@@ -1436,6 +1438,14 @@ def _sim_term_cte(mode: str, name: str, term: str) -> str:
             f"(1.0 * ln((tf.freq::DOUBLE + (2000.0 * {cp}))"
             f" / (qdl.qdl::DOUBLE + 2000.0)))"
         )
+    elif mode == "multi_bm25_classic":
+        idf = _idf("d.df")
+        bm25 = f"({idf} - {idf} / {_tf_part('tf.freq', 'qdl.qdl')})"
+        classic = (
+            "((ln((s.n_docs::DOUBLE + 1.0) / (d.df::DOUBLE + 1.0)) + 1.0)"
+            " * sqrt(tf.freq::DOUBLE) * (1.0 / sqrt(qdl.qdl::DOUBLE)))"
+        )
+        score = f"({bm25} + {classic})"
     else:  # pragma: no cover
         raise ValueError(mode)
     return f"""
@@ -4022,6 +4032,60 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+# CommonGrams (analysis/commongrams/CommonGramsFilter.java): unigrams +
+# stacked '_'-joined bigrams around common words. The lexicon's slot
+# arithmetic makes slot i+1 ≡ slot i + 3 (mod 8), so the pair (the, quick)
+# = indices (0, 3) occurs whenever slot i drew index 0 with i <= 4; 'the'
+# is common so the gram is always emitted for that pair.
+_CG_LEX = [
+    "the", "of", "fox", "quick",
+    "brown", "jumps", "lazy", "dog",
+]
+
+
+def _q_common_grams(spark, sf_dir, k: int = 100000):
+    from .search.query import TermQuery
+
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "cg", _CG_LEX, "common_grams"),
+        analyzer="common_grams", mode="double",
+    )
+    h = s.search(TermQuery("the_quick"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_lex_gram(first_idx: int, k: int = 100000) -> str:
+    """Oracle for one common-gram term over a lexicon index: frequency =
+    how many of the 5 ADJACENT slot pairs start with ``first_idx`` (the
+    second member is determined by the +3 mod 8 slot arithmetic). Doc
+    length stays 6 — grams stack at posIncrement 0 (discountOverlaps)."""
+    idf = _idf("d.df")
+    hits = " + ".join(
+        f"(CASE WHEN ((doc_id * 7 + {3 * i}) % 8) = {first_idx} "
+        "THEN 1 ELSE 0 END)"
+        for i in range(5)
+    )
+    return f"""WITH tfq AS (
+  SELECT doc_id, ({hits})::BIGINT AS freq FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         6.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '6')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _q_spanish_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "es", _ES_LEX, "spanish"),
@@ -4690,6 +4754,7 @@ def gate_queries() -> dict:
         "dfi_chi2_topk": _make_q_similarity("dfi_chi2"),
         "axiomatic_f2exp_topk": _make_q_similarity("axiomatic_f2exp"),
         "indri_dirichlet_topk": _make_q_similarity("indri_dirichlet"),
+        "multi_sim_topk": _make_q_similarity("multi_bm25_classic"),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -4718,6 +4783,7 @@ def gate_queries() -> dict:
         "persian_norm_index": _q_persian_norm,
         "refined_soundex_index": _q_refined_soundex,
         "caverphone2_index": _q_caverphone2,
+        "common_grams_index": _q_common_grams,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -4850,6 +4916,9 @@ def gate_oracle_sql() -> dict:
         "indri_dirichlet_topk": _sql_similarity(
             "indri_dirichlet", ["stream", "window"]
         ),
+        "multi_sim_topk": _sql_similarity(
+            "multi_bm25_classic", ["stream", "window"]
+        ),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
@@ -4878,6 +4947,7 @@ def gate_oracle_sql() -> dict:
         "persian_norm_index": _sql_lex_stem(_FA_KETAB_IDXS),
         "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
         "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
+        "common_grams_index": _sql_lex_gram(0),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -70,6 +70,10 @@ from ..analysis.worddelim import (
     word_delimiter_terms_positions,
 )
 from ..analysis.bg import bulgarian_analyze, bulgarian_terms_positions
+from ..analysis.commongrams import (
+    common_grams_analyze,
+    common_grams_terms_positions,
+)
 from ..analysis.cs import czech_analyze, czech_terms_positions
 from ..analysis.fa import persian_analyze, persian_terms_positions
 from ..analysis.sv import swedish_analyze, swedish_terms_positions
@@ -140,6 +144,7 @@ _ANALYZERS: dict[str, Callable] = {
     "persian": persian_analyze,      # standard + Arabic+Persian normalize
     "refined_soundex": refined_soundex_analyze,  # commons-codec refined
     "caverphone2": caverphone2_analyze,  # Caverphone 2.0 (Hood 2004)
+    "common_grams": common_grams_analyze,  # stopword-adjacent bigram stacks
 }
 
 
@@ -186,6 +191,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "persian": persian_terms_positions,
     "refined_soundex": refined_soundex_terms_positions,
     "caverphone2": caverphone2_terms_positions,
+    "common_grams": common_grams_terms_positions,
 }
 
 

@@ -196,6 +196,7 @@ DOUBLE_MODES = frozenset(
         "dfi_chi2",
         "axiomatic_f2exp",
         "indri_dirichlet",
+        "multi_bm25_classic",
     }
 )
 
@@ -565,6 +566,20 @@ def make_term_scorer(
         )
     if mode == "indri_dirichlet":
         return IndriDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
+    if mode == "multi_bm25_classic":
+        # MultiSimilarity (similarities/MultiSimilarity.java:56-70):
+        # MultiSimScorer SUMS one full sub-SimScorer per wrapped
+        # similarity at the same (freq, norm) — here BM25 + Classic, the
+        # javadoc's canonical combination
+        return SumSimScorer(
+            weight=float(boost),
+            subs=(
+                QuantizedDoubleBm25.create(
+                    doc_freq, doc_count, sum_ttf, boost=boost
+                ),
+                ClassicScorer.create(max(doc_freq, 1), doc_count, boost=boost),
+            ),
+        )
     raise ValueError(f"unknown scoring mode {mode!r}")
 
 
@@ -595,6 +610,23 @@ def make_phrase_scorer(
         )
         return ClassicScorer(
             weight=float(boost * idf_sum), cache=_classic_norm_table()
+        )
+    if mode == "multi_bm25_classic":
+        # each wrapped similarity handles the multi-term stats its own way
+        # (MultiSimilarity.scorer passes ALL termStats to every sub), then
+        # the per-doc scores sum
+        return SumSimScorer(
+            weight=float(boost),
+            subs=(
+                make_phrase_scorer(
+                    "double", per_term_doc_freqs, doc_count, sum_ttf,
+                    boost=boost, per_term_ttfs=per_term_ttfs,
+                ),
+                make_phrase_scorer(
+                    "classic", per_term_doc_freqs, doc_count, sum_ttf,
+                    boost=boost, per_term_ttfs=per_term_ttfs,
+                ),
+            ),
         )
     if mode == "lm_dirichlet":
         subs = tuple(

@@ -991,3 +991,54 @@ def test_phonetic_batch_matches_token_chain(spark, lang):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# CommonGrams (commongrams/CommonGramsFilter.java)
+# ---------------------------------------------------------------------------
+
+def test_common_grams_stacks_bigrams_around_common_words():
+    from lucene_spark.analysis.commongrams import common_grams_analyze
+
+    common = frozenset({"the", "of"})
+    got = [
+        (t.term, t.position)
+        for t in common_grams_analyze("end of the quick fox", stopwords=common)
+    ]
+    # gram for every adjacent pair touching a common word, at the FIRST
+    # word's position; unigrams all kept (CommonGrams replaces StopFilter)
+    assert got == [
+        ("end", 0), ("end_of", 0),
+        ("of", 1), ("of_the", 1),
+        ("the", 2), ("the_quick", 2),
+        ("quick", 3),
+        ("fox", 4),
+    ]
+
+
+def test_common_grams_no_common_words_no_grams():
+    from lucene_spark.analysis.commongrams import common_grams_analyze
+
+    got = [t.term for t in common_grams_analyze("quick fox", frozenset())]
+    assert got == ["quick", "fox"]
+
+
+def test_common_grams_batch_matches_chain_and_distinct_len(spark):
+    from lucene_spark.analysis.commongrams import common_grams_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = ["end of the quick fox", "the dog", ""]
+    bt = analyze_batch(texts, analyzer="common_grams")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in common_grams_analyze(txt)]
+        for i, txt in enumerate(texts)
+        if txt
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
+    # doc length counts DISTINCT positions, not stacked tokens
+    assert list(bt.doc_lens) == [5, 2, 0]

@@ -93,6 +93,15 @@ def _expected(mode, toks, dm, term):
         elif mode == "indri_dirichlet":
             cp = ttf / sum_ttf
             sc = np.log((f + 2000.0 * cp) / (dl + 2000.0))
+        elif mode == "multi_bm25_classic":
+            idf_b = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfp = 1.0 + f * (
+                1.0 / (1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+            )
+            bm25 = idf_b - idf_b / tfp
+            idf_c = np.log((n + 1.0) / (df + 1.0)) + 1.0
+            classic = idf_c * np.sqrt(f) * (1.0 / np.sqrt(dl))
+            sc = bm25 + classic
         else:  # pragma: no cover
             raise ValueError(mode)
         out[dm[url]] = float(sc)
@@ -106,6 +115,7 @@ MODES = [
     "dfi_chi2",
     "axiomatic_f2exp",
     "indri_dirichlet",
+    "multi_bm25_classic",
 ]
 
 
