@@ -294,6 +294,18 @@ def _vocab_chain(analyzer: str):
         from .phonetic import caverphone2_term
 
         return caverphone2_term
+    if analyzer == "hindi":
+        from .hi import hindi_term
+
+        return hindi_term
+    if analyzer == "indonesian":
+        from .id import indonesian_term
+
+        return indonesian_term
+    if analyzer == "galician_minimal":
+        from .gl import galician_term
+
+        return galician_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -4368,6 +4368,74 @@ _FA_QUERY = "کتاب"  # keheh form; normalizes to the kaf form كتاب
 _FA_KETAB_IDXS = (2, 3)
 
 
+# Hindi light stems (analysis/hi/HindiStemmer.java + HindiNormalizer):
+# लड़के/लड़का -> लडक (nukta fold + vowel strip); किताबें/किताब -> किताब;
+# खेलते/खेलता -> खेल; बच्चों/बच्चा -> बचच
+_HI_LEX = [
+    "लड़के", "लड़का", "किताबें", "किताब",
+    "खेलते", "खेलता", "बच्चों", "बच्चा",
+]
+_HI_QUERY = "लड़कों"  # an UNSEEN oblique plural; analyzes to 'लडक'
+_HI_LADKA_IDXS = (0, 1)
+
+# Indonesian stems (analysis/id/IndonesianStemmer.java, ATW 2005):
+# bukunya/bukukah -> buku; mengukur/diukur -> ukur; makanan/makan ->
+# makan; tersapu/penyapu -> sapu
+_ID_LEX = [
+    "bukunya", "bukukah", "mengukur", "diukur",
+    "makanan", "makan", "tersapu", "penyapu",
+]
+_ID_QUERY = "bukumu"  # an UNSEEN possessive form; analyzes to 'buku'
+_ID_BUKU_IDXS = (0, 1)
+
+# Galician minimal stems (analysis/gl/GalicianMinimalStemmer.java — the
+# RSLP Plural step only): xamós/xamón -> xamón; normais/normal -> normal;
+# luces/luz -> luz; papéis/papel -> papel
+_GL_LEX = [
+    "xamós", "xamón", "normais", "normal",
+    "luces", "luz", "papéis", "papel",
+]
+_GL_QUERY = "xamós"  # plural form; depluralizes to xamón
+_GL_XAMON_IDXS = (0, 1)
+
+
+def _q_hindi_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "hi", _HI_LEX, "hindi"),
+        analyzer="hindi", mode="double",
+    )
+    h = s.search(_HI_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_indonesian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "id", _ID_LEX, "indonesian"),
+        analyzer="indonesian", mode="double",
+    )
+    h = s.search(_ID_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_galician_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "gl", _GL_LEX, "galician_minimal"),
+        analyzer="galician_minimal", mode="double",
+    )
+    h = s.search(_GL_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_czech_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "cs", _CS_LEX, "czech"),
@@ -4784,6 +4852,9 @@ def gate_queries() -> dict:
         "refined_soundex_index": _q_refined_soundex,
         "caverphone2_index": _q_caverphone2,
         "common_grams_index": _q_common_grams,
+        "hindi_light_index": _q_hindi_stem,
+        "indonesian_index": _q_indonesian_stem,
+        "galician_minimal_index": _q_galician_stem,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -4948,6 +5019,9 @@ def gate_oracle_sql() -> dict:
         "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
         "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
         "common_grams_index": _sql_lex_gram(0),
+        "hindi_light_index": _sql_lex_stem(_HI_LADKA_IDXS),
+        "indonesian_index": _sql_lex_stem(_ID_BUKU_IDXS),
+        "galician_minimal_index": _sql_lex_stem(_GL_XAMON_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -76,6 +76,9 @@ from ..analysis.commongrams import (
 )
 from ..analysis.cs import czech_analyze, czech_terms_positions
 from ..analysis.fa import persian_analyze, persian_terms_positions
+from ..analysis.gl import galician_analyze, galician_terms_positions
+from ..analysis.hi import hindi_analyze, hindi_terms_positions
+from ..analysis.id import indonesian_analyze, indonesian_terms_positions
 from ..analysis.sv import swedish_analyze, swedish_terms_positions
 from ..analysis.no_ import norwegian_analyze, norwegian_terms_positions
 from ..analysis.fi import finnish_analyze, finnish_terms_positions
@@ -145,6 +148,9 @@ _ANALYZERS: dict[str, Callable] = {
     "refined_soundex": refined_soundex_analyze,  # commons-codec refined
     "caverphone2": caverphone2_analyze,  # Caverphone 2.0 (Hood 2004)
     "common_grams": common_grams_analyze,  # stopword-adjacent bigram stacks
+    "hindi": hindi_analyze,          # standard + normalize + light stem
+    "indonesian": indonesian_analyze,  # standard + ATW 2005 stemmer
+    "galician_minimal": galician_analyze,  # standard + RSLP plural step
 }
 
 
@@ -192,6 +198,9 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "refined_soundex": refined_soundex_terms_positions,
     "caverphone2": caverphone2_terms_positions,
     "common_grams": common_grams_terms_positions,
+    "hindi": hindi_terms_positions,
+    "indonesian": indonesian_terms_positions,
+    "galician_minimal": galician_terms_positions,
 }
 
 

@@ -1042,3 +1042,113 @@ def test_common_grams_batch_matches_chain_and_distinct_len(spark):
     }
     # doc length counts DISTINCT positions, not stacked tokens
     assert list(bt.doc_lens) == [5, 2, 0]
+
+
+# ---------------------------------------------------------------------------
+# Hindi / Indonesian / Galician-minimal (hi/HindiNormalizer+HindiStemmer,
+# id/IndonesianStemmer — Asian/Tahaghoghi/Williams 2005, gl/
+# GalicianMinimalStemmer — RSLP Plural step). Vectors below are the
+# reference's own test fixtures (TestHindiStemmer / TestHindiNormalizer /
+# TestIndonesianStemmer / TestGalicianMinimalStemFilter).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+        ("गुरु", "गुर"), ("गुरुओं", "गुर"),
+        ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+        ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+        ("खाना", "खा"), ("खाता", "खा"), ("खा", "खा"),
+        ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"),
+    ],
+)
+def test_hindi_stem(word, stem):
+    from lucene_spark.analysis.hi import hindi_light_stem
+
+    assert hindi_light_stem(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,norm",
+    [
+        ("अँगरेज़ी", "अंगरेजि"), ("अँग्रेज़ी", "अंगरेजि"),
+        ("अंगरेजी", "अंगरेजि"), ("अंग्रेजी", "अंगरेजि"),
+        ("क़िताब", "किताब"),
+    ],
+)
+def test_hindi_normalize(word, norm):
+    from lucene_spark.analysis.hi import hindi_normalize
+
+    assert hindi_normalize(word) == norm
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+        ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+        ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+        ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+        ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+        ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+        ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+        ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+        ("pekerja", "kerja"), ("tarikkan", "tarik"), ("ambilkan", "ambil"),
+        ("mengambilkan", "ambil"), ("makanan", "makan"),
+        ("janjian", "janji"), ("perjanjian", "janji"), ("tandai", "tanda"),
+        ("dapati", "dapat"), ("mendapati", "dapat"), ("pantai", "panta"),
+        ("penyalahgunaan", "salahguna"), ("menyalahgunakan", "salahguna"),
+        ("disalahgunakan", "salahguna"),
+        ("pertanggungjawaban", "tanggungjawab"),
+        ("mempertanggungjawabkan", "tanggungjawab"),
+    ],
+)
+def test_indonesian_stem(word, stem):
+    from lucene_spark.analysis.id import indonesian_stem
+
+    assert indonesian_stem(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("elefantes", "elefante"), ("elefante", "elefante"),
+        ("kalóres", "kalór"), ("kalór", "kalór"),
+        ("mas", "mas"),                # whole-word exception of the s rule
+        ("barcelonês", "barcelonês"),  # exception
+        ("xamós", "xamón"), ("normais", "normal"),
+        ("luces", "luz"), ("papéis", "papel"),
+        ("luns", "lun"),  # ns-rule exception falls through to the s rule
+        ("país", "país"),
+    ],
+)
+def test_galician_minimal_stem(word, stem):
+    from lucene_spark.analysis.gl import galician_minimal_stem
+
+    assert galician_minimal_stem(word) == stem
+
+
+@pytest.mark.parametrize("lang", ["hindi", "indonesian", "galician_minimal"])
+def test_hig_batch_matches_token_chain(spark, lang):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer(lang)
+    texts = {
+        "hindi": ["लड़के किताबें खेलते", "बच्चों लड़का", ""],
+        "indonesian": ["bukunya mengukur makanan", "tersapu diukur", ""],
+        "galician_minimal": ["xamós normais luces", "papéis elefantes", ""],
+    }[lang]
+    bt = analyze_batch(texts, analyzer=lang)
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
