@@ -306,6 +306,10 @@ def _vocab_chain(analyzer: str):
         from .gl import galician_term
 
         return galician_term
+    if analyzer == "latvian":
+        from .lv import latvian_term
+
+        return latvian_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

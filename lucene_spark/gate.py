@@ -4399,6 +4399,29 @@ _GL_QUERY = "xamós"  # plural form; depluralizes to xamón
 _GL_XAMON_IDXS = (0, 1)
 
 
+# Latvian light stems (analysis/lv/LatvianStemmer.java, Kreslins):
+# tēvs/tēvi -> tēv; lācis/lāči -> lāc (palatalized č -> c); akmens/akmeņi
+# -> akmen (ņ -> n); kurmis/kurmji -> kurm (labial +j drop)
+_LV_LEX = [
+    "tēvs", "tēvi", "lācis", "lāči",
+    "akmens", "akmeņi", "kurmis", "kurmji",
+]
+_LV_QUERY = "tēvam"  # an UNSEEN dative form; analyzes to 'tēv'
+_LV_TEV_IDXS = (0, 1)
+
+
+def _q_latvian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "lv", _LV_LEX, "latvian"),
+        analyzer="latvian", mode="double",
+    )
+    h = s.search(_LV_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_hindi_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "hi", _HI_LEX, "hindi"),
@@ -4855,6 +4878,7 @@ def gate_queries() -> dict:
         "hindi_light_index": _q_hindi_stem,
         "indonesian_index": _q_indonesian_stem,
         "galician_minimal_index": _q_galician_stem,
+        "latvian_light_index": _q_latvian_stem,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -5022,6 +5046,7 @@ def gate_oracle_sql() -> dict:
         "hindi_light_index": _sql_lex_stem(_HI_LADKA_IDXS),
         "indonesian_index": _sql_lex_stem(_ID_BUKU_IDXS),
         "galician_minimal_index": _sql_lex_stem(_GL_XAMON_IDXS),
+        "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

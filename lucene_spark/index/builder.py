@@ -79,6 +79,7 @@ from ..analysis.fa import persian_analyze, persian_terms_positions
 from ..analysis.gl import galician_analyze, galician_terms_positions
 from ..analysis.hi import hindi_analyze, hindi_terms_positions
 from ..analysis.id import indonesian_analyze, indonesian_terms_positions
+from ..analysis.lv import latvian_analyze, latvian_terms_positions
 from ..analysis.sv import swedish_analyze, swedish_terms_positions
 from ..analysis.no_ import norwegian_analyze, norwegian_terms_positions
 from ..analysis.fi import finnish_analyze, finnish_terms_positions
@@ -151,6 +152,7 @@ _ANALYZERS: dict[str, Callable] = {
     "hindi": hindi_analyze,          # standard + normalize + light stem
     "indonesian": indonesian_analyze,  # standard + ATW 2005 stemmer
     "galician_minimal": galician_analyze,  # standard + RSLP plural step
+    "latvian": latvian_analyze,      # standard + Kreslins light stem
 }
 
 
@@ -201,6 +203,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "hindi": hindi_terms_positions,
     "indonesian": indonesian_terms_positions,
     "galician_minimal": galician_terms_positions,
+    "latvian": latvian_terms_positions,
 }
 
 

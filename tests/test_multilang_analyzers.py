@@ -1152,3 +1152,45 @@ def test_hig_batch_matches_token_chain(spark, lang):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Latvian (lv/LatvianStemmer.java — Kreslins; vectors from
+# TestLatvianStemmer incl. the palatalization fixups)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēvam", "tēv"),
+        ("tēviem", "tēv"), ("tēvos", "tēv"),
+        ("lācis", "lāc"), ("lāči", "lāc"), ("lāčus", "lāc"),
+        ("akmens", "akmen"), ("akmeņi", "akmen"), ("akmeņus", "akmen"),
+        ("kurmis", "kurm"), ("kurmji", "kurm"), ("kurmjus", "kurm"),
+        ("lietus", "liet"),
+    ],
+)
+def test_latvian_light_stem(word, stem):
+    from lucene_spark.analysis.lv import latvian_light_stem
+
+    assert latvian_light_stem(word) == stem
+
+
+def test_latvian_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer("latvian")
+    texts = ["tēvs lācis akmens", "kurmji tēviem lāčus", ""]
+    bt = analyze_batch(texts, analyzer="latvian")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
