@@ -310,6 +310,10 @@ def _vocab_chain(analyzer: str):
         from .lv import latvian_term
 
         return latvian_term
+    if analyzer == "greek":
+        from .el import greek_term
+
+        return greek_term
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii

@@ -4399,6 +4399,30 @@ _GL_QUERY = "xamós"  # plural form; depluralizes to xamón
 _GL_XAMON_IDXS = (0, 1)
 
 
+# Greek stems (analysis/el/GreekStemmer.java — Ntais, via the
+# GreekLowerCaseFilter fold): άνθρωπος/ανθρώπου -> ανθρωπ;
+# πελάτης/πελάτες -> πελατ; ελέφαντας/ελέφαντα -> ελεφαντ;
+# μαθητής/μαθητές -> μαθητ
+_EL_LEX = [
+    "άνθρωπος", "ανθρώπου", "πελάτης", "πελάτες",
+    "ελέφαντας", "ελέφαντα", "μαθητής", "μαθητές",
+]
+_EL_QUERY = "ανθρώπους"  # an UNSEEN accusative plural -> 'ανθρωπ'
+_EL_ANTHROP_IDXS = (0, 1)
+
+
+def _q_greek_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "el", _EL_LEX, "greek"),
+        analyzer="greek", mode="double",
+    )
+    h = s.search(_EL_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Latvian light stems (analysis/lv/LatvianStemmer.java, Kreslins):
 # tēvs/tēvi -> tēv; lācis/lāči -> lāc (palatalized č -> c); akmens/akmeņi
 # -> akmen (ņ -> n); kurmis/kurmji -> kurm (labial +j drop)
@@ -4879,6 +4903,7 @@ def gate_queries() -> dict:
         "indonesian_index": _q_indonesian_stem,
         "galician_minimal_index": _q_galician_stem,
         "latvian_light_index": _q_latvian_stem,
+        "greek_index": _q_greek_stem,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -5047,6 +5072,7 @@ def gate_oracle_sql() -> dict:
         "indonesian_index": _sql_lex_stem(_ID_BUKU_IDXS),
         "galician_minimal_index": _sql_lex_stem(_GL_XAMON_IDXS),
         "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
+        "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -75,6 +75,7 @@ from ..analysis.commongrams import (
     common_grams_terms_positions,
 )
 from ..analysis.cs import czech_analyze, czech_terms_positions
+from ..analysis.el import greek_analyze, greek_terms_positions
 from ..analysis.fa import persian_analyze, persian_terms_positions
 from ..analysis.gl import galician_analyze, galician_terms_positions
 from ..analysis.hi import hindi_analyze, hindi_terms_positions
@@ -153,6 +154,7 @@ _ANALYZERS: dict[str, Callable] = {
     "indonesian": indonesian_analyze,  # standard + ATW 2005 stemmer
     "galician_minimal": galician_analyze,  # standard + RSLP plural step
     "latvian": latvian_analyze,      # standard + Kreslins light stem
+    "greek": greek_analyze,          # greek lowercase + Ntais stemmer
 }
 
 
@@ -204,6 +206,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "indonesian": indonesian_terms_positions,
     "galician_minimal": galician_terms_positions,
     "latvian": latvian_terms_positions,
+    "greek": greek_terms_positions,
 }
 
 

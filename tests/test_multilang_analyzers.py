@@ -1194,3 +1194,71 @@ def test_latvian_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Greek (el/GreekLowerCaseFilter.java + el/GreekStemmer.java — Ntais;
+# vectors from TestGreekStemmer, run through the analyzer-equivalent
+# lowercase fold)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("άνθρωπος", "ανθρωπ"), ("ανθρώπου", "ανθρωπ"),
+        ("ανθρώπους", "ανθρωπ"), ("άνθρωποι", "ανθρωπ"),
+        ("πελάτης", "πελατ"), ("πελάτες", "πελατ"), ("πελατών", "πελατ"),
+        ("ελέφαντας", "ελεφαντ"), ("ελέφαντες", "ελεφαντ"),
+        ("μαθητής", "μαθητ"), ("μαθητές", "μαθητ"),
+    ],
+)
+def test_greek_stem_chain(word, stem):
+    from lucene_spark.analysis.el import greek_lowercase, greek_stem
+
+    assert greek_stem(greek_lowercase(word.lower())) == stem
+
+
+def test_greek_full_reference_vector_file():
+    """Every checkOneTerm vector in the reference's TestGreekStemmer must
+    reproduce through the fold+stem chain (quirks included)."""
+    import os
+    import re
+
+    path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/el/TestGreekStemmer.java"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    from lucene_spark.analysis.el import greek_lowercase, greek_stem
+
+    vecs = re.findall(
+        r'checkOneTerm\(a, "([^"]+)", "([^"]+)"\)', open(path).read()
+    )
+    assert len(vecs) > 300
+    bad = [
+        (w, greek_stem(greek_lowercase(w.lower())), e)
+        for w, e in vecs
+        if greek_stem(greek_lowercase(w.lower())) != e
+    ]
+    assert not bad, bad[:10]
+
+
+def test_greek_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer
+
+    chain = get_analyzer("greek")
+    texts = ["άνθρωπος και πελάτες", "ελέφαντας μαθητές", ""]
+    bt = analyze_batch(texts, analyzer="greek")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in chain(txt)]
+        for i, txt in enumerate(texts)
+        if txt and chain(txt)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
