@@ -314,6 +314,11 @@ def _vocab_chain(analyzer: str):
         from .el import greek_term
 
         return greek_term
+    from .custom import custom_term_fn
+
+    fn = custom_term_fn(analyzer)
+    if fn is not None:
+        return fn
     if analyzer == "ascii_folded":
         # fold-then-stop (analysis/folding.py chain order)
         from .folding import fold_ascii
@@ -410,6 +415,15 @@ def analyze_batch(
 
         return _batch_from_chain(
             texts, lambda t: _wd_py(t, stopwords=stopwords)
+        )
+    if not standard and analyzer != "simple":
+        # fail LOUDLY: an unresolvable name would otherwise silently index
+        # raw surface terms (seen with a custom analyzer registered on the
+        # driver but looked up in an executor before the chain shipped)
+        raise KeyError(
+            f"unknown analyzer {analyzer!r} in this process — register "
+            "custom chains via analysis.custom.register_term_analyzer "
+            "(build_index ships driver registrations to executors)"
         )
     if not standard:
         # SimpleAnalyzer has no maxTokenLength chop

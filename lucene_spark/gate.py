@@ -4399,6 +4399,40 @@ _GL_QUERY = "xamós"  # plural form; depluralizes to xamón
 _GL_XAMON_IDXS = (0, 1)
 
 
+# StemmerOverride + KeywordMarker via the custom-analyzer extension point
+# (miscellaneous/StemmerOverrideFilter.java:43-60,
+# SetKeywordMarkerFilter.java): the override dict conflates mice with
+# mouse's porter stem; 'running' is keyword-protected so it does NOT stem.
+# runs/run pair through plain Porter; views/view likewise.
+_OVR_LEX = [
+    "mice", "mouse", "runs", "run",
+    "running", "viewing", "views", "view",
+]
+_OVR_QUERY = "mice"  # override maps it onto mouse's porter stem 'mous'
+_OVR_MOUS_IDXS = (0, 1)
+
+
+def _q_stemmer_override(spark, sf_dir, k: int = 100000):
+    from .analysis.custom import english_with_overrides, register_term_analyzer
+
+    register_term_analyzer(
+        "english_protected",
+        english_with_overrides(
+            overrides={"mice": "mous"}, keywords={"running"}
+        ),
+    )
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "ovr", _OVR_LEX, "english_protected"),
+        analyzer="english_protected", mode="double",
+    )
+    h = s.search(_OVR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Greek stems (analysis/el/GreekStemmer.java — Ntais, via the
 # GreekLowerCaseFilter fold): άνθρωπος/ανθρώπου -> ανθρωπ;
 # πελάτης/πελάτες -> πελατ; ελέφαντας/ελέφαντα -> ελεφαντ;
@@ -4904,6 +4938,7 @@ def gate_queries() -> dict:
         "galician_minimal_index": _q_galician_stem,
         "latvian_light_index": _q_latvian_stem,
         "greek_index": _q_greek_stem,
+        "stemmer_override_index": _q_stemmer_override,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -5073,6 +5108,7 @@ def gate_oracle_sql() -> dict:
         "galician_minimal_index": _sql_lex_stem(_GL_XAMON_IDXS),
         "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
+        "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -159,7 +159,18 @@ _ANALYZERS: dict[str, Callable] = {
 
 
 def get_analyzer(name: str) -> Callable:
-    return _ANALYZERS[name]
+    got = _ANALYZERS.get(name)
+    if got is not None:
+        return got
+    from ..analysis.custom import custom_analyze_fn
+
+    fn = custom_analyze_fn(name)
+    if fn is None:
+        raise KeyError(
+            f"unknown analyzer {name!r} (register one with "
+            "lucene_spark.analysis.custom.register_term_analyzer)"
+        )
+    return fn
 
 
 def _ngram_terms_positions(text, stopwords=None):
@@ -214,7 +225,15 @@ def get_bulk_analyzer(name: str) -> Callable:
     """(text, stopwords) -> (terms, positions) without Token objects — the
     build hot path (per-token objects dominate allocator load at 2M+ tokens
     per segment group; differentially tested against the Token chain)."""
-    return _BULK_ANALYZERS[name]
+    got = _BULK_ANALYZERS.get(name)
+    if got is not None:
+        return got
+    from ..analysis.custom import custom_terms_positions_fn
+
+    fn = custom_terms_positions_fn(name)
+    if fn is None:
+        raise KeyError(f"unknown analyzer {name!r}")
+    return fn
 
 
 def _delta_with_resets(values: np.ndarray, reset_mask: np.ndarray, reset_base) -> np.ndarray:
@@ -271,6 +290,7 @@ def _invert_segment(
     field_analyzers: dict[str, str] | None = None,
     payload_fn: Callable | None = None,
     doc_values: list[tuple[str, str]] | None = None,
+    custom_chains: dict[str, Callable] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -287,6 +307,14 @@ def _invert_segment(
     postings/norms split of Lucene's IndexingChain), plus one existence
     posting per (field, doc). docmap doc_len/norm come from the FIRST
     (primary) field."""
+    if custom_chains:
+        # re-register driver-registered custom analyzers in THIS process:
+        # executors start with an empty registry, so the chains ship by
+        # value through the task closure (analysis/custom.py)
+        from ..analysis.custom import register_term_analyzer
+
+        for _nm, _fn in custom_chains.items():
+            register_term_analyzer(_nm, _fn)
     seg = int(pdf["segment_id"].iloc[0])
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
@@ -1060,12 +1088,23 @@ def build_index(
     payfn = payload_fn
     dvl = sorted(doc_values.items()) if doc_values else None
 
+    # custom analyzers live in a per-process registry — resolve them on the
+    # driver and ship the callables by value so executor tasks can
+    # re-register before analyzing (analysis/custom.py)
+    from ..analysis.custom import custom_term_fn as _custom_term_fn
+
+    cc = {
+        nm: _custom_term_fn(nm)
+        for nm in {an, *(fan or {}).values()}
+        if _custom_term_fn(nm) is not None
+    } or None
+
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
             index_sort=isort, field_analyzers=fan, payload_fn=payfn,
-            doc_values=dvl,
+            doc_values=dvl, custom_chains=cc,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(

@@ -1262,3 +1262,74 @@ def test_greek_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Custom-analyzer extension point + StemmerOverride / KeywordMarker
+# (org.apache.lucene.analysis.Analyzer subclass contract,
+# miscellaneous/StemmerOverrideFilter.java, SetKeywordMarkerFilter.java)
+# ---------------------------------------------------------------------------
+
+def test_stemmer_override_and_keyword_marker():
+    from lucene_spark.analysis.custom import english_with_overrides
+
+    fn = english_with_overrides(
+        overrides={"mice": "mous"}, keywords={"running"}
+    )
+    assert fn("mice", None) == "mous"      # override wins over porter
+    assert fn("mouse", None) == "mous"     # plain porter
+    assert fn("running", None) == "running"  # keyword-protected, no stem
+    assert fn("runs", None) == "run"       # unprotected porter
+    assert fn("the", frozenset({"the"})) is None  # stop still applies
+
+
+def test_register_custom_analyzer_end_to_end(spark):
+    from lucene_spark.analysis.custom import register_term_analyzer
+    from lucene_spark.analysis.vectorized import analyze_batch
+    from lucene_spark.index.builder import get_analyzer, get_bulk_analyzer
+
+    register_term_analyzer(
+        "reverse_terms", lambda t, sw: None if (sw and t in sw) else t[::-1]
+    )
+    toks = get_analyzer("reverse_terms")("abc def")
+    assert [(t.term, t.position) for t in toks] == [("cba", 0), ("fed", 1)]
+    terms, positions = get_bulk_analyzer("reverse_terms")("abc def")
+    assert terms == ["cba", "fed"] and positions == [0, 1]
+    bt = analyze_batch(["abc def", ""], analyzer="reverse_terms")
+    assert sorted(bt.uniques[int(c)] for c in bt.codes) == ["cba", "fed"]
+
+
+def test_unknown_analyzer_fails_loudly(spark):
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    with pytest.raises(KeyError, match="unknown analyzer"):
+        analyze_batch(["abc"], analyzer="no_such_chain")
+
+
+def test_custom_analyzer_ships_to_executors(spark, tmp_path):
+    """build_index with a registered custom analyzer must apply the chain
+    inside executor tasks (the registry is per-process; the chain ships by
+    value through the task closure)."""
+    from lucene_spark.analysis.custom import (
+        english_with_overrides,
+        register_term_analyzer,
+    )
+    from lucene_spark.index import build_index
+    from lucene_spark.search import Searcher
+
+    register_term_analyzer(
+        "en_protected_t",
+        english_with_overrides(overrides={"mice": "mous"}, keywords={"running"}),
+    )
+    df = spark.createDataFrame(
+        [("doc://0", "mice running"), ("doc://1", "mouse runs")],
+        "url string, text string",
+    )
+    d = str(tmp_path / "ovr_idx")
+    build_index(spark, df, d, num_segments=1, analyzer="en_protected_t",
+                stopwords=None)
+    s = Searcher(spark, d, analyzer="en_protected_t")
+    hits = {r["url"] for r in s.search("mice", k=5, with_url=True).collect()}
+    assert hits == {"doc://0", "doc://1"}  # override conflates mice/mouse
+    hits = {r["url"] for r in s.search("running", k=5, with_url=True).collect()}
+    assert hits == {"doc://0"}  # protected: does NOT match 'runs'
