@@ -4399,6 +4399,52 @@ _GL_QUERY = "xamós"  # plural form; depluralizes to xamón
 _GL_XAMON_IDXS = (0, 1)
 
 
+def _q_simple_parser(spark, sf_dir, k: int = 10):
+    """SimpleQueryParser dialect (queryparser/simple/SimpleQueryParser.java):
+    'stream + window | "data stream"' parses — via the reference's
+    operation-change tree wrap — to SHOULD(MUST(stream, window),
+    PHRASE(data stream)); the oracle re-derives both clauses and sums in
+    clause order."""
+    s = _searcher(spark, sf_dir)
+    h = s.search_simple('stream + window | "data stream"', k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_simple_parser(k: int = 10) -> str:
+    idf_a = _idf("(SELECT df FROM dft WHERE term = 'data')")
+    idf_b = _idf("(SELECT df FROM dft WHERE term = 'stream')")
+    ctes = ", ".join(
+        [_term_scores_cte("s_0", "stream"), _term_scores_cte("s_1", "window")]
+    )
+    return f"""WITH {_BASE_CTES}, {ctes},
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'stream'
+  WHERE a.term = 'data'
+  GROUP BY a.doc_id
+),
+ps AS (
+  SELECT pf.doc_id,
+         (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idf_a} + {idf_b}) AS w FROM stats s) w
+),
+andd AS (
+  SELECT doc_id, ((0.0 + s_0.score) + s_1.score) AS score
+  FROM s_0 JOIN s_1 USING (doc_id)
+)
+""" + _topk_wrap(
+        """SELECT doc_id,
+       ((0.0 + coalesce(andd.score, 0.0)) + coalesce(ps.score, 0.0)) AS score
+  FROM andd FULL JOIN ps USING (doc_id)""",
+        k,
+    )
+
+
 # StemmerOverride + KeywordMarker via the custom-analyzer extension point
 # (miscellaneous/StemmerOverrideFilter.java:43-60,
 # SetKeywordMarkerFilter.java): the override dict conflates mice with
@@ -4939,6 +4985,7 @@ def gate_queries() -> dict:
         "latvian_light_index": _q_latvian_stem,
         "greek_index": _q_greek_stem,
         "stemmer_override_index": _q_stemmer_override,
+        "simple_query_parser": _q_simple_parser,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -5109,6 +5156,7 @@ def gate_oracle_sql() -> dict:
         "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
+        "simple_query_parser": _sql_simple_parser(),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),

@@ -247,6 +247,28 @@ class Searcher:
     def parse(self, query_str: str):
         return parse_query(query_str, self._analyzer, fmap=self._fmap())
 
+    def parse_simple(self, query_str: str, default_operator: str = "should"):
+        """SimpleQueryParser dialect (queryparser/simple/
+        SimpleQueryParser.java): lenient end-user syntax — + | - "…"~N
+        trailing-* ~N ( ) \\ — that never raises on malformed input."""
+        from .simpleparser import simple_parse
+
+        return simple_parse(
+            query_str, self._analyzer, default_operator=default_operator
+        )
+
+    def search_simple(
+        self,
+        query_str: str,
+        k: int = 10,
+        with_url: bool = False,
+        default_operator: str = "should",
+    ) -> DataFrame:
+        return self.search(
+            self.parse_simple(query_str, default_operator), k=k,
+            with_url=with_url,
+        )
+
     def synonym_graph_query(
         self,
         text: str,
