@@ -2381,6 +2381,68 @@ SELECT doc_id, n_tokens,
 FROM agg JOIN nt USING (doc_id)"""
 
 
+# deterministic multi-line page per doc (SQL shared VERBATIM by Spark and
+# DuckDB): line word counts, terminal punctuation, javascript lines,
+# sentence counts, lorem-ipsum and curly-brace pages all vary by doc_id
+_C4_SYNTH = """concat_ws(chr(10),
+  concat('alpha beta gamma delta', CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END),
+  'two words.',
+  CASE WHEN doc_id % 3 = 0 THEN 'this line mentions javascript sadly.'
+       ELSE 'a clean third line here.' END,
+  'one more good line number four!',
+  'the final fifth sentence line. with extras! and a question?',
+  CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+       ELSE 'regular closing line indeed.' END,
+  CASE WHEN doc_id % 11 = 0 THEN 'code with { brace four words.'
+       ELSE 'no brace in this line.' END)"""
+
+
+def _q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct +
+    ≥3-word + no-javascript line retention, ≥5-sentence / no-lorem-ipsum /
+    no-curly-brace page retention — pipeline/scrub.c4_line_clean, map-only
+    JVM built-ins."""
+    from .pipeline.scrub import c4_line_clean
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.expr(_C4_SYNTH).alias("text"))
+    )
+    return c4_line_clean(docs).orderBy("doc_id")
+
+
+def _sql_c4_line_clean() -> str:
+    return f"""WITH src AS (
+  SELECT doc_id, {_C4_SYNTH} AS text FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  FROM src
+),
+keptl AS (
+  SELECT * FROM lines
+  WHERE regexp_matches(trim(line), '[.!?"]$')
+    AND len(regexp_split_to_array(trim(line), '\\s+')) >= 3
+    AND NOT contains(lower(line), 'javascript')
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean,
+         count(*)::BIGINT AS n_lines
+  FROM keptl GROUP BY doc_id
+)
+SELECT s.doc_id,
+  (CASE WHEN coalesce(len(regexp_extract_all(a.clean, '[.!?]')), 0) >= 5
+         AND NOT contains(lower(s.text), 'lorem ipsum')
+         AND NOT contains(s.text, '{{') THEN 1 ELSE 0 END) AS kept,
+  coalesce(a.n_lines, 0)::BIGINT AS n_lines_kept,
+  coalesce(len(regexp_extract_all(a.clean, '[.!?]')), 0)::BIGINT AS n_sentences,
+  coalesce(length(a.clean), 0)::BIGINT AS clean_len,
+  md5(coalesce(a.clean, '')) AS clean_md5
+FROM src s LEFT JOIN agg a USING (doc_id)"""
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII ops over the corpus with synthetic per-doc PII appended (the
     word-soup fixture has none); the oracle appends the identical suffix
@@ -5049,6 +5111,7 @@ def gate_queries() -> dict:
         "bpe_true_tokens": _q_bpe_true,
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "c4_line_clean": _q_c4_line_clean,
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
         "knn_filtered": _q_knn_filtered,
@@ -5218,6 +5281,7 @@ def gate_oracle_sql() -> dict:
         "bpe_true_tokens": _sql_bpe_true(),
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _sql_pii_scrub(),
+        "c4_line_clean": _sql_c4_line_clean(),
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
         "knn_filtered": _SQL_KNN_FILTERED,

@@ -58,3 +58,47 @@ def scrubbed_text(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         n_ph.cast("long").alias("n_phones"),
         clean3.alias("clean_text"),
     )
+
+
+def c4_line_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning...", §2.2 — the public C4 recipe):
+
+    - keep only lines ending in a terminal punctuation mark (period,
+      exclamation mark, question mark, end quotation mark)
+    - keep only lines with at least 3 words
+    - drop any line containing the word "javascript" (case-insensitive)
+    - drop the whole page when it has fewer than 5 sentences after
+      cleaning, contains "lorem ipsum" (case-insensitive), or contains a
+      curly bracket
+
+    Output: (id, kept, n_lines_kept, n_sentences, clean_len, clean_md5).
+    Map-only JVM built-ins (split → higher-order filter → array_join +
+    regexp_count) — no UDF, no shuffle; every regex is RE2/Java-identical
+    so the DuckDB oracle is exact. Sentence count approximates the paper's
+    splitter as the count of terminal .!? characters in the cleaned text."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 3)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept_lines, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    kept = (
+        (n_sent >= 5)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return docs.select(
+        F.col(id_col),
+        kept.cast("int").alias("kept"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -145,3 +145,35 @@ def test_bpe_token_counts_true_fixture(spark):
         words = txt.split()
         exp[d] = (len(words), sum(len(bpe_encode(w, ranks)) for w in words))
     assert got == exp  # doc 2 (no tokens) absent on both sides
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2) -----------------------
+
+def test_c4_line_clean_rules(spark):
+    from lucene_spark.pipeline.scrub import c4_line_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 5 good sentences -> kept
+            (0, "one two three.\ntwo words.\nfour five six seven!\n"
+                "eight nine ten? eleven twelve thirteen. and one more here."),
+            # javascript line dropped; only 4 sentences left -> page dropped
+            (1, "one two three.\nthis uses javascript here.\n"
+                "four five six! seven eight nine? ten eleven twelve."),
+            # lorem ipsum -> page dropped regardless of sentences
+            (2, "lorem ipsum dolor sit amet.\na b c. d e f. g h i. j k l. m n o."),
+            # curly brace -> page dropped
+            (3, "var x = { a: 1 }\na b c. d e f. g h i. j k l. m n o."),
+            # no terminal punctuation anywhere -> nothing kept
+            (4, "no punctuation on this line\nand none here either"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_line_clean(docs).collect()}
+    assert got[0]["kept"] == 1 and got[0]["n_lines_kept"] == 3
+    assert got[0]["n_sentences"] == 5
+    assert got[1]["kept"] == 0 and got[1]["n_lines_kept"] == 2
+    assert got[2]["kept"] == 0  # lorem ipsum page drop
+    assert got[3]["kept"] == 0  # curly-brace page drop
+    assert got[4]["kept"] == 0 and got[4]["n_lines_kept"] == 0
+    assert got[4]["clean_len"] == 0
