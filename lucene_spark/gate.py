@@ -3244,6 +3244,38 @@ def _q_simsearch_ivf_persisted(spark, sf_dir):
     )
 
 
+def _q_simsearch_ivf_appended(spark, sf_dir):
+    """Incremental IVF append (pipeline/simsearch.ivf_append — assign
+    against the frozen write-time centroids, parquet-append into the cell
+    partitions). Centroids are trained on the FULL table, 80% written and
+    20% appended, so the searched content equals a full build with the
+    same centroids and the oracle is the unchanged full IVF replay — a
+    silently-unsearchable appended vector fails the hash."""
+    import shutil
+
+    name = sf_dir.strip("/").replace("/", "_") + "_ivfappend"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    meta_path = os.path.join(path, "meta.json")
+    done = False
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as fh:
+            done = json.load(fh).get("appended", False)
+    if not done:
+        shutil.rmtree(path, ignore_errors=True)
+        cents = _ss.ivf_train(emb, 16)
+        _ss.ivf_write(
+            emb.filter("vec_id % 5 != 0"), path, n_centroids=16,
+            centroids=cents,
+        )
+        _ss.ivf_append(spark, emb.filter("vec_id % 5 = 0"), path)
+    return _ss.ivf_topk_persisted(
+        spark, path, _qvec(spark, sf_dir), k=10, n_probe=4
+    )
+
+
 def _q_simsearch_bucket(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _ss.signbucket_topk(emb, _qvec(spark, sf_dir), k=10, n_bits=8)
@@ -5118,6 +5150,7 @@ def gate_queries() -> dict:
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
         "simsearch_ivf_persisted": _q_simsearch_ivf_persisted,
+        "simsearch_ivf_appended": _q_simsearch_ivf_appended,
         "simsearch_hnsw": _q_simsearch_hnsw,
         "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
         "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
@@ -5288,6 +5321,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
         "simsearch_ivf_persisted": _sql_simsearch_ivf(),
+        "simsearch_ivf_appended": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
         "simsearch_hnsw_quantized": _SQL_SIMSEARCH,

@@ -247,9 +247,48 @@ def ivf_write(
         "centroids": [[int(cid), [float(x) for x in cvec]] for cid, cvec in centroids],
         "id_col": id_col,
         "vec_col": vec_col,
+        "n_vectors": int(emb.count()),
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    return meta
+
+
+def ivf_append(spark, emb_new: DataFrame, path: str) -> dict:
+    """Incrementally index appended vectors into a persisted IVF table —
+    the inverted-file twin of ``hnsw_append``: assign against the FROZEN
+    write-time centroids (IVF appends never retrain, matching the
+    published IVF-add contract — Jégou et al., "Product quantization for
+    nearest neighbor search", and Lucene's append-only segment model) and
+    parquet-APPEND into the existing cell partitions. Queries need no
+    routing change: the n_probe partition filter already covers appended
+    rows, so recall over appended vectors is identical to a full rebuild
+    with the same centroids. meta.json is atomically rewritten with the
+    updated count (observability — correctness never depends on it).
+
+    Cell skew note for 100 TB: appends drift the data distribution away
+    from the frozen centroids; monitor per-cell counts in the parquet
+    partition sizes and rebuild (ivf_write) when the largest cell exceeds
+    the mean by the usual 4-8x re-cluster threshold."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = [
+        (int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]
+    ]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = ivf_assign(emb_new, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "cell"
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    meta["n_vectors"] = int(meta.get("n_vectors", 0)) + int(emb_new.count())
+    meta["appended"] = True
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
     return meta
 
 

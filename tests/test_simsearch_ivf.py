@@ -63,3 +63,49 @@ def test_probe_all_cells_is_exact(emb, qvec):
 def test_recall_beats_floor(emb, qvec):
     r = ss.recall_at_k(emb, qvec, k=10, n_centroids=16, n_probe=4)
     assert r >= 0.5, r
+
+
+# --- incremental append (ivf_append: frozen centroids, partition append) ----
+
+def test_ivf_append_searches_old_and_new(spark, tmp_path):
+    import os
+
+    from lucene_spark.pipeline import simsearch as ss
+
+    emb = spark.read.parquet(
+        os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+        + "/embeddings.parquet"
+    ).cache()
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ivf_app")
+    cents = ss.ivf_train(emb, 8)
+    ss.ivf_write(emb.filter("vec_id % 4 != 0"), path, n_centroids=8,
+                 centroids=cents)
+    meta = ss.ivf_append(spark, emb.filter("vec_id % 4 = 0"), path)
+    assert meta["appended"] and meta["n_vectors"] == emb.count()
+    got = [
+        r["vec_id"]
+        for r in ss.ivf_topk_persisted(spark, path, q, k=10, n_probe=8)
+        .collect()
+    ]
+    # probing ALL cells makes the persisted search exhaustive -> exact
+    exact = [r["vec_id"] for r in ss.cosine_topk(emb, q, k=10).collect()]
+    assert got == exact
+
+
+def test_ivf_append_twice_accumulates(spark, tmp_path):
+    import os
+
+    from lucene_spark.pipeline import simsearch as ss
+
+    emb = spark.read.parquet(
+        os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+        + "/embeddings.parquet"
+    )
+    path = str(tmp_path / "ivf_app2")
+    cents = ss.ivf_train(emb, 8)
+    ss.ivf_write(emb.filter("vec_id % 3 = 0"), path, n_centroids=8,
+                 centroids=cents)
+    ss.ivf_append(spark, emb.filter("vec_id % 3 = 1"), path)
+    meta = ss.ivf_append(spark, emb.filter("vec_id % 3 = 2"), path)
+    assert meta["n_vectors"] == emb.count()
