@@ -4493,6 +4493,50 @@ _GL_QUERY = "xamós"  # plural form; depluralizes to xamón
 _GL_XAMON_IDXS = (0, 1)
 
 
+def _q_add_indexes(spark, sf_dir, k: int = 100000):
+    """IndexWriter.addIndexes(Directory...) (index/addindexes.py): two
+    independently built halves of the corpus are absorbed into one index
+    by partition-path rename — zero postings decoded — and the combined
+    index must score EXACTLY like one build over the full corpus (global
+    stats sum across the absorbed segments). k returns every match so the
+    docid-vs-doc_id tie-break difference of the multi-index layout can
+    never reorder a cut boundary."""
+    import shutil
+
+    name = sf_dir.strip("/").replace("/", "_") + "_addidx"
+    base = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    dst, src = f"{base}/dst", f"{base}/src"
+    marker = f"{base}/.added"
+    if not os.path.exists(marker):
+        from .index.addindexes import add_indexes
+
+        shutil.rmtree(base, ignore_errors=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            "text",
+        )
+        build_index(
+            spark, docs.filter("doc_id % 2 = 0").drop("doc_id"), dst,
+            num_segments=2, analyzer="simple", stopwords=None,
+            index_positions=True,
+        )
+        build_index(
+            spark, docs.filter("doc_id % 2 = 1").drop("doc_id"), src,
+            num_segments=2, analyzer="simple", stopwords=None,
+            index_positions=True,
+        )
+        add_indexes(spark, dst, [src])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    s = Searcher(spark, dst, analyzer="simple", mode="double")
+    h = s.search("stream OR window", k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_simple_parser(spark, sf_dir, k: int = 10):
     """SimpleQueryParser dialect (queryparser/simple/SimpleQueryParser.java):
     'stream + window | "data stream"' parses — via the reference's
@@ -5080,6 +5124,7 @@ def gate_queries() -> dict:
         "greek_index": _q_greek_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
+        "add_indexes_search": _q_add_indexes,
         "russian_light_index": _q_russian_stem,
         "hungarian_light_index": _q_hungarian_stem,
         "word_delimiter_index": _q_word_delimiter,
@@ -5253,6 +5298,7 @@ def gate_oracle_sql() -> dict:
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
+        "add_indexes_search": _sql_or(["stream", "window"], k=100000),
         "russian_light_index": _sql_lex_stem(_RU_KNIG_IDXS),
         "hungarian_light_index": _sql_lex_stem(_HU_HAZ_IDXS),
         "word_delimiter_index": _sql_word_delimiter(),
