@@ -407,6 +407,18 @@ def analyze_batch(
             ),
             distinct_positions=True,
         )
+    if analyzer == "irish":
+        # prothesis detection (nAthair → n-athair) reads the ORIGINAL case
+        # the lowercasing vectorized tokenizer destroys — exact per-document
+        # chain lane (same as word_delimiter)
+        from .ga import irish_analyze as _ga_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _ga_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer == "word_delimiter":
         # case-change splitting needs the ORIGINAL case, which the
         # lowercasing vectorized tokenizer has already destroyed — run the

@@ -4652,6 +4652,31 @@ _LV_QUERY = "tēvam"  # an UNSEEN dative form; analyzes to 'tēv'
 _LV_TEV_IDXS = (0, 1)
 
 
+# Irish chain (analysis/ga/IrishAnalyzer.java:127 + snowball Irish):
+# siopadóireacht(a)/siopadóir -> siopadóir (derivational -eacht(a) in R2);
+# b'fhearr -> fearr (elision) / fearr; nAthair -> n-athair -> athair
+# (IrishLowerCaseFilter prothesis + initial-mutation strip);
+# síceapatacha/síceapaite -> síceapaite (-patacha rewrite)
+_GA_LEX = [
+    "siopadóireacht", "siopadóir", "b'fhearr", "fearr",
+    "nAthair", "athair", "síceapatacha", "síceapaite",
+]
+_GA_QUERY = "siopadóireachta"  # an UNSEEN genitive form -> 'siopadóir'
+_GA_SIOPADOIR_IDXS = (0, 1)
+
+
+def _q_irish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ga", _GA_LEX, "irish"),
+        analyzer="irish", mode="double",
+    )
+    h = s.search(_GA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_latvian_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "lv", _LV_LEX, "latvian"),
@@ -5122,6 +5147,7 @@ def gate_queries() -> dict:
         "galician_minimal_index": _q_galician_stem,
         "latvian_light_index": _q_latvian_stem,
         "greek_index": _q_greek_stem,
+        "irish_index": _q_irish_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5296,6 +5322,7 @@ def gate_oracle_sql() -> dict:
         "galician_minimal_index": _sql_lex_stem(_GL_XAMON_IDXS),
         "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
+        "irish_index": _sql_lex_stem(_GA_SIOPADOIR_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -1333,3 +1333,97 @@ def test_custom_analyzer_ships_to_executors(spark, tmp_path):
     assert hits == {"doc://0", "doc://1"}  # override conflates mice/mouse
     hits = {r["url"] for r in s.search("running", k=5, with_url=True).collect()}
     assert hits == {"doc://0"}  # protected: does NOT match 'runs'
+
+
+# ---------------------------------------------------------------------------
+# Irish (ga/IrishAnalyzer.java:127 — hyphenation stop + elision +
+# IrishLowerCaseFilter + snowball Irish stemmer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,out",
+    [
+        # TestIrishLowerCaseFilter vectors: prothesis keeps the consonant
+        # and restores the written hyphen
+        ("nAthair", "n-athair"),
+        ("tUISCE", "t-uisce"),
+        ("hARD", "hard"),
+        # lowercase 'n'/'t' before a lowercase vowel: plain lowercase
+        ("nathair", "nathair"),
+        ("Teach", "teach"),
+    ],
+)
+def test_irish_lowercase_filter(word, out):
+    from lucene_spark.analysis.ga import irish_lowercase
+
+    assert irish_lowercase(word) == out
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # TestIrishAnalyzer stemming vectors
+        ("siopadóireacht", "siopadóir"),
+        ("síceapatacha", "síceapaite"),
+        # initial mutations (snowball initial_morph): lenition/eclipsis
+        ("bhfuinneog", "fuinneog"),   # bhf -> f
+        ("gcarr", "carr"),            # gc -> c
+        ("fhearr", "fearr"),          # fh -> f
+        ("thír", "tír"),              # th -> t
+        ("mbord", "bord"),            # mb -> b
+        # noun suffix in R1
+        ("tíortha", "tíortha"),       # no matching suffix: unchanged
+        ("ceannaíocht", "ceann"),     # -aíocht (longest match) in R1
+        # verb suffix
+        ("ceannaimid", "ceann"),      # -aimid in RV
+        ("dúnadh", "dún"),            # -adh in R1
+        ("bitheolaíochta", "bitheol"),  # -aíochta (noun pass, R1)
+    ],
+)
+def test_irish_stem(word, stem):
+    from lucene_spark.analysis.ga import irish_stem
+
+    assert irish_stem(word) == stem
+
+
+def test_irish_analyze_chain():
+    from lucene_spark.analysis.ga import IRISH_STOP_WORDS, irish_analyze
+
+    def tp(text):
+        return [(t.term, t.position) for t in irish_analyze(text, IRISH_STOP_WORDS)]
+
+    # TestIrishAnalyzer vectors
+    assert tp("siopadóireacht") == [("siopadóir", 0)]
+    assert tp("le") == []  # stopword
+    # elision (testContractions)
+    assert tp("b'fhearr m'athair") == [("fearr", 0), ("athair", 1)]
+    # testHyphens: "n-athair" splits to {n, athair}; the pre-lowercase stop
+    # drops "n" but keeps its position increment (posIncr 2 in the reference)
+    assert tp("n-athair") == [("athair", 1)]
+    # the solid spelling lands the SAME term via the lowercase filter +
+    # initial-mutation strip
+    assert tp("nAthair") == [("athair", 0)]
+
+
+def test_irish_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.ga import IRISH_STOP_WORDS, irish_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "b'fhearr m'athair nAthair",
+        "siopadóireacht síceapatacha gcarr",
+        "", "n-athair tUISCE le agus",
+    ]
+    bt = analyze_batch(texts, stopwords=IRISH_STOP_WORDS, analyzer="irish")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in irish_analyze(txt, IRISH_STOP_WORDS)]
+        for i, txt in enumerate(texts)
+        if txt and irish_analyze(txt, IRISH_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
