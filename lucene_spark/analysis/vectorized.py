@@ -407,6 +407,17 @@ def analyze_batch(
             ),
             distinct_positions=True,
         )
+    if analyzer == "turkish":
+        # the dotted/dotless-i rules read the ORIGINAL case (İSTANBUL →
+        # istanbul but ISPARTA → ısparta) — per-document original-case lane
+        from .tr import turkish_analyze as _tr_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _tr_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer == "irish":
         # prothesis detection (nAthair → n-athair) reads the ORIGINAL case
         # the lowercasing vectorized tokenizer destroys — exact per-document

@@ -4652,6 +4652,30 @@ _LV_QUERY = "tēvam"  # an UNSEEN dative form; analyzes to 'tēv'
 _LV_TEV_IDXS = (0, 1)
 
 
+# Turkish chain (analysis/tr/TurkishAnalyzer.java:110 — ApostropheFilter +
+# TurkishLowerCaseFilter + snowball Turkish): ağacı/ağaç -> ağaç (possessive
+# strip + c->ç devoicing); kitapları/kitap -> kitap; güzelliği/güzellik ->
+# güzellik (ğ->k); Gölü'ne -> göl (apostrophe truncation + -(y)U strip)
+_TR_LEX = [
+    "ağacı", "ağaç", "kitapları", "kitap",
+    "güzelliği", "güzellik", "Gölü'ne", "göl",
+]
+_TR_QUERY = "ağaçlar"  # an UNSEEN plural -> 'ağaç' (nominal-verb lAr strip)
+_TR_AGAC_IDXS = (0, 1)
+
+
+def _q_turkish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "tr", _TR_LEX, "turkish"),
+        analyzer="turkish", mode="double",
+    )
+    h = s.search(_TR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Irish chain (analysis/ga/IrishAnalyzer.java:127 + snowball Irish):
 # siopadóireacht(a)/siopadóir -> siopadóir (derivational -eacht(a) in R2);
 # b'fhearr -> fearr (elision) / fearr; nAthair -> n-athair -> athair
@@ -5148,6 +5172,7 @@ def gate_queries() -> dict:
         "latvian_light_index": _q_latvian_stem,
         "greek_index": _q_greek_stem,
         "irish_index": _q_irish_stem,
+        "turkish_index": _q_turkish_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5323,6 +5348,7 @@ def gate_oracle_sql() -> dict:
         "latvian_light_index": _sql_lex_stem(_LV_TEV_IDXS),
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
         "irish_index": _sql_lex_stem(_GA_SIOPADOIR_IDXS),
+        "turkish_index": _sql_lex_stem(_TR_AGAC_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -77,6 +77,7 @@ from ..analysis.commongrams import (
 from ..analysis.cs import czech_analyze, czech_terms_positions
 from ..analysis.el import greek_analyze, greek_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
+from ..analysis.tr import turkish_analyze, turkish_terms_positions
 from ..analysis.fa import persian_analyze, persian_terms_positions
 from ..analysis.gl import galician_analyze, galician_terms_positions
 from ..analysis.hi import hindi_analyze, hindi_terms_positions
@@ -157,6 +158,7 @@ _ANALYZERS: dict[str, Callable] = {
     "latvian": latvian_analyze,      # standard + Kreslins light stem
     "greek": greek_analyze,          # greek lowercase + Ntais stemmer
     "irish": irish_analyze,          # hyphenation stop + elision + snowball
+    "turkish": turkish_analyze,      # apostrophe + tr lowercase + snowball
 }
 
 
@@ -221,6 +223,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "latvian": latvian_terms_positions,
     "greek": greek_terms_positions,
     "irish": irish_terms_positions,
+    "turkish": turkish_terms_positions,
 }
 
 

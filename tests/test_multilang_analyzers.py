@@ -1427,3 +1427,109 @@ def test_irish_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Turkish (tr/TurkishAnalyzer.java:110 — ApostropheFilter +
+# TurkishLowerCaseFilter + snowball Turkish stemmer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,out",
+    [
+        # TestTurkishLowerCaseFilter vectors: composed, decomposed, and
+        # decomposed-with-extra-accents forms
+        ("İSTANBUL", "istanbul"),
+        ("İZMİR", "izmir"),
+        ("ISPARTA", "ısparta"),
+        ("İSTANBUL", "istanbul"),
+        ("İZMİR", "izmir"),
+        ("İ̖STANBUL", "i̖stanbul"),
+        ("I̖SPARTA", "ı̖sparta"),
+        ("İ", "i"),
+        ("", ""),
+    ],
+)
+def test_turkish_lowercase_filter(word, out):
+    from lucene_spark.analysis.tr import turkish_lowercase
+
+    assert turkish_lowercase(word) == out
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # TestTurkishAnalyzer vectors
+        ("ağacı", "ağaç"),
+        ("ağaç", "ağaç"),
+        # case/possessive chains + final devoicing
+        ("kitapları", "kitap"),
+        ("kitabı", "kitap"),        # -(y)U strip + b->p
+        ("güzelliği", "güzellik"),  # ğ->k
+        ("çocuğu", "çocuk"),
+        ("okula", "okul"),          # -(y)A dative
+        ("arabalarımız", "araba"),  # plural + possessive chain
+        ("gözlerinden", "göz"),     # plural + poss + ablative
+        # nominal-verb pass: bare -lAr strips and STOPS noun stemming
+        ("kitaplar", "kitap"),
+        ("evindekiler", "evindeki"),
+        # the recursive -ki chain
+        ("evdeki", "ev"),
+        ("evlerindeki", "ev"),
+        ("arabanızdaki", "araba"),
+        # verbal tense/person chains
+        ("gelmişti", "gelmiş"),
+        ("okuldaymış", "okul"),
+        # reserved words: postlude leaves ad/soyad alone
+        ("adınız", "ad"),
+        ("soyadı", "soyad"),
+        # single syllable: untouched
+        ("göl", "göl"),
+        # vowel harmony gate: -lar after front vowels does NOT strip via
+        # the disharmonic path (harmony check needs a back vowel first)
+        ("anneler", "anne"),
+    ],
+)
+def test_turkish_stem(word, stem):
+    from lucene_spark.analysis.tr import turkish_stem
+
+    assert turkish_stem(word) == stem
+
+
+def test_turkish_analyze_chain():
+    from lucene_spark.analysis.tr import TURKISH_STOP_WORDS, turkish_analyze
+
+    def tp(text):
+        return [
+            (t.term, t.position)
+            for t in turkish_analyze(text, TURKISH_STOP_WORDS)
+        ]
+
+    # TestTurkishAnalyzer: stopword, apostrophes
+    assert tp("dolayı") == []
+    assert tp("Kıbrıs'ta") == [("kıbrıs", 0)]
+    assert tp("Van Gölü'ne") == [("van", 0), ("göl", 1)]
+
+
+def test_turkish_batch_matches_token_chain(spark):
+    from lucene_spark.analysis.tr import TURKISH_STOP_WORDS, turkish_analyze
+    from lucene_spark.analysis.vectorized import analyze_batch
+
+    texts = [
+        "Van Gölü'ne ağacı İSTANBUL",
+        "kitapları güzelliği ISPARTA çocuğu",
+        "", "dolayı ve evlerindeki okuldaymış",
+    ]
+    bt = analyze_batch(texts, stopwords=TURKISH_STOP_WORDS, analyzer="turkish")
+    got = {}
+    for c, d, p in zip(bt.codes, bt.docids, bt.positions):
+        got.setdefault(int(d), []).append((bt.uniques[int(c)], int(p)))
+    exp = {
+        i: [(t.term, t.position) for t in turkish_analyze(txt, TURKISH_STOP_WORDS)]
+        for i, txt in enumerate(texts)
+        if txt and turkish_analyze(txt, TURKISH_STOP_WORDS)
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()
+    }
