@@ -249,3 +249,213 @@ def soundex_analyze(
 def soundex_terms_positions(text: str, stopwords: frozenset[str] | None = None):
     toks = soundex_analyze(text, stopwords)
     return [t.term for t in toks], [t.position for t in toks]
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS (Taft 1970, the New York State Identification and Intelligence
+# System code — the commons-codec Nysiis encoder PhoneticFilter wraps)
+# ---------------------------------------------------------------------------
+
+_NY_VOWELS = frozenset("aeiou")
+
+
+def nysiis(term: str, strict: bool = True) -> str:
+    """NYSIIS code of a term per the published algorithm: first/last
+    letter-group rewrites, vowel folding to A, the Q/Z/M/KN/K/SCH/PH
+    consonant rewrites, H/W elision against their neighbours, duplicate
+    squeeze, and the trailing S / AY / A cleanup. ``strict`` truncates to
+    the classic 6 characters (the commons-codec default)."""
+    s = [c for c in term.lower() if "a" <= c <= "z"]
+    if not s:
+        return ""
+    w = "".join(s)
+    # first-character rewrites
+    if w.startswith("mac"):
+        w = "mcc" + w[3:]
+    elif w.startswith("kn"):
+        w = "nn" + w[2:]
+    elif w.startswith("k"):
+        w = "c" + w[1:]
+    elif w.startswith("ph") or w.startswith("pf"):
+        w = "ff" + w[2:]
+    elif w.startswith("sch"):
+        w = "sss" + w[3:]
+    # last-character rewrites
+    if w.endswith("ee") or w.endswith("ie"):
+        w = w[:-2] + "y"
+    elif w[-2:] in ("dt", "rt", "rd", "nt", "nd"):
+        w = w[:-2] + "d"
+    key = [w[0]]
+    i = 1
+    n = len(w)
+    while i < n:
+        ch = w[i]
+        step = 1
+        if ch == "e" and i + 1 < n and w[i + 1] == "v":
+            rep = "af"
+            step = 2
+        elif ch in _NY_VOWELS:
+            rep = "a"
+        elif ch == "q":
+            rep = "g"
+        elif ch == "z":
+            rep = "s"
+        elif ch == "m":
+            rep = "n"
+        elif ch == "k":
+            if i + 1 < n and w[i + 1] == "n":
+                rep = "n"
+                step = 2
+            else:
+                rep = "c"
+        elif ch == "s" and w[i: i + 3] == "sch":
+            rep = "sss"
+            step = 3
+        elif ch == "p" and i + 1 < n and w[i + 1] == "h":
+            rep = "ff"
+            step = 2
+        elif ch == "h" and (
+            w[i - 1] not in _NY_VOWELS
+            or (i + 1 < n and w[i + 1] not in _NY_VOWELS)
+        ):
+            # "previous character" reads the transcoded stream: vowels
+            # have already folded to A
+            rep = "a" if w[i - 1] in _NY_VOWELS else w[i - 1]
+        elif ch == "w" and w[i - 1] in _NY_VOWELS:
+            rep = "a"
+        else:
+            rep = ch
+        for r in rep:
+            if r != key[-1]:
+                key.append(r)
+        i += step
+    # trailing cleanup
+    if key[-1] == "s" and len(key) > 1:
+        key.pop()
+    if len(key) >= 2 and key[-2] == "a" and key[-1] == "y":
+        del key[-2]
+    if key[-1] == "a" and len(key) > 1:
+        key.pop()
+    out = "".join(key).upper()
+    return out[:6] if strict else out
+
+
+def nysiis_term(term: str, stopwords: frozenset[str] | None) -> str | None:
+    if stopwords and term in stopwords:
+        return None
+    code = nysiis(term)
+    return code or None
+
+
+def nysiis_analyze(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[Token]:
+    out: list[Token] = []
+    for tok in _standard_analyze(
+        text, stopwords=None, max_token_length=max_token_length
+    ):
+        t = nysiis_term(tok.term, stopwords)
+        if t is None:
+            continue
+        out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
+    return out
+
+
+def nysiis_terms_positions(text: str, stopwords: frozenset[str] | None = None):
+    toks = nysiis_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]
+
+
+# ---------------------------------------------------------------------------
+# Kölner Phonetik (Postel 1969 — the commons-codec ColognePhonetic encoder;
+# the German-language Soundex counterpart)
+# ---------------------------------------------------------------------------
+
+# context-free codes; context-dependent letters (c, d, t, p, x) are handled
+# inline. Umlauts/ß fold like their base vowels / ss first.
+_KOELN_SIMPLE = {
+    **{c: "0" for c in "aeijouy"},
+    **{c: "1" for c in "b"},
+    **{c: "3" for c in "fvw"},
+    **{c: "4" for c in "gkq"},
+    "l": "5",
+    **{c: "6" for c in "mn"},
+    "r": "7",
+    **{c: "8" for c in "sz"},
+}
+_KOELN_FOLD = str.maketrans({"ä": "a", "ö": "o", "ü": "u", "ß": "s"})
+
+
+def cologne_phonetic(term: str) -> str:
+    """Kölner Phonetik code: per-letter digits with the Postel context
+    rules (C initial/after-S/Z, D/T before sibilants, P before H, X), then
+    collapse adjacent duplicates and drop every '0' except a leading one."""
+    w = [
+        c
+        for c in term.lower().translate(_KOELN_FOLD)
+        if "a" <= c <= "z"
+    ]
+    n = len(w)
+    raw: list[str] = []
+    for i, ch in enumerate(w):
+        nxt = w[i + 1] if i + 1 < n else ""
+        prv = w[i - 1] if i > 0 else ""
+        if ch == "h":
+            continue
+        if ch == "p":
+            raw.append("3" if nxt == "h" else "1")
+        elif ch in ("d", "t"):
+            raw.append("8" if nxt in ("c", "s", "z") else "2")
+        elif ch == "c":
+            if i == 0:
+                raw.append("4" if nxt in "ahkloqrux" else "8")
+            elif prv in ("s", "z"):
+                raw.append("8")
+            else:
+                raw.append("4" if nxt in "ahkoqux" else "8")
+        elif ch == "x":
+            raw.append("8" if prv in ("c", "k", "q") else "48")
+        else:
+            code = _KOELN_SIMPLE.get(ch)
+            if code is not None:
+                raw.append(code)
+    flat = "".join(raw)
+    squeezed = []
+    last = ""
+    for d in flat:
+        if d != last:
+            squeezed.append(d)
+        last = d
+    return "".join(
+        d for i, d in enumerate(squeezed) if d != "0" or i == 0
+    )
+
+
+def cologne_term(term: str, stopwords: frozenset[str] | None) -> str | None:
+    if stopwords and term in stopwords:
+        return None
+    code = cologne_phonetic(term)
+    return code or None
+
+
+def cologne_analyze(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[Token]:
+    out: list[Token] = []
+    for tok in _standard_analyze(
+        text, stopwords=None, max_token_length=max_token_length
+    ):
+        t = cologne_term(tok.term, stopwords)
+        if t is None:
+            continue
+        out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
+    return out
+
+
+def cologne_terms_positions(text: str, stopwords: frozenset[str] | None = None):
+    toks = cologne_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]

@@ -294,6 +294,14 @@ def _vocab_chain(analyzer: str):
         from .phonetic import caverphone2_term
 
         return caverphone2_term
+    if analyzer == "nysiis":
+        from .phonetic import nysiis_term
+
+        return nysiis_term
+    if analyzer == "cologne":
+        from .phonetic import cologne_term
+
+        return cologne_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

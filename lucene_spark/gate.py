@@ -4255,6 +4255,51 @@ _CV_QUERY = "stefanson"  # an UNSEEN spelling; encodes to STFNSN1111 too
 _CV_STFNSN_IDXS = (0, 1)
 
 
+# NYSIIS (commons-codec Nysiis via PhoneticFilter, Taft 1970):
+# john/jon -> JAN; knight/night -> NAGT; brown/braun -> BRAN;
+# phillips/filips -> FALAP
+_NY_LEX = [
+    "john", "jon", "knight", "night",
+    "brown", "braun", "phillips", "filips",
+]
+_NY_QUERY = "jahn"  # an UNSEEN spelling; H elides after the vowel -> JAN
+_NY_JAN_IDXS = (0, 1)
+
+# Kölner Phonetik (commons-codec ColognePhonetic via PhoneticFilter,
+# Postel 1969): müller/muller -> 657; meyer/maier -> 67;
+# schmidt/schmitt -> 862; heinz/hainz -> 068
+_KP_LEX = [
+    "müller", "muller", "meyer", "maier",
+    "schmidt", "schmitt", "heinz", "hainz",
+]
+_KP_QUERY = "mueller"  # an UNSEEN spelling; encodes to 657 too
+_KP_657_IDXS = (0, 1)
+
+
+def _q_nysiis(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ny", _NY_LEX, "nysiis"),
+        analyzer="nysiis", mode="double",
+    )
+    h = s.search(_NY_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_cologne(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "kp", _KP_LEX, "cologne"),
+        analyzer="cologne", mode="double",
+    )
+    h = s.search(_KP_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_refined_soundex(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark,
@@ -5164,6 +5209,8 @@ def gate_queries() -> dict:
         "bulgarian_light_index": _q_bulgarian_stem,
         "persian_norm_index": _q_persian_norm,
         "refined_soundex_index": _q_refined_soundex,
+        "nysiis_index": _q_nysiis,
+        "cologne_index": _q_cologne,
         "caverphone2_index": _q_caverphone2,
         "common_grams_index": _q_common_grams,
         "hindi_light_index": _q_hindi_stem,
@@ -5340,6 +5387,8 @@ def gate_oracle_sql() -> dict:
         "bulgarian_light_index": _sql_lex_stem(_BG_GRAD_IDXS),
         "persian_norm_index": _sql_lex_stem(_FA_KETAB_IDXS),
         "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
+        "nysiis_index": _sql_lex_stem(_NY_JAN_IDXS),
+        "cologne_index": _sql_lex_stem(_KP_657_IDXS),
         "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
         "common_grams_index": _sql_lex_gram(0),
         "hindi_light_index": _sql_lex_stem(_HI_LADKA_IDXS),

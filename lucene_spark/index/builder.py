@@ -58,6 +58,10 @@ from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
 from ..analysis.phonetic import (
     caverphone2_analyze,
     caverphone2_terms_positions,
+    cologne_analyze,
+    cologne_terms_positions,
+    nysiis_analyze,
+    nysiis_terms_positions,
     refined_soundex_analyze,
     refined_soundex_terms_positions,
     soundex_analyze,
@@ -159,6 +163,8 @@ _ANALYZERS: dict[str, Callable] = {
     "greek": greek_analyze,          # greek lowercase + Ntais stemmer
     "irish": irish_analyze,          # hyphenation stop + elision + snowball
     "turkish": turkish_analyze,      # apostrophe + tr lowercase + snowball
+    "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
+    "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
 
 
@@ -224,6 +230,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "greek": greek_terms_positions,
     "irish": irish_terms_positions,
     "turkish": turkish_terms_positions,
+    "nysiis": nysiis_terms_positions,
+    "cologne": cologne_terms_positions,
 }
 
 

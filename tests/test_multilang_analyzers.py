@@ -1533,3 +1533,80 @@ def test_turkish_batch_matches_token_chain(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in exp.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS + Kölner Phonetik (PhoneticFilter.java:34 wrapping the
+# commons-codec Nysiis / ColognePhonetic encoders — both published
+# algorithms: Taft 1970, Postel 1969)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,code",
+    [
+        ("bishop", "BASAP"),
+        ("knight", "NAGT"),
+        ("night", "NAGT"),
+        ("mitchell", "MATCAL"),
+        ("phillips", "FALAP"),
+        ("lawson", "LASAN"),
+        ("brown", "BRAN"),
+        ("braun", "BRAN"),
+        ("schmidt", "SNAD"),    # SCH->SSS then squeeze: the classic quirk
+        ("greene", "GRAN"),
+        ("daves", "DAV"),       # trailing S strip
+        ("macdonald", "MCDANA"),  # strict 6-char truncation
+        ("john", "JAN"),
+        ("jahn", "JAN"),        # H elides between vowel and consonant
+        ("stevens", "STAFAN"),  # EV -> AF
+        ("", ""),
+        ("123", ""),            # no letters: token dropped upstream
+    ],
+)
+def test_nysiis_codes(word, code):
+    from lucene_spark.analysis.phonetic import nysiis
+
+    assert nysiis(word) == code
+
+
+def test_nysiis_non_strict():
+    from lucene_spark.analysis.phonetic import nysiis
+
+    assert nysiis("macdonald", strict=False) == "MCDANALD"
+
+
+@pytest.mark.parametrize(
+    "word,code",
+    [
+        # the standard published examples
+        ("Wikipedia", "3412"),
+        ("Breschnew", "17863"),
+        ("Heinz", "068"),
+        ("Hainz", "068"),
+        ("Müller", "657"),
+        ("Mueller", "657"),
+        ("Meyer", "67"),
+        ("Maier", "67"),
+        ("schmidt", "862"),
+        ("schmitt", "862"),
+        # context rules: initial C before A -> 4; X after K -> 8
+        ("Caro", "47"),
+        ("Axel", "0485"),
+        ("Xaver", "4837"),   # leading X (not after c/k/q) -> 48
+    ],
+)
+def test_cologne_codes(word, code):
+    from lucene_spark.analysis.phonetic import cologne_phonetic
+
+    assert cologne_phonetic(word) == code
+
+
+def test_phonetic_chain_positions():
+    from lucene_spark.analysis.phonetic import cologne_analyze, nysiis_analyze
+
+    got = [(t.term, t.position) for t in nysiis_analyze("John 123 Knight")]
+    # digit-only token encodes to '' and drops; position gap preserved
+    assert got == [("JAN", 0), ("NAGT", 2)]
+    got2 = [(t.term, t.position) for t in cologne_analyze("Müller Meyer")]
+    assert got2 == [("657", 0), ("67", 1)]
