@@ -302,6 +302,14 @@ def _vocab_chain(analyzer: str):
         from .phonetic import cologne_term
 
         return cologne_term
+    if analyzer == "bengali":
+        from .bn import bengali_term
+
+        return bengali_term
+    if analyzer == "sorani":
+        from .ckb import sorani_term
+
+        return sorani_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

@@ -4697,6 +4697,57 @@ _LV_QUERY = "tēvam"  # an UNSEEN dative form; analyzes to 'tēv'
 _LV_TEV_IDXS = (0, 1)
 
 
+# Bengali chain (analysis/bn/BengaliAnalyzer.java:119 + BengaliNormalizer +
+# BengaliStemmer): করেছিলাম/করি -> কর; মেয়েরা/মেয়েদের -> মে; একটি/এক -> এক;
+# মানুষগুলি/মানুষ -> মানুস (ষ->স normalization + -গুলি strip)
+_BN_LEX = [
+    "\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0\u09bf",
+    "\u09ae\u09c7\u09df\u09c7\u09b0\u09be", "\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0",
+    "\u098f\u0995\u099f\u09bf", "\u098f\u0995",
+    "\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf", "\u09ae\u09be\u09a8\u09c1\u09b7",
+]
+_BN_QUERY = "\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7"  # an UNSEEN verb form -> the same stem as lex 0/1
+_BN_KOR_IDXS = (0, 1)
+
+
+def _q_bengali_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "bn", _BN_LEX, "bengali"),
+        analyzer="bengali", mode="double",
+    )
+    h = s.search(_BN_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Sorani Kurdish chain (analysis/ckb/SoraniAnalyzer.java:122 +
+# SoraniNormalizer + SoraniStemmer): piyaw-êk/piyaw-an -> piyaw;
+# derga-yek/derga-kan -> derga; hotêl-î/hotêl-êkî -> hotêl;
+# pare-man/pare-tan -> pare (possessive strips)
+_CKB_LEX = [
+    "\u067e\u06cc\u0627\u0648\u06ce\u06a9", "\u067e\u06cc\u0627\u0648\u0627\u0646",
+    "\u062f\u06d5\u0631\u06af\u0627\u06cc\u06d5\u06a9", "\u062f\u06d5\u0631\u06af\u0627\u06a9\u0627\u0646",
+    "\u0647\u06c6\u062a\u06cc\u0644\u06cc", "\u0647\u06c6\u062a\u06cc\u0644\u06ce\u06a9\u06cc",
+    "\u067e\u0627\u0631\u06d5\u0645\u0627\u0646", "\u067e\u0627\u0631\u06d5\u062a\u0627\u0646",
+]
+_CKB_QUERY = "\u067e\u06cc\u0627\u0648\u06d5\u06a9\u0627\u0646"  # an UNSEEN definite plural -> the lex-0/1 stem
+_CKB_PIYAW_IDXS = (0, 1)
+
+
+def _q_sorani_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ckb", _CKB_LEX, "sorani"),
+        analyzer="sorani", mode="double",
+    )
+    h = s.search(_CKB_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Turkish chain (analysis/tr/TurkishAnalyzer.java:110 — ApostropheFilter +
 # TurkishLowerCaseFilter + snowball Turkish): ağacı/ağaç -> ağaç (possessive
 # strip + c->ç devoicing); kitapları/kitap -> kitap; güzelliği/güzellik ->
@@ -5220,6 +5271,8 @@ def gate_queries() -> dict:
         "greek_index": _q_greek_stem,
         "irish_index": _q_irish_stem,
         "turkish_index": _q_turkish_stem,
+        "bengali_index": _q_bengali_stem,
+        "sorani_index": _q_sorani_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5398,6 +5451,8 @@ def gate_oracle_sql() -> dict:
         "greek_index": _sql_lex_stem(_EL_ANTHROP_IDXS),
         "irish_index": _sql_lex_stem(_GA_SIOPADOIR_IDXS),
         "turkish_index": _sql_lex_stem(_TR_AGAC_IDXS),
+        "bengali_index": _sql_lex_stem(_BN_KOR_IDXS),
+        "sorani_index": _sql_lex_stem(_CKB_PIYAW_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -1610,3 +1610,141 @@ def test_phonetic_chain_positions():
     assert got == [("JAN", 0), ("NAGT", 2)]
     got2 = [(t.term, t.position) for t in cologne_analyze("Müller Meyer")]
     assert got2 == [("657", 0), ("67", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Bengali (bn/BengaliAnalyzer.java:119 — lowercase + digit fold + Bengali
+# normalization + stop + stem; vectors replayed from the reference
+# TestBengaliNormalizer / TestBengaliStemmer, exact codepoints)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,norm",
+    [
+        ("\u099a\u09be\u0981\u09a6", "\u099a\u09be\u09a6"),
+        ("\u09ac\u09be\u09dc\u09c0", "\u09ac\u09be\u09b0\u09bf"),
+        ("\u09a4\u09c0\u09b0", "\u09a4\u09bf\u09b0"),
+        ("\u09ad\u09c2\u09b2", "\u09ad\u09c1\u09b2"),
+        ("\u0985\u09a8\u09c2\u09aa", "\u0985\u09a8\u09c1\u09aa"),
+        ("\u09ac\u09be\u0999\u09b2\u09be", "\u09ac\u09be\u0982\u09b2\u09be"),
+        ("\u09ac\u09cd\u09af\u09be\u0995\u09cd\u09a4\u09bf", "\u09ac\u09c7\u0995\u09cd\u09a4\u09bf"),
+        ("\u09b8\u09a8\u09cd\u09a7\u09cd\u09af\u09be", "\u09b8\u09a8\u09cd\u09a7\u09be"),
+        ("\u09b8\u09cd\u09ac\u09a6\u09c7\u09b6", "\u09b8\u09a6\u09c7\u09b8"),
+        ("\u09a4\u09a4\u09cd\u09a4\u09cd\u09ac", "\u09a4\u09a4\u09cd\u09a4"),
+        ("\u09ac\u09bf\u09b6\u09cd\u09ac", "\u09ac\u09bf\u09b8\u09b8"),
+        ("\u09a6\u09c1\u0983\u0996", "\u09a6\u09c1\u0996\u0996"),
+        ("\u0989\u0983", "\u0989\u09b9"),
+        ("\u09aa\u09c1\u09a8\u0983", "\u09aa\u09c1\u09a8"),
+        ("\u0995\u09a3\u09be", "\u0995\u09a8\u09be"),
+        ("\u09b6\u09b0\u09c0\u09b0", "\u09b8\u09b0\u09bf\u09b0"),
+        ("\u09ac\u09be\u09dc\u09bf", "\u09ac\u09be\u09b0\u09bf"),
+    ],
+)
+def test_bengali_normalizer(word, norm):
+    from lucene_spark.analysis.bn import bengali_normalize
+
+    assert bengali_normalize(word) == norm
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+        ("\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+        ("\u0996\u09be\u0987\u09a4\u09be\u09ae", "\u0996\u09be\u0987"),
+        ("\u09af\u09be\u0987\u09ac\u09c7", "\u09af\u09be"),
+        ("\u0995\u09b0\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+        ("\u0995\u09b0\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+        ("\u0995\u09b0\u09a4\u09be\u09ae", "\u0995\u09b0"),
+        ("\u09af\u09be\u09ac", "\u09af\u09be"),
+        ("\u09af\u09be\u09ac\u09c7", "\u09af\u09be"),
+        ("\u0995\u09b0\u09bf", "\u0995\u09b0"),
+        ("\u0995\u09b0\u09cb", "\u0995\u09b0"),
+        ("\u09ae\u09c7\u09df\u09c7\u09b0\u09be", "\u09ae\u09c7"),
+        ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7", "\u09ae\u09c7"),
+        ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0", "\u09ae\u09c7"),
+        ("\u098f\u0995\u099f\u09bf", "\u098f\u0995"),
+        ("\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf", "\u09ae\u09be\u09a8\u09c1\u09b7"),
+    ],
+)
+def test_bengali_stemmer(word, stem):
+    from lucene_spark.analysis.bn import bengali_stem
+
+    assert bengali_stem(word) == stem
+
+
+def test_bengali_chain_stop_and_digits():
+    from lucene_spark.analysis.bn import BENGALI_STOP_WORDS, bengali_analyze
+
+    # stopword dropped with position gap; Bengali digits fold to ASCII
+    got = [
+        (t.term, t.position)
+        for t in bengali_analyze(
+            "\u098f\u0987 \u09e7\u09e8\u09e9", BENGALI_STOP_WORDS
+        )
+    ]
+    assert got == [("123", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb/SoraniAnalyzer.java:122 — Sorani normalization +
+# lowercase + digit fold + stop + stem; vectors replayed from the
+# reference TestSoraniNormalizationFilter / TestSoraniStemFilter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,norm",
+    [
+        ("\u064A", "\u06CC"),
+        ("\u0649", "\u06CC"),
+        ("\u06CC", "\u06CC"),
+        ("\u0643", "\u06A9"),
+        ("\u06A9", "\u06A9"),
+        ("\u0647\u200C", "\u06D5"),
+        ("\u0647\u200C\u06A9", "\u06D5\u06A9"),
+        ("\u06BE", "\u0647"),
+        ("\u0629", "\u06D5"),
+        ("\u0647\u0647\u0647", "\u0647\u0647\u06D5"),
+        ("\u0692", "\u0695"),
+        ("\u0631\u0631\u0631", "\u0695\u0631\u0631"),
+    ],
+)
+def test_sorani_normalizer(word, norm):
+    from lucene_spark.analysis.ckb import sorani_normalize
+
+    assert sorani_normalize(word) == norm
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("\u067e\u06cc\u0627\u0648\u06ce\u06a9", "\u067e\u06cc\u0627\u0648"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u06cc\u06d5\u06a9", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u067e\u06cc\u0627\u0648\u06d5\u0643\u06d5", "\u067e\u06cc\u0627\u0648"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u0643\u06d5", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u06a9\u062a\u0627\u0648\u06cc\u06d5", "\u06a9\u062a\u0627\u0648\u06cc"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u06cc\u06d5", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u067e\u06cc\u0627\u0648\u0627\u0646", "\u067e\u06cc\u0627\u0648"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u06cc\u0627\u0646", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u067e\u06cc\u0627\u0648\u06d5\u06a9\u0627\u0646", "\u067e\u06cc\u0627\u0648"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u06a9\u0627\u0646", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u067e\u06cc\u0627\u0648\u0627\u0646\u06d5", "\u067e\u06cc\u0627\u0648"),
+        ("\u062f\u06d5\u0631\u06af\u0627\u06cc\u0627\u0646\u06d5", "\u062f\u06d5\u0631\u06af\u0627"),
+        ("\u0647\u06c6\u062a\u06cc\u0644\u06cc", "\u0647\u06c6\u062a\u06cc\u0644"),
+        ("\u0647\u06c6\u062a\u06cc\u0644\u06ce\u06a9\u06cc", "\u0647\u06c6\u062a\u06cc\u0644"),
+        ("\u0647\u06c6\u062a\u06cc\u0644\u0627\u0646\u06cc", "\u0647\u06c6\u062a\u06cc\u0644"),
+        ("\u062f\u0648\u0648\u0631\u06d5\u0648\u06d5", "\u062f\u0648\u0648\u0631"),
+        ("\u0646\u06cc\u0648\u06d5\u0634\u06d5\u0648\u062f\u0627", "\u0646\u06cc\u0648\u06d5\u0634\u06d5\u0648"),
+        ("\u0633\u06c6\u0631\u0627\u0646\u0627", "\u0633\u06c6\u0631\u0627\u0646"),
+        ("\u067e\u0627\u0631\u06d5\u0645\u0627\u0646", "\u067e\u0627\u0631\u06d5"),
+        ("\u067e\u0627\u0631\u06d5\u062a\u0627\u0646", "\u067e\u0627\u0631\u06d5"),
+        ("\u067e\u0627\u0631\u06d5\u06cc\u0627\u0646", "\u067e\u0627\u0631\u06d5"),
+    ],
+)
+def test_sorani_stemmer(word, stem):
+    from lucene_spark.analysis.ckb import sorani_normalize, sorani_stem
+
+    # the reference vectors run through the full analyzer: normalize first
+    assert sorani_stem(sorani_normalize(word)) == stem
