@@ -310,6 +310,14 @@ def _vocab_chain(analyzer: str):
         from .ckb import sorani_term
 
         return sorani_term
+    if analyzer == "telugu":
+        from .te import telugu_term
+
+        return telugu_term
+    if analyzer == "danish":
+        from .da import danish_term
+
+        return danish_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

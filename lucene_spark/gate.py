@@ -4748,6 +4748,54 @@ def _q_sorani_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Telugu chain (analysis/te/TeluguAnalyzer.java:120 + TeluguNormalizer +
+# TeluguStemmer): pustaka-mu/pustaka-kai -> pustaka; raamu-du/raamu-nu ->
+# raamu; amma-di/amma-ki -> amma; vastuvu-lu/vastuvu-ki -> vastuvu
+_TE_LEX = [
+    "\u0c2a\u0c41\u0c38\u0c4d\u0c24\u0c15\u0c2e\u0c41", "\u0c2a\u0c41\u0c38\u0c4d\u0c24\u0c15\u0c15\u0c48",
+    "\u0c30\u0c3e\u0c2e\u0c41\u0c21\u0c41", "\u0c30\u0c3e\u0c2e\u0c41\u0c28\u0c41",
+    "\u0c05\u0c2e\u0c4d\u0c2e\u0c26\u0c3f", "\u0c05\u0c2e\u0c4d\u0c2e\u0c15\u0c3f",
+    "\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41", "\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c15\u0c3f",
+]
+_TE_QUERY = "\u0c2a\u0c41\u0c38\u0c4d\u0c24\u0c15\u0c2a\u0c48"  # an UNSEEN case form (-pai) -> the lex-0/1 stem
+_TE_PUSTAKA_IDXS = (0, 1)
+
+
+def _q_telugu_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "te", _TE_LEX, "telugu"),
+        analyzer="telugu", mode="double",
+    )
+    h = s.search(_TE_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
+# hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
+# venlige/venligst -> ven (-e / -igst then -lig)
+_DA_LEX = [
+    "huset", "husene", "bilens", "bilerne",
+    "hoppen", "hopperne", "venlige", "venligst",
+]
+_DA_QUERY = "huse"  # an UNSEEN plural -> 'hus'
+_DA_HUS_IDXS = (0, 1)
+
+
+def _q_danish_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "da", _DA_LEX, "danish"),
+        analyzer="danish", mode="double",
+    )
+    h = s.search(_DA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Turkish chain (analysis/tr/TurkishAnalyzer.java:110 — ApostropheFilter +
 # TurkishLowerCaseFilter + snowball Turkish): ağacı/ağaç -> ağaç (possessive
 # strip + c->ç devoicing); kitapları/kitap -> kitap; güzelliği/güzellik ->
@@ -5273,6 +5321,8 @@ def gate_queries() -> dict:
         "turkish_index": _q_turkish_stem,
         "bengali_index": _q_bengali_stem,
         "sorani_index": _q_sorani_stem,
+        "telugu_index": _q_telugu_stem,
+        "danish_index": _q_danish_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5453,6 +5503,8 @@ def gate_oracle_sql() -> dict:
         "turkish_index": _sql_lex_stem(_TR_AGAC_IDXS),
         "bengali_index": _sql_lex_stem(_BN_KOR_IDXS),
         "sorani_index": _sql_lex_stem(_CKB_PIYAW_IDXS),
+        "telugu_index": _sql_lex_stem(_TE_PUSTAKA_IDXS),
+        "danish_index": _sql_lex_stem(_DA_HUS_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -82,6 +82,8 @@ from ..analysis.cs import czech_analyze, czech_terms_positions
 from ..analysis.el import greek_analyze, greek_terms_positions
 from ..analysis.bn import bengali_analyze, bengali_terms_positions
 from ..analysis.ckb import sorani_analyze, sorani_terms_positions
+from ..analysis.da import danish_analyze, danish_terms_positions
+from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
 from ..analysis.fa import persian_analyze, persian_terms_positions
@@ -167,6 +169,8 @@ _ANALYZERS: dict[str, Callable] = {
     "turkish": turkish_analyze,      # apostrophe + tr lowercase + snowball
     "bengali": bengali_analyze,      # lowercase + digit fold + norm + stem
     "sorani": sorani_analyze,        # ckb normalize + digit fold + stem
+    "telugu": telugu_analyze,        # te normalize + digit fold + stem
+    "danish": danish_analyze,        # snowball Danish stem
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -236,6 +240,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "turkish": turkish_terms_positions,
     "bengali": bengali_terms_positions,
     "sorani": sorani_terms_positions,
+    "telugu": telugu_terms_positions,
+    "danish": danish_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

@@ -1748,3 +1748,88 @@ def test_sorani_stemmer(word, stem):
 
     # the reference vectors run through the full analyzer: normalize first
     assert sorani_stem(sorani_normalize(word)) == stem
+
+
+# ---------------------------------------------------------------------------
+# Telugu (te/TeluguAnalyzer.java:120 — digit fold + Telugu normalization +
+# stop + stem; vectors replayed from the reference TestTeluguNormalizer /
+# TestTeluguStemmer, exact codepoints)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,norm",
+    [
+        ("\u0c2a\u0c26\u0c3e\u0c32\u0c42", "\u0c2a\u0c26\u0c3e\u0c32\u0c41"),
+        ("\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c40", "\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c3f"),
+        ("\u0c03\u0c4c\u0c48\u0c3e\u0c3f\u0c41", "\u0c4c\u0c48\u0c3e\u0c3f\u0c41"),
+        ("\u0c14\u0c10\u0c06\u0c08\u0c0a", "\u0c13\u0c0f\u0c05\u0c07\u0c09"),
+    ],
+)
+def test_telugu_normalizer(word, norm):
+    from lucene_spark.analysis.te import telugu_normalize
+
+    assert telugu_normalize(word) == norm
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41", "\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41"),
+        ("\u0c2a\u0c28\u0c4d\u0c28\u0c41\u0c32\u0c41", "\u0c2a\u0c28\u0c4d\u0c28\u0c41"),
+        ("\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c26\u0c3f", "\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28"),
+        ("\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c21\u0c41", "\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28"),
+    ],
+)
+def test_telugu_stemmer(word, stem):
+    from lucene_spark.analysis.te import telugu_stem
+
+    assert telugu_stem(word) == stem
+
+
+# ---------------------------------------------------------------------------
+# Danish (da/DanishAnalyzer.java — lowercase + stop + snowball Danish)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # main suffix inside R1 (R1 clamped to start >= 3)
+        ("huset", "hus"),
+        ("husene", "hus"),
+        ("bilens", "bil"),
+        ("bilerne", "bil"),
+        ("mandens", "mand"),
+        ("dyrene", "dyr"),
+        # bare -s needs an s_ending letter before it
+        ("hats", "hat"),
+        ("venliges", "ven"),   # -es, then -lig
+        # undouble after suffix removal
+        ("hoppen", "hop"),
+        ("hopperne", "hop"),
+        # -hed then -lig cascade
+        ("kærlighed", "kær"),
+        # -igst strips -st, then -ig/-lig in R1
+        ("hurtigst", "hurt"),
+        ("underligste", "under"),
+        ("venlige", "ven"),
+        # too short: R1 empty
+        ("bil", "bil"),
+        ("og", "og"),
+    ],
+)
+def test_danish_stem(word, stem):
+    from lucene_spark.analysis.da import danish_stem
+
+    assert danish_stem(word) == stem
+
+
+def test_danish_chain_with_stopwords():
+    from lucene_spark.analysis.da import DANISH_STOP_WORDS, danish_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in danish_analyze("og huset er bilerne", DANISH_STOP_WORDS)
+    ]
+    assert got == [("hus", 1), ("bil", 3)]
