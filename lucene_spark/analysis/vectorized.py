@@ -318,6 +318,10 @@ def _vocab_chain(analyzer: str):
         from .da import danish_term
 
         return danish_term
+    if analyzer == "dutch":
+        from .nl import dutch_term
+
+        return dutch_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

@@ -4773,6 +4773,30 @@ def _q_telugu_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Dutch chain (nl/DutchAnalyzer.java:150 + DEFAULT_STEM_DICT + snowball
+# Dutch): lichamelijk/lichamen -> licham; kinderen -> kinder AND kind ->
+# kinder via the override dict; fietsen -> fiets AND fiets -> fiets via
+# the override; opheffen/opheffende -> opheff
+_NL_LEX = [
+    "lichamelijk", "lichamen", "kinderen", "kind",
+    "fietsen", "fiets", "opheffen", "opheffende",
+]
+_NL_QUERY = "lichaam"  # an UNSEEN singular; long-vowel undouble -> licham
+_NL_LICHAM_IDXS = (0, 1)
+
+
+def _q_dutch_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "nl", _NL_LEX, "dutch"),
+        analyzer="dutch", mode="double",
+    )
+    h = s.search(_NL_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
 # hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
 # venlige/venligst -> ven (-e / -igst then -lig)
@@ -5323,6 +5347,7 @@ def gate_queries() -> dict:
         "sorani_index": _q_sorani_stem,
         "telugu_index": _q_telugu_stem,
         "danish_index": _q_danish_stem,
+        "dutch_index": _q_dutch_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5505,6 +5530,7 @@ def gate_oracle_sql() -> dict:
         "sorani_index": _sql_lex_stem(_CKB_PIYAW_IDXS),
         "telugu_index": _sql_lex_stem(_TE_PUSTAKA_IDXS),
         "danish_index": _sql_lex_stem(_DA_HUS_IDXS),
+        "dutch_index": _sql_lex_stem(_NL_LICHAM_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

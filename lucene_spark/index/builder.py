@@ -83,6 +83,7 @@ from ..analysis.el import greek_analyze, greek_terms_positions
 from ..analysis.bn import bengali_analyze, bengali_terms_positions
 from ..analysis.ckb import sorani_analyze, sorani_terms_positions
 from ..analysis.da import danish_analyze, danish_terms_positions
+from ..analysis.nl import dutch_analyze, dutch_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -171,6 +172,7 @@ _ANALYZERS: dict[str, Callable] = {
     "sorani": sorani_analyze,        # ckb normalize + digit fold + stem
     "telugu": telugu_analyze,        # te normalize + digit fold + stem
     "danish": danish_analyze,        # snowball Danish stem
+    "dutch": dutch_analyze,          # override dict + snowball Dutch
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -242,6 +244,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "sorani": sorani_terms_positions,
     "telugu": telugu_terms_positions,
     "danish": danish_terms_positions,
+    "dutch": dutch_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

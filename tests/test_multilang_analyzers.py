@@ -1833,3 +1833,61 @@ def test_danish_chain_with_stopwords():
         for t in danish_analyze("og huset er bilerne", DANISH_STOP_WORDS)
     ]
     assert got == [("hus", 1), ("bil", 3)]
+
+
+# ---------------------------------------------------------------------------
+# Dutch (nl/DutchAnalyzer.java:150 — lowercase + stop + DEFAULT_STEM_DICT
+# override + snowball Dutch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # -lijk / -heden / long-vowel undouble all conflate
+        ("lichamelijk", "licham"),
+        ("lichamelijke", "licham"),
+        ("lichamelijkheden", "licham"),
+        ("lichaam", "licham"),
+        ("lichamen", "licham"),
+        ("kinderen", "kinder"),
+        ("huizen", "huiz"),
+        # -s only deletes after a non-vowel that isn't j
+        ("huis", "huis"),
+        ("winkels", "winkel"),
+        ("opheffen", "opheff"),
+        ("opheffende", "opheff"),
+        # raw stemmer output (the analyzer-level override protects these)
+        ("fiets", "fiet"),
+        ("fietsen", "fiets"),
+        # prelude: i between vowels is consonantal
+        ("draaien", "draai"),
+    ],
+)
+def test_dutch_stem(word, stem):
+    from lucene_spark.analysis.nl import dutch_stem
+
+    assert dutch_stem(word) == stem
+
+
+def test_dutch_stem_overrides():
+    from lucene_spark.analysis.nl import dutch_term
+
+    # DutchAnalyzer.DEFAULT_STEM_DICT entries bypass the stemmer
+    assert dutch_term("fiets", None) == "fiets"
+    assert dutch_term("bromfiets", None) == "bromfiets"
+    assert dutch_term("ei", None) == "eier"
+    assert dutch_term("kind", None) == "kinder"
+    # so singular/plural conflate exactly as the reference chain does
+    assert dutch_term("kinderen", None) == dutch_term("kind", None)
+    assert dutch_term("fietsen", None) == dutch_term("fiets", None)
+
+
+def test_dutch_chain_with_stopwords():
+    from lucene_spark.analysis.nl import DUTCH_STOP_WORDS, dutch_analyze
+
+    got = [
+        (t.term, t.position)
+        for t in dutch_analyze("de kinderen en het kind", DUTCH_STOP_WORDS)
+    ]
+    assert got == [("kinder", 1), ("kinder", 4)]
