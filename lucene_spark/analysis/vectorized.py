@@ -322,6 +322,14 @@ def _vocab_chain(analyzer: str):
         from .nl import dutch_term
 
         return dutch_term
+    if analyzer == "lithuanian":
+        from .lt import lithuanian_term
+
+        return lithuanian_term
+    if analyzer == "romanian":
+        from .ro import romanian_term
+
+        return romanian_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

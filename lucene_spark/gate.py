@@ -4797,6 +4797,53 @@ def _q_dutch_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Lithuanian chain (lt/LithuanianAnalyzer.java + snowball Lithuanian):
+# vaikai/vaiko/vaikams/vaikuose -> vaik (noun decl. I across cases);
+# kačių/katėmis -> kat (č->t fix); arkliai and šiandien keep themselves
+_LT_LEX = [
+    "vaikai", "vaiko", "vaikams", "vaikuose",
+    "kačių", "katėmis", "arkliai", "šiandien",
+]
+_LT_QUERY = "vaikas"  # an UNSEEN nominative; step1 deletes -as in R1
+_LT_VAIK_IDXS = (0, 1, 2, 3)
+
+
+def _q_lithuanian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "lt", _LT_LEX, "lithuanian"),
+        analyzer="lithuanian", mode="double",
+    )
+    h = s.search(_LT_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Romanian chain (ro/RomanianAnalyzer.java:118 + RomanianNormalizer +
+# snowball Romanian): absenți -> absenț and the CEDILLA spelling absenţi
+# normalizes first, so both conflate with the query; copilul -> copil,
+# casele -> cas, vorbește -> vorb, lucrare -> lucr stay distinct
+_RO_LEX = [
+    "absenți", "absenţi", "copilul", "casele",
+    "vorbește", "lucrare", "ziua", "frumoasă",
+]
+_RO_QUERY = "absența"  # unseen form; vowel-suffix -a deletes in RV
+_RO_ABSENT_IDXS = (0, 1)
+
+
+def _q_romanian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ro", _RO_LEX, "romanian"),
+        analyzer="romanian", mode="double",
+    )
+    h = s.search(_RO_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
 # hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
 # venlige/venligst -> ven (-e / -igst then -lig)
@@ -5348,6 +5395,8 @@ def gate_queries() -> dict:
         "telugu_index": _q_telugu_stem,
         "danish_index": _q_danish_stem,
         "dutch_index": _q_dutch_stem,
+        "lithuanian_index": _q_lithuanian_stem,
+        "romanian_index": _q_romanian_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5531,6 +5580,8 @@ def gate_oracle_sql() -> dict:
         "telugu_index": _sql_lex_stem(_TE_PUSTAKA_IDXS),
         "danish_index": _sql_lex_stem(_DA_HUS_IDXS),
         "dutch_index": _sql_lex_stem(_NL_LICHAM_IDXS),
+        "lithuanian_index": _sql_lex_stem(_LT_VAIK_IDXS),
+        "romanian_index": _sql_lex_stem(_RO_ABSENT_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -84,6 +84,8 @@ from ..analysis.bn import bengali_analyze, bengali_terms_positions
 from ..analysis.ckb import sorani_analyze, sorani_terms_positions
 from ..analysis.da import danish_analyze, danish_terms_positions
 from ..analysis.nl import dutch_analyze, dutch_terms_positions
+from ..analysis.lt import lithuanian_analyze, lithuanian_terms_positions
+from ..analysis.ro import romanian_analyze, romanian_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -173,6 +175,8 @@ _ANALYZERS: dict[str, Callable] = {
     "telugu": telugu_analyze,        # te normalize + digit fold + stem
     "danish": danish_analyze,        # snowball Danish stem
     "dutch": dutch_analyze,          # override dict + snowball Dutch
+    "lithuanian": lithuanian_analyze,  # snowball Lithuanian stem
+    "romanian": romanian_analyze,    # cedilla norm + snowball Romanian
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -245,6 +249,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "telugu": telugu_terms_positions,
     "danish": danish_terms_positions,
     "dutch": dutch_terms_positions,
+    "lithuanian": lithuanian_terms_positions,
+    "romanian": romanian_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

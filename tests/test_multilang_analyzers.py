@@ -1891,3 +1891,185 @@ def test_dutch_chain_with_stopwords():
         for t in dutch_analyze("de kinderen en het kind", DUTCH_STOP_WORDS)
     ]
     assert got == [("kinder", 1), ("kinder", 4)]
+
+
+# ---------------------------------------------------------------------------
+# Lithuanian (lt/LithuanianAnalyzer.java — lowercase + stop + snowball
+# Lithuanian; vectors replayed from TestLithuanianStemming.java: noun
+# declensions I-V, adjective declensions I-III, high-frequency terms)
+# ---------------------------------------------------------------------------
+
+
+_LT_VECTORS = {
+    # n. decl. I (-as / -is / -ys)
+    "vaikas": "vaik", "vaikai": "vaik", "vaiko": "vaik", "vaikų": "vaik",
+    "vaikui": "vaik", "vaikams": "vaik", "vaiką": "vaik", "vaikus": "vaik",
+    "vaiku": "vaik", "vaikais": "vaik", "vaike": "vaik", "vaikuose": "vaik",
+    "brolis": "brol", "broliai": "brol", "brolio": "brol", "brolių": "brol",
+    "broliui": "brol", "broliams": "brol", "brolį": "brol",
+    "brolius": "brol", "broliu": "brol", "broliais": "brol",
+    "brolyje": "brol", "broliuose": "brol", "broli": "brol",
+    # -ys forms: some deliberately do NOT conflate
+    "arklys": "arkl", "arkliai": "arkliai", "arklio": "arkl",
+    "arklių": "arkl", "arkliui": "arkliui", "arkliams": "arkliam",
+    "arklį": "arkl", "arklius": "arklius", "arkliu": "arkl",
+    "arkliais": "arkliais", "arklyje": "arklyj", "arkliuose": "arkliuos",
+    "arkly": "arkl",
+    # n. decl. II (-a / -ė / -ti)
+    "motina": "motin", "motinos": "motin", "motinų": "motin",
+    "motinai": "motin", "motinoms": "motin", "motiną": "motin",
+    "motinas": "motin", "motinomis": "motin", "motinoje": "motin",
+    "motinose": "motin",
+    "katė": "kat", "katės": "kat", "kačių": "kat", "katei": "kat",
+    "katėms": "kat", "katę": "kat", "kates": "kat", "kate": "kat",
+    "katėmis": "kat", "katėje": "kat", "katėse": "kat",
+    "pati": "pat", "pačios": "pat", "pačių": "pat", "pačiai": "pat",
+    "pačioms": "pat", "pačią": "pat", "pačias": "pat", "pačia": "pat",
+    "pačiomis": "pat", "pačioje": "pat", "pačiose": "pat",
+    # n. decl. III
+    "vagis": "vag", "vagys": "vag", "vagies": "vag", "vagių": "vag",
+    "vagiui": "vag", "vagims": "vag", "vagį": "vag", "vagimi": "vag",
+    "vagimis": "vag", "vagyje": "vag", "vagyse": "vag", "vagie": "vag",
+    "akis": "ak", "akys": "ak", "akies": "ak", "akių": "ak", "akiai": "ak",
+    "akims": "ak", "akį": "ak", "akimi": "ak", "akimis": "ak",
+    "akyje": "ak", "akyse": "ak", "akie": "ak",
+    # n. decl. IV (-us / -ius)
+    "sūnus": "sūn", "sūnūs": "sūn", "sūnaus": "sūn", "sūnų": "sūn",
+    "sūnui": "sūn", "sūnums": "sūn", "sūnumi": "sūn", "sūnumis": "sūn",
+    "sūnuje": "sūn", "sūnuose": "sūn", "sūnau": "sūn",
+    "profesorius": "profesor", "profesoriai": "profesor",
+    "profesoriaus": "profesor", "profesorių": "profesor",
+    "profesoriui": "profesor", "profesoriams": "profesor",
+    "profesoriumi": "profesor", "profesoriais": "profesor",
+    "profesoriuje": "profesor", "profesoriuose": "profesor",
+    "profesoriau": "profesor",
+    # n. decl. V (gen. pl. doesn't conflate)
+    "vanduo": "vand", "vandenys": "vand", "vandens": "vand",
+    "vandenų": "vanden", "vandeniui": "vand", "vandenims": "vand",
+    "vandenį": "vand", "vandenis": "vand", "vandeniu": "vand",
+    "vandenimis": "vand", "vandenyje": "vand", "vandenyse": "vand",
+    "vandenie": "vand",
+    # adj. decl. I-III
+    "geras": "ger", "geri": "ger", "gero": "ger", "gerų": "ger",
+    "geram": "ger", "geriems": "ger", "gerą": "ger", "gerus": "ger",
+    "geru": "ger", "gerais": "ger", "gerame": "ger", "geruose": "ger",
+    "gera": "ger", "geros": "ger", "gerai": "ger", "geroms": "ger",
+    "geromis": "ger", "geroje": "ger", "gerose": "ger",
+    "gražus": "graž", "gražūs": "graž", "gražaus": "graž",
+    "gražių": "graž", "gražiam": "graž", "gražiems": "graž",
+    "gražų": "graž", "gražius": "graž", "gražiu": "graž",
+    "gražiais": "graž", "gražiame": "graž", "gražiuose": "graž",
+    "graži": "graž", "gražios": "graž", "gražiai": "graž",
+    "gražioms": "graž", "gražią": "graž", "gražias": "graž",
+    "gražia": "graž", "gražiomis": "graž", "gražioje": "graž",
+    "gražiose": "graž",
+    "vidutinis": "vidutin", "vidutiniai": "vidutin", "vidutinio": "vidutin",
+    "vidutinių": "vidutin", "vidutiniam": "vidutin",
+    "vidutiniams": "vidutin", "vidutinį": "vidutin",
+    "vidutinius": "vidutin", "vidutiniu": "vidutin",
+    "vidutiniais": "vidutin", "vidutiniame": "vidutin",
+    "vidutiniuose": "vidutin", "vidutinė": "vidutin",
+    "vidutinės": "vidutin", "vidutinei": "vidutin",
+    "vidutinėms": "vidutin", "vidutinę": "vidutin", "vidutines": "vidutin",
+    "vidutine": "vidutin", "vidutinėmis": "vidutin",
+    "vidutinėje": "vidutin", "vidutinėse": "vidutin",
+    # high-frequency corpus terms
+    "ir": "ir", "kad": "kad", "į": "į", "tai": "tai", "su": "su", "o": "o",
+    "iš": "iš", "kaip": "kaip", "bet": "bet", "yra": "yr", "buvo": "buv",
+    "tik": "tik", "ne": "ne", "taip": "taip", "ar": "ar", "dar": "dar",
+    "jau": "jau", "savo": "sav", "apie": "ap", "kai": "kai", "aš": "aš",
+    "per": "per", "nuo": "nuo", "po": "po", "jis": "jis", "kas": "kas",
+    "d": "d", "labai": "lab", "man": "man", "dėl": "dėl", "tačiau": "tat",
+    "nes": "nes", "už": "už", "to": "to", "jo": "jo", "iki": "ik",
+    "ką": "ką", "mano": "man", "metų": "met", "nors": "nor", "jei": "jei",
+    "bus": "bus", "jų": "jų", "čia": "čia", "dabar": "dabar",
+    "Lietuvos": "Lietuv", "net": "net", "nei": "nei", "gali": "gal",
+    "daug": "daug", "prie": "prie", "ji": "ji", "jos": "jos", "pat": "pat",
+    "jie": "jie", "kur": "kur", "gal": "gal", "ant": "ant", "tiek": "tiek",
+    "be": "be", "būti": "būt", "bei": "bei", "daugiau": "daug",
+    "turi": "tur", "prieš": "prieš", "vis": "vis", "būtų": "būt",
+    "jog": "jog", "reikia": "reik", "mūsų": "mūs", "metu": "met",
+    "galima": "galim", "nėra": "nėr", "arba": "arb", "mes": "mes",
+    "kurie": "kur", "tikrai": "tikr", "todėl": "tod", "ten": "ten",
+    "šiandien": "šiandien", "vienas": "vien", "visi": "vis",
+    "kuris": "kur", "tada": "tad", "kiek": "kiek", "tuo": "tuo",
+    "gerai": "ger", "nieko": "niek", "jį": "jį", "kol": "kol",
+}
+
+
+def test_lithuanian_stem_reference_vectors():
+    from lucene_spark.analysis.lt import lithuanian_stem
+
+    bad = {
+        w: (lithuanian_stem(w), want)
+        for w, want in _LT_VECTORS.items()
+        if lithuanian_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_lithuanian_chain_with_stopwords():
+    from lucene_spark.analysis.lt import (
+        LITHUANIAN_STOP_WORDS,
+        lithuanian_analyze,
+    )
+
+    got = [
+        (t.term, t.position)
+        for t in lithuanian_analyze(
+            "ir vaikai su katėmis", LITHUANIAN_STOP_WORDS
+        )
+    ]
+    assert got == [("vaik", 1), ("kat", 3)]
+
+
+# ---------------------------------------------------------------------------
+# Romanian (ro/RomanianAnalyzer.java:118 — lowercase + stop + cedilla→comma
+# normalization + snowball Romanian; reference vectors from
+# TestRomanianAnalyzer.java / TestRomanianNormalizationFilter.java)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # TestRomanianAnalyzer.testBasics
+        ("absența", "absenț"),
+        ("absenți", "absenț"),
+        ("absenţ", "absenț"),  # cedilla input normalizes first
+        # structural coverage of each rule family
+        ("copilul", "copil"),    # step0 -ul
+        ("copiii", "copii"),     # prelude I-mark blocks step0 -ii
+        ("casele", "cas"),       # step0 -ele → e, then vowel suffix
+        ("frumoasă", "frumoas"),  # -oasă outside R2 → only vowel suffix
+        ("vorbește", "vorb"),    # verb suffix -ește after non-vowel in RV
+        ("lucrare", "lucr"),     # verb suffix -are
+        ("ziua", "ziu"),         # prelude U between vowels
+    ],
+)
+def test_romanian_stem(word, stem):
+    from lucene_spark.analysis.ro import romanian_stem
+
+    assert romanian_stem(word) == stem
+
+
+def test_romanian_normalize():
+    from lucene_spark.analysis.ro import romanian_normalize
+
+    assert romanian_normalize("absenţa") == "absența"
+    assert romanian_normalize("şcoala") == "școala"
+    assert romanian_normalize("Ţară Şef") == "Țară Șef"
+
+
+def test_romanian_chain_with_stopwords():
+    from lucene_spark.analysis.ro import (
+        ROMANIAN_STOP_WORDS,
+        romanian_analyze,
+    )
+
+    # "îl" is a stopword (TestRomanianAnalyzer.testBasics)
+    got = [
+        (t.term, t.position)
+        for t in romanian_analyze("îl absenți", ROMANIAN_STOP_WORDS)
+    ]
+    assert got == [("absenț", 1)]
