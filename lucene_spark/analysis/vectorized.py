@@ -330,6 +330,18 @@ def _vocab_chain(analyzer: str):
         from .ro import romanian_term
 
         return romanian_term
+    if analyzer == "estonian":
+        from .et import estonian_term
+
+        return estonian_term
+    if analyzer == "basque":
+        from .eu import basque_term
+
+        return basque_term
+    if analyzer == "armenian":
+        from .hy import armenian_term
+
+        return armenian_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

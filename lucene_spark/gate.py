@@ -4844,6 +4844,76 @@ def _q_romanian_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Estonian chain (et/EstonianAnalyzer.java + snowball Estonian):
+# teadaolevalt/-vaid/-vatest/-va -> teadaole (the reference test's own
+# paradigm); raamatud/raamatute -> raama, kirjutas -> kirjuta,
+# laulsime -> laul stay distinct
+_ET_LEX = [
+    "teadaolevalt", "teadaolevaid", "teadaolevatest", "teadaoleva",
+    "raamatud", "raamatute", "kirjutas", "laulsime",
+]
+_ET_QUERY = "teadaolevat"  # an UNSEEN case form; -t (len>=4) then -va
+_ET_TEADAOLE_IDXS = (0, 1, 2, 3)
+
+
+def _q_estonian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "et", _ET_LEX, "estonian"),
+        analyzer="estonian", mode="double",
+    )
+    h = s.search(_ET_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Basque chain (eu/BasqueAnalyzer.java + snowball Basque): zaldiak/
+# zaldiari/zaldietan/zaldi -> zaldi (the reference test's noun);
+# mendiari/mendietan -> mendi; etxea/liburuak keep their own stems
+_EU_LEX = [
+    "zaldiak", "zaldiari", "zaldietan", "zaldi",
+    "mendiari", "mendietan", "etxea", "liburuak",
+]
+_EU_QUERY = "zaldien"  # an UNSEEN genitive plural; izenak -en in RV
+_EU_ZALDI_IDXS = (0, 1, 2, 3)
+
+
+def _q_basque_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "eu", _EU_LEX, "basque"),
+        analyzer="basque", mode="double",
+    )
+    h = s.search(_EU_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Armenian chain (hy/ArmenianAnalyzer.java + snowball Armenian):
+# արծիվ/արծիվներ/արծիվների/արծիվը -> արծ (the reference test's eagle
+# paradigm); գիրք -> գիր, գրքեր/տուն/տների stay distinct
+_HY_LEX = [
+    "արծիվ", "արծիվներ", "արծիվների", "արծիվը",
+    "գիրք", "գրքեր", "տուն", "տների",
+]
+_HY_QUERY = "արծիվին"  # an UNSEEN dative; case ending -ին starts in R2
+_HY_ARC_IDXS = (0, 1, 2, 3)
+
+
+def _q_armenian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "hy", _HY_LEX, "armenian"),
+        analyzer="armenian", mode="double",
+    )
+    h = s.search(_HY_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
 # hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
 # venlige/venligst -> ven (-e / -igst then -lig)
@@ -5397,6 +5467,9 @@ def gate_queries() -> dict:
         "dutch_index": _q_dutch_stem,
         "lithuanian_index": _q_lithuanian_stem,
         "romanian_index": _q_romanian_stem,
+        "estonian_index": _q_estonian_stem,
+        "basque_index": _q_basque_stem,
+        "armenian_index": _q_armenian_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5582,6 +5655,9 @@ def gate_oracle_sql() -> dict:
         "dutch_index": _sql_lex_stem(_NL_LICHAM_IDXS),
         "lithuanian_index": _sql_lex_stem(_LT_VAIK_IDXS),
         "romanian_index": _sql_lex_stem(_RO_ABSENT_IDXS),
+        "estonian_index": _sql_lex_stem(_ET_TEADAOLE_IDXS),
+        "basque_index": _sql_lex_stem(_EU_ZALDI_IDXS),
+        "armenian_index": _sql_lex_stem(_HY_ARC_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

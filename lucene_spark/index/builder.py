@@ -86,6 +86,9 @@ from ..analysis.da import danish_analyze, danish_terms_positions
 from ..analysis.nl import dutch_analyze, dutch_terms_positions
 from ..analysis.lt import lithuanian_analyze, lithuanian_terms_positions
 from ..analysis.ro import romanian_analyze, romanian_terms_positions
+from ..analysis.et import estonian_analyze, estonian_terms_positions
+from ..analysis.eu import basque_analyze, basque_terms_positions
+from ..analysis.hy import armenian_analyze, armenian_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -177,6 +180,9 @@ _ANALYZERS: dict[str, Callable] = {
     "dutch": dutch_analyze,          # override dict + snowball Dutch
     "lithuanian": lithuanian_analyze,  # snowball Lithuanian stem
     "romanian": romanian_analyze,    # cedilla norm + snowball Romanian
+    "estonian": estonian_analyze,    # snowball Estonian (verb-exception) stem
+    "basque": basque_analyze,        # snowball Basque stem
+    "armenian": armenian_analyze,    # snowball Armenian stem
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -251,6 +257,9 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "dutch": dutch_terms_positions,
     "lithuanian": lithuanian_terms_positions,
     "romanian": romanian_terms_positions,
+    "estonian": estonian_terms_positions,
+    "basque": basque_terms_positions,
+    "armenian": armenian_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

@@ -2073,3 +2073,131 @@ def test_romanian_chain_with_stopwords():
         for t in romanian_analyze("îl absenți", ROMANIAN_STOP_WORDS)
     ]
     assert got == [("absenț", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Estonian (et/EstonianAnalyzer.java — lowercase + stop + snowball Estonian;
+# the reference test's full teadaoleva* paradigm from
+# TestEstonianAnalyzer.testBasics, plus structural rule-family coverage)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word",
+    [
+        "teadaolevalt", "teadaolevaid", "teadaolevatest", "teadaolevail",
+        "teadaolevatele", "teadaolevatel", "teadaolevateks", "teadaolevate",
+        "teadaolevaks", "teadaoleval", "teadaolevates", "teadaolevat",
+        "teadaolevast", "teadaoleva", "teadaolevais", "teadaolevas",
+        "teadaolevad", "teadaolevale", "teadaolevatesse",
+    ],
+)
+def test_estonian_paradigm(word):
+    from lucene_spark.analysis.et import estonian_stem
+
+    assert estonian_stem(word) == "teadaole"
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("jääb", "jääma"),       # whole-word verb exception
+        ("sõi", "söö"),          # irregular past → infinitive stem
+        ("saaks", "saa"),        # exception paradigm (saama)
+        ("loeb", "luge"),        # exception (lugema)
+        ("raamatutki", "raama"),  # -ki emphasis after KI consonant, then noun
+        ("kippu", "kipu"),       # undouble pp before final vowel
+        ("seppa", "sepa"),       # undouble pp
+        ("sepp", "sepp"),        # no final vowel → no undouble
+    ],
+)
+def test_estonian_stem_rules(word, stem):
+    from lucene_spark.analysis.et import estonian_stem
+
+    assert estonian_stem(word) == stem
+
+
+def test_estonian_chain_with_stopwords():
+    from lucene_spark.analysis.et import (
+        ESTONIAN_STOP_WORDS,
+        estonian_analyze,
+    )
+
+    # "alla" is a stopword (TestEstonianAnalyzer.testBasics)
+    got = [
+        (t.term, t.position)
+        for t in estonian_analyze(
+            "alla teadaolevalt raamatud", ESTONIAN_STOP_WORDS
+        )
+    ]
+    assert got == [("teadaole", 1), ("raama", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Basque (eu/BasqueAnalyzer.java — lowercase + stop + snowball Basque;
+# vectors from TestBasqueAnalyzer.testBasics/testExclude)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("zaldi", "zaldi"),       # TestBasqueAnalyzer.testBasics
+        ("zaldiak", "zaldi"),
+        ("mendiari", "mendi"),    # TestBasqueAnalyzer.testExclude
+        ("zaldietan", "zaldi"),   # inessive plural (izenak -etan)
+        ("zaldien", "zaldi"),     # genitive plural (izenak -en in RV)
+        ("zaldiek", "zaldi"),     # ergative plural
+    ],
+)
+def test_basque_stem(word, stem):
+    from lucene_spark.analysis.eu import basque_stem
+
+    assert basque_stem(word) == stem
+
+
+def test_basque_chain_with_stopwords():
+    from lucene_spark.analysis.eu import BASQUE_STOP_WORDS, basque_analyze
+
+    # "izan" is a stopword (TestBasqueAnalyzer.testBasics)
+    got = [
+        (t.term, t.position)
+        for t in basque_analyze("izan zaldiak mendiari", BASQUE_STOP_WORDS)
+    ]
+    assert got == [("zaldi", 1), ("mendi", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Armenian (hy/ArmenianAnalyzer.java — lowercase + stop + snowball Armenian;
+# vectors from TestArmenianAnalyzer.testBasics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("արծիվ", "արծ"),        # TestArmenianAnalyzer.testBasics
+        ("արծիվներ", "արծ"),
+        ("արծիվների", "արծ"),    # genitive plural case chain
+        ("արծիվին", "արծ"),      # dative (-ին starts in R2)
+        ("գիրք", "գիր"),         # noun -ք
+    ],
+)
+def test_armenian_stem(word, stem):
+    from lucene_spark.analysis.hy import armenian_stem
+
+    assert armenian_stem(word) == stem
+
+
+def test_armenian_chain_with_stopwords():
+    from lucene_spark.analysis.hy import (
+        ARMENIAN_STOP_WORDS,
+        armenian_analyze,
+    )
+
+    # "է" is a stopword (TestArmenianAnalyzer.testBasics)
+    got = [
+        (t.term, t.position)
+        for t in armenian_analyze("է արծիվներ գիրք", ARMENIAN_STOP_WORDS)
+    ]
+    assert got == [("արծ", 1), ("գիր", 2)]
