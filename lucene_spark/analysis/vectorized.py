@@ -342,6 +342,14 @@ def _vocab_chain(analyzer: str):
         from .hy import armenian_term
 
         return armenian_term
+    if analyzer == "brazilian":
+        from .br import brazilian_term
+
+        return brazilian_term
+    if analyzer == "catalan":
+        from .ca import catalan_term
+
+        return catalan_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

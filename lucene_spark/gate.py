@@ -4914,6 +4914,52 @@ def _q_armenian_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Brazilian chain (br/BrazilianAnalyzer.java + BrazilianStemmer.java):
+# boataria/boate/boates/boatos -> boat (the reference test's own snowball-
+# examples paradigm); bobeira/bobinho/quilate/quiosque keep distinct stems
+_BR_LEX = [
+    "boataria", "boate", "boates", "boatos",
+    "bobeira", "bobinho", "quilate", "quiosque",
+]
+_BR_QUERY = "boatas"  # an UNSEEN plural; step4 -os/-a then step5 path
+_BR_BOAT_IDXS = (0, 1, 2, 3)
+
+
+def _q_brazilian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "br", _BR_LEX, "brazilian"),
+        analyzer="brazilian", mode="double",
+    )
+    h = s.search(_BR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Catalan chain (ca/CatalanAnalyzer.java + snowball Catalan): llengües/
+# llengua -> llengu (the reference test's pair); institut/estudis/catalans/
+# diccionari stem per the testContractions vector; paraula/paraules -> par
+_CA_LEX = [
+    "llengües", "llengua", "institut", "estudis",
+    "catalans", "diccionari", "paraula", "paraules",
+]
+_CA_QUERY = "llenguada"  # an UNSEEN derivation; -ada (R2) verb-suffix case
+_CA_LLENGU_IDXS = (0, 1)
+
+
+def _q_catalan_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ca", _CA_LEX, "catalan"),
+        analyzer="catalan", mode="double",
+    )
+    h = s.search(_CA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
 # hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
 # venlige/venligst -> ven (-e / -igst then -lig)
@@ -5470,6 +5516,8 @@ def gate_queries() -> dict:
         "estonian_index": _q_estonian_stem,
         "basque_index": _q_basque_stem,
         "armenian_index": _q_armenian_stem,
+        "brazilian_index": _q_brazilian_stem,
+        "catalan_index": _q_catalan_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5658,6 +5706,8 @@ def gate_oracle_sql() -> dict:
         "estonian_index": _sql_lex_stem(_ET_TEADAOLE_IDXS),
         "basque_index": _sql_lex_stem(_EU_ZALDI_IDXS),
         "armenian_index": _sql_lex_stem(_HY_ARC_IDXS),
+        "brazilian_index": _sql_lex_stem(_BR_BOAT_IDXS),
+        "catalan_index": _sql_lex_stem(_CA_LLENGU_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

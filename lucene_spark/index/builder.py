@@ -89,6 +89,8 @@ from ..analysis.ro import romanian_analyze, romanian_terms_positions
 from ..analysis.et import estonian_analyze, estonian_terms_positions
 from ..analysis.eu import basque_analyze, basque_terms_positions
 from ..analysis.hy import armenian_analyze, armenian_terms_positions
+from ..analysis.br import brazilian_analyze, brazilian_terms_positions
+from ..analysis.ca import catalan_analyze, catalan_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -183,6 +185,8 @@ _ANALYZERS: dict[str, Callable] = {
     "estonian": estonian_analyze,    # snowball Estonian (verb-exception) stem
     "basque": basque_analyze,        # snowball Basque stem
     "armenian": armenian_analyze,    # snowball Armenian stem
+    "brazilian": brazilian_analyze,  # fold-diacritics + Lucene RSLP-style stem
+    "catalan": catalan_analyze,      # elision + snowball Catalan stem
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -260,6 +264,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "estonian": estonian_terms_positions,
     "basque": basque_terms_positions,
     "armenian": armenian_terms_positions,
+    "brazilian": brazilian_terms_positions,
+    "catalan": catalan_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

@@ -2201,3 +2201,112 @@ def test_armenian_chain_with_stopwords():
         for t in armenian_analyze("է արծիվներ գիրք", ARMENIAN_STOP_WORDS)
     ]
     assert got == [("արծ", 1), ("գիր", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Brazilian Portuguese (br/BrazilianAnalyzer.java + BrazilianStemmer.java —
+# Lucene's own fold-diacritics RSLP-style stemmer, deliberately different
+# from snowball Portuguese; all vectors from
+# TestBrazilianAnalyzer.testWithSnowballExamples/testNormalization)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("boa", "boa"), ("boainain", "boainain"), ("boas", "boas"),
+        ("bôas", "boas"), ("boassu", "boassu"), ("boataria", "boat"),
+        ("boate", "boat"), ("boates", "boat"), ("boatos", "boat"),
+        ("bob", "bob"), ("boba", "bob"), ("bobagem", "bobag"),
+        ("bobagens", "bobagens"), ("bobalhões", "bobalho"),
+        ("bobear", "bob"), ("bobeira", "bobeir"), ("bobinho", "bobinh"),
+        ("bobinhos", "bobinh"), ("bobo", "bob"), ("bobs", "bobs"),
+        ("boca", "boc"), ("bocadas", "boc"), ("bocadinho", "bocadinh"),
+        ("bocado", "boc"), ("bocaiúva", "bocaiuv"), ("boçal", "bocal"),
+        ("bocarra", "bocarr"), ("bocas", "boc"), ("bode", "bod"),
+        ("bodoque", "bodoqu"), ("body", "body"), ("boeing", "boeing"),
+        ("boem", "boem"), ("boemia", "boem"), ("boêmio", "boemi"),
+        ("bogotá", "bogot"), ("boi", "boi"), ("bóia", "boi"),
+        ("boiando", "boi"), ("quiabo", "quiab"), ("quicaram", "quic"),
+        ("quickly", "quickly"), ("quieto", "quiet"), ("quietos", "quiet"),
+        ("quilate", "quilat"), ("quilates", "quilat"),
+        ("quilinhos", "quilinh"), ("quilo", "quil"), ("quilombo", "quilomb"),
+        ("quilométricas", "quilometr"), ("quilométricos", "quilometr"),
+        ("quilômetro", "quilometr"), ("quilômetros", "quilometr"),
+        ("quilos", "quil"), ("quimica", "quimic"), ("quimicas", "quimic"),
+        ("quimico", "quimic"), ("quimicos", "quimic"),
+        ("quimioterapia", "quimioterap"), ("quimioterápicos", "quimioterap"),
+        ("quimono", "quimon"), ("quincas", "quinc"), ("quinhão", "quinha"),
+        ("quinhentos", "quinhent"), ("quinn", "quinn"), ("quino", "quin"),
+        ("quinta", "quint"), ("quintal", "quintal"), ("quintana", "quintan"),
+        ("quintanilha", "quintanilh"), ("quintão", "quinta"),
+        ("quintessência", "quintessente"), ("quintino", "quintin"),
+        ("quinto", "quint"), ("quintos", "quint"),
+        ("quintuplicou", "quintuplic"), ("quinze", "quinz"),
+        ("quinzena", "quinzen"), ("quiosque", "quiosqu"),
+        # testNormalization
+        ("Brasil", "brasil"), ("Brasília", "brasil"),
+        ("quimio5terápicos", "quimio5terapicos"), ("áá", "áá"),
+        ("ááá", "aaa"),
+    ],
+)
+def test_brazilian_stem(word, stem):
+    from lucene_spark.analysis.br import brazilian_term
+
+    # brazilian_term keeps the original when the stemmer declines (short
+    # tokens), matching BrazilianStemFilter's keyword/null contract
+    assert brazilian_term(word.lower(), None) == stem.lower() or \
+        brazilian_term(word, None) == stem
+
+
+def test_brazilian_chain_with_stopwords():
+    from lucene_spark.analysis.br import (
+        BRAZILIAN_STOP_WORDS,
+        brazilian_analyze,
+    )
+
+    # "como" is a stopword (br/stopwords.txt)
+    got = [
+        (t.term, t.position)
+        for t in brazilian_analyze("como boataria quilate", BRAZILIAN_STOP_WORDS)
+    ]
+    assert got == [("boat", 1), ("quilat", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Catalan (ca/CatalanAnalyzer.java — elision {d,l,m,n,s,t} + lowercase +
+# stop + snowball Catalan; vectors from TestCatalanAnalyzer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("llengües", "llengu"),   # TestCatalanAnalyzer.testBasics
+        ("llengua", "llengu"),
+        ("institut", "inst"),     # testContractions (post-elision forms)
+        ("estudis", "estud"),
+        ("catalans", "catalan"),
+        ("diccionari", "diccion"),
+    ],
+)
+def test_catalan_stem(word, stem):
+    from lucene_spark.analysis.ca import catalan_stem
+
+    assert catalan_stem(word) == stem
+
+
+def test_catalan_contractions_and_stopwords():
+    from lucene_spark.analysis.ca import CATALAN_STOP_WORDS, catalan_analyze
+
+    # TestCatalanAnalyzer.testContractions: elision strips d'/l' articles;
+    # "de" is a stopword; "un" is a stopword (testBasics)
+    got = [
+        t.term
+        for t in catalan_analyze(
+            "Diccionari de l'Institut d'Estudis Catalans",
+            CATALAN_STOP_WORDS,
+        )
+    ]
+    assert got == ["diccion", "inst", "estud", "catalan"]
+    assert catalan_analyze("un", CATALAN_STOP_WORDS) == []
