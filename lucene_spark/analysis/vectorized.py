@@ -350,6 +350,14 @@ def _vocab_chain(analyzer: str):
         from .ca import catalan_term
 
         return catalan_term
+    if analyzer == "nepali":
+        from .ne import nepali_term
+
+        return nepali_term
+    if analyzer == "serbian":
+        from .sr import serbian_term
+
+        return serbian_term
     if analyzer == "hindi":
         from .hi import hindi_term
 

@@ -4960,6 +4960,53 @@ def _q_catalan_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+# Nepali chain (ne/NepaliAnalyzer.java + snowball Nepali): मित्रहरु/मित्रले/
+# मित्रलाई/मित्रको -> मित्र (the reference test's friend paradigm);
+# किताबहरु/घरमा/पानी/देशहरू keep their own stems
+_NE_LEX = [
+    "मित्रहरु", "मित्रले", "मित्रलाई", "मित्रको",
+    "किताबहरु", "घरमा", "पानी", "देशहरू",
+]
+_NE_QUERY = "मित्रहरू"  # an UNSEEN long-ū plural; category-3 हरू
+_NE_MITRA_IDXS = (0, 1, 2, 3)
+
+
+def _q_nepali_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ne", _NE_LEX, "nepali"),
+        analyzer="nepali", mode="double",
+    )
+    h = s.search(_NE_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# Serbian chain (sr/SerbianAnalyzer.java + snowball Serbian + normalization
+# filter): decimalnim/decimalni/decimalna/decimalno -> decimaln (the
+# reference test's own adjective); abdiciraće/đubrište stem per
+# TestSerbianAnalyzer.testBasics; vojnik/gradovi stay distinct
+_SR_LEX = [
+    "decimalnim", "decimalni", "decimalna", "decimalno",
+    "abdiciraće", "đubrište", "vojnik", "gradovi",
+]
+_SR_QUERY = "decimalnog"  # an UNSEEN genitive; Step_3 R1-gated delete
+_SR_DECIMALN_IDXS = (0, 1, 2, 3)
+
+
+def _q_serbian_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "sr", _SR_LEX, "serbian"),
+        analyzer="serbian", mode="double",
+    )
+    h = s.search(_SR_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Danish chain (da/DanishAnalyzer.java + snowball Danish): huset/husene ->
 # hus; bilens/bilerne -> bil; hoppen/hopperne -> hop (undouble);
 # venlige/venligst -> ven (-e / -igst then -lig)
@@ -5518,6 +5565,8 @@ def gate_queries() -> dict:
         "armenian_index": _q_armenian_stem,
         "brazilian_index": _q_brazilian_stem,
         "catalan_index": _q_catalan_stem,
+        "nepali_index": _q_nepali_stem,
+        "serbian_index": _q_serbian_stem,
         "stemmer_override_index": _q_stemmer_override,
         "simple_query_parser": _q_simple_parser,
         "add_indexes_search": _q_add_indexes,
@@ -5708,6 +5757,8 @@ def gate_oracle_sql() -> dict:
         "armenian_index": _sql_lex_stem(_HY_ARC_IDXS),
         "brazilian_index": _sql_lex_stem(_BR_BOAT_IDXS),
         "catalan_index": _sql_lex_stem(_CA_LLENGU_IDXS),
+        "nepali_index": _sql_lex_stem(_NE_MITRA_IDXS),
+        "serbian_index": _sql_lex_stem(_SR_DECIMALN_IDXS),
         "stemmer_override_index": _sql_lex_stem(_OVR_MOUS_IDXS),
         "simple_query_parser": _sql_simple_parser(),
         "add_indexes_search": _sql_or(["stream", "window"], k=100000),

@@ -91,6 +91,8 @@ from ..analysis.eu import basque_analyze, basque_terms_positions
 from ..analysis.hy import armenian_analyze, armenian_terms_positions
 from ..analysis.br import brazilian_analyze, brazilian_terms_positions
 from ..analysis.ca import catalan_analyze, catalan_terms_positions
+from ..analysis.ne import nepali_analyze, nepali_terms_positions
+from ..analysis.sr import serbian_analyze, serbian_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -187,6 +189,8 @@ _ANALYZERS: dict[str, Callable] = {
     "armenian": armenian_analyze,    # snowball Armenian stem
     "brazilian": brazilian_analyze,  # fold-diacritics + Lucene RSLP-style stem
     "catalan": catalan_analyze,      # elision + snowball Catalan stem
+    "nepali": nepali_analyze,        # digit fold + snowball Nepali stem
+    "serbian": serbian_analyze,      # snowball Serbian stem + normalization
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
 }
@@ -266,6 +270,8 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "armenian": armenian_terms_positions,
     "brazilian": brazilian_terms_positions,
     "catalan": catalan_terms_positions,
+    "nepali": nepali_terms_positions,
+    "serbian": serbian_terms_positions,
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
 }

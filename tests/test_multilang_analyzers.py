@@ -2310,3 +2310,95 @@ def test_catalan_contractions_and_stopwords():
     ]
     assert got == ["diccion", "inst", "estud", "catalan"]
     assert catalan_analyze("un", CATALAN_STOP_WORDS) == []
+
+
+# ---------------------------------------------------------------------------
+# Nepali (ne/NepaliAnalyzer.java — lowercase + digit fold + stop + snowball
+# Nepali; vectors from TestNepaliAnalyzer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("मित्र", "मित्र"),        # TestNepaliAnalyzer.testStemming
+        ("मित्रहरु", "मित्र"),
+        ("मित्रहरू", "मित्र"),     # long-ū plural (category 3)
+        ("मित्रले", "मित्र"),      # ergative ले (category 1)
+        ("मित्रको", "मित्र"),      # genitive को (category 1 case 2)
+        ("सबैको", "सबै"),          # को kept after ै? no — deleted (not ए/े)
+        ("व्यक्तिहरू", "व्यक्ति"),  # testStopwords output
+    ],
+)
+def test_nepali_stem(word, stem):
+    from lucene_spark.analysis.ne import nepali_stem
+
+    assert nepali_stem(word) == stem
+
+
+def test_nepali_chain_with_stopwords_and_digits():
+    from lucene_spark.analysis.ne import (
+        NEPALI_STOP_WORDS,
+        nepali_analyze,
+        nepali_term,
+    )
+
+    # TestNepaliAnalyzer.testStopwords: the full UDHR-ish sentence
+    got = [
+        t.term
+        for t in nepali_analyze(
+            "सबै व्यक्तिहरू जन्मजात स्वतन्त्र हुन् ती सबैको समान अधिकार"
+            " र महत्व",
+            NEPALI_STOP_WORDS,
+        )
+    ]
+    assert got == [
+        "व्यक्ति", "जन्मजात", "स्वतन्त्र", "सबै", "समान", "अधिकार", "महत्व"
+    ]
+    # testDigits: Devanagari digits fold to ASCII
+    assert nepali_term("१२३४", None) == "1234"
+
+
+# ---------------------------------------------------------------------------
+# Serbian (sr/SerbianAnalyzer.java — lowercase + stop + snowball Serbian +
+# SerbianNormalizationFilter; vectors from TestSerbianAnalyzer and
+# TestSerbianNormalizationFilter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "word,result",
+    [
+        ("abdiciraće", "abdicirac"),   # TestSerbianAnalyzer.testBasics
+        ("decimalnim", "decimaln"),
+        ("đubrište", "djubrist"),
+        ("decimalni", "decimaln"),     # testExclude
+        ("абдицираће", "abdicirac"),   # Cyrillic input through cyr_to_lat
+        ("ђубриште", "djubrist"),
+    ],
+)
+def test_serbian_stem_chain(word, result):
+    from lucene_spark.analysis.sr import serbian_term
+
+    assert serbian_term(word, None) == result
+
+
+def test_serbian_normalization_filter():
+    from lucene_spark.analysis.sr import serbian_normalize
+
+    # TestSerbianNormalizationFilter.testCyrillic / testLatin
+    assert (
+        serbian_normalize("абвгдђежзијклљмнњопрстћуфхцчџш")
+        == "abvgddjezzijklljmnnjoprstcufhccdzs"
+    )
+    assert (
+        serbian_normalize("abcčćddžđefghijklljmnnjoprsštuvzž")
+        == "abcccddzdjefghijklljmnnjoprsstuvzz"
+    )
+
+
+def test_serbian_stopwords_both_scripts():
+    from lucene_spark.analysis.sr import SERBIAN_STOP_WORDS, serbian_analyze
+
+    assert serbian_analyze("ili", SERBIAN_STOP_WORDS) == []
+    assert serbian_analyze("или", SERBIAN_STOP_WORDS) == []
