@@ -2443,6 +2443,68 @@ SELECT s.doc_id,
 FROM src s LEFT JOIN agg a USING (doc_id)"""
 
 
+# deterministic 3-sentence page per doc (SQL shared VERBATIM with the
+# oracle). Which sentence carries the matched terms — and how often —
+# varies by doc_id, so every formatter rule fires somewhere: passage
+# ranking by the PassageScorer formula (sentence 2 beats sentence 3 beats
+# sentence 1 in the all-true class), the "... " ellipsis when the chosen
+# passages are not adjacent, the trailing-space passage join, and the
+# first-sentence fallback for no-match docs.
+_HL_SYNTH = """concat_ws(' ',
+  CASE WHEN doc_id % 2 = 0 THEN 'alpha beta stream gamma.'
+       ELSE 'alpha beta gamma delta.' END,
+  CASE WHEN doc_id % 3 = 0 THEN 'the stream window pair appears here.'
+       ELSE 'nothing of note here.' END,
+  CASE WHEN doc_id % 5 < 2 THEN 'stream stream closing line.'
+       ELSE 'calm closing line.' END)"""
+
+
+def _q_highlight(spark, sf_dir):
+    """UnifiedHighlighter best-passage snippets (search/highlight.py —
+    PassageScorer.java formulas + DefaultPassageFormatter rules), over the
+    searcher-less entry point (UnifiedHighlighter.highlightWithoutSearcher):
+    matched terms {stream, window}, top-2 passages. The oracle bakes the
+    hand-derived expected snippet per doc_id class (the PassageScorer
+    arithmetic is replayed against the reference formulas in
+    tests/test_highlight.py)."""
+    from .analysis.tokenizer import analyze
+    from .search.highlight import highlight_docs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.expr(_HL_SYNTH).alias("text"))
+    )
+    return highlight_docs(
+        docs, {"stream", "window"}, lambda t: analyze(t), max_passages=2
+    ).orderBy("doc_id")
+
+
+def _sql_highlight() -> str:
+    # expected snippets per (doc_id%2, doc_id%3, doc_id%5) class, derived
+    # from the PassageScorer/DefaultPassageFormatter contracts (e.g. in the
+    # all-true class the scores are S2=2.2617 > S3=0.9142 > S1=0.7718)
+    return f"""WITH src AS (
+  SELECT doc_id, {_HL_SYNTH} AS text FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 3 = 0 AND doc_id % 5 < 2
+      THEN 'the <b>stream</b> <b>window</b> pair appears here. <b>stream</b> <b>stream</b> closing line.'
+    WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+      THEN 'alpha beta <b>stream</b> gamma. the <b>stream</b> <b>window</b> pair appears here. '
+    WHEN doc_id % 2 = 0 AND doc_id % 5 < 2
+      THEN 'alpha beta <b>stream</b> gamma. ... <b>stream</b> <b>stream</b> closing line.'
+    WHEN doc_id % 2 = 0
+      THEN 'alpha beta <b>stream</b> gamma. '
+    WHEN doc_id % 3 = 0
+      THEN 'the <b>stream</b> <b>window</b> pair appears here. '
+    WHEN doc_id % 5 < 2
+      THEN '<b>stream</b> <b>stream</b> closing line.'
+    ELSE 'alpha beta gamma delta.'
+  END AS snippet
+FROM src"""
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII ops over the corpus with synthetic per-doc PII appended (the
     word-soup fixture has none); the oracle appends the identical suffix
@@ -5634,6 +5696,7 @@ def gate_queries() -> dict:
         "repetition_stats": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "c4_line_clean": _q_c4_line_clean,
+        "highlight_unified": _q_highlight,
         "doc_fingerprints": _q_fingerprint,
         "simsearch_cosine": _q_simsearch,
         "knn_filtered": _q_knn_filtered,
@@ -5824,6 +5887,7 @@ def gate_oracle_sql() -> dict:
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _sql_pii_scrub(),
         "c4_line_clean": _sql_c4_line_clean(),
+        "highlight_unified": _sql_highlight(),
         "doc_fingerprints": _SQL_FINGERPRINT,
         "simsearch_cosine": _SQL_SIMSEARCH,
         "knn_filtered": _SQL_KNN_FILTERED,

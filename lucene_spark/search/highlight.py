@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PassageScorer", "highlight_text", "highlight_hits"]
+__all__ = ["PassageScorer", "highlight_text", "highlight_hits", "highlight_docs"]
 
 _SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$", re.S)
 
@@ -162,6 +162,45 @@ def highlight_text(
         parts.append(text[pos:max(pos, e)])
         pos = e
     return "".join(parts)
+
+
+def highlight_docs(
+    docs: DataFrame,
+    terms: set[str],
+    analyzer,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_passages: int = 3,
+    **kw,
+) -> DataFrame:
+    """Highlight every row of ``docs`` for a fixed matched-term set — the
+    searcher-less entry point (UnifiedHighlighter.highlightWithoutSearcher,
+    uhighlight/UnifiedHighlighter.java:501): no hit list, no index; the
+    caller supplies the expanded term set. A map-only Arrow-batched
+    mapInPandas over the source scan — snippets are built where the text
+    lives, no shuffle, no driver text processing."""
+    tset = set(terms)
+    mp = max_passages
+
+    def snip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "snippet": [
+                        highlight_text(
+                            txt or "", tset, analyzer, max_passages=mp, **kw
+                        )
+                        for txt in pdf[text_col]
+                    ],
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        snip, schema=f"{id_col} {id_type}, snippet string"
+    )
 
 
 def highlight_hits(

@@ -124,3 +124,27 @@ def test_distributed_highlight(spark, tmp_path_factory):
 
         for m in re.finditer(r"<b>(.*?)</b>", snip):
             assert m.group(1).lower() in ("w0001", "w0002")
+
+
+def test_highlight_docs_searcherless(spark):
+    from lucene_spark.search.highlight import highlight_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. delta alpha here."),
+            (2, "no match in this one. second sentence."),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_docs(
+            docs, {"alpha", "delta"}, lambda t: analyze(t), max_passages=2
+        ).collect()
+    }
+    assert out[1] == "<b>alpha</b> beta gamma. <b>delta</b> <b>alpha</b> here."
+    # no-match fallback: first sentence verbatim
+    assert out[2] == "no match in this one."
+    # empty/null text -> None snippet
+    assert out[3] is None
