@@ -1379,6 +1379,8 @@ _SIM_MODE_DOC = {
     "indri_dirichlet": "Indri Dirichlet mu=2000 "
     "(similarities/IndriDirichletSimilarity.java) — negative "
     "log-probability scores rank correctly (top-k θ starts at −inf)",
+    "sweet_spot": "SweetSpotSimilarity plateau 40..120/steep 0.5, baselineTf "
+    "base 1.5/min 2 (misc/SweetSpotSimilarity.java:111-148)",
 }
 
 
@@ -1408,6 +1410,19 @@ def _sim_term_cte(mode: str, name: str, term: str) -> str:
         score = (
             "((ln((s.n_docs::DOUBLE + 1.0) / (d.df::DOUBLE + 1.0)) + 1.0)"
             " * sqrt(tf.freq::DOUBLE) * (1.0 / sqrt(qdl.qdl::DOUBLE)))"
+        )
+    elif mode == "sweet_spot":
+        tf = (
+            "(CASE WHEN tf.freq::DOUBLE <= 2.0 THEN 1.5"
+            " ELSE sqrt(tf.freq::DOUBLE + (1.5 * 1.5) - 2.0) END)"
+        )
+        norm = (
+            "(1.0 / sqrt((0.5 * ((abs(qdl.qdl::DOUBLE - 40.0)"
+            " + abs(qdl.qdl::DOUBLE - 120.0)) - 80.0)) + 1.0))"
+        )
+        score = (
+            "((ln((s.n_docs::DOUBLE + 1.0) / (d.df::DOUBLE + 1.0)) + 1.0)"
+            f" * {tf} * {norm})"
         )
     elif mode == "dfr_gb2":
         lam = "((d.ttf::DOUBLE + 1.0) / (s.n_docs::DOUBLE + (d.ttf::DOUBLE + 1.0)))"
@@ -5577,6 +5592,7 @@ def gate_queries() -> dict:
         "axiomatic_f2exp_topk": _make_q_similarity("axiomatic_f2exp"),
         "indri_dirichlet_topk": _make_q_similarity("indri_dirichlet"),
         "multi_sim_topk": _make_q_similarity("multi_bm25_classic"),
+        "sweet_spot_topk": _make_q_similarity("sweet_spot"),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
@@ -5770,6 +5786,7 @@ def gate_oracle_sql() -> dict:
         "multi_sim_topk": _sql_similarity(
             "multi_bm25_classic", ["stream", "window"]
         ),
+        "sweet_spot_topk": _sql_similarity("sweet_spot", ["stream", "window"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),

@@ -191,6 +191,7 @@ DOUBLE_MODES = frozenset(
         "lm_jelinek_mercer",
         "boolean",
         "classic",
+        "sweet_spot",
         "dfr_gb2",
         "ib_ll",
         "dfi_chi2",
@@ -244,6 +245,94 @@ def _classic_norm_table() -> np.ndarray:
         norm = 1.0 / np.sqrt(lens)
     norm[0] = 1.0 / norm[255]  # TFIDFSimilarity.java:447
     return norm
+
+
+#: the engine's configured sweet spot (setLengthNormFactors /
+#: setBaselineTfFactors): plateau 40..120 terms (norm 1.0 inside, sqrt
+#: falloff outside, steepness 0.5) and a floored tf (freq ≤ 2 → 1.5) —
+#: fixed at module level like the LM μ/λ constants, since similarities
+#: here are keyed by mode string
+SWEET_SPOT_FACTORS = dict(
+    ln_min=40, ln_max=120, ln_steep=0.5, tf_base=1.5, tf_min=2.0
+)
+
+
+@dataclass(frozen=True)
+class SweetSpotScorer:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:34-176) — the
+    ClassicSimilarity variant with a length-norm PLATEAU and a floored tf:
+
+        lengthNorm(x) = 1/sqrt(steep·(|x−min| + |x−max| − (max−min)) + 1)
+                        (SweetSpotSimilarity.lengthNorm, :111-120; == 1.0
+                         for min ≤ x ≤ max, sqrt falloff outside)
+        baselineTf(f) = 0 if f == 0; tf_base if f ≤ tf_min;
+                        sqrt(f + tf_base² − tf_min) otherwise (:143-148)
+        score = boost · idf · baselineTf(freq) · normTable[dl_byte]
+        idf   = ln((docCount + 1) / (docFreq + 1)) + 1   (ClassicSimilarity)
+
+    normTable follows TFIDFSimilarity.scorer (TFIDFSimilarity.java:442-447):
+    table[i≥1] = lengthNorm(decoded length), table[0] = 1/table[255].
+    Reference defaults (ln 1/1/0.5, tf 0/0) degrade to Classic exactly.
+
+    lengthNorm is NOT monotone in dl (it rises toward the plateau from
+    below), so ``max_score`` bounds with the table's global max instead of
+    trusting the skyline's norm ordering — a valid, slightly loose bound
+    that keeps block-max pruning safe for any plateau."""
+
+    weight: float
+    tf_base: float
+    tf_min: float
+    cache: np.ndarray       # float64[256]: plateau normTable
+    cache_max: float
+
+    @classmethod
+    def create(
+        cls,
+        doc_freq: int,
+        doc_count: int,
+        boost: float = 1.0,
+        *,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        ln_steep: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+    ):
+        idf = np.log((doc_count + 1.0) / (doc_freq + 1.0)) + 1.0
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        norm = 1.0 / np.sqrt(
+            (ln_steep * ((np.abs(lens - ln_min) + np.abs(lens - ln_max)) - (ln_max - ln_min)))
+            + 1.0
+        )
+        norm[0] = 1.0 / norm[255]  # TFIDFSimilarity.java:447
+        return cls(
+            weight=float(boost * idf),
+            tf_base=float(tf_base),
+            tf_min=float(tf_min),
+            cache=norm,
+            cache_max=float(norm.max()),
+        )
+
+    def _tf(self, freqs: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        out = np.where(
+            f <= self.tf_min,
+            self.tf_base,
+            np.sqrt(f + (self.tf_base * self.tf_base) - self.tf_min),
+        )
+        return np.where(f == 0.0, 0.0, out)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        return (
+            self.weight
+            * self._tf(freqs)
+            * self.cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        )
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float((self.weight * self._tf(impacts[:, 0])).max() * self.cache_max)
 
 
 @dataclass(frozen=True)
@@ -552,6 +641,10 @@ def make_term_scorer(
         return BooleanScorer(weight=float(boost))
     if mode == "classic":
         return ClassicScorer.create(max(doc_freq, 1), doc_count, boost=boost)
+    if mode == "sweet_spot":
+        return SweetSpotScorer.create(
+            max(doc_freq, 1), doc_count, boost=boost, **SWEET_SPOT_FACTORS
+        )
     if mode == "dfr_gb2":
         return DFRGB2Scorer.create(
             doc_freq, ttf, doc_count, max(sum_ttf, 1), boost=boost
@@ -610,6 +703,20 @@ def make_phrase_scorer(
         )
         return ClassicScorer(
             weight=float(boost * idf_sum), cache=_classic_norm_table()
+        )
+    if mode == "sweet_spot":
+        # TFIDFSimilarity semantics: one summed idf over the termStats[]
+        idf_sum = sum(
+            np.log((doc_count + 1.0) / (df + 1.0)) + 1.0
+            for df in per_term_doc_freqs
+        )
+        proto = SweetSpotScorer.create(1, doc_count, **SWEET_SPOT_FACTORS)
+        return SweetSpotScorer(
+            weight=float(boost * idf_sum),
+            tf_base=proto.tf_base,
+            tf_min=proto.tf_min,
+            cache=proto.cache,
+            cache_max=proto.cache_max,
         )
     if mode == "multi_bm25_classic":
         # each wrapped similarity handles the multi-term stats its own way

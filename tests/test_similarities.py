@@ -93,6 +93,13 @@ def _expected(mode, toks, dm, term):
         elif mode == "indri_dirichlet":
             cp = ttf / sum_ttf
             sc = np.log((f + 2000.0 * cp) / (dl + 2000.0))
+        elif mode == "sweet_spot":
+            idf = np.log((n + 1.0) / (df + 1.0)) + 1.0
+            tf = 1.5 if f <= 2.0 else np.sqrt(f + (1.5 * 1.5) - 2.0)
+            norm = 1.0 / np.sqrt(
+                (0.5 * ((abs(dl - 40) + abs(dl - 120)) - 80)) + 1.0
+            )
+            sc = idf * tf * norm
         elif mode == "multi_bm25_classic":
             idf_b = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
             tfp = 1.0 + f * (
@@ -116,6 +123,7 @@ MODES = [
     "axiomatic_f2exp",
     "indri_dirichlet",
     "multi_bm25_classic",
+    "sweet_spot",
 ]
 
 
@@ -158,3 +166,33 @@ def test_indri_scores_are_negative(spark, idx, model):
     s = Searcher(spark, idx, stopwords=STOP, mode="indri_dirichlet")
     rows = s.search("w0001", k=10).collect()
     assert rows and all(r["score"] < 0.0 for r in rows)
+
+
+def test_sweet_spot_plateau_and_classic_degrade():
+    """lengthNorm == 1.0 across the plateau; the reference defaults
+    (ln 1/1/0.5, tf 0/0) reproduce ClassicSimilarity exactly
+    (SweetSpotSimilarity.java:105 'degrades to 1/sqrt(x)')."""
+    from lucene_spark.search.scorers import (
+        ClassicScorer,
+        SweetSpotScorer,
+        SWEET_SPOT_FACTORS,
+    )
+
+    ss = SweetSpotScorer.create(5, 100, **SWEET_SPOT_FACTORS)
+    for dl in (40, 64, 100, 120):
+        b = int(int_to_byte4(np.array([dl]))[0])
+        assert ss.cache[b] == 1.0, dl
+    # outside the plateau the norm falls off and is < 1
+    lo = int(int_to_byte4(np.array([4]))[0])
+    hi = int(int_to_byte4(np.array([4000]))[0])
+    assert ss.cache[lo] < 1.0 and ss.cache[hi] < 1.0
+    # floored tf: freq <= 2 -> 1.5; continuous ramp after
+    assert list(ss._tf(np.array([0.0, 1.0, 2.0]))) == [0.0, 1.5, 1.5]
+    assert ss._tf(np.array([3.0]))[0] == pytest.approx(np.sqrt(3.25))
+    # Lucene defaults degrade to Classic (same norm table, same tf)
+    dflt = SweetSpotScorer.create(5, 100)
+    cls = ClassicScorer.create(5, 100)
+    assert np.allclose(dflt.cache, cls.cache)
+    assert dflt.weight == cls.weight
+    f = np.array([1.0, 2.0, 7.0])
+    assert np.allclose(dflt._tf(f), np.sqrt(f))
