@@ -3530,6 +3530,34 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+def _q_distance_feature(spark, sf_dir, k: int = 10):
+    """DistanceFeatureQuery (document/LongDistanceFeatureQuery.java:266):
+    BM25 for 'stream' + 2·(10 / (10 + |prio − 100|)) over the stored
+    'prio' doc-value — the boost-by-proximity SHOULD pattern."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.distance_feature("stream", "prio", origin=100.0, pivot=10.0,
+                             weight=2.0, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_distance_feature(term: str = "stream", k: int = 10) -> str:
+    feat = (
+        "(2.0 * (10.0 / (10.0 + abs(((s_a.doc_id * 37) % 211)::DOUBLE"
+        " - 100.0))))"
+    )
+    inner = f"SELECT s_a.doc_id, (s_a.score + {feat}) AS score FROM s_a"
+    return f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', term)} " + _topk_wrap(
+        inner, k
+    )
+
+
 # the Lucene-expressions source for the expression_score gate row: exercises
 # ternary + comparison + ln + arithmetic; compiled ONCE and bound per engine
 # (expressions.py emits the identical SQL tree for Spark and DuckDB)
@@ -5729,6 +5757,7 @@ def gate_queries() -> dict:
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
         "function_score_dv": _q_function_score_dv,
+        "distance_feature_rank": _q_distance_feature,
         "expression_score": _q_expression_score,
         "term_automaton": _q_term_automaton,
         "synonym_graph_query": _q_synonym_graph,
@@ -5921,6 +5950,7 @@ def gate_oracle_sql() -> dict:
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
         "function_score_dv": _sql_function_score_dv(),
+        "distance_feature_rank": _sql_distance_feature(),
         "expression_score": _sql_expression_score(),
         "term_automaton": _sql_term_automaton(),
         "synonym_graph_query": _sql_synonym_graph(),

@@ -993,6 +993,40 @@ class Searcher:
             .limit(k)
         )
 
+    def distance_feature(
+        self,
+        query,
+        field: str,
+        origin: float,
+        pivot: float,
+        weight: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """DistanceFeatureQuery over a numeric doc-value
+        (document/LongDistanceFeatureQuery.java:121,265-266, built by
+        LongField.newDistanceFeatureQuery): the feature clause scores
+
+            weight · pivot / (pivot + |value − origin|)
+
+        and is combined as the canonical BooleanQuery SHOULD next to the
+        matching ``query`` (the boost-by-recency/proximity pattern), so a
+        hit's score is ``query_score + feature``; a doc missing the
+        doc-value gets no feature contribution (the SHOULD simply doesn't
+        match, LongDistanceFeatureQuery's DocValuesIterator skip).
+
+        Lucene prunes via point-tree distance buckets; here the feature is
+        one whole-stage-codegen expression over the docmap join the scoring
+        already pays, and ranking by the combined score is
+        exhaustive-then-top-k like function_score."""
+        if not (pivot > 0):
+            raise ValueError(f"pivotDistance must be > 0, got {pivot}")
+        expr = (
+            f"score + coalesce({float(weight)!r} * ({float(pivot)!r}"
+            f" / ({float(pivot)!r} + abs(dv['{field}'] - {float(origin)!r})))"
+            ", 0.0)"
+        )
+        return self.function_score(query, expr, k=k)
+
     def expression_score(
         self,
         query,

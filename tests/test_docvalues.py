@@ -159,3 +159,38 @@ def test_index_without_dv_reads_null(spark, corpus, tmp_path):
     s = Searcher(spark, d, analyzer="simple", mode="double")
     rows = s.search_sorted_by("w0001", sort_col="dv:rank", k=5).collect()
     assert all(r["dv_rank"] is None for r in rows)
+
+
+def test_distance_feature_combines_and_skips_missing(spark, corpus, index_dir):
+    """DistanceFeatureQuery as the SHOULD clause: score = query score +
+    weight*pivot/(pivot+|dv-origin|); docs with no doc-value get no
+    feature contribution (LongDistanceFeatureQuery's dv-iterator skip)."""
+    s = Searcher(spark, index_dir, analyzer="simple", mode="double")
+    base = {
+        r["docid"]: r["score"] for r in s.search_all("w0001").collect()
+    }
+    dm = {
+        r["docid"]: r["url"]
+        for r in s._docmap_global().select("docid", "url").collect()
+    }
+    url_rank = {
+        r["url"]: (None if i % 7 == 0 else float((i * 13) % 101))
+        for i, r in enumerate(corpus)
+    }
+    exp = {}
+    for d, sc in base.items():
+        rank = url_rank[dm[d]]
+        feat = 0.0 if rank is None else 3.0 * (20.0 / (20.0 + abs(rank - 50.0)))
+        exp[d] = sc + feat
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["docid"], r["score"])
+        for r in s.distance_feature(
+            "w0001", "rank", origin=50.0, pivot=20.0, weight=3.0, k=10
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (gd, gs), (ed, es) in zip(got, top):
+        assert gs == pytest.approx(es, abs=1e-9)
+    with pytest.raises(ValueError):
+        s.distance_feature("w0001", "rank", origin=0.0, pivot=0.0)
