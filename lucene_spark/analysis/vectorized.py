@@ -471,6 +471,21 @@ def analyze_batch(
             ),
             distinct_positions=True,
         )
+    if analyzer == "double_metaphone":
+        # each term emits its primary code plus (when different) the
+        # alternate code stacked at posIncrement 0
+        # (DoubleMetaphoneFilter.java:75-88) — 1-2 tokens per input term is
+        # outside the single-string vocab-chain contract, and doc length
+        # counts DISTINCT positions (discountOverlaps)
+        from .metaphone import double_metaphone_analyze as _dm_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _dm_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+            distinct_positions=True,
+        )
     if analyzer == "turkish":
         # the dotted/dotless-i rules read the ORIGINAL case (İSTANBUL →
         # istanbul but ISPARTA → ısparta) — per-document original-case lane

@@ -4360,6 +4360,19 @@ _CV_QUERY = "stefanson"  # an UNSEEN spelling; encodes to STFNSN1111 too
 _CV_STFNSN_IDXS = (0, 1)
 
 
+# Double Metaphone (commons-codec DoubleMetaphone via DoubleMetaphoneFilter,
+# Philips 2000): miller/muller -> MLR; taylor/tailor -> TLR;
+# baker/becker -> PKR; carter/karter -> KRTR — every lexicon word's primary
+# code EQUALS its alternate, so exactly one token per word (the differing-
+# alternate posIncr-0 stack is exercised by tests/test_metaphone.py instead)
+_DM_LEX = [
+    "miller", "muller", "taylor", "tailor",
+    "baker", "becker", "carter", "karter",
+]
+_DM_QUERY = "mealer"  # an UNSEEN spelling; encodes to MLR too
+_DM_MLR_IDXS = (0, 1)
+
+
 # NYSIIS (commons-codec Nysiis via PhoneticFilter, Taft 1970):
 # john/jon -> JAN; knight/night -> NAGT; brown/braun -> BRAN;
 # phillips/filips -> FALAP
@@ -4379,6 +4392,18 @@ _KP_LEX = [
 ]
 _KP_QUERY = "mueller"  # an UNSEEN spelling; encodes to 657 too
 _KP_657_IDXS = (0, 1)
+
+
+def _q_double_metaphone(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "dm", _DM_LEX, "double_metaphone"),
+        analyzer="double_metaphone", mode="double",
+    )
+    h = s.search(_DM_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def _q_nysiis(spark, sf_dir, k: int = 100000):
@@ -5649,6 +5674,7 @@ def gate_queries() -> dict:
         "persian_norm_index": _q_persian_norm,
         "refined_soundex_index": _q_refined_soundex,
         "nysiis_index": _q_nysiis,
+        "double_metaphone_index": _q_double_metaphone,
         "cologne_index": _q_cologne,
         "caverphone2_index": _q_caverphone2,
         "common_grams_index": _q_common_grams,
@@ -5844,6 +5870,7 @@ def gate_oracle_sql() -> dict:
         "persian_norm_index": _sql_lex_stem(_FA_KETAB_IDXS),
         "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
         "nysiis_index": _sql_lex_stem(_NY_JAN_IDXS),
+        "double_metaphone_index": _sql_lex_stem(_DM_MLR_IDXS),
         "cologne_index": _sql_lex_stem(_KP_657_IDXS),
         "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
         "common_grams_index": _sql_lex_gram(0),

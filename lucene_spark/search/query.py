@@ -753,6 +753,13 @@ def _make_word_leaf(text: str, analyzer, fmap=None) -> object:
         return MatchNoDocsQuery()
     if len(toks) == 1:
         return boosted(TermQuery(key(field, toks[0].term)), boost)
+    if len({t.position for t in toks}) == 1:
+        # a same-position stack (e.g. a phonetic filter's differing
+        # primary/alternate codes) is a synonym expansion, not a phrase —
+        # QueryBuilder.analyzeTerm/analyzeBoolean (util/QueryBuilder.java)
+        return boosted(
+            SynonymQuery(tuple(key(field, t.term) for t in toks)), boost
+        )
     return boosted(PhraseQuery(tuple(key(field, t.term) for t in toks)), boost)
 
 
