@@ -5602,6 +5602,40 @@ def _q_bm25f(spark, sf_dir):
     )
 
 
+def _q_common_terms(spark, sf_dir, k: int = 10):
+    """CommonTermsQuery: dup/line classify low-freq (df ≤ ceil(.76·N)),
+    scan classifies high-freq (df > ceil(.76·N)) at both gate SFs — low
+    group is required, high group boosts (CommonTermsQuery.java:176-205)."""
+    s = _searcher(spark, sf_dir)
+    q = s.common_terms_query("dup line scan", max_term_frequency=0.76)
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_common_terms(k: int = 10) -> str:
+    ctes = ", ".join(
+        [
+            _term_scores_cte("s_d", "dup"),
+            _term_scores_cte("s_l", "line"),
+            _term_scores_cte("s_h", "scan"),
+        ]
+    )
+    # engine order: outer ((0 + lowGroup) + highGroup); lowGroup is its own
+    # ((0 + dup) + line) accumulation; the single-clause high group is
+    # (0 + scan)
+    inner = """SELECT doc_id,
+       ((0.0 + low.score) + coalesce((0.0 + s_h.score), 0.0)) AS score
+  FROM (
+    SELECT doc_id,
+           ((0.0 + coalesce(s_d.score, 0.0)) + coalesce(s_l.score, 0.0)) AS score
+    FROM s_d FULL JOIN s_l USING (doc_id)
+  ) low LEFT JOIN s_h USING (doc_id)"""
+    return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5714,6 +5748,7 @@ def gate_queries() -> dict:
         "bm25_field_term": _mk_mf_topk(lambda s: "title:stream"),
         "bm25_multifield_bool": _mk_mf_topk(lambda s: "title:data OR merge"),
         "bm25f_combined": _q_bm25f,
+        "common_terms_rank": _q_common_terms,
         "field_exists": _mk_mf_topk(lambda s: "_exists_:title", k=30),
         "feature_rank": _q_feature_rank,
         "sort_by_field": _q_sort_by_field,
@@ -5909,6 +5944,7 @@ def gate_oracle_sql() -> dict:
         "bm25_field_term": _sql_field_term("stream"),
         "bm25_multifield_bool": _sql_multifield_bool("data", "merge"),
         "bm25f_combined": _sql_bm25f(["stream", "merge"], w_body=1.0, w_title=2.0),
+        "common_terms_rank": _sql_common_terms(),
         "field_exists": _sql_field_exists(k=30),
         "feature_rank": _sql_feature_rank("stream", weight=1.5, pivot=45.0),
         "sort_by_field": _SQL_SORT_BY_FIELD,

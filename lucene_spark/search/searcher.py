@@ -71,6 +71,7 @@ from .query import (
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
+    boosted,
     collect_terms,
     contains_block_join,
     parse_query,
@@ -296,6 +297,83 @@ class Searcher:
             terms, rules, keep_original=keep_original, max_paths=max_paths
         )
         return TermAutomatonQuery(paths=paths, boost=boost)
+
+    def common_terms_query(
+        self,
+        text: str,
+        max_term_frequency: float = 0.01,
+        low_freq_occur: str = "should",
+        high_freq_occur: str = "should",
+        low_freq_min_should_match: float = 0.0,
+        high_freq_min_should_match: float = 0.0,
+        low_freq_boost: float = 1.0,
+        high_freq_boost: float = 1.0,
+    ):
+        """CommonTermsQuery (queries/src/java/org/apache/lucene/queries/
+        CommonTermsQuery.java:105-205): classify each analyzed term by its
+        ACTUAL docFreq — high-frequency iff ``df > maxTermFrequency`` (when
+        ≥1, an absolute count) or ``df > ceil(maxTermFrequency * maxDoc)``
+        — then score low-freq terms as a required clause and high-freq
+        terms as an optional boost, so stopword-like terms never gate
+        recall but still contribute. Single term → plain TermQuery; all
+        terms high-freq → the high-freq group becomes MUST (the
+        slow-query guard, CommonTermsQuery.java:176-182)."""
+        import math
+
+        terms = [t.term for t in self._analyzer(text)]
+        if not terms:
+            return MatchNoDocsQuery()
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        stats = self._cached_term_stats(terms)
+        max_doc = self.reader.global_stats[0]
+        # (int) Math.ceil(maxTermFrequency * (float) maxDoc) — float32 mul
+        cutoff = int(
+            math.ceil(float(np.float32(max_term_frequency) * np.float32(max_doc)))
+        )
+        low, high = [], []
+        for t in terms:
+            df = stats[t][0]
+            if (max_term_frequency >= 1.0 and df > max_term_frequency) or (
+                df > cutoff
+            ):
+                high.append(TermQuery(t))
+            else:
+                low.append(TermQuery(t))
+
+        def _msm(v: float, n_opt: int) -> int:
+            if v >= 1.0 or v == 0.0:
+                return int(v)
+            return int(math.floor(v * n_opt + 0.5))  # Java Math.round
+
+        low_msm = (
+            _msm(low_freq_min_should_match, len(low))
+            if low_freq_occur == "should" and low
+            else 0
+        )
+        high_msm = (
+            _msm(high_freq_min_should_match, len(high))
+            if high_freq_occur == "should" and high
+            else 0
+        )
+        if not low and high_msm == 0 and high_freq_occur != "must":
+            high_freq_occur = "must"  # conjunction guard
+        must, should = [], []
+        if low:
+            grp = (
+                BooleanQuery(must=tuple(low))
+                if low_freq_occur == "must"
+                else BooleanQuery(should=tuple(low), min_should_match=low_msm)
+            )
+            must.append(boosted(grp, low_freq_boost))
+        if high:
+            grp = (
+                BooleanQuery(must=tuple(high))
+                if high_freq_occur == "must"
+                else BooleanQuery(should=tuple(high), min_should_match=high_msm)
+            )
+            should.append(boosted(grp, high_freq_boost))
+        return BooleanQuery(must=tuple(must), should=tuple(should))
 
     def combined_field_query(
         self,
