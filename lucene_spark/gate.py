@@ -1996,6 +1996,98 @@ def _q_group_topk_lang(spark, sf_dir):
     )
 
 
+def _q_diversified(spark, sf_dir, k: int = 10, max_per_key: int = 2):
+    from .search.grouping import diversified_topk
+
+    hits = _hits(spark, sf_dir, "merge", k=_ALL_K)
+    keys = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = diversified_topk(hits, keys, "lang", k=k, max_per_key=max_per_key)
+    return out.select(
+        "doc_id", "lang", "rank", F.round("score", 4).alias("score")
+    )
+
+
+_SQL_DIVERSIFIED = (
+    f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
+    """
+SELECT doc_id, lang, rank, round(score, 4) AS score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT s_a.doc_id, d.lang, s_a.score,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY s_a.score DESC, s_a.doc_id ASC) AS rk
+    FROM s_a JOIN documents d USING (doc_id)
+  ) WHERE rk <= 2
+) WHERE rank <= 10"""
+)
+
+
+def _q_group_heads(spark, sf_dir):
+    from .search.grouping import all_group_heads
+
+    hits = _hits(spark, sf_dir, "merge", k=_ALL_K)
+    keys = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = all_group_heads(hits, keys, "lang")
+    return out.select("lang", "doc_id", F.round("score", 4).alias("score"))
+
+
+_SQL_GROUP_HEADS = (
+    f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
+    """
+SELECT lang, doc_id, round(score, 4) AS score FROM (
+  SELECT d.lang, s_a.doc_id, s_a.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s_a.score DESC, s_a.doc_id ASC) AS rk
+  FROM s_a JOIN documents d USING (doc_id)
+) WHERE rk = 1"""
+)
+
+
+def _q_all_groups(spark, sf_dir):
+    from .search.grouping import all_groups_count
+
+    hits = _hits(spark, sf_dir, "merge", k=_ALL_K)
+    keys = _docs(spark, sf_dir).select("doc_id", "lang")
+    return all_groups_count(hits, keys, "lang")
+
+
+_SQL_ALL_GROUPS = (
+    f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
+    """
+SELECT d.lang, count(*)::BIGINT AS n_hits
+FROM s_a JOIN documents d USING (doc_id) GROUP BY d.lang"""
+)
+
+
+def _q_distinct_values(spark, sf_dir):
+    from .search.grouping import distinct_values_counts
+
+    hits = _hits(spark, sf_dir, "merge", k=_ALL_K)
+    docs = _docs(spark, sf_dir)
+    return distinct_values_counts(
+        hits,
+        docs.select("doc_id", "lang"),
+        "lang",
+        docs.select("doc_id", "source"),
+        "source",
+        top_groups=3,
+    )
+
+
+_SQL_DISTINCT_VALUES = (
+    f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
+    """
+SELECT lang, n_distinct FROM (
+  SELECT d.lang,
+         count(DISTINCT d.source)::BIGINT AS n_distinct,
+         max(s_a.score) AS head,
+         row_number() OVER (ORDER BY max(s_a.score) DESC, d.lang ASC) AS rk
+  FROM s_a JOIN documents d USING (doc_id) GROUP BY d.lang
+) WHERE rk <= 3"""
+)
+
+
 _SQL_GROUP_TOPK_LANG = (
     f"WITH {_BASE_CTES}, {_term_scores_cte('s_a', 'merge')} "
     """
@@ -5777,6 +5869,10 @@ def gate_queries() -> dict:
         "facet_drill_sideways": _q_facet_drill_sideways,
         "facet_taxonomy": _q_facet_taxonomy,
         "group_topk_lang": _q_group_topk_lang,
+        "diversified_topk": _q_diversified,
+        "group_heads": _q_group_heads,
+        "all_groups_count": _q_all_groups,
+        "group_distinct_counts": _q_distinct_values,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_chunks": _q_dedup_chunks,
@@ -5973,6 +6069,10 @@ def gate_oracle_sql() -> dict:
         "facet_drill_sideways": _sql_drill_sideways(),
         "facet_taxonomy": _sql_facet_taxonomy(),
         "group_topk_lang": _SQL_GROUP_TOPK_LANG,
+        "diversified_topk": _SQL_DIVERSIFIED,
+        "group_heads": _SQL_GROUP_HEADS,
+        "all_groups_count": _SQL_ALL_GROUPS,
+        "group_distinct_counts": _SQL_DISTINCT_VALUES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_chunks": _SQL_DEDUP_CHUNKS,
         "url_dedup": _SQL_URL_DEDUP,
