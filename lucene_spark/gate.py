@@ -1673,6 +1673,19 @@ def _q_term_stats(spark, sf_dir):
 _SQL_TERM_STATS = f"WITH {_BASE_CTES} SELECT term, df, ttf FROM dft"
 
 
+def _q_high_freq_terms(spark, sf_dir, k: int = 15):
+    from .search.misc import high_freq_terms
+
+    s = _searcher(spark, sf_dir)
+    return high_freq_terms(s.reader, k=k, by="ttf")
+
+
+_SQL_HIGH_FREQ_TERMS = (
+    f"WITH {_BASE_CTES} "
+    "SELECT term, df, ttf FROM dft ORDER BY ttf DESC, term ASC LIMIT 15"
+)
+
+
 def _q_collection_stats(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     doc_count, sum_ttf = s.reader.global_stats
@@ -3966,6 +3979,47 @@ def _q_block_join(spark, sf_dir):
     )
 
 
+def _q_parent_children(spark, sf_dir):
+    """ParentChildrenBlockJoinQuery: the 'merge'-matching children of
+    family 0's parent (docid 4 in the 4-children+parent block layout),
+    each with its own child BM25 score."""
+    from .search.query import ParentChildrenBlockJoinQuery, TermQuery
+
+    s = Searcher(
+        spark, _ensure_bj_index(spark, sf_dir), analyzer="simple", mode="double"
+    )
+    q = ParentChildrenBlockJoinQuery(
+        TermQuery("merge"), TermQuery("parentmarker"), parent_docid=4
+    )
+    return s.search(q, k=10).select(
+        F.col("docid").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _sql_parent_children(term: str = "merge", k: int = 10) -> str:
+    """Children of family 0 = doc_id 0..3 (their bj-index docids equal
+    their doc_ids); scores use the bj corpus stats (parents add G docs of
+    length 1)."""
+    idf = _idf("d.df")
+    return f"""WITH {_BASE_CTES},
+bs AS (
+  SELECT (s.n_docs + g.g)::BIGINT AS n_docs,
+         (s.sum_ttf + g.g)::DOUBLE / (s.n_docs + g.g) AS avgdl
+  FROM stats s,
+       (SELECT count(DISTINCT doc_id // 4)::BIGINT AS g FROM documents) g
+),
+es AS (
+  SELECT tf.doc_id,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf
+  JOIN qdl USING (doc_id),
+       bs s,
+       (SELECT df FROM dft WHERE term = '{term}') d
+  WHERE tf.term = '{term}' AND tf.doc_id < 4
+)
+""" + _topk_wrap("SELECT doc_id, score FROM es", k)
+
+
 def _sql_block_join(term: str = "stream", k: int = 10) -> str:
     """Mirror of the block-join gate index: the block corpus adds one
     1-token parent per family of 4 base docs, so collection stats shift to
@@ -5850,6 +5904,7 @@ def gate_queries() -> dict:
         "function_score": _q_function_score,
         "join_to_source": _q_join_max,
         "block_join_avg": _q_block_join,
+        "parent_children_join": _q_parent_children,
         "hits_count_and": _mk_count("stream AND window"),
         "hits_count_or": _mk_count("stream OR window OR batch"),
         "monitor_percolate": _q_monitor,
@@ -5861,6 +5916,7 @@ def gate_queries() -> dict:
         "geo_polygon": _q_geo_polygon,
         "geo_nearest": _q_geo_nearest,
         "term_stats": _q_term_stats,
+        "high_freq_terms": _q_high_freq_terms,
         "collection_stats": _q_collection_stats,
         "doc_lengths": _q_doc_lengths,
         "facet_lang": _q_facet_lang,
@@ -6049,6 +6105,7 @@ def gate_oracle_sql() -> dict:
         "rescore_topk": _sql_rescore(),
         "function_score": _sql_function_score(),
         "block_join_avg": _sql_block_join(),
+        "parent_children_join": _sql_parent_children(),
         "join_to_source": _sql_join_max(["stream", "window"]),
         "hits_count_and": _sql_count_and(["stream", "window"]),
         "hits_count_or": _sql_count_or(["stream", "window", "batch"]),
@@ -6061,6 +6118,7 @@ def gate_oracle_sql() -> dict:
         "geo_polygon": _sql_geo_polygon(),
         "geo_nearest": _sql_geo_nearest(),
         "term_stats": _SQL_TERM_STATS,
+        "high_freq_terms": _SQL_HIGH_FREQ_TERMS,
         "collection_stats": _SQL_COLLECTION_STATS,
         "doc_lengths": _SQL_DOC_LENGTHS,
         "facet_lang": _SQL_FACET_LANG,

@@ -1,0 +1,48 @@
+"""Index-inspection utilities (the reference's misc module tools).
+
+Behavioral reference: misc/src/java/org/apache/lucene/misc/HighFreqTerms.java:33
+— "Extracts the top n most frequent terms by document frequency", with
+``-t`` switching the order to totalTermFreq (DocFreqComparator /
+TotalTermFreqComparator, ties broken by term text). Stats aggregate across
+segments like MultiTerms does.
+
+Spark shape: one partial-aggregated groupBy over the (already tiny relative
+to postings) term-dict table, then a global top-k — a TakeOrderedAndProject,
+no full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.builder import FIELD_SEP
+
+__all__ = ["high_freq_terms"]
+
+
+def high_freq_terms(
+    reader,
+    k: int = 100,
+    by: str = "df",
+    field: str | None = None,
+) -> DataFrame:
+    """Top ``k`` terms by docFreq (``by="df"``) or totalTermFreq
+    (``by="ttf"``), ties by term ASC. ``field`` selects one field's
+    namespace on a multi-field index (None = the classic single-field
+    terms); existence/feature pseudo-terms never appear."""
+    if by not in ("df", "ttf"):
+        raise ValueError("by must be 'df' or 'ttf'")
+    td = reader.term_dict
+    if field is None:
+        td = td.filter(~F.col("term").contains(FIELD_SEP))
+    else:
+        pref = field + FIELD_SEP
+        td = td.filter(
+            F.col("term").startswith(pref)
+            & (F.length("term") > len(pref))  # exclude the existence list
+        ).withColumn("term", F.expr(f"substring(term, {len(pref) + 1})"))
+    agg = td.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+    )
+    return agg.orderBy(F.desc(by), F.asc("term")).limit(k)

@@ -548,6 +548,21 @@ class ToChildBlockJoinQuery:
 
 
 @dataclass(frozen=True)
+class ParentChildrenBlockJoinQuery:
+    """The children of ONE specific parent doc that match ``child``, each
+    with its own child score (join/src/java/org/apache/lucene/search/join/
+    ParentChildrenBlockJoinQuery.java:42: "useful when you want to fetch
+    the matching children of a hit returned by ToParentBlockJoinQuery").
+    ``parent_docid`` is the (global) docid of the parent; its children are
+    the docids strictly between the previous parent and it."""
+
+    child: object
+    parents: object
+    parent_docid: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc with ≥1 token in ``field``, constant score
     (search/FieldExistsQuery.java:39 — answered from norms existence there,
@@ -934,6 +949,18 @@ def parse_query(s: str, analyzer, fmap=None) -> object:
 # --- rewrite ----------------------------------------------------------------
 
 def _rewrite_once(q):
+    if isinstance(q, ParentChildrenBlockJoinQuery):
+        child = _rewrite_once(q.child)
+        parents = _rewrite_once(q.parents)
+        if isinstance(child, MatchNoDocsQuery) or isinstance(
+            parents, MatchNoDocsQuery
+        ):
+            return MatchNoDocsQuery()
+        if child is not q.child or parents is not q.parents:
+            return ParentChildrenBlockJoinQuery(
+                child, parents, q.parent_docid, q.boost
+            )
+        return q
     if isinstance(q, ToChildBlockJoinQuery):
         parent = _rewrite_once(q.parent)
         parents = _rewrite_once(q.parents)
@@ -1109,6 +1136,8 @@ def collect_terms(q) -> set[str]:
         return collect_terms(q.child) | collect_terms(q.parents)
     if isinstance(q, ToChildBlockJoinQuery):
         return collect_terms(q.parent) | collect_terms(q.parents)
+    if isinstance(q, ParentChildrenBlockJoinQuery):
+        return collect_terms(q.child) | collect_terms(q.parents)
     return set()
 
 
@@ -1116,7 +1145,14 @@ def contains_block_join(q) -> bool:
     """True when the tree holds a ToParentBlockJoinQuery — such queries
     must evaluate on whole segments (doc blocks never cross segments but
     may straddle intra-segment docid slices)."""
-    if isinstance(q, (ToParentBlockJoinQuery, ToChildBlockJoinQuery)):
+    if isinstance(
+        q,
+        (
+            ToParentBlockJoinQuery,
+            ToChildBlockJoinQuery,
+            ParentChildrenBlockJoinQuery,
+        ),
+    ):
         return True
     if isinstance(q, BooleanQuery):
         return any(

@@ -802,6 +802,12 @@ def scoring_leaves(q, out: set | None = None) -> set:
     elif isinstance(q, ToChildBlockJoinQuery):
         scoring_leaves(q.parent, out)
         scoring_leaves(q.parents, out)
+    else:
+        from .query import ParentChildrenBlockJoinQuery
+
+        if isinstance(q, ParentChildrenBlockJoinQuery):
+            scoring_leaves(q.child, out)
+            scoring_leaves(q.parents, out)
     return out
 
 

@@ -137,7 +137,8 @@ def _segment_search_fn(
 ) -> pd.DataFrame:
     doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
     ctx = SegmentContext.from_pdf(
-        pdf, scorers, min_doc, max_doc, prune, cache_tag=cache_tag
+        pdf, scorers, min_doc, max_doc, prune, cache_tag=cache_tag,
+        doc_base=doc_base,
     )
     d, s = search_segment(ctx, query, k, after=after)
     return pd.DataFrame(
@@ -506,6 +507,15 @@ class Searcher:
                 self.expand_multiterm(q.parents, max_terms),
                 q.boost,
             )
+        from .query import ParentChildrenBlockJoinQuery
+
+        if isinstance(q, ParentChildrenBlockJoinQuery):
+            return ParentChildrenBlockJoinQuery(
+                self.expand_multiterm(q.child, max_terms),
+                self.expand_multiterm(q.parents, max_terms),
+                q.parent_docid,
+                q.boost,
+            )
         if isinstance(q, FieldExistsQuery):
             # constant-score over the per-field existence list
             # (FieldExistsQuery.java:39 — norms-existence there)
@@ -870,7 +880,8 @@ class Searcher:
             b_parsed, b_scorers, b_meta = bc.value
             doc_base, min_doc, max_doc = _slice_bounds(pdf, b_meta, span)
             ctx = SegmentContext.from_pdf(
-                pdf, b_scorers, min_doc, max_doc, prune, cache_tag=tag
+                pdf, b_scorers, min_doc, max_doc, prune, cache_tag=tag,
+                doc_base=doc_base,
             )
             qids, docids, scores = batch_search_segment(ctx, b_parsed, k)
             return pd.DataFrame(
@@ -1198,7 +1209,8 @@ class Searcher:
 
             doc_base, min_doc, max_doc = _slice_bounds(pdf, seg_meta, span)
             ctx = SegmentContext.from_pdf(
-                pdf, {}, min_doc, max_doc, False, cache_tag=tag
+                pdf, {}, min_doc, max_doc, False, cache_tag=tag,
+                doc_base=doc_base,
             )
             d = _SegmentSearcher(ctx, 0).matching_docs(query)
             d = d[(d >= min_doc) & (d < max_doc)]

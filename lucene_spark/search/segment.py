@@ -44,6 +44,7 @@ from .query import (
     FeatureQuery,
     IntervalFilter,
     IntervalNear,
+    ParentChildrenBlockJoinQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
     MatchAllDocsQuery,
@@ -279,12 +280,14 @@ class SegmentContext:
         prune: bool = True,
         deleted: np.ndarray | None = None,  # sorted stored docids (.liv analog)
         cache_key: tuple | None = None,  # (index tag, segment, slice) for the LRU
+        doc_base: int = 0,  # global docid = stored docid + doc_base
     ):
         self.postings = postings
         self.scorers = scorers
         self.min_doc = min_doc
         self.max_doc = max_doc
         self.prune = prune
+        self.doc_base = doc_base
         self.deleted = deleted if deleted is not None and deleted.size else None
         self.cache_key = cache_key
         # per-leaf (docids, scores) memo shared across a batch of queries
@@ -301,6 +304,7 @@ class SegmentContext:
         max_doc: int,
         prune: bool = True,
         cache_tag: str | None = None,
+        doc_base: int = 0,
     ) -> "SegmentContext":
         """Build from one segment's Arrow batch of block rows (+ singleton
         pseudo-blocks, encoding==ENC_SINGLETON) — columnar, no per-row dicts."""
@@ -332,7 +336,7 @@ class SegmentContext:
         postings: dict[str, _TermPostings] = {}
         n = len(terms)
         if n == 0:
-            return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey)
+            return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey, doc_base)
         tchange = np.empty(n, dtype=bool)
         tchange[0] = True
         tchange[1:] = terms[1:] != terms[:-1]
@@ -374,7 +378,7 @@ class SegmentContext:
                         cols["impact_norms"][split:hi],
                     )
                 postings[term] = _TermPostings(cols, int(lo), split, l1=l1)
-        return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey)
+        return cls(postings, scorers, min_doc, max_doc, prune, deleted, ckey, doc_base)
 
 
 class _FilterLRU:
@@ -705,6 +709,8 @@ class _SegmentSearcher:
             return self._evaluate_block_join(q)
         if isinstance(q, ToChildBlockJoinQuery):
             return self._evaluate_child_join(q)
+        if isinstance(q, ParentChildrenBlockJoinQuery):
+            return self._evaluate_parent_children(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_bool(q)
         raise TypeError(f"unsupported query node {type(q)}")
@@ -750,6 +756,32 @@ class _SegmentSearcher:
             (ps[keep].astype(np.float64) * q.boost), counts
         ).astype(dtype)
         return children, scores
+
+    def _evaluate_parent_children(self, q: ParentChildrenBlockJoinQuery):
+        """ParentChildrenBlockJoinQuery: the matching children of ONE
+        parent doc, each keeping its own child score
+        (ParentChildrenBlockJoinQuery.java:88-131 — childrenIterator
+        bounded to (prevParent, parentDoc), score = childScorer.score()).
+        Segments not containing ``parent_docid`` match nothing."""
+        # global → segment-local docid (Lucene's context.docBase subtraction,
+        # ParentChildrenBlockJoinQuery.java:88-97)
+        p = int(q.parent_docid) - self.ctx.doc_base
+        cd_empty = np.zeros(0, dtype=np.float32)
+        if not (self.ctx.min_doc <= p < self.ctx.max_doc):
+            return _EMPTY, cd_empty
+        parents = self.matching_docs(q.parents)
+        pos = np.searchsorted(parents, p)
+        if pos >= parents.size or parents[pos] != p:
+            # the docid is not a parent under this filter — no children
+            return _EMPTY, cd_empty
+        lo = parents[pos - 1] if pos > 0 else self.ctx.min_doc - 1
+        cd, cs = self.evaluate(q.child)
+        dtype = cs.dtype if cs.size else np.float32
+        keep = (cd > lo) & (cd < p)
+        cd, cs = cd[keep], cs[keep]
+        if q.boost != 1.0:
+            cs = (cs.astype(np.float64) * q.boost).astype(dtype)
+        return cd, cs
 
     def _evaluate_block_join(self, q: ToParentBlockJoinQuery):
         """ToParentBlockJoinQuery: child hits map to the first parent docid

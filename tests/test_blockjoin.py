@@ -179,3 +179,66 @@ def test_child_join_rewrite():
         rewrite(ToChildBlockJoinQuery(MatchNoDocsQuery(), PARENTS)),
         MatchNoDocsQuery,
     )
+
+
+# --- ParentChildrenBlockJoinQuery -------------------------------------------
+
+from lucene_spark.search.query import ParentChildrenBlockJoinQuery  # noqa: E402
+
+
+def _family_of(corpus, docmap, g):
+    kids = {
+        docmap[r["url"]] for r in corpus
+        if r["family"] == g and r["url"].split("-")[-1].startswith("c")
+    }
+    parent = docmap[f"doc://{g:06d}-p"]
+    return kids, parent
+
+
+def test_parent_children_matches_child_scores(searcher, corpus, docmap):
+    # every child hit keeps its own child score == the plain query's score
+    plain = {
+        r["docid"]: r["score"]
+        for r in searcher.search(TermQuery("alpha"), k=100000).collect()
+    }
+    checked = 0
+    for g in (0, 17, N_FAMILIES - 1):
+        kids, parent = _family_of(corpus, docmap, g)
+        q = ParentChildrenBlockJoinQuery(TermQuery("alpha"), PARENTS, parent)
+        got = {r["docid"]: r["score"] for r in searcher.search(q, k=50).collect()}
+        assert set(got) == kids & set(plain), g
+        for d, s in got.items():
+            assert np.float32(s) == np.float32(plain[d])
+        checked += len(got)
+    assert checked > 0, "fixture should match somewhere"
+
+
+def test_parent_children_non_parent_docid_empty(searcher, corpus, docmap):
+    kids, _parent = _family_of(corpus, docmap, 3)
+    some_child = min(kids)
+    q = ParentChildrenBlockJoinQuery(TermQuery("alpha"), PARENTS, some_child)
+    assert searcher.search(q, k=10).count() == 0
+
+
+def test_parent_children_boost(searcher, corpus, docmap):
+    for g in range(N_FAMILIES):
+        kids, parent = _family_of(corpus, docmap, g)
+        base = ParentChildrenBlockJoinQuery(TermQuery("beta"), PARENTS, parent)
+        rows = searcher.search(base, k=50).collect()
+        if not rows:
+            continue
+        boosted_q = ParentChildrenBlockJoinQuery(
+            TermQuery("beta"), PARENTS, parent, boost=2.0
+        )
+        brows = {r["docid"]: r["score"] for r in searcher.search(boosted_q, k=50).collect()}
+        for r in rows:
+            assert np.isclose(brows[r["docid"]], 2.0 * r["score"], rtol=1e-6)
+        return
+    raise AssertionError("no family matched beta")
+
+
+def test_parent_children_rewrite():
+    assert isinstance(
+        rewrite(ParentChildrenBlockJoinQuery(MatchNoDocsQuery(), PARENTS, 4)),
+        MatchNoDocsQuery,
+    )
