@@ -2218,6 +2218,69 @@ def _sql_stratified_sample() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {u} < ({frac})"
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Temperature-scaled mixture sampling (alpha-smoothed source shares):
+    stratum keep rate = min(1, tf·N·(m^α/Σm^α)/m), deterministic hash
+    admission."""
+    from .pipeline.sampling import temperature_mixture_sample
+
+    out = temperature_mixture_sample(
+        _docs(spark, sf_dir), alpha=0.5, total_fraction=0.5,
+        stratum_col="source", seed=7,
+    )
+    return out.select("doc_id", "source")
+
+
+def _sql_mixture_sample() -> str:
+    u = "(('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0)"
+    return f"""WITH m AS (
+  SELECT source, count(*)::BIGINT AS m FROM documents GROUP BY source
+),
+t AS (
+  SELECT sum(m)::BIGINT AS n, sum(pow(m::DOUBLE, 0.5)) AS z FROM m
+),
+r AS (
+  SELECT m.source,
+         least(1.0, ((0.5 * n::DOUBLE) * (pow(m::DOUBLE, 0.5) / z)) / m::DOUBLE)
+           AS rate
+  FROM m, t
+)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE {u} < r.rate"""
+
+
+_PACK_LEN = 128
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing: global token offsets in doc_id order via
+    the two-level (sharded) prefix sum, chunk span per doc."""
+    from .pipeline.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), context_len=_PACK_LEN, rows_per_shard=64
+    )
+
+
+def _sql_pack_sequences() -> str:
+    return f"""WITH {_BASE_CTES},
+nt AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM toks t WHERE t.doc_id = d.doc_id)::BIGINT AS n_toks
+  FROM documents d
+),
+c AS (
+  SELECT doc_id, n_toks,
+         coalesce(sum(n_toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM nt
+)
+SELECT doc_id, n_toks, start_off,
+       (start_off // {_PACK_LEN})::BIGINT AS chunk_first,
+       ((start_off + greatest(n_toks, 1) - 1) // {_PACK_LEN})::BIGINT AS chunk_last
+FROM c"""
+
+
 _BUDGET_TOKENS = 5000
 
 
@@ -5935,6 +5998,8 @@ def gate_queries() -> dict:
         "url_dedup": _q_url_dedup,
         "source_stats": _q_source_stats,
         "budget_sample": _q_budget_sample,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
         "dedup_ngram_jaccard": _q_jaccard,
         "contamination_ngrams": _q_contamination,
         "semantic_dedup": _q_semantic_dedup,
@@ -6136,6 +6201,8 @@ def gate_oracle_sql() -> dict:
         "url_dedup": _SQL_URL_DEDUP,
         "source_stats": _SQL_SOURCE_STATS,
         "budget_sample": _sql_budget_sample(),
+        "mixture_sample": _sql_mixture_sample(),
+        "pack_sequences": _sql_pack_sequences(),
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "contamination_ngrams": _SQL_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),

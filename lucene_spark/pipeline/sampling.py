@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "stratified_sample"]
+__all__ = [
+    "sample_hash",
+    "stratified_sample",
+    "temperature_mixture_sample",
+    "pack_sequences",
+]
 
 _SCALE = float(1 << 32)
 
@@ -102,3 +107,117 @@ def budget_sample(
         F.coalesce(F.sum(n_toks).over(w), F.lit(0)).alias("cum_before"),
     )
     return out.filter(F.col("cum_before") < token_budget)
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    alpha: float,
+    total_fraction: float = 1.0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/LM-corpus
+    rebalancing step (exponentiated sampling of "Exploring the Limits of
+    Transfer Learning" §3.4.1 / multilingual-BERT's alpha-smoothing):
+    stratum ``s`` with mass share ``q_s`` is targeted at share
+    ``p_s = q_s^alpha / Σ q_t^alpha`` of an output of size
+    ``total_fraction · N``, so its per-row keep rate is
+    ``min(1, total_fraction · N · p_s / m_s)``. ``alpha < 1`` upsamples the
+    tail strata relative to the head, ``alpha = 1`` is proportional.
+
+    Deterministic hash admission (same ``u`` as :func:`sample_hash`), so
+    the sample is reproducible and partition-independent. Plan: one
+    partial-aggregated groupBy over strata (tiny result, broadcast back) +
+    a codegen filter over the scan — no global sort, no driver loop."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if not (0.0 < total_fraction <= 1.0):
+        raise ValueError(f"total_fraction must be in (0, 1], got {total_fraction}")
+    masses = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_m"))
+    tot = masses.select(
+        F.sum("_m").alias("_n"),
+        F.sum(F.pow(F.col("_m").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        ),
+    )
+    rates = masses.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total_fraction))
+            * F.col("_n").cast("double")
+            * (F.pow(F.col("_m").cast("double"), F.lit(float(alpha))) / F.col("_z"))
+            / F.col("_m").cast("double"),
+        ).alias("_keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(_u(seed, id_col) < F.col("_keep_rate"))
+        .drop("_keep_rate")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows_per_shard: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batcher): documents concatenate in ``id_col`` order into one token
+    stream that is cut into fixed ``context_len`` windows; each doc lands
+    at a global token offset and spans chunks
+    ``start_off // L .. (start_off + n_toks - 1) // L``.
+
+    The global prefix-sum is the scale hazard (a bare unpartitioned window
+    = one task). Two-level scan instead: shard by ``id_col`` range
+    (``rows_per_shard`` ids per shard preserves the global order as
+    (shard, id)), cumsum inside each shard with a window, then add the
+    shard-prefix offsets — a #shards-row aggregate cumsum broadcast back.
+    Returns (id, n_toks, start_off, chunk_first, chunk_last); an empty doc
+    occupies zero tokens and reports the chunk of its offset on both
+    ends."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be > 0, got {context_len}")
+    from pyspark.sql.window import Window
+
+    from .dedup import _token_array
+
+    shard = (F.col(id_col) / F.lit(int(rows_per_shard))).cast("long")
+    n_toks = F.size(_token_array(text_col)).cast("long")
+    base = docs.select(
+        F.col(id_col), shard.alias("_shard"), n_toks.alias("n_toks")
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_toks").over(w_in), F.lit(0))
+    )
+    shard_tot = base.groupBy("_shard").agg(F.sum("n_toks").alias("_tot"))
+    w_sh = (
+        Window.orderBy(F.col("_shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_off = shard_tot.select(
+        "_shard", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)).alias("_off")
+    )
+    out = within.join(F.broadcast(shard_off), "_shard").select(
+        id_col,
+        "n_toks",
+        (F.col("_cum_in") + F.col("_off")).alias("start_off"),
+    )
+    L = F.lit(int(context_len))
+    return out.select(
+        id_col,
+        "n_toks",
+        "start_off",
+        (F.col("start_off") / L).cast("long").alias("chunk_first"),
+        (
+            (F.col("start_off") + F.greatest(F.col("n_toks"), F.lit(1)) - 1) / L
+        ).cast("long").alias("chunk_last"),
+    )
