@@ -366,6 +366,10 @@ def _vocab_chain(analyzer: str):
         from .id import indonesian_term
 
         return indonesian_term
+    if analyzer == "icu_folding":
+        from .icu import icu_fold_term
+
+        return icu_fold_term
     if analyzer == "galician_minimal":
         from .gl import galician_term
 

@@ -4569,6 +4569,29 @@ _CV_QUERY = "stefanson"  # an UNSEEN spelling; encodes to STFNSN1111 too
 _CV_STFNSN_IDXS = (0, 1)
 
 
+# ICU folding (ICUFoldingFilter / UTR#30): Ångström/angstrom -> angstrom;
+# ﬁle/file -> file (NFKC ligature); über/uber -> uber; ＳＰＡＲＫ/spark ->
+# spark (fullwidth compatibility fold)
+_ICU_LEX = [
+    "Ångström", "angstrom", "ﬁle", "file",
+    "über", "uber", "ＳＰＡＲＫ", "spark",
+]
+_ICU_QUERY = "ANGSTRÖM"  # folds to angstrom
+_ICU_IDXS = (0, 1)
+
+
+def _q_icu_folding(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "icu", _ICU_LEX, "icu_folding"),
+        analyzer="icu_folding", mode="double",
+    )
+    h = s.search(_ICU_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # Double Metaphone (commons-codec DoubleMetaphone via DoubleMetaphoneFilter,
 # Philips 2000): miller/muller -> MLR; taylor/tailor -> TLR;
 # baker/becker -> PKR; carter/karter -> KRTR — every lexicon word's primary
@@ -5918,6 +5941,7 @@ def gate_queries() -> dict:
         "refined_soundex_index": _q_refined_soundex,
         "nysiis_index": _q_nysiis,
         "double_metaphone_index": _q_double_metaphone,
+        "icu_folded_index": _q_icu_folding,
         "cologne_index": _q_cologne,
         "caverphone2_index": _q_caverphone2,
         "common_grams_index": _q_common_grams,
@@ -6123,6 +6147,7 @@ def gate_oracle_sql() -> dict:
         "refined_soundex_index": _sql_lex_stem(_RSX_B1905_IDXS),
         "nysiis_index": _sql_lex_stem(_NY_JAN_IDXS),
         "double_metaphone_index": _sql_lex_stem(_DM_MLR_IDXS),
+        "icu_folded_index": _sql_lex_stem(_ICU_IDXS),
         "cologne_index": _sql_lex_stem(_KP_657_IDXS),
         "caverphone2_index": _sql_lex_stem(_CV_STFNSN_IDXS),
         "common_grams_index": _sql_lex_gram(0),

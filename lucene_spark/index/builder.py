@@ -55,6 +55,10 @@ from ..analysis.fr import french_analyze, french_terms_positions
 from ..analysis.it import italian_analyze, italian_terms_positions
 from ..analysis.ar import arabic_analyze, arabic_terms_positions
 from ..analysis.hu import hungarian_analyze, hungarian_terms_positions
+from ..analysis.icu import (
+    icu_folding_analyze,
+    icu_folding_terms_positions,
+)
 from ..analysis.metaphone import (
     double_metaphone_analyze,
     double_metaphone_terms_positions,
@@ -198,6 +202,7 @@ _ANALYZERS: dict[str, Callable] = {
     "nysiis": nysiis_analyze,        # NYSIIS name codes (Taft 1970)
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
     "double_metaphone": double_metaphone_analyze,  # Philips 2000, 2 codes
+    "icu_folding": icu_folding_analyze,  # UTR#30 search folding
 }
 
 
@@ -280,6 +285,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "nysiis": nysiis_terms_positions,
     "cologne": cologne_terms_positions,
     "double_metaphone": double_metaphone_terms_positions,
+    "icu_folding": icu_folding_terms_positions,
 }
 
 

@@ -2402,3 +2402,40 @@ def test_serbian_stopwords_both_scripts():
 
     assert serbian_analyze("ili", SERBIAN_STOP_WORDS) == []
     assert serbian_analyze("или", SERBIAN_STOP_WORDS) == []
+
+
+# --- ICU folding (UTR#30) ----------------------------------------------------
+
+@pytest.mark.parametrize(
+    "word,folded",
+    [
+        # TestICUFoldingFilter.java:49-80 vectors
+        ("Ruß", "russ"),
+        ("ΜΆΪΟΣ", "μαιοσ"),
+        ("Μάϊος", "μαιοσ"),
+        ("𐐖", "𐐾"),
+        ("ﴳﴺﰧ", "طمطمطم"),
+        ("क्‍ष", "कष"),
+        ("résumé", "resume"),
+        ("résumé", "resume"),
+        ("৭০৬", "706"),
+        ("đis", "dis"),
+        ("cræzy", "craezy"),
+        # compatibility + fullwidth
+        ("ﬁle", "file"),
+        ("ＳＰＡＲＫ", "spark"),
+        ("ELİF", "elif"),
+    ],
+)
+def test_icu_fold_vectors(word, folded):
+    from lucene_spark.analysis.icu import icu_fold
+
+    assert icu_fold(word.lower() if word.isascii() else word) == folded or \
+        icu_fold(word) == folded
+
+
+def test_icu_folding_analyze_chain():
+    from lucene_spark.analysis.icu import icu_folding_analyze
+
+    toks = [t.term for t in icu_folding_analyze("Ångström über ﬁle ৭০৬")]
+    assert toks == ["angstrom", "uber", "file", "706"]
