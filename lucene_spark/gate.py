@@ -291,6 +291,240 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+# ---------------------------------------------------------------------------
+# span family (queries/spans): SpanScorer freq = Σ 1/(1+width) accumulated
+# per distinct width ascending; weight = idf summed over sorted DISTINCT
+# terms (SpanWeight.buildSimWeight's one-TermStates-per-term Map)
+# ---------------------------------------------------------------------------
+
+
+def _span_freq_expr(widths) -> str:
+    expr = "0.0"
+    for w in widths:
+        expr = (
+            f"({expr} + count(*) FILTER (WHERE w = {w}) * (1.0/{w + 1}))"
+        )
+    return expr
+
+
+def _sql_span_weight(terms_sorted: list[str]) -> str:
+    """Summed idf, left-assoc in sorted term order (the engine's
+    make_phrase_scorer list order for span leaves)."""
+    expr = None
+    for t in terms_sorted:
+        idf = _idf(f"(SELECT df FROM dft WHERE term = '{t}')")
+        expr = idf if expr is None else f"({expr} + {idf})"
+    return expr
+
+
+def _sql_span_score(iv_cte: str, widths, terms: list[str], k: int = 10) -> str:
+    """Top-k BM25 over span matches: ``iv_cte`` must define iv(doc_id, w)
+    — one row per enumerated span with its width."""
+    return f"""WITH {_BASE_CTES},
+{iv_cte},
+pf AS (SELECT doc_id, {_span_freq_expr(widths)} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id, (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT {_sql_span_weight(sorted(terms))} AS w FROM stats s) w
+  WHERE pf.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+def _sql_span_ordered_cte(t0: str, t1: str, slop: int, name: str = "iv") -> str:
+    """Spans of NearSpansOrdered over two term clauses: one candidate per
+    t0 occurrence, partner = first t1 position strictly after it, width =
+    the gap, kept when width <= slop. Emits ``name(doc_id, spn_s, spn_e,
+    w)``."""
+    return f"""
+pa AS (SELECT doc_id, pos FROM toks WHERE term = '{t0}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = '{t1}'),
+sp AS (
+  SELECT pa.doc_id, pa.pos AS spos, min(pb.pos) AS y
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+),
+{name} AS (
+  SELECT doc_id, spos AS spn_s, y + 1 AS spn_e, y - spos - 1 AS w
+  FROM sp WHERE y - spos - 1 <= {slop}
+)"""
+
+
+def _ast_span_near_ordered():
+    from .search.spans import SpanNear, SpanTerm
+
+    return SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=3)
+
+
+def _sql_span_near_ordered(k: int = 10) -> str:
+    return _sql_span_score(
+        _sql_span_ordered_cte("data", "stream", 3),
+        range(0, 4),
+        ["data", "stream"],
+        k,
+    )
+
+
+def _ast_span_near_unordered():
+    from .search.spans import SpanNear, SpanTerm
+
+    return SpanNear(
+        (SpanTerm("data"), SpanTerm("stream")), slop=3, in_order=False
+    )
+
+
+def _sql_span_near_unordered(k: int = 10) -> str:
+    """NearSpansUnordered's advance-min sweep for two term clauses: the
+    sweep consumes occurrences in position order, so every occurrence x
+    with a next OTHER-clause occurrence y > x is checked exactly once as
+    the window minimum; maxEnd = y+1, totalSpanLength = 2, so width =
+    y + 1 - x and a state matches iff width - 2 <= slop."""
+    cte = """
+pa AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+iv AS (
+  SELECT doc_id, w FROM (
+    SELECT pa.doc_id, min(pb.pos) + 1 - pa.pos AS w
+    FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+    GROUP BY pa.doc_id, pa.pos
+    UNION ALL
+    SELECT pb.doc_id, min(pa.pos) + 1 - pb.pos AS w
+    FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+    GROUP BY pb.doc_id, pb.pos
+  ) WHERE w - 2 <= 3
+)"""
+    return _sql_span_score(cte, range(2, 6), ["data", "stream"], k)
+
+
+def _ast_span_or_near():
+    from .search.spans import SpanNear, SpanOr, SpanTerm
+
+    return SpanNear(
+        (SpanOr((SpanTerm("slow"), SpanTerm("fast"))), SpanTerm("merge")),
+        slop=2,
+    )
+
+
+def _sql_span_or_near(k: int = 10) -> str:
+    cte = """
+pa AS (SELECT doc_id, pos FROM toks WHERE term IN ('slow', 'fast')),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+sp AS (
+  SELECT pa.doc_id, pa.pos AS spos, min(pb.pos) AS y
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+),
+iv AS (SELECT doc_id, y - spos - 1 AS w FROM sp WHERE y - spos - 1 <= 2)"""
+    return _sql_span_score(cte, range(0, 3), ["slow", "fast", "merge"], k)
+
+
+def _ast_span_not():
+    from .search.spans import SpanNear, SpanNot, SpanTerm
+
+    return SpanNot(
+        SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=4),
+        SpanTerm("window"),
+        pre=1,
+        post=1,
+    )
+
+
+def _sql_span_not(k: int = 10) -> str:
+    """SpanNot over a term exclude (ends monotone, so the accept loop
+    equals "no exclude span overlaps [start-pre, end+post)"): drop spans
+    with a 'window' position p satisfying p >= s - 1 and p < e + 1."""
+    cte = (
+        _sql_span_ordered_cte("data", "stream", 4, name="ivb")
+        + """,
+pc AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+iv AS (
+  SELECT doc_id, w FROM ivb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pc
+    WHERE pc.doc_id = ivb.doc_id
+      AND pc.pos >= ivb.spn_s - 1 AND pc.pos < ivb.spn_e + 1
+  )
+)"""
+    )
+    return _sql_span_score(cte, range(0, 5), ["data", "stream"], k)
+
+
+def _ast_span_first():
+    from .search.spans import SpanFirst, SpanNear, SpanTerm
+
+    return SpanFirst(
+        SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=5), 12
+    )
+
+
+def _sql_span_first(k: int = 10) -> str:
+    cte = (
+        _sql_span_ordered_cte("data", "stream", 5, name="ivb")
+        + """,
+iv AS (SELECT doc_id, w FROM ivb WHERE spn_e <= 12)"""
+    )
+    return _sql_span_score(cte, range(0, 6), ["data", "stream"], k)
+
+
+def _ast_span_containing():
+    from .search.spans import SpanContaining, SpanNear, SpanTerm
+
+    return SpanContaining(
+        SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=6),
+        SpanTerm("window"),
+    )
+
+
+def _sql_span_contain(within: bool, k: int = 10) -> str:
+    """Containing: big (data,stream) ordered spans holding a 'window'
+    position (term little: the first little with start >= big.start fits
+    iff ANY position lies in [s, e-1]); emits the big span. Within: emits
+    each 'window' position inside some big span (width 0)."""
+    base = _sql_span_ordered_cte("data", "stream", 6, name="ivb")
+    if not within:
+        cte = (
+            base
+            + """,
+pc AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+iv AS (
+  SELECT doc_id, w FROM ivb
+  WHERE EXISTS (
+    SELECT 1 FROM pc
+    WHERE pc.doc_id = ivb.doc_id
+      AND pc.pos >= ivb.spn_s AND pc.pos < ivb.spn_e
+  )
+)"""
+        )
+        return _sql_span_score(
+            cte, range(0, 7), ["data", "stream", "window"], k
+        )
+    cte = (
+        base
+        + """,
+pc AS (SELECT doc_id, pos FROM toks WHERE term = 'window'),
+iv AS (
+  SELECT pc.doc_id, 0 AS w FROM pc
+  WHERE EXISTS (
+    SELECT 1 FROM ivb
+    WHERE ivb.doc_id = pc.doc_id
+      AND ivb.spn_s <= pc.pos AND ivb.spn_e >= pc.pos + 1
+  )
+)"""
+    )
+    return _sql_span_score(cte, [0], ["data", "stream", "window"], k)
+
+
+def _ast_span_within():
+    from .search.spans import SpanNear, SpanTerm, SpanWithin
+
+    return SpanWithin(
+        SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=6),
+        SpanTerm("window"),
+    )
+
+
 def _ast_term_automaton():
     """Automaton accepting 'data stream' OR 'stream data' (adjacent, either
     order) — two accepted paths through shared states, the TermAutomatonQuery
@@ -5898,6 +6132,13 @@ def gate_queries() -> dict:
         "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
         "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
+        "span_near_ordered": _mk_topk_ast(_ast_span_near_ordered),
+        "span_near_unordered": _mk_topk_ast(_ast_span_near_unordered),
+        "span_or_near": _mk_topk_ast(_ast_span_or_near),
+        "span_not_window": _mk_topk_ast(_ast_span_not),
+        "span_first": _mk_topk_ast(_ast_span_first),
+        "span_containing": _mk_topk_ast(_ast_span_containing),
+        "span_within": _mk_topk_ast(_ast_span_within),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "covering_query": _q_covering,
@@ -6094,6 +6335,13 @@ def gate_oracle_sql() -> dict:
         "interval_unordered": _sql_interval("stream", "window", False, 4),
         "interval_repeat_ordered": _sql_interval_repeat_ordered(),
         "interval_repeat_unordered": _sql_interval_repeat_unordered(),
+        "span_near_ordered": _sql_span_near_ordered(),
+        "span_near_unordered": _sql_span_near_unordered(),
+        "span_or_near": _sql_span_or_near(),
+        "span_not_window": _sql_span_not(),
+        "span_first": _sql_span_first(),
+        "span_containing": _sql_span_contain(within=False),
+        "span_within": _sql_span_contain(within=True),
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),

@@ -553,6 +553,153 @@ class PyIndex:
                     out[c] = np.float32(float(s) * q.boost)
         return out
 
+    # --- span family (queries/spans) — direct iterative port ------------
+
+    def _span_doc_spans(self, q, docid: int) -> list[tuple[int, int, int]]:
+        """Enumerated (start, end, width) spans of ``q`` in one doc — the
+        reference algorithms run literally (pointer loops and the
+        advance-min priority queue), per spans.py's file citations."""
+        import heapq
+
+        from ..search.spans import (
+            SpanContaining,
+            SpanNear,
+            SpanNot,
+            SpanOr,
+            SpanPositionRange,
+            SpanTerm,
+            SpanWithin,
+        )
+
+        if isinstance(q, SpanTerm):
+            for d, _, pos in self.postings.get(q.term, ()):
+                if d == docid:
+                    return [(p, p + 1, 0) for p in sorted(pos)]
+            return []
+        if isinstance(q, SpanOr):
+            allsp = []
+            for ci, c in enumerate(q.clauses):
+                for s, e, w in self._span_doc_spans(c, docid):
+                    allsp.append((s, e, ci, w))
+            allsp.sort()
+            return [(s, e, w) for s, e, _ci, w in allsp]
+        if isinstance(q, SpanNear):
+            subs = [self._span_doc_spans(c, docid) for c in q.clauses]
+            if any(not s for s in subs):
+                return []
+            out = []
+            if q.in_order:
+                # NearSpansOrdered.stretchToOrder / advancePosition
+                ptr = [0] * len(subs)
+                for s0, e0, _w0 in subs[0]:
+                    prev_end, width, ok = e0, 0, True
+                    for t in range(1, len(subs)):
+                        lst = subs[t]
+                        while ptr[t] < len(lst) and lst[ptr[t]][0] < prev_end:
+                            ptr[t] += 1
+                        if ptr[t] >= len(lst):
+                            return out  # oneExhaustedInCurrentDoc
+                        st, et, _wt = lst[ptr[t]]
+                        width += st - prev_end
+                        prev_end = et
+                    if ok and width <= q.slop:
+                        out.append((s0, prev_end, width))
+                return out
+            # NearSpansUnordered: advance-min PQ sweep
+            heap = []  # (start, end, clause, next_idx)
+            total_len, max_end = 0, -1
+            for ci, lst in enumerate(subs):
+                s, e, _w = lst[0]
+                heapq.heappush(heap, (s, e, ci, 1))
+                total_len += e - s
+                max_end = max(max_end, e)
+            while True:
+                s, e, ci, nxt = heap[0]
+                if max_end - s - total_len <= q.slop:
+                    out.append((s, max_end, max_end - s))
+                if nxt >= len(subs[ci]):
+                    return out
+                heapq.heapreplace(
+                    heap, (subs[ci][nxt][0], subs[ci][nxt][1], ci, nxt + 1)
+                )
+                total_len += (subs[ci][nxt][1] - subs[ci][nxt][0]) - (e - s)
+                max_end = max(max_end, subs[ci][nxt][1])
+        if isinstance(q, SpanPositionRange):
+            out = []
+            for s, e, w in self._span_doc_spans(q.match, docid):
+                if s >= q.end:
+                    break  # NO_MORE_IN_CURRENT_DOC
+                if s >= q.start and e <= q.end:
+                    out.append((s, e, w))
+            return out
+        if isinstance(q, SpanNot):
+            inc = self._span_doc_spans(q.include, docid)
+            exc = self._span_doc_spans(q.exclude, docid)
+            if not exc:
+                return inc
+            out, j = [], 0
+            for s, e, w in inc:
+                while j < len(exc) and exc[j][1] <= s - q.pre:
+                    j += 1
+                if j >= len(exc) or exc[j][0] - q.post >= e:
+                    out.append((s, e, w))
+            return out
+        if isinstance(q, (SpanContaining, SpanWithin)):
+            big = self._span_doc_spans(q.big, docid)
+            lit = self._span_doc_spans(q.little, docid)
+            if not big or not lit:
+                return []
+            out = []
+            if isinstance(q, SpanContaining):
+                j = 0
+                for bs, be, bw in big:
+                    while j < len(lit) and lit[j][0] < bs:
+                        j += 1
+                    if j >= len(lit):
+                        break
+                    if be >= lit[j][1]:
+                        out.append((bs, be, bw))
+                return out
+            j = 0
+            for ls, le, lw in lit:
+                while j < len(big) and big[j][1] < le:
+                    j += 1
+                if j >= len(big):
+                    break
+                if big[j][0] <= ls:
+                    out.append((ls, le, lw))
+            return out
+        raise TypeError(f"not a span query: {q!r}")
+
+    def span_scores(self, q) -> dict[int, np.float32]:
+        """SpanScorer: freq = Σ 1/(1+width) over enumerated spans
+        (accumulated per distinct width ascending, left-assoc double —
+        the deterministic grouping shared with segment.py and the SQL
+        gate), scored with idf summed over sorted DISTINCT terms
+        (SpanWeight.buildSimWeight's one-entry-per-term Map)."""
+        from ..search.spans import span_all_terms, span_terms
+
+        terms = sorted(span_terms(q))
+        idf_sum = np.float32(sum(float(self.scorer(t).weight) for t in terms))
+        cache = Bm25Scorer.create(1, self.doc_count, self.sum_ttf).cache
+        sc = Bm25Scorer(weight=idf_sum, cache=cache)
+        docs: set[int] = set()
+        for t in span_all_terms(q):
+            docs.update(d for d, _, _ in self.postings.get(t, ()))
+        out: dict[int, np.float32] = {}
+        for d in sorted(docs):
+            spans = self._span_doc_spans(q, d)
+            if not spans:
+                continue
+            by_w: dict[int, int] = defaultdict(int)
+            for _s, _e, w in spans:
+                by_w[w] += 1
+            freq = 0.0
+            for w in sorted(by_w):
+                freq += by_w[w] * (1.0 / (1.0 + w))
+            out[d] = sc.score(np.array([freq]), np.array([self.norms[d]]))[0]
+        return out
+
     def matching_docs(self, q) -> set[int]:
         from ..search.query import ConstantScoreQuery, TermInSetQuery
 
@@ -599,6 +746,10 @@ class PyIndex:
         from ..search.query import IntervalFilter, IntervalNear, MultiPhraseQuery
         from ..search.query import ToParentBlockJoinQuery
 
+        from ..search.spans import is_span
+
+        if is_span(q):
+            return self.span_scores(q)
         if isinstance(q, IntervalNear):
             return self.interval_scores(q)
         if isinstance(q, IntervalFilter):

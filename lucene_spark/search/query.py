@@ -1120,6 +1120,12 @@ def collect_terms(q) -> set[str]:
         return {q.term}
     if isinstance(q, TermAutomatonQuery):
         return set(q.distinct_terms)
+    from .spans import is_span, span_all_terms
+
+    if is_span(q):
+        # prefetch/stats view: exclude-side terms ride along (their
+        # postings are read even though they never score)
+        return span_all_terms(q)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in (*q.must, *q.should, *q.must_not):

@@ -771,6 +771,8 @@ def scoring_leaves(q, out: set | None = None) -> set:
     and a leaf that never scores simply gets an unused scorer."""
     if out is None:
         out = set()
+    from .spans import is_span
+
     if isinstance(
         q,
         (
@@ -786,7 +788,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             PayloadScoreQuery,
             TermAutomatonQuery,
         ),
-    ):
+    ) or is_span(q):
         out.add(q)
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
@@ -834,11 +836,30 @@ def build_scorers(
                 return got
         return doc_count, sum_ttf
 
+    from .spans import is_span as _is_span
+    from .spans import span_terms
+
     leaves: set = set()
     for q in queries:
         scoring_leaves(q, leaves)
     scorers: dict = {}
     for leaf in leaves:
+        if _is_span(leaf):
+            # one TermStates entry per DISTINCT term — repeated terms
+            # contribute their idf once (SpanWeight.buildSimWeight over
+            # the extractTermStates Map); sorted order fixes the float
+            # sum order the SQL oracle mirrors
+            terms = sorted(span_terms(leaf))
+            dc, st = stats_for(terms[0]) if terms else (doc_count, sum_ttf)
+            scorers[leaf] = make_phrase_scorer(
+                mode,
+                [tstats.get(t, (0, 0))[0] for t in terms],
+                dc,
+                st,
+                boost=1.0,
+                per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in terms],
+            )
+            continue
         if isinstance(leaf, (IntervalNear, IntervalFilter)):
             # pure saturation of the sloppy interval freq — no stats/norms
             # (IntervalQuery.java:71-72 default saturationFunction(pivot))

@@ -97,6 +97,8 @@ def _needs_positions(q) -> bool:
         TermAutomatonQuery,
     )
 
+    from .spans import is_span
+
     return any(
         isinstance(
             leaf,
@@ -109,6 +111,7 @@ def _needs_positions(q) -> bool:
                 TermAutomatonQuery,
             ),
         )
+        or is_span(leaf)
         for leaf in scoring_leaves(q)
     )
 

@@ -57,6 +57,7 @@ from .query import (
     TermInSetQuery,
     TermQuery,
 )
+from .spans import is_span
 
 __all__ = [
     "SegmentContext",
@@ -577,6 +578,8 @@ class _SegmentSearcher:
             return self._interval_match(q)[0]
         if isinstance(q, IntervalFilter):
             return self._interval_filter_match(q)[0]
+        if is_span(q):
+            return self._span_match(q)[0]
         if isinstance(q, ToParentBlockJoinQuery):
             # filter context: docid-set algebra only, no child scoring
             parents = self.matching_docs(q.parents)
@@ -705,6 +708,8 @@ class _SegmentSearcher:
             return _EMPTY, np.zeros(0, dtype=np.float32)
         if isinstance(q, (IntervalNear, IntervalFilter)):
             return self._evaluate_interval(q)
+        if is_span(q):
+            return self._evaluate_span(q)
         if isinstance(q, ToParentBlockJoinQuery):
             return self._evaluate_block_join(q)
         if isinstance(q, ToChildBlockJoinQuery):
@@ -1703,6 +1708,368 @@ class _SegmentSearcher:
         if d.size == 0:
             return _EMPTY, np.zeros(0, dtype=dtype)
         return d, sc.score(f).astype(dtype)
+
+    # --- span family (queries/spans) ------------------------------------
+
+    _SPAN_EMPTY = (_EMPTY, _EMPTY, _EMPTY, _EMPTY, _EMPTY)
+
+    def _span_term_rows(self, term: str, cand):
+        """(docids, positions, norms) of every occurrence of ``term`` in
+        the candidate docs (TermSpans enumeration order: doc-major,
+        positions ascending)."""
+        tp = self.term_postings(term)
+        if tp is None:
+            return _EMPTY, _EMPTY, _EMPTY
+        if tp.singleton is not None:
+            sd = int(tp.singleton["singleton_docid"])
+            if cand is not None and sd not in cand:
+                return _EMPTY, _EMPTY, _EMPTY
+            pos = tp.positions_for(0).astype(np.int64)
+            return (
+                np.full(pos.size, sd, dtype=np.int64),
+                pos,
+                np.full(
+                    pos.size, int(tp.singleton["singleton_norm"]), dtype=np.int64
+                ),
+            )
+        blocks = (
+            tp.blocks_overlapping(cand) if cand is not None else range(tp.n_blocks)
+        )
+        dparts, pparts, nparts = [], [], []
+        for bi in blocks:
+            d, f, m = tp.decode_block(int(bi))
+            flat = tp.positions_for(int(bi)).astype(np.int64)
+            docrep = np.repeat(d, f)
+            normrep = np.repeat(m, f)
+            if cand is not None:
+                keep = np.isin(docrep, cand)
+                docrep, flat, normrep = docrep[keep], flat[keep], normrep[keep]
+            if docrep.size:
+                dparts.append(docrep)
+                pparts.append(flat)
+                nparts.append(normrep)
+        if not dparts:
+            return _EMPTY, _EMPTY, _EMPTY
+        return (
+            np.concatenate(dparts),
+            np.concatenate(pparts),
+            np.concatenate(nparts),
+        )
+
+    def _span_doc_superset(self, q) -> np.ndarray:
+        """Sorted docid superset that could hold a match of the span tree
+        (conjunctive nodes intersect, disjunctive union) — the candidate
+        restriction threaded through enumeration so only overlapping
+        postings blocks decode (the ConjunctionDISI analog for spans)."""
+        from .spans import (
+            SpanContaining,
+            SpanNear,
+            SpanNot,
+            SpanOr,
+            SpanPositionRange,
+            SpanTerm,
+            SpanWithin,
+        )
+
+        if isinstance(q, SpanTerm):
+            tp = self.term_postings(q.term)
+            return tp.decode_all()[0] if tp is not None else _EMPTY
+        if isinstance(q, SpanNear):
+            cand = None
+            for c in q.clauses:
+                d = self._span_doc_superset(c)
+                cand = d if cand is None else cand[np.isin(cand, d)]
+                if cand.size == 0:
+                    return _EMPTY
+            return cand
+        if isinstance(q, SpanOr):
+            parts = [self._span_doc_superset(c) for c in q.clauses]
+            parts = [p for p in parts if p.size]
+            return np.unique(np.concatenate(parts)) if parts else _EMPTY
+        if isinstance(q, SpanNot):
+            return self._span_doc_superset(q.include)
+        if isinstance(q, SpanPositionRange):
+            return self._span_doc_superset(q.match)
+        if isinstance(q, (SpanContaining, SpanWithin)):
+            b = self._span_doc_superset(q.big)
+            if b.size == 0:
+                return _EMPTY
+            return b[np.isin(b, self._span_doc_superset(q.little))]
+        raise TypeError(f"not a span query: {q!r}")
+
+    @staticmethod
+    def _span_sort(d, s, e, w, n):
+        order = np.lexsort((e, s, d))
+        return d[order], s[order], e[order], w[order], n[order]
+
+    def _span_enumerate(self, q, cand):
+        """Enumerated spans of the node as (docids, starts, ends(excl),
+        widths, norms) sorted by (doc, start, end) — the reference's
+        per-doc enumeration order (SpanScorer asserts start ascending).
+        Width carries each node's own semantics (see spans.py header)."""
+        from .spans import (
+            SpanContaining,
+            SpanNear,
+            SpanNot,
+            SpanOr,
+            SpanPositionRange,
+            SpanTerm,
+            SpanWithin,
+        )
+
+        if isinstance(q, SpanTerm):
+            d, p, n = self._span_term_rows(q.term, cand)
+            return d, p, p + 1, np.zeros(p.size, dtype=np.int64), n
+        if isinstance(q, SpanOr):
+            parts = [self._span_enumerate(c, cand) for c in q.clauses]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                return self._SPAN_EMPTY
+            if len(parts) == 1:
+                return parts[0]
+            cat = tuple(
+                np.concatenate([p[j] for p in parts]) for j in range(5)
+            )
+            return self._span_sort(*cat)
+        if isinstance(q, SpanNear):
+            return (
+                self._span_near_ordered(q, cand)
+                if q.in_order
+                else self._span_near_unordered(q, cand)
+            )
+        if isinstance(q, SpanPositionRange):
+            d, s, e, w, n = self._span_enumerate(q.match, cand)
+            keep = (s >= q.start) & (e <= q.end)
+            return d[keep], s[keep], e[keep], w[keep], n[keep]
+        if isinstance(q, SpanNot):
+            return self._span_not(q, cand)
+        if isinstance(q, (SpanContaining, SpanWithin)):
+            return self._span_contain(q, cand)
+        raise TypeError(f"not a span query: {q!r}")
+
+    _KP = np.int64(1) << np.int64(31)  # positions/ends < 2^31 (int32)
+
+    def _span_subs_common(self, clauses, cand):
+        """Enumerate sub-clauses and restrict all to their common docs
+        (ConjunctionSpans intersects sub iterators). Returns (subs, du) —
+        du the sorted common docids — or (None, None) when empty."""
+        subs = [self._span_enumerate(c, cand) for c in clauses]
+        du = None
+        for sub in subs:
+            if sub[0].size == 0:
+                return None, None
+            u = np.unique(sub[0])
+            du = u if du is None else du[np.isin(du, u)]
+            if du.size == 0:
+                return None, None
+        out = []
+        for sub in subs:
+            keep = np.isin(sub[0], du)
+            out.append(tuple(a[keep] for a in sub))
+        return out, du
+
+    def _span_near_ordered(self, q, cand):
+        """NearSpansOrdered: one candidate per FIRST-clause span; each
+        later clause takes its first span (in (start, end) order) whose
+        start >= the previous clause's end — ``advancePosition``'s
+        monotone pointer equals this declarative min-≥ because the
+        targets are non-decreasing — width = Σ gaps, match iff
+        width <= slop (NearSpansOrdered.java:85-105)."""
+        subs, du = self._span_subs_common(q.clauses, cand)
+        if subs is None:
+            return self._SPAN_EMPTY
+        kp = self._KP
+        d0, s0, e0, _w0, n0 = subs[0]
+        di = np.searchsorted(du, d0)
+        starts, cur_end, width, norms = s0, e0, np.zeros(d0.size, np.int64), n0
+        for t in range(1, len(subs)):
+            dt, st, et, _wt, _nt = subs[t]
+            key_t = np.searchsorted(du, dt) * kp + st
+            target = di * kp + cur_end
+            idx = np.searchsorted(key_t, target, side="left")
+            ok = idx < key_t.size
+            jj = np.minimum(idx, key_t.size - 1)
+            ok &= (key_t[jj] // kp) == di
+            di, starts, cur_end, width, norms = (
+                di[ok], starts[ok], cur_end[ok], width[ok], norms[ok]
+            )
+            jj = jj[ok]
+            width = width + (st[jj] - cur_end)
+            cur_end = et[jj]
+            if di.size == 0:
+                return self._SPAN_EMPTY
+        keep = width <= q.slop
+        return (
+            du[di[keep]], starts[keep], cur_end[keep], width[keep], norms[keep]
+        )
+
+    def _span_near_unordered(self, q, cand):
+        """NearSpansUnordered: the advance-min sweep vectorized with the
+        same rank decomposition as _sloppy_phrase_match — the sweep
+        consumes sub-spans in merged (start, end) order, so the j-th
+        state has top = merged row j and, per clause, current = the
+        clause's first own merged row >= j; states run until a clause's
+        rows exhaust. maxEnd is the running max over every end seen
+        (currents + consumed prefix), totalSpanLength sums the currents'
+        own lengths, and a state matches iff maxEnd - top.start -
+        totalSpanLength <= slop with width = maxEnd - top.start
+        (NearSpansUnordered.java:56-127). Ties at equal (start, end)
+        break by clause index (the reference's PQ order is unspecified
+        there)."""
+        import pandas as pd
+
+        subs, du = self._span_subs_common(q.clauses, cand)
+        if subs is None:
+            return self._SPAN_EMPTY
+        m = len(subs)
+        d = np.concatenate([s[0] for s in subs])
+        s_ = np.concatenate([s[1] for s in subs])
+        e = np.concatenate([s[2] for s in subs])
+        n_ = np.concatenate([s[4] for s in subs])
+        cl = np.concatenate(
+            [np.full(subs[t][0].size, t, dtype=np.int64) for t in range(m)]
+        )
+        order = np.lexsort((cl, e, s_, d))
+        d, s_, e, n_, cl = d[order], s_[order], e[order], n_[order], cl[order]
+        n = d.size
+        newdoc = np.empty(n, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = d[1:] != d[:-1]
+        doc_idx = np.cumsum(newdoc) - 1
+        ndocs = int(doc_idx[-1]) + 1
+        rows = np.arange(n, dtype=np.int64)
+        maxend_cur = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        total_len = np.zeros(n, dtype=np.int64)
+        j_end = np.full(ndocs, np.iinfo(np.int64).max, dtype=np.int64)
+        for t in range(m):
+            idx_t = np.flatnonzero(cl == t)
+            k = np.searchsorted(idx_t, rows, side="left")
+            nxt = idx_t[np.minimum(k, idx_t.size - 1)]
+            np.maximum(maxend_cur, e[nxt], out=maxend_cur)
+            total_len += e[nxt] - s_[nxt]
+            dt = doc_idx[idx_t]
+            tail = np.empty(idx_t.size, dtype=bool)
+            tail[-1] = True
+            tail[:-1] = dt[1:] != dt[:-1]
+            np.minimum.at(j_end, dt[tail], idx_t[tail])
+        # exclusive per-doc running max of ends (consumed prefix)
+        pref_incl = (
+            pd.Series(e).groupby(pd.Series(doc_idx)).cummax().to_numpy()
+        )
+        pref_excl = np.empty(n, dtype=np.int64)
+        pref_excl[0] = np.iinfo(np.int64).min
+        pref_excl[1:] = pref_incl[:-1]
+        pref_excl[newdoc] = np.iinfo(np.int64).min
+        maxend = np.maximum(maxend_cur, pref_excl)
+        valid = rows <= j_end[doc_idx]
+        match = valid & (maxend - s_ - total_len <= q.slop)
+        if not match.any():
+            return self._SPAN_EMPTY
+        return (
+            d[match],
+            s_[match],
+            maxend[match],
+            (maxend - s_)[match],
+            n_[match],
+        )
+
+    def _span_not(self, q, cand):
+        """SpanNotQuery's FilterSpans accept loop declaratively: the
+        exclude pointer always rests at the FIRST exclude span (in
+        enumeration order) with end > include.start - pre (skips only
+        happen against earlier, smaller thresholds), so an include span
+        drops iff that span exists in-doc and its start - post <
+        include.end (SpanNotQuery.java:173-215)."""
+        import pandas as pd
+
+        inc = self._span_enumerate(q.include, cand)
+        if inc[0].size == 0:
+            return self._SPAN_EMPTY
+        idocs = np.unique(inc[0])
+        exc = self._span_enumerate(q.exclude, idocs)
+        if exc[0].size == 0:
+            return inc
+        du = idocs
+        ed, es, ee = exc[0], exc[1], exc[2]
+        ei = np.searchsorted(du, ed)
+        # per-doc running max of exclude ends: first j with end > thr ==
+        # first j with cummax(end) > thr (the argmax index has end == cummax)
+        cme = pd.Series(ee).groupby(pd.Series(ei)).cummax().to_numpy()
+        kp2 = np.int64(1) << np.int64(33)
+        ekey = ei * kp2 + (cme + np.int64(2))
+        ii = np.searchsorted(du, inc[0])
+        thr = np.maximum(inc[1] - np.int64(q.pre), np.int64(-1))
+        j = np.searchsorted(ekey, ii * kp2 + (thr + np.int64(2)), side="right")
+        ok = j < ekey.size
+        jj = np.minimum(j, ekey.size - 1)
+        reject = ok & (ei[jj] == ii) & (es[jj] - np.int64(q.post) < inc[2])
+        keep = ~reject
+        return tuple(a[keep] for a in inc)
+
+    def _span_contain(self, q, cand):
+        """SpanContaining / SpanWithin: the reference's two-pointer loops
+        (SpanContainingQuery.java:93-110, SpanWithinQuery.java:93-131)
+        expressed as first-≥ lookups — exact whenever the probed side's
+        ends are non-decreasing within a doc (term/phrase-like sub-spans
+        and ordered nears all qualify; the pointer discipline equals the
+        declarative form there)."""
+        import pandas as pd
+
+        from .spans import SpanContaining
+
+        containing = isinstance(q, SpanContaining)
+        subs, du = self._span_subs_common((q.big, q.little), cand)
+        if subs is None:
+            return self._SPAN_EMPTY
+        big, lit = subs
+        kp = self._KP
+        bi = np.searchsorted(du, big[0])
+        li = np.searchsorted(du, lit[0])
+        if containing:
+            # keep big where the first little with start >= big.start has
+            # end <= big.end
+            lkey = li * kp + lit[1]
+            j = np.searchsorted(lkey, bi * kp + big[1], side="left")
+            ok = j < lkey.size
+            jj = np.minimum(j, lkey.size - 1)
+            keep = ok & (li[jj] == bi) & (lit[2][jj] <= big[2])
+            return tuple(a[keep] for a in big)
+        # within: keep little where the first big with end >= little.end
+        # has start <= little.start
+        cbe = pd.Series(big[2]).groupby(pd.Series(bi)).cummax().to_numpy()
+        kp2 = np.int64(1) << np.int64(33)
+        bkey = bi * kp2 + cbe
+        j = np.searchsorted(bkey, li * kp2 + lit[2], side="left")
+        ok = j < bkey.size
+        jj = np.minimum(j, bkey.size - 1)
+        keep = ok & (bi[jj] == li) & (big[1][jj] <= lit[1])
+        return tuple(a[keep] for a in lit)
+
+    def _span_match(self, q):
+        """(docids, sloppy freqs, norms) of the span tree: per doc,
+        freq = Σ 1/(1+width) accumulated per distinct width ascending,
+        left-assoc float64 (SpanScorer.setFreqCurrentDoc's sum, grouped
+        deterministically so an ANSI-SQL oracle reproduces it)."""
+        cand = self._span_doc_superset(q)
+        if cand.size == 0:
+            return _EMPTY, np.zeros(0, dtype=np.float64), _EMPTY
+        d, _s, _e, w, n = self._span_enumerate(q, cand)
+        if d.size == 0:
+            return _EMPTY, np.zeros(0, dtype=np.float64), _EMPTY
+        docs_u, first_idx, inv = np.unique(d, return_index=True, return_inverse=True)
+        freq = np.zeros(docs_u.size, dtype=np.float64)
+        for width in np.unique(w):
+            wt = 1.0 / (1.0 + int(width))
+            freq += np.bincount(inv[w == width], minlength=docs_u.size) * wt
+        return docs_u, freq, n[first_idx]
+
+    def _evaluate_span(self, q):
+        sc = self.ctx.scorers[q]
+        dtype = _float_dtype(sc)
+        d, f, m = self._span_match(q)
+        if d.size == 0:
+            return _EMPTY, np.zeros(0, dtype=dtype)
+        return d, sc.score(f, m).astype(dtype)
 
     def _phrase_scores(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         sc = self.ctx.scorers[q]
