@@ -490,6 +490,19 @@ def analyze_batch(
             ),
             distinct_positions=True,
         )
+    if analyzer == "url_email":
+        # URL/email span recognition is CONTEXT-dependent (spans cross the
+        # UAX#29 boundaries the vectorized lowercase lane assumes, and the
+        # scheme test reads original case semantics) — exact per-document
+        # chain lane
+        from .urlemail import url_email_analyze as _ue_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _ue_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer == "turkish":
         # the dotted/dotless-i rules read the ORIGINAL case (İSTANBUL →
         # istanbul but ISPARTA → ısparta) — per-document original-case lane

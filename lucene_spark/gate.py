@@ -4491,6 +4491,41 @@ def _ensure_german_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+# UAX29URLEmailTokenizer (analysis/urlemail.py): every lexicon entry
+# analyzes to exactly ONE token — URLs and emails survive as single
+# lowercased terms, so doc length stays 6 and the slot-arithmetic oracle
+# applies unchanged. A tokenizer that split any URL/email would shift both
+# tf and dl and hash-mismatch.
+_UE_LEX = [
+    "https://Spark.Example.com/docs?q=1",
+    "Bob.Smith@example.org",
+    "data",
+    "www.Lucene.example.net",
+    "ftp://files.example.com/pub",
+    "alice+dev@example.co.UK",
+    "stream27",
+    "HTTP://a.example.io/x#frag",
+]
+
+
+def _mk_q_url_email(term: str, k: int = 100000):
+    from .search.query import TermQuery
+
+    def run(spark, sf_dir):
+        s = Searcher(
+            spark,
+            _ensure_lex_index(spark, sf_dir, "ue", _UE_LEX, "url_email"),
+            analyzer="url_email", mode="double",
+        )
+        h = s.search(TermQuery(term), k=k, with_url=True)
+        return h.select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
 def _q_german_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_german_index(spark, sf_dir), analyzer="german",
@@ -6170,6 +6205,10 @@ def gate_queries() -> dict:
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
+        "url_email_url_index": _mk_q_url_email(
+            "https://spark.example.com/docs?q=1"
+        ),
+        "url_email_email_index": _mk_q_url_email("alice+dev@example.co.uk"),
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
@@ -6383,6 +6422,8 @@ def gate_oracle_sql() -> dict:
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
+        "url_email_url_index": _sql_lex_stem((0,)),
+        "url_email_email_index": _sql_lex_stem((5,)),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),

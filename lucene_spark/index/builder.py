@@ -59,6 +59,7 @@ from ..analysis.icu import (
     icu_folding_analyze,
     icu_folding_terms_positions,
 )
+from ..analysis.urlemail import url_email_analyze, url_email_terms_positions
 from ..analysis.metaphone import (
     double_metaphone_analyze,
     double_metaphone_terms_positions,
@@ -203,6 +204,7 @@ _ANALYZERS: dict[str, Callable] = {
     "cologne": cologne_analyze,      # Kölner Phonetik codes (Postel 1969)
     "double_metaphone": double_metaphone_analyze,  # Philips 2000, 2 codes
     "icu_folding": icu_folding_analyze,  # UTR#30 search folding
+    "url_email": url_email_analyze,      # UAX29URLEmailTokenizer chain
 }
 
 
@@ -286,6 +288,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "cologne": cologne_terms_positions,
     "double_metaphone": double_metaphone_terms_positions,
     "icu_folding": icu_folding_terms_positions,
+    "url_email": url_email_terms_positions,
 }
 
 
