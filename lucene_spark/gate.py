@@ -1262,6 +1262,46 @@ def _sql_dismax(terms: list[str], tie: float, k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
+def _q_blended_term(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    q = s.blended_term_query(["data", "stream"], rewrite_method="dismax")
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_blended_term(terms: list[str], tie: float = 0.01, k: int = 10) -> str:
+    """BlendedTermQuery oracle: every term scores with the blended
+    docFreq = max over the set (BlendedTermQuery.adjustFrequencies), then
+    DISJUNCTION_MAX_REWRITE combines (tie 0.01)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    idf = _idf("d.df")
+    aliases = []
+    ctes = []
+    for i, t in enumerate(terms):
+        a = f"s_{i}"
+        aliases.append(a)
+        ctes.append(f"""
+{a} AS (
+  SELECT tf.doc_id,
+         ({idf} - {idf} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN qdl USING (doc_id), stats s,
+       (SELECT max(df) AS df FROM dft WHERE term IN ({in_list})) d
+  WHERE tf.term = '{t}'
+)""")
+    joins = aliases[0]
+    for a in aliases[1:]:
+        joins += f" FULL JOIN {a} USING (doc_id)"
+    mx = "greatest(" + ", ".join(
+        f"coalesce({a}.score, '-infinity'::DOUBLE)" for a in aliases
+    ) + ")"
+    sm = " + ".join(f"coalesce({a}.score, 0.0)" for a in aliases)
+    inner = f"SELECT doc_id, ({mx} + {tie} * (({sm}) - {mx})) AS score FROM {joins}"
+    return f"WITH {_BASE_CTES}, {', '.join(ctes)} " + _topk_wrap(inner, k)
+
+
 def _sql_boost_or(term_boosts: list[tuple[str, float]], k: int = 10) -> str:
     """OR of boosted terms: weight = boost*idf built at scorer-create, then
     w - w/tf (QuantizedDoubleBm25.create order)."""
@@ -3932,6 +3972,113 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+def _q_docvalues_stats(spark, sf_dir):
+    """DocValuesStats (misc/search/DocValuesStats.java) over the docs
+    matching 'stream', on the prio doc-value the oracle recomputes by
+    doc_id arithmetic."""
+    from .search.misc import doc_values_stats
+    from .search.query import TermQuery
+
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    row = doc_values_stats(s, TermQuery("stream"), "prio")
+    return row.select(
+        F.col("count"),
+        F.col("missing"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("vsum", 4).alias("vsum"),
+        F.round("mean", 4).alias("mean"),
+        F.round("variance", 4).alias("variance"),
+        F.round("stdev", 4).alias("stdev"),
+    )
+
+
+_SQL_DOCVALUES_STATS = f"""WITH {_BASE_CTES},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream'),
+vv AS (SELECT doc_id, ((doc_id * 37) % 211)::DOUBLE AS v FROM m)
+SELECT count(v)::BIGINT AS count,
+       (count(*) - count(v))::BIGINT AS missing,
+       round(min(v), 4) AS vmin,
+       round(max(v), 4) AS vmax,
+       round(sum(v), 4) AS vsum,
+       round(sum(v) / count(v), 4) AS mean,
+       round(sum(v * v) / count(v) - (sum(v) / count(v)) * (sum(v) / count(v)), 4)
+         AS variance,
+       round(sqrt(sum(v * v) / count(v) - (sum(v) / count(v)) * (sum(v) / count(v))), 4)
+         AS stdev
+FROM vv"""
+
+
+def _q_facet_long_values(spark, sf_dir):
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java): counts per
+    distinct long value — value = length(text) % 16 over all docs."""
+    from .search.facets import long_value_facets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.length("text") % 16).alias("lv")
+    )
+    return long_value_facets(docs, "lv")
+
+
+_SQL_FACET_LONG_VALUES = """
+SELECT (length(text) % 16)::BIGINT AS value, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1"""
+
+
+def _q_facet_dynamic_ranges(spark, sf_dir):
+    """DynamicRangeUtil.computeDynamicNumericRanges: 5 equal-weight ranges
+    over value = length(text), weight = doc_id % 7 (zero weights skipped,
+    :161-163)."""
+    from .search.facets import dynamic_range_facets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.length("text").alias("lv"), (F.col("doc_id") % 7).alias("wt")
+    )
+    out = dynamic_range_facets(docs, "lv", "wt", top_n=5)
+    return out.select(
+        "count", "weight", "vmin", "vmax",
+        F.round("centroid", 4).alias("centroid"),
+    )
+
+
+_SQL_FACET_DYNAMIC_RANGES = """WITH RECURSIVE
+vals AS (
+  SELECT length(text)::BIGINT AS v, (doc_id % 7)::BIGINT AS w
+  FROM documents WHERE (doc_id % 7) != 0
+),
+ord AS (
+  SELECT v, w,
+         sum(w) OVER (ORDER BY v, w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ws
+  FROM vals
+),
+tot AS (SELECT max(ws) AS tw, count(*)::BIGINT AS n FROM ord),
+bounds(k, b) AS (
+  SELECT 0, 0::BIGINT
+  UNION ALL
+  SELECT k + 1,
+         (SELECT min(ws) FROM ord, tot
+          WHERE ws - bounds.b >= tot.tw::DOUBLE / least(5, tot.n))
+  FROM bounds
+  WHERE k < 5 AND (SELECT min(ws) FROM ord, tot
+                   WHERE ws - bounds.b >= tot.tw::DOUBLE / least(5, tot.n))
+                  IS NOT NULL
+),
+bl AS (SELECT b FROM bounds WHERE k > 0),
+assigned AS (
+  SELECT v, w, ws,
+         (SELECT count(*) FROM bl WHERE bl.b < ord.ws) AS bucket
+  FROM ord
+)
+SELECT count(*)::BIGINT AS count, sum(w)::BIGINT AS weight,
+       min(v) AS vmin, max(v) AS vmax,
+       round(sum(v)::DOUBLE / count(*), 4) AS centroid
+FROM assigned GROUP BY bucket ORDER BY bucket"""
+
+
 def _q_distance_feature(spark, sf_dir, k: int = 10):
     """DistanceFeatureQuery (document/LongDistanceFeatureQuery.java:266):
     BM25 for 'stream' + 2·(10 / (10 + |prio − 100|)) over the stored
@@ -6190,6 +6337,10 @@ def gate_queries() -> dict:
         "sweet_spot_topk": _make_q_similarity("sweet_spot"),
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
+        "blended_term": _q_blended_term,
+        "docvalues_stats": _q_docvalues_stats,
+        "facet_long_values": _q_facet_long_values,
+        "facet_dynamic_ranges": _q_facet_dynamic_ranges,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -6407,6 +6558,10 @@ def gate_oracle_sql() -> dict:
         "sweet_spot_topk": _sql_similarity("sweet_spot", ["stream", "window"]),
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
+        "blended_term": _sql_blended_term(["data", "stream"]),
+        "docvalues_stats": _SQL_DOCVALUES_STATS,
+        "facet_long_values": _SQL_FACET_LONG_VALUES,
+        "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),

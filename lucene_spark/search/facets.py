@@ -76,6 +76,123 @@ def range_facets(
     )
 
 
+def long_value_facets(hits: DataFrame, value_col: str) -> DataFrame:
+    """Facet counts per distinct long value of ``value_col``
+    (facet/src/java/org/apache/lucene/facet/LongValueFacetCounts.java:47
+    — "Computes facets counts ... for all long values", here the
+    getAllChildrenSortByValue view: every distinct value with its count,
+    value ascending). One map-side-combinable groupBy — no driver state,
+    no hash-vs-array backing distinction needed (Spark's aggregate IS the
+    sparse path)."""
+    return (
+        hits.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("long").alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("value")
+    )
+
+
+def dynamic_range_facets(
+    hits: DataFrame, value_col: str, weight_col: str, top_n: int
+) -> DataFrame:
+    """Equal-weight dynamic ranges (facet/src/java/org/apache/lucene/facet/
+    range/DynamicRangeUtil.java:204-266 computeDynamicNumericRanges):
+    rows sort by (value, weight), zero-weight rows are skipped (:161-163),
+    and a greedy scan emits a range every time the accumulated weight
+    reaches ``totalWeight / min(topN, len)``, plus a tail range; each
+    range reports (count, weight, min, max, centroid = value mean).
+
+    Distributed shape: one sort-shuffle builds running prefix weights
+    (window), then each greedy boundary is resolved by a short
+    min-aggregation on the cached prefix column — the boundary chain is
+    sequential in the reference too, and only ≤ topN scalar lookups cross
+    to the driver, never rows. Assignment + per-range aggregates are one
+    final groupBy against the broadcast boundary list."""
+    from pyspark.sql.window import Window
+
+    if top_n <= 0:
+        raise ValueError("top_n must be > 0")
+    rows = hits.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") != 0)
+    # two-level prefix sum (the sequence-packing pattern): range-partition
+    # by the sort key, within-shard running sums, then broadcast the tiny
+    # per-shard offsets — no single-partition global window at any scale.
+    # Equal (v, w) rows split across a shard edge are interchangeable
+    # (only counts enter the result), so shard-local tie order is free.
+    nparts = max(hits.sparkSession.sparkContext.defaultParallelism, 2)
+    sharded = rows.repartitionByRange(nparts, "v", "w").withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = sharded.withColumn("_ws_local", F.sum("w").over(w_in))
+    shard_tot = sharded.groupBy("_shard").agg(F.sum("w").alias("_tot"))
+    w_sh = Window.orderBy(F.col("_shard").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_off = shard_tot.select(
+        "_shard", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)).alias("_off")
+    )
+    pref = (
+        within.join(F.broadcast(shard_off), "_shard")
+        .select("v", "w", (F.col("_ws_local") + F.col("_off")).alias("ws"))
+        .cache()
+    )
+    try:
+        tot = pref.agg(
+            F.coalesce(F.max("ws"), F.lit(0)).alias("tw"),
+            F.count("*").alias("n"),
+        ).first()
+        total_w, n = int(tot["tw"]), int(tot["n"])
+        if n == 0:
+            return hits.sparkSession.createDataFrame(
+                [],
+                "count long, weight long, vmin long, vmax long, centroid double",
+            )
+        target = float(total_w) / min(top_n, n)
+        bounds: list[int] = []
+        prev = 0
+        while len(bounds) < top_n:
+            nxt = (
+                pref.filter(F.col("ws") - F.lit(prev) >= F.lit(target))
+                .agg(F.min("ws").alias("b"))
+                .first()["b"]
+            )
+            if nxt is None:
+                break
+            bounds.append(int(nxt))
+            prev = int(nxt)
+        # bucket = number of boundaries strictly below this row's ws
+        bucket = sum(
+            (F.when(F.col("ws") > F.lit(b), 1).otherwise(0) for b in bounds),
+            F.lit(0),
+        )
+        out = (
+            pref.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("count"),
+                F.sum("w").alias("weight"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+                (F.sum("v").cast("double") / F.count("*")).alias("centroid"),
+            )
+            .orderBy("bucket")
+            .drop("bucket")
+        )
+        out = out.collect()
+    finally:
+        pref.unpersist()
+    return hits.sparkSession.createDataFrame(
+        out, "count long, weight long, vmin long, vmax long, centroid double"
+    )
+
+
 def drill_sideways(
     docs: DataFrame, constraints: dict[str, str]
 ) -> DataFrame:

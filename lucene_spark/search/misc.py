@@ -18,7 +18,40 @@ from pyspark.sql import functions as F
 
 from ..index.builder import FIELD_SEP
 
-__all__ = ["high_freq_terms"]
+__all__ = ["high_freq_terms", "doc_values_stats"]
+
+
+def doc_values_stats(searcher, query, name: str) -> DataFrame:
+    """DocValuesStats over the docs matching ``query`` (misc/src/java/org/
+    apache/lucene/misc/search/DocValuesStats.java:29-146 +
+    DocValuesStatsCollector): count (docs with a value), missing, min,
+    max, sum, mean, population variance, stdev — one row.
+
+    The reference accumulates mean/variance incrementally (Welford) on a
+    single thread; this computes the same statistics with the
+    distributed-friendly moment form (variance = E[v²] − mean², written
+    as one explicit expression so a SQL oracle reproduces the float path
+    term for term)."""
+    hits = searcher.search_all(query).select("docid")
+    dm = searcher._docmap_global().select(
+        "docid", F.col("dv").getItem(name).alias("v")
+    )
+    j = hits.join(dm, "docid")
+    cnt = F.count("v")
+    vsum = F.sum("v")
+    return j.agg(
+        cnt.alias("count"),
+        (F.count("*") - cnt).alias("missing"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        vsum.alias("vsum"),
+        (vsum / cnt).alias("mean"),
+        (F.sum(F.col("v") * F.col("v")) / cnt - (vsum / cnt) * (vsum / cnt))
+        .alias("variance"),
+        F.sqrt(
+            F.sum(F.col("v") * F.col("v")) / cnt - (vsum / cnt) * (vsum / cnt)
+        ).alias("stdev"),
+    )
 
 
 def high_freq_terms(

@@ -89,6 +89,9 @@ class TermQuery:
     # BlendedTermQuery.adjustFrequencies semantics (df = max across the
     # expanded set) used by FuzzyQuery's TopTermsBlendedFreqScoringRewrite
     df_override: int = 0
+    # blended totalTermFreq (BlendedTermQuery.rewrite sums ttf across the
+    # set); consulted only by ttf-reading similarities (LM family)
+    ttf_override: int = 0
 
 
 @dataclass(frozen=True)

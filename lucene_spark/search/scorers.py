@@ -912,7 +912,8 @@ def build_scorers(
             dc, st = stats_for(leaf.term)
             scorers[leaf] = make_term_scorer(
                 mode, df, dc, st, boost=leaf.boost,
-                ttf=tstats.get(leaf.term, (0, 0))[1],
+                ttf=getattr(leaf, "ttf_override", 0)
+                or tstats.get(leaf.term, (0, 0))[1],
             )
         elif isinstance(leaf, PhraseQuery):
             dc, st = stats_for(leaf.terms[0])

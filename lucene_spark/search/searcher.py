@@ -302,6 +302,38 @@ class Searcher:
         )
         return TermAutomatonQuery(paths=paths, boost=boost)
 
+    def blended_term_query(
+        self,
+        terms: list[str],
+        boosts: list[float] | None = None,
+        rewrite_method: str = "dismax",
+        tie_breaker: float = 0.01,
+    ):
+        """BlendedTermQuery (core/src/java/org/apache/lucene/search/
+        BlendedTermQuery.java:271-302): every term scores with ARTIFICIAL
+        blended statistics — docFreq = max over the set, totalTermFreq =
+        the sum (adjustFrequencies) — so cross-field/synonym variants rank
+        as one term; the blended TermQueries combine per the rewrite
+        method: ``"dismax"`` = DisjunctionMaxQuery with tie-break 0.01
+        (DISJUNCTION_MAX_REWRITE, :190) or ``"boolean"`` = SHOULD sum
+        (BOOLEAN_REWRITE, :138-148)."""
+        if not terms:
+            return MatchNoDocsQuery()
+        if boosts is None:
+            boosts = [1.0] * len(terms)
+        stats = self._cached_term_stats(list(terms))
+        df = max(stats[t][0] for t in terms)
+        ttf = sum(stats[t][1] for t in terms)
+        subs = tuple(
+            TermQuery(t, boost=b, df_override=df, ttf_override=ttf)
+            for t, b in zip(terms, boosts)
+        )
+        if rewrite_method == "dismax":
+            return DisjunctionMaxQuery(subs, tie_breaker=tie_breaker)
+        if rewrite_method == "boolean":
+            return BooleanQuery(should=subs)
+        raise ValueError(f"unknown rewrite_method {rewrite_method!r}")
+
     def common_terms_query(
         self,
         text: str,
