@@ -25,6 +25,8 @@ from ..constants import MAX_TOKEN_LENGTH
 from .tokenizer import Token, analyze as _standard_analyze
 
 __all__ = [
+    "register_token_analyzer",
+    "custom_token_entry",
     "register_term_analyzer",
     "custom_term_fn",
     "custom_analyze_fn",
@@ -33,6 +35,29 @@ __all__ = [
 ]
 
 _REGISTRY: dict[str, Callable] = {}
+# full token-chain analyzers: name -> (analyze_fn(text, stopwords,
+# max_token_length) -> list[Token], distinct_positions) — for stream
+# filters that aren't per-term transforms (fingerprint, capture groups,
+# token-count limits; see analysis/filters.py)
+_TOKEN_REGISTRY: dict[str, tuple[Callable, bool]] = {}
+
+
+def register_token_analyzer(
+    name: str, analyze_fn: Callable, distinct_positions: bool = False
+) -> None:
+    """Register a FULL token-chain analyzer (list[Token] out). Use
+    :func:`register_term_analyzer` for pure per-term chains — those run
+    on the vectorized vocabulary-remap lane; token analyzers run the
+    exact per-document lane. ``distinct_positions`` makes doc length
+    count distinct positions (discountOverlaps) for chains that stack
+    tokens at one position."""
+    if not callable(analyze_fn):
+        raise TypeError("analyze_fn must be callable")
+    _TOKEN_REGISTRY[name] = (analyze_fn, bool(distinct_positions))
+
+
+def custom_token_entry(name: str):
+    return _TOKEN_REGISTRY.get(name)
 
 
 def register_term_analyzer(name: str, term_fn: Callable) -> None:
@@ -50,7 +75,11 @@ def custom_term_fn(name: str):
 
 def custom_analyze_fn(name: str):
     """Token-chain adapter for a registered per-term analyzer (the
-    Token-object lane used by the oracle and query analysis)."""
+    Token-object lane used by the oracle and query analysis); full
+    token-chain registrations resolve directly."""
+    tok = _TOKEN_REGISTRY.get(name)
+    if tok is not None:
+        return tok[0]
     term_fn = _REGISTRY.get(name)
     if term_fn is None:
         return None

@@ -1,0 +1,261 @@
+"""Miscellaneous / pattern token filters — the reference's small-filter
+family as composable per-term and stream transforms, plus a registration
+helper that turns any composition into a first-class analyzer name.
+
+Behavioral references (analysis/common/src/java/org/apache/lucene/
+analysis/):
+
+- miscellaneous/KeepWordFilter.java:28 — keep only terms in the set
+  (FilteringTokenFilter: dropped terms leave their position gap).
+- miscellaneous/LengthFilter.java:31 — keep min <= len <= max.
+- miscellaneous/TruncateTokenFilter.java:29 — cut terms to a prefix
+  length (keyword-marked terms exempt; no keywords in these chains).
+- miscellaneous/LimitTokenCountFilter.java:33 — emit only the first
+  maxTokenCount tokens of the stream.
+- miscellaneous/FingerprintFilter.java:38 — collapse the WHOLE stream
+  into one token: sorted distinct terms joined by the separator; empty
+  output when the joined size exceeds maxOutputTokenSize.
+- miscellaneous/ScandinavianFoldingFilter.java:68-121 — å/ä/æ→a,
+  ö/ø→o (case kept), and digraph squeeze aa/ae/ao→a, oe/oo→o.
+- miscellaneous/ScandinavianNormalizer.java:75-136 (ALL_FOLDINGS, the
+  ScandinavianNormalizationFilter configuration) — ä→æ, ö→ø, and
+  digraphs aa→å, ao→å, ae→æ, oe→ø, oo→ø.
+- pattern/PatternReplaceFilter.java:33 — regex replace inside each term
+  (all occurrences or first).
+- pattern/PatternCaptureGroupTokenFilter.java:88-166 — emit one token
+  per capturing-group occurrence, enumerated by ascending start offset
+  across patterns; the first capture REPLACES the original (unless
+  preserve_original, which keeps the original first); extra captures
+  stack at position-increment 0; empty captures and (when preserving) a
+  whole-token capture are skipped.
+
+Every chain built here runs on the exact per-document lane
+(vectorized._batch_from_chain) — stream filters are not per-term
+transforms.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable
+
+from ..constants import MAX_TOKEN_LENGTH
+from .tokenizer import Token, analyze as _standard_analyze
+
+__all__ = [
+    "keep_word",
+    "length_filter",
+    "truncate_filter",
+    "pattern_replace",
+    "scandinavian_fold_term",
+    "scandinavian_normalize_term",
+    "limit_token_count",
+    "fingerprint_filter",
+    "pattern_capture",
+    "register_filter_analyzer",
+]
+
+
+# --- per-term filters (term -> term | None) --------------------------------
+
+def keep_word(keep: Iterable[str]) -> Callable:
+    ks = frozenset(keep)
+    return lambda term: term if term in ks else None
+
+
+def length_filter(min_len: int, max_len: int) -> Callable:
+    return lambda term: term if min_len <= len(term) <= max_len else None
+
+
+def truncate_filter(length: int) -> Callable:
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    return lambda term: term[:length]
+
+
+def pattern_replace(pattern: str, replacement: str, replace_all: bool = True) -> Callable:
+    pat = re.compile(pattern)
+    count = 0 if replace_all else 1
+    return lambda term: pat.sub(replacement, term, count=count)
+
+
+_SCAND_FOLD_MAP = str.maketrans(
+    {"å": "a", "ä": "a", "æ": "a", "Å": "A", "Ä": "A", "Æ": "A",
+     "ö": "o", "ø": "o", "Ö": "O", "Ø": "O"}
+)
+
+
+def scandinavian_fold_term(term: str) -> str:
+    """ScandinavianFoldingFilter: the single-char folds apply everywhere;
+    the digraph squeeze (a[aeo]→a, o[eo]→o, case-insensitive second char)
+    applies left-to-right on the evolving buffer."""
+    out: list[str] = []
+    i, n = 0, len(term)
+    while i < n:
+        c = term[i]
+        f = c.translate(_SCAND_FOLD_MAP)
+        if f != c:
+            out.append(f)
+            i += 1
+            continue
+        if i + 1 < n:
+            nxt = term[i + 1].lower()
+            if c in "aA" and nxt in "aeo":
+                out.append(c)
+                i += 2
+                continue
+            if c in "oO" and nxt in "eo":
+                out.append(c)
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def scandinavian_normalize_term(term: str) -> str:
+    """ScandinavianNormalizer with ALL_FOLDINGS: ä→æ, ö→ø single-char;
+    digraphs aa/ao→å, ae→æ, oe/oo→ø (second char case-insensitive,
+    result keeps the first char's case)."""
+    out: list[str] = []
+    i, n = 0, len(term)
+    single = {"ä": "æ", "Ä": "Æ", "ö": "ø", "Ö": "Ø"}
+    while i < n:
+        c = term[i]
+        if c in single:
+            out.append(single[c])
+            i += 1
+            continue
+        if i + 1 < n:
+            nxt = term[i + 1].lower()
+            if c == "a" and nxt in "ao":
+                out.append("å"); i += 2; continue
+            if c == "A" and nxt in "ao":
+                out.append("Å"); i += 2; continue
+            if c == "a" and nxt == "e":
+                out.append("æ"); i += 2; continue
+            if c == "A" and nxt == "e":
+                out.append("Æ"); i += 2; continue
+            if c == "o" and nxt in "eo":
+                out.append("ø"); i += 2; continue
+            if c == "O" and nxt in "eo":
+                out.append("Ø"); i += 2; continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# --- stream filters (list[Token] -> list[Token]) ---------------------------
+
+def limit_token_count(max_token_count: int) -> Callable:
+    if max_token_count < 1:
+        raise ValueError("max_token_count must be >= 1")
+    return lambda toks: toks[:max_token_count]
+
+
+def fingerprint_filter(separator: str = " ", max_output_token_size: int = 1024) -> Callable:
+    def apply(toks: list[Token]) -> list[Token]:
+        if not toks:
+            return []
+        uniq = sorted({t.term for t in toks})
+        joined = separator.join(uniq)
+        if len(joined) > max_output_token_size:
+            return []
+        end = max(t.end for t in toks)
+        return [Token(joined, 0, 0, end, "fingerprint")]
+
+    return apply
+
+
+def pattern_capture(patterns: list[str], preserve_original: bool = False) -> Callable:
+    pats = [re.compile(p) for p in patterns]
+
+    def captures_of(term: str) -> list[str]:
+        """All group captures in the reference's emission order: per
+        matcher, (find, group) sequential candidates; globally, the
+        candidate with the strictly smallest start offset wins (earliest
+        matcher on ties)."""
+        streams: list[list[tuple[int, str]]] = []
+        for pat in pats:
+            cand: list[tuple[int, str]] = []
+            for m in pat.finditer(term):
+                for g in range(1, (m.re.groups or 0) + 1):
+                    s, e = m.span(g)
+                    if s == e or s == -1:
+                        continue
+                    if preserve_original and s == 0 and e == len(term):
+                        continue
+                    cand.append((s, m.group(g)))
+            streams.append(cand)
+        ptr = [0] * len(streams)
+        out: list[str] = []
+        while True:
+            best, best_s = -1, None
+            for i, st in enumerate(streams):
+                if ptr[i] < len(st) and (best_s is None or st[ptr[i]][0] < best_s):
+                    best, best_s = i, st[ptr[i]][0]
+            if best < 0:
+                return out
+            out.append(streams[best][ptr[best]][1])
+            ptr[best] += 1
+
+    def apply(toks: list[Token]) -> list[Token]:
+        out: list[Token] = []
+        for t in toks:
+            caps = captures_of(t.term)
+            if preserve_original or not caps:
+                out.append(t)
+                emitted = list(caps)
+            else:
+                out.append(Token(caps[0], t.position, t.start, t.end, t.type))
+                emitted = caps[1:]
+            for c in emitted:
+                out.append(Token(c, t.position, t.start, t.end, t.type))
+        return out
+
+    return apply
+
+
+# --- composition ------------------------------------------------------------
+
+def register_filter_analyzer(
+    name: str,
+    term_filters: Iterable[Callable] = (),
+    stream_filters: Iterable[Callable] = (),
+    distinct_positions: bool = False,
+) -> None:
+    """Compose standard-tokenize -> lowercase -> stop -> term filters ->
+    stream filters and register it as analyzer ``name`` (runs on the
+    per-document batch lane; build_index ships the registration to
+    executors). Pass ``distinct_positions=True`` when a stream filter
+    stacks tokens at one position (pattern_capture) so doc length counts
+    distinct positions (discountOverlaps)."""
+    tfs = tuple(term_filters)
+    sfs = tuple(stream_filters)
+
+    def analyze_fn(
+        text: str,
+        stopwords=None,
+        max_token_length: int = MAX_TOKEN_LENGTH,
+    ) -> list[Token]:
+        toks = _standard_analyze(
+            text, stopwords=stopwords, max_token_length=max_token_length
+        )
+        if tfs:
+            kept: list[Token] = []
+            for t in toks:
+                term = t.term
+                for f in tfs:
+                    term = f(term)
+                    if term is None:
+                        break
+                if term is not None:
+                    kept.append(Token(term, t.position, t.start, t.end, t.type))
+            toks = kept
+        for f in sfs:
+            toks = f(toks)
+        return toks
+
+    from .custom import register_token_analyzer
+
+    register_token_analyzer(name, analyze_fn, distinct_positions=distinct_positions)

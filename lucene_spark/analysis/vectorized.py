@@ -536,6 +536,21 @@ def analyze_batch(
             texts, lambda t: _wd_py(t, stopwords=stopwords)
         )
     if not standard and analyzer != "simple":
+        from .custom import custom_token_entry
+
+        tok = custom_token_entry(analyzer)
+        if tok is not None:
+            # full token-chain registration (stream filters): exact
+            # per-document lane, distinct-position doc lengths when the
+            # chain stacks tokens (discountOverlaps)
+            fn, dp = tok
+            return _batch_from_chain(
+                texts,
+                lambda t: fn(
+                    t, stopwords=stopwords, max_token_length=max_token_length
+                ),
+                distinct_positions=dp,
+            )
         # fail LOUDLY: an unresolvable name would otherwise silently index
         # raw surface terms (seen with a custom analyzer registered on the
         # driver but looked up in an executor before the chain shipped)

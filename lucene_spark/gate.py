@@ -4638,6 +4638,93 @@ def _ensure_german_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+# Token-filter chains (analysis/filters.py). filters_chain: every slot
+# word survives (doc length stays 6) while pattern_replace + truncate
+# remap the vocabulary — 'streaming00' and 'streams' both land on
+# 'stream'. fingerprint: the whole doc collapses to ONE sorted-distinct
+# joined token; the 6 slot indices are {(d*7 + 3i) % 8} which depends
+# only on d*7 % 8, so exactly 8 fingerprints exist and querying one
+# selects doc_id % 8 == 0 (d*7 % 8 == 0 ⇔ d % 8 == 0).
+_FILTER_LEX = [
+    "streaming00", "streams", "data0", "datum",
+    "windowing", "tables", "rows", "joins",
+]
+_FP_LEX = [
+    "alpha", "bravo", "china", "delta", "echo", "foxtrot", "golf", "hotel",
+]
+
+
+def _register_gate_filter_analyzers():
+    from .analysis.filters import (
+        fingerprint_filter,
+        pattern_replace,
+        register_filter_analyzer,
+        truncate_filter,
+    )
+
+    register_filter_analyzer(
+        "gate_filters",
+        term_filters=[pattern_replace(r"0+$", ""), truncate_filter(6)],
+    )
+    register_filter_analyzer(
+        "gate_fingerprint", stream_filters=[fingerprint_filter()]
+    )
+
+
+def _q_filters_chain(spark, sf_dir, k: int = 100000):
+    from .search.query import TermQuery
+
+    _register_gate_filter_analyzers()
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "flt", _FILTER_LEX, "gate_filters"),
+        analyzer="gate_filters", mode="double",
+    )
+    h = s.search(TermQuery("stream"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_fingerprint_index(spark, sf_dir, k: int = 100000):
+    from .search.query import TermQuery
+
+    _register_gate_filter_analyzers()
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "fp", _FP_LEX, "gate_fingerprint"),
+        analyzer="gate_fingerprint", mode="double",
+    )
+    term = " ".join(sorted(_FP_LEX[(3 * i) % 8] for i in range(6)))
+    h = s.search(TermQuery(term), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_fingerprint_index(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    return f"""WITH tfq AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id * 7) % 8 = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         1.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '1')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 # UAX29URLEmailTokenizer (analysis/urlemail.py): every lexicon entry
 # analyzes to exactly ONE token — URLs and emails survive as single
 # lowercased terms, so doc length stays 6 and the slot-arithmetic oracle
@@ -6360,6 +6447,8 @@ def gate_queries() -> dict:
             "https://spark.example.com/docs?q=1"
         ),
         "url_email_email_index": _mk_q_url_email("alice+dev@example.co.uk"),
+        "filters_chain_index": _q_filters_chain,
+        "fingerprint_index": _q_fingerprint_index,
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
@@ -6579,6 +6668,8 @@ def gate_oracle_sql() -> dict:
         "german_light_index": _sql_german_stem(),
         "url_email_url_index": _sql_lex_stem((0,)),
         "url_email_email_index": _sql_lex_stem((5,)),
+        "filters_chain_index": _sql_lex_stem((0, 1)),
+        "fingerprint_index": _sql_fingerprint_index(),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),

@@ -362,6 +362,7 @@ def _invert_segment(
     payload_fn: Callable | None = None,
     doc_values: list[tuple[str, str]] | None = None,
     custom_chains: dict[str, Callable] | None = None,
+    custom_token_chains: dict[str, tuple] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -386,6 +387,11 @@ def _invert_segment(
 
         for _nm, _fn in custom_chains.items():
             register_term_analyzer(_nm, _fn)
+    if custom_token_chains:
+        from ..analysis.custom import register_token_analyzer
+
+        for _nm, (_fn, _dp) in custom_token_chains.items():
+            register_token_analyzer(_nm, _fn, distinct_positions=_dp)
     seg = int(pdf["segment_id"].iloc[0])
     pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
@@ -1169,13 +1175,20 @@ def build_index(
         for nm in {an, *(fan or {}).values()}
         if _custom_term_fn(nm) is not None
     } or None
+    from ..analysis.custom import custom_token_entry as _cte
+
+    ctc = {
+        nm: _cte(nm)
+        for nm in {an, *(fan or {}).values()}
+        if _cte(nm) is not None
+    } or None
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
             pdf, an, sw, hi, ip, fields=fl, features=ftl,
             synonyms=syn, synonyms_keep_original=syn_keep,
             index_sort=isort, field_analyzers=fan, payload_fn=payfn,
-            doc_values=dvl, custom_chains=cc,
+            doc_values=dvl, custom_chains=cc, custom_token_chains=ctc,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(
