@@ -375,13 +375,13 @@ def _ast_span_near_unordered():
     )
 
 
-def _sql_span_near_unordered(k: int = 10) -> str:
+def _sql_span_near_unordered(slop: int = 3, k: int = 10) -> str:
     """NearSpansUnordered's advance-min sweep for two term clauses: the
     sweep consumes occurrences in position order, so every occurrence x
     with a next OTHER-clause occurrence y > x is checked exactly once as
     the window minimum; maxEnd = y+1, totalSpanLength = 2, so width =
     y + 1 - x and a state matches iff width - 2 <= slop."""
-    cte = """
+    cte = f"""
 pa AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
 pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
 iv AS (
@@ -393,9 +393,9 @@ iv AS (
     SELECT pb.doc_id, min(pa.pos) + 1 - pb.pos AS w
     FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
     GROUP BY pb.doc_id, pb.pos
-  ) WHERE w - 2 <= 3
+  ) WHERE w - 2 <= {slop}
 )"""
-    return _sql_span_score(cte, range(2, 6), ["data", "stream"], k)
+    return _sql_span_score(cte, range(2, slop + 3), ["data", "stream"], k)
 
 
 def _ast_span_or_near():
@@ -523,6 +523,50 @@ def _ast_span_within():
         SpanNear((SpanTerm("data"), SpanTerm("stream")), slop=6),
         SpanTerm("window"),
     )
+
+
+def _mk_q_surround(text: str, k: int = 10):
+    """Surround-language queries (search/surround.py): parse, then run
+    through the span/boolean engine path."""
+
+    def run(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _hits_ast(spark, sf_dir, s.surround_query(text), k).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _sql_surround_bool_or_span(k: int = 10) -> str:
+    """Oracle for ``data AND (stream OR window)``: the OR of two terms in
+    surround stays distance-compatible (a SpanOr leaf), so its score is
+    span scoring — idf(stream)+idf(window) over the SUMMED occurrence
+    freq (every term-span has width 0) — summed with the plain 'data'
+    term score over docs matching both sides."""
+    idf_d = _idf("(SELECT df FROM dft WHERE term = 'data')")
+    return f"""WITH {_BASE_CTES},
+so AS (
+  SELECT tf.doc_id, sum(tf.freq) AS freq
+  FROM tf WHERE tf.term IN ('stream', 'window') GROUP BY tf.doc_id
+),
+sos AS (
+  SELECT so.doc_id,
+         (w.w - w.w / {_tf_part("so.freq", "qdl.qdl")}) AS score
+  FROM so JOIN qdl USING (doc_id), stats s,
+       (SELECT {_sql_span_weight(["stream", "window"])} AS w FROM stats s) w
+),
+sd AS (
+  SELECT tf.doc_id,
+         ({idf_d} - {idf_d} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN qdl USING (doc_id), stats s
+  WHERE tf.term = 'data'
+),
+u AS (
+  SELECT sd.doc_id, (sd.score + sos.score) AS score
+  FROM sd JOIN sos USING (doc_id)
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
 
 
 def _ast_term_automaton():
@@ -6408,6 +6452,9 @@ def gate_queries() -> dict:
         "span_first": _mk_topk_ast(_ast_span_first),
         "span_containing": _mk_topk_ast(_ast_span_containing),
         "span_within": _mk_topk_ast(_ast_span_within),
+        "surround_infix_w": _mk_q_surround("data 3w stream"),
+        "surround_prefix_n": _mk_q_surround("2N(data, stream)"),
+        "surround_bool": _mk_q_surround("data AND (stream OR window)"),
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "covering_query": _q_covering,
@@ -6621,6 +6668,13 @@ def gate_oracle_sql() -> dict:
         "span_first": _sql_span_first(),
         "span_containing": _sql_span_contain(within=False),
         "span_within": _sql_span_contain(within=True),
+        "surround_infix_w": _sql_span_score(
+            _sql_span_ordered_cte("data", "stream", 2),
+            range(0, 3),
+            ["data", "stream"],
+        ),
+        "surround_prefix_n": _sql_span_near_unordered(slop=1),
+        "surround_bool": _sql_surround_bool_or_span(),
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),

@@ -302,6 +302,21 @@ class Searcher:
         )
         return TermAutomatonQuery(paths=paths, boost=boost)
 
+    def surround_query(self, text: str, max_terms: int = 128):
+        """Parse a surround-language query (W/N proximity + boolean, see
+        search/surround.py) with truncation terms expanded against this
+        index's term dictionary (df-descending, capped — the
+        BasicQueryFactory bounded budget)."""
+        from .surround import parse_surround
+
+        def expand(pat: str) -> list[str]:
+            lit, rx = wildcard_to_regex(pat)
+            return self.reader.expand_terms(
+                prefix=lit or None, pattern=rx, max_terms=max_terms
+            )
+
+        return parse_surround(text, expand=expand)
+
     def blended_term_query(
         self,
         terms: list[str],
