@@ -52,6 +52,7 @@ __all__ = [
     "limit_token_count",
     "fingerprint_filter",
     "pattern_capture",
+    "dictionary_compound",
     "register_filter_analyzer",
 ]
 
@@ -211,6 +212,54 @@ def pattern_capture(patterns: list[str], preserve_original: bool = False) -> Cal
                 emitted = caps[1:]
             for c in emitted:
                 out.append(Token(c, t.position, t.start, t.end, t.type))
+        return out
+
+    return apply
+
+
+def dictionary_compound(
+    dictionary: Iterable[str],
+    min_word_size: int = 5,
+    min_subword_size: int = 2,
+    max_subword_size: int = 15,
+    only_longest_match: bool = False,
+) -> Callable:
+    """DictionaryCompoundWordTokenFilter (compound/
+    DictionaryCompoundWordTokenFilter.java:74-105 over
+    CompoundWordTokenFilterBase.java:100-126): tokens of length >=
+    minWordSize decompose — every dictionary subword of length
+    [minSubwordSize, maxSubwordSize] at every start offset emits at
+    position-increment 0 AFTER the original token (which always
+    survives); ``only_longest_match`` keeps just the longest dictionary
+    hit per start offset. Defaults are the reference's (5/2/15)."""
+    dct = frozenset(dictionary)
+
+    def decompose(term: str) -> list[str]:
+        out: list[str] = []
+        n = len(term)
+        for i in range(0, n - min_subword_size + 1):
+            longest: str | None = None
+            for j in range(min_subword_size, max_subword_size + 1):
+                if i + j > n:
+                    break
+                sub = term[i : i + j]
+                if sub in dct:
+                    if only_longest_match:
+                        if longest is None or len(longest) < j:
+                            longest = sub
+                    else:
+                        out.append(sub)
+            if longest is not None:
+                out.append(longest)
+        return out
+
+    def apply(toks: list[Token]) -> list[Token]:
+        out: list[Token] = []
+        for t in toks:
+            out.append(t)
+            if len(t.term) >= min_word_size:
+                for sub in decompose(t.term):
+                    out.append(Token(sub, t.position, t.start, t.end, t.type))
         return out
 
     return apply

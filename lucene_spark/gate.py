@@ -4698,8 +4698,20 @@ _FP_LEX = [
 ]
 
 
+_COMPOUND_LEX = [
+    "softwareupdate", "datastream", "windowpane", "streamflow",
+    "rowboat", "hashjoin", "bigtable", "fastscan",
+]
+_COMPOUND_DICT = [
+    "data", "stream", "soft", "ware", "update", "window", "pane", "flow",
+    "row", "boat", "hash", "join", "big", "table", "fast", "scan",
+    "software",
+]
+
+
 def _register_gate_filter_analyzers():
     from .analysis.filters import (
+        dictionary_compound,
         fingerprint_filter,
         pattern_replace,
         register_filter_analyzer,
@@ -4712,6 +4724,31 @@ def _register_gate_filter_analyzers():
     )
     register_filter_analyzer(
         "gate_fingerprint", stream_filters=[fingerprint_filter()]
+    )
+    register_filter_analyzer(
+        "gate_compound",
+        stream_filters=[dictionary_compound(_COMPOUND_DICT)],
+        distinct_positions=True,
+    )
+
+
+def _q_compound_index(spark, sf_dir, k: int = 100000):
+    """Dictionary compound decomposition: 'stream' is a subword of the
+    lexicon's 'datastream' (idx 1) and 'streamflow' (idx 3); subwords
+    stack at the compound's position, so doc length stays 6 and the
+    slot-arithmetic oracle applies."""
+    from .search.query import TermQuery
+
+    _register_gate_filter_analyzers()
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "cmp", _COMPOUND_LEX, "gate_compound"),
+        analyzer="gate_compound", mode="double",
+    )
+    h = s.search(TermQuery("stream"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
     )
 
 
@@ -6496,6 +6533,7 @@ def gate_queries() -> dict:
         "url_email_email_index": _mk_q_url_email("alice+dev@example.co.uk"),
         "filters_chain_index": _q_filters_chain,
         "fingerprint_index": _q_fingerprint_index,
+        "compound_index": _q_compound_index,
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
@@ -6724,6 +6762,7 @@ def gate_oracle_sql() -> dict:
         "url_email_email_index": _sql_lex_stem((5,)),
         "filters_chain_index": _sql_lex_stem((0, 1)),
         "fingerprint_index": _sql_fingerprint_index(),
+        "compound_index": _sql_lex_stem((1, 3)),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),

@@ -151,3 +151,48 @@ def test_batch_lane_token_analyzer():
     )
     assert got == [(0, 0, "fox quick the"), (1, 0, "a b")]
     assert list(bt.doc_lens) == [1, 1, 0]
+
+
+def test_dictionary_compound_decomposes():
+    from lucene_spark.analysis.filters import dictionary_compound
+
+    register_filter_analyzer(
+        "t_cmp",
+        stream_filters=[
+            dictionary_compound(["data", "stream", "soft", "ware"])
+        ],
+        distinct_positions=True,
+    )
+    # original kept first, subwords stacked at the same position
+    assert run_chain("t_cmp", "datastream plain software") == [
+        ("datastream", 0), ("data", 0), ("stream", 0),
+        ("plain", 1),
+        ("software", 2), ("soft", 2), ("ware", 2),
+    ]
+
+
+def test_dictionary_compound_min_word_and_longest():
+    from lucene_spark.analysis.filters import dictionary_compound
+
+    # below minWordSize: no decomposition (original passes through)
+    register_filter_analyzer(
+        "t_cmp2",
+        stream_filters=[
+            dictionary_compound(["da", "ta"], min_word_size=5)
+        ],
+        distinct_positions=True,
+    )
+    assert run_chain("t_cmp2", "data") == [("data", 0)]
+    # only_longest_match keeps the longest dictionary hit per start
+    register_filter_analyzer(
+        "t_cmp3",
+        stream_filters=[
+            dictionary_compound(
+                ["soft", "software", "ware"], only_longest_match=True
+            )
+        ],
+        distinct_positions=True,
+    )
+    assert run_chain("t_cmp3", "softwareupdate") == [
+        ("softwareupdate", 0), ("software", 0), ("ware", 0),
+    ]
