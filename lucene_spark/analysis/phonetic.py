@@ -459,3 +459,72 @@ def cologne_analyze(
 def cologne_terms_positions(text: str, stopwords: frozenset[str] | None = None):
     toks = cologne_analyze(text, stopwords)
     return [t.term for t in toks], [t.position for t in toks]
+
+
+# --- Match Rating Approach (commons-codec MatchRatingApproachEncoder,
+# wrapped by the same PhoneticFilter; the algorithm is public knowledge —
+# Western Airlines' Match Rating Approach, Moore et al. 1977, as published
+# in the commons-codec docs): uppercase/strip non-letters, fold accents,
+# delete all vowels (AEIOU) except a word-LEADING vowel, collapse doubled
+# consonants to one, and reduce codes longer than 6 to first-3 + last-3.
+
+_MRA_VOWELS = frozenset("AEIOU")
+
+
+def match_rating_encode(term: str) -> str:
+    import unicodedata
+
+    up = "".join(
+        c
+        for c in unicodedata.normalize("NFKD", term.upper())
+        if "A" <= c <= "Z"
+    )
+    if not up:
+        return ""
+    kept: list[str] = []
+    for i, c in enumerate(up):
+        if c in _MRA_VOWELS and i > 0:
+            continue
+        kept.append(c)
+    # remove the second of doubled letters
+    dedup: list[str] = []
+    for c in kept:
+        if dedup and dedup[-1] == c:
+            continue
+        dedup.append(c)
+    code = "".join(dedup)
+    if len(code) > 6:
+        code = code[:3] + code[-3:]
+    return code
+
+
+def match_rating_term(
+    term: str, stopwords: frozenset[str] | None
+) -> str | None:
+    if stopwords and term in stopwords:
+        return None
+    code = match_rating_encode(term)
+    return code or None
+
+
+def match_rating_analyze(
+    text: str,
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> list[Token]:
+    out: list[Token] = []
+    for tok in _standard_analyze(
+        text, stopwords=None, max_token_length=max_token_length
+    ):
+        t = match_rating_term(tok.term, stopwords)
+        if t is None:
+            continue
+        out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
+    return out
+
+
+def match_rating_terms_positions(
+    text: str, stopwords: frozenset[str] | None = None
+):
+    toks = match_rating_analyze(text, stopwords)
+    return [t.term for t in toks], [t.position for t in toks]

@@ -290,6 +290,10 @@ def _vocab_chain(analyzer: str):
         from .phonetic import refined_soundex_term
 
         return refined_soundex_term
+    if analyzer == "match_rating":
+        from .phonetic import match_rating_term
+
+        return match_rating_term
     if analyzer == "caverphone2":
         from .phonetic import caverphone2_term
 

@@ -1306,6 +1306,72 @@ def _sql_dismax(terms: list[str], tie: float, k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
+def _q_fuzzy_like_this(spark, sf_dir, k: int = 10):
+    s = _searcher(spark, sf_dir)
+    q = s.fuzzy_like_this("strean windoq", max_num_terms=8, max_edits=1)
+    return _hits_ast(spark, sf_dir, q, k).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _sql_fuzzy_like_this(
+    qterms: list[str], max_num_terms: int = 8, k: int = 10
+) -> str:
+    """FuzzyLikeThisQuery oracle: per source term, OSA-variants within 1
+    edit keep their similarity boost (top 10 per source); source df falls
+    back to the integer-mean variant df; variant weight =
+    boost²·(ln((N+1)/(df+1))+1); global top max_num_terms variants score
+    as df=1 TermQueries summed per doc in term order."""
+    vals = ", ".join(f"('{t}', {len(t)})" for t in qterms)
+    idf1 = _idf("1")
+    return f"""WITH {_BASE_CTES},
+src(qterm, qlen) AS (VALUES {vals}),
+cand AS (
+  SELECT s.qterm, s.qlen, d.term, d.df,
+         damerau_levenshtein(d.term, s.qterm) AS e
+  FROM dft d, src s
+  WHERE length(d.term) BETWEEN s.qlen - 1 AND s.qlen + 1
+    AND damerau_levenshtein(d.term, s.qterm) <= 1
+),
+boosted AS (
+  SELECT qterm, term, df,
+         CASE WHEN e = 0 THEN 1.0
+              ELSE 1.0 - e::DOUBLE / least(length(term), qlen) END AS boost
+  FROM cand
+),
+keepv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qterm ORDER BY boost DESC, term ASC) AS rn
+    FROM boosted
+  ) WHERE rn <= 10
+),
+dfsrc AS (
+  SELECT q.qterm,
+         coalesce(
+           nullif((SELECT coalesce(max(df), 0) FROM dft WHERE term = q.qterm), 0),
+           (SELECT sum(df) // count(*) FROM cand c WHERE c.qterm = q.qterm)
+         ) AS df0
+  FROM (SELECT DISTINCT qterm FROM cand) q
+),
+scoredv AS (
+  SELECT k.term,
+         (k.boost * k.boost) * (ln((s.n_docs + 1.0) / (d.df0 + 1.0)) + 1.0) AS w
+  FROM keepv k JOIN dfsrc d USING (qterm), stats s
+),
+sel AS (SELECT term, w FROM scoredv ORDER BY w DESC, term ASC LIMIT {max_num_terms}),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         ((sel.w * {idf1}) - (sel.w * {idf1}) / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN sel USING (term) JOIN qdl USING (doc_id), stats s
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es GROUP BY doc_id
+)
+""" + _topk_wrap("SELECT doc_id, score FROM u", k)
+
+
 def _q_blended_term(spark, sf_dir, k: int = 10):
     s = _searcher(spark, sf_dir)
     q = s.blended_term_query(["data", "stream"], rewrite_method="dismax")
@@ -5272,6 +5338,31 @@ def _q_caverphone2(spark, sf_dir, k: int = 100000):
     )
 
 
+# Match Rating Approach (commons-codec MatchRatingApproachEncoder via
+# PhoneticFilter; Western Airlines 1977): sean/senn -> SN, and the unseen
+# query spelling "sen" encodes to SN too. The other names all code apart
+# (karl KRL / carl CRL / brian BRN / williams WLMS / catherine CTHRN /
+# auerbach ARBCH).
+_MRA_LEX = [
+    "sean", "senn", "karl", "carl",
+    "brian", "williams", "catherine", "auerbach",
+]
+_MRA_QUERY = "sen"
+_MRA_SN_IDXS = (0, 1)
+
+
+def _q_match_rating(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "mra", _MRA_LEX, "match_rating"),
+        analyzer="match_rating", mode="double",
+    )
+    h = s.search(_MRA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_soundex_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "sx", _SX_LEX, "soundex"),
@@ -6509,6 +6600,7 @@ def gate_queries() -> dict:
         "bm25_synonym": _mk_topk_ast(_ast_synonym),
         "bm25_dismax": _mk_topk_ast(_ast_dismax),
         "blended_term": _q_blended_term,
+        "fuzzy_like_this": _q_fuzzy_like_this,
         "docvalues_stats": _q_docvalues_stats,
         "facet_long_values": _q_facet_long_values,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
@@ -6579,6 +6671,7 @@ def gate_queries() -> dict:
         "word_delimiter_index": _q_word_delimiter,
         "arabic_light_index": _q_arabic_stem,
         "phonetic_soundex_index": _q_soundex_stem,
+        "match_rating_index": _q_match_rating,
         "french_light_index": _q_french_stem,
         "mlt_topk": _q_mlt,
         "mlt_terms": _q_mlt_terms,
@@ -6740,6 +6833,7 @@ def gate_oracle_sql() -> dict:
         "bm25_synonym": _sql_synonym(["stream", "window"]),
         "bm25_dismax": _sql_dismax(["stream", "window", "batch"], tie=0.3),
         "blended_term": _sql_blended_term(["data", "stream"]),
+        "fuzzy_like_this": _sql_fuzzy_like_this(["strean", "windoq"]),
         "docvalues_stats": _SQL_DOCVALUES_STATS,
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
@@ -6808,6 +6902,7 @@ def gate_oracle_sql() -> dict:
         "word_delimiter_index": _sql_word_delimiter(),
         "arabic_light_index": _sql_lex_stem(_AR_KITAB_IDXS),
         "phonetic_soundex_index": _sql_lex_stem(_SX_R163_IDXS),
+        "match_rating_index": _sql_lex_stem(_MRA_SN_IDXS),
         "french_light_index": _sql_french_stem(),
         "mlt_topk": _sql_mlt(0),
         "mlt_terms": _sql_mlt_terms(0),

@@ -71,6 +71,8 @@ from ..analysis.phonetic import (
     cologne_terms_positions,
     nysiis_analyze,
     nysiis_terms_positions,
+    match_rating_analyze,
+    match_rating_terms_positions,
     refined_soundex_analyze,
     refined_soundex_terms_positions,
     soundex_analyze,
@@ -205,6 +207,7 @@ _ANALYZERS: dict[str, Callable] = {
     "double_metaphone": double_metaphone_analyze,  # Philips 2000, 2 codes
     "icu_folding": icu_folding_analyze,  # UTR#30 search folding
     "url_email": url_email_analyze,      # UAX29URLEmailTokenizer chain
+    "match_rating": match_rating_analyze,  # commons-codec MRA codes
 }
 
 
@@ -289,6 +292,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "double_metaphone": double_metaphone_terms_positions,
     "icu_folding": icu_folding_terms_positions,
     "url_email": url_email_terms_positions,
+    "match_rating": match_rating_terms_positions,
 }
 
 

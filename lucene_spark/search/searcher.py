@@ -651,28 +651,21 @@ class Searcher:
             return MultiPhraseQuery(slots=tuple(slots), boost=q.boost)
         return self._expand_fuzzy(q, max_terms)  # FuzzyQuery (only leaf left)
 
-    def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
-        """Prefix+length-band pushdown, then OSA verification EXECUTOR-side
-        (a pandas UDF over the filtered term_dict scan), so only true
-        within-max_edits terms are ever collected — no pre-verification
-        candidate cap to silently drop matches on a large vocabulary, the
-        distributed analog of FuzzyQuery's automaton-intersects-term-dict
-        (search/FuzzyQuery.java:52); ranking + max_terms cap happen after,
-        as in TopTermsBlendedFreqScoringRewrite."""
-        target = q.term
-        ns = ""  # field namespace: edit distance applies to the token only
-        if FIELD_SEP in target:
-            f, target = target.split(FIELD_SEP, 1)
-            ns = f + FIELD_SEP
-        pl = min(q.prefix_length, len(target))
+    def _fuzzy_matches(
+        self, target: str, max_edits: int, prefix_length: int, ns: str = ""
+    ) -> list[tuple[str, int, int]]:
+        """All within-max_edits term-dict entries of ``target`` as
+        (term, edits, df): prefix + length-band pushdown, OSA verification
+        executor-side (the shared FuzzyTermsEnum analog)."""
+        pl = min(prefix_length, len(target))
         band = (
-            len(ns) + max(0, len(target) - q.max_edits),
-            len(ns) + len(target) + q.max_edits,
+            len(ns) + max(0, len(target) - max_edits),
+            len(ns) + len(target) + max_edits,
         )
         td = self.reader.term_dict
         td = td.filter(F.col("term").startswith(ns + target[:pl]))
         td = td.filter(F.length("term").between(*band))
-        tgt, me, ns_len = target, q.max_edits, len(ns)
+        tgt, me, ns_len = target, max_edits, len(ns)
 
         @F.pandas_udf("int")
         def osa_udf(terms: pd.Series) -> pd.Series:
@@ -687,7 +680,82 @@ class Searcher:
             .filter(F.col("edits") <= me)
             .collect()
         )
-        matched = [(r["term"], int(r["edits"]), int(r["df"])) for r in rows]
+        return [(r["term"], int(r["edits"]), int(r["df"])) for r in rows]
+
+    def fuzzy_like_this(
+        self,
+        query_text: str,
+        max_num_terms: int = 50,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_variants_per_term: int = 10,
+    ):
+        """FuzzyLikeThisQuery (sandbox/src/java/org/apache/lucene/sandbox/
+        queries/FuzzyLikeThisQuery.java:192-333): for each analyzed query
+        term, enumerate fuzzy variants and keep the best
+        MAX_VARIANTS_PER_TERM by similarity boost; the per-source idf
+        factor uses the SOURCE term's docFreq, falling back to the
+        integer-average of all variant dfs when the source is absent
+        (:235-240); each kept variant scores
+        ``boost² · ClassicSimilarity.idf(df, numDocs)`` (:248) and the
+        global best ``maxNumTerms`` variants become SHOULD TermQueries
+        whose df and ttf are overridden to 1 (newTermQuery:258-274), so
+        rare-typo variants don't dominate through their own idf.
+
+        Deviation (documented): the reference nests each source term's
+        variants in an inner SHOULD group; this flattens to one SHOULD
+        list sorted by term — identical scores up to float association,
+        which the flat term-ascending order fixes deterministically for
+        the SQL oracle."""
+        import math
+
+        seen: set[str] = set()
+        terms: list[str] = []
+        for t in self._analyzer(query_text):
+            if t.term not in seen:
+                seen.add(t.term)
+                terms.append(t.term)
+        n_docs = int(self.reader.global_stats[0])
+        selected: list[tuple[float, str]] = []
+        for src in terms:
+            variants = self._fuzzy_matches(src, max_edits, prefix_length)
+            if not variants:
+                continue
+            df0 = next((df for t, e, df in variants if t == src), 0)
+            if df0 == 0:
+                df0 = sum(df for _t, _e, df in variants) // len(variants)
+            idf = math.log((n_docs + 1) / (df0 + 1)) + 1.0
+            scored = sorted(
+                ((fuzzy_similarity(e, t, src), t) for t, e, _df in variants),
+                key=lambda x: (-x[0], x[1]),
+            )[:max_variants_per_term]
+            selected.extend((b * b * idf, t) for b, t in scored)
+        if not selected:
+            return MatchNoDocsQuery()
+        selected.sort(key=lambda x: (-x[0], x[1]))
+        selected = selected[:max_num_terms]
+        selected.sort(key=lambda x: x[1])
+        return BooleanQuery(
+            should=tuple(
+                TermQuery(t, boost=s, df_override=1, ttf_override=1)
+                for s, t in selected
+            )
+        )
+
+    def _expand_fuzzy(self, q: FuzzyQuery, max_terms: int):
+        """Prefix+length-band pushdown, then OSA verification EXECUTOR-side
+        (a pandas UDF over the filtered term_dict scan), so only true
+        within-max_edits terms are ever collected — no pre-verification
+        candidate cap to silently drop matches on a large vocabulary, the
+        distributed analog of FuzzyQuery's automaton-intersects-term-dict
+        (search/FuzzyQuery.java:52); ranking + max_terms cap happen after,
+        as in TopTermsBlendedFreqScoringRewrite."""
+        target = q.term
+        ns = ""  # field namespace: edit distance applies to the token only
+        if FIELD_SEP in target:
+            f, target = target.split(FIELD_SEP, 1)
+            ns = f + FIELD_SEP
+        matched = self._fuzzy_matches(target, q.max_edits, q.prefix_length, ns)
         if not matched:
             return MatchNoDocsQuery()
         # TopTermsRewrite heap: best boost first, then highest df

@@ -88,3 +88,19 @@ def test_query_stack_becomes_synonym():
 def test_max_code_len_caps_both_codes():
     p, a = double_metaphone("international", 2)
     assert p == "AN" and a == "AN"
+
+
+def test_match_rating_vectors():
+    from lucene_spark.analysis.phonetic import match_rating_encode as m
+
+    # published commons-codec MatchRatingApproachEncoder vectors
+    assert m("Smith") == "SMTH"
+    assert m("Smyth") == "SMYTH"
+    assert m("Catherine") == "CTHRN"
+    assert m("Kathryn") == "KTHRYN"
+    assert m("Auerbach") == "ARBCH"
+    assert m("Williams") == "WLMS"
+    assert m("Alexander") == "ALXNDR"
+    assert m("Sean") == "SN"
+    assert m("") == ""
+    assert m("123") == ""
