@@ -4082,6 +4082,92 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+_SQL_SUBSTR_SPANS_CTES = f"""WITH {_BASE_CTES},
+mx AS (SELECT doc_id, max(pos) AS mp FROM toks GROUP BY doc_id),
+g AS (
+  SELECT t.doc_id, t.pos AS gpos,
+         t.term || ' ' || lead(t.term, 1) OVER w || ' ' ||
+         lead(t.term, 2) OVER w AS gram
+  FROM toks t
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+),
+g2 AS (
+  SELECT g.doc_id, g.gpos, g.gram
+  FROM g JOIN mx USING (doc_id) WHERE g.gpos + 2 <= mx.mp
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM g2 GROUP BY gram
+  ) WHERE df >= 2
+),
+hits AS (SELECT doc_id, gpos FROM g2 JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN lag(gpos) OVER w2 IS NULL
+                   OR gpos > lag(gpos) OVER w2 + 3
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY gpos)
+),
+gids AS (
+  SELECT doc_id, gpos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(gpos) AS span_start, max(gpos) + 3 AS span_end
+  FROM gids GROUP BY doc_id, gid
+)"""
+
+
+def _q_substring_spans(spark, sf_dir):
+    """ExactSubstr duplication spans (Lee et al. 2021): maximal runs of
+    >= 3 consecutive tokens shared verbatim with another document."""
+    from .pipeline.dedup import duplicated_substring_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicated_substring_spans(docs, k=3, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+_SQL_SUBSTR_SPANS = (
+    _SQL_SUBSTR_SPANS_CTES
+    + """
+SELECT doc_id, span_start::BIGINT AS span_start, span_end::BIGINT AS span_end
+FROM spans"""
+)
+
+
+def _q_substring_clean(spark, sf_dir):
+    from .pipeline.dedup import remove_duplicated_substrings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicated_substrings(docs, k=3, min_df=2)
+
+
+_SQL_SUBSTR_CLEAN = (
+    _SQL_SUBSTR_SPANS_CTES
+    + """,
+kept AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND t.pos >= s.span_start AND t.pos < s.span_end
+  )
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.term, ' ' ORDER BY k.pos), '') AS clean_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id"""
+)
+
+
 def _q_docvalues_stats(spark, sf_dir):
     """DocValuesStats (misc/search/DocValuesStats.java) over the docs
     matching 'stream', on the prio doc-value the oracle recomputes by
@@ -6604,6 +6690,8 @@ def gate_queries() -> dict:
         "docvalues_stats": _q_docvalues_stats,
         "facet_long_values": _q_facet_long_values,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
+        "exact_substring_spans": _q_substring_spans,
+        "exact_substring_clean": _q_substring_clean,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -6837,6 +6925,8 @@ def gate_oracle_sql() -> dict:
         "docvalues_stats": _SQL_DOCVALUES_STATS,
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
+        "exact_substring_spans": _SQL_SUBSTR_SPANS,
+        "exact_substring_clean": _SQL_SUBSTR_CLEAN,
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),

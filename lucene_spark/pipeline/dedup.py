@@ -44,6 +44,8 @@ __all__ = [
     "simhash",
     "connected_components",
     "duplicated_chunks",
+    "duplicated_substring_spans",
+    "remove_duplicated_substrings",
 ]
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -64,6 +66,116 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return docs.select(
         id_col, F.posexplode(_token_array(text_col)).alias("pos", "term")
     ).select(id_col, "term", "pos")
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = 100_000,
+) -> DataFrame:
+    """Exact substring-duplication spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion: any run of >= k consecutive tokens that also appears in
+    another document is a duplicate). The paper builds a suffix array;
+    the distributed equivalent marks every k-token window whose k-gram
+    occurs in >= ``min_df`` DISTINCT documents — a maximal duplicated
+    run of length L >= k is exactly a run of L-k+1 consecutive
+    duplicated windows, so merging overlapping/adjacent windows
+    (gaps-and-islands) recovers the same spans.
+
+    Returns (id, span_start, span_end) in token positions, end EXCLUSIVE,
+    maximal disjoint spans.
+
+    Scale shape: k-grams slice from the token array (map-only), the df
+    count is one map-combinable groupBy on a 64-bit gram hash, the hot
+    boilerplate guard ``max_gram_df`` bounds any single gram's join
+    fan-out, and the island merge is a per-doc window over only the
+    DUPLICATED windows (a small fraction of tokens on real corpora)."""
+    from pyspark.sql.window import Window
+
+    arr = _token_array(text_col)
+    idx = F.when(
+        F.size(arr) >= k, F.sequence(F.lit(1), F.size(arr) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # (id, gpos 0-based, gram hash) — xxhash64 keyed windows; collisions
+    # at 64 bits are negligible against 10^12-token corpora and only ever
+    # ADD a span conservatively
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(arr, i, k))))
+        ).alias("gpos", "gh"),
+    )
+    gdf = grams.groupBy("gh").agg(F.count_distinct("_id").alias("df"))
+    keep = gdf.filter(F.col("df") >= min_df)
+    if max_gram_df is not None:
+        keep = keep.filter(F.col("df") <= max_gram_df)
+    hits = grams.join(keep.select("gh"), "gh").select("_id", "gpos")
+    w = Window.partitionBy("_id").orderBy("gpos")
+    brk = (
+        F.when(
+            F.lag("gpos").over(w).isNull()
+            | (F.col("gpos") > F.lag("gpos").over(w) + k),
+            1,
+        ).otherwise(0)
+    )
+    isl = hits.withColumn("_brk", brk).withColumn(
+        "_gid", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("_id", "_gid")
+        .agg(
+            F.min("gpos").alias("span_start"),
+            (F.max("gpos") + k).alias("span_end"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def remove_duplicated_substrings(
+    docs: DataFrame,
+    k: int = 50,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cleaned corpus per the ExactSubstr recipe: tokens inside any
+    duplicated span drop, the rest re-join with single spaces. Returns
+    (id, clean_text) for EVERY input doc (docs with no duplicated span
+    keep their full token stream)."""
+    spans = duplicated_substring_spans(
+        docs, k=k, min_df=min_df, id_col=id_col, text_col=text_col
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_token_array(text_col)).alias("pos", "term"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (toks["_id"] == sp["_sid"])
+        & (toks["pos"] >= sp["span_start"])
+        & (toks["pos"] < sp["span_end"]),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"])
+        ).alias("clean_text")
+    )
+    ids = docs.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(cleaned, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
