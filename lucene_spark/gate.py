@@ -4275,6 +4275,30 @@ SELECT count(*)::BIGINT AS count, sum(w)::BIGINT AS weight,
 FROM assigned GROUP BY bucket ORDER BY bucket"""
 
 
+def _q_function_match(spark, sf_dir):
+    """FunctionMatchQuery: constant-score docs whose 'prio' doc-value
+    falls in [50, 120)."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.function_match(
+        "dv['prio'] >= 50.0 AND dv['prio'] < 120.0", boost=1.5
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_SQL_FUNCTION_MATCH = """
+SELECT doc_id, 1.5 AS score
+FROM documents
+WHERE ((doc_id * 37) % 211)::DOUBLE >= 50.0
+  AND ((doc_id * 37) % 211)::DOUBLE < 120.0"""
+
+
 def _q_distance_feature(spark, sf_dir, k: int = 10):
     """DistanceFeatureQuery (document/LongDistanceFeatureQuery.java:266):
     BM25 for 'stream' + 2·(10 / (10 + |prio − 100|)) over the stored
@@ -6688,6 +6712,7 @@ def gate_queries() -> dict:
         "blended_term": _q_blended_term,
         "fuzzy_like_this": _q_fuzzy_like_this,
         "docvalues_stats": _q_docvalues_stats,
+        "function_match": _q_function_match,
         "facet_long_values": _q_facet_long_values,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
         "exact_substring_spans": _q_substring_spans,
@@ -6923,6 +6948,7 @@ def gate_oracle_sql() -> dict:
         "blended_term": _sql_blended_term(["data", "stream"]),
         "fuzzy_like_this": _sql_fuzzy_like_this(["strean", "windoq"]),
         "docvalues_stats": _SQL_DOCVALUES_STATS,
+        "function_match": _SQL_FUNCTION_MATCH,
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
         "exact_substring_spans": _SQL_SUBSTR_SPANS,

@@ -317,6 +317,33 @@ class Searcher:
 
         return parse_surround(text, expand=expand)
 
+    def function_match(self, predicate: str, boost: float = 1.0) -> DataFrame:
+        """FunctionMatchQuery (queries/src/java/org/apache/lucene/queries/
+        function/FunctionMatchQuery.java:86-116): match every doc whose
+        doc-value passes the predicate, constant score = boost.
+        ``predicate`` is a Spark SQL boolean over ``dv['<name>']`` (the
+        DoubleValuesSource + DoublePredicate pair); evaluation is one
+        codegen filter over the docmap scan — no postings touched, and a
+        missing doc-value never matches (advanceExact semantics: SQL NULL
+        comparisons are false). Returns (docid, score) rows."""
+        out = (
+            self._docmap_global()
+            .filter(F.expr(predicate))
+            .select("docid", F.lit(float(boost)).alias("score"))
+        )
+        if self.reader.deletes is not None:
+            bases = [
+                (int(s), int(b)) for s, b in self.reader.doc_bases.items()
+            ]
+            base_df = self.spark.createDataFrame(
+                bases, "segment_id int, doc_base long"
+            )
+            dele = self.reader.deletes.join(
+                F.broadcast(base_df), "segment_id"
+            ).select((F.col("docid") + F.col("doc_base")).alias("docid"))
+            out = out.join(dele, "docid", "left_anti")
+        return out
+
     def blended_term_query(
         self,
         terms: list[str],
