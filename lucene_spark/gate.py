@@ -525,6 +525,24 @@ def _ast_span_within():
     )
 
 
+_XML_QUERY = """
+<SpanNear slop="3" inOrder="true">
+  <SpanTerm>data</SpanTerm>
+  <SpanTerm>stream</SpanTerm>
+</SpanNear>"""
+
+
+def _q_xml_parser(spark, sf_dir, k: int = 10):
+    """CoreParser XML query surface: the parsed tree must evaluate
+    identically to the equivalent hand-built span AST (same oracle as
+    span_near_ordered)."""
+    from .search.xmlparser import parse_xml_query
+
+    return _hits_ast(spark, sf_dir, parse_xml_query(_XML_QUERY), k).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _mk_q_surround(text: str, k: int = 10):
     """Surround-language queries (search/surround.py): parse, then run
     through the span/boolean engine path."""
@@ -6693,6 +6711,7 @@ def gate_queries() -> dict:
         "surround_infix_w": _mk_q_surround("data 3w stream"),
         "surround_prefix_n": _mk_q_surround("2N(data, stream)"),
         "surround_bool": _mk_q_surround("data AND (stream OR window)"),
+        "xml_core_parser": _q_xml_parser,
         "bm25_multi_phrase": _mk_topk_ast(_ast_multi_phrase),
         "bm25_phrase_prefix": _mk_topk('"data s*"'),
         "covering_query": _q_covering,
@@ -6919,6 +6938,11 @@ def gate_oracle_sql() -> dict:
         ),
         "surround_prefix_n": _sql_span_near_unordered(slop=1),
         "surround_bool": _sql_surround_bool_or_span(),
+        "xml_core_parser": _sql_span_score(
+            _sql_span_ordered_cte("data", "stream", 3),
+            range(0, 4),
+            ["data", "stream"],
+        ),
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),
