@@ -2208,6 +2208,47 @@ WHERE list_contains({arr}, 'data')
 ORDER BY weight DESC, text ASC LIMIT {k}"""
 
 
+def _q_suggest_blended(spark, sf_dir, k: int = 10):
+    """BlendedInfixSuggester: weight blends with the first matched-token
+    position (reciprocal), raw-prefix suggestions keep coefficient 1,
+    zero/small weights adjust per the reference before blending."""
+    from .search.spell import blended_infix_suggest
+
+    sugg = _docs(spark, sf_dir).select(
+        "text", (F.col("n_chars") % 97).cast("long").alias("weight")
+    )
+    return blended_infix_suggest(sugg, "data st", k=k, blender="reciprocal")
+
+
+def _sql_suggest_blended(k: int = 10) -> str:
+    arr = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    minpos = f"""(
+      SELECT min(u.i) - 1 FROM (
+        SELECT unnest({arr}) AS tok, generate_subscripts({arr}, 1) AS i
+      ) u WHERE u.tok = 'data' OR u.tok LIKE 'st%'
+    )"""
+    return f"""WITH m AS (
+  SELECT text, (n_chars % 97)::BIGINT AS w0,
+         CASE WHEN text LIKE 'data st%' THEN 1.0
+              ELSE 1.0 / ({minpos} + 1.0) END AS coef
+  FROM documents
+  WHERE list_contains({arr}, 'data')
+    AND len(list_filter({arr}, x -> x LIKE 'st%')) > 0
+),
+adj AS (
+  SELECT text, coef,
+         CASE WHEN w0 = 0 THEN 1 ELSE w0 END AS w1
+  FROM m
+),
+sc AS (
+  SELECT text,
+         trunc((CASE WHEN w1 < 10 AND w1 > -10 THEN w1 * 10 ELSE w1 END)::DOUBLE
+               * coef)::BIGINT AS score
+  FROM adj
+)
+SELECT text, score FROM sc ORDER BY score DESC, text ASC LIMIT {k}"""
+
+
 _AS_STOPS = ("the", "a", "of", "and", "in", "to")
 
 
@@ -6743,6 +6784,7 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
+        "suggest_blended": _q_suggest_blended,
         "suggest_analyzing": _q_suggest_analyzing,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_freetext": _q_suggest_freetext,
@@ -6984,6 +7026,7 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
+        "suggest_blended": _sql_suggest_blended(),
         "suggest_analyzing": _sql_suggest_analyzing(),
         "suggest_fuzzy": _sql_suggest_fuzzy(),
         "suggest_freetext": _SQL_SUGGEST_FREETEXT,

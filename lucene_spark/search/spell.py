@@ -456,3 +456,69 @@ def freetext_suggest(
         .limit(k)
         .select("term", F.round("score", 6).alias("score"))
     )
+
+
+def blended_infix_suggest(
+    suggestions,
+    query: str,
+    k: int = 10,
+    blender: str = "reciprocal",
+    exponent: float = 2.0,
+    text_col: str = "text",
+    weight_col: str = "weight",
+):
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester.java
+    :213-379): infix matching like AnalyzingInfixSuggester, but the weight
+    blends with the FIRST position at which any matched token (exact
+    tokens, or the prefix token) occurs in the suggestion —
+    ``linear`` = 1 - 0.10·pos, ``reciprocal`` = 1/(1+pos),
+    ``exponential_reciprocal`` = 1/(1+pos)^exponent; a suggestion whose
+    raw text starts with the raw key keeps coefficient 1 (:259-261).
+    Zero weights become 1 and |weight| < 10 scales by 10 before blending
+    (:265-270); the final score truncates to a long (:271). Ranking:
+    score DESC, text ASC. Same map-only codegen shape as infix_suggest."""
+    if blender not in ("linear", "reciprocal", "exponential_reciprocal"):
+        raise ValueError(f"unknown blender {blender!r}")
+    toks = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if not toks:
+        raise ValueError("empty suggest query")
+    *full, last = toks
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    cond = F.exists(arr, lambda x: x.startswith(last))
+    for t in full:
+        cond = cond & F.array_contains(arr, t)
+
+    def is_match(x):
+        m = x.startswith(last)
+        for t in full:
+            m = m | (x == t)
+        return m
+
+    big = F.lit(2**31 - 1)
+    minpos = F.array_min(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.size(arr) - 1),
+            lambda x, i: F.when(is_match(x), i).otherwise(big),
+        )
+    )
+    if blender == "linear":
+        coef = 1.0 - 0.10 * minpos
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (minpos + F.lit(1.0))
+    else:
+        coef = F.lit(1.0) / F.pow(minpos + F.lit(1.0), F.lit(float(exponent)))
+    coef = F.when(F.col(text_col).startswith(query), F.lit(1.0)).otherwise(coef)
+    w = F.col(weight_col).cast("long")
+    w = F.when(w == 0, F.lit(1)).otherwise(w)
+    w = F.when((w < 10) & (w > -10), w * 10).otherwise(w)
+    score = (w.cast("double") * coef).cast("long")
+    return (
+        suggestions.filter(cond)
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc(text_col))
+        .limit(k)
+        .select(text_col, "score")
+    )
