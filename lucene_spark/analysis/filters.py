@@ -53,6 +53,8 @@ __all__ = [
     "fingerprint_filter",
     "pattern_capture",
     "dictionary_compound",
+    "reverse_string",
+    "mapping_char_filter",
     "register_filter_analyzer",
 ]
 
@@ -217,6 +219,42 @@ def pattern_capture(patterns: list[str], preserve_original: bool = False) -> Cal
     return apply
 
 
+def reverse_string(term: str) -> str:
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:28 —
+    "Reverse token string, for example 'country' => 'yrtnuoc'", the
+    leading-wildcard indexing trick: a reversed-term field turns
+    ``*suffix`` into an ordinary prefix scan)."""
+    return term[::-1]
+
+
+def mapping_char_filter(mappings: dict) -> Callable:
+    """MappingCharFilter (analysis/charfilter/MappingCharFilter.java +
+    NormalizeCharMap): greedy longest-match char-sequence rewriting BEFORE
+    tokenization. Returns text -> text; compose via
+    ``register_filter_analyzer(char_filters=[...])``. Offsets shift like
+    the reference's corrected offsets — this engine's positions come from
+    re-tokenizing the mapped text, which is the same observable stream."""
+    if not mappings:
+        raise ValueError("mappings must be non-empty")
+    keys = sorted(mappings, key=len, reverse=True)
+
+    def apply(text: str) -> str:
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            for k in keys:
+                if text.startswith(k, i):
+                    out.append(mappings[k])
+                    i += len(k)
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        return "".join(out)
+
+    return apply
+
+
 def dictionary_compound(
     dictionary: Iterable[str],
     min_word_size: int = 5,
@@ -271,14 +309,16 @@ def register_filter_analyzer(
     name: str,
     term_filters: Iterable[Callable] = (),
     stream_filters: Iterable[Callable] = (),
+    char_filters: Iterable[Callable] = (),
     distinct_positions: bool = False,
 ) -> None:
-    """Compose standard-tokenize -> lowercase -> stop -> term filters ->
-    stream filters and register it as analyzer ``name`` (runs on the
-    per-document batch lane; build_index ships the registration to
-    executors). Pass ``distinct_positions=True`` when a stream filter
-    stacks tokens at one position (pattern_capture) so doc length counts
-    distinct positions (discountOverlaps)."""
+    """Compose char filters -> standard-tokenize -> lowercase -> stop ->
+    term filters -> stream filters and register it as analyzer ``name``
+    (runs on the per-document batch lane; build_index ships the
+    registration to executors). Pass ``distinct_positions=True`` when a
+    stream filter stacks tokens at one position (pattern_capture) so doc
+    length counts distinct positions (discountOverlaps)."""
+    cfs = tuple(char_filters)
     tfs = tuple(term_filters)
     sfs = tuple(stream_filters)
 
@@ -287,6 +327,8 @@ def register_filter_analyzer(
         stopwords=None,
         max_token_length: int = MAX_TOKEN_LENGTH,
     ) -> list[Token]:
+        for f in cfs:
+            text = f(text)
         toks = _standard_analyze(
             text, stopwords=stopwords, max_token_length=max_token_length
         )

@@ -4141,6 +4141,57 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+def _q_dsir_select(spark, sf_dir, n: int = 50):
+    """DSIR importance resampling (Xie et al. 2023): target sample =
+    doc_id % 10 == 0; top-n raw docs by smoothed target/raw unigram
+    log-ratio score (exact-feature mode; the hashed mode is the
+    at-scale configuration)."""
+    from .pipeline.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    out = dsir_select(docs, target, n)
+    return out.select(
+        "doc_id", F.round("dsir_score", 4).alias("dsir_score")
+    )
+
+
+def _sql_dsir_select(n: int = 50) -> str:
+    return f"""WITH {_BASE_CTES},
+rc AS (SELECT term AS feat, count(*)::BIGINT AS rc FROM toks GROUP BY 1),
+tcc AS (
+  SELECT term AS feat, count(*)::BIGINT AS tc FROM toks
+  WHERE doc_id % 10 = 0 GROUP BY 1
+),
+bc AS (
+  SELECT feat, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+  FROM rc FULL JOIN tcc USING (feat)
+),
+tot AS (
+  SELECT sum(rc)::BIGINT AS rt, sum(tc)::BIGINT AS tt,
+         count(*)::BIGINT AS v
+  FROM bc
+),
+lr AS (
+  SELECT feat,
+         ln(((tc + 1)::DOUBLE / (tt + v)::DOUBLE)
+            * ((rt + v)::DOUBLE / (rc + 1)::DOUBLE)) AS log_ratio
+  FROM bc, tot
+),
+pf AS (SELECT doc_id, term AS feat, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+parts AS (
+  SELECT pf.doc_id, pf.feat, pf.n * coalesce(lr.log_ratio, 0.0) AS part
+  FROM pf LEFT JOIN lr USING (feat)
+),
+sc AS (
+  SELECT doc_id, list_sum(list(part ORDER BY feat ASC)) AS s
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS dsir_score FROM (
+  SELECT * FROM sc ORDER BY s DESC, doc_id ASC LIMIT {n}
+)"""
+
+
 _SQL_SUBSTR_SPANS_CTES = f"""WITH {_BASE_CTES},
 mx AS (SELECT doc_id, max(pos) AS mp FROM toks GROUP BY doc_id),
 g AS (
@@ -4944,13 +4995,33 @@ _COMPOUND_DICT = [
 ]
 
 
+# ReverseStringFilter: reversed-term index (the leading-wildcard trick) —
+# query term = reversed surface form. MappingCharFilter: ph→f rewriting
+# BEFORE tokenization folds 'phone' and 'fone' onto one term.
+_REV_LEX = [
+    "streaming", "windowing", "table", "scan",
+    "merge", "join", "filter", "sort",
+]
+_MAP_LEX = [
+    "phone", "fone", "graph", "graf",
+    "photo", "foto", "phase", "faze",
+]
+
+
 def _register_gate_filter_analyzers():
     from .analysis.filters import (
         dictionary_compound,
         fingerprint_filter,
+        mapping_char_filter,
         pattern_replace,
         register_filter_analyzer,
+        reverse_string,
         truncate_filter,
+    )
+
+    register_filter_analyzer("gate_reverse", term_filters=[reverse_string])
+    register_filter_analyzer(
+        "gate_mapping", char_filters=[mapping_char_filter({"ph": "f"})]
     )
 
     register_filter_analyzer(
@@ -4965,6 +5036,25 @@ def _register_gate_filter_analyzers():
         stream_filters=[dictionary_compound(_COMPOUND_DICT)],
         distinct_positions=True,
     )
+
+
+def _mk_q_lex_filter(tag: str, lex: list, analyzer: str, term: str, k: int = 100000):
+    from .search.query import TermQuery
+
+    def run(spark, sf_dir):
+        _register_gate_filter_analyzers()
+        s = Searcher(
+            spark,
+            _ensure_lex_index(spark, sf_dir, tag, lex, analyzer),
+            analyzer=analyzer, mode="double",
+        )
+        h = s.search(TermQuery(term), k=k, with_url=True)
+        return h.select(
+            F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
 
 
 def _q_compound_index(spark, sf_dir, k: int = 100000):
@@ -6777,6 +6867,7 @@ def gate_queries() -> dict:
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
         "exact_substring_spans": _q_substring_spans,
         "exact_substring_clean": _q_substring_clean,
+        "dsir_select": _q_dsir_select,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -6800,6 +6891,12 @@ def gate_queries() -> dict:
         "filters_chain_index": _q_filters_chain,
         "fingerprint_index": _q_fingerprint_index,
         "compound_index": _q_compound_index,
+        "reverse_index": _mk_q_lex_filter(
+            "rev", _REV_LEX, "gate_reverse", "gnimaerts"
+        ),
+        "mapping_charfilter_index": _mk_q_lex_filter(
+            "map", _MAP_LEX, "gate_mapping", "fone"
+        ),
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
@@ -7019,6 +7116,7 @@ def gate_oracle_sql() -> dict:
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
         "exact_substring_spans": _SQL_SUBSTR_SPANS,
         "exact_substring_clean": _SQL_SUBSTR_CLEAN,
+        "dsir_select": _sql_dsir_select(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
@@ -7040,6 +7138,8 @@ def gate_oracle_sql() -> dict:
         "filters_chain_index": _sql_lex_stem((0, 1)),
         "fingerprint_index": _sql_fingerprint_index(),
         "compound_index": _sql_lex_stem((1, 3)),
+        "reverse_index": _sql_lex_stem((0,)),
+        "mapping_charfilter_index": _sql_lex_stem((0, 1)),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),

@@ -196,3 +196,34 @@ def test_dictionary_compound_min_word_and_longest():
     assert run_chain("t_cmp3", "softwareupdate") == [
         ("softwareupdate", 0), ("software", 0), ("ware", 0),
     ]
+
+
+def test_reverse_string_and_leading_wildcard_shape():
+    from lucene_spark.analysis.filters import register_filter_analyzer, reverse_string
+
+    assert reverse_string("country") == "yrtnuoc"
+    register_filter_analyzer("t_rev", term_filters=[reverse_string])
+    assert run_chain("t_rev", "country road") == [
+        ("yrtnuoc", 0), ("daor", 1),
+    ]
+
+
+def test_mapping_char_filter():
+    from lucene_spark.analysis.filters import (
+        mapping_char_filter,
+        register_filter_analyzer,
+    )
+
+    m = mapping_char_filter({"ph": "f", "qu": "kw"})
+    assert m("phone quiz") == "fone kwiz"
+    # greedy longest match wins
+    m2 = mapping_char_filter({"a": "x", "aa": "y"})
+    assert m2("aaa") == "yx"
+    register_filter_analyzer(
+        "t_map", char_filters=[mapping_char_filter({"ph": "f"})]
+    )
+    # char filters run on the RAW text (before lowercasing), like the
+    # reference's CharFilter-before-Tokenizer composition — mappings are
+    # case-sensitive
+    assert run_chain("t_map", "phone Foto") == [("fone", 0), ("foto", 1)]
+    assert run_chain("t_map", "Phone") == [("phone", 0)]
