@@ -4141,6 +4141,55 @@ def _sql_function_score_dv(term: str = "stream", k: int = 10) -> str:
     )
 
 
+def _ensure_bloom_index(spark: SparkSession, sf_dir: str) -> str:
+    """4-segment index with per-segment term Bloom filters
+    (BloomFilteringPostingsFormat analog, index/blooms.py) — the searcher
+    auto-consults them to prune segment partitions from term scans."""
+    from .index.blooms import write_term_blooms
+
+    name = sf_dir.strip("/").replace("/", "_") + "_bloom"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    marker = os.path.join(idx, "_bloom_done")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=4, analyzer="simple",
+            stopwords=None, index_positions=False,
+        )
+        write_term_blooms(spark, idx)
+        open(marker, "w").close()
+    return idx
+
+
+def _q_bloom_pruned(spark, sf_dir):
+    """FULL match set of 'customer AND window' through the bloomed
+    multi-segment index (set equality, so the multi-segment docid
+    tie-break is moot; a wrong bloom prune would LOSE rows)."""
+    s = Searcher(
+        spark, _ensure_bloom_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    h = s.search("customer AND window", k=100000, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
+def _sql_bloom_pruned() -> str:
+    ctes = ", ".join(
+        _term_scores_cte(a, t)
+        for a, t in zip(["s_0", "s_1"], ["customer", "window"])
+    )
+    return (
+        f"WITH {_BASE_CTES}, {ctes} "
+        "SELECT doc_id, round(s_0.score + s_1.score, 4) AS score "
+        "FROM s_0 JOIN s_1 USING (doc_id) ORDER BY doc_id ASC"
+    )
+
+
 def _q_dsir_select(spark, sf_dir, n: int = 50):
     """DSIR importance resampling (Xie et al. 2023): target sample =
     doc_id % 10 == 0; top-n raw docs by smoothed target/raw unigram
@@ -6868,6 +6917,7 @@ def gate_queries() -> dict:
         "exact_substring_spans": _q_substring_spans,
         "exact_substring_clean": _q_substring_clean,
         "dsir_select": _q_dsir_select,
+        "bm25_bloom_pruned": _q_bloom_pruned,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -7117,6 +7167,7 @@ def gate_oracle_sql() -> dict:
         "exact_substring_spans": _SQL_SUBSTR_SPANS,
         "exact_substring_clean": _SQL_SUBSTR_CLEAN,
         "dsir_select": _sql_dsir_select(),
+        "bm25_bloom_pruned": _sql_bloom_pruned(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),

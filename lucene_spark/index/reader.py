@@ -173,6 +173,23 @@ class IndexReader:
         }
 
     @cached_property
+    def doc_counts(self) -> dict[int, int]:
+        """segment_id → live doc_count (the bloom staleness fingerprint)."""
+        return {
+            int(r["segment_id"]): int(r["doc_count"])
+            for r in self.field_stats.select("segment_id", "doc_count").collect()
+        }
+
+    @cached_property
+    def term_blooms(self) -> dict:
+        """Per-segment term Bloom filters (index/blooms.py), {} when the
+        index has none. Advisory only: consulted to PRUNE segment partitions
+        from term scans, never to assert membership."""
+        from .blooms import load_term_blooms
+
+        return load_term_blooms(self.spark, self.index_dir, self.doc_counts)
+
+    @cached_property
     def manifest_rows(self) -> list[dict]:
         rows = self._table("segment_manifest").collect()
         return sorted((r.asDict() for r in rows), key=lambda r: r["segment_id"])

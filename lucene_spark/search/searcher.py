@@ -831,6 +831,20 @@ class Searcher:
             out = out.unionByName(
                 delete_pseudo_blocks(self.reader.deletes).select(*cols)
             )
+        # Bloom segment-skip (BloomFilteringPostingsFormat semantics,
+        # index/blooms.py): segments whose bloom rules out EVERY query term
+        # can contribute no postings rows to this scan, so dropping them is
+        # a plan-only change — segment_id is a partition column and the isin
+        # prunes whole directories. False positives only add segments back.
+        from ..index.blooms import bloom_candidate_segments
+
+        cand = bloom_candidate_segments(
+            self.reader.term_blooms,
+            [int(r["segment_id"]) for r in self.reader.manifest_rows],
+            terms,
+        )
+        if cand is not None:
+            out = out.filter(F.col("segment_id").isin(cand))
         if span:
             # replicate each block to every docid slice its [first,last]
             # range overlaps; slice tasks mask decoded docs to their range
