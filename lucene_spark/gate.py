@@ -4190,6 +4190,59 @@ def _sql_bloom_pruned() -> str:
     )
 
 
+_MEMQ = {
+    "mq_term": "customer",
+    "mq_andnot": "scan AND NOT window",
+    "mq_phrase": '"data stream"',
+    "mq_msm2": None,  # built as an AST below (msm=2 of three SHOULDs)
+}
+
+
+def _q_memory_percolate(spark, sf_dir):
+    """MemoryIndex percolation (memory/MemoryIndex.java contract): every
+    document scored as its own one-doc index against a registered query
+    battery covering shapes the Monitor presearcher can't (NOT, msm);
+    output = matching (doc_id, query_id) pairs."""
+    from .search.memory import memory_index_matches
+    from .search.query import BooleanQuery, TermQuery
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = dict(_MEMQ)
+    queries["mq_msm2"] = BooleanQuery(
+        should=(TermQuery("batch"), TermQuery("filter"), TermQuery("window")),
+        min_should_match=2,
+    )
+    out = memory_index_matches(docs, queries, analyzer="simple")
+    return out.orderBy("doc_id", "query_id")
+
+
+_SQL_MEMORY_PERCOLATE = f"""WITH {_BASE_CTES},
+m_term AS (
+  SELECT DISTINCT doc_id, 'mq_term' AS query_id FROM tf WHERE term = 'customer'
+),
+m_andnot AS (
+  SELECT doc_id, 'mq_andnot' AS query_id FROM tf t1
+  WHERE t1.term = 'scan'
+    AND NOT EXISTS (SELECT 1 FROM tf t2
+                    WHERE t2.doc_id = t1.doc_id AND t2.term = 'window')
+),
+m_phrase AS (
+  SELECT DISTINCT a.doc_id, 'mq_phrase' AS query_id
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'data' AND b.term = 'stream'
+),
+m_msm2 AS (
+  SELECT doc_id, 'mq_msm2' AS query_id FROM tf
+  WHERE term IN ('batch', 'filter', 'window')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+)
+SELECT doc_id, query_id FROM (
+  SELECT * FROM m_term UNION ALL SELECT * FROM m_andnot
+  UNION ALL SELECT * FROM m_phrase UNION ALL SELECT * FROM m_msm2
+) ORDER BY doc_id, query_id"""
+
+
 def _q_dsir_select(spark, sf_dir, n: int = 50):
     """DSIR importance resampling (Xie et al. 2023): target sample =
     doc_id % 10 == 0; top-n raw docs by smoothed target/raw unigram
@@ -6918,6 +6971,7 @@ def gate_queries() -> dict:
         "exact_substring_clean": _q_substring_clean,
         "dsir_select": _q_dsir_select,
         "bm25_bloom_pruned": _q_bloom_pruned,
+        "memory_index_percolate": _q_memory_percolate,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -7168,6 +7222,7 @@ def gate_oracle_sql() -> dict:
         "exact_substring_clean": _SQL_SUBSTR_CLEAN,
         "dsir_select": _sql_dsir_select(),
         "bm25_bloom_pruned": _sql_bloom_pruned(),
+        "memory_index_percolate": _SQL_MEMORY_PERCOLATE,
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
