@@ -4243,6 +4243,77 @@ SELECT doc_id, query_id FROM (
 ) ORDER BY doc_id, query_id"""
 
 
+def _q_ccnet_ppl(spark, sf_dir):
+    """CCNet perplexity filter (Wenzek et al. 2020): reference LM = the
+    doc_id%10==0 sample, interpolated bigram perplexity per doc +
+    head/middle/tail buckets at the 0.3/0.6 quantiles."""
+    from .pipeline.perplexity import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ccnet_buckets(docs, ref, lam=0.9, head=0.3, middle=0.3)
+    return out.select(
+        "doc_id", F.round("ppl", 4).alias("ppl"), "bucket"
+    ).orderBy("doc_id")
+
+
+def _sql_ccnet_ppl(lam: float = 0.9) -> str:
+    lam_r, oml_r = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""WITH {_BASE_CTES},
+uni AS (
+  SELECT term, count(*)::BIGINT AS cu FROM toks
+  WHERE doc_id % 10 = 0 GROUP BY 1
+),
+umeta AS (SELECT sum(cu)::BIGINT AS t, count(*)::BIGINT AS v FROM uni),
+big AS (
+  SELECT a.term AS prev, b.term AS term, count(*)::BIGINT AS c2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.doc_id % 10 = 0 GROUP BY 1, 2
+),
+ctx AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM big GROUP BY 1),
+bigc AS (SELECT big.prev, big.term, big.c2, ctx.c1 FROM big JOIN ctx USING (prev)),
+pairs AS (
+  SELECT t.doc_id, t.pos, t.term, p.term AS prev
+  FROM toks t LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+),
+nlls AS (
+  SELECT pairs.doc_id, pairs.pos,
+         -ln(
+           CASE WHEN pairs.prev IS NOT NULL AND bigc.c1 IS NOT NULL
+                THEN {lam_r} * (coalesce(bigc.c2, 0)::DOUBLE / bigc.c1::DOUBLE)
+                ELSE 0.0 END
+           + {oml_r} * ((coalesce(uni.cu, 0) + 1)::DOUBLE
+                        / (m.t + m.v + 1)::DOUBLE)
+         ) AS nll
+  FROM pairs
+  LEFT JOIN uni USING (term)
+  LEFT JOIN bigc ON bigc.prev = pairs.prev AND bigc.term = pairs.term,
+       umeta m
+),
+per_doc AS (
+  SELECT doc_id,
+         exp(list_sum(list(nll ORDER BY pos ASC)) / count(*)) AS ppl
+  FROM nlls GROUP BY doc_id
+),
+allsc AS (
+  SELECT d.doc_id,
+         coalesce(p.ppl,
+                  (SELECT exp(-ln({oml_r} * (1.0 / (t + v + 1)::DOUBLE)))
+                   FROM umeta)) AS ppl
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, ppl,
+         percent_rank() OVER (ORDER BY ppl ASC, doc_id ASC) AS pr
+  FROM allsc
+)
+SELECT doc_id, round(ppl, 4) AS ppl,
+       CASE WHEN pr < 0.3 THEN 'head'
+            WHEN pr < 0.6 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id"""
+
+
 def _q_dsir_select(spark, sf_dir, n: int = 50):
     """DSIR importance resampling (Xie et al. 2023): target sample =
     doc_id % 10 == 0; top-n raw docs by smoothed target/raw unigram
@@ -6972,6 +7043,7 @@ def gate_queries() -> dict:
         "dsir_select": _q_dsir_select,
         "bm25_bloom_pruned": _q_bloom_pruned,
         "memory_index_percolate": _q_memory_percolate,
+        "ccnet_perplexity": _q_ccnet_ppl,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -7223,6 +7295,7 @@ def gate_oracle_sql() -> dict:
         "dsir_select": _sql_dsir_select(),
         "bm25_bloom_pruned": _sql_bloom_pruned(),
         "memory_index_percolate": _SQL_MEMORY_PERCOLATE,
+        "ccnet_perplexity": _sql_ccnet_ppl(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
