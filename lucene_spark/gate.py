@@ -4243,6 +4243,34 @@ SELECT doc_id, query_id FROM (
 ) ORDER BY doc_id, query_id"""
 
 
+_GEO_JOIN_RADIUS = 500_000.0
+
+
+def _q_geo_distance_join(spark, sf_dir):
+    """Banded-grid spatial pair join (PrefixTreeStrategy cell economics):
+    all point pairs within 500 km, bucket-joined — never all-pairs."""
+    from .search.geo import distance_join
+
+    out = distance_join(_geo_docs(spark, sf_dir), _GEO_JOIN_RADIUS)
+    return out.orderBy("a", "b")
+
+
+def _sql_geo_distance_join() -> str:
+    pi, r = "3.141592653589793::DOUBLE", "6371008.7714::DOUBLE"
+    return f"""WITH {_GEO_SQL_CTE},
+pd AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b,
+         2.0 * {r} * asin(sqrt(
+           pow(sin(((g2.lat - g1.lat) * {pi} / 180.0) / 2.0), 2.0)
+           + cos(g1.lat * {pi} / 180.0) * cos(g2.lat * {pi} / 180.0)
+             * pow(sin(((g2.lon - g1.lon) * {pi} / 180.0) / 2.0), 2.0)
+         )) AS d
+  FROM geo g1 JOIN geo g2 ON g1.doc_id < g2.doc_id
+)
+SELECT a, b, round(d, 3) AS dist_m FROM pd
+WHERE d <= {_GEO_JOIN_RADIUS!r} ORDER BY a, b"""
+
+
 def _q_ccnet_ppl(spark, sf_dir):
     """CCNet perplexity filter (Wenzek et al. 2020): reference LM = the
     doc_id%10==0 sample, interpolated bigram perplexity per doc +
@@ -7044,6 +7072,7 @@ def gate_queries() -> dict:
         "bm25_bloom_pruned": _q_bloom_pruned,
         "memory_index_percolate": _q_memory_percolate,
         "ccnet_perplexity": _q_ccnet_ppl,
+        "geo_distance_join": _q_geo_distance_join,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -7296,6 +7325,7 @@ def gate_oracle_sql() -> dict:
         "bm25_bloom_pruned": _sql_bloom_pruned(),
         "memory_index_percolate": _SQL_MEMORY_PERCOLATE,
         "ccnet_perplexity": _sql_ccnet_ppl(),
+        "geo_distance_join": _sql_geo_distance_join(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),

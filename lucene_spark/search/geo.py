@@ -44,6 +44,8 @@ __all__ = [
     "distance_query",
     "polygon_query",
     "nearest",
+    "distance_join",
+    "haversine_pair_meters",
     "EARTH_MEAN_RADIUS_METERS",
 ]
 
@@ -256,3 +258,123 @@ def nearest(
     )
     top = scored.orderBy(F.asc("dist_m"), F.asc(id_col)).limit(k)
     return top.select(id_col, F.round("dist_m", 3).alias("dist_m"))
+
+
+def haversine_pair_meters(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """haversine_meters between two column points — the same expression
+    tree, both endpoints columns (for the pair join and its SQL oracle)."""
+    rl1 = lat1.cast("double") * _PI / 180.0
+    rl2 = lat2.cast("double") * _PI / 180.0
+    dlat = (lat2.cast("double") - lat1.cast("double")) * _PI / 180.0
+    dlon = (lon2.cast("double") - lon1.cast("double")) * _PI / 180.0
+    h = F.pow(F.sin(dlat / 2.0), 2.0) + F.cos(rl1) * F.cos(rl2) * F.pow(
+        F.sin(dlon / 2.0), 2.0
+    )
+    return 2.0 * EARTH_MEAN_RADIUS_METERS * F.asin(F.sqrt(h))
+
+
+# meters per degree of latitude on the mean-radius sphere
+_DEG_LAT_M = _PI / 180.0 * EARTH_MEAN_RADIUS_METERS
+
+
+def _ncells_for_band(band: Column, dlat_deg: float) -> Column:
+    """Longitude tile count for a latitude band: tiles at least dlat_deg
+    wide at the band's pole-nearest latitude (so a radius never spans more
+    than one tile boundary in that band); a band touching a pole (min cos
+    -> 0) collapses to one tile."""
+    worst_abs_lat = F.least(
+        F.greatest(
+            F.abs(band.cast("double") * dlat_deg),
+            F.abs((band.cast("double") + 1.0) * dlat_deg),
+        ),
+        F.lit(90.0),
+    )
+    cos_min = F.cos(worst_abs_lat * _PI / 180.0)
+    dlon = F.least(F.lit(360.0), F.lit(dlat_deg) / F.greatest(cos_min, F.lit(1e-9)))
+    return F.greatest(F.floor(F.lit(360.0) / dlon), F.lit(1.0)).cast("long")
+
+
+def _cell_for(lon: Column, ncells: Column) -> Column:
+    # tile index in [0, ncells); lon=+180 folds onto tile 0 via pmod
+    return F.pmod(
+        F.floor((lon.cast("double") + 180.0) / (F.lit(360.0) / ncells)).cast(
+            "long"
+        ),
+        ncells,
+    )
+
+
+def distance_join(
+    df: DataFrame,
+    radius_m: float,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All pairs of points within ``radius_m`` meters (haversine), found by
+    a banded-grid bucket join — never all-pairs.
+
+    The reference indexes points into grid-prefix cells and joins/filters
+    per cell (spatial-extras PrefixTreeStrategy.java:63 +
+    prefix/tree/GeohashPrefixTree.java — "one grid square per cell, query
+    shapes match cells then refine"); the Spark-first restatement makes the
+    cell the JOIN KEY: latitude bands of radius height, per-band longitude
+    tiles of at least radius width (sized at the band's pole-nearest
+    latitude, so tiles widen toward the poles; a band touching a pole is
+    one tile), antimeridian wrap via modular tile indexes. The probe side
+    emits its 3 bands x 3 tiles neighborhood (tile index recomputed in each
+    band's own tiling), the build side exactly its own cell; candidates
+    are verified with the exact haversine and deduped.
+
+    Scale shape: two shuffles on (band, tile) — the classic spatial
+    bucket join; dense-city skew is AQE skew-join territory, and the
+    candidate count is bounded by true spatial density, never N^2. Returns
+    (a, b, dist_m) with a < b, dist rounded to mm.
+    """
+    dlat_deg = float(radius_m) / _DEG_LAT_M
+
+    pts = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+    )
+    band = F.floor(F.col("_lat") / F.lit(dlat_deg)).cast("long")
+
+    right = pts.select(
+        F.col("_pid").alias("b"),
+        F.col("_lat").alias("_blat"),
+        F.col("_lon").alias("_blon"),
+        band.alias("_band"),
+        _cell_for(F.col("_lon"), _ncells_for_band(band, dlat_deg)).alias("_cell"),
+    )
+
+    keys = []
+    for db in (-1, 0, 1):
+        nb = band + F.lit(db)
+        ncells = _ncells_for_band(nb, dlat_deg)
+        base = _cell_for(F.col("_lon"), ncells)
+        for dc in (-1, 0, 1):
+            keys.append(F.struct(nb.alias("_band"),
+                                 F.pmod(base + F.lit(dc), ncells).alias("_cell")))
+    left = pts.select(
+        F.col("_pid").alias("a"),
+        F.col("_lat").alias("_alat"),
+        F.col("_lon").alias("_alon"),
+        F.explode(F.array_distinct(F.array(*keys))).alias("_k"),
+    ).select("a", "_alat", "_alon", F.col("_k._band").alias("_band"),
+             F.col("_k._cell").alias("_cell"))
+
+    dist = haversine_pair_meters(
+        F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon")
+    )
+    pairs = (
+        left.join(right, ["_band", "_cell"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dist.alias("_d"))
+        .filter(F.col("_d") <= float(radius_m))
+        .groupBy("a", "b")
+        .agg(F.min("_d").alias("_d"))
+    )
+    return pairs.select("a", "b", F.round("_d", 3).alias("dist_m"))
