@@ -4271,6 +4271,23 @@ SELECT a, b, round(d, 3) AS dist_m FROM pd
 WHERE d <= {_GEO_JOIN_RADIUS!r} ORDER BY a, b"""
 
 
+def _q_percolate(spark, sf_dir):
+    """Monitor match flow at scale (TermFilteredPresearcher candidates +
+    MemoryIndex refine of candidates only) — must reproduce exactly the
+    brute-force percolation's match set (same oracle)."""
+    from .search.memory import percolate
+    from .search.query import BooleanQuery, TermQuery
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = dict(_MEMQ)
+    queries["mq_msm2"] = BooleanQuery(
+        should=(TermQuery("batch"), TermQuery("filter"), TermQuery("window")),
+        min_should_match=2,
+    )
+    out = percolate(docs, queries, analyzer="simple")
+    return out.select("doc_id", "query_id").orderBy("doc_id", "query_id")
+
+
 def _q_ccnet_ppl(spark, sf_dir):
     """CCNet perplexity filter (Wenzek et al. 2020): reference LM = the
     doc_id%10==0 sample, interpolated bigram perplexity per doc +
@@ -7072,6 +7089,7 @@ def gate_queries() -> dict:
         "bm25_bloom_pruned": _q_bloom_pruned,
         "memory_index_percolate": _q_memory_percolate,
         "ccnet_perplexity": _q_ccnet_ppl,
+        "percolate_presearcher": _q_percolate,
         "geo_distance_join": _q_geo_distance_join,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
@@ -7325,6 +7343,7 @@ def gate_oracle_sql() -> dict:
         "bm25_bloom_pruned": _sql_bloom_pruned(),
         "memory_index_percolate": _SQL_MEMORY_PERCOLATE,
         "ccnet_perplexity": _sql_ccnet_ppl(),
+        "percolate_presearcher": _SQL_MEMORY_PERCOLATE,
         "geo_distance_join": _sql_geo_distance_join(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MemoryIndex", "memory_index_matches"]
+__all__ = ["MemoryIndex", "memory_index_matches", "percolate"]
 
 
 class MemoryIndex:
@@ -123,3 +123,157 @@ def memory_index_matches(
             yield pd.DataFrame({id_col: ids, "query_id": qids})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def _needs_full_scan(q) -> bool:
+    """True when term-based candidate selection could MISS a match for this
+    query — it must then be checked against every document (the reference
+    presearcher's ANYTOKEN path, TermFilteredPresearcher.java:79: queries
+    that cannot be term-filtered index a catch-all token).
+
+    Safe by construction: only node types known to be fully covered by
+    their collect_terms() keep the term filter; anything else (multi-term
+    expansion, match-all, field-exists, unknown nodes) scans."""
+    from .query import (
+        BooleanQuery,
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermInSetQuery,
+        TermQuery,
+    )
+
+    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, SynonymQuery,
+                      TermInSetQuery)):
+        return False
+    if isinstance(q, ConstantScoreQuery):
+        return _needs_full_scan(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_needs_full_scan(c) for c in q.queries)
+    if isinstance(q, BooleanQuery):
+        if not q.must and not q.should:
+            return True  # pure negation matches docs with NO query terms
+        return any(_needs_full_scan(c) for c in (*q.must, *q.should))
+    return True
+
+
+def percolate(
+    docs: DataFrame,
+    queries: dict[str, object],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "standard",
+    stopwords: frozenset[str] | None = None,
+) -> DataFrame:
+    """The full Monitor match flow (monitor/Monitor.java match path +
+    TermFilteredPresearcher.java:79): SELECT candidate (document, query)
+    pairs by joining the document's distinct terms against the queries'
+    term sets JVM-side, then REFINE only the candidates with one-doc
+    MemoryIndexes. Returns (id_col, query_id, score).
+
+    Scale shape: the presearcher join touches (distinct doc terms) x
+    (broadcast query-term table) and the refine stage evaluates each doc
+    against only its candidate queries — the same economics that let the
+    reference monitor thousands of registered queries per document. Queries
+    the term filter cannot cover (match-all, pure negation, multi-term
+    expansion) fall back to checking every document, exactly like the
+    reference's ANYTOKEN.
+    """
+    from functools import partial
+
+    from ..index.builder import get_analyzer
+    from .query import collect_terms, parse_query
+
+    spark = docs.sparkSession
+    an_fn = get_analyzer(analyzer)
+    an = partial(an_fn, stopwords=stopwords)
+    parsed = {
+        qid: (parse_query(q, an) if isinstance(q, str) else q)
+        for qid, q in sorted(queries.items())
+    }
+    term_rows, full_ids = [], []
+    for qid, q in parsed.items():
+        if _needs_full_scan(q):
+            full_ids.append(qid)
+        else:
+            for t in sorted(collect_terms(q)):
+                term_rows.append((qid, t))
+
+    base = docs.select(id_col, text_col)
+    if term_rows:
+        qterms = spark.createDataFrame(term_rows, "query_id string, term string")
+        if analyzer == "simple":
+            from ..pipeline.dedup import _token_array
+
+            dterms = base.select(
+                id_col, F.explode(F.array_distinct(_token_array(text_col))).alias("term")
+            )
+        else:
+            tok_schema = T.StructType(
+                [base.schema[id_col], T.StructField("term", T.StringType())]
+            )
+
+            def toks(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    ids, terms = [], []
+                    for did, text in zip(pdf[id_col], pdf[text_col]):
+                        seen = {t.term for t in an(text or "")}
+                        ids.extend([did] * len(seen))
+                        terms.extend(sorted(seen))
+                    yield pd.DataFrame({id_col: ids, "term": terms})
+
+            dterms = base.mapInPandas(toks, schema=tok_schema)
+        cand = (
+            dterms.join(F.broadcast(qterms), "term")
+            .select(id_col, "query_id")
+            .distinct()
+        )
+    else:
+        cand = None
+    if full_ids:
+        allq = base.select(id_col).crossJoin(
+            spark.createDataFrame([(q,) for q in full_ids], "query_id string")
+        )
+        cand = allq if cand is None else cand.unionByName(allq).distinct()
+    if cand is None:
+        return spark.createDataFrame(
+            [], T.StructType([docs.schema[id_col],
+                              T.StructField("query_id", T.StringType()),
+                              T.StructField("score", T.DoubleType())])
+        )
+
+    per_doc = cand.groupBy(id_col).agg(F.collect_set("query_id").alias("_qids"))
+    joined = base.join(per_doc, id_col)
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def refine(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, qids, scores = [], [], []
+            for did, text, cqs in zip(pdf[id_col], pdf[text_col], pdf["_qids"]):
+                mi = MemoryIndex(
+                    text if text is not None else "",
+                    analyzer=analyzer,
+                    stopwords=stopwords,
+                )
+                for qid in sorted(cqs):
+                    s = mi.search(parsed[qid])
+                    if s > 0.0 or mi.matches(parsed[qid]):
+                        ids.append(did)
+                        qids.append(qid)
+                        scores.append(s)
+            yield pd.DataFrame({id_col: ids, "query_id": qids, "score": scores})
+
+    return joined.mapInPandas(refine, schema=out_schema)

@@ -92,3 +92,52 @@ def test_stopword_analyzer_path():
     mi = MemoryIndex("the stream and the window", stopwords=ENGLISH_STOP_WORDS)
     assert mi.matches("stream AND window")
     assert not mi.matches("the")
+
+
+def test_percolate_equals_brute_force(spark):
+    from lucene_spark.search.memory import percolate
+    from lucene_spark.search.query import BooleanQuery, PrefixQuery, TermQuery
+
+    docs = spark.createDataFrame(
+        [
+            (0, "stream processing with windows"),
+            (1, "batch jobs and table scans"),
+            (2, "stream the window stream"),
+            (3, "prefixable content here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {
+        "q_term": "stream",
+        "q_and": "stream AND window",
+        "q_phrase": '"stream processing"',
+        "q_not": "batch AND NOT stream",         # term-filterable (has MUST)
+        "q_pure_not": BooleanQuery(must_not=(TermQuery("stream"),)),  # full scan
+        "q_prefix": PrefixQuery("prefix"),        # full scan (expansion)
+    }
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(docs, queries).collect()
+    }
+    brute = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in memory_index_matches(docs, queries).collect()
+    }
+    assert got == brute
+    assert (3, "q_prefix") in got  # full-scan bucket still percolates
+    # pure negation matches NOTHING (Lucene's only-prohibited-clauses
+    # semantics) — the full-scan path checked every doc and agreed
+    assert not any(q == "q_pure_not" for _d, q in got)
+
+
+def test_percolate_scores_match_memory_index(spark):
+    from lucene_spark.search.memory import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "stream processing with windows")], "doc_id long, text string"
+    )
+    out = {r["query_id"]: float(r["score"])
+           for r in percolate(docs, {"q": "stream AND processing"}).collect()}
+    mi = MemoryIndex("stream processing with windows")
+    assert out["q"] == pytest.approx(mi.search("stream AND processing"), rel=1e-7)
