@@ -4271,6 +4271,93 @@ SELECT a, b, round(d, 3) AS dist_m FROM pd
 WHERE d <= {_GEO_JOIN_RADIUS!r} ORDER BY a, b"""
 
 
+# fixed-width-token corpus for the term-vector/FVH rows: 20 tokens of 6
+# chars, single-space joined, token p = lex[(doc_id + 2p) % 6] — so token
+# p's char offsets are exactly (7p, 7p+6) and the oracle derives them
+# arithmetically. 'stream' (lex[0]) occurs only in even docs, every 3rd
+# position -> 21-char gaps, so each FVH fragment holds exactly one match.
+_FVH_LEX = ["stream", "window", "filter", "buffer", "padder", "rotate"]
+
+
+def _fvh_docs(spark, sf_dir):
+    lex = F.array(*[F.lit(w) for w in _FVH_LEX])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda q: F.element_at(
+            lex, ((F.col("doc_id") + 2 * q) % 6 + 1).cast("int")
+        ),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(toks, " ").alias("text")
+    )
+
+
+def _q_term_vectors(spark, sf_dir):
+    """Term vectors (Lucene90CompressingTermVectorsFormat contract):
+    per-doc occurrences of 'stream' with positions AND char offsets."""
+    from .index.termvectors import term_vectors_df
+
+    tv = term_vectors_df(
+        _fvh_docs(spark, sf_dir), id_col="doc_id", analyzer="standard"
+    )
+    occ = tv.filter(F.col("term") == "stream").select(
+        "doc_id",
+        F.explode(F.arrays_zip("positions", "starts", "ends")).alias("o"),
+    )
+    return occ.select(
+        "doc_id",
+        F.col("o.positions").cast("long").alias("pos"),
+        F.col("o.starts").cast("long").alias("start_off"),
+        F.col("o.ends").cast("long").alias("end_off"),
+    ).orderBy("doc_id", "pos")
+
+
+_SQL_TERM_VECTORS = """WITH seqs AS (
+  SELECT d.doc_id, g.p FROM documents d, (SELECT unnest(range(20)) AS p) g
+)
+SELECT doc_id, p AS pos, 7 * p AS start_off, 7 * p + 6 AS end_off
+FROM seqs WHERE (doc_id + 2 * p) % 6 = 0
+ORDER BY doc_id, pos"""
+
+
+def _q_fvh_snippets(spark, sf_dir):
+    """FastVectorHighlighter fragments from stored vectors
+    (SimpleFragListBuilder greedy windows + SimpleFieldFragList occurrence
+    scores): best 21-char fragment per matching doc, sliced from text."""
+    from .index.termvectors import term_vectors_df
+    from .search.fvh import fvh_fragments
+
+    docs = _fvh_docs(spark, sf_dir)
+    tv = term_vectors_df(docs, id_col="doc_id", analyzer="standard")
+    out = fvh_fragments(
+        docs, tv, ["stream"], id_col="doc_id",
+        frag_char_size=21, margin=0, max_frags=1,
+    )
+    return out.select(
+        "doc_id",
+        F.col("frag_start").cast("long").alias("frag_start"),
+        F.col("frag_end").cast("long").alias("frag_end"),
+        F.col("score").cast("long").alias("score"),
+        "snippet",
+    ).orderBy("doc_id")
+
+
+_SQL_FVH_SNIPPETS = f"""WITH lex AS (
+  SELECT ['{"','".join(_FVH_LEX)}'] AS a
+),
+first_occ AS (
+  SELECT d.doc_id, min(g.p) AS p1
+  FROM documents d, (SELECT unnest(range(20)) AS p) g
+  WHERE (d.doc_id + 2 * g.p) % 6 = 0
+  GROUP BY d.doc_id
+)
+SELECT doc_id, 7 * p1 AS frag_start, 7 * p1 + 21 AS frag_end, 1 AS score,
+       a[((doc_id + 2 * p1) % 6)::INT + 1] || ' ' ||
+       a[((doc_id + 2 * (p1 + 1)) % 6)::INT + 1] || ' ' ||
+       a[((doc_id + 2 * (p1 + 2)) % 6)::INT + 1] || ' ' AS snippet
+FROM first_occ, lex ORDER BY doc_id"""
+
+
 def _q_percolate(spark, sf_dir):
     """Monitor match flow at scale (TermFilteredPresearcher candidates +
     MemoryIndex refine of candidates only) — must reproduce exactly the
@@ -7090,6 +7177,8 @@ def gate_queries() -> dict:
         "memory_index_percolate": _q_memory_percolate,
         "ccnet_perplexity": _q_ccnet_ppl,
         "percolate_presearcher": _q_percolate,
+        "term_vectors": _q_term_vectors,
+        "fvh_snippets": _q_fvh_snippets,
         "geo_distance_join": _q_geo_distance_join,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
@@ -7344,6 +7433,8 @@ def gate_oracle_sql() -> dict:
         "memory_index_percolate": _SQL_MEMORY_PERCOLATE,
         "ccnet_perplexity": _sql_ccnet_ppl(),
         "percolate_presearcher": _SQL_MEMORY_PERCOLATE,
+        "term_vectors": _SQL_TERM_VECTORS,
+        "fvh_snippets": _SQL_FVH_SNIPPETS,
         "geo_distance_join": _sql_geo_distance_join(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
