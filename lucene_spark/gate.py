@@ -4358,6 +4358,55 @@ SELECT doc_id, 7 * p1 AS frag_start, 7 * p1 + 21 AS frag_end, 1 AS score,
 FROM first_occ, lex ORDER BY doc_id"""
 
 
+def _q_complex_phrase(spark, sf_dir, k: int = 10):
+    """ComplexPhraseQueryParser: fuzzy slot inside a phrase —
+    '"data~1 stream"' rewritten to SpanNear(SpanOr(edit-distance-1
+    expansion), stream) exactly like CPQP.java:266-354."""
+    from .search.complexphrase import complex_phrase_query
+
+    s = _searcher(spark, sf_dir)
+    q = complex_phrase_query(s, "data~1 stream")
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_complex_phrase(k: int = 10) -> str:
+    """Oracle: expansion = dft terms within (unrestricted) DL distance 1 of
+    'data' — identical to the engine's OSA at max_edits=1 — then the
+    two-clause ordered-span algebra and the dynamic summed-idf weight."""
+    idf = _idf("e.df")
+    return f"""WITH {_BASE_CTES},
+pa AS (
+  SELECT doc_id, pos FROM toks WHERE damerau_levenshtein(term, 'data') <= 1
+),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+sp AS (
+  SELECT pa.doc_id, pa.pos AS spos, min(pb.pos) AS y
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+),
+iv AS (
+  SELECT doc_id, y - spos - 1 AS w FROM sp WHERE y - spos - 1 <= 0
+),
+wt AS (
+  SELECT list_sum(list({idf} ORDER BY e.term ASC)) AS w
+  FROM (
+    SELECT term, df FROM dft
+    WHERE term = 'stream' OR damerau_levenshtein(term, 'data') <= 1
+  ) e, stats s
+),
+pf AS (SELECT doc_id, {_span_freq_expr(range(0, 1))} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id, (wt.w - wt.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id), stats s, wt
+  WHERE pf.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _q_percolate(spark, sf_dir):
     """Monitor match flow at scale (TermFilteredPresearcher candidates +
     MemoryIndex refine of candidates only) — must reproduce exactly the
@@ -7179,6 +7228,7 @@ def gate_queries() -> dict:
         "percolate_presearcher": _q_percolate,
         "term_vectors": _q_term_vectors,
         "fvh_snippets": _q_fvh_snippets,
+        "complex_phrase_fuzzy": _q_complex_phrase,
         "geo_distance_join": _q_geo_distance_join,
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
@@ -7435,6 +7485,7 @@ def gate_oracle_sql() -> dict:
         "percolate_presearcher": _SQL_MEMORY_PERCOLATE,
         "term_vectors": _SQL_TERM_VECTORS,
         "fvh_snippets": _SQL_FVH_SNIPPETS,
+        "complex_phrase_fuzzy": _sql_complex_phrase(),
         "geo_distance_join": _sql_geo_distance_join(),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
