@@ -1,0 +1,227 @@
+"""Shared Viterbi-lattice morphological segmentation core.
+
+Behavioral reference: the algorithm of
+core/src/java/org/apache/lucene/analysis/morph/Viterbi.java (forward
+lattice construction + cheapest-path backtrace) as instantiated by
+analysis/kuromoji/.../ja/JapaneseTokenizer.java and
+analysis/nori/.../ko/KoreanTokenizer.java:
+
+- a lattice node is added for every dictionary entry whose surface is a
+  prefix of the text at the current position (plus user-dictionary
+  entries, which carry UserMorphData.WORD_COST = -100000 so they always
+  win — dict/UserMorphData.java:26);
+- node arrival cost = min over nodes ENDING at the position of
+  (node.cost + connection(node.right_id, word.left_id)) + word.cost
+  (+ an optional mode penalty, ViterbiNBest.computePenalty);
+- unknown words are generated from the character class of the current
+  char (dict/CharacterDefinition.java): when the class has INVOKE set or
+  no dictionary entry matched, an unknown node is added whose surface is
+  the single char, or — when the class has GROUP set — the maximal run
+  of same-class chars (capped);
+- EOS connects with connection(right_id, 0); the cheapest path is
+  backtraced into segments.
+
+This module is dictionary-agnostic: ja.py / ko.py supply small built-in
+demo lexicons (the bundled MeCab dictionaries are data, not algorithm —
+they are NOT shipped here) plus user-dictionary loading, and interpret
+the per-entry ``attrs`` (POS, baseform, reading, compound segmentation).
+
+The implementation differs from the reference in bookkeeping only: nodes
+ending at a position are deduplicated per right_id keeping the min cost
+(an exact lattice reduction — connection cost depends only on right_id),
+where the reference keeps every node and prunes via backtrace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+__all__ = [
+    "DictEntry",
+    "CharClass",
+    "MorphDict",
+    "Segment",
+    "viterbi_segment",
+    "USER_WORD_COST",
+    "USER_LEFT_ID",
+    "USER_RIGHT_ID",
+]
+
+# dict/UserMorphData.java:26-28 — user entries always win
+USER_WORD_COST = -100000
+USER_LEFT_ID = 5
+USER_RIGHT_ID = 5
+
+
+@dataclass(frozen=True)
+class DictEntry:
+    """One dictionary word: surface + lattice ids/cost + language attrs.
+
+    ``attrs`` carries per-language data the tokenizer interprets:
+    ja: pos, base (baseform), reading; ko: pos, reading, segmentation
+    (compound parts). ``segmentation`` (when not None) is a tuple of
+    (surface, attrs) parts — kuromoji user-dictionary splits and nori
+    compound decomposition both use it.
+    """
+
+    surface: str
+    left_id: int
+    right_id: int
+    cost: int
+    attrs: dict = field(default_factory=dict, hash=False, compare=False)
+    segmentation: tuple | None = None
+
+
+@dataclass(frozen=True)
+class CharClass:
+    """dict/CharacterDefinition.java class row: INVOKE = always generate
+    an unknown word even when the dictionary matched; GROUP = the unknown
+    surface is the maximal same-class run (else a single char); ``cap`` =
+    max grouped length; unknown-node lattice parameters."""
+
+    name: str
+    invoke: bool
+    group: bool
+    cap: int
+    left_id: int
+    right_id: int
+    cost: int
+    pos: str
+
+
+class MorphDict:
+    """Prefix-lookup dictionary + connection-cost matrix + char classes."""
+
+    def __init__(
+        self,
+        entries: Sequence[DictEntry],
+        conn: dict[tuple[int, int], int] | None = None,
+        classes: Sequence[CharClass] = (),
+        classify: Callable[[str], str] | None = None,
+        default_conn: int = 0,
+    ):
+        self._by_first: dict[str, list[DictEntry]] = {}
+        for e in entries:
+            self._by_first.setdefault(e.surface[0], []).append(e)
+        for lst in self._by_first.values():
+            lst.sort(key=lambda e: -len(e.surface))
+        self._conn = conn or {}
+        self._default_conn = default_conn
+        self._classes = {c.name: c for c in classes}
+        self._classify = classify or (lambda ch: "DEFAULT")
+
+    def prefixes(self, text: str, pos: int) -> list[DictEntry]:
+        out = []
+        for e in self._by_first.get(text[pos], ()):
+            if text.startswith(e.surface, pos):
+                out.append(e)
+        return out
+
+    def connection(self, right_id: int, left_id: int) -> int:
+        return self._conn.get((right_id, left_id), self._default_conn)
+
+    def char_class(self, ch: str) -> CharClass:
+        name = self._classify(ch)
+        cc = self._classes.get(name)
+        if cc is None:
+            raise KeyError(f"no CharClass registered for {name!r}")
+        return cc
+
+
+@dataclass
+class Segment:
+    start: int
+    end: int
+    surface: str
+    entry: DictEntry | None  # None => unknown word
+    pos: str  # part-of-speech tag (unknown words get the class pos)
+
+
+class _Node:
+    __slots__ = ("cost", "right_id", "start", "seg", "back")
+
+    def __init__(self, cost, right_id, start, seg, back):
+        self.cost = cost
+        self.right_id = right_id
+        self.start = start
+        self.seg = seg
+        self.back = back
+
+
+def viterbi_segment(
+    text: str,
+    mdict: MorphDict,
+    user: MorphDict | None = None,
+    penalty: Callable[[int, int], int] | None = None,
+) -> list[Segment]:
+    """Cheapest-path segmentation of ``text`` (one whitespace-free chunk).
+
+    ``penalty(pos, length)`` is the search-mode surcharge
+    (ja/ViterbiNBest.computePenalty); None = NORMAL mode.
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    # nodes ending at each position, deduped by right_id (min cost)
+    ends: list[dict[int, _Node]] = [dict() for _ in range(n + 1)]
+    bos = _Node(0, 0, -1, None, None)
+    ends[0][0] = bos
+
+    def _relax(pos: int, surface: str, entry: DictEntry | None, left_id: int,
+               right_id: int, word_cost: int, seg_pos: str) -> None:
+        frontier = ends[pos]
+        best_prev, best_cost = None, None
+        for nd in frontier.values():
+            c = nd.cost + mdict.connection(nd.right_id, left_id)
+            if best_cost is None or c < best_cost:
+                best_prev, best_cost = nd, c
+        cost = best_cost + word_cost
+        if penalty is not None:
+            cost += penalty(pos, len(surface))
+        end = pos + len(surface)
+        seg = Segment(pos, end, surface, entry, seg_pos)
+        cur = ends[end].get(right_id)
+        if cur is None or cost < cur.cost:
+            ends[end][right_id] = _Node(cost, right_id, pos, seg, best_prev)
+
+    for pos in range(n):
+        if not ends[pos]:
+            continue
+        matched = False
+        if user is not None:
+            for e in user.prefixes(text, pos):
+                matched = True
+                _relax(pos, e.surface, e, e.left_id, e.right_id, e.cost,
+                       e.attrs.get("pos", ""))
+        for e in mdict.prefixes(text, pos):
+            matched = True
+            _relax(pos, e.surface, e, e.left_id, e.right_id, e.cost,
+                   e.attrs.get("pos", ""))
+        cc = mdict.char_class(text[pos])
+        if cc.invoke or not matched:
+            if cc.group:
+                end = pos + 1
+                while (
+                    end < n
+                    and end - pos < cc.cap
+                    and mdict.char_class(text[end]).name == cc.name
+                ):
+                    end += 1
+                surface = text[pos:end]
+            else:
+                surface = text[pos]
+            _relax(pos, surface, None, cc.left_id, cc.right_id, cc.cost, cc.pos)
+
+    # EOS: cheapest node ending at n, including the connection to left_id 0
+    tail = ends[n]
+    if not tail:  # every path dead-ended (cannot happen: unknowns always fire)
+        raise ValueError(f"lattice has no path over {text!r}")
+    final = min(tail.values(), key=lambda nd: nd.cost + mdict.connection(nd.right_id, 0))
+    segs: list[Segment] = []
+    nd = final
+    while nd is not None and nd.seg is not None:
+        segs.append(nd.seg)
+        nd = nd.back
+    segs.reverse()
+    return segs

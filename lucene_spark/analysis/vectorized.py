@@ -466,6 +466,34 @@ def analyze_batch(
                 t, stopwords=stopwords, max_token_length=max_token_length
             ),
         )
+    if analyzer in ("japanese", "japanese_normal"):
+        # Viterbi-lattice segmentation is WHOLE-CHUNK-dependent (the
+        # cheapest path reads every dictionary arc), not per-term — exact
+        # per-document chain lane, like CJK
+        from .ja import japanese_analyze as _ja_py
+
+        mode = "normal" if analyzer == "japanese_normal" else "search"
+        return _batch_from_chain(
+            texts,
+            lambda t: _ja_py(
+                t, stopwords=stopwords, mode=mode,
+                max_token_length=max_token_length,
+            ),
+        )
+    if analyzer in ("korean", "korean_mixed", "korean_none"):
+        from .ko import korean_analyze as _ko_py
+
+        dc = {"korean": "discard", "korean_mixed": "mixed",
+              "korean_none": "none"}[analyzer]
+        dp = dc == "mixed"  # compounds stack at posIncrement 0
+        return _batch_from_chain(
+            texts,
+            lambda t: _ko_py(
+                t, stopwords=stopwords, decompound=dc,
+                max_token_length=max_token_length,
+            ),
+            distinct_positions=dp,
+        )
     if analyzer == "common_grams":
         # gram emission is adjacency-dependent (not per-term) and grams
         # stack at posIncrement 0 — per-document chain lane with

@@ -5302,6 +5302,93 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+# Japanese (kuromoji analog, analysis/ja.py) / Korean (nori analog,
+# analysis/ko.py): corpus = two lexicon nouns joined by particles plus a
+# conjugated verb, all chosen by doc_id base-5 digits. The Viterbi lattice
+# must segment noun+particle+noun+particle+verb exactly, the POS stop
+# filter must drop the particles (with position gaps), and — for Japanese —
+# JapaneseBaseFormFilter must map 読んだ→読む; doc length is then exactly 3
+# emitted tokens and tf/df of any noun is doc_id arithmetic the oracle
+# reproduces without a tokenizer.
+_JA_LEX = ["経済", "新聞", "大学", "空港", "技術"]
+_JA_QUERY = _JA_LEX[1]  # digit == 1
+_KO_LEX = ["학교", "나라", "경제", "신문", "회사"]
+_KO_QUERY = _KO_LEX[3]  # digit == 3
+
+
+def _ensure_morph_index(
+    spark: SparkSession, sf_dir: str, tag: str, lex: list[str],
+    analyzer: str, particle1: str, particle2_verb: str,
+) -> str:
+    name = sf_dir.strip("/").replace("/", "_") + f"_{tag}"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        arr = F.array(*[F.lit(w) for w in lex])
+        noun = lambda e: F.element_at(arr, (e % 5 + 1).cast("int"))  # noqa: E731
+        d = F.col("doc_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", d).alias("url"),
+            F.concat(
+                noun(d), F.lit(particle1), noun(F.expr("doc_id div 5")),
+                F.lit(particle2_verb),
+            ).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer=analyzer,
+            stopwords=None, index_positions=False,
+        )
+    return idx
+
+
+def _q_japanese(spark, sf_dir, k: int = 100000):
+    idx = _ensure_morph_index(
+        spark, sf_dir, "ja", _JA_LEX, "japanese", "は", "を読んだ"
+    )
+    s = Searcher(spark, idx, analyzer="japanese", mode="double")
+    h = s.search(_JA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_korean(spark, sf_dir, k: int = 100000):
+    idx = _ensure_morph_index(
+        spark, sf_dir, "ko", _KO_LEX, "korean", "가", "를 읽었다"
+    )
+    s = Searcher(spark, idx, analyzer="korean", mode="double")
+    h = s.search(_KO_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_morph_index(query_digit: int, k: int = 100000) -> str:
+    idf = _idf("d.df")
+    hit = lambda e: (  # noqa: E731
+        f"(CASE WHEN ({e}) = {query_digit} THEN 1 ELSE 0 END)"
+    )
+    return f"""WITH tfq AS (
+  SELECT doc_id,
+         ({hit('doc_id % 5')} + {hit('(doc_id // 5) % 5')})::BIGINT AS freq
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         3.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '3')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ensure_german_index(spark: SparkSession, sf_dir: str) -> str:
     name = sf_dir.strip("/").replace("/", "_") + "_de"
     idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
@@ -7246,6 +7333,8 @@ def gate_queries() -> dict:
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
+        "japanese_index": _q_japanese,
+        "korean_index": _q_korean,
         "url_email_url_index": _mk_q_url_email(
             "https://spark.example.com/docs?q=1"
         ),
@@ -7503,6 +7592,8 @@ def gate_oracle_sql() -> dict:
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
+        "japanese_index": _sql_morph_index(1),
+        "korean_index": _sql_morph_index(3),
         "url_email_url_index": _sql_lex_stem((0,)),
         "url_email_email_index": _sql_lex_stem((5,)),
         "filters_chain_index": _sql_lex_stem((0, 1)),

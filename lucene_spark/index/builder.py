@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
 from ..analysis.cjk import cjk_analyze, cjk_terms_positions
+from ..analysis.ja import japanese_analyze, japanese_terms_positions
+from ..analysis.ko import korean_analyze, korean_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
@@ -208,6 +210,18 @@ _ANALYZERS: dict[str, Callable] = {
     "icu_folding": icu_folding_analyze,  # UTR#30 search folding
     "url_email": url_email_analyze,      # UAX29URLEmailTokenizer chain
     "match_rating": match_rating_analyze,  # commons-codec MRA codes
+    # kuromoji / nori analogs (Viterbi lattice, analysis/lattice.py)
+    "japanese": japanese_analyze,    # JapaneseAnalyzer chain, SEARCH mode
+    "japanese_normal": lambda text, stopwords=None: japanese_analyze(
+        text, stopwords, mode="normal"
+    ),
+    "korean": korean_analyze,        # KoreanAnalyzer chain, DISCARD
+    "korean_mixed": lambda text, stopwords=None: korean_analyze(
+        text, stopwords, decompound="mixed"
+    ),
+    "korean_none": lambda text, stopwords=None: korean_analyze(
+        text, stopwords, decompound="none"
+    ),
 }
 
 
@@ -293,6 +307,17 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "icu_folding": icu_folding_terms_positions,
     "url_email": url_email_terms_positions,
     "match_rating": match_rating_terms_positions,
+    "japanese": japanese_terms_positions,
+    "japanese_normal": lambda text, stopwords=None: (
+        lambda toks: ([t.term for t in toks], [t.position for t in toks])
+    )(japanese_analyze(text, stopwords, mode="normal")),
+    "korean": korean_terms_positions,
+    "korean_mixed": lambda text, stopwords=None: (
+        lambda toks: ([t.term for t in toks], [t.position for t in toks])
+    )(korean_analyze(text, stopwords, decompound="mixed")),
+    "korean_none": lambda text, stopwords=None: (
+        lambda toks: ([t.term for t in toks], [t.position for t in toks])
+    )(korean_analyze(text, stopwords, decompound="none")),
 }
 
 
