@@ -4763,6 +4763,110 @@ WHERE ((doc_id * 37) % 211)::DOUBLE >= 50.0
   AND ((doc_id * 37) % 211)::DOUBLE < 120.0"""
 
 
+def _q_dv_numbers(spark, sf_dir):
+    """DocValuesNumbersQuery (sandbox/search/DocValuesNumbersQuery.java:55):
+    constant-score set membership on the 'prio' numeric doc-value — the
+    dv-side dual of TermInSetQuery."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.doc_values_numbers("prio", [10.0, 20.0, 30.0, 40.0, 50.0],
+                               boost=2.0)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_SQL_DV_NUMBERS = """
+SELECT doc_id, 2.0 AS score
+FROM documents
+WHERE ((doc_id * 37) % 211)::DOUBLE IN (10.0, 20.0, 30.0, 40.0, 50.0)"""
+
+
+def _q_multi_range(spark, sf_dir):
+    """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:60): OR of
+    inclusive ranges over the 'prio' doc-value evaluated in ONE pass; the
+    first two ranges overlap so the rewrite's merge fires."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.multi_range(
+        "prio", [(5.0, 25.0), (20.0, 40.0), (100.0, 110.0), (150.0, 160.0)],
+        boost=1.0,
+    )
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_SQL_MULTI_RANGE = """
+SELECT doc_id, 1.0 AS score
+FROM documents
+WHERE (((doc_id * 37) % 211)::DOUBLE BETWEEN 5.0 AND 40.0)
+   OR (((doc_id * 37) % 211)::DOUBLE BETWEEN 100.0 AND 110.0)
+   OR (((doc_id * 37) % 211)::DOUBLE BETWEEN 150.0 AND 160.0)"""
+
+
+def _q_function_range(spark, sf_dir):
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:43):
+    match docs whose doc-value lies in (50, 120] and score = the VALUE
+    (FunctionValues.getRangeScorer)."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.function_range("dv['prio']", 50.0, 120.0,
+                           include_lower=False, include_upper=True)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_SQL_FUNCTION_RANGE = """
+SELECT doc_id, round(((doc_id * 37) % 211)::DOUBLE, 4) AS score
+FROM documents
+WHERE ((doc_id * 37) % 211)::DOUBLE > 50.0
+  AND ((doc_id * 37) % 211)::DOUBLE <= 120.0"""
+
+
+def _q_sort_rescore(spark, sf_dir, k: int = 10):
+    """SortRescorer (core/search/SortRescorer.java:35): BM25 first pass
+    (top 50 for 'stream OR window'), window re-sorted by the 'prio'
+    doc-value DESC (ties docid ASC), first-pass score carried through."""
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    out = s.sort_rescore("stream OR window", "prio", window=50, k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("sort_val", 4).alias("sort_val"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_sort_rescore(k: int = 10) -> str:
+    or_part = _sql_or(["stream", "window"], k=50, raw=True)
+    return f"""
+WITH first AS (
+  SELECT doc_id, score FROM ({or_part})
+)
+SELECT doc_id,
+       round(((doc_id * 37) % 211)::DOUBLE, 4) AS sort_val,
+       round(score, 4) AS score
+FROM first
+ORDER BY ((doc_id * 37) % 211)::DOUBLE DESC, doc_id ASC LIMIT {k}"""
+
+
 def _q_distance_feature(spark, sf_dir, k: int = 10):
     """DistanceFeatureQuery (document/LongDistanceFeatureQuery.java:266):
     BM25 for 'stream' + 2·(10 / (10 + |prio − 100|)) over the stored
@@ -7304,6 +7408,10 @@ def gate_queries() -> dict:
         "fuzzy_like_this": _q_fuzzy_like_this,
         "docvalues_stats": _q_docvalues_stats,
         "function_match": _q_function_match,
+        "dv_numbers_query": _q_dv_numbers,
+        "multi_range_query": _q_multi_range,
+        "function_range": _q_function_range,
+        "sort_rescore": _q_sort_rescore,
         "facet_long_values": _q_facet_long_values,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
         "exact_substring_spans": _q_substring_spans,
@@ -7563,6 +7671,10 @@ def gate_oracle_sql() -> dict:
         "fuzzy_like_this": _sql_fuzzy_like_this(["strean", "windoq"]),
         "docvalues_stats": _SQL_DOCVALUES_STATS,
         "function_match": _SQL_FUNCTION_MATCH,
+        "dv_numbers_query": _SQL_DV_NUMBERS,
+        "multi_range_query": _SQL_MULTI_RANGE,
+        "function_range": _SQL_FUNCTION_RANGE,
+        "sort_rescore": _sql_sort_rescore(),
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
         "exact_substring_spans": _SQL_SUBSTR_SPANS,

@@ -331,6 +331,12 @@ class Searcher:
             .filter(F.expr(predicate))
             .select("docid", F.lit(float(boost)).alias("score"))
         )
+        return self._minus_deletes(out)
+
+    def _minus_deletes(self, out: DataFrame) -> DataFrame:
+        """Anti-join live tombstones out of a (docid, ...) result — the
+        acceptDocs/liveDocs mask for doc-value-driven queries that never
+        touch the postings scan (which applies deletes itself)."""
         if self.reader.deletes is not None:
             bases = [
                 (int(s), int(b)) for s, b in self.reader.doc_bases.items()
@@ -343,6 +349,110 @@ class Searcher:
             ).select((F.col("docid") + F.col("doc_base")).alias("docid"))
             out = out.join(dele, "docid", "left_anti")
         return out
+
+    def doc_values_numbers(
+        self, name: str, values: list[float], boost: float = 1.0
+    ) -> DataFrame:
+        """DocValuesNumbersQuery (sandbox/src/java/org/apache/lucene/
+        sandbox/search/DocValuesNumbersQuery.java:55): constant-score match
+        of every doc whose named numeric doc-value is IN the given set —
+        the dv-side dual of TermInSetQuery, used when the set is too large
+        to expand into postings lookups. One codegen ``isin`` filter over
+        the docmap scan; a doc missing the value never matches
+        (advanceExact). Returns (docid, score)."""
+        out = (
+            self._docmap_global()
+            .filter(F.col("dv").getItem(name).isin([float(v) for v in values]))
+            .select("docid", F.lit(float(boost)).alias("score"))
+        )
+        return self._minus_deletes(out)
+
+    def multi_range(
+        self,
+        name: str,
+        ranges: list[tuple[float, float]],
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """MultiRangeQuery (sandbox/src/java/org/apache/lucene/sandbox/
+        search/MultiRangeQuery.java:60): OR of [lo, hi] inclusive ranges
+        over one numeric field evaluated in a SINGLE pass. Mirrors the
+        reference's rewrite (:169 mergeOverlappingRanges): ranges are
+        sorted and overlapping/adjacent ones coalesced driver-side, so the
+        scan evaluates the minimal disjunction. Constant score = boost."""
+        if not ranges:
+            return self._empty_hits().select("docid", "score")
+        merged: list[list[float]] = []
+        for lo, hi in sorted((float(a), float(b)) for a, b in ranges):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        v = F.col("dv").getItem(name)
+        cond = None
+        for lo, hi in merged:
+            c = (v >= F.lit(lo)) & (v <= F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        out = (
+            self._docmap_global()
+            .filter(cond)
+            .select("docid", F.lit(float(boost)).alias("score"))
+        )
+        return self._minus_deletes(out)
+
+    def function_range(
+        self,
+        value_expr: str,
+        lower: float,
+        upper: float,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ) -> DataFrame:
+        """FunctionRangeQuery (queries/src/java/org/apache/lucene/queries/
+        function/FunctionRangeQuery.java:43 via FunctionValues
+        .getRangeScorer): match docs whose ValueSource value falls in
+        [lower, upper] and score each match with the VALUE ITSELF — the
+        "score by static rank within a band" pattern. ``value_expr`` is a
+        Spark SQL double over ``dv['<name>']`` / docmap columns; NULL
+        (missing doc-value) never matches."""
+        v = F.expr(value_expr)
+        lo_ok = v >= F.lit(float(lower)) if include_lower else v > F.lit(float(lower))
+        hi_ok = v <= F.lit(float(upper)) if include_upper else v < F.lit(float(upper))
+        out = (
+            self._docmap_global()
+            .filter(lo_ok & hi_ok)
+            .select("docid", v.cast("double").alias("score"))
+        )
+        return self._minus_deletes(out)
+
+    def sort_rescore(
+        self,
+        query,
+        sort_dv: str,
+        window: int = 100,
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """SortRescorer (core/src/java/org/apache/lucene/search/
+        SortRescorer.java:35): run the relevance query, keep its top
+        ``window`` hits, then RE-SORT that window by the named numeric
+        doc-value (missing values last, ties by docid ASC — the
+        FieldSortedHitQueue tie-break) and return the top ``k`` with the
+        first-pass score preserved in ``score`` (the reference carries the
+        original ScoreDoc.score through). The window is ≤``window`` rows,
+        so the second pass is a broadcast-sized join + local sort."""
+        first = self.search(query, k=window)
+        dm = self._docmap_global().select(
+            "docid", F.col("dv").getItem(sort_dv).alias("sort_val")
+        )
+        key = F.asc_nulls_last("sort_val") if ascending else (
+            F.desc_nulls_last("sort_val")
+        )
+        return (
+            first.join(dm, "docid", "left")
+            .orderBy(key, F.asc("docid"))
+            .limit(k)
+            .select("docid", "sort_val", "score")
+        )
 
     def blended_term_query(
         self,
