@@ -1781,6 +1781,12 @@ _SIM_MODE_DOC = {
     "indri_dirichlet": "Indri Dirichlet mu=2000 "
     "(similarities/IndriDirichletSimilarity.java) — negative "
     "log-probability scores rank correctly (top-k θ starts at −inf)",
+    "dfr_inl2": "DFR I(n)L2 (similarities/BasicModelIn.java, AfterEffectL, "
+    "NormalizationH2 c=1)",
+    "ib_spl": "Information-based SPL-TTF-H2 (similarities/"
+    "DistributionSPL.java, LambdaTTF incl. its float32 cast)",
+    "axiomatic_f1log": "Axiomatic F1LOG s=0.25 "
+    "(similarities/AxiomaticF1LOG.java)",
     "sweet_spot": "SweetSpotSimilarity plateau 40..120/steep 0.5, baselineTf "
     "base 1.5/min 2 (misc/SweetSpotSimilarity.java:111-148)",
 }
@@ -1855,6 +1861,20 @@ def _sim_term_cte(mode: str, name: str, term: str) -> str:
             f"(1.0 * ln((tf.freq::DOUBLE + (2000.0 * {cp}))"
             f" / (qdl.qdl::DOUBLE + 2000.0)))"
         )
+    elif mode == "dfr_inl2":
+        a = "(ln((s.n_docs::DOUBLE + 1.0) / (d.df::DOUBLE + 0.5)) / ln(2.0))"
+        score = f"(1.0 * ({a} * (1.0 - 1.0 / (1.0 + {_TFN_H2}))))"
+    elif mode == "ib_spl":
+        lam = "(((d.ttf::DOUBLE + 1.0) / (s.n_docs::DOUBLE + 1.0))::REAL::DOUBLE)"
+        q = f"(1.0 - 1.0 / ({_TFN_H2} + 1.0))"
+        score = (
+            f"(1.0 * -ln((pow({lam}, {q}) - {lam}) / (1.0 - {lam})))"
+        )
+    elif mode == "axiomatic_f1log":
+        tfc = "(1.0 + ln(1.0 + ln(tf.freq::DOUBLE + 1.0)))"
+        lnc = "((s.avgdl + 0.25) / (s.avgdl + (qdl.qdl::DOUBLE * 0.25)))"
+        idf = "ln((s.n_docs::DOUBLE + 1.0) / d.df::DOUBLE)"
+        score = f"greatest(0.0, 1.0 * ({tfc} * {lnc} * {idf}))"
     elif mode == "multi_bm25_classic":
         idf = _idf("d.df")
         bm25 = f"({idf} - {idf} / {_tf_part('tf.freq', 'qdl.qdl')})"
@@ -7396,7 +7416,10 @@ def gate_queries() -> dict:
         "boolean_sim_topk": _q_boolean_sim,
         "classic_topk": _make_q_similarity("classic"),
         "dfr_gb2_topk": _make_q_similarity("dfr_gb2"),
+        "dfr_inl2_topk": _make_q_similarity("dfr_inl2"),
         "ib_ll_topk": _make_q_similarity("ib_ll"),
+        "ib_spl_topk": _make_q_similarity("ib_spl"),
+        "axiomatic_f1log_topk": _make_q_similarity("axiomatic_f1log"),
         "dfi_chi2_topk": _make_q_similarity("dfi_chi2"),
         "axiomatic_f2exp_topk": _make_q_similarity("axiomatic_f2exp"),
         "indri_dirichlet_topk": _make_q_similarity("indri_dirichlet"),
@@ -7653,7 +7676,12 @@ def gate_oracle_sql() -> dict:
         "boolean_sim_topk": _sql_boolean_sim(["stream", "window"]),
         "classic_topk": _sql_similarity("classic", ["stream", "window"]),
         "dfr_gb2_topk": _sql_similarity("dfr_gb2", ["stream", "window"]),
+        "dfr_inl2_topk": _sql_similarity("dfr_inl2", ["stream", "window"]),
         "ib_ll_topk": _sql_similarity("ib_ll", ["stream", "window"]),
+        "ib_spl_topk": _sql_similarity("ib_spl", ["stream", "window"]),
+        "axiomatic_f1log_topk": _sql_similarity(
+            "axiomatic_f1log", ["stream", "window"]
+        ),
         "dfi_chi2_topk": _sql_similarity("dfi_chi2", ["stream", "window"]),
         "axiomatic_f2exp_topk": _sql_similarity(
             "axiomatic_f2exp", ["stream", "window"]

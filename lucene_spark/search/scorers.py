@@ -508,6 +508,147 @@ class AxiomaticF2EXPScorer:
 
 
 @dataclass(frozen=True)
+class DFRInL2Scorer:
+    """DFR similarity in the I(n)L2 configuration — BasicModelIn ·
+    AfterEffectL · NormalizationH2(c=1)
+    (similarities/DFRSimilarity.java:127-130, BasicModelIn.java:33-44,
+    AfterEffectL.java:28-31, NormalizationH2.java:57-58):
+
+        tfn   = freq · log2(1 + avgdl/dl)
+        A     = log2((N + 1)/(df + 0.5))
+        score = boost · A · (1 − 1/(1 + tfn))   # aeTimes1pTfn = 1 for L
+
+    The reference rewrites A·tfn/(1+tfn) exactly this way so the result is
+    non-decreasing in tfn ⇒ impacts-based pruning bounds hold."""
+
+    weight: float
+    a: float
+    tfn_cache: np.ndarray  # float64[256]: log2(1 + avgdl/len) per norm byte
+
+    @classmethod
+    def create(
+        cls, df: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ):
+        avgdl = sum_ttf / doc_count
+        a = np.log((doc_count + 1.0) / (df + 0.5)) / _LOG_2
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            tfn_cache = np.log(1.0 + avgdl / lens) / _LOG_2
+        return cls(weight=float(boost), a=float(a), tfn_cache=tfn_cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * self.tfn_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return self.weight * (self.a * (1.0 - 1.0 / (1.0 + tfn)))
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class IBSPLScorer:
+    """Information-based similarity in the SPL-TTF-H2 configuration —
+    DistributionSPL · LambdaTTF · NormalizationH2(c=1)
+    (similarities/IBSimilarity.java:115-118, DistributionSPL.java:33-58,
+    LambdaTTF.java:29-38, NormalizationH2.java:57-58):
+
+        λ     = float32((ttf + 1)/(N + 1))      # LambdaTTF's float cast,
+                                                # nextUp'd when it rounds to 1
+        tfn   = freq · log2(1 + avgdl/dl)
+        q     = 1 − 1/(tfn + 1)                 # nextDown(1) guard
+        score = boost · −ln((λ^q − λ)/(1 − λ))  # λ^q≠λ enforced like :47-56
+
+    q is non-decreasing in tfn and the log ratio shrinks toward 0 with q in
+    both λ<1 and λ>1 regimes ⇒ score is non-decreasing in tfn and the
+    impacts-based bound holds."""
+
+    weight: float
+    lam: float
+    tfn_cache: np.ndarray  # float64[256]
+
+    @classmethod
+    def create(
+        cls, ttf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ):
+        avgdl = sum_ttf / doc_count
+        lam32 = np.float32((ttf + 1.0) / (doc_count + 1.0))
+        if lam32 == np.float32(1.0):
+            lam32 = np.nextafter(lam32, np.float32(2.0))
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            tfn_cache = np.log(1.0 + avgdl / lens) / _LOG_2
+        return cls(
+            weight=float(boost), lam=float(lam32), tfn_cache=tfn_cache
+        )
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * self.tfn_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.where(q >= 1.0, np.nextafter(1.0, 0.0), q)
+        p = np.power(self.lam, q)
+        bump = (
+            np.nextafter(self.lam, 1.0)
+            if self.lam < 1.0
+            else np.nextafter(self.lam, 0.0)
+        )
+        p = np.where(p == self.lam, bump, p)
+        return self.weight * -np.log((p - self.lam) / (1.0 - self.lam))
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
+class AxiomaticF1LOGScorer:
+    """Axiomatic F1LOG (similarities/AxiomaticF1LOG.java:52-84 composed by
+    Axiomatic.java:107-120, default s=0.25):
+
+        tf    = 1 + ln(1 + ln(freq + 1))        # :55 bumps freq first
+        ln_c  = (avgdl + s)/(avgdl + dl·s)
+        idf   = ln((N + 1)/df)
+        score = max(0, boost · tf · ln_c · idf)  # tfln = 1, gamma = 0
+
+    Increasing in freq, decreasing in dl ⇒ pruning bounds hold."""
+
+    weight: float
+    idf_part: float
+    ln_cache: np.ndarray  # float64[256]: (avgdl+s)/(avgdl+dl·s) per norm byte
+
+    @classmethod
+    def create(
+        cls,
+        df: int,
+        doc_count: int,
+        sum_ttf: int,
+        boost: float = 1.0,
+        s: float = 0.25,
+    ):
+        avgdl = sum_ttf / doc_count
+        lens = BYTE4_DECODE_TABLE.astype(np.float64)
+        ln_cache = (avgdl + s) / (avgdl + lens * s)
+        idf_part = (
+            float(np.log((doc_count + 1.0) / df)) if df > 0 else 0.0
+        )
+        return cls(weight=float(boost), idf_part=idf_part, ln_cache=ln_cache)
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tf = 1.0 + np.log(1.0 + np.log(f + 1.0))
+        ln_c = self.ln_cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return np.maximum(self.weight * (tf * ln_c * self.idf_part), 0.0)
+
+    def max_score(self, impacts: np.ndarray) -> float:
+        if len(impacts) == 0:
+            return float("inf")
+        return float(self.score(impacts[:, 0], impacts[:, 1]).max())
+
+
+@dataclass(frozen=True)
 class IndriDirichletScorer:
     """Indri's Dirichlet-smoothed LM (similarities/
     IndriDirichletSimilarity.java:69-73,105-119, mu = 2000 default):
@@ -657,6 +798,18 @@ def make_term_scorer(
         return AxiomaticF2EXPScorer.create(
             max(doc_freq, 1), doc_count, max(sum_ttf, 1), boost=boost
         )
+    if mode == "dfr_inl2":
+        return DFRInL2Scorer.create(
+            max(doc_freq, 1), doc_count, max(sum_ttf, 1), boost=boost
+        )
+    if mode == "ib_spl":
+        return IBSPLScorer.create(
+            ttf, doc_count, max(sum_ttf, 1), boost=boost
+        )
+    if mode == "axiomatic_f1log":
+        return AxiomaticF1LOGScorer.create(
+            max(doc_freq, 1), doc_count, max(sum_ttf, 1), boost=boost
+        )
     if mode == "indri_dirichlet":
         return IndriDirichletScorer.create(ttf, max(sum_ttf, 1), boost=boost)
     if mode == "multi_bm25_classic":
@@ -684,7 +837,10 @@ def make_phrase_scorer(
     boost: float = 1.0,
     per_term_ttfs: list[int] | None = None,
 ):
-    if mode in ("dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp", "indri_dirichlet"):
+    if mode in (
+        "dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp",
+        "indri_dirichlet", "dfr_inl2", "ib_spl", "axiomatic_f1log",
+    ):
         # SimilarityBase similarities score multi-term weights as a SUM of
         # one BasicSimScorer per involved term, each evaluated at the
         # phrase frequency (SimilarityBase.java:56-68 → MultiSimScorer)

@@ -100,6 +100,19 @@ def _expected(mode, toks, dm, term):
                 (0.5 * ((abs(dl - 40) + abs(dl - 120)) - 80)) + 1.0
             )
             sc = idf * tf * norm
+        elif mode == "dfr_inl2":
+            a = np.log((n + 1.0) / (df + 0.5)) / LOG2
+            tfn = f * (np.log(1.0 + avgdl / dl) / LOG2)
+            sc = a * (1.0 - 1.0 / (1.0 + tfn))
+        elif mode == "ib_spl":
+            lam = float(np.float32((ttf + 1.0) / (n + 1.0)))
+            tfn = f * (np.log(1.0 + avgdl / dl) / LOG2)
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            sc = -np.log((lam**q - lam) / (1.0 - lam))
+        elif mode == "axiomatic_f1log":
+            tf = 1.0 + np.log(1.0 + np.log(f + 1.0))
+            ln_c = (avgdl + 0.25) / (avgdl + dl * 0.25)
+            sc = max(0.0, tf * ln_c * np.log((n + 1.0) / df))
         elif mode == "multi_bm25_classic":
             idf_b = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
             tfp = 1.0 + f * (
@@ -122,6 +135,9 @@ MODES = [
     "dfi_chi2",
     "axiomatic_f2exp",
     "indri_dirichlet",
+    "dfr_inl2",
+    "ib_spl",
+    "axiomatic_f1log",
     "multi_bm25_classic",
     "sweet_spot",
 ]
