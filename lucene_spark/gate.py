@@ -1109,6 +1109,40 @@ def _q_spellcheck(spark, sf_dir):
     )
 
 
+def _q_spellcheck_ngram(spark, sf_dir):
+    """Classic n-gram SpellChecker (spell/SpellChecker.java): candidates
+    share a 3/4-gram with 'strean' (6 letters -> getMin=3, getMax=4),
+    ranked by 1 - lev/max(len) (spell/LevenshteinDistance.java:100),
+    exhaustive verify (max_hits=None) so the oracle needs no cut order."""
+    from .search.spell import NGramSpellChecker
+
+    checker = NGramSpellChecker(_searcher(spark, sf_dir))
+    return checker.suggestions_df(
+        "strean", num_sug=10, mode="always"
+    ).select("word", F.round("score", 4).alias("score"), "freq")
+
+
+def _sql_spellcheck_ngram(target: str = "strean", k: int = 10) -> str:
+    """suggestSimilar mirror for the classic checker. The 4-gram clauses
+    are subsumed by the 3-gram contains predicates (each query 4-gram
+    contains a query 3-gram), and start/end clauses are subsumed by
+    contains, so candidate membership reduces to the distinct 3-grams."""
+    n = len(target)
+    g3 = sorted({target[i : i + 3] for i in range(n - 2)})
+    anygram = " OR ".join(f"term LIKE '%{g}%'" for g in g3)
+    lev = f"levenshtein(term, '{target}')"
+    score = f"(1.0 - {lev}::DOUBLE / greatest(length(term), {n})::DOUBLE)"
+    return f"""WITH {_BASE_CTES}
+SELECT word, score, freq FROM (
+  SELECT term AS word, round({score}, 4) AS score, df AS freq
+  FROM dft
+  WHERE term <> '{target}'
+    AND ({anygram})
+    AND {score} >= 0.5
+  ORDER BY {score} DESC, df DESC, term ASC LIMIT {k}
+)"""
+
+
 def _sql_spellcheck(target: str, k: int = 10) -> str:
     """suggestSimilar mirror: score = 1 - lev/min(len), rank
     (score DESC, freq DESC, word ASC), trim k. The query term is absent
@@ -7453,6 +7487,7 @@ def gate_queries() -> dict:
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
         "bm25_search_after": _q_search_after,
         "spellcheck_direct": _q_spellcheck,
+        "spellcheck_ngram": _q_spellcheck_ngram,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
         "suggest_blended": _q_suggest_blended,
@@ -7721,6 +7756,7 @@ def gate_oracle_sql() -> dict:
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "spellcheck_direct": _sql_spellcheck("scal"),
+        "spellcheck_ngram": _sql_spellcheck_ngram("strean"),
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
         "suggest_blended": _sql_suggest_blended(),

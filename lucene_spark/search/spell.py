@@ -229,6 +229,192 @@ class DirectSpellChecker:
         ]
 
 
+def _spell_gram_sizes(l: int) -> tuple[int, int]:
+    """Classic SpellChecker n-gram size window by word length
+    (spell/SpellChecker.java:554-572 getMin/getMax)."""
+    if l > 5:
+        return 3, 4
+    if l == 5:
+        return 2, 3
+    return 1, min(l, 2)
+
+
+def _spell_form_grams(word: str, ng: int) -> list[str]:
+    """All positional n-grams, duplicates allowed
+    (SpellChecker.java:433-443 formGrams)."""
+    return [word[i : i + ng] for i in range(len(word) - ng + 1)]
+
+
+class NGramSpellChecker:
+    """The CLASSIC n-gram spell checker (suggest/src/java/org/apache/
+    lucene/search/spell/SpellChecker.java) over a ``Searcher``'s term
+    dictionary — the pre-DirectSpellChecker design that retrieves
+    candidates by shared character n-grams instead of an edit-distance
+    automaton, then ranks by true edit distance.
+
+    Mirrored semantics (suggestSimilar, SpellChecker.java:306-409):
+
+    - gram sizes from the QUERY length: getMin/getMax (:554-572) — >5
+      chars → 3..4-grams, ==5 → 2..3, shorter → 1..min(len,2)
+    - candidate clauses: every gram of every size SHOULD-matches; the
+      FIRST gram of each size hits the ``start<n>`` field (boost
+      ``b_start``=2.0, :79) and the LAST the ``end<n>`` field (boost
+      ``b_end``=1.0, :81) — here startswith/endswith/contains predicates
+      on the term string, which define the same match sets the gram
+      fields would
+    - candidate cut: the reference keeps the top ``10·num_sug`` hits of
+      that boolean query (:362). Our cut score is the SUM OF MATCHED
+      CLAUSE BOOSTS (constant-score clauses; ties broken term ASC) rather
+      than gram-idf BM25 — same clause structure, different tie order
+      inside the cut. ``max_hits=None`` disables the cut (exhaustive
+      verify — strictly higher recall, still one scan + one short verify)
+    - score = 1 − lev/MAX(len(query), len(word))
+      (spell/LevenshteinDistance.java:100 — note max(), unlike
+      DirectSpellChecker's LuceneLevenshteinDistance which divides by
+      min()); plain Levenshtein, no transpositions
+    - never suggests the query itself (:378); drops score < accuracy
+      (:385); ``more_popular`` requires candidate df > query df (:391);
+      ``when_not_in_index`` returns the query word itself when indexed
+      (:332)
+    - ranking: score DESC, freq DESC, word ASC
+      (SuggestWordScoreComparator.java:32-50)
+
+    Scale shape: the gram predicates push into the sorted term_dict
+    parquet scan, the Levenshtein verify is an Arrow-batched pandas UDF
+    over the pruned candidates only, and just ``num_sug`` rows reach the
+    driver."""
+
+    def __init__(
+        self,
+        searcher,
+        *,
+        accuracy: float = 0.5,
+        b_start: float = 2.0,
+        b_end: float = 1.0,
+        field: str | None = None,
+    ):
+        self.searcher = searcher
+        self.accuracy = accuracy
+        self.b_start = b_start
+        self.b_end = b_end
+        self.field = field
+
+    def _namespace(self) -> str:
+        if self.field:
+            return self.field + FIELD_SEP
+        s = self.searcher
+        if s.fields:
+            return s.default_field + FIELD_SEP
+        return ""
+
+    def suggestions_df(
+        self,
+        word: str,
+        num_sug: int = 5,
+        mode: str = "always",
+        max_hits: int | None = None,
+    ) -> DataFrame:
+        """(word, score, freq) suggestions in SuggestWord ranking order."""
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}")
+        ns = self._namespace()
+        s = self.searcher
+        docfreq = s._cached_term_stats([ns + word])[ns + word][0]
+        if mode == "when_not_in_index" and docfreq > 0:
+            # the reference returns the word itself (:332-334)
+            return s.spark.createDataFrame(
+                [(word, 1.0, int(docfreq))],
+                "word string, score double, freq long",
+            )
+        lo, hi = _spell_gram_sizes(len(word))
+        clauses: list[tuple[str, str, float]] = []  # (kind, gram, boost)
+        for ng in range(lo, hi + 1):
+            grams = _spell_form_grams(word, ng)
+            if not grams:
+                continue
+            if self.b_start > 0:
+                clauses.append(("start", grams[0], self.b_start))
+            if self.b_end > 0:
+                clauses.append(("end", grams[-1], self.b_end))
+            clauses.extend(("gram", g, 1.0) for g in grams)
+        td = self.searcher.reader.term_dict
+        if ns:
+            td = td.filter(F.col("term").startswith(ns))
+        w = F.col("term").substr(F.lit(len(ns) + 1), F.length("term"))
+        preds = []
+        cut = F.lit(0.0)
+        for kind, g, boost in clauses:
+            if kind == "start":
+                p = w.startswith(g)
+            elif kind == "end":
+                p = w.endswith(g)
+            else:
+                p = w.contains(g)
+            preds.append(p)
+            cut = cut + F.when(p, F.lit(boost)).otherwise(F.lit(0.0))
+        match_any = preds[0]
+        for p in preds[1:]:
+            match_any = match_any | p
+        cand = (
+            td.groupBy("term")
+            .agg(F.sum("df").alias("freq"))
+            .withColumn("word", w)
+            .filter(match_any & (F.col("word") != word))
+        )
+        if max_hits is not None:
+            cand = (
+                cand.withColumn("cut", cut)
+                .orderBy(F.desc("cut"), F.asc("word"))
+                .limit(int(max_hits))
+            )
+        tgt = word
+
+        @F.pandas_udf("int")
+        def lev_udf(words: pd.Series) -> pd.Series:
+            def lev(a: str, b: str) -> int:
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i]
+                    for j, cb in enumerate(b, 1):
+                        cur.append(
+                            min(
+                                prev[j] + 1,
+                                cur[j - 1] + 1,
+                                prev[j - 1] + (ca != cb),
+                            )
+                        )
+                    prev = cur
+                return prev[-1]
+
+            return words.map(lambda t: lev(tgt, t))
+
+        out = (
+            cand.withColumn(
+                "score",
+                1.0
+                - lev_udf("word").cast("double")
+                / F.greatest(F.length("word"), F.lit(len(word))).cast(
+                    "double"
+                ),
+            )
+            .filter(F.col("score") >= self.accuracy)
+            .select("word", "score", "freq")
+        )
+        if mode == "more_popular":
+            out = out.filter(F.col("freq") > docfreq)
+        return out.orderBy(
+            F.desc("score"), F.desc("freq"), F.asc("word")
+        ).limit(num_sug)
+
+    def suggest_similar(
+        self, word: str, num_sug: int = 5, mode: str = "always"
+    ) -> list[SuggestWord]:
+        return [
+            SuggestWord(r["word"], float(r["score"]), int(r["freq"]))
+            for r in self.suggestions_df(word, num_sug, mode).collect()
+        ]
+
+
 def prefix_suggest(searcher, prefix: str, k: int = 10) -> list[tuple[str, int]]:
     """Autocomplete lookup: top-k index terms under ``prefix`` ranked by
     docFreq weight (Lookup.java ordering: weight DESC, key ASC via
