@@ -1940,6 +1940,49 @@ def _sql_similarity(mode: str, terms: list[str], k: int = 10) -> str:
     return f"WITH {_BASE_CTES}, {ctes} " + _topk_wrap(inner, k)
 
 
+def _q_indri_and(spark, sf_dir, k: int = 10):
+    """IndriAndQuery (core/search/IndriAndQuery.java, IndriAndScorer.java:
+    45-73): boost-weighted mean of Indri Dirichlet log-probs over the
+    union of 'stream'/'window' postings; absent terms contribute the
+    smoothing score ln(mu·cp/(dl+mu)) at that doc's norm."""
+    s = Searcher(
+        spark, _ensure_index(spark, sf_dir), analyzer="simple",
+        mode="indri_dirichlet",
+    )
+    out = s.indri_and(["stream", "window"], boosts=[1.5, 1.0], k=k)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_indri_and(terms: list[str], boosts: list[float], k: int = 10) -> str:
+    """One unified per-term expression ln((freq_or_0 + mu·cp)/(qdl+mu)) —
+    matched and smoothing cases differ only in freq, exactly like
+    TermScorer.score vs smoothingScore."""
+    sel_terms = ", ".join(f"'{t}'" for t in terms)
+    parts, joins = [], []
+    for i, (t, b) in enumerate(zip(terms, boosts)):
+        cp = f"(d{i}.ttf::DOUBLE / s.sum_ttf::DOUBLE)"
+        parts.append(
+            f"({b!r} * ln((coalesce(f{i}.freq, 0)::DOUBLE + (2000.0 * {cp}))"
+            f" / (qdl.qdl::DOUBLE + 2000.0)))"
+        )
+        joins.append(
+            f"CROSS JOIN (SELECT ttf FROM dft WHERE term = '{t}') d{i}\n"
+            f"LEFT JOIN (SELECT doc_id, freq FROM tf WHERE term = '{t}') f{i}"
+            f" ON u.doc_id = f{i}.doc_id"
+        )
+    bsum = sum(boosts)
+    inner = f"""SELECT u.doc_id, (({" + ".join(parts)}) / {bsum!r}) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({sel_terms})) u
+JOIN qdl ON u.doc_id = qdl.doc_id
+CROSS JOIN stats s
+{chr(10).join(joins)}"""
+    return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
+
+
 def _q_covering(spark, sf_dir, k: int = 10):
     """CoveringQuery: ≥ (1 + doc_len % 3) of {stream, window, scan} must
     match — the per-doc threshold is a LongValuesSource over a stored field
@@ -7451,6 +7494,7 @@ def gate_queries() -> dict:
         "classic_topk": _make_q_similarity("classic"),
         "dfr_gb2_topk": _make_q_similarity("dfr_gb2"),
         "dfr_inl2_topk": _make_q_similarity("dfr_inl2"),
+        "indri_and": _q_indri_and,
         "ib_ll_topk": _make_q_similarity("ib_ll"),
         "ib_spl_topk": _make_q_similarity("ib_spl"),
         "axiomatic_f1log_topk": _make_q_similarity("axiomatic_f1log"),
@@ -7712,6 +7756,7 @@ def gate_oracle_sql() -> dict:
         "classic_topk": _sql_similarity("classic", ["stream", "window"]),
         "dfr_gb2_topk": _sql_similarity("dfr_gb2", ["stream", "window"]),
         "dfr_inl2_topk": _sql_similarity("dfr_inl2", ["stream", "window"]),
+        "indri_and": _sql_indri_and(["stream", "window"], [1.5, 1.0]),
         "ib_ll_topk": _sql_similarity("ib_ll", ["stream", "window"]),
         "ib_spl_topk": _sql_similarity("ib_spl", ["stream", "window"]),
         "axiomatic_f1log_topk": _sql_similarity(

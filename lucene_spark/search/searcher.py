@@ -1332,6 +1332,70 @@ class Searcher:
             .limit(k)
         )
 
+    def indri_and(
+        self,
+        terms: list[str],
+        boosts: list[float] | None = None,
+        k: int = 10,
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """IndriAndQuery (core/src/java/org/apache/lucene/search/
+        IndriAndQuery.java + IndriAndScorer.java:45-73): the boost-weighted
+        MEAN of per-term Indri Dirichlet log-probabilities over the UNION
+        of the terms' postings — a term absent from a doc contributes its
+        SMOOTHING score, TermScorer.smoothingScore(:98-104) = score(freq=0,
+        that doc's norm) = ln(mu·cp/(dl+mu)). This is Indri's #combine:
+        every union doc gets a full query likelihood, so documents missing
+        a rare term are penalized by that term's collection probability
+        instead of being excluded (AND semantics in log-space).
+
+        Requires ``mode='indri_dirichlet'`` (the reference query only
+        accepts IndriScorer children). Spark shape: one postings scan per
+        term through the standard scorer path, full-outer-joined on docid
+        (the union), smoothing filled JVM-side from the docmap's norm byte
+        — no Python in the per-doc path; top-k is a
+        TakeOrderedAndProject."""
+        from ..functions.smallfloat import BYTE4_DECODE_TABLE
+        from .query import TermQuery
+
+        if self.mode != "indri_dirichlet":
+            raise ValueError("indri_and requires mode='indri_dirichlet'")
+        boosts = [float(b) for b in (boosts or [1.0] * len(terms))]
+        ns = self.default_field + FIELD_SEP if self.fields else ""
+        stats = self._cached_term_stats([ns + t for t in terms])
+        _, sum_ttf = self.reader.global_stats
+        sum_ttf = max(sum_ttf, 1)
+        joined = None
+        for i, t in enumerate(terms):
+            df_t = self.search_all(TermQuery(t)).withColumnRenamed(
+                "score", f"s_{i}"
+            )
+            joined = (
+                df_t if joined is None else joined.join(df_t, "docid", "full")
+            )
+        qdl_arr = F.array(*[F.lit(float(v)) for v in BYTE4_DECODE_TABLE])
+        out = (
+            joined.join(self._docmap_global().select("docid", "norm"), "docid")
+            .withColumn(
+                "qdl",
+                F.element_at(
+                    qdl_arr, F.col("norm").bitwiseAND(F.lit(255)) + F.lit(1)
+                ),
+            )
+        )
+        num = F.lit(0.0)
+        for i, (t, b) in enumerate(zip(terms, boosts)):
+            _, ttf = stats[ns + t]
+            mu_cp = mu * (ttf / sum_ttf)
+            smooth = F.log(F.lit(mu_cp) / (F.col("qdl") + F.lit(mu)))
+            num = num + F.lit(b) * F.coalesce(F.col(f"s_{i}"), smooth)
+        bsum = sum(boosts)
+        return (
+            out.select("docid", (num / F.lit(bsum)).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
     def function_score(
         self, query, score_expr: str, k: int = 10
     ) -> DataFrame:

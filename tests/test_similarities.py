@@ -176,6 +176,47 @@ def test_or_query_accumulates(spark, idx, model, mode):
         assert gs == pytest.approx(es, abs=1e-9), (mode, gd, gs, es)
 
 
+def test_indri_and_union_with_smoothing(spark, idx, model):
+    """IndriAndQuery (core/search/IndriAndQuery.java, IndriAndScorer.java:
+    45-73): union of postings, absent terms contribute the smoothing
+    score ln(mu·cp/(dl+mu)), combined as the boost-weighted mean."""
+    toks, dm = model
+    s = Searcher(spark, idx, stopwords=STOP, mode="indri_dirichlet")
+    terms, boosts, mu = ["w0001", "w0004"], [1.5, 1.0], 2000.0
+    n_tokens = sum(len(v) for v in toks.values())
+    exp = {}
+    for url, v in toks.items():
+        if not any(t in v for t in terms):
+            continue
+        dl = _qdl(len(v))
+        num = 0.0
+        for t, b in zip(terms, boosts):
+            ttf = sum(vv.count(t) for vv in toks.values())
+            mu_cp = mu * (ttf / n_tokens)
+            num += b * np.log((v.count(t) + mu_cp) / (dl + mu))
+        exp[dm[url]] = num / sum(boosts)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["docid"], r["score"])
+        for r in s.indri_and(terms, boosts=boosts, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (gd, gs), (_, es) in zip(got, top):
+        assert gs == pytest.approx(es, abs=1e-9)
+    # docs holding only ONE of the terms must still appear in the union
+    only_one = {
+        dm[u] for u, v in toks.items()
+        if ("w0001" in v) != ("w0004" in v)
+    }
+    assert only_one & set(exp)
+
+
+def test_indri_and_requires_indri_mode(spark, idx):
+    s = Searcher(spark, idx, stopwords=STOP, mode="lucene")
+    with pytest.raises(ValueError, match="indri_dirichlet"):
+        s.indri_and(["w0001"])
+
+
 def test_indri_scores_are_negative(spark, idx, model):
     """Indri scores are log-probabilities (< 0, no clamp) and must still
     rank correctly through the pruned top-k paths."""
