@@ -2267,6 +2267,25 @@ WHERE EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
 GROUP BY lang"""
 
 
+def _q_facet_sampled(spark, sf_dir):
+    """RandomSamplingFacetsCollector analog: lang facets over a
+    deterministic 20% sample of the 'stream OR window' hit set, amortized
+    ×5 back to population scale (facets.sampled_facets)."""
+    from .search.facets import sampled_facets
+
+    hits = _hits(spark, sf_dir, "stream OR window", k=_ALL_K).select("doc_id")
+    docs = _docs(spark, sf_dir).join(F.broadcast(hits), "doc_id")
+    return sampled_facets(docs, "lang", rate_pct=20)
+
+
+_SQL_FACET_SAMPLED = f"""WITH {_BASE_CTES}
+SELECT lang, (count(*) * 5.0)::DOUBLE AS n_docs FROM documents d
+WHERE (EXISTS (SELECT 1 FROM tf WHERE term = 'stream' AND tf.doc_id = d.doc_id)
+    OR EXISTS (SELECT 1 FROM tf WHERE term = 'window' AND tf.doc_id = d.doc_id))
+  AND ((d.doc_id * 48271) % 100) < 20
+GROUP BY lang"""
+
+
 def _q_facet_assoc(spark, sf_dir):
     """Association facets over the hit set: per lang, Σ n_chars + count
     (TaxonomyFacetSumValueSource semantics)."""
@@ -7514,6 +7533,7 @@ def gate_queries() -> dict:
         "function_range": _q_function_range,
         "sort_rescore": _q_sort_rescore,
         "facet_long_values": _q_facet_long_values,
+        "facet_sampled": _q_facet_sampled,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
         "exact_substring_spans": _q_substring_spans,
         "exact_substring_clean": _q_substring_clean,
@@ -7784,6 +7804,7 @@ def gate_oracle_sql() -> dict:
         "function_range": _SQL_FUNCTION_RANGE,
         "sort_rescore": _sql_sort_rescore(),
         "facet_long_values": _SQL_FACET_LONG_VALUES,
+        "facet_sampled": _SQL_FACET_SAMPLED,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
         "exact_substring_spans": _SQL_SUBSTR_SPANS,
         "exact_substring_clean": _SQL_SUBSTR_CLEAN,

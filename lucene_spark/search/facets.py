@@ -92,6 +92,46 @@ def long_value_facets(hits: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def sampled_facets(
+    hits: DataFrame,
+    dim_col: str,
+    doc_id_col: str = "doc_id",
+    rate_pct: int = 10,
+    amortize: bool = True,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector analog (facet/src/java/org/apache/
+    lucene/facet/RandomSamplingFacetsCollector.java): facet counts over a
+    ~``rate_pct``% SAMPLE of the hit set, optionally amortized back to the
+    full population by 1/samplingRate (:158-180 amortizeFacetCounts) — the
+    cheap approximate facets used when the hit set is huge and exact
+    counts don't pay for themselves.
+
+    Deliberate deviation: the reference samples with an XORShift64 RNG
+    over the in-order hit stream (createSample, :94-139), which is not
+    reproducible across partitionings; here membership is a deterministic
+    function of the doc key — keep iff (doc_id·48271) mod 100 < rate_pct
+    (a MINSTD multiplicative hash) — so the sample is identical on any
+    cluster layout, re-runs are stable, and an exact SQL oracle can
+    recompute it. Amortized counts are DOUBLE (the reference also emits
+    float counts after amortization). One filtered map-side-combinable
+    groupBy; the filter prunes before the shuffle, so the shuffle carries
+    only the sample."""
+    keep = F.pmod(F.col(doc_id_col) * F.lit(48271), F.lit(100)) < F.lit(
+        int(rate_pct)
+    )
+    out = (
+        hits.filter(keep)
+        .groupBy(dim_col)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if amortize:
+        out = out.select(
+            dim_col,
+            (F.col("n_docs") * (100.0 / float(rate_pct))).alias("n_docs"),
+        )
+    return out.orderBy(dim_col)
+
+
 def dynamic_range_facets(
     hits: DataFrame, value_col: str, weight_col: str, top_n: int
 ) -> DataFrame:

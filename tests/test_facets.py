@@ -109,3 +109,26 @@ def test_taxonomy_facets_rollup(spark):
     }
     # ancestor rollup: 'a' counts both its leaves
     assert got == {"a": 3, "a/x": 2, "a/y": 1, "b": 2, "b/x": 1}
+
+
+def test_sampled_facets_deterministic_and_amortized(spark):
+    """RandomSamplingFacetsCollector analog: deterministic MINSTD sample,
+    amortized counts = raw sample counts × 100/rate (facets.sampled_facets;
+    gate row facet_sampled carries the DuckDB oracle)."""
+    from lucene_spark.search.facets import sampled_facets
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    raw = sampled_facets(df, "lang", rate_pct=20, amortize=False).collect()
+    amo = sampled_facets(df, "lang", rate_pct=20).collect()
+    expect = {}
+    for i, lang in rows:
+        if (i * 48271) % 100 < 20:
+            expect[lang] = expect.get(lang, 0) + 1
+    assert {r["lang"]: r["n_docs"] for r in raw} == expect
+    assert {r["lang"]: r["n_docs"] for r in amo} == {
+        k: v * 5.0 for k, v in expect.items()
+    }
+    # sample rate lands near 20%
+    total = sum(expect.values())
+    assert 0.1 < total / 1000 < 0.3
