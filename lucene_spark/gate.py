@@ -4474,6 +4474,39 @@ SELECT doc_id, 7 * p1 AS frag_start, 7 * p1 + 21 AS frag_end, 1 AS score,
 FROM first_occ, lex ORDER BY doc_id"""
 
 
+def _q_classic_highlight(spark, sf_dir):
+    """Classic Highlighter (highlight/Highlighter.java + QueryTermScorer +
+    SimpleFragmenter(35) + SimpleHTMLFormatter) over the fixed-stride FVH
+    corpus: every even doc_id contains 'stream' every 3rd token, so all
+    four 5-token fragments score 1, the top-2 are frag0+frag1, and
+    mergeContiguousFragments joins them into one 10-token snippet; odd
+    docs never match and emit nothing."""
+    from .search.highlight_classic import highlight_docs_classic
+
+    docs = _fvh_docs(spark, sf_dir)
+    out = highlight_docs_classic(
+        docs, {"stream": 1.0}, fragment_size=35, max_fragments=2,
+    )
+    return out.select(
+        "doc_id", "frag_num", F.round("score", 4).alias("score"), "snippet"
+    ).orderBy("doc_id")
+
+
+_SQL_CLASSIC_HIGHLIGHT = f"""WITH lex AS (
+  SELECT ['{"','".join(_FVH_LEX)}'] AS a
+)
+SELECT d.doc_id, 0 AS frag_num, 1.0 AS score,
+       (SELECT string_agg(
+          CASE WHEN (d.doc_id + 2 * g.p) % 6 = 0
+               THEN '<B>' || a[((d.doc_id + 2 * g.p) % 6)::INT + 1] || '</B>'
+               ELSE a[((d.doc_id + 2 * g.p) % 6)::INT + 1] END, ' '
+          ORDER BY g.p)
+        FROM (SELECT unnest(range(10)) AS p) g, lex) AS snippet
+FROM documents d
+WHERE d.doc_id % 2 = 0
+ORDER BY d.doc_id"""
+
+
 def _q_complex_phrase(spark, sf_dir, k: int = 10):
     """ComplexPhraseQueryParser: fuzzy slot inside a phrase —
     '"data~1 stream"' rewritten to SpanNear(SpanOr(edit-distance-1
@@ -7552,6 +7585,7 @@ def gate_queries() -> dict:
         "bm25_search_after": _q_search_after,
         "spellcheck_direct": _q_spellcheck,
         "spellcheck_ngram": _q_spellcheck_ngram,
+        "classic_highlight": _q_classic_highlight,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
         "suggest_blended": _q_suggest_blended,
@@ -7823,6 +7857,7 @@ def gate_oracle_sql() -> dict:
         "bm25_search_after": _sql_search_after(["stream", "window", "batch"]),
         "spellcheck_direct": _sql_spellcheck("scal"),
         "spellcheck_ngram": _sql_spellcheck_ngram("strean"),
+        "classic_highlight": _SQL_CLASSIC_HIGHLIGHT,
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
         "suggest_blended": _sql_suggest_blended(),
