@@ -114,6 +114,58 @@ def naive_bayes_classify(
     )
 
 
+def knn_doc_classify(
+    searcher,
+    classes_df: DataFrame,
+    text: str,
+    k: int = 10,
+    url_col: str = "url",
+    class_col: str = "cls",
+    mlt=None,
+) -> DataFrame:
+    """KNearestNeighborDocumentClassifier (classification/
+    KNearestNeighborDocumentClassifier.java:149-185 knnSearch +
+    KNearestNeighborClassifier.java:190 buildListFromTopDocs): build a
+    MoreLikeThis query from the document text with per-term TF·IDF boosts
+    (mlt.setBoost(true), :163), take the top-k training hits, and let each
+    neighbor vote ``score / maxScore`` for its class; a class's score is
+    its vote sum / k, argmax assigned.
+
+    ``classes_df`` maps ``url_col`` → ``class_col`` (the stored class
+    field; the reference reads it from the neighbor's stored document).
+    Returns (cls, score) rows, best first (score DESC, cls ASC), score
+    rounded to 4 — the getClasses view; row 1 is assignClass.
+
+    Plan shape: the MLT query runs through the standard pruned search
+    path; only k rows join the (broadcastable) class mapping and feed one
+    tiny aggregation — classification of a document costs one top-k
+    search regardless of corpus size."""
+    from .search.mlt import MoreLikeThis
+
+    from pyspark.sql import Window
+
+    if mlt is None:
+        mlt = MoreLikeThis(searcher, boost=True)
+    hits = searcher.search(mlt.like_text(text), k=k, with_url=True)
+    if url_col not in hits.columns:
+        # MatchNoDocs (no interesting MLT terms) — no neighbors, no class
+        return searcher.spark.createDataFrame(
+            [], f"{class_col} string, score double"
+        )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        hits.join(classes_df.select(url_col, class_col), url_col)
+        .withColumn("mx", F.max("score").over(w_all))
+        .groupBy(class_col)
+        .agg(
+            F.round(
+                F.sum(F.col("score") / F.col("mx")) / F.lit(float(k)), 4
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(class_col))
+    )
+
+
 def knn_classify(
     emb: DataFrame,
     qvecs: dict[int, list[float]],

@@ -3526,6 +3526,60 @@ SELECT qid, label, round(score, 4) AS score FROM (
 ) WHERE rk = 1"""  # noqa: E501
 
 
+def _q_classify_knn_mlt(spark, sf_dir, k: int = 10):
+    """KNearestNeighborDocumentClassifier: MLT query (TF·IDF boosts) from
+    doc 0's text, top-10 BM25 neighbors, lang votes score/maxScore, class
+    score = vote sum / k (KNearestNeighborDocumentClassifier.java:149 +
+    KNearestNeighborClassifier.java:190)."""
+    from .classification import knn_doc_classify
+
+    s = _searcher(spark, sf_dir)
+    text = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 0).select("text").head()[0]
+    )
+    classes = _docs(spark, sf_dir).select(
+        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.col("lang").alias("cls"),
+    )
+    return knn_doc_classify(s, classes, text, k=k)
+
+
+def _sql_classify_knn_mlt(src_doc: int = 0, k: int = 10) -> str:
+    """MLT selection (tf·idf, LIMIT 25) → per-term boost mlt/best folded
+    into the BM25 weight before the division (QuantizedDoubleBm25.create
+    order, like _sql_boost_or) → top-k (seed included, like knnSearch) →
+    normalized class votes."""
+    idf_mlt = "(ln((s.n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE) + 1.0)"
+    exp = f"""
+  SELECT term, df, mlt FROM (
+    SELECT tf.term AS term, d.df AS df,
+           (tf.freq::DOUBLE * {idf_mlt}) AS mlt
+    FROM tf JOIN dft d USING (term), stats s
+    WHERE tf.doc_id = {src_doc} AND tf.freq >= 2 AND d.df >= 5
+  ) ORDER BY mlt DESC, term ASC LIMIT 25"""
+    idf = _idf("e.df")
+    w = f"(((1.0 * e.mlt) / b.best) * {idf})"
+    return f"""WITH {_BASE_CTES},
+exp AS ({exp}),
+b AS (SELECT max(mlt) AS best FROM exp),
+es AS (
+  SELECT tf.doc_id, tf.term,
+         ({w} - {w} / {_tf_part("tf.freq", "qdl.qdl")}) AS score
+  FROM tf JOIN exp e USING (term) JOIN qdl USING (doc_id), stats s, b
+),
+u AS (
+  SELECT doc_id, list_sum(list(score ORDER BY term ASC)) AS score
+  FROM es GROUP BY doc_id
+),
+tk AS (SELECT doc_id, score FROM u ORDER BY score DESC, doc_id ASC LIMIT {k}),
+mx AS (SELECT max(score) AS m FROM tk)
+SELECT cls, round(score, 4) AS score FROM (
+  SELECT d.lang AS cls, (sum(tk.score / mx.m) / {float(k)!r}) AS score
+  FROM tk CROSS JOIN mx JOIN documents d ON tk.doc_id = d.doc_id
+  GROUP BY d.lang
+) ORDER BY score DESC, cls ASC"""
+
+
 def _q_quality_eval(spark, sf_dir):
     """benchmark/quality QualityStats over a synthetic judged run: one
     "query" per language, ranked run = that language's first 20 docs by
@@ -7681,6 +7735,7 @@ def gate_queries() -> dict:
         "monitor_percolate": _q_monitor,
         "classify_naive_bayes": _q_classify_nb,
         "classify_knn": _q_classify_knn,
+        "classify_knn_mlt": _q_classify_knn_mlt,
         "quality_eval": _q_quality_eval,
         "dv_update_sort": _q_dv_update_sort,
         "geo_box": _q_geo_box,
@@ -7946,6 +8001,7 @@ def gate_oracle_sql() -> dict:
         "monitor_percolate": _SQL_MONITOR,
         "classify_naive_bayes": _SQL_CLASSIFY_NB,
         "classify_knn": _sql_classify_knn(),
+        "classify_knn_mlt": _sql_classify_knn_mlt(),
         "quality_eval": _SQL_QUALITY_EVAL,
         "dv_update_sort": _sql_dv_update_sort(),
         "geo_box": _sql_geo_box(),

@@ -84,3 +84,52 @@ def test_topk_scores_sum_to_one(spark):
         (r for r in rows if r["doc_id"] == 12), key=lambda r: r["score"]
     )
     assert got12["label"] == top
+
+
+def test_knn_doc_classify_votes(spark, tmp_path):
+    """KNearestNeighborDocumentClassifier: MLT top-k neighbors vote
+    score/maxScore for their class; class score = vote sum / k; the top
+    row is assignClass (oracle-gated in test_gate.py classify_knn_mlt)."""
+    from lucene_spark.classification import knn_doc_classify
+    from lucene_spark.fixtures import generate_webtext
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.searcher import Searcher
+    from pyspark.sql import functions as F
+
+    corpus = generate_webtext(200)
+    d = str(tmp_path / "knnmlt")
+    df = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in corpus], "url string, text string"
+    )
+    build_index(spark, df, d, num_segments=2, analyzer="simple")
+    s = Searcher(spark, d, analyzer="simple", mode="double")
+    classes = spark.createDataFrame(
+        [(r["url"], "even" if i % 2 == 0 else "odd")
+         for i, r in enumerate(corpus)],
+        "url string, cls string",
+    )
+    from lucene_spark.search.mlt import MoreLikeThis
+
+    k = 10
+    mlt = MoreLikeThis(s, boost=True, min_term_freq=1, min_doc_freq=1)
+    out = knn_doc_classify(s, classes, corpus[0]["text"], k=k, mlt=mlt).collect()
+    assert out, "classifier must produce at least one class"
+    # votes are normalized: each neighbor contributes <= 1/k, so the
+    # total class mass is <= 1 and the top class holds the maximum
+    total = sum(r["score"] for r in out)
+    assert 0.0 < total <= 1.0 + 1e-6
+    assert out[0]["score"] == max(r["score"] for r in out)
+    # re-derive from the underlying hits
+    hits = s.search(
+        mlt.like_text(corpus[0]["text"]), k=k, with_url=True
+    ).collect()
+    mx = max(r["score"] for r in hits)
+    cls_of = {r["url"]: r["cls"] for r in classes.collect()}
+    expect = {}
+    for h in hits:
+        c = cls_of[h["url"]]
+        expect[c] = expect.get(c, 0.0) + h["score"] / mx
+    expect = {c: round(v / k, 4) for c, v in expect.items()}
+    assert {r["cls"]: r["score"] for r in out} == {
+        c: pytest.approx(v, abs=1e-4) for c, v in expect.items()
+    }
