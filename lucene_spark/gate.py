@@ -4528,6 +4528,94 @@ SELECT doc_id, 7 * p1 AS frag_start, 7 * p1 + 21 AS frag_end, 1 AS score,
 FROM first_occ, lex ORDER BY doc_id"""
 
 
+def _link_docs(spark, sf_dir):
+    """Deterministic raw-HTML webtext: doc i lives at
+    https://h{i%50:03d}.example/p/{i} and carries (1) an ABSOLUTE link to
+    target t=(i·7+3)%N anchored by two lexicon words and (2) a RELATIVE
+    href /local/{i} anchored 'home' (exercises urljoin). All arithmetic,
+    so the SQL oracle regenerates the edges without parsing HTML."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    lex = F.array(*[F.lit(w) for w in _FVH_LEX])
+    t = (F.col("doc_id") * 7 + 3) % n
+    anchor = F.concat(
+        F.element_at(lex, ((F.col("doc_id") + t) % 6 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(lex, (t % 6 + 1).cast("int")),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro text</p><a href=\""),
+        F.format_string("https://h%03d.example/p/%d", (t % 50).cast("int"), t),
+        F.lit("\"><b>"),
+        anchor,
+        F.lit("</b></a><a href=\"/local/"),
+        F.col("doc_id"),
+        F.lit("\">home</a><a href=\"javascript:void(0)\">skip</a></body></html>"),
+    )
+    return docs.select(
+        F.format_string(
+            "https://h%03d.example/p/%d",
+            (F.col("doc_id") % 50).cast("int"), F.col("doc_id"),
+        ).alias("url"),
+        html.alias("html"),
+    ), n
+
+
+def _q_link_graph_hosts(spark, sf_dir):
+    """Host-level link graph (pipeline/linkgraph.py): HTML anchor parse →
+    urljoin → (src_host, dst_host, n_links) rollup; javascript: hrefs
+    drop, the relative link lands on its own host."""
+    from .pipeline.linkgraph import extract_links, host_graph
+
+    docs, _ = _link_docs(spark, sf_dir)
+    return host_graph(extract_links(docs)).orderBy("src_host", "dst_host")
+
+
+_SQL_LINK_GRAPH_HOSTS = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT printf('h%03d.example', (doc_id % 50)::INT) AS src_host,
+         printf('h%03d.example',
+                (((doc_id * 7 + 3) % n.n) % 50)::INT) AS dst_host
+  FROM documents, n
+  UNION ALL
+  SELECT printf('h%03d.example', (doc_id % 50)::INT),
+         printf('h%03d.example', (doc_id % 50)::INT)
+  FROM documents
+)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM e GROUP BY src_host, dst_host"""
+
+
+def _q_anchor_docs(spark, sf_dir):
+    """Anchor-text documents (Brin & Page 1998 §2.2): per link target, all
+    incoming anchor texts sorted and joined — the anchor field a web index
+    adds next to body text."""
+    from .pipeline.linkgraph import anchor_documents, extract_links
+
+    docs, _ = _link_docs(spark, sf_dir)
+    return anchor_documents(extract_links(docs)).orderBy("url")
+
+
+_SQL_ANCHOR_DOCS = f"""
+WITH lex AS (SELECT ['{"','".join(_FVH_LEX)}'] AS a),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT printf('https://h%03d.example/p/%d',
+                (((doc_id * 7 + 3) % n.n) % 50)::INT,
+                ((doc_id * 7 + 3) % n.n)::INT) AS url,
+         a[((doc_id + ((doc_id * 7 + 3) % n.n)) % 6)::INT + 1] || ' ' ||
+         a[(((doc_id * 7 + 3) % n.n) % 6)::INT + 1] AS anchor
+  FROM documents, n, lex
+  UNION ALL
+  SELECT printf('https://h%03d.example/local/%d',
+                (doc_id % 50)::INT, doc_id::INT), 'home'
+  FROM documents
+)
+SELECT url, string_agg(anchor, ' ' ORDER BY anchor) AS text
+FROM e GROUP BY url"""
+
+
 def _q_classic_highlight(spark, sf_dir):
     """Classic Highlighter (highlight/Highlighter.java + QueryTermScorer +
     SimpleFragmenter(35) + SimpleHTMLFormatter) over the fixed-stride FVH
@@ -7640,6 +7728,8 @@ def gate_queries() -> dict:
         "spellcheck_direct": _q_spellcheck,
         "spellcheck_ngram": _q_spellcheck_ngram,
         "classic_highlight": _q_classic_highlight,
+        "link_graph_hosts": _q_link_graph_hosts,
+        "anchor_docs": _q_anchor_docs,
         "suggest_prefix": _q_suggest_prefix,
         "suggest_infix": _q_suggest_infix,
         "suggest_blended": _q_suggest_blended,
@@ -7913,6 +8003,8 @@ def gate_oracle_sql() -> dict:
         "spellcheck_direct": _sql_spellcheck("scal"),
         "spellcheck_ngram": _sql_spellcheck_ngram("strean"),
         "classic_highlight": _SQL_CLASSIC_HIGHLIGHT,
+        "link_graph_hosts": _SQL_LINK_GRAPH_HOSTS,
+        "anchor_docs": _SQL_ANCHOR_DOCS,
         "suggest_prefix": _sql_suggest_prefix("s"),
         "suggest_infix": _sql_suggest_infix(),
         "suggest_blended": _sql_suggest_blended(),
