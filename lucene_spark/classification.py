@@ -114,6 +114,125 @@ def naive_bayes_classify(
     )
 
 
+class BooleanPerceptron:
+    """BooleanPerceptronClassifier (classification/src/java/org/apache/
+    lucene/classification/BooleanPerceptronClassifier.java) — a binary
+    text classifier whose term weights live in an FST and start at each
+    term's collection totalTermFreq.
+
+    Reference arithmetic, reproduced exactly:
+
+    - initial weight w[t] = global ttf(t) (:89-95); unseen terms weigh 0
+    - bias defaults to avgFieldLength = sumTTF / docCount (:68-75)
+    - prediction: output = Σ over token OCCURRENCES of w[token];
+      assigned = output >= bias; score = 1 − e^(−|bias − output|/bias)
+      (:195-209)
+    - training pass (one sequential sweep in doc order, :104-135): when
+      the prediction is wrong, modifier = signum(correct − assigned) and
+      every DISTINCT doc term gets w[t] = max(0, snapshot[t] + modifier·tf)
+      — based on the FST SNAPSHOT, not the live map (:160-170), so
+      within a batch window repeated mistakes do not compound; the
+      snapshot refreshes when batchCount % batch_size == 0 (:128), and
+      weights truncate to LONG at snapshot time (updateFST
+      :entry.getValue().longValue())
+
+    Spark split: TRAINING is inherently online-sequential and runs on the
+    driver over the (bounded, labeled) training set — exactly like the
+    reference, which loops scoreDocs on one thread. CLASSIFICATION is the
+    scale path: ``classify_df`` broadcasts the final weights and scores
+    any corpus map-only (Arrow batches, no shuffle)."""
+
+    def __init__(self, bias: float | None = None, batch_size: int = 1):
+        self.batch_size = max(1, int(batch_size))
+        self.bias = bias
+        self.weights: dict[str, int] = {}
+
+    @staticmethod
+    def _tokens(text: str) -> list[str]:
+        from .analysis.simple import simple_terms_positions
+
+        return simple_terms_positions(text or "", None)[0]
+
+    def _output(self, snapshot: dict[str, int], text: str) -> int:
+        return sum(snapshot.get(t, 0) for t in self._tokens(text))
+
+    def fit(
+        self,
+        train: list[tuple[str, bool]],
+        term_ttf: dict[str, int],
+        doc_count: int | None = None,
+    ) -> "BooleanPerceptron":
+        """One reference-exact sweep over (text, label) pairs. ``term_ttf``
+        seeds the weights (collection totalTermFreq per term — e.g. from
+        ``Searcher.reader.term_stats``); ``doc_count`` sizes the default
+        bias."""
+        if self.bias is None:
+            if not doc_count:
+                raise ValueError("bias=None needs doc_count for avgdl")
+            self.bias = float(sum(term_ttf.values())) / float(doc_count)
+        weights = {t: int(v) for t, v in term_ttf.items()}
+        snapshot = dict(weights)
+        for batch_count, (text, label) in enumerate(train):
+            out = self._output(snapshot, text)
+            assigned = out >= self.bias
+            modifier = (label > assigned) - (label < assigned)  # signum
+            if modifier != 0:
+                tf: dict[str, int] = {}
+                for t in self._tokens(text):
+                    tf[t] = tf.get(t, 0) + 1
+                for t, f in tf.items():
+                    prev = snapshot.get(t)
+                    weights[t] = (
+                        0 if prev is None else max(0, prev + modifier * f)
+                    )
+                if batch_count % self.batch_size == 0:
+                    snapshot = {t: int(v) for t, v in weights.items()}
+        self.weights = {t: int(v) for t, v in weights.items()}
+        return self
+
+    def assign(self, text: str) -> tuple[bool, float]:
+        """(assignedClass, score) for one text — assignClass(:195-209)."""
+        import math
+
+        out = self._output(self.weights, text)
+        score = 1.0 - math.exp(-abs(self.bias - float(out)) / self.bias)
+        return out >= self.bias, score
+
+    def classify_df(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Distributed assignClass over a corpus: broadcast weights,
+        map-only Arrow batches, rows (id, assigned, score)."""
+        import math
+
+        from typing import Iterator
+
+        import pandas as pd
+
+        w = dict(self.weights)
+        bias = float(self.bias)
+        tok = self._tokens
+        schema = f"{id_col} long, assigned boolean, score double"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    out = sum(w.get(x, 0) for x in tok(t or ""))
+                    rows.append(
+                        (
+                            int(i),
+                            bool(out >= bias),
+                            1.0 - math.exp(-abs(bias - float(out)) / bias),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[id_col, "assigned", "score"]
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def knn_doc_classify(
     searcher,
     classes_df: DataFrame,

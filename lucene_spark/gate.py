@@ -3580,6 +3580,50 @@ SELECT cls, round(score, 4) AS score FROM (
 ) ORDER BY score DESC, cls ASC"""
 
 
+def _q_classify_perceptron(spark, sf_dir):
+    """BooleanPerceptronClassifier: ttf-seeded weights, default bias =
+    avgdl, output = Σ ttf(token) per occurrence, score = 1−e^(−|bias−out|
+    /bias). Training labels equal the seed model's own predictions, so
+    the sweep converges with ZERO updates and the oracle can recompute
+    the final (= seed) weights from collection stats alone; the
+    mistake-update arithmetic is pinned by tests/test_classification.py."""
+    from .classification import BooleanPerceptron
+
+    docs = _docs(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    ttf = {
+        r["term"]: int(r["ttf"])
+        for r in s.reader.term_dict.groupBy("term")
+        .agg(F.sum("ttf").alias("ttf"))
+        .collect()
+    }
+    n_docs = int(s.reader.global_stats[0])
+    p = BooleanPerceptron()
+    p.bias = float(sum(ttf.values())) / float(n_docs)
+    seed = [
+        (r["text"],)
+        for r in docs.orderBy("doc_id").limit(20).select("text").collect()
+    ]
+    train = [(t, p._output(ttf, t) >= p.bias) for (t,) in seed]
+    p = BooleanPerceptron().fit(train, ttf, doc_count=n_docs)
+    out = p.classify_df(docs)
+    return out.select(
+        "doc_id", "assigned", F.round("score", 4).alias("score")
+    )
+
+
+_SQL_CLASSIFY_PERCEPTRON = f"""WITH {_BASE_CTES},
+o AS (
+  SELECT tf.doc_id,
+         list_sum(list((tf.freq * d.ttf)::DOUBLE ORDER BY tf.term)) AS output
+  FROM tf JOIN dft d USING (term) GROUP BY tf.doc_id
+),
+b AS (SELECT (sum_ttf::DOUBLE / n_docs::DOUBLE) AS bias FROM stats)
+SELECT doc_id, (output >= bias) AS assigned,
+       round(1.0 - exp(-abs(bias - output) / bias), 4) AS score
+FROM o, b"""
+
+
 def _q_quality_eval(spark, sf_dir):
     """benchmark/quality QualityStats over a synthetic judged run: one
     "query" per language, ranked run = that language's first 20 docs by
@@ -7826,6 +7870,7 @@ def gate_queries() -> dict:
         "classify_naive_bayes": _q_classify_nb,
         "classify_knn": _q_classify_knn,
         "classify_knn_mlt": _q_classify_knn_mlt,
+        "classify_perceptron": _q_classify_perceptron,
         "quality_eval": _q_quality_eval,
         "dv_update_sort": _q_dv_update_sort,
         "geo_box": _q_geo_box,
@@ -8094,6 +8139,7 @@ def gate_oracle_sql() -> dict:
         "classify_naive_bayes": _SQL_CLASSIFY_NB,
         "classify_knn": _sql_classify_knn(),
         "classify_knn_mlt": _sql_classify_knn_mlt(),
+        "classify_perceptron": _SQL_CLASSIFY_PERCEPTRON,
         "quality_eval": _SQL_QUALITY_EVAL,
         "dv_update_sort": _sql_dv_update_sort(),
         "geo_box": _sql_geo_box(),

@@ -133,3 +133,51 @@ def test_knn_doc_classify_votes(spark, tmp_path):
     assert {r["cls"]: r["score"] for r in out} == {
         c: pytest.approx(v, abs=1e-4) for c, v in expect.items()
     }
+
+
+def test_perceptron_reference_arithmetic():
+    """BooleanPerceptronClassifier: ttf seeds, default bias = avgdl,
+    signum updates with max(0, ·), per-occurrence output sum."""
+    from lucene_spark.classification import BooleanPerceptron
+
+    ttf = {"a": 3, "b": 1}
+    p = BooleanPerceptron()  # bias = sum_ttf / doc_count = 4/2 = 2.0
+    p.fit([("a a b", False), ("b", True)], ttf, doc_count=2)
+    assert p.bias == 2.0
+    # doc0: out=7 >= 2 -> True but label False: w[a]=max(0,3-2)=1,
+    # w[b]=max(0,1-1)=0; doc1: out=0 < 2 -> False but label True: w[b]=1
+    assert p.weights == {"a": 1, "b": 1}
+    assigned, score = p.assign("a b")
+    assert assigned is True and score == pytest.approx(0.0)
+    # unseen tokens weigh 0
+    assigned, score = p.assign("zzz")
+    assert assigned is False and score == pytest.approx(1 - math.exp(-1.0))
+
+
+def test_perceptron_fst_snapshot_staleness():
+    """Within a batch window updates read the STALE snapshot (the FST),
+    so consecutive mistakes do not compound (:160-170 + :128)."""
+    from lucene_spark.classification import BooleanPerceptron
+
+    train = [("a", False)] * 3
+    p1 = BooleanPerceptron(bias=2.0, batch_size=1).fit(train, {"a": 5})
+    p3 = BooleanPerceptron(bias=2.0, batch_size=3).fit(train, {"a": 5})
+    assert p1.weights == {"a": 2}
+    assert p3.weights == {"a": 3}
+
+
+def test_perceptron_classify_df_matches_assign(spark):
+    from lucene_spark.classification import BooleanPerceptron
+
+    p = BooleanPerceptron(bias=2.0).fit(
+        [("a a b", False)], {"a": 3, "b": 1}
+    )
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b"), (2, "zzz a a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["assigned"], r["score"])
+           for r in p.classify_df(docs).collect()}
+    for i, t in [(0, "a b"), (1, "b"), (2, "zzz a a")]:
+        a, s = p.assign(t)
+        assert got[i][0] == a and got[i][1] == pytest.approx(s)
