@@ -5202,6 +5202,60 @@ FROM first
 ORDER BY ((doc_id * 37) % 211)::DOUBLE DESC, doc_id ASC LIMIT {k}"""
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher SIGIR 2009,
+    search/hybrid.py): BM25 top-20 for 'stream OR window' fused with a
+    static-rank run (top-20 by the 'prio' doc-value above 100), k=60."""
+    from .search.hybrid import rrf_fuse
+
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    r1 = s.search("stream OR window", k=20)
+    r2 = (
+        s.function_range("dv['prio']", 100.0, 1000.0, include_lower=False)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(20)
+    )
+    out = rrf_fuse([r1, r2], k=60, top=10)
+    dm = s._docmap_global().select("docid", "url")
+    return out.join(dm, "docid").select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "n_runs",
+    )
+
+
+def _sql_hybrid_rrf(k: int = 60, top: int = 10) -> str:
+    or_part = _sql_or(["stream", "window"], k=20, raw=True)
+    return f"""
+WITH r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({or_part})
+),
+r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, ((doc_id * 37) % 211)::DOUBLE AS score FROM documents
+    WHERE ((doc_id * 37) % 211)::DOUBLE > 100.0
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+  )
+),
+u AS (
+  SELECT doc_id, (1.0 / ({k}.0 + rank)) AS rrf FROM r1
+  UNION ALL
+  SELECT doc_id, (1.0 / ({k}.0 + rank)) AS rrf FROM r2
+),
+f AS (
+  SELECT doc_id, sum(rrf) AS score, count(*) AS n_runs
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score, n_runs FROM (
+  SELECT * FROM f ORDER BY score DESC, doc_id ASC LIMIT {top}
+)"""
+
+
 def _q_distance_feature(spark, sf_dir, k: int = 10):
     """DistanceFeatureQuery (document/LongDistanceFeatureQuery.java:266):
     BM25 for 'stream' + 2·(10 / (10 + |prio − 100|)) over the stored
@@ -7751,6 +7805,7 @@ def gate_queries() -> dict:
         "multi_range_query": _q_multi_range,
         "function_range": _q_function_range,
         "sort_rescore": _q_sort_rescore,
+        "hybrid_rrf": _q_hybrid_rrf,
         "facet_long_values": _q_facet_long_values,
         "facet_sampled": _q_facet_sampled,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
@@ -8027,6 +8082,7 @@ def gate_oracle_sql() -> dict:
         "multi_range_query": _SQL_MULTI_RANGE,
         "function_range": _SQL_FUNCTION_RANGE,
         "sort_rescore": _sql_sort_rescore(),
+        "hybrid_rrf": _sql_hybrid_rrf(),
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_sampled": _SQL_FACET_SAMPLED,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
