@@ -5202,6 +5202,41 @@ FROM first
 ORDER BY ((doc_id * 37) % 211)::DOUBLE DESC, doc_id ASC LIMIT {k}"""
 
 
+def _q_trending_terms(spark, sf_dir, k: int = 5):
+    """Windowed trending terms (streaming/trending.py, batch form of the
+    Structured Streaming aggregation): docs timestamped (doc_id % 180)
+    minutes past the epoch, 60-minute tumbling windows, top-5 terms per
+    window by (count DESC, term ASC)."""
+    from .streaming.trending import term_counts, top_trending
+
+    docs = _docs(spark, sf_dir).select(
+        F.timestamp_seconds((F.col("doc_id") % 180) * 60).alias("ts"),
+        "text",
+    )
+    counts = term_counts(docs, window_dur="60 minutes")
+    return top_trending(counts, k=k).select(
+        (F.col("window.start").cast("long") / 3600).cast("long").alias("win"),
+        "term",
+        "cnt",
+        "rank",
+    )
+
+
+def _sql_trending_terms(k: int = 5) -> str:
+    return f"""WITH {_BASE_CTES},
+wc AS (
+  SELECT ((d.doc_id % 180) // 60)::BIGINT AS win, t.term,
+         count(*)::BIGINT AS cnt
+  FROM documents d JOIN toks t USING (doc_id)
+  GROUP BY win, t.term
+)
+SELECT win, term, cnt, rank FROM (
+  SELECT wc.*, row_number() OVER (
+    PARTITION BY win ORDER BY cnt DESC, term ASC)::INT AS rank
+  FROM wc
+) WHERE rank <= {k}"""
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher SIGIR 2009,
     search/hybrid.py): BM25 top-20 for 'stream OR window' fused with a
@@ -7806,6 +7841,7 @@ def gate_queries() -> dict:
         "function_range": _q_function_range,
         "sort_rescore": _q_sort_rescore,
         "hybrid_rrf": _q_hybrid_rrf,
+        "trending_terms": _q_trending_terms,
         "facet_long_values": _q_facet_long_values,
         "facet_sampled": _q_facet_sampled,
         "facet_dynamic_ranges": _q_facet_dynamic_ranges,
@@ -8083,6 +8119,7 @@ def gate_oracle_sql() -> dict:
         "function_range": _SQL_FUNCTION_RANGE,
         "sort_rescore": _sql_sort_rescore(),
         "hybrid_rrf": _sql_hybrid_rrf(),
+        "trending_terms": _sql_trending_terms(),
         "facet_long_values": _SQL_FACET_LONG_VALUES,
         "facet_sampled": _SQL_FACET_SAMPLED,
         "facet_dynamic_ranges": _SQL_FACET_DYNAMIC_RANGES,
