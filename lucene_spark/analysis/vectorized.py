@@ -358,6 +358,10 @@ def _vocab_chain(analyzer: str):
         from .ne import nepali_term
 
         return nepali_term
+    if analyzer == "tamil":
+        from .ta import tamil_term
+
+        return tamil_term
     if analyzer == "serbian":
         from .sr import serbian_term
 

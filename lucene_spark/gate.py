@@ -6405,6 +6405,18 @@ _PT_LEX = [
 _PT_QUERY = "livros"  # analyzes to 'livr'
 _PT_LIVR_IDXS = (0, 1)
 
+# snowball Tamil (ta/TamilAnalyzer.java chain, analysis/ta.py): friend /
+# friends collapse (நண்பன்/நண்பர்கள் -> நண்), student forms collapse
+# (மாணவன் -> மாண), house plural drops (வீடுகள்/வீடு -> வீடு); கடல்,
+# மொழி are already stems. All stems golden-verified against the
+# reference snowball runtime (tests/test_multilang_analyzers.py).
+_TA_LEX = [
+    "நண்பன்", "நண்பர்கள்", "மாணவன்", "மாணவர்",
+    "வீடுகள்", "வீடு", "கடல்", "மொழி",
+]
+_TA_QUERY = "நண்பர்கள்"  # analyzes to 'நண்'
+_TA_NAN_IDXS = (0, 1)
+
 # книгами/книга -> книг; красного/красный -> красн; домов/дом -> дом;
 # синяя/синий -> син
 _RU_LEX = [
@@ -7477,6 +7489,18 @@ def _q_portuguese_stem(spark, sf_dir, k: int = 100000):
     )
 
 
+def _q_tamil_stem(spark, sf_dir, k: int = 100000):
+    s = Searcher(
+        spark, _ensure_lex_index(spark, sf_dir, "ta", _TA_LEX, "tamil"),
+        analyzer="tamil", mode="double",
+    )
+    h = s.search(_TA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_russian_stem(spark, sf_dir, k: int = 100000):
     s = Searcher(
         spark, _ensure_lex_index(spark, sf_dir, "ru", _RU_LEX, "russian"),
@@ -7894,6 +7918,7 @@ def gate_queries() -> dict:
         "spanish_light_index": _q_spanish_stem,
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
+        "tamil_snowball_index": _q_tamil_stem,
         "swedish_light_index": _q_swedish_stem,
         "norwegian_light_index": _q_norwegian_stem,
         "finnish_light_index": _q_finnish_stem,
@@ -8166,6 +8191,7 @@ def gate_oracle_sql() -> dict:
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
+        "tamil_snowball_index": _sql_lex_stem(_TA_NAN_IDXS),
         "swedish_light_index": _sql_lex_stem(_SV_FLICK_IDXS),
         "norwegian_light_index": _sql_lex_stem(_NO_HUS_IDXS),
         "finnish_light_index": _sql_lex_stem(_FI_KIRJ_IDXS),

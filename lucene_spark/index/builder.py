@@ -106,6 +106,7 @@ from ..analysis.br import brazilian_analyze, brazilian_terms_positions
 from ..analysis.ca import catalan_analyze, catalan_terms_positions
 from ..analysis.ne import nepali_analyze, nepali_terms_positions
 from ..analysis.sr import serbian_analyze, serbian_terms_positions
+from ..analysis.ta import tamil_analyze, tamil_terms_positions
 from ..analysis.te import telugu_analyze, telugu_terms_positions
 from ..analysis.ga import irish_analyze, irish_terms_positions
 from ..analysis.tr import turkish_analyze, turkish_terms_positions
@@ -192,6 +193,7 @@ _ANALYZERS: dict[str, Callable] = {
     "turkish": turkish_analyze,      # apostrophe + tr lowercase + snowball
     "bengali": bengali_analyze,      # lowercase + digit fold + norm + stem
     "sorani": sorani_analyze,        # ckb normalize + digit fold + stem
+    "tamil": tamil_analyze,          # ta digit fold + indic norm + snowball
     "telugu": telugu_analyze,        # te normalize + digit fold + stem
     "danish": danish_analyze,        # snowball Danish stem
     "dutch": dutch_analyze,          # override dict + snowball Dutch
@@ -289,6 +291,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "turkish": turkish_terms_positions,
     "bengali": bengali_terms_positions,
     "sorani": sorani_terms_positions,
+    "tamil": tamil_terms_positions,
     "telugu": telugu_terms_positions,
     "danish": danish_terms_positions,
     "dutch": dutch_terms_positions,

@@ -2439,3 +2439,430 @@ def test_icu_folding_analyze_chain():
 
     toks = [t.term for t in icu_folding_analyze("Ångström über ﬁle ৭০৬")]
     assert toks == ["angstrom", "uber", "file", "706"]
+
+
+# ---------------------------------------------------------------------------
+# Tamil (ta/TamilAnalyzer.java:121 — lowercase + decimal-digit fold + Indic
+# normalization + stop + snowball Tamil; golden vectors generated by running
+# the published snowball Tamil stemmer runtime itself over stopwords +
+# stem x suffix products, 3704/3704 exact on the full corpus — the subset
+# below keeps every distinct rewrite family)
+# ---------------------------------------------------------------------------
+
+_TA_VECTORS = {
+    "அங்கு": "கு",
+    "அரசுகள்": "அரசு",
+    "அரசுந்தார்": "அரசு",
+    "அரசுந்தேன்": "அரசு",
+    "அரசுார்": "அரசு",
+    "அரசுின்": "அரசு",
+    "அரசுே": "அரசு",
+    "ஆகும்": "ஆக்",
+    "ஆசிரியரகள்": "ஆசிரியர",
+    "ஆசிரியரந்தேன்": "ஆசிரியர",
+    "ஆசிரியரப்பார்": "ஆசிரியர",
+    "ஆசிரியரார்": "ஆசிரியர்",
+    "ஆசிரியருங்கள்": "ஆசிரியர்",
+    "ஆசிரியரே": "ஆசிரியர்",
+    "ஆசிரியர்ட்டார்": "ஆசிரியர்டு",
+    "ஆசிரியர்து": "ஆசிரியர்",
+    "ஆசிரியர்வாள்": "ஆசிரியர்",
+    "ஆசிரியர்ார்": "ஆசிரியர்",
+    "ஆசிரியர்ீர்": "ஆசிரியர்",
+    "ஆறுகள்": "ஆறு",
+    "ஆறுகின்றனர்": "ஆறு",
+    "ஆறுனர்": "ஆறு",
+    "ஆறுவான்": "ஆறு",
+    "ஆறுால்": "ஆறு",
+    "ஆறுும்": "ஆறு",
+    "ஆறுேன்": "ஆறு",
+    "இந்தக்": "இந்த",
+    "உலகமகின்றனர்": "உலகம",
+    "உலகமகிறார்": "உலகம",
+    "உலகமபட்டது": "உலகம",
+    "உலகமவான்": "உலகம",
+    "உலகமிடம்": "உலகம்",
+    "உலகமுடைய": "உலகம்",
+    "உலகமோ": "உலகம்",
+    "உலகம்த்தான்": "உலகம்",
+    "உலகம்த்தார்": "உலகம்",
+    "உலகம்வோம்": "உலகம்",
+    "உலகம்ாள்": "உலகம்",
+    "உலகம்ுடன்": "உலகம்",
+    "ஊரகள்": "ஊர",
+    "ஊரகிறான்": "ஊர",
+    "ஊரபடுகிறது": "ஊர",
+    "ஊரவான்": "ஊர",
+    "ஊராள்": "ஊர்",
+    "ஊரும்": "ஊர்",
+    "ஊரை": "ஊரை",
+    "ஊர்து": "ஊர்",
+    "ஊர்ந்தேன்": "ஊர்",
+    "ஊர்வேன்": "ஊர்",
+    "ஊர்ிலிருந்து": "ஊர்ில்",
+    "ஊர்ுங்கள்": "ஊர்்",
+    "எனவும்": "என",
+    "எல்லாம்": "எல்",
+    "எழுதுகிறான்": "எழுது",
+    "எழுதுபடுகிறது": "எழுது",
+    "எழுதுற்கள்": "எழுதுல்",
+    "எழுதுாள்": "எழுது",
+    "எழுதுுடன்": "எழுது",
+    "எழுதுை": "எழுது",
+    "ஓடுட்டான்": "ஓடுடு",
+    "ஓடுத்தார்": "ஓடு",
+    "ஓடுவார்": "ஓடு",
+    "ஓடுிடம்": "ஓடு",
+    "ஓடுில்": "ஓடு",
+    "கடலகள்": "கடல",
+    "கடலகிறோம்": "கடல",
+    "கடலந்தேன்": "கடல",
+    "கடலவோம்": "கடல",
+    "கடலார்": "கடல்",
+    "கடலே": "கடலே",
+    "கடலோம்": "கடல்",
+    "கடல்ட்டார்": "கடல்டு",
+    "கடல்ப்பார்": "கடல்",
+    "கடல்வாள்": "கடல்",
+    "கடல்ீர்": "கடல்",
+    "கடல்ுங்கள்": "கடல்",
+    "கதைகின்றனர்": "கதை",
+    "கதைத்தான்": "கதை",
+    "கதைனர்": "கதை",
+    "கதைால்": "கதை",
+    "கதைாள்": "கதை",
+    "கதைேன்": "கதை",
+    "குழந்தைகிறாள்": "குழந்தை",
+    "குழந்தைதான்": "குழந்தை",
+    "குழந்தைவும்": "குழ",
+    "குழந்தைவேன்": "குழந்தை",
+    "குழந்தைுக்கு": "குழந்தை",
+    "குழந்தைே": "குழ",
+    "கொடுகிறான்": "கொடு",
+    "கொடுனர்": "கொடு",
+    "கொடுபடுகிறது": "கொடு",
+    "கொடுாள்": "கொடு",
+    "கொடுிலிருந்து": "கொடுில்",
+    "கொடுை": "கொடு",
+    "செயகிறோம்": "செய",
+    "செயட்கள்": "செயள்",
+    "செயற்கள்": "செயல்",
+    "செயாதே": "செயா",
+    "செயிருந்து": "செய்",
+    "செய்": "செய்",
+    "செய்கள்": "செய்",
+    "செய்ந்தார்": "செய்",
+    "செய்ற்கள்": "செய்",
+    "செய்ான்": "செய்",
+    "செய்ுடன்": "செய்",
+    "செய்ுள்ள": "செய்",
+    "தந்தைகிறோம்": "தந்தை",
+    "தந்தைதான்": "தந்தை",
+    "தந்தைற்கள்": "தந்தைல்",
+    "தந்தைார்": "தந்தை",
+    "தந்தைிருந்து": "தந்தை",
+    "தனது": "தனது",
+    "தமிழகள்": "தமிழ",
+    "தமிழந்தான்": "தமிழ",
+    "தமிழற்கள்": "தமிழல்",
+    "தமிழாதே": "தமிழ்",
+    "தமிழுடன்": "தமிழ்",
+    "தமிழும்": "தமிழ்",
+    "தமிழ்கிறோம்": "தமிழ்",
+    "தமிழ்த்தான்": "தமிழ்",
+    "தமிழ்ற்கள்": "தமிழ்",
+    "தமிழ்ால்": "தமிழ்",
+    "தமிழ்ிருந்து": "தமிழ்",
+    "தலைவரஐ": "தலைவரஐ",
+    "தலைவரகின்றனர்": "தலைவர",
+    "தலைவரந்தாள்": "தலைவர",
+    "தலைவரவான்": "தலைவர",
+    "தலைவராமல்": "தலை",
+    "தலைவருடைய": "தலை",
+    "தலைவரெல்லாம்": "தலைவர",
+    "தலைவர்ட்டான்": "தலைவர்டு",
+    "தலைவர்த்தான்": "தலை",
+    "தலைவர்வார்": "தலை",
+    "தலைவர்ால்": "தலை",
+    "தலைவர்ில்": "தலை",
+    "தாயஐ": "தாயஐ",
+    "தாயகின்றனர்": "தாய",
+    "தாயந்தாள்": "தாய",
+    "தாயவான்": "தாய",
+    "தாயாமல்": "தாய்",
+    "தாயும்": "தாய்",
+    "தாயெல்லாம்": "தாய",
+    "தாய்ட்டான்": "தாய்டு",
+    "தாய்ந்தேன்": "தாய்",
+    "தாய்வார்": "தாய்",
+    "தாய்ிருந்து": "தாய்",
+    "தாய்ில்": "தாய்",
+    "நகரமகின்றனர்": "நகரம",
+    "நகரமகிறோம்": "நகரம",
+    "நகரமனர்": "நகரம",
+    "நகரமவோம்": "நகரம",
+    "நகரமால்": "நகரம்",
+    "நகரமேன்": "நகரம்",
+    "நகரம்தான்": "நகரம்",
+    "நகரம்னர்": "நகரம்",
+    "நகரம்வும்": "நகரம்",
+    "நகரம்ிலிருந்து": "நகரம்ில்",
+    "நகரம்ுக்கு": "நகரம்",
+    "நண்பனகிறார்": "நண்ப",
+    "நண்பனட்கள்": "நண்ப",
+    "நண்பனபட்டது": "நண்ப",
+    "நண்பனா": "நண்",
+    "நண்பனிடம்": "நண்",
+    "நண்பனை": "நண்ப",
+    "நண்பனோ": "நண்",
+    "நண்பன்": "நண்",
+    "நண்பன்த்தான்": "நண்",
+    "நண்பன்னர்": "நண்",
+    "நண்பன்வோம்": "நண்",
+    "நண்பன்ிலிருந்து": "நண்பன்ில்",
+    "நண்பன்ுடன்": "நண்",
+    "நண்பர்கள்": "நண்",
+    "நாடுகிறார்": "நாடு",
+    "நாடுகிறோம்": "நாடு",
+    "நாடுபட்டது": "நாடு",
+    "நாடுா": "நாடு",
+    "நாடுிடம்": "நாடு",
+    "நாடுை": "நாடு",
+    "நாடுோ": "நாடு",
+    "நிலமது": "நிலம",
+    "நிலமபடுகிறது": "நிலம",
+    "நிலமவேன்": "நிலம",
+    "நிலமில்": "நிலம்",
+    "நிலமுங்கள்": "நிலம்",
+    "நிலம்கிறார்": "நிலம்",
+    "நிலம்ட்டான்": "நிலம்டு",
+    "நிலம்பட்டது": "நிலம்",
+    "நிலம்ாதே": "நிலம்",
+    "நிலம்ிடம்": "நிலம்",
+    "நிலம்ோ": "நிலம்",
+    "படிது": "படிது",
+    "படிப்பான்": "படி",
+    "படிவேன்": "படி",
+    "படிுங்கள்": "படி்",
+    "பணமகிறாள்": "பணம",
+    "பணமந்தான்": "பணம",
+    "பணமப்பான்": "பணம",
+    "பணமின்": "பண",
+    "பணமோடு": "பணம்",
+    "பணம்ட்கள்": "பணம்",
+    "பணம்த்தார்": "பணம்",
+    "பணம்ா": "பணம்",
+    "பணம்ுடைய": "பணம்",
+    "பணம்ை": "பணம்",
+    "பறவைகிறேன்": "பறவை",
+    "பறவைபட்டது": "பறவை",
+    "பறவைப்பார்": "பறவை",
+    "பறவைின்று": "பறவை",
+    "பறவைீர்": "பறவை",
+    "பறவைோம்": "பறவை",
+    "பள்ளிகிறோம்": "பள்ளி",
+    "பள்ளிட்டார்": "பள்ளிடு",
+    "பள்ளிவாள்": "பள்ளி",
+    "பள்ளிா": "பள்ளி",
+    "பள்ளிீர்": "பள்ளி",
+    "பள்ளிை": "பள்ளி",
+    "பாடமகிறான்": "பாடம",
+    "பாடமபடுகிறது": "பாடம",
+    "பாடமாள்": "பாடம்",
+    "பாடமில்": "பாடம்",
+    "பாடமை": "பாடம்",
+    "பாடம்ட்டான்": "பாடம்டு",
+    "பாடம்து": "பாடம்",
+    "பாடம்வேன்": "பாடம்",
+    "பாடம்ாதே": "பாடம்",
+    "பாடம்ுங்கள்": "பாடம்",
+    "பாடம்ோ": "பாடம்",
+    "பாரகிறாள்": "பார",
+    "பாரபட்டது": "பார",
+    "பாரப்பான்": "பார",
+    "பாரின்": "பார்",
+    "பாருக்கு": "பார்",
+    "பாரோடு": "பார்",
+    "பார்த்தார்": "பார்",
+    "பார்ா": "பார்",
+    "பார்ாள்": "பார்",
+    "பார்ுடைய": "பார்",
+    "புத்தகங்கள்": "புத்தகம்",
+    "புத்தகமகள்": "புத்தகம",
+    "புத்தகமகின்றனர்": "புத்தகம",
+    "புத்தகமனர்": "புத்தகம",
+    "புத்தகமற்கள்": "புத்தகமல்",
+    "புத்தகமால்": "புத்தகம்",
+    "புத்தகமுடன்": "புத்தகம்",
+    "புத்தகமேன்": "புத்தகம்",
+    "புத்தகம்தான்": "புத்தகம்",
+    "புத்தகம்த்தான்": "புத்தகம்",
+    "புத்தகம்வும்": "புத்தகம்",
+    "புத்தகம்ால்": "புத்தகம்",
+    "புத்தகம்ுக்கு": "புத்தகம்",
+    "பெணகின்றனர்": "பெண",
+    "பெணகிறார்": "பெண",
+    "பெணபட்டது": "பெண",
+    "பெணவான்": "பெண",
+    "பெணிடம்": "பெண்",
+    "பெணும்": "பெண்",
+    "பெணோ": "பெணோ",
+    "பெண்த்தான்": "பெண்",
+    "பெண்ந்தேன்": "பெண்",
+    "பெண்வோம்": "பெண்",
+    "பெண்ிருந்து": "பெண்",
+    "பெண்ுடன்": "பெண்",
+    "பேசுகிறார்": "பேசு",
+    "பேசுகிறேன்": "பேசு",
+    "பேசுபட்டது": "பேசு",
+    "பேசுவோம்": "பேசு",
+    "பேசுிடம்": "பேசு",
+    "பேசுேன்": "பேசு",
+    "பேசுோ": "பேசு",
+    "போது": "போது",
+    "போபடுகிறது": "போ",
+    "போவார்": "போ",
+    "போில்": "போ்",
+    "போீர்": "போ்",
+    "மக்களகின்றனர்": "மக்கள",
+    "மக்களத்தான்": "மக்கள",
+    "மக்களனர்": "மக்கள",
+    "மக்களால்": "மக்",
+    "மக்களேன்": "மக்கள்",
+    "மக்கள்கள்": "மக்கள்",
+    "மக்கள்தான்": "மக்கள்",
+    "மக்கள்ற்கள்": "மக்கள்",
+    "மக்கள்வும்": "மக்",
+    "மக்கள்ுக்கு": "மக்கள்",
+    "மக்கள்ுடன்": "மக்",
+    "மனிதனகின்றனர்": "மனித",
+    "மனிதனதான்": "மனித",
+    "மனிதனனர்": "மனித",
+    "மனிதனாமல்": "மனிதன்",
+    "மனிதனால்": "மனிதன்",
+    "மனிதனேன்": "மனிதன்",
+    "மனிதனோம்": "மனிதன்",
+    "மனிதன்தான்": "மனிதன்",
+    "மனிதன்ப்பார்": "மனிதன்",
+    "மனிதன்வும்": "மனிதன்",
+    "மனிதன்ுக்கு": "மனிதன்",
+    "மனிதன்ுங்கள்": "மனிதன்",
+    "மரமகிறார்": "மரம",
+    "மரமது": "மரம",
+    "மரமபட்டது": "மரம",
+    "மரமால்": "மரம்",
+    "மரமிடம்": "மரம்",
+    "மரமோ": "மரமோ",
+    "மரம்கிறாள்": "மரம்",
+    "மரம்த்தான்": "மரம்",
+    "மரம்வும்": "மரம்",
+    "மரம்வோம்": "மரம்",
+    "மரம்ுடன்": "மரம்",
+    "மரம்ெல்லாம்": "மரம்",
+    "மலைகிறான்": "மலை",
+    "மலைந்தாள்": "மலை",
+    "மலைபடுகிறது": "மலை",
+    "மலைாள்": "மலை",
+    "மலைிருந்து": "மலை",
+    "மலைை": "மலைை",
+    "மாணவனட்டார்": "மாணவனடு",
+    "மாணவனத்தான்": "மாண",
+    "மாணவனவோம்": "மாண",
+    "மாணவனான்": "மாண",
+    "மாணவனுடன்": "மாண",
+    "மாணவனோடு": "மாண",
+    "மாணவன்கிறாள்": "மாண",
+    "மாணவன்பட்டது": "மாண",
+    "மாணவன்ப்பான்": "மாண",
+    "மாணவன்ின்": "மாண",
+    "மாணவன்ீர்": "மாண",
+    "மாணவன்ோடு": "மாண",
+    "மொழிகிறோம்": "மொழி",
+    "மொழிற்கள்": "மொழில்",
+    "மொழிா": "மொழி",
+    "மொழிிருந்து": "மொழி",
+    "மொழிை": "மொழி",
+    "யார்": "யார்",
+    "வாட்டார்": "வாடு",
+    "வாந்தாள்": "வா",
+    "வானமட்கள்": "வானமள்",
+    "வானமப்பான்": "வானம",
+    "வானமவான்": "வானம",
+    "வானமிலிருந்து": "வானமில்",
+    "வானமுக்கு": "வா",
+    "வானம்ஐ": "வானம்ஐ",
+    "வானம்ட்டார்": "வானம்டு",
+    "வானம்ந்தாள்": "வா",
+    "வானம்ான்": "வா",
+    "வானம்ாமல்": "வா",
+    "வானம்ெல்லாம்": "வா",
+    "வானம்ோடு": "வா",
+    "வாவேன்": "வா",
+    "வாிருந்து": "வா்",
+    "வாுங்கள்": "வா்",
+    "விலங்குகின்றனர்": "விலம்",
+    "விலங்குட்கள்": "விலங்குள்",
+    "விலங்குனர்": "விலம்",
+    "விலங்குாதே": "விலம்",
+    "விலங்குால்": "விலம்",
+    "விலங்குேன்": "விலம்",
+    "விலங்குோ": "விலம்",
+    "வீடுதான்": "வீடு",
+    "வீடுப்பான்": "வீடு",
+    "வீடுவும்": "வீடு",
+    "வீடுுக்கு": "வீடு",
+}
+
+
+def test_tamil_stem_reference_vectors():
+    from lucene_spark.analysis.ta import tamil_stem
+
+    bad = {
+        w: (tamil_stem(w), want)
+        for w, want in _TA_VECTORS.items()
+        if tamil_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_tamil_reference_test_words():
+    # TestTamilAnalyzer.testStemming: friend / friends collapse together
+    from lucene_spark.analysis.ta import tamil_stem
+
+    assert tamil_stem("நண்பன்") == "நண்"
+    assert tamil_stem("நண்பர்கள்") == "நண்"
+
+
+def test_tamil_digit_fold_and_lowercase():
+    # TestTamilAnalyzer.testDigits / testLowerCase
+    from lucene_spark.analysis.ta import tamil_analyze
+
+    got = [t.term for t in tamil_analyze("௧௨௩௪ FIFA")]
+    assert got == ["1234", "fifa"]
+
+
+def test_tamil_indic_normalization_composes_vowels():
+    # IndicNormalizer Tamil rows: decomposed ெ+ா composes to ொ before stop/stem
+    from lucene_spark.analysis.ta import tamil_normalize
+
+    assert tamil_normalize("க\u0bc6\u0bbe") == "க\u0bca"
+    assert tamil_normalize("க\u0bc7\u0bbe") == "க\u0bcb"
+    assert tamil_normalize("\u0b92\u0bd7") == "\u0b94"
+
+
+def test_tamil_chain_with_stopwords():
+    from lucene_spark.analysis.ta import TAMIL_STOP_WORDS, tamil_analyze
+
+    # ஒரு ("a/one") is a stopword; நண்பர்கள் stems to நண்
+    got = [
+        (t.term, t.position)
+        for t in tamil_analyze("ஒரு நண்பர்கள்", TAMIL_STOP_WORDS)
+    ]
+    assert got == [("நண்", 1)]
+
+
+def test_tamil_registered_in_vectorized_registry():
+    from lucene_spark.analysis.vectorized import _vocab_chain
+
+    fn = _vocab_chain("tamil")
+    assert fn("நண்பர்கள்", None) == "நண்"
