@@ -5964,6 +5964,45 @@ _COMPOUND_DICT = [
 ]
 
 
+# Hunspell dictionary stemming (hunspell/Stemmer.java via analysis/
+# hunspell.py): every inflection collapses to its dictionary root, so
+# "walk" matches walks/walking/walk (idx 0,1,2); zebra is unknown and
+# indexes as itself. One stem per lexicon word keeps the slot arithmetic.
+_HUNSPELL_AFF = (
+    "SET UTF-8\n"
+    "SFX S Y 3\n"
+    "SFX S y ies [^aeiou]y\n"
+    "SFX S 0 s [^sxy]\n"
+    "SFX S 0 es [sx]\n"
+    "SFX G Y 1\n"
+    "SFX G 0 ing [^e]\n"
+)
+_HUNSPELL_DIC = "4\nwalk/SG\ntry/S\nbus/S\nhope/S\n"
+_HUNSPELL_LEX = [
+    "walks", "walking", "walk", "tries", "try", "buses", "zebra", "hopes",
+]
+_HUNS_WALK_IDXS = (0, 1, 2)
+
+
+def _q_hunspell_stem(spark, sf_dir, k: int = 100000):
+    from .analysis.hunspell import register_hunspell_analyzer
+    from .search.query import TermQuery
+
+    register_hunspell_analyzer(
+        "gate_hunspell", _HUNSPELL_AFF, _HUNSPELL_DIC
+    )
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "huns", _HUNSPELL_LEX, "gate_hunspell"),
+        analyzer="gate_hunspell", mode="double",
+    )
+    h = s.search(TermQuery("walk"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ReverseStringFilter: reversed-term index (the leading-wildcard trick) —
 # query term = reversed surface form. MappingCharFilter: ph→f rewriting
 # BEFORE tokenization folds 'phone' and 'fone' onto one term.
@@ -7919,6 +7958,7 @@ def gate_queries() -> dict:
         "italian_light_index": _q_italian_stem,
         "portuguese_light_index": _q_portuguese_stem,
         "tamil_snowball_index": _q_tamil_stem,
+        "hunspell_stem_index": _q_hunspell_stem,
         "swedish_light_index": _q_swedish_stem,
         "norwegian_light_index": _q_norwegian_stem,
         "finnish_light_index": _q_finnish_stem,
@@ -8192,6 +8232,7 @@ def gate_oracle_sql() -> dict:
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),
         "portuguese_light_index": _sql_lex_stem(_PT_LIVR_IDXS),
         "tamil_snowball_index": _sql_lex_stem(_TA_NAN_IDXS),
+        "hunspell_stem_index": _sql_lex_stem(_HUNS_WALK_IDXS),
         "swedish_light_index": _sql_lex_stem(_SV_FLICK_IDXS),
         "norwegian_light_index": _sql_lex_stem(_NO_HUS_IDXS),
         "finnish_light_index": _sql_lex_stem(_FI_KIRJ_IDXS),
