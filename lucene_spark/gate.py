@@ -4202,6 +4202,127 @@ SELECT vec_id, round(cos, 4) AS cos FROM (
 )"""
 
 
+# FloatVectorSimilarityQuery (search/AbstractVectorSimilarityQuery.java:46):
+# threshold retrieval — EVERY vector meeting resultSimilarity, no k. The
+# brute arm is one map-only filtered scan; the graph arm (gate row below)
+# runs the VectorSimilarityCollector traversal over the persisted HNSW
+# graphs with an exhaustive traversal bound, so both rows share one oracle.
+_VSIM_T = 0.3
+
+
+def _q_vector_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.similarity_threshold(emb, _qvec(spark, sf_dir), _VSIM_T)
+
+
+def _q_vector_similarity_graph(spark, sf_dir):
+    """Graph arm (search/VectorSimilarityCollector.java): similarity-bounded
+    traversal of the persisted per-leaf graphs; traversal_sim=-1 explores
+    every connected node so the result is exact and the brute oracle
+    applies (bounded-traversal recall is covered by pytest)."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswgraph"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    return _hnsw.similarity_threshold_persisted(
+        spark, emb, path, _qvec(spark, sf_dir),
+        result_sim=_VSIM_T, traversal_sim=-1.0,
+    )
+
+
+_SQL_VECTOR_SIMILARITY = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    {_COS_SQL} AS sim
+  FROM embeddings e, q
+)
+SELECT vec_id, round(sim, 4) AS sim FROM s
+WHERE sim >= {_VSIM_T} ORDER BY sim DESC, vec_id ASC"""
+
+
+# Byte vectors (search/KnnByteVectorQuery.java:38 + ByteVectorSimilarity-
+# Query.java:30): deterministic int8 quantization floor(x*127 + 0.5)
+# clamped to [-127,127], similarity = 0.5 + dot/(dim * 2^15)
+# (VectorSimilarityFunction.java:66 byte branch). dim = 64 on the
+# embeddings table.
+_BSIM_T = 0.502
+
+
+def _qbytes(spark, sf_dir) -> list[int]:
+    import math as _math
+
+    return [
+        int(max(-127, min(127, _math.floor(float(x) * 127.0 + 0.5))))
+        for x in _qvec(spark, sf_dir)
+    ]
+
+
+def _q_byte_vector_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = _ss.float_to_byte_vectors(emb)
+    return _ss.byte_similarity_threshold(b, _qbytes(spark, sf_dir), _BSIM_T)
+
+
+def _q_byte_vector_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = _ss.float_to_byte_vectors(emb)
+    return _ss.byte_topk(b, _qbytes(spark, sf_dir), k=10)
+
+
+_BYTE_SIM_CTE = """b AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> greatest(-127, least(127, floor(x * 127.0 + 0.5)))
+         ) AS bvec
+  FROM embeddings
+),
+q AS (SELECT bvec AS qb FROM b WHERE vec_id = 0),
+s AS (
+  SELECT b.vec_id,
+         0.5 + list_dot_product(b.bvec, q.qb) / (64 * 32768.0) AS sim
+  FROM b, q
+)"""
+
+_SQL_BYTE_VECTOR_SIMILARITY = f"""WITH {_BYTE_SIM_CTE}
+SELECT vec_id, round(sim, 6) AS sim FROM s
+WHERE sim >= {_BSIM_T} ORDER BY sim DESC, vec_id ASC"""
+
+_SQL_BYTE_VECTOR_TOPK = f"""WITH {_BYTE_SIM_CTE}
+SELECT vec_id, round(sim, 6) AS sim FROM (
+  SELECT * FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+)"""
+
+
+def _q_knn_diversified_children(spark, sf_dir):
+    """DiversifyingChildrenFloatKnnVectorQuery (join/DiversifyingChildren-
+    FloatKnnVectorQuery.java:43): kNN over child vectors deduplicated by
+    parent — each parent represented by its best child, top-k parents."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.diversified_children_topk(
+        emb, _qvec(spark, sf_dir), k=5, parent_col="label"
+    )
+
+
+_SQL_KNN_DIVERSIFIED = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.label AS parent, e.vec_id,
+    {_COS_SQL} AS cos
+  FROM embeddings e, q
+),
+r AS (
+  SELECT parent, vec_id, cos,
+         row_number() OVER (PARTITION BY parent ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT parent, vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM r WHERE rn = 1 ORDER BY cos DESC, parent ASC LIMIT 5
+)"""
+
+
 # --- events -----------------------------------------------------------------
 
 def _q_events_hourly(spark, sf_dir):
@@ -8085,6 +8206,11 @@ def gate_queries() -> dict:
         "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
         "simsearch_hnsw_appended": _q_simsearch_hnsw_appended,
         "knn_filtered_hnsw": _q_knn_filtered_hnsw,
+        "vector_similarity_float": _q_vector_similarity,
+        "vector_similarity_graph": _q_vector_similarity_graph,
+        "vector_similarity_byte": _q_byte_vector_similarity,
+        "knn_byte_topk": _q_byte_vector_topk,
+        "knn_diversified_children": _q_knn_diversified_children,
         "payload_score": _q_payload_score,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
@@ -8357,6 +8483,11 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw_quantized": _SQL_SIMSEARCH,
         "simsearch_hnsw_appended": _SQL_SIMSEARCH,
         "knn_filtered_hnsw": _SQL_KNN_FILTERED,
+        "vector_similarity_float": _SQL_VECTOR_SIMILARITY,
+        "vector_similarity_graph": _SQL_VECTOR_SIMILARITY,
+        "vector_similarity_byte": _SQL_BYTE_VECTOR_SIMILARITY,
+        "knn_byte_topk": _SQL_BYTE_VECTOR_TOPK,
+        "knn_diversified_children": _SQL_KNN_DIVERSIFIED,
         "payload_score": _sql_payload_score(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),

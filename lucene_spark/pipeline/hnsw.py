@@ -46,6 +46,8 @@ __all__ = [
     "hnsw_topk_persisted",
     "hnsw_topk_quantized",
     "quantize_leaf",
+    "collect_leaf_similar",
+    "similarity_threshold_persisted",
     "GRAPH_SCHEMA",
 ]
 
@@ -900,4 +902,203 @@ def hnsw_topk_persisted(
     top = per_leaf.orderBy(F.desc("cos"), F.asc("_id")).limit(k)
     return top.select(
         F.col("_id").alias(id_col), F.round("cos", 4).alias("cos")
+    )
+
+
+# --- threshold retrieval over the persisted graph ---------------------------
+# search/AbstractVectorSimilarityQuery.java:46 (Float/ByteVectorSimilarity-
+# Query's approximate arm) + search/VectorSimilarityCollector.java: a
+# similarity-bounded graph traversal — explore while candidate similarity
+# >= traversalSimilarity, collect every visited node >= resultSimilarity,
+# and if the visited budget blows, fall back to the exact scan arm
+# (pipeline/simsearch.similarity_threshold) over that leaf.
+
+
+def collect_leaf_similar(
+    entry: int,
+    levels: np.ndarray,
+    layers: list[dict[int, list[int]]],
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    qvec: np.ndarray,
+    result_sim: float,
+    traversal_sim: float,
+    visited_limit: int | None = None,
+) -> list[tuple[float, int]] | None:
+    """Similarity-bounded traversal of one leaf graph. Returns
+    [(cosine, row_idx)] of nodes >= result_sim, or None when the visited
+    budget is exceeded (caller falls back to the exact arm). Exploration
+    follows VectorSimilarityCollector: a branch is expanded only while the
+    best candidate's similarity >= traversal_sim, so recall below the
+    traversal bound is best-effort — exactly the reference contract."""
+    if entry < 0 or len(ids) == 0:
+        return []
+    qn = float(np.linalg.norm(qvec)) or 1.0
+    qu = qvec / qn
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+
+    cur = entry
+    for lvl in range(len(layers) - 1, 0, -1):
+        changed = True
+        while changed:
+            changed = False
+            nbrs = layers[lvl].get(cur, ())
+            if nbrs:
+                arr = np.array(list(nbrs), dtype=np.int64)
+                ss = unit[arr] @ qu
+                j = int(np.argmax(ss))
+                if float(ss[j]) > float(unit[cur] @ qu):
+                    cur = int(arr[j])
+                    changed = True
+
+    visited = {cur}
+    s0 = float(unit[cur] @ qu)
+    cand = [(-s0, cur)]
+    out: list[tuple[float, int]] = []
+    while cand:
+        if visited_limit is not None and len(visited) > visited_limit:
+            return None
+        cs, c = heapq.heappop(cand)
+        s = -cs
+        if s < traversal_sim and out:
+            break  # every remaining candidate is below the traversal bound
+        if s >= result_sim:
+            out.append((s, c))
+        nbrs = [x for x in layers[0].get(c, ()) if x not in visited]
+        if not nbrs:
+            continue
+        arr = np.array(nbrs, dtype=np.int64)
+        ss = unit[arr] @ qu
+        for sv, e in zip(ss, arr):
+            visited.add(int(e))
+            sv = float(sv)
+            if sv >= traversal_sim:
+                heapq.heappush(cand, (-sv, int(e)))
+    return sorted(out, key=lambda t: (-t[0], ids[t[1]]))
+
+
+def similarity_threshold_persisted(
+    spark,
+    emb: DataFrame,
+    path: str,
+    qvec: list[float],
+    result_sim: float,
+    traversal_sim: float | None = None,
+    visited_ratio: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FloatVectorSimilarityQuery's approximate arm over persisted per-leaf
+    graphs: each leaf task runs the similarity-bounded traversal; a leaf
+    whose visited count exceeds ``visited_ratio * leaf_size`` falls back to
+    exact scoring of that leaf (the reference's exact fallback). Output =
+    (id, sim) for sim >= result_sim, ordered (sim DESC, id ASC); EXACT cosine
+    is recomputed for emitted rows so scores match the brute arm bit-for-bit.
+    ``traversal_sim`` defaults to result_sim (the reference default when the
+    traversal bound is not given)."""
+    import json
+    import os
+
+    if traversal_sim is None:
+        traversal_sim = result_sim
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_leaves = int(meta["n_leaves"])
+    leaf_counts = {int(k2): int(v) for k2, v in meta.get("leaf_counts", {}).items()}
+    q = np.asarray([float(v) for v in qvec], dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def leaf_search(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        leaf = int(key[0])
+        expected = leaf_counts.get(leaf)
+        if expected is not None and len(left) != expected:
+            raise ValueError(
+                f"hnsw graph at leaf {leaf} is stale: {len(left)} vectors vs "
+                f"{expected} indexed at hnsw_write time — rebuild required"
+            )
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"_id": [], "cos": []}).astype(
+                {"_id": "int64", "cos": "float64"}
+            )
+        ids = left["_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in left["_vec"]])
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        max_lvl = int(right["lvl"].max())
+        layers: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
+        levels = np.zeros(ids.size, dtype=np.int64)
+        top_nodes = []
+        for node, lvl, nbrs in zip(right["node"], right["lvl"], right["nbrs"]):
+            i = idx_of[int(node)]
+            lvl = int(lvl)
+            levels[i] = max(levels[i], lvl)
+            if len(nbrs):
+                layers[lvl][i] = [idx_of[int(x)] for x in nbrs]
+            if lvl == max_lvl:
+                top_nodes.append(i)
+        entry = min(top_nodes, key=lambda i: int(ids[i]))
+        budget = max(1, int(visited_ratio * ids.size))
+        hits = collect_leaf_similar(
+            entry, levels, layers, ids, vecs, q,
+            float(result_sim), float(traversal_sim), visited_limit=budget,
+        )
+        qq = float(np.dot(q, q))
+        if hits is None:
+            # exact fallback over the whole leaf (same operand order as
+            # the SQL oracle, so emitted scores are engine-identical)
+            rows = []
+            for i in range(ids.size):
+                v = vecs[i]
+                cos = float(np.dot(v, q)) / (
+                    np.sqrt(float(np.dot(v, v))) * np.sqrt(qq)
+                )
+                if cos >= float(result_sim):
+                    rows.append((int(ids[i]), cos))
+            return pd.DataFrame(rows, columns=["_id", "cos"]).astype(
+                {"_id": "int64", "cos": "float64"}
+            )
+        rows = []
+        for _, i in hits:
+            v = vecs[i]
+            cos = float(np.dot(v, q)) / (np.sqrt(float(np.dot(v, v))) * np.sqrt(qq))
+            if cos >= float(result_sim):
+                rows.append((int(ids[i]), cos))
+        return pd.DataFrame(rows, columns=["_id", "cos"]).astype(
+            {"_id": "int64", "cos": "float64"}
+        )
+
+    graph = spark.read.parquet(f"{path}/graph").select(
+        F.col("leaf").cast("int").alias("leaf"), "node", "lvl", "nbrs"
+    )
+    keyed = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _leaf_col(id_col, n_leaves).alias("_leaf"),
+    )
+    if meta.get("appended"):
+        assign = spark.read.parquet(f"{path}/assign").select(
+            F.col("vec_id").cast("long").alias("_aid"),
+            F.col("leaf").cast("int").alias("_aleaf"),
+        )
+        keyed = (
+            keyed.join(assign, keyed["_id"] == assign["_aid"], "left")
+            .withColumn("_leaf", F.coalesce("_aleaf", "_leaf"))
+            .drop("_aid", "_aleaf")
+        )
+    per_leaf = (
+        keyed.groupBy("_leaf")
+        .cogroup(graph.groupBy("leaf"))
+        .applyInPandas(leaf_search, out_schema)
+    )
+    return (
+        per_leaf.orderBy(F.desc("cos"), F.asc("_id"))
+        .select(F.col("_id").alias(id_col), F.round("cos", 4).alias("sim"))
     )

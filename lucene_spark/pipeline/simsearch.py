@@ -26,6 +26,11 @@ __all__ = [
     "ivf_topk_persisted",
     "recall_at_k",
     "semantic_dup_pairs",
+    "similarity_threshold",
+    "float_to_byte_vectors",
+    "byte_topk",
+    "byte_similarity_threshold",
+    "diversified_children_topk",
 ]
 
 
@@ -380,3 +385,167 @@ def semantic_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+# --- Vector similarity surface beyond top-k --------------------------------
+#
+# Threshold retrieval (search/AbstractVectorSimilarityQuery.java:46 — the
+# Float/ByteVectorSimilarityQuery pair): return EVERY vector whose
+# similarity to the query meets ``resultSimilarity``, not a fixed k. The
+# Spark-first form is a filter over the scored scan — at 100 TB this is one
+# map-only pass (no shuffle at all; the similarity expression is JVM
+# codegen), and the same predicate composes with IVF cell pruning when the
+# table is ivf_write-partitioned. Lucene's graph arm of the same query
+# (traversalSimilarity + visitedLimit) lives in pipeline/hnsw.py as
+# ``similarity_threshold_persisted``.
+
+
+def _metric_sim(vec_col: str, qvec: list[float], metric: str) -> F.Column:
+    """Similarity column per index/VectorSimilarityFunction.java:35-104:
+    COSINE, DOT_PRODUCT (raw), EUCLIDEAN -> 1/(1+squared distance), and
+    MAXIMUM_INNER_PRODUCT's positive scaling (dot<0 -> 1/(1-dot), else
+    dot+1)."""
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    v = F.col(vec_col)
+    if metric == "cosine":
+        return _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+    if metric == "dot":
+        return _dot(v, q)
+    if metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with(
+                v, q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.lit(1.0) / (F.lit(1.0) + d2)
+    if metric == "max_inner_product":
+        d = _dot(v, q)
+        return F.when(d < 0, F.lit(1.0) / (F.lit(1.0) - d)).otherwise(d + F.lit(1.0))
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def similarity_threshold(
+    emb: DataFrame,
+    qvec: list[float],
+    threshold: float,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FloatVectorSimilarityQuery (search/FloatVectorSimilarityQuery.java:33):
+    all vectors with similarity >= ``threshold`` (resultSimilarity), ordered
+    (sim DESC, id ASC). The cut happens on the unrounded value; output sim
+    is rounded to 4 like the top-k family."""
+    scored = emb.select(
+        F.col(id_col), _metric_sim(vec_col, qvec, metric).alias("sim")
+    )
+    return (
+        scored.filter(F.col("sim") >= float(threshold))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .select(id_col, F.round("sim", 4).alias("sim"))
+    )
+
+
+# Byte vectors (search/KnnByteVectorQuery.java:38 + ByteVectorSimilarity-
+# Query.java:30): int8 vectors with DOT_PRODUCT similarity scaled into
+# [0,1] as 0.5 + dot / (dim * 2^15) (VectorSimilarityFunction.java:66 byte
+# branch). Quantization from a float column is deterministic
+# floor(x*127 + 0.5) clamped to [-127,127] — reproducible in any SQL engine
+# (no round-half-even ambiguity), standing in for an app-chosen quantizer.
+
+
+def float_to_byte_vectors(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bvec",
+) -> DataFrame:
+    """Deterministic int8 view of a float vector column (the input shape
+    KnnByteVectorQuery consumes; Lucene stores these via
+    KnnByteVectorField)."""
+    return emb.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x.cast("double") * 127.0 + 0.5)),
+            ).cast("int"),
+        ),
+    )
+
+
+def _byte_dot_sim(vec_col: str, qbytes: list[int]) -> F.Column:
+    q = F.array(*[F.lit(int(v)) for v in qbytes])
+    v = F.col(vec_col)
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return F.lit(0.5) + dot / F.lit(float(len(qbytes) * (1 << 15)))
+
+
+def byte_topk(
+    emb_bytes: DataFrame,
+    qbytes: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "bvec",
+) -> DataFrame:
+    """KnnByteVectorQuery: exact top-k over int8 vectors by the scaled
+    byte dot-product similarity, tie-break (sim DESC, id ASC)."""
+    scored = emb_bytes.select(
+        F.col(id_col), _byte_dot_sim(vec_col, qbytes).alias("sim")
+    )
+    top = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    return top.select(id_col, F.round("sim", 6).alias("sim"))
+
+
+def byte_similarity_threshold(
+    emb_bytes: DataFrame,
+    qbytes: list[int],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "bvec",
+) -> DataFrame:
+    """ByteVectorSimilarityQuery: every int8 vector whose scaled dot
+    similarity meets resultSimilarity."""
+    scored = emb_bytes.select(
+        F.col(id_col), _byte_dot_sim(vec_col, qbytes).alias("sim")
+    )
+    return (
+        scored.filter(F.col("sim") >= float(threshold))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .select(id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
+def diversified_children_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    parent_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DiversifyingChildrenFloatKnnVectorQuery (join/DiversifyingChildren-
+    FloatKnnVectorQuery.java:43): kNN over CHILD vectors deduplicated by
+    parent — each parent is represented by its single best-scoring child,
+    then the top ``k`` parents win. One window shuffle on the parent key
+    (map-side combinable at scale via a per-partition pre-topk), never
+    all-pairs; ties (cos DESC, child id ASC), parents ranked the same way."""
+    from pyspark.sql import Window
+
+    scored = emb.select(
+        F.col(parent_col).alias("parent"),
+        F.col(id_col),
+        _cosine(vec_col, qvec).alias("cos"),
+    )
+    w = Window.partitionBy("parent").orderBy(F.desc("cos"), F.asc(id_col))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    top = best.orderBy(F.desc("cos"), F.asc("parent")).limit(k)
+    return top.select("parent", id_col, F.round("cos", 4).alias("cos"))
