@@ -3881,6 +3881,100 @@ SELECT doc_id, round(dist_m, 3) AS dist_m FROM (
 )"""
 
 
+_GEO_FEAT_PIVOT, _GEO_FEAT_W = 2_000_000.0, 2.0
+
+
+def _q_geo_distance_feature(spark, sf_dir):
+    """LatLonPointDistanceFeatureQuery (document/LatLonPointDistance-
+    FeatureQuery.java:64): weight · pivot / (pivot + haversine) over the
+    quantized coords — geo boost-by-proximity, top-10."""
+    from .search.geo import distance_feature
+
+    return distance_feature(
+        _geo_docs(spark, sf_dir), *_GEO_Q,
+        pivot_m=_GEO_FEAT_PIVOT, weight=_GEO_FEAT_W, k=10,
+    )
+
+
+def _sql_geo_distance_feature(k: int = 10) -> str:
+    qlat, qlon = (f"{v}::DOUBLE" for v in _GEO_Q)
+    pi, r = "3.141592653589793::DOUBLE", "6371008.7714::DOUBLE"
+    p, w = f"{_GEO_FEAT_PIVOT!r}::DOUBLE", f"{_GEO_FEAT_W!r}::DOUBLE"
+    return f"""WITH {_GEO_SQL_CTE},
+gdec AS (
+  SELECT doc_id,
+         elat::DOUBLE / 2147483648.0 * 90.0 AS lat,
+         elon::DOUBLE / 2147483648.0 * 180.0 AS lon
+  FROM genc
+),
+gd AS (
+  SELECT doc_id,
+         {w} * ({p} / ({p} + 2.0 * {r} * asin(sqrt(
+           pow(sin((({qlat} - lat) * {pi} / 180.0) / 2.0), 2.0)
+           + cos(lat * {pi} / 180.0) * cos({qlat} * {pi} / 180.0)
+             * pow(sin((({qlon} - lon) * {pi} / 180.0) / 2.0), 2.0)
+         )))) AS score
+  FROM gdec
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT * FROM gd ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
+
+# --- range fields (document/RangeFieldQuery.java:60) -------------------------
+# lineitem rows carry a synthetic integer interval [lo, hi] with
+# lo = l_partkey % 1000 and hi = lo + int(l_quantity) — integer-exact in
+# both engines; each relation row uses a query interval chosen so its
+# match set is nonzero at every SF.
+
+_RANGE_QUERIES = {
+    "intersects": (200, 230),
+    "within": (150, 250),
+    "contains": (200, 230),
+    "crosses": (200, 230),
+}
+
+
+def _q_range_field(relation: str):
+    def q(spark, sf_dir):
+        from .search.misc import range_field_query
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ranged = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 1000).cast("long").alias("lo"),
+            (
+                (F.col("l_partkey") % 1000) + F.col("l_quantity").cast("long")
+            ).cast("long").alias("hi"),
+        )
+        q_lo, q_hi = _RANGE_QUERIES[relation]
+        return range_field_query(ranged, "lo", "hi", q_lo, q_hi, relation)
+
+    return q
+
+
+def _sql_range_field(relation: str) -> str:
+    q_lo, q_hi = _RANGE_QUERIES[relation]
+    preds = {
+        "intersects": f"(lo <= {q_hi} AND hi >= {q_lo})",
+        "within": f"(lo >= {q_lo} AND hi <= {q_hi})",
+        "contains": f"(lo <= {q_lo} AND hi >= {q_hi})",
+        "crosses": (
+            f"((lo <= {q_hi} AND hi >= {q_lo})"
+            f" AND NOT (lo >= {q_lo} AND hi <= {q_hi})"
+            f" AND NOT (lo <= {q_lo} AND hi >= {q_hi}))"
+        ),
+    }
+    return f"""WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey % 1000)::BIGINT AS lo,
+         ((l_partkey % 1000) + l_quantity::BIGINT)::BIGINT AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, lo, hi FROM r WHERE {preds[relation]}"""
+
+
 # --- similarity search ------------------------------------------------------
 
 def _qvec(spark, sf_dir) -> list[float]:
@@ -8040,6 +8134,11 @@ def gate_queries() -> dict:
         "fvh_snippets": _q_fvh_snippets,
         "complex_phrase_fuzzy": _q_complex_phrase,
         "geo_distance_join": _q_geo_distance_join,
+        "geo_distance_feature": _q_geo_distance_feature,
+        "range_field_intersects": _q_range_field("intersects"),
+        "range_field_within": _q_range_field("within"),
+        "range_field_contains": _q_range_field("contains"),
+        "range_field_crosses": _q_range_field("crosses"),
         "bm25_min_should": _mk_topk_ast(_ast_min_should),
         "bm25_constant_score": _mk_topk_ast(_ast_constant, k=30),
         "bm25_term_in_set": _mk_topk_ast(_ast_term_in_set, k=30),
@@ -8325,6 +8424,11 @@ def gate_oracle_sql() -> dict:
         "fvh_snippets": _SQL_FVH_SNIPPETS,
         "complex_phrase_fuzzy": _sql_complex_phrase(),
         "geo_distance_join": _sql_geo_distance_join(),
+        "geo_distance_feature": _sql_geo_distance_feature(),
+        "range_field_intersects": _sql_range_field("intersects"),
+        "range_field_within": _sql_range_field("within"),
+        "range_field_contains": _sql_range_field("contains"),
+        "range_field_crosses": _sql_range_field("crosses"),
         "bm25_min_should": _sql_min_should(["batch", "filter", "window"], msm=2),
         "bm25_constant_score": _sql_constant_and(["stream", "window"], boost=2.5, k=30),
         "bm25_term_in_set": _sql_term_in_set(["scan", "merge", "nosuchterm"], k=30),

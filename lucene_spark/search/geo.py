@@ -44,6 +44,7 @@ __all__ = [
     "distance_query",
     "polygon_query",
     "nearest",
+    "distance_feature",
     "distance_join",
     "haversine_pair_meters",
     "EARTH_MEAN_RADIUS_METERS",
@@ -258,6 +259,40 @@ def nearest(
     )
     top = scored.orderBy(F.asc("dist_m"), F.asc(id_col)).limit(k)
     return top.select(id_col, F.round("dist_m", 3).alias("dist_m"))
+
+
+def distance_feature(
+    df: DataFrame,
+    qlat: float,
+    qlon: float,
+    pivot_m: float,
+    weight: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """LatLonPointDistanceFeatureQuery (document/LatLonPointDistance-
+    FeatureQuery.java:64, built by LatLonPoint.newDistanceFeatureQuery):
+    feature score = weight · pivot / (pivot + haversine(origin, doc)) over
+    the QUANTIZED coordinates — the boost-by-geo-proximity clause. Top-k
+    ties (score DESC, id ASC); the cut uses the unrounded score, output
+    rounds to 6. Lucene prunes via BKD distance buckets as the k-th score
+    rises; here the feature is one codegen expression and the rank is a
+    TakeOrderedAndProject (no global sort). Combine with a text query by
+    joining on the id and summing, as DistanceFeatureQuery's SHOULD clause
+    does."""
+    if not (pivot_m > 0):
+        raise ValueError(f"pivotDistance must be > 0, got {pivot_m}")
+    dlat = decode_latitude(encode_latitude(F.col(lat_col)))
+    dlon = decode_longitude(encode_longitude(F.col(lon_col)))
+    dist = haversine_meters(dlat, dlon, qlat, qlon)
+    feat = F.lit(float(weight)) * (
+        F.lit(float(pivot_m)) / (F.lit(float(pivot_m)) + dist)
+    )
+    scored = df.select(id_col, feat.alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return top.select(id_col, F.round("score", 6).alias("score"))
 
 
 def haversine_pair_meters(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..index.builder import FIELD_SEP
 
-__all__ = ["high_freq_terms", "doc_values_stats"]
+__all__ = ["high_freq_terms", "doc_values_stats", "range_field_query"]
 
 
 def doc_values_stats(searcher, query, name: str) -> DataFrame:
@@ -79,3 +79,46 @@ def high_freq_terms(
         F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
     )
     return agg.orderBy(F.desc(by), F.asc("term")).limit(k)
+
+
+def range_field_query(
+    df: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    q_lo,
+    q_hi,
+    relation: str = "intersects",
+) -> DataFrame:
+    """RangeFieldQuery (document/RangeFieldQuery.java:60 QueryType enum,
+    built by IntRange/LongRange/DoubleRange.newIntersectsQuery &co):
+    documents store an interval [lo, hi] (here two columns) and the query
+    relates it to [q_lo, q_hi]:
+
+    - INTERSECTS: doc.lo <= q.hi AND doc.hi >= q.lo
+    - WITHIN:     doc.lo >= q.lo AND doc.hi <= q.hi
+    - CONTAINS:   doc.lo <= q.lo AND doc.hi >= q.hi
+    - CROSSES:    intersects AND NOT within AND NOT contains
+      (RangeFieldQuery.QueryType.CROSSES javadoc: ranges that overlap the
+      query but are neither contained by it nor containing it)
+
+    Lucene evaluates these against a 2·dim-dimensional points tree; the
+    Spark-first shape is a pair of comparison predicates that reach the
+    parquet scan (PushedFilters) — map-only, no shuffle, and at 100 TB the
+    scan prunes row groups on the lo/hi column statistics exactly like the
+    BKD tree prunes cells."""
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    intersects = (lo <= q_hi) & (hi >= q_lo)
+    within = (lo >= q_lo) & (hi <= q_hi)
+    contains = (lo <= q_lo) & (hi >= q_hi)
+    rel = relation.lower()
+    if rel == "intersects":
+        pred = intersects
+    elif rel == "within":
+        pred = within
+    elif rel == "contains":
+        pred = contains
+    elif rel == "crosses":
+        pred = intersects & ~within & ~contains
+    else:
+        raise ValueError(f"unknown range relation: {relation}")
+    return df.filter(pred)
