@@ -2463,6 +2463,58 @@ SELECT term, round(score, 6) AS score FROM (
 )"""
 
 
+_REGEX_SUGG_PAT = "[a-z]+ (data|table)"
+
+
+def _q_suggest_regex(spark, sf_dir, k: int = 10):
+    """RegexCompletionQuery (suggest/document/RegexCompletionQuery.java:40):
+    the regex consumes a PREFIX of the suggestion's lowercased surface
+    form; ranking weight DESC, text ASC."""
+    from .search.spell import regex_completion_suggest
+
+    sugg = _docs(spark, sf_dir).select(
+        "text", F.col("n_chars").cast("long").alias("weight")
+    )
+    return regex_completion_suggest(sugg, _REGEX_SUGG_PAT, k=k)
+
+
+def _sql_suggest_regex(k: int = 10) -> str:
+    return f"""SELECT text, n_chars::BIGINT AS weight FROM documents
+WHERE regexp_matches(lower(text), '^(?:{_REGEX_SUGG_PAT})')
+ORDER BY weight DESC, text ASC LIMIT {k}"""
+
+
+_CTX_BOOSTS = {"en": 2.0, "de": 1.5, "fr": 1.0}
+
+
+def _q_suggest_context(spark, sf_dir, k: int = 10):
+    """ContextQuery over a PrefixCompletionQuery (suggest/document/
+    ContextQuery.java:63 + ContextSuggestField): suggestions carry
+    contexts [lang, source]; the query boosts en/de/fr — a doc outside
+    those contexts is dropped, a match scores weight * boost."""
+    from .search.spell import context_suggest
+
+    sugg = _docs(spark, sf_dir).select(
+        "text",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.array("lang", "source").alias("contexts"),
+    )
+    return context_suggest(sugg, "dat", _CTX_BOOSTS, k=k)
+
+
+def _sql_suggest_context(k: int = 10) -> str:
+    arr = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    boosts = " ".join(
+        f"WHEN '{c}' THEN {b!r}" for c, b in sorted(_CTX_BOOSTS.items())
+    )
+    langs = ", ".join(f"'{c}'" for c in sorted(_CTX_BOOSTS))
+    return f"""SELECT text,
+       round(n_chars::DOUBLE * (CASE lang {boosts} END), 4) AS score
+FROM documents
+WHERE len({arr}) >= 1 AND {arr}[1] LIKE 'dat%' AND lang IN ({langs})
+ORDER BY score DESC, text ASC LIMIT {k}"""
+
+
 def _q_facet_taxonomy(spark, sf_dir):
     """Taxonomy facets with ancestor rollup over the hits of
     "stream OR window"; path = lang/source."""
@@ -8154,6 +8206,8 @@ def gate_queries() -> dict:
         "suggest_analyzing": _q_suggest_analyzing,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_freetext": _q_suggest_freetext,
+        "suggest_regex": _q_suggest_regex,
+        "suggest_context": _q_suggest_context,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
         "ascii_folded_index": _q_folded,
@@ -8444,6 +8498,8 @@ def gate_oracle_sql() -> dict:
         "suggest_analyzing": _sql_suggest_analyzing(),
         "suggest_fuzzy": _sql_suggest_fuzzy(),
         "suggest_freetext": _SQL_SUGGEST_FREETEXT,
+        "suggest_regex": _sql_suggest_regex(),
+        "suggest_context": _sql_suggest_context(),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),

@@ -72,6 +72,8 @@ __all__ = [
     "prefix_suggest",
     "infix_suggest",
     "fuzzy_suggest",
+    "regex_completion_suggest",
+    "context_suggest",
 ]
 
 MODES = ("when_not_in_index", "more_popular", "always")  # SuggestMode.java
@@ -707,4 +709,101 @@ def blended_infix_suggest(
         .orderBy(F.desc("score"), F.asc(text_col))
         .limit(k)
         .select(text_col, "score")
+    )
+
+
+def regex_completion_suggest(
+    suggestions,
+    pattern: str,
+    k: int = 10,
+    text_col: str = "text",
+    weight_col: str = "weight",
+):
+    """RegexCompletionQuery (suggest/document/RegexCompletionQuery.java:40):
+    Lucene compiles the regex to an automaton and intersects it with the
+    suggestion FST's PREFIX paths — a suggestion matches when the regex
+    consumes some prefix of its (lowercased, like the default
+    CompletionAnalyzer) surface form. Spark shape: a start-anchored rlike,
+    map-only codegen over the dictionary-sized suggestion table; ranking is
+    the Lookup order (weight DESC, text ASC)."""
+    anchored = "^(?:" + pattern + ")"
+    return (
+        suggestions.filter(F.lower(F.col(text_col)).rlike(anchored))
+        .orderBy(F.desc(weight_col), F.asc(text_col))
+        .limit(k)
+        .select(text_col, weight_col)
+    )
+
+
+def _analyzed_prefix_cond(
+    query: str,
+    text_col: str,
+    stopwords: frozenset[str] | None = None,
+):
+    """Position-anchored analyzed-prefix condition shared by
+    analyzing_suggest and context_suggest (PrefixCompletionQuery's match
+    rule): every analyzed query token but the last equals the suggestion
+    token at the same position, the last is a prefix of the next."""
+    toks = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    if not toks:
+        raise ValueError("suggest query analyzes to no tokens")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    if stopwords:
+        stop_arr = F.array(*[F.lit(w) for w in sorted(stopwords)])
+        arr = F.filter(arr, lambda x: ~F.array_contains(stop_arr, x))
+    *full, last = toks
+    cond = F.size(arr) >= len(toks)
+    for i, t in enumerate(full):
+        cond = cond & (F.element_at(arr, i + 1) == t)
+    return cond & F.element_at(arr, len(toks)).startswith(last)
+
+
+def context_suggest(
+    suggestions,
+    query: str,
+    contexts: dict[str, float] | None = None,
+    k: int = 10,
+    text_col: str = "text",
+    weight_col: str = "weight",
+    contexts_col: str = "contexts",
+    stopwords: frozenset[str] | None = None,
+):
+    """ContextQuery (suggest/document/ContextQuery.java:63) wrapping a
+    PrefixCompletionQuery: suggestions carry an array of context values
+    (ContextSuggestField); the query carries (context -> boost). A
+    suggestion matches when the inner completion matches AND it has at
+    least one queried context; its score is weight * max(matching boosts)
+    (addContext javadoc: "the boost is multiplied with the suggestion
+    weight", several matching contexts keep the best). A query with no
+    contexts matches every context with boost 1 (ContextQuery's
+    allContexts path). Map-only: the context map is a literal, the boost
+    lookup is a codegen transform — no UDF, no shuffle."""
+    cond = _analyzed_prefix_cond(query, text_col, stopwords)
+    out = suggestions.filter(cond)
+    w = F.col(weight_col).cast("double")
+    if contexts:
+        pairs: list = []
+        for c, b in sorted(contexts.items()):
+            pairs.extend([F.lit(c), F.lit(float(b))])
+        cmap = F.create_map(*pairs)
+        boosts = F.filter(
+            F.transform(F.col(contexts_col), lambda c: F.element_at(cmap, c)),
+            lambda x: x.isNotNull(),
+        )
+        out = (
+            out.withColumn("_boosts", boosts)
+            .filter(F.size("_boosts") > 0)
+            .withColumn("score", w * F.array_max("_boosts"))
+            .drop("_boosts")
+        )
+    else:
+        out = out.withColumn("score", w)
+    return (
+        out.orderBy(F.desc("score"), F.asc(text_col))
+        .limit(k)
+        .select(text_col, F.round("score", 4).alias("score"))
     )
