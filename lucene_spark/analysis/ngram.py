@@ -23,6 +23,8 @@ __all__ = [
     "edge_ngram_tokens",
     "ngram_analyze",
     "edge_ngram_analyze",
+    "ngram_tokenizer_tokens",
+    "register_ngram_tokenizer",
 ]
 
 
@@ -94,3 +96,32 @@ def edge_ngram_analyze(
 ) -> list[Token]:
     """standard chain -> edge grams 2..4 (the common autocomplete config)."""
     return edge_ngram_tokens(analyze(text, stopwords, max_token_length), 2, 4)
+
+
+def ngram_tokenizer_tokens(text: str, n: int = 2, lowercase: bool = True) -> list[Token]:
+    """NGramTokenizer (analysis/ngram/NGramTokenizer.java:40) with a fixed
+    gram size: character n-grams over the RAW char stream (every char is a
+    token char, spaces included — the default isTokenChar) at CONSECUTIVE
+    positions — gram i covers chars [i, i+n) at position i. This is the
+    field shape NGramPhraseQuery optimizes ("ABCD" on a 2-gram field
+    indexes AB/0 BC/1 CD/2). ``lowercase`` prepends the usual
+    LowerCaseFilter step of the CJK/ngram chains."""
+    if n < 1:
+        raise ValueError("gram size must be >= 1")
+    t = text.lower() if lowercase else text
+    return [
+        Token(t[i : i + n], i, i, i + n, "gram")
+        for i in range(len(t) - n + 1)
+    ]
+
+
+def register_ngram_tokenizer(name: str, n: int = 2, lowercase: bool = True) -> None:
+    """Register a fixed-size character n-gram TOKENIZER analyzer (full
+    token-chain lane; sequential positions, so phrase queries over grams
+    work — the NGramPhraseQuery field)."""
+    from .custom import register_token_analyzer
+
+    def analyze_fn(text, stopwords=None, max_token_length=MAX_TOKEN_LENGTH):
+        return ngram_tokenizer_tokens(text, n, lowercase)
+
+    register_token_analyzer(name, analyze_fn)

@@ -47,6 +47,8 @@ __all__ = [
     "collect_terms",
     "boosted",
     "wildcard_to_regex",
+    "ngram_phrase",
+    "ngram_phrase_rewrite",
 ]
 
 
@@ -96,9 +98,18 @@ class TermQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
+    """``positions`` (PhraseQuery.Builder.add(term, position)): explicit
+    term positions RELATIVE to the phrase start, allowing gaps — "AB"/0
+    "CD"/2 matches docs where pos(CD) = pos(AB) + 2. None means the
+    consecutive default (term i at position i). Only the exact (slop=0)
+    matcher honors gaps; the sloppy matcher requires the default shape,
+    matching the reference (sloppy scoring is defined over the dense
+    position list)."""
+
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    positions: tuple[int, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -112,6 +123,47 @@ class MultiPhraseQuery:
 
     slots: tuple[tuple[str, ...], ...]
     boost: float = 1.0
+
+
+def ngram_phrase_rewrite(phrase: "PhraseQuery", n: int) -> "PhraseQuery":
+    """NGramPhraseQuery.rewrite (search/NGramPhraseQuery.java:46-75): a
+    phrase of CONSECUTIVE grams on an ``n``-gram tokenizer field needs only
+    every n-th gram plus the last one — "ABCD" on a 2-gram field queries
+    AB/0 CD/2 instead of AB/0 BC/1 CD/2 (the dropped grams are implied:
+    character grams of contiguous text overlap, so AB at p and CD at p+2
+    force BC at p+1). Optimizable iff slop == 0, n >= 2, >= 3 terms, and
+    positions are consecutive — otherwise the phrase returns unchanged.
+    Matching is identical; scoring uses the kept terms' stats, exactly as
+    the reference's rewritten PhraseQuery does."""
+    terms = phrase.terms
+    poss = phrase.positions or tuple(range(len(terms)))
+    optimizable = (
+        phrase.slop == 0
+        and n >= 2  # non-overlap n-gram cannot be optimized
+        and len(terms) >= 3  # short ones can't be optimized
+        and all(poss[i] == poss[i - 1] + 1 for i in range(1, len(poss)))
+    )
+    if not optimizable:
+        return phrase
+    keep = [i for i in range(len(terms)) if i % n == 0 or i == len(terms) - 1]
+    return PhraseQuery(
+        terms=tuple(terms[i] for i in keep),
+        slop=0,
+        boost=phrase.boost,
+        positions=tuple(poss[i] for i in keep),
+    )
+
+
+def ngram_phrase(text: str, n: int = 2, boost: float = 1.0) -> "PhraseQuery":
+    """Build the (rewritten) phrase for ``text`` over an ``n``-gram
+    tokenizer field: gram the lowercased text like the index side
+    (analysis/ngram.ngram_tokenizer_tokens), then apply the
+    NGramPhraseQuery rewrite."""
+    t = text.lower()
+    grams = tuple(t[i : i + n] for i in range(len(t) - n + 1))
+    if not grams:
+        raise ValueError(f"query shorter than gram size {n}: {text!r}")
+    return ngram_phrase_rewrite(PhraseQuery(grams, boost=boost), n)
 
 
 @dataclass(frozen=True)

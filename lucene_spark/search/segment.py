@@ -1075,6 +1075,11 @@ class _SegmentSearcher:
         Exact phrases (slop=0) take the vectorized adjacency path; sloppy
         phrases dispatch to the per-candidate-doc matcher."""
         if q.slop > 0:
+            if getattr(q, "positions", None):
+                raise ValueError(
+                    "explicit phrase positions require slop=0 (sloppy "
+                    "matching is defined over the dense position list)"
+                )
             return self._sloppy_phrase_match(q)
         tps = []
         for t in q.terms:
@@ -1092,14 +1097,17 @@ class _SegmentSearcher:
             cand = cand[np.isin(cand, d)]
         if cand.size == 0:
             return _EMPTY, _EMPTY, _EMPTY, False
+        # explicit positions allow gaps (PhraseQuery.Builder.add(term, pos),
+        # the NGramPhraseQuery rewrite shape); default = consecutive
+        poss = getattr(q, "positions", None) or tuple(range(len(tps)))
         starts = self._term_pos_keys(tps[0], cand)
-        for off in range(1, len(tps)):
+        for i in range(1, len(tps)):
             if starts.size == 0:
                 return _EMPTY, _EMPTY, _EMPTY, False
-            keys = self._term_pos_keys(tps[off], cand)
+            keys = self._term_pos_keys(tps[i], cand)
             if keys.size == 0:
                 return _EMPTY, _EMPTY, _EMPTY, False
-            want = starts + off
+            want = starts + (poss[i] - poss[0])
             idx = np.searchsorted(keys, want)
             idx_c = np.minimum(idx, keys.size - 1)
             starts = starts[keys[idx_c] == want]
@@ -1762,6 +1770,7 @@ class _SegmentSearcher:
         restriction threaded through enumeration so only overlapping
         postings blocks decode (the ConjunctionDISI analog for spans)."""
         from .spans import (
+            FieldMaskedSpan,
             SpanContaining,
             SpanNear,
             SpanNot,
@@ -1771,6 +1780,8 @@ class _SegmentSearcher:
             SpanWithin,
         )
 
+        if isinstance(q, FieldMaskedSpan):
+            return self._span_doc_superset(q.clause)
         if isinstance(q, SpanTerm):
             tp = self.term_postings(q.term)
             return tp.decode_all()[0] if tp is not None else _EMPTY
@@ -1808,6 +1819,7 @@ class _SegmentSearcher:
         per-doc enumeration order (SpanScorer asserts start ascending).
         Width carries each node's own semantics (see spans.py header)."""
         from .spans import (
+            FieldMaskedSpan,
             SpanContaining,
             SpanNear,
             SpanNot,
@@ -1817,6 +1829,10 @@ class _SegmentSearcher:
             SpanWithin,
         )
 
+        if isinstance(q, FieldMaskedSpan):
+            # FieldMaskingSpanQuery.createWeight delegates to the masked
+            # query — the mask changes getField() only, never the spans
+            return self._span_enumerate(q.clause, cand)
         if isinstance(q, SpanTerm):
             d, p, n = self._span_term_rows(q.term, cand)
             return d, p, p + 1, np.zeros(p.size, dtype=np.int64), n
