@@ -2463,6 +2463,156 @@ SELECT term, round(score, 6) AS score FROM (
 )"""
 
 
+# --- FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java) --------
+# Cross-field SpanNear on the mf2 index: the title field is the body's
+# first 8 tokens re-analyzed (positions 0..7 — PARALLEL to body's 0..7,
+# the denormalized-children precondition), so
+#   SpanNear([title:data, mask(body:stream -> title)], slop=0, ordered)
+# matches docs whose body has 'data stream' starting within the title
+# window. Scoring follows the reference caveat exactly: real term stats
+# (df of each term in its OWN field), collection stats from the first
+# SORTED term's field (body␟stream < title␟data → body stats), norms from
+# the first CLAUSE's field (title).
+
+
+def _q_span_field_masking(spark, sf_dir, k: int = 10):
+    from .index.builder import FIELD_SEP
+    from .search.spans import FieldMaskedSpan, SpanNear, SpanTerm
+
+    s = _mf_searcher(spark, sf_dir)
+    q = SpanNear(
+        (
+            SpanTerm("title" + FIELD_SEP + "data"),
+            FieldMaskedSpan(SpanTerm("body" + FIELD_SEP + "stream"), "title"),
+        ),
+        slop=0,
+        in_order=True,
+    )
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_span_field_masking(k: int = 10) -> str:
+    idf_b = _idf("(SELECT df FROM b_dft WHERE term = 'stream')")
+    idf_t = _idf("(SELECT df FROM t_dft WHERE term = 'data')")
+    return f"""WITH {_BASE_CTES}, {_MF_CTES},
+pa AS (SELECT doc_id, pos FROM t_toks WHERE term = 'data'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+sp AS (
+  SELECT pa.doc_id, pa.pos AS spos, min(pb.pos) AS y
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+),
+iv AS (
+  SELECT doc_id, y - spos - 1 AS w FROM sp WHERE y - spos - 1 <= 0
+),
+pf AS (SELECT doc_id, {_span_freq_expr([0])} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT pf.doc_id, (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN t_qdl qdl USING (doc_id),
+       (SELECT n_docs, avgdl FROM b_stats) s,
+       (SELECT ({idf_b} + {idf_t})
+        FROM (SELECT n_docs FROM b_stats) s) w(w)
+  WHERE pf.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
+# --- NGramPhraseQuery (search/NGramPhraseQuery.java) -------------------------
+# Index: fixed 2-gram character tokenizer over documents.text (sequential
+# positions — the NGramTokenizer field shape). Query: phrase "data s" grams
+# to da/0 at/1 ta/2 'a '/3 ' s'/4; the rewrite keeps da/0 ta/2 ' s'/4 —
+# 3 postings instead of 5 — and matching is provably identical because
+# overlapping character grams imply the dropped ones. The oracle replays
+# gram tokenization, the GAPPED phrase match, and BM25 over the KEPT
+# terms' stats (the reference's rewritten-query scoring).
+
+_NGRAM_PHRASE_TEXT = "data s"
+
+
+def _ensure_ngram_index(spark, sf_dir: str) -> str:
+    from .analysis.ngram import register_ngram_tokenizer
+
+    register_ngram_tokenizer("gate_ngram2", 2)
+    name = sf_dir.strip("/").replace("/", "_") + "_ngram2"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            "text",
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="gate_ngram2",
+            stopwords=None, index_positions=True,
+        )
+    return idx
+
+
+def _q_ngram_phrase(spark, sf_dir, k: int = 10):
+    from .search.query import ngram_phrase
+
+    q = ngram_phrase(_NGRAM_PHRASE_TEXT, 2)
+    assert q.positions == (0, 2, 4), "rewrite must keep every 2nd + last gram"
+    s = Searcher(spark, _ensure_ngram_index(spark, sf_dir), mode="double")
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_ngram_phrase(k: int = 10) -> str:
+    t = _NGRAM_PHRASE_TEXT.lower()
+    grams = [t[i : i + 2] for i in range(len(t) - 1)]
+    keep = [(grams[i], i) for i in range(len(grams)) if i % 2 == 0 or i == len(grams) - 1]
+    (g0, _p0), *rest = keep
+    joins = "\n  ".join(
+        f"JOIN gtoks j{n} ON j{n}.doc_id = a.doc_id AND j{n}.pos = a.pos + {p}"
+        f" AND j{n}.term = '{g}'"
+        for n, (g, p) in enumerate(rest)
+    )
+    idfs = " + ".join(
+        _idf(f"(SELECT df FROM gdft WHERE term = '{g}')") for g, _p in keep
+    )
+    return f"""WITH gbase AS (SELECT doc_id, lower(text) AS txt FROM documents),
+gtoks AS (
+  SELECT doc_id, i - 1 AS pos, substr(txt, i, 2) AS term
+  FROM gbase, LATERAL unnest(generate_series(1, length(txt) - 1)) AS u(i)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM gbase)::BIGINT AS n_docs,
+         (SELECT sum(greatest(length(txt) - 1, 0))::DOUBLE / count(*)
+          FROM gbase) AS avgdl
+),
+norm_tbl AS (SELECT unnest([{_NORM_VALS}]) AS v),
+qdl AS (
+  SELECT doc_id,
+         (SELECT max(v) FROM norm_tbl
+          WHERE v <= greatest(length(gbase.txt) - 1, 0)) AS qdl
+  FROM gbase
+),
+gdft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM gtoks GROUP BY term),
+pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM gtoks a
+  {joins}
+  WHERE a.term = '{g0}'
+  GROUP BY a.doc_id
+),
+ps AS (
+  SELECT pf.doc_id,
+         (w.w - w.w / {_tf_part("pf.freq", "qdl.qdl")}) AS score
+  FROM pf JOIN qdl USING (doc_id),
+       stats s,
+       (SELECT ({idfs}) AS w FROM stats s) w
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 _REGEX_SUGG_PAT = "[a-z]+ (data|table)"
 
 
@@ -4274,6 +4424,26 @@ def _q_knn_filtered_hnsw(spark, sf_dir):
     return _hnsw.hnsw_topk_persisted(
         spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
         filter_expr="label % 3 = 1",
+    )
+
+
+def _q_simsearch_hnsw_seeded(spark, sf_dir):
+    """SeededKnnVectorQuery (search/SeededKnnVectorQuery.java:43 —
+    Kulkarni et al. SIGIR'23): seed ids (a lexical query's top docs) enter
+    the layer-0 beam as entry points; leaves without seeds keep the
+    hierarchy descent. ef generous ⇒ exact recall on the gate corpus, so
+    the oracle is exact cosine top-k; the tiny-ef recall advantage is
+    pinned in tests/test_hnsw_seeded.py."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswgraph"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    return _hnsw.hnsw_topk_persisted(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
+        seed_ids=[0, 17, 123, 250],
     )
 
 
@@ -8208,6 +8378,8 @@ def gate_queries() -> dict:
         "suggest_freetext": _q_suggest_freetext,
         "suggest_regex": _q_suggest_regex,
         "suggest_context": _q_suggest_context,
+        "ngram_phrase_rewrite": _q_ngram_phrase,
+        "span_field_masking": _q_span_field_masking,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
         "ascii_folded_index": _q_folded,
@@ -8359,6 +8531,7 @@ def gate_queries() -> dict:
         "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
         "simsearch_hnsw_appended": _q_simsearch_hnsw_appended,
         "knn_filtered_hnsw": _q_knn_filtered_hnsw,
+        "simsearch_hnsw_seeded": _q_simsearch_hnsw_seeded,
         "vector_similarity_float": _q_vector_similarity,
         "vector_similarity_graph": _q_vector_similarity_graph,
         "vector_similarity_byte": _q_byte_vector_similarity,
@@ -8500,6 +8673,8 @@ def gate_oracle_sql() -> dict:
         "suggest_freetext": _SQL_SUGGEST_FREETEXT,
         "suggest_regex": _sql_suggest_regex(),
         "suggest_context": _sql_suggest_context(),
+        "ngram_phrase_rewrite": _sql_ngram_phrase(),
+        "span_field_masking": _sql_span_field_masking(),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
@@ -8643,6 +8818,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw_quantized": _SQL_SIMSEARCH,
         "simsearch_hnsw_appended": _SQL_SIMSEARCH,
         "knn_filtered_hnsw": _SQL_KNN_FILTERED,
+        "simsearch_hnsw_seeded": _SQL_SIMSEARCH,
         "vector_similarity_float": _SQL_VECTOR_SIMILARITY,
         "vector_similarity_graph": _SQL_VECTOR_SIMILARITY,
         "vector_similarity_byte": _SQL_BYTE_VECTOR_SIMILARITY,

@@ -59,6 +59,7 @@ __all__ = [
     "SpanPositionRange",
     "SpanContaining",
     "SpanWithin",
+    "FieldMaskedSpan",
     "span_terms",
     "is_span",
 ]
@@ -164,6 +165,29 @@ class SpanWithin:
             raise TypeError("SpanWithin needs span big/little")
 
 
+@dataclass(frozen=True)
+class FieldMaskedSpan:
+    """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:67):
+    lets a span clause over ANOTHER field participate in a composite span
+    (SpanNear/SpanOr across fields) by lying about its field — getField()
+    returns the mask, while createWeight delegates entirely to the masked
+    query, so evaluation uses the masked clause's own postings and
+    positions unchanged. Meaningful when the fields' positions are
+    parallel (the denormalized-children pattern in the reference javadoc).
+    In this engine a clause's field lives in its term namespace
+    (``field␟term``), so the mask is purely declarative: it satisfies the
+    composite's same-field contract and contributes nothing else — scoring
+    uses the real terms' stats, with collection stats from the first
+    sorted term's field, exactly the reference's caveat."""
+
+    clause: object
+    field: str
+
+    def __post_init__(self):
+        if not is_span(self.clause):
+            raise TypeError(f"not a span clause: {self.clause!r}")
+
+
 _SPAN_TYPES = (
     SpanTerm,
     SpanNear,
@@ -172,6 +196,7 @@ _SPAN_TYPES = (
     SpanPositionRange,
     SpanContaining,
     SpanWithin,
+    FieldMaskedSpan,
 )
 
 
@@ -187,6 +212,8 @@ def span_terms(q) -> set[str]:
     SpanNotQuery.java:144-147) but its postings are still read."""
     if isinstance(q, SpanTerm):
         return {q.term}
+    if isinstance(q, FieldMaskedSpan):
+        return span_terms(q.clause)
     if isinstance(q, (SpanNear, SpanOr)):
         out: set[str] = set()
         for c in q.clauses:
@@ -209,6 +236,8 @@ def span_all_terms(q) -> set[str]:
         return span_all_terms(q.include) | span_all_terms(q.exclude)
     if isinstance(q, SpanTerm):
         return {q.term}
+    if isinstance(q, FieldMaskedSpan):
+        return span_all_terms(q.clause)
     if isinstance(q, (SpanNear, SpanOr)):
         out: set[str] = set()
         for c in q.clauses:
