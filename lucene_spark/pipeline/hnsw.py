@@ -213,11 +213,18 @@ def search_leaf_graph(
     ef_search: int,
     accept: np.ndarray | None = None,
     visited_limit: int | None = None,
+    seed_idxs: np.ndarray | None = None,
 ) -> list[tuple[float, int]] | None:
     """Beam search a built leaf graph for the query vector. Returns
     [(cosine, row_idx)] best-first with (cos DESC, id ASC) ties —
     HnswGraphSearcher.java:36-60 (descend greedily to layer 0, then beam of
     ef_search).
+
+    ``seed_idxs`` (SeededKnnVectorQuery / Kulkarni et al. SIGIR'23
+    lexically-accelerated dense retrieval): row idxs used as layer-0 entry
+    points INSTEAD of the hierarchy descent — the seedWeight's matching
+    docs become the beam's initial candidates (seeded EntryPointProvider);
+    empty seeds fall back to the normal descent, as the reference does.
 
     ``accept`` (acceptDocs, HnswGraphSearcher acceptOrds): boolean mask
     over row idxs — traversal crosses every node (graph connectivity) but
@@ -238,29 +245,44 @@ def search_leaf_graph(
     def qsim(js: np.ndarray) -> np.ndarray:
         return unit[js] @ qu
 
-    cur = entry
-    for lvl in range(len(layers) - 1, 0, -1):
-        changed = True
-        while changed:
-            changed = False
-            nbrs = layers[lvl].get(cur, ())
-            if nbrs:
-                arr = np.array(list(nbrs), dtype=np.int64)
-                ss = qsim(arr)
-                j = int(np.argmax(ss))
-                if float(ss[j]) > float(unit[cur] @ qu):
-                    cur = int(arr[j])
-                    changed = True
-    # layer-0 beam
-    visited = {cur}
-    s0 = float(unit[cur] @ qu)
-    cand = [(-s0, cur)]
-    best = (
-        [(s0, cur)] if accept is None or bool(accept[cur]) else []
-    )
-    if best:
-        heapq.heapify(best)
     ef = max(ef_search, k)
+    if seed_idxs is not None and seed_idxs.size:
+        # seeded entry: the beam starts at the seeds, no hierarchy descent
+        ss = qsim(seed_idxs)
+        visited = {int(i) for i in seed_idxs}
+        cand = [(-float(s), int(i)) for s, i in zip(ss, seed_idxs)]
+        heapq.heapify(cand)
+        best = [
+            (float(s), int(i))
+            for s, i in zip(ss, seed_idxs)
+            if accept is None or bool(accept[int(i)])
+        ]
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+    else:
+        cur = entry
+        for lvl in range(len(layers) - 1, 0, -1):
+            changed = True
+            while changed:
+                changed = False
+                nbrs = layers[lvl].get(cur, ())
+                if nbrs:
+                    arr = np.array(list(nbrs), dtype=np.int64)
+                    ss = qsim(arr)
+                    j = int(np.argmax(ss))
+                    if float(ss[j]) > float(unit[cur] @ qu):
+                        cur = int(arr[j])
+                        changed = True
+        # layer-0 beam
+        visited = {cur}
+        s0 = float(unit[cur] @ qu)
+        cand = [(-s0, cur)]
+        best = (
+            [(s0, cur)] if accept is None or bool(accept[cur]) else []
+        )
+        if best:
+            heapq.heapify(best)
     while cand:
         if visited_limit is not None and len(visited) > visited_limit:
             return None  # budget blown: exact-over-accepted is cheaper now
@@ -330,14 +352,19 @@ def _filtered_leaf_search(
     acc: np.ndarray | None,
     k: int,
     ef_search: int,
+    seed_idxs: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """The per-leaf cost switch of KnnFloatVectorQuery.java:61: no filter →
     plain graph search; selective filter (accepted ≤ ef) → exact over the
     survivors (graph search cannot beat it); otherwise graph search with
     acceptOrds + visitedLimit = |accepted| (if the graph visits more nodes
-    than an exact scan of the survivors would score, fall back)."""
+    than an exact scan of the survivors would score, fall back).
+    ``seed_idxs`` forwards SeededKnnVectorQuery entry points."""
     if acc is None:
-        hits = search_leaf_graph(entry, levels, layers, ids, vecs, q, k, ef_search)
+        hits = search_leaf_graph(
+            entry, levels, layers, ids, vecs, q, k, ef_search,
+            seed_idxs=seed_idxs,
+        )
         return _leaf_hits_frame(ids, vecs, q, hits, None, k)
     n_acc = int(acc.sum())
     if n_acc == 0:
@@ -348,7 +375,7 @@ def _filtered_leaf_search(
         return _leaf_hits_frame(ids, vecs, q, None, acc, k)
     hits = search_leaf_graph(
         entry, levels, layers, ids, vecs, q, k, ef_search,
-        accept=acc, visited_limit=n_acc,
+        accept=acc, visited_limit=n_acc, seed_idxs=seed_idxs,
     )
     return _leaf_hits_frame(ids, vecs, q, hits, acc, k)
 
@@ -796,6 +823,7 @@ def hnsw_topk_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     filter_expr: str | None = None,
+    seed_ids: list[int] | None = None,
 ) -> DataFrame:
     """Search a persisted graph: vectors and graph rows cogroup per leaf
     (one task per leaf holds its vectors + its graph — no build cost at
@@ -806,7 +834,14 @@ def hnsw_topk_persisted(
     ``filter_expr`` (acceptDocs): evaluated JVM-side over ``emb``'s
     columns into a per-row flag; the persisted graph is searched with the
     accept mask + visited budget, falling back to exact-over-survivors
-    when the filter is selective (KnnFloatVectorQuery.java:61)."""
+    when the filter is selective (KnnFloatVectorQuery.java:61).
+
+    ``seed_ids`` (SeededKnnVectorQuery, search/SeededKnnVectorQuery.java:43
+    — Kulkarni et al., "Lexically-Accelerated Dense Retrieval", SIGIR'23):
+    ids whose rows seed the layer-0 beam as entry points — typically a
+    cheap lexical query's top docs; a leaf holding none of the seeds falls
+    back to the normal hierarchy descent, matching the reference's
+    seed-exhausted fallback."""
     import json
     import os
 
@@ -867,8 +902,15 @@ def hnsw_topk_persisted(
             if lvl == max_lvl:
                 top_nodes.append(i)
         entry = min(top_nodes, key=lambda i: int(ids[i]))
+        seed_idxs = None
+        if seed_ids:
+            seed_idxs = np.asarray(
+                sorted(idx_of[s] for s in seed_ids if s in idx_of),
+                dtype=np.int64,
+            )
         return _filtered_leaf_search(
-            entry, levels, layers, ids, vecs, q, acc, k, ef_search
+            entry, levels, layers, ids, vecs, q, acc, k, ef_search,
+            seed_idxs=seed_idxs,
         )
 
     graph = spark.read.parquet(f"{path}/graph").select(
