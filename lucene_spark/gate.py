@@ -4083,6 +4083,102 @@ SELECT doc_id, round(dist_m, 3) AS dist_m FROM (
 )"""
 
 
+# --- XY cartesian geometry (document/XYPointField.java, geo/XYCircle,
+# geo/XYPolygon) — planar twin of the LatLon family; coords are float32
+# (XYEncodingUtils), widened to double identically in both engines.
+
+_XY_BOX = (10.005, 60.005, -40.005, 25.005)  # min_x, max_x, min_y, max_y
+_XY_Q, _XY_R = (12.345, -7.89), 30.0
+_XY_POLY = [
+    (0.005, 10.005), (40.005, 30.005), (60.005, 90.005),
+    (20.005, 95.005), (-25.005, 70.005),
+]  # (x, y) pentagon off the 0.01 grid
+
+
+def _xy_docs(spark, sf_dir):
+    """documents with deterministic synthetic cartesian coordinates."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") * 131 % 2001) / 10.0 - 100.0).alias("x"),
+        ((F.col("doc_id") * 197 % 2001) / 10.0 - 100.0).alias("y"),
+    )
+
+
+_XY_SQL_CTE = """
+xy0 AS (
+  SELECT doc_id,
+         ((doc_id * 131) % 2001) / 10.0 - 100.0 AS rx,
+         ((doc_id * 197) % 2001) / 10.0 - 100.0 AS ry
+  FROM documents
+),
+xy AS (
+  SELECT doc_id, (rx::FLOAT)::DOUBLE AS x, (ry::FLOAT)::DOUBLE AS y FROM xy0
+)"""
+
+
+def _q_xy_box(spark, sf_dir):
+    from .search.geo import xy_box_query
+
+    return xy_box_query(_xy_docs(spark, sf_dir), *_XY_BOX).select(
+        "doc_id",
+        F.col("x").cast("float").cast("double").alias("qx"),
+        F.col("y").cast("float").cast("double").alias("qy"),
+    )
+
+
+def _sql_xy_box() -> str:
+    min_x, max_x, min_y, max_y = _XY_BOX
+    return f"""WITH {_XY_SQL_CTE}
+SELECT doc_id, x AS qx, y AS qy FROM xy
+WHERE x >= {min_x!r} AND x <= {max_x!r} AND y >= {min_y!r} AND y <= {max_y!r}"""
+
+
+def _q_xy_distance(spark, sf_dir):
+    from .search.geo import xy_distance_query
+
+    return xy_distance_query(
+        _xy_docs(spark, sf_dir), *_XY_Q, _XY_R
+    ).select(
+        "doc_id",
+        F.col("x").cast("float").cast("double").alias("qx"),
+        F.col("y").cast("float").cast("double").alias("qy"),
+    )
+
+
+def _sql_xy_distance() -> str:
+    qx, qy = _XY_Q
+    return f"""WITH {_XY_SQL_CTE}
+SELECT doc_id, x AS qx, y AS qy FROM xy
+WHERE x >= {qx - _XY_R!r} AND x <= {qx + _XY_R!r}
+  AND y >= {qy - _XY_R!r} AND y <= {qy + _XY_R!r}
+  AND (x - {qx!r}) * (x - {qx!r}) + (y - {qy!r}) * (y - {qy!r})
+      <= {_XY_R!r} * {_XY_R!r}"""
+
+
+def _q_xy_polygon(spark, sf_dir):
+    from .search.geo import xy_polygon_query
+
+    return xy_polygon_query(_xy_docs(spark, sf_dir), _XY_POLY).select(
+        "doc_id",
+        F.col("x").cast("float").cast("double").alias("qx"),
+        F.col("y").cast("float").cast("double").alias("qy"),
+    )
+
+
+def _sql_xy_polygon() -> str:
+    from .search.geo import polygon_edge_sql
+
+    xs = [v[0] for v in _XY_POLY]
+    ys = [v[1] for v in _XY_POLY]
+    verts_yx = [(y, x) for x, y in _XY_POLY]
+    refine = polygon_edge_sql(verts_yx, "y", "x")
+    return f"""WITH {_XY_SQL_CTE}
+SELECT doc_id, x AS qx, y AS qy FROM xy
+WHERE x >= {min(xs)!r} AND x <= {max(xs)!r}
+  AND y >= {min(ys)!r} AND y <= {max(ys)!r}
+  AND {refine}"""
+
+
 _GEO_FEAT_PIVOT, _GEO_FEAT_W = 2_000_000.0, 2.0
 
 
@@ -4444,6 +4540,26 @@ def _q_simsearch_hnsw_seeded(spark, sf_dir):
     return _hnsw.hnsw_topk_persisted(
         spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
         seed_ids=[0, 17, 123, 250],
+    )
+
+
+def _q_simsearch_hnsw_patience(spark, sf_dir):
+    """PatienceKnnVectorQuery (search/PatienceKnnVectorQuery.java:40):
+    saturation-based early exit through the persisted graph. The gate pins
+    the PLUMBING with a patience larger than any leaf (early exit provably
+    cannot fire ⇒ exact-recall oracle applies); the early-exit behavior
+    itself — no-op threshold, recall under the reference default, zero
+    patience — is pinned in tests/test_hnsw_patience.py."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswgraph"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16)
+    return _hnsw.hnsw_topk_persisted(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=128,
+        saturation_threshold=0.995, patience=1000,
     )
 
 
@@ -8357,6 +8473,9 @@ def gate_queries() -> dict:
         "complex_phrase_fuzzy": _q_complex_phrase,
         "geo_distance_join": _q_geo_distance_join,
         "geo_distance_feature": _q_geo_distance_feature,
+        "xy_box": _q_xy_box,
+        "xy_distance": _q_xy_distance,
+        "xy_polygon": _q_xy_polygon,
         "range_field_intersects": _q_range_field("intersects"),
         "range_field_within": _q_range_field("within"),
         "range_field_contains": _q_range_field("contains"),
@@ -8532,6 +8651,7 @@ def gate_queries() -> dict:
         "simsearch_hnsw_appended": _q_simsearch_hnsw_appended,
         "knn_filtered_hnsw": _q_knn_filtered_hnsw,
         "simsearch_hnsw_seeded": _q_simsearch_hnsw_seeded,
+        "simsearch_hnsw_patience": _q_simsearch_hnsw_patience,
         "vector_similarity_float": _q_vector_similarity,
         "vector_similarity_graph": _q_vector_similarity_graph,
         "vector_similarity_byte": _q_byte_vector_similarity,
@@ -8652,6 +8772,9 @@ def gate_oracle_sql() -> dict:
         "complex_phrase_fuzzy": _sql_complex_phrase(),
         "geo_distance_join": _sql_geo_distance_join(),
         "geo_distance_feature": _sql_geo_distance_feature(),
+        "xy_box": _sql_xy_box(),
+        "xy_distance": _sql_xy_distance(),
+        "xy_polygon": _sql_xy_polygon(),
         "range_field_intersects": _sql_range_field("intersects"),
         "range_field_within": _sql_range_field("within"),
         "range_field_contains": _sql_range_field("contains"),
@@ -8819,6 +8942,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw_appended": _SQL_SIMSEARCH,
         "knn_filtered_hnsw": _SQL_KNN_FILTERED,
         "simsearch_hnsw_seeded": _SQL_SIMSEARCH,
+        "simsearch_hnsw_patience": _SQL_SIMSEARCH,
         "vector_similarity_float": _SQL_VECTOR_SIMILARITY,
         "vector_similarity_graph": _SQL_VECTOR_SIMILARITY,
         "vector_similarity_byte": _SQL_BYTE_VECTOR_SIMILARITY,

@@ -214,6 +214,8 @@ def search_leaf_graph(
     accept: np.ndarray | None = None,
     visited_limit: int | None = None,
     seed_idxs: np.ndarray | None = None,
+    saturation_threshold: float | None = None,
+    patience: int | None = None,
 ) -> list[tuple[float, int]] | None:
     """Beam search a built leaf graph for the query vector. Returns
     [(cosine, row_idx)] best-first with (cos DESC, id ASC) ties —
@@ -225,6 +227,13 @@ def search_leaf_graph(
     points INSTEAD of the hierarchy descent — the seedWeight's matching
     docs become the beam's initial candidates (seeded EntryPointProvider);
     empty seeds fall back to the normal descent, as the reference does.
+
+    ``saturation_threshold``/``patience`` (PatienceKnnVectorQuery.java:40 +
+    HnswQueueSaturationCollector, Teofili & Lin ECIR'25): per candidate
+    pop, queue saturation = min(collected, prev_collected)/collected; a
+    run of more than ``patience`` consecutive saturated candidates stops
+    the traversal with the queue as-is (an early-terminated but usable
+    result, never the exact fallback). Defaults off.
 
     ``accept`` (acceptDocs, HnswGraphSearcher acceptOrds): boolean mask
     over row idxs — traversal crosses every node (graph connectivity) but
@@ -283,9 +292,21 @@ def search_leaf_graph(
         )
         if best:
             heapq.heapify(best)
+    # patience state (HnswQueueSaturationCollector): collected counts
+    # SUCCESSFUL queue insertions, saturation compares consecutive pops
+    n_collected, prev_collected, sat_count = len(best), 0, 0
     while cand:
         if visited_limit is not None and len(visited) > visited_limit:
             return None  # budget blown: exact-over-accepted is cheaper now
+        if saturation_threshold is not None and n_collected > 0:
+            sat = min(n_collected, prev_collected) / n_collected
+            prev_collected = n_collected
+            if sat >= saturation_threshold:
+                sat_count += 1
+            else:
+                sat_count = 0
+            if sat_count > (patience or 7):
+                break  # patience exhausted: return the queue as-is
         cs, c = heapq.heappop(cand)
         if best and -cs < best[0][0] and len(best) >= ef:
             break
@@ -301,6 +322,7 @@ def search_leaf_graph(
                 heapq.heappush(cand, (-s, int(e)))
                 if accept is None or bool(accept[int(e)]):
                     heapq.heappush(best, (s, int(e)))
+                    n_collected += 1
                     if len(best) > ef:
                         heapq.heappop(best)
     ranked = sorted(best, key=lambda t: (-t[0], ids[t[1]]))
@@ -353,6 +375,8 @@ def _filtered_leaf_search(
     k: int,
     ef_search: int,
     seed_idxs: np.ndarray | None = None,
+    saturation_threshold: float | None = None,
+    patience: int | None = None,
 ) -> pd.DataFrame:
     """The per-leaf cost switch of KnnFloatVectorQuery.java:61: no filter →
     plain graph search; selective filter (accepted ≤ ef) → exact over the
@@ -364,6 +388,7 @@ def _filtered_leaf_search(
         hits = search_leaf_graph(
             entry, levels, layers, ids, vecs, q, k, ef_search,
             seed_idxs=seed_idxs,
+            saturation_threshold=saturation_threshold, patience=patience,
         )
         return _leaf_hits_frame(ids, vecs, q, hits, None, k)
     n_acc = int(acc.sum())
@@ -376,6 +401,7 @@ def _filtered_leaf_search(
     hits = search_leaf_graph(
         entry, levels, layers, ids, vecs, q, k, ef_search,
         accept=acc, visited_limit=n_acc, seed_idxs=seed_idxs,
+        saturation_threshold=saturation_threshold, patience=patience,
     )
     return _leaf_hits_frame(ids, vecs, q, hits, acc, k)
 
@@ -824,6 +850,8 @@ def hnsw_topk_persisted(
     vec_col: str = "embedding",
     filter_expr: str | None = None,
     seed_ids: list[int] | None = None,
+    saturation_threshold: float | None = None,
+    patience: int | None = None,
 ) -> DataFrame:
     """Search a persisted graph: vectors and graph rows cogroup per leaf
     (one task per leaf holds its vectors + its graph — no build cost at
@@ -841,7 +869,15 @@ def hnsw_topk_persisted(
     ids whose rows seed the layer-0 beam as entry points — typically a
     cheap lexical query's top docs; a leaf holding none of the seeds falls
     back to the normal hierarchy descent, matching the reference's
-    seed-exhausted fallback."""
+    seed-exhausted fallback.
+
+    ``saturation_threshold``/``patience`` (PatienceKnnVectorQuery.java:40,
+    Teofili & Lin ECIR'25): stop a leaf's traversal after more than
+    ``patience`` consecutive candidates fail to grow the result queue by
+    at least (1 - threshold) relative — the reference default threshold is
+    0.995 and patience max(7, 0.3·k) (PatienceKnnVectorQuery.java:135)."""
+    if saturation_threshold is not None and patience is None:
+        patience = max(7, int(k * 0.3))
     import json
     import os
 
@@ -911,6 +947,7 @@ def hnsw_topk_persisted(
         return _filtered_leaf_search(
             entry, levels, layers, ids, vecs, q, acc, k, ef_search,
             seed_idxs=seed_idxs,
+            saturation_threshold=saturation_threshold, patience=patience,
         )
 
     graph = spark.read.parquet(f"{path}/graph").select(

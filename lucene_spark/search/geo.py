@@ -46,6 +46,9 @@ __all__ = [
     "nearest",
     "distance_feature",
     "distance_join",
+    "xy_box_query",
+    "xy_distance_query",
+    "xy_polygon_query",
     "haversine_pair_meters",
     "EARTH_MEAN_RADIUS_METERS",
 ]
@@ -237,6 +240,94 @@ def polygon_edge_sql(
             "THEN 1 ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+# --- XY cartesian geometry (document/XYPointField.java, XYShape.java) ------
+# The planar twin of the LatLon family: coordinates are float32
+# (XYEncodingUtils.encode stores the sortable float bits; decode returns
+# the same float), so quantization = one float32 round-trip — widening
+# back to double is exact, and both engines then evaluate the identical
+# double expression tree.
+
+
+def _xy_quantize(col: Column) -> Column:
+    return col.cast("float").cast("double")
+
+
+def xy_box_query(
+    df: DataFrame,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """XYPoint.newBoxQuery (document/XYPointField.java:150 / XYRectangle):
+    cartesian box over the float32-quantized coordinates; the four range
+    predicates reach the parquet scan (PushedFilters)."""
+    x, y = _xy_quantize(F.col(x_col)), _xy_quantize(F.col(y_col))
+    return df.filter(
+        (x >= float(min_x)) & (x <= float(max_x))
+        & (y >= float(min_y)) & (y <= float(max_y))
+    )
+
+
+def xy_distance_query(
+    df: DataFrame,
+    qx: float,
+    qy: float,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """XYPoint.newDistanceQuery (geo/XYCircle): euclidean circle over the
+    quantized coords — bounding-box prefilter (pushed down), then the
+    squared-distance refine in one codegen expression (no sqrt: compare
+    squared against radius², the Circle2D.contains shape)."""
+    if not (radius > 0):
+        raise ValueError(f"radius must be > 0, got {radius}")
+    boxed = xy_box_query(
+        df, qx - radius, qx + radius, qy - radius, qy + radius, x_col, y_col
+    )
+    x, y = _xy_quantize(F.col(x_col)), _xy_quantize(F.col(y_col))
+    dx, dy = x - float(qx), y - float(qy)
+    return boxed.filter(dx * dx + dy * dy <= float(radius) * float(radius))
+
+
+def xy_polygon_query(
+    df: DataFrame,
+    vertices: list[tuple[float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """XYShape.newPolygonQuery point-CONTAINS analog (geo/XYPolygon +
+    spatial XYPointInGeometryQuery): bbox prune + the same even-odd
+    ray-cast refine as the LatLon polygon, on float32-quantized cartesian
+    coords. ``vertices`` is [(x, y), ...]; the closing edge is implicit;
+    boundary points follow the strict crossing rule (pick test polygons
+    off the data grid for oracle-exact gating)."""
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    xs = [float(v[0]) for v in vertices]
+    ys = [float(v[1]) for v in vertices]
+    boxed = xy_box_query(
+        df, min(xs), max(xs), min(ys), max(ys), x_col, y_col
+    )
+    x, y = _xy_quantize(F.col(x_col)), _xy_quantize(F.col(y_col))
+    crossings: Column | None = None
+    for i in range(n):
+        yi, xi = ys[i], xs[i]
+        yj, xj = ys[i - 1], xs[i - 1]
+        dy, dx = yj - yi, xj - xi
+        # identical operand order to polygon_edge_sql (vertices as (y, x))
+        cond = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x < F.lit(dx) * (y - F.lit(yi)) / F.lit(dy) + F.lit(xi)
+        )
+        term = F.when(cond, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return boxed.filter(crossings % 2 == 1)
 
 
 def nearest(
