@@ -2885,12 +2885,27 @@ from .pipeline import textstats as _ts
 
 
 def _q_dedup_exact(spark, sf_dir):
-    return _dd.exact_dup_groups(_docs(spark, sf_dir))
+    """Exact dedup over a corpus that provably CONTAINS duplicates: the
+    synthetic documents table has no byte-identical texts, so the gate
+    unions re-keyed copies of every 10th doc (doc_id+100000) — the
+    duplicate groups are then exactly those pairs, and an engine that
+    hashed or grouped wrongly fails on real rows instead of passing on an
+    empty set."""
+    base = _docs(spark, sf_dir)
+    dups = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return _dd.exact_dup_groups(base.unionByName(dups))
 
 
 _SQL_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1"""
+FROM corpus GROUP BY 1 HAVING count(*) > 1"""
 
 _SHINGLE_CTES = f"""
 {_BASE_CTES},
