@@ -6046,6 +6046,34 @@ pay AS (
 """ + _topk_wrap("SELECT doc_id, score FROM pay", k)
 
 
+def _q_span_payload_check(spark, sf_dir, k: int = 10):
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java:53
+    + MatchOperation.LT): spans of 'stream' whose position payload
+    (pos·31+7 mod 97) is < 20 — the POS-tag-style positional filter. Span
+    scoring applies (freq = matching positions · 1.0, weight = idf over
+    the UNfiltered term stats, exactly the reference's buildSimWeight)."""
+    from .search.spans import SpanTerm, span_payload_check
+
+    s = Searcher(
+        spark, _ensure_payload_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    q = span_payload_check(SpanTerm("stream"), [20], op="lt")
+    h = s.search(q, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_span_payload_check(term: str = "stream", k: int = 10) -> str:
+    iv = f"""iv AS (
+  SELECT doc_id, 0 AS w FROM toks
+  WHERE term = '{term}' AND {_PAY_EXPR} < 20
+)"""
+    return _sql_span_score(iv, [0], [term], k)
+
+
 def _q_payload_score_span(spark, sf_dir, k: int = 10):
     from .search.query import PayloadScoreQuery
 
@@ -8673,6 +8701,7 @@ def gate_queries() -> dict:
         "knn_byte_topk": _q_byte_vector_topk,
         "knn_diversified_children": _q_knn_diversified_children,
         "payload_score": _q_payload_score,
+        "span_payload_check": _q_span_payload_check,
         "payload_score_span": _q_payload_score_span,
         "sort_by_docvalue": _q_sort_by_docvalue,
         "function_score_dv": _q_function_score_dv,
@@ -8964,6 +8993,7 @@ def gate_oracle_sql() -> dict:
         "knn_byte_topk": _SQL_BYTE_VECTOR_TOPK,
         "knn_diversified_children": _SQL_KNN_DIVERSIFIED,
         "payload_score": _sql_payload_score(),
+        "span_payload_check": _sql_span_payload_check(),
         "payload_score_span": _sql_payload_score_span(),
         "sort_by_docvalue": _sql_sort_by_docvalue(),
         "function_score_dv": _sql_function_score_dv(),

@@ -118,8 +118,26 @@ def _needs_positions(q) -> bool:
 
 def _needs_payloads(q) -> bool:
     from .query import PayloadScoreQuery
+    from .spans import PayloadFilteredTerm, is_span
 
-    return any(isinstance(leaf, PayloadScoreQuery) for leaf in scoring_leaves(q))
+    def span_has_payload_node(node) -> bool:
+        if isinstance(node, PayloadFilteredTerm):
+            return True
+        for attr in ("clauses",):
+            for c in getattr(node, attr, ()):
+                if span_has_payload_node(c):
+                    return True
+        for attr in ("include", "exclude", "match", "big", "little", "clause"):
+            c = getattr(node, attr, None)
+            if c is not None and is_span(c) and span_has_payload_node(c):
+                return True
+        return False
+
+    return any(
+        isinstance(leaf, PayloadScoreQuery)
+        or (is_span(leaf) and span_has_payload_node(leaf))
+        for leaf in scoring_leaves(q)
+    )
 
 
 def _slice_bounds(pdf: pd.DataFrame, seg_meta, span):

@@ -1721,6 +1721,73 @@ class _SegmentSearcher:
 
     _SPAN_EMPTY = (_EMPTY, _EMPTY, _EMPTY, _EMPTY, _EMPTY)
 
+    @staticmethod
+    def _payload_pred(pl: np.ndarray, value: int, op: str) -> np.ndarray:
+        if op == "eq":
+            return pl == value
+        if op == "gt":
+            return pl > value
+        if op == "gte":
+            return pl >= value
+        if op == "lt":
+            return pl < value
+        return pl <= value  # lte (op validated at construction)
+
+    def _span_term_rows_payload(self, term: str, cand, value: int, op: str):
+        """_span_term_rows with the stored per-position payload checked
+        against (value, op) — SpanPayloadCheckQuery's collect-and-compare
+        done as a mask over the flat payload stream (aligned with the
+        position stream by construction). A term indexed without payloads
+        matches nothing (payloadToMatch vs missing payload)."""
+        tp = self.term_postings(term)
+        if tp is None:
+            return _EMPTY, _EMPTY, _EMPTY
+        if tp.singleton is not None:
+            sd = int(tp.singleton["singleton_docid"])
+            if cand is not None and sd not in cand:
+                return _EMPTY, _EMPTY, _EMPTY
+            pl = tp.payloads_for(0)
+            if pl is None:
+                return _EMPTY, _EMPTY, _EMPTY
+            pos = tp.positions_for(0).astype(np.int64)
+            keep = self._payload_pred(pl, value, op)
+            pos = pos[keep]
+            return (
+                np.full(pos.size, sd, dtype=np.int64),
+                pos,
+                np.full(
+                    pos.size, int(tp.singleton["singleton_norm"]), dtype=np.int64
+                ),
+            )
+        blocks = (
+            tp.blocks_overlapping(cand) if cand is not None else range(tp.n_blocks)
+        )
+        dparts, pparts, nparts = [], [], []
+        for bi in blocks:
+            pl = tp.payloads_for(int(bi))
+            if pl is None:
+                continue
+            d, f, m = tp.decode_block(int(bi))
+            flat = tp.positions_for(int(bi)).astype(np.int64)
+            keep = self._payload_pred(pl, value, op)
+            docrep = np.repeat(d, f)[keep]
+            normrep = np.repeat(m, f)[keep]
+            flat = flat[keep]
+            if cand is not None:
+                inc = np.isin(docrep, cand)
+                docrep, flat, normrep = docrep[inc], flat[inc], normrep[inc]
+            if docrep.size:
+                dparts.append(docrep)
+                pparts.append(flat)
+                nparts.append(normrep)
+        if not dparts:
+            return _EMPTY, _EMPTY, _EMPTY
+        return (
+            np.concatenate(dparts),
+            np.concatenate(pparts),
+            np.concatenate(nparts),
+        )
+
     def _span_term_rows(self, term: str, cand):
         """(docids, positions, norms) of every occurrence of ``term`` in
         the candidate docs (TermSpans enumeration order: doc-major,
@@ -1771,6 +1838,7 @@ class _SegmentSearcher:
         postings blocks decode (the ConjunctionDISI analog for spans)."""
         from .spans import (
             FieldMaskedSpan,
+            PayloadFilteredTerm,
             SpanContaining,
             SpanNear,
             SpanNot,
@@ -1782,6 +1850,10 @@ class _SegmentSearcher:
 
         if isinstance(q, FieldMaskedSpan):
             return self._span_doc_superset(q.clause)
+        if isinstance(q, PayloadFilteredTerm):
+            # superset: payload filtering only removes occurrences
+            tp = self.term_postings(q.term)
+            return tp.decode_all()[0] if tp is not None else _EMPTY
         if isinstance(q, SpanTerm):
             tp = self.term_postings(q.term)
             return tp.decode_all()[0] if tp is not None else _EMPTY
@@ -1820,6 +1892,7 @@ class _SegmentSearcher:
         Width carries each node's own semantics (see spans.py header)."""
         from .spans import (
             FieldMaskedSpan,
+            PayloadFilteredTerm,
             SpanContaining,
             SpanNear,
             SpanNot,
@@ -1835,6 +1908,9 @@ class _SegmentSearcher:
             return self._span_enumerate(q.clause, cand)
         if isinstance(q, SpanTerm):
             d, p, n = self._span_term_rows(q.term, cand)
+            return d, p, p + 1, np.zeros(p.size, dtype=np.int64), n
+        if isinstance(q, PayloadFilteredTerm):
+            d, p, n = self._span_term_rows_payload(q.term, cand, q.value, q.op)
             return d, p, p + 1, np.zeros(p.size, dtype=np.int64), n
         if isinstance(q, SpanOr):
             parts = [self._span_enumerate(c, cand) for c in q.clauses]

@@ -60,6 +60,8 @@ __all__ = [
     "SpanContaining",
     "SpanWithin",
     "FieldMaskedSpan",
+    "PayloadFilteredTerm",
+    "span_payload_check",
     "span_terms",
     "is_span",
 ]
@@ -165,6 +167,66 @@ class SpanWithin:
             raise TypeError("SpanWithin needs span big/little")
 
 
+_PAYLOAD_OPS = ("eq", "gt", "gte", "lt", "lte")  # MatchOperation.java
+
+
+@dataclass(frozen=True)
+class PayloadFilteredTerm:
+    """One clause of a rewritten SpanPayloadCheckQuery: TermSpans whose
+    positions are pre-filtered by the payload predicate (value <op>
+    stored payload). Positions without a stored payload never match
+    (SpanPayloadCheckQuery's payloadToMatch semantics). Produced by
+    :func:`span_payload_check`; usable standalone too."""
+
+    term: str
+    value: int
+    op: str = "eq"
+
+    def __post_init__(self):
+        if self.op not in _PAYLOAD_OPS:
+            raise ValueError(f"unknown payload match op {self.op!r}")
+
+
+def span_payload_check(match, payloads, op: str = "eq"):
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java:53
+    + MatchOperation): keep only spans whose matched positions carry the
+    given payloads — payload i checked at clause i's position. ``match``
+    is a SpanTerm (1 payload) or an ORDERED SpanNear of SpanTerms (one
+    payload per clause; the reference collects payloads in clause order
+    via PayloadSpanCollector). Rewrites to the same span tree with each
+    term clause payload-filtered, which is equivalent for this shape —
+    each clause contributes exactly one position per match, in clause
+    order — and lets every downstream span combinator (and scorer stats)
+    apply unchanged."""
+    payloads = tuple(int(p) for p in payloads)
+    if isinstance(match, SpanTerm):
+        if len(payloads) != 1:
+            raise ValueError("SpanTerm needs exactly 1 payload to check")
+        return PayloadFilteredTerm(match.term, payloads[0], op)
+    if isinstance(match, SpanNear):
+        if not match.in_order:
+            raise ValueError(
+                "span_payload_check needs an ordered SpanNear (the "
+                "reference collects payloads in clause order)"
+            )
+        if not all(isinstance(c, SpanTerm) for c in match.clauses):
+            raise ValueError("span_payload_check clauses must be SpanTerms")
+        if len(payloads) != len(match.clauses):
+            raise ValueError(
+                f"{len(match.clauses)} clauses need {len(match.clauses)} "
+                f"payloads, got {len(payloads)}"
+            )
+        return SpanNear(
+            tuple(
+                PayloadFilteredTerm(c.term, p, op)
+                for c, p in zip(match.clauses, payloads)
+            ),
+            slop=match.slop,
+            in_order=True,
+        )
+    raise TypeError(f"span_payload_check cannot wrap {match!r}")
+
+
 @dataclass(frozen=True)
 class FieldMaskedSpan:
     """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:67):
@@ -197,6 +259,7 @@ _SPAN_TYPES = (
     SpanContaining,
     SpanWithin,
     FieldMaskedSpan,
+    PayloadFilteredTerm,
 )
 
 
@@ -211,6 +274,8 @@ def span_terms(q) -> set[str]:
     states (extractTermStates forwards only includeWeight,
     SpanNotQuery.java:144-147) but its postings are still read."""
     if isinstance(q, SpanTerm):
+        return {q.term}
+    if isinstance(q, PayloadFilteredTerm):
         return {q.term}
     if isinstance(q, FieldMaskedSpan):
         return span_terms(q.clause)
@@ -235,6 +300,8 @@ def span_all_terms(q) -> set[str]:
     if isinstance(q, SpanNot):
         return span_all_terms(q.include) | span_all_terms(q.exclude)
     if isinstance(q, SpanTerm):
+        return {q.term}
+    if isinstance(q, PayloadFilteredTerm):
         return {q.term}
     if isinstance(q, FieldMaskedSpan):
         return span_all_terms(q.clause)
