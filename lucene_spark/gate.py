@@ -4336,6 +4336,64 @@ p AS (
 SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= {_SEM_T}"""
 
 
+def _q_semantic_dedup_ivf(spark, sf_dir):
+    """SemDeDup with LEARNED k-means clusters (Abbas et al. 2023,
+    arXiv:2303.09540 — the paper's recipe): candidate pairs restricted to
+    one IVF cell (ivf_train's one-Lloyd-step k-means), exact cosine
+    within. Oracle replays the same deterministic train/assign as the
+    simsearch_ivf rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ss.semantic_dup_pairs_ivf(emb, threshold=_SEM_T, n_centroids=16)
+
+
+def _sql_semantic_dedup_ivf(dim: int = 64, c: int = 16) -> str:
+    """ivf_train replay (same CTE shapes as _sql_simsearch_ivf) + the
+    within-cell pair join of _sql_semantic_dedup."""
+    e_el = lambda i: f"e.embedding[{i + 1}]::DOUBLE"  # noqa: E731
+    s_el = lambda i: f"s.c[{i + 1}]"  # noqa: E731
+    c_el = lambda i: f"c.d{i}"  # noqa: E731
+    cent_cols = ",\n       ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), 6) AS d{i}" for i in range(dim)
+    )
+    cos = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+    return f"""WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {c})
+),
+a0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, s_el, dim)}, s.cell
+           ) AS rn
+    FROM embeddings e, seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell,
+       {cent_cols}
+  FROM a0 GROUP BY cell
+),
+a1 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, c_el, dim)}, c.cell
+           ) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cos
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT a, b, round(cos, 4) AS cos FROM p WHERE cos >= {_SEM_T}"""
+
+
 _SQL_SIMSEARCH = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT e.vec_id,
@@ -8665,6 +8723,7 @@ def gate_queries() -> dict:
         "dedup_ngram_jaccard": _q_jaccard,
         "contamination_ngrams": _q_contamination,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_ivf": _q_semantic_dedup_ivf,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "minhash_signatures": _q_minhash,
@@ -8957,6 +9016,7 @@ def gate_oracle_sql() -> dict:
         "dedup_ngram_jaccard": _SQL_JACCARD,
         "contamination_ngrams": _SQL_CONTAMINATION,
         "semantic_dedup": _sql_semantic_dedup(),
+        "semantic_dedup_ivf": _sql_semantic_dedup_ivf(),
         "dedup_components": _SQL_COMPONENTS,
         "stratified_sample": _sql_stratified_sample(),
         "minhash_signatures": _sql_minhash(),

@@ -26,6 +26,7 @@ __all__ = [
     "ivf_topk_persisted",
     "recall_at_k",
     "semantic_dup_pairs",
+    "semantic_dup_pairs_ivf",
     "similarity_threshold",
     "float_to_byte_vectors",
     "byte_topk",
@@ -549,3 +550,46 @@ def diversified_children_topk(
     )
     top = best.orderBy(F.desc("cos"), F.asc("parent")).limit(k)
     return top.select("parent", id_col, F.round("cos", 4).alias("cos"))
+
+
+def semantic_dup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup with LEARNED clusters (Abbas et al. 2023, arXiv:2303.09540
+    — k-means the embeddings, compare pairs only within a cluster): the
+    sign-bucket key of ``semantic_dup_pairs`` replaced by the IVF cell id
+    (``ivf_train``'s k-means cells), which adapts to the data distribution
+    instead of axis hyperplanes — the paper's actual recipe. Emits
+    (a, b, cos) with a < b and cosine >= threshold, same contract as the
+    sign-bucket form.
+
+    Scale shape: one assignment pass (JVM codegen against broadcast
+    centroid literals), then a per-cell self-join — never all-pairs; at
+    10^12 rows the cell id is the table's partition key (ivf_write) so
+    each task joins one cell. Recall caveat: near-dups straddling a cell
+    boundary are missed — the paper accepts this; raise n_centroids'
+    n_probe-style multi-assignment or rerun with reseeded centroids to
+    tighten."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    keyed = ivf_assign(emb, centroids, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(b, "cell").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    av, bv = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+    cos = _dot(av, bv) / (F.sqrt(_dot(av, av)) * F.sqrt(_dot(bv, bv)))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )
