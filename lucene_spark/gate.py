@@ -979,6 +979,80 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_interval_relation(kind: str):
+    from .search.query import IntervalFilter, IntervalNear
+
+    ref = (
+        IntervalNear(("window",))
+        if kind in ("before", "after")
+        else IntervalNear(("window", "key"), ordered=True, max_gaps=4)
+    )
+    return IntervalFilter(
+        IntervalNear(("data", "stream"), ordered=False, max_gaps=6), ref, kind
+    )
+
+
+def _sql_interval_relation(kind: str, max_gaps: int = 6, k: int = 10) -> str:
+    """Intervals.before / after / overlapping / nonOverlapping
+    (Intervals.java:582,588,479,468): source = minimal unordered
+    (data,stream) intervals (gap-filtered), reference = 'window' positions
+    (before/after) or minimal ordered (window,key) intervals
+    (overlapping forms); weight keeps the source's minExtent = 2."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 1}))"
+        )
+    if kind in ("before", "after"):
+        ref = "refiv AS (SELECT doc_id, pos AS s, pos AS e FROM toks WHERE term = 'window')"
+    else:
+        ref = """rc AS (
+  SELECT pw.doc_id, pw.pos AS s, min(pk.pos) AS e
+  FROM (SELECT doc_id, pos FROM toks WHERE term = 'window') pw
+  JOIN (SELECT doc_id, pos FROM toks WHERE term = 'key') pk
+    ON pk.doc_id = pw.doc_id AND pk.pos > pw.pos
+  GROUP BY pw.doc_id, pw.pos
+),
+rmini AS (SELECT doc_id, max(s) AS s, e FROM rc GROUP BY doc_id, e),
+refiv AS (SELECT doc_id, s, e FROM rmini WHERE e - s - 1 <= 4)"""
+    rels = {
+        "before": "EXISTS (SELECT 1 FROM refiv r WHERE r.doc_id = m.doc_id AND r.s > m.e)",
+        "after": "EXISTS (SELECT 1 FROM refiv r WHERE r.doc_id = m.doc_id AND r.e < m.s)",
+        "overlapping": (
+            "EXISTS (SELECT 1 FROM refiv r WHERE r.doc_id = m.doc_id"
+            " AND r.s <= m.e AND r.e >= m.s)"
+        ),
+        "non_overlapping": (
+            "NOT EXISTS (SELECT 1 FROM refiv r WHERE r.doc_id = m.doc_id"
+            " AND r.s <= m.e AND r.e >= m.s)"
+        ),
+    }
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+pb AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'),
+cand AS (
+  SELECT pa.doc_id, pa.pos AS s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+  UNION ALL
+  SELECT pb.doc_id, pb.pos AS s, min(pa.pos) AS e
+  FROM pb JOIN pa ON pa.doc_id = pb.doc_id AND pa.pos > pb.pos
+  GROUP BY pb.doc_id, pb.pos
+),
+mini0 AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+srciv AS (SELECT doc_id, s, e FROM mini0 WHERE e - s - 1 <= {max_gaps}),
+{ref},
+kept AS (
+  SELECT m.doc_id, m.e - m.s + 1 AS w FROM srciv m WHERE {rels[kind]}
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM kept GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
     idf = _idf("e.df")
     return f"""WITH {_BASE_CTES},
@@ -8516,6 +8590,10 @@ def gate_queries() -> dict:
         "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
         "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
+        "interval_before": _mk_topk_ast(lambda: _ast_interval_relation("before")),
+        "interval_after": _mk_topk_ast(lambda: _ast_interval_relation("after")),
+        "interval_overlapping": _mk_topk_ast(lambda: _ast_interval_relation("overlapping")),
+        "interval_non_overlapping": _mk_topk_ast(lambda: _ast_interval_relation("non_overlapping")),
         "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "span_near_ordered": _mk_topk_ast(_ast_span_near_ordered),
@@ -8822,6 +8900,10 @@ def gate_oracle_sql() -> dict:
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),
         "interval_not_containing": _sql_interval_not_containing(),
+        "interval_before": _sql_interval_relation("before"),
+        "interval_after": _sql_interval_relation("after"),
+        "interval_overlapping": _sql_interval_relation("overlapping"),
+        "interval_non_overlapping": _sql_interval_relation("non_overlapping"),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "covering_query": _sql_covering(["stream", "window", "scan"]),

@@ -535,6 +535,16 @@ class IntervalFilter:
     - ``not_containing``: no reference interval inside
     - ``contained_by``: source interval lies inside a reference interval
     - ``not_contained_by``: inside no reference interval
+    - ``before``: source interval ends before some reference begins
+      (Intervals.before = containedBy(source, extend(offset(ref, before),
+      MAX, 0)), Intervals.java:582 — equivalently src.end < ref.start for
+      some reference in the doc)
+    - ``after``: source interval starts after some reference ends
+      (Intervals.after, Intervals.java:588 — src.start > ref.end)
+    - ``overlapping``: source interval overlaps some reference
+      (OverlappingIntervalsSource, Intervals.java:479)
+    - ``non_overlapping``: source interval overlaps no reference
+      (NonOverlappingIntervalsSource, Intervals.java:468)
 
     The sloppy weight keeps the SOURCE's minExtent; the reference
     contributes no scoring of its own (FilteringIntervalsSource passes the
@@ -546,7 +556,10 @@ class IntervalFilter:
     pivot: float = 1.0
     boost: float = 1.0
 
-    KINDS = ("containing", "not_containing", "contained_by", "not_contained_by")
+    KINDS = (
+        "containing", "not_containing", "contained_by", "not_contained_by",
+        "before", "after", "overlapping", "non_overlapping",
+    )
 
     def __post_init__(self):
         if self.kind not in self.KINDS:

@@ -1671,7 +1671,7 @@ class _SegmentSearcher:
         if ad.size == 0:
             return _EMPTY, np.zeros(0, dtype=np.float64)
         bd, bs, be, _ = self._interval_enumerate(q.reference)
-        negate = q.kind.startswith("not_")
+        negate = q.kind.startswith("not_") or q.kind == "non_overlapping"
         if bd.size == 0:
             if negate:
                 return self._interval_fold(ad, ae - as_ + 1, ext)
@@ -1684,7 +1684,27 @@ class _SegmentSearcher:
         kp = np.int64(1) << np.int64(31)
         bkey = bi * kp + bs
         akey = ai * kp + as_
-        if q.kind.endswith("containing"):
+        if q.kind == "before":
+            # ∃ ref with ref.start > src.end ⇔ src.end < per-doc max start
+            agg = pd.Series(bs).groupby(pd.Series(bi)).max().reindex(ai)
+            m = agg.to_numpy(dtype=np.float64)
+            rel = (~np.isnan(m)) & (ae < m)
+        elif q.kind == "after":
+            # ∃ ref with ref.end < src.start ⇔ src.start > per-doc min end
+            agg = pd.Series(be).groupby(pd.Series(bi)).min().reindex(ai)
+            m = agg.to_numpy(dtype=np.float64)
+            rel = (~np.isnan(m)) & (as_ > m)
+        elif q.kind in ("overlapping", "non_overlapping"):
+            # ∃ ref with ref.start <= src.end AND ref.end >= src.start:
+            # last ref (by start) with start <= src.end, prefix-max of ends
+            prefmax = (
+                pd.Series(be).groupby(pd.Series(bi)).cummax().to_numpy()
+            )
+            j = np.searchsorted(bkey, ai * kp + ae + 1, side="left") - 1
+            ok = j >= 0
+            jj = np.maximum(j, 0)
+            rel = ok & (bi[jj] == ai) & (prefmax[jj] >= as_)
+        elif q.kind.endswith("containing"):
             suffmin = (
                 pd.Series(be[::-1])
                 .groupby(pd.Series(bi[::-1]))

@@ -460,7 +460,7 @@ def test_contained_by_hand_case(oracle, searcher):
 def test_interval_filter_validation():
     src = IntervalNear(("alpha", "beta"))
     with pytest.raises(ValueError):
-        IntervalFilter(src, src, "overlapping")
+        IntervalFilter(src, src, "touching")  # not a MatchOperation kind
     with pytest.raises(ValueError):
         IntervalNear(
             ((IntervalPhrase(("alpha", "beta")), "gamma"),)  # mixed extent
