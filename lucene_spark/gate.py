@@ -1053,6 +1053,50 @@ ps AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ps", k)
 
 
+def _ast_interval_prefix_leaf():
+    from .search.query import IntervalNear, IntervalPrefix
+
+    return IntervalNear(
+        ("data", IntervalPrefix("s")), ordered=True, max_gaps=3
+    )
+
+
+def _ast_interval_wildcard_leaf():
+    from .search.query import IntervalNear, IntervalWildcard
+
+    return IntervalNear(
+        (IntervalWildcard("s?a*"), "key"), ordered=True, max_gaps=4
+    )
+
+
+def _sql_interval_multiterm(pred0: str, pred1: str, max_gaps: int, k: int = 10) -> str:
+    """Intervals.prefix / Intervals.wildcard leaf oracle: the expanded
+    Intervals.or slot's occurrence list is the union of the matching
+    terms' positions, which IS the SQL predicate over the token table —
+    independent of the expansion list order."""
+    freq_expr = "0.0"
+    for w in range(2, max_gaps + 3):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 1}))"
+        )
+    return f"""WITH {_BASE_CTES},
+pa AS (SELECT doc_id, pos FROM toks WHERE {pred0}),
+pb AS (SELECT doc_id, pos FROM toks WHERE {pred1}),
+cand AS (
+  SELECT pa.doc_id, pa.pos AS s, min(pb.pos) AS e
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id, pa.pos
+),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+iv AS (SELECT doc_id, e - s + 1 AS w FROM mini WHERE e - s - 1 <= {max_gaps}),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _sql_prefix(prefix: str, k: int = 10, max_terms: int = 128) -> str:
     idf = _idf("e.df")
     return f"""WITH {_BASE_CTES},
@@ -8594,6 +8638,8 @@ def gate_queries() -> dict:
         "interval_after": _mk_topk_ast(lambda: _ast_interval_relation("after")),
         "interval_overlapping": _mk_topk_ast(lambda: _ast_interval_relation("overlapping")),
         "interval_non_overlapping": _mk_topk_ast(lambda: _ast_interval_relation("non_overlapping")),
+        "interval_prefix_leaf": _mk_topk_ast(_ast_interval_prefix_leaf),
+        "interval_wildcard_leaf": _mk_topk_ast(_ast_interval_wildcard_leaf),
         "interval_repeat_ordered": _mk_topk_ast(_ast_interval_repeat_ordered),
         "interval_repeat_unordered": _mk_topk_ast(_ast_interval_repeat_unordered),
         "span_near_ordered": _mk_topk_ast(_ast_span_near_ordered),
@@ -8904,6 +8950,12 @@ def gate_oracle_sql() -> dict:
         "interval_after": _sql_interval_relation("after"),
         "interval_overlapping": _sql_interval_relation("overlapping"),
         "interval_non_overlapping": _sql_interval_relation("non_overlapping"),
+        "interval_prefix_leaf": _sql_interval_multiterm(
+            "term = 'data'", "term LIKE 's%'", 3
+        ),
+        "interval_wildcard_leaf": _sql_interval_multiterm(
+            "regexp_matches(term, '^s.a.*$')", "term = 'key'", 4
+        ),
         "bm25_multi_phrase": _sql_multi_phrase(),
         "bm25_phrase_prefix": _sql_phrase_prefix("data", "s"),
         "covering_query": _sql_covering(["stream", "window", "scan"]),

@@ -406,6 +406,30 @@ class IntervalPhrase:
 
 
 @dataclass(frozen=True)
+class IntervalPrefix:
+    """Intervals.prefix (queries/intervals/Intervals.java:236): a slot
+    leaf expanding to Intervals.or of every index term starting with
+    ``prefix``, resolved at query time against the term dict (the searcher
+    rewrite). More than ``max_expansions`` matching terms is an error —
+    the reference throws at 128 (Intervals.java DEFAULT_MAX_EXPANSIONS)."""
+
+    prefix: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IntervalWildcard:
+    """Intervals.wildcard (Intervals.java:255): like :class:`IntervalPrefix`
+    with Lucene wildcard syntax (* and ?)."""
+
+    pattern: str
+    max_expansions: int = 128
+
+
+_INTERVAL_MULTITERM = (IntervalPrefix, IntervalWildcard)
+
+
+@dataclass(frozen=True)
 class IntervalNear:
     """Positional interval query over term leaves: minimal intervals
     (queries/intervals/IntervalQuery.java, Intervals.ordered/unordered +
@@ -454,6 +478,11 @@ class IntervalNear:
                 return (x,)
             if isinstance(x, IntervalPhrase):
                 return tuple(x.terms)
+            if isinstance(x, _INTERVAL_MULTITERM):
+                raise ValueError(
+                    f"unexpanded interval multiterm leaf {x!r} — run the "
+                    "query through Searcher.search (term-dict expansion)"
+                )
             raise TypeError(f"bad interval leaf: {x!r}")
 
         out = []
@@ -512,12 +541,20 @@ class IntervalNear:
             counts[s] = j + 1
         return tuple(out)
 
+    def _has_multiterm(self) -> bool:
+        for s in self.terms:
+            items = s if isinstance(s, tuple) else (s,)
+            if any(isinstance(it, _INTERVAL_MULTITERM) for it in items):
+                return True
+        return False
+
     def __post_init__(self):
-        for slot in self.slots:
-            if len({len(leaf) for leaf in slot}) > 1:
-                raise ValueError(
-                    "Intervals.or alternatives must share one extent"
-                )
+        if not self._has_multiterm():  # validated post-expansion otherwise
+            for slot in self.slots:
+                if len({len(leaf) for leaf in slot}) > 1:
+                    raise ValueError(
+                        "Intervals.or alternatives must share one extent"
+                    )
         if not (self.pivot > 0):
             raise ValueError(f"pivot must be > 0, got: {self.pivot}")
 

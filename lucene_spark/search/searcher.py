@@ -34,6 +34,7 @@ layer of ScoringRewrite.java / TopTermsRewrite.java):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -727,7 +728,67 @@ class Searcher:
             return ConstantScoreQuery(
                 query=TermQuery(exists_term(q.field)), boost=q.boost
             )
+        from .query import IntervalFilter, IntervalNear
+
+        if isinstance(q, IntervalNear):
+            return self._expand_interval_leaves(q)
+        if isinstance(q, IntervalFilter):
+            return IntervalFilter(
+                self._expand_interval_leaves(q.source),
+                self._expand_interval_leaves(q.reference),
+                q.kind,
+                q.pivot,
+                q.boost,
+            )
         return q
+
+    def _expand_interval_leaves(self, q):
+        """Resolve Intervals.prefix / Intervals.wildcard slot leaves
+        (Intervals.java:236,255) against the term dict: each becomes the
+        Intervals.or tuple of its matching terms (sorted — deterministic
+        weight). Zero matches → MatchNoDocsQuery is NOT correct here (the
+        slot is conjunctive), so the slot becomes impossible and the whole
+        source matches nothing; more than max_expansions matches raises,
+        like the reference's too-many-terms IllegalStateException."""
+        from .query import (
+            IntervalPrefix,
+            IntervalWildcard,
+            MatchNoDocsQuery,
+        )
+
+        if not q._has_multiterm():
+            return q
+
+        def expand(leaf):
+            if isinstance(leaf, IntervalPrefix):
+                terms = self.reader.expand_terms(
+                    prefix=leaf.prefix, max_terms=leaf.max_expansions + 1
+                )
+            elif isinstance(leaf, IntervalWildcard):
+                lit, rx = wildcard_to_regex(leaf.pattern)
+                terms = self.reader.expand_terms(
+                    prefix=lit or None, pattern=rx,
+                    max_terms=leaf.max_expansions + 1,
+                )
+            else:
+                return (leaf,)
+            if len(terms) > leaf.max_expansions:
+                raise ValueError(
+                    f"interval leaf {leaf!r} expands to more than "
+                    f"{leaf.max_expansions} terms"
+                )
+            return tuple(sorted(terms))
+
+        new_slots = []
+        for s in q.terms:
+            items = s if isinstance(s, tuple) else (s,)
+            alts: list = []
+            for it in items:
+                alts.extend(expand(it))
+            if not alts:
+                return MatchNoDocsQuery()
+            new_slots.append(tuple(alts) if len(alts) > 1 else alts[0])
+        return dataclasses.replace(q, terms=tuple(new_slots))
 
     def _expand_leaf(self, q, max_terms: int):
         if isinstance(q, PrefixQuery):
