@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from .tokenizer import Token
 
-__all__ = ["check_rules", "synonym_tokens", "synonym_graph_paths"]
+__all__ = [
+    "check_rules",
+    "synonym_tokens",
+    "synonym_graph_paths",
+    "parse_solr_synonyms",
+    "parse_wordnet_synonyms",
+]
 
 
 def check_rules(rules: dict) -> dict[str, tuple[str, ...]]:
@@ -120,3 +126,125 @@ def synonym_tokens(
                 Token(a, t.position, t.start, t.end, "SYNONYM") for a in alts
             )
     return out
+
+
+def _unescape(tok: str) -> str:
+    out, i = [], 0
+    while i < len(tok):
+        if tok[i] == "\\" and i + 1 < len(tok):
+            out.append(tok[i + 1])
+            i += 2
+        else:
+            out.append(tok[i])
+            i += 1
+    return "".join(out)
+
+
+def _split_escaped(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` honoring backslash escapes (SynonymMap rule
+    syntax: ``\\,`` and ``\\ `` are literal characters)."""
+    parts, cur, i = [], [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "\\" and i + 1 < len(text):
+            cur.append(text[i : i + 2])
+            i += 2
+            continue
+        if text.startswith(sep, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(sep)
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _merge_rule(rules: dict, key: str, outs: tuple[str, ...]) -> None:
+    prev = rules.get(key, ())
+    merged = tuple(dict.fromkeys(tuple(prev) + outs))
+    rules[key] = merged
+
+
+def parse_solr_synonyms(text: str, expand: bool = True) -> dict:
+    """Solr synonyms format (analysis/common/.../synonym/SolrSynonymParser
+    .java:25-45 javadoc grammar):
+
+    - blank lines and lines starting with ``#`` are ignored
+    - ``a, b => c, d``: each input maps to every output
+    - ``a, b, c`` (no ``=>``): with ``expand=True`` every term maps to all
+      terms of the group (including itself, matching SynonymMap expand);
+      with ``expand=False`` every term maps to the FIRST
+    - ``\\,``, ``\\ `` and ``\\=>`` escape the separators
+
+    Returns {input: (outputs...)} — single-word rules feed the index-time
+    chain (``build_index(synonyms=...)``), multi-word rules the query-side
+    graph (``synonym_graph_paths``). Multiple rules for one input merge
+    (SynonymMap.Builder.add accumulates)."""
+    rules: dict = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line.replace("\\=>", "\x00"):
+            lhs, rhs = _split_escaped(line, "=>")[:2]
+            inputs = [
+                " ".join(_unescape(t).split())
+                for t in _split_escaped(lhs, ",")
+            ]
+            outputs = tuple(
+                " ".join(_unescape(t).split())
+                for t in _split_escaped(rhs, ",")
+            )
+            outputs = tuple(o for o in outputs if o)
+            for inp in inputs:
+                if inp:
+                    _merge_rule(rules, inp, outputs)
+        else:
+            group = [
+                " ".join(_unescape(t).split())
+                for t in _split_escaped(line, ",")
+            ]
+            group = [g for g in group if g]
+            if len(group) < 2:
+                continue
+            for g in group:
+                if expand:
+                    _merge_rule(rules, g, tuple(group))
+                else:
+                    _merge_rule(rules, g, (group[0],))
+    return rules
+
+
+def parse_wordnet_synonyms(text: str, expand: bool = True) -> dict:
+    """WordNet prolog format (analysis/common/.../synonym/WordnetSynonym-
+    Parser.java: lines ``s(<synset>,<num>,'<word>',...).``): words sharing
+    a synset id are synonyms. ``expand`` semantics as in
+    :func:`parse_solr_synonyms`. Quoted words use ``''`` for a literal
+    quote."""
+    import re as _re
+
+    synsets: dict[str, list[str]] = {}
+    pat = _re.compile(r"^s\(\s*(\d+)\s*,\s*\d+\s*,\s*'((?:[^']|'')*)'")
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line.startswith("s("):
+            continue
+        m = pat.match(line)
+        if not m:
+            raise ValueError(f"unparseable wordnet line: {line!r}")
+        word = m.group(2).replace("''", "'")
+        group = synsets.setdefault(m.group(1), [])
+        if word not in group:
+            group.append(word)
+    rules: dict = {}
+    for group in synsets.values():
+        if len(group) < 2:
+            continue
+        for g in group:
+            if expand:
+                _merge_rule(rules, g, tuple(group))
+            else:
+                _merge_rule(rules, g, (group[0],))
+    return rules

@@ -8375,6 +8375,40 @@ ss AS (
 """ + _topk_wrap("SELECT doc_id, score FROM ss", k)
 
 
+_SOLR_SYN_TEXT = """# gate rules, SolrSynonymParser grammar
+stream => flow
+window => flow
+"""
+
+
+def _q_solr_synonyms(spark, sf_dir):
+    """Index-time synonyms from a Solr-format rules file
+    (analysis/common/.../synonym/SolrSynonymParser.java): the parsed rules
+    drive the same synonym chain as the dict form, so the posting list of
+    'flow' is the union of stream+window — identical oracle to
+    synonym_expanded_index."""
+    from .analysis.synonyms import parse_solr_synonyms
+
+    rules = parse_solr_synonyms(_SOLR_SYN_TEXT)
+    name = sf_dir.strip("/").replace("/", "_") + "_synsolr"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True, synonyms=rules,
+        )
+    s = Searcher(spark, idx, analyzer="simple", mode="double")
+    h = s.search("flow", k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(
         spark, _ensure_mf_index(spark, sf_dir), analyzer="simple", mode="double"
@@ -8726,6 +8760,7 @@ def gate_queries() -> dict:
         "span_field_masking": _q_span_field_masking,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
+        "solr_synonyms_index": _q_solr_synonyms,
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
@@ -9037,6 +9072,7 @@ def gate_oracle_sql() -> dict:
         "span_field_masking": _sql_span_field_masking(),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
+        "solr_synonyms_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
