@@ -114,11 +114,24 @@ def box_query(
         elat <= _py_enc(max_lat, 90.0)
     )
     lo, hi = _py_enc(min_lon, 180.0, ceil=True), _py_enc(max_lon, 180.0)
+    # conservative RAW-column prefilter: quantization moves a coordinate
+    # by < 90/2^31 ≈ 4.2e-8 deg, so a 1e-6-deg widened raw range can never
+    # drop a quantized match — and unlike the encode() expressions these
+    # bare-attribute predicates reach the parquet scan (PushedFilters /
+    # row-group stats pruning), the BKD-outer-box analog at 100 TB
+    m = 1e-6
+    raw = (F.col(lat_col) >= min_lat - m) & (F.col(lat_col) <= max_lat + m)
     if min_lon > max_lon:  # dateline crossing: [min_lon, 180] U [-180, max_lon]
         lon_pred = (elon >= lo) | (elon <= hi)
+        raw = raw & (
+            (F.col(lon_col) >= min_lon - m) | (F.col(lon_col) <= max_lon + m)
+        )
     else:
         lon_pred = (elon >= lo) & (elon <= hi)
-    return df.filter(lat_pred & lon_pred)
+        raw = raw & (
+            (F.col(lon_col) >= min_lon - m) & (F.col(lon_col) <= max_lon + m)
+        )
+    return df.filter(raw).filter(lat_pred & lon_pred)
 
 
 def haversine_meters(
@@ -264,10 +277,20 @@ def xy_box_query(
     y_col: str = "y",
 ) -> DataFrame:
     """XYPoint.newBoxQuery (document/XYPointField.java:150 / XYRectangle):
-    cartesian box over the float32-quantized coordinates; the four range
-    predicates reach the parquet scan (PushedFilters)."""
+    cartesian box over the float32-quantized coordinates. A conservative
+    RAW-column prefilter (float32 moves a value by ≤ |v|·2⁻²⁴; the margin
+    covers it with orders of magnitude to spare) is bare-attribute and
+    reaches the parquet scan (PushedFilters / row-group pruning); the
+    exact quantized predicate refines after."""
+    span = max(abs(float(min_x)), abs(float(max_x)),
+               abs(float(min_y)), abs(float(max_y)), 1.0)
+    m = span * 1e-6
+    raw = (
+        (F.col(x_col) >= float(min_x) - m) & (F.col(x_col) <= float(max_x) + m)
+        & (F.col(y_col) >= float(min_y) - m) & (F.col(y_col) <= float(max_y) + m)
+    )
     x, y = _xy_quantize(F.col(x_col)), _xy_quantize(F.col(y_col))
-    return df.filter(
+    return df.filter(raw).filter(
         (x >= float(min_x)) & (x <= float(max_x))
         & (y >= float(min_y)) & (y <= float(max_y))
     )
