@@ -690,6 +690,35 @@ def _ast_interval_unordered():
     return IntervalNear(("stream", "window"), ordered=False, max_gaps=4)
 
 
+def _ast_interval_at_least():
+    from .search.query import ConstantScoreQuery, IntervalAtLeast
+
+    # Intervals.atLeast(2, data, stream, window) in a constant-score
+    # (filter) context: a doc matches iff the reference's two-queue
+    # iterator emits >= 1 interval, which (with no width cap) happens iff
+    # >= min_match sources have occurrences — the first nextInterval()
+    # after reset() always emits once the proximity queue fills
+    # (MinimumShouldMatchIntervalsSource.java:273-292). That equivalence
+    # makes the match set exactly SQL-expressible; the SCORED emission
+    # stream (non-minimal intervals included) is gated bit-exactly against
+    # the reference's own TestIntervals expectations in
+    # tests/test_interval_atleast.py instead.
+    return ConstantScoreQuery(
+        query=IntervalAtLeast(("data", "stream", "window"), min_match=2),
+        boost=1.5,
+    )
+
+
+def _sql_interval_at_least(terms: list[str], m: int, boost: float, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    inner = (
+        f"SELECT doc_id, {boost}::DOUBLE AS score FROM documents d "
+        f"WHERE (SELECT count(DISTINCT term) FROM tf "
+        f"WHERE tf.doc_id = d.doc_id AND term IN ({tlist})) >= {m}"
+    )
+    return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
+
+
 def _ast_interval_or():
     from .search.query import IntervalNear
 
@@ -8667,6 +8696,7 @@ def gate_queries() -> dict:
         "interval_or_slot": _mk_topk_ast(_ast_interval_or),
         "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
+        "interval_at_least": _mk_topk_ast(_ast_interval_at_least, k=30),
         "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
         "interval_before": _mk_topk_ast(lambda: _ast_interval_relation("before")),
         "interval_after": _mk_topk_ast(lambda: _ast_interval_relation("after")),
@@ -8980,6 +9010,9 @@ def gate_oracle_sql() -> dict:
         "interval_or_slot": _sql_interval("data", ("stream", "window"), True, 3),
         "interval_phrase_slot": _sql_interval_phrase(),
         "interval_containing": _sql_interval_containing(),
+        "interval_at_least": _sql_interval_at_least(
+            ["data", "stream", "window"], m=2, boost=1.5, k=30
+        ),
         "interval_not_containing": _sql_interval_not_containing(),
         "interval_before": _sql_interval_relation("before"),
         "interval_after": _sql_interval_relation("after"),

@@ -339,12 +339,108 @@ class PyIndex:
             self._interval_minimal(q), q.min_extent, q.pivot, q.boost
         )
 
+    def _interval_atleast(self, q) -> dict[int, list[tuple[int, int, int]]]:
+        """doc -> (start, end, gaps) stream EMITTED by the reference's
+        MinimumShouldMatchIntervalIterator (queries/intervals/
+        MinimumShouldMatchIntervalsSource.java:155-331), replayed with
+        explicit SORTED-LIST queues over each sub-source's brute-force
+        minimal enumeration (_interval_minimal) — a from-scratch
+        transliteration, structurally independent of the engine's
+        vectorized candidate pass + heap replay. Non-minimal emissions and
+        the advance-loop's early give-up on an exhausted sub-iterator
+        (:221-231) are preserved; queue ties break by sub-source index."""
+        from bisect import insort
+
+        subs = [self._interval_minimal(n) for n in q.sub_nears]
+        m = q.min_match
+        out: dict[int, list[tuple[int, int, int]]] = {}
+        for d in sorted({doc for s in subs for doc in s}):
+            present = [s[d] for s in subs if d in s]
+            if len(present) < m:
+                continue
+            pos = [0] * len(present)
+            cur: list = [None] * len(present)
+
+            def nxt(i: int) -> bool:
+                if pos[i] >= len(present[i]):
+                    cur[i] = None
+                    return False
+                cur[i] = present[i][pos[i]]
+                pos[i] += 1
+                return True
+
+            bg: list = []  # ordered (end asc, start desc, i)
+            px: list = []  # ordered (start asc, end desc, i)
+            for i in range(len(present)):
+                if nxt(i):
+                    insort(bg, (cur[i][1], -cur[i][0], i))
+            q_end = -1
+            for _ in range(m):
+                if not bg:
+                    break
+                e, ns, i = bg.pop(0)
+                insort(px, (-ns, -e, i))
+                q_end = max(q_end, e)
+            start = end = -1
+            emitted: list[tuple[int, int, int]] = []
+            while True:
+                while len(px) == m and px[0][0] == start:
+                    _s, _ne, i = px.pop(0)
+                    if nxt(i):
+                        insort(bg, (cur[i][1], -cur[i][0], i))
+                        e, ns, j = bg.pop(0)
+                        insort(px, (-ns, -e, j))
+                        q_end = max(q_end, e)
+                if len(px) < m:
+                    break
+                while True:
+                    start = px[0][0]
+                    end = q_end
+                    slop = (end - start + 1) - sum(
+                        (-ne) - s + 1 for (s, ne, _i) in px
+                    )
+                    if -px[0][1] == end:
+                        break
+                    _s, _ne, i = px.pop(0)
+                    if nxt(i):
+                        insort(bg, (cur[i][1], -cur[i][0], i))
+                    if bg:
+                        e, ns, j = bg.pop(0)
+                        insort(px, (-ns, -e, j))
+                        q_end = max(q_end, e)
+                    if not (len(px) == m and end == q_end):
+                        break
+                emitted.append((start, end, slop))
+            kept = [
+                (s, e)
+                for (s, e, sl) in emitted
+                if (q.max_gaps < 0 or sl <= q.max_gaps)
+                and (q.max_width < 0 or e - s + 1 <= q.max_width)
+            ]
+            if kept:
+                out[d] = kept
+        return out
+
+    def interval_atleast_scores(self, q) -> dict[int, np.float32]:
+        """Intervals.atLeast oracle: saturation over the emitted widths,
+        minExtent = sum of the min_match smallest sub minExtents."""
+        return self._interval_saturate(
+            self._interval_atleast(q), q.min_extent, q.pivot, q.boost
+        )
+
+    def _interval_enum_side(self, side) -> dict[int, list[tuple[int, int]]]:
+        from ..search.query import IntervalAtLeast
+
+        if isinstance(side, IntervalAtLeast):
+            return self._interval_atleast(side)
+        return self._interval_minimal(side)
+
     def interval_filter_scores(self, q) -> dict[int, np.float32]:
         """Containment-filtered interval oracle (Intervals.containing /
         notContaining / containedBy / notContainedBy): explicit O(|A|·|B|)
         relation test per doc over both sides' minimal intervals."""
-        a = self._interval_minimal(q.source)
-        b = self._interval_minimal(q.reference)
+        a = self._interval_enum_side(q.source)
+        b = self._interval_enum_side(q.reference)
         negate = q.kind.startswith("not_")
         kept: dict[int, list[tuple[int, int]]] = {}
         for d, ivs in a.items():
@@ -754,6 +850,10 @@ class PyIndex:
             return self.interval_scores(q)
         if isinstance(q, IntervalFilter):
             return self.interval_filter_scores(q)
+        from ..search.query import IntervalAtLeast
+
+        if isinstance(q, IntervalAtLeast):
+            return self.interval_atleast_scores(q)
         if isinstance(q, ToParentBlockJoinQuery):
             return self.block_join_scores(q)
         from ..search.query import ToChildBlockJoinQuery

@@ -606,6 +606,69 @@ class IntervalFilter:
 
 
 @dataclass(frozen=True)
+class IntervalAtLeast:
+    """Intervals.atLeast(minShouldMatch, sources...) —
+    MinimumShouldMatchIntervalsSource (queries/intervals/
+    MinimumShouldMatchIntervalsSource.java:39). Emits intervals spanning
+    occurrences of at least ``min_match`` of the ``sources`` via the
+    reference's two-queue iterator (a background queue ordered by
+    smallest end feeding a proximity queue of the ``min_match`` current
+    sub-intervals ordered by smallest start; the emitted interval is
+    [min start in the proximity queue, max end ever added to it]) —
+    replayed LITERALLY per doc in the engine, including its non-minimal
+    emissions and its early exhaustion (the top-of-call advance loop
+    gives up when a popped sub-iterator is spent, even with refills
+    available in the background queue, :221-231).
+
+    A source may be a term, an :class:`IntervalPhrase`, a tuple of such
+    alternatives (Intervals.or), or a full :class:`IntervalNear` subtree
+    (each sub-source enumerates its own minimal intervals first).
+    ``max_gaps`` / ``max_width`` wrap the emitted stream exactly like on
+    :class:`IntervalNear` (FilteredIntervalsSource.MaxGaps filters on the
+    iterator's gaps() = emitted width minus the proximity-queue members'
+    widths, :255-257; MaxWidth on end-start+1). Scoring is the standard
+    interval saturation over the emitted widths with minExtent = the sum
+    of the ``min_match`` smallest sub-source minExtents (:357-367).
+
+    The factory's degenerate cases (Intervals.java:567-579) live in
+    ``rewrite``: min_match == len(sources) with leaf-only sources becomes
+    Intervals.unordered; min_match > len(sources) matches nothing."""
+
+    sources: tuple  # str | IntervalPhrase | tuple-of-alts | IntervalNear
+    min_match: int
+    max_gaps: int = -1
+    max_width: int = -1
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    @property
+    def sub_nears(self) -> tuple:
+        """Each source as a self-contained IntervalNear (leaf sources get a
+        single-slot wrapper; a wrapper's enumeration is exactly the leaf's
+        occurrence list)."""
+        return tuple(
+            s if isinstance(s, IntervalNear) else IntervalNear((s,))
+            for s in self.sources
+        )
+
+    @property
+    def min_extent(self) -> int:
+        """Sum of the min_match smallest sub minExtents
+        (MinimumShouldMatchIntervalsSource.minExtent, :357-367)."""
+        exts = sorted(n.min_extent for n in self.sub_nears)
+        return int(sum(exts[: self.min_match]))
+
+    def _has_multiterm(self) -> bool:
+        return any(n._has_multiterm() for n in self.sub_nears)
+
+    def __post_init__(self):
+        if self.min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {self.min_match}")
+        if not (self.pivot > 0):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery:
     """Parent/child doc-block join (join/src/java/org/apache/lucene/search/
     join/ToParentBlockJoinQuery.java): matches PARENT docs whose block
@@ -1171,8 +1234,25 @@ def _rewrite_once(q):
             )
     if isinstance(q, IntervalNear) and not q.terms:
         return MatchNoDocsQuery()
-    if isinstance(q, IntervalFilter) and not q.source.terms:
+    if (
+        isinstance(q, IntervalFilter)
+        and isinstance(q.source, IntervalNear)
+        and not q.source.terms
+    ):
         return MatchNoDocsQuery()
+    if isinstance(q, IntervalAtLeast):
+        # the Intervals.atLeast factory's degenerate arms
+        # (Intervals.java:567-579)
+        if not q.sources or q.min_match > len(q.sources):
+            return MatchNoDocsQuery()
+        if q.min_match == len(q.sources) and all(
+            not isinstance(s, IntervalNear) for s in q.sources
+        ):
+            return IntervalNear(
+                q.sources, ordered=False, max_gaps=q.max_gaps,
+                max_width=q.max_width, pivot=q.pivot, boost=q.boost,
+            )
+        return q
     if isinstance(q, TermAutomatonQuery) and not q.paths:
         return MatchNoDocsQuery()
     if isinstance(q, SynonymQuery) and len(q.terms) == 1:
@@ -1212,6 +1292,11 @@ def collect_terms(q) -> set[str]:
         return {t for s in q.slots for leaf in s for t in leaf}
     if isinstance(q, IntervalFilter):
         return collect_terms(q.source) | collect_terms(q.reference)
+    if isinstance(q, IntervalAtLeast):
+        out: set[str] = set()
+        for n in q.sub_nears:
+            out |= collect_terms(n)
+        return out
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, CombinedFieldQuery):

@@ -41,6 +41,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalAtLeast,
     IntervalFilter,
     IntervalNear,
     MultiPhraseQuery,
@@ -941,6 +942,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             FeatureQuery,
             IntervalNear,
             IntervalFilter,
+            IntervalAtLeast,
             PayloadScoreQuery,
             TermAutomatonQuery,
         ),
@@ -1016,7 +1018,7 @@ def build_scorers(
                 per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in terms],
             )
             continue
-        if isinstance(leaf, (IntervalNear, IntervalFilter)):
+        if isinstance(leaf, (IntervalNear, IntervalFilter, IntervalAtLeast)):
             # pure saturation of the sloppy interval freq — no stats/norms
             # (IntervalQuery.java:71-72 default saturationFunction(pivot))
             scorers[leaf] = IntervalSaturationScorer.create(

@@ -89,9 +89,15 @@ from .segment import (
 
 __all__ = ["Searcher", "wildcard_to_regex"]
 
+# analyzer output never contains NUL, so this term matches no posting —
+# the stand-in for an interval slot whose multiterm leaf expanded to
+# nothing (the slot stays in place; it simply never has occurrences)
+_NO_MATCH_TERM = "\x00no-match"
+
 
 def _needs_positions(q) -> bool:
     from .query import (
+        IntervalAtLeast,
         IntervalFilter,
         IntervalNear,
         MultiPhraseQuery,
@@ -109,6 +115,7 @@ def _needs_positions(q) -> bool:
                 PhrasePrefixQuery,
                 IntervalNear,
                 IntervalFilter,
+                IntervalAtLeast,
                 TermAutomatonQuery,
             ),
         )
@@ -728,19 +735,51 @@ class Searcher:
             return ConstantScoreQuery(
                 query=TermQuery(exists_term(q.field)), boost=q.boost
             )
-        from .query import IntervalFilter, IntervalNear
+        from .query import IntervalAtLeast, IntervalFilter, IntervalNear
 
         if isinstance(q, IntervalNear):
             return self._expand_interval_leaves(q)
         if isinstance(q, IntervalFilter):
             return IntervalFilter(
-                self._expand_interval_leaves(q.source),
-                self._expand_interval_leaves(q.reference),
+                self._expand_side(q.source),
+                self._expand_side(q.reference),
                 q.kind,
                 q.pivot,
                 q.boost,
             )
+        if isinstance(q, IntervalAtLeast):
+            return self._expand_atleast(q)
         return q
+
+    def _expand_side(self, side):
+        """Expand one IntervalFilter side (an IntervalNear or an
+        IntervalAtLeast)."""
+        from .query import IntervalAtLeast
+
+        if isinstance(side, IntervalAtLeast):
+            return self._expand_atleast(side)
+        return self._expand_interval_leaves(side)
+
+    def _expand_atleast(self, q):
+        """Term-dict expansion inside Intervals.atLeast sources. A source
+        whose multiterm leaf expands to nothing keeps its place in the
+        source list (the reference's per-source intervals() just returns
+        no intervals for it) as a never-matching sentinel term."""
+        from .query import IntervalAtLeast, IntervalNear
+
+        if not q._has_multiterm():
+            return q
+        new_sources = []
+        for s in q.sources:
+            near = s if isinstance(s, IntervalNear) else IntervalNear((s,))
+            ex = self._expand_interval_leaves(near)
+            if not isinstance(ex, IntervalNear):  # impossible slot
+                new_sources.append(_NO_MATCH_TERM)
+            elif isinstance(s, IntervalNear):
+                new_sources.append(ex)
+            else:
+                new_sources.append(ex.terms[0])
+        return dataclasses.replace(q, sources=tuple(new_sources))
 
     def _expand_interval_leaves(self, q):
         """Resolve Intervals.prefix / Intervals.wildcard slot leaves

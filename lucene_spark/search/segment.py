@@ -42,6 +42,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FeatureQuery,
+    IntervalAtLeast,
     IntervalFilter,
     IntervalNear,
     ParentChildrenBlockJoinQuery,
@@ -474,6 +475,90 @@ def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids[sel], scores[sel]
 
 
+def _atleast_replay(doc_subs, m: int):
+    """One doc's MinimumShouldMatchIntervalIterator run, replayed literally
+    (queries/intervals/MinimumShouldMatchIntervalsSource.java — reset()
+    :273-292, nextInterval() :206-258): returns [(start, end, slop), ...]
+    in emission order. ``doc_subs``: per PRESENT sub-source, (starts, ends)
+    arrays of its minimal intervals sorted by start.
+
+    Queue disciplines are the reference's comparators: the background
+    queue orders by (end asc, start desc), the proximity queue of size
+    ``m`` by (start asc, end desc); the emitted interval per call is
+    [proximity-top start, queueEnd], queueEnd being the max end ever added
+    to the proximity queue (updateRightExtreme, :294-299 — it never
+    shrinks, which is where the stream's non-minimal emissions come from).
+    ``slop`` is gaps(): emitted width minus the proximity members' widths
+    at the same instant (:203-205)."""
+    import heapq
+
+    n = len(doc_subs)
+    ptr = [0] * n
+    cur: list = [None] * n  # current (start, end) per sub-iterator
+
+    def advance(i: int) -> bool:
+        p = ptr[i]
+        ss, ee = doc_subs[i]
+        if p >= len(ss):
+            cur[i] = None
+            return False
+        cur[i] = (int(ss[p]), int(ee[p]))
+        ptr[i] = p + 1
+        return True
+
+    background: list = []  # (end, -start, i)
+    proximity: list = []  # (start, -end, i)
+    # reset(): every sub positioned on its first interval, all into the
+    # background queue; the m smallest-end ones move to the proximity queue
+    for i in range(n):
+        if advance(i):
+            heapq.heappush(background, (cur[i][1], -cur[i][0], i))
+    queue_end = -1
+    for _ in range(m):
+        if not background:
+            break
+        e, ns, i = heapq.heappop(background)
+        heapq.heappush(proximity, (-ns, -e, i))
+        if e > queue_end:
+            queue_end = e
+    start = end = -1
+    emitted: list[tuple[int, int, int]] = []
+    while True:
+        # advance past the previous start; the refill only happens when the
+        # popped iterator had another interval (the reference's :221-231)
+        while len(proximity) == m and proximity[0][0] == start:
+            _s, _ne, i = heapq.heappop(proximity)
+            if advance(i):
+                heapq.heappush(background, (cur[i][1], -cur[i][0], i))
+                e, ns, j = heapq.heappop(background)
+                heapq.heappush(proximity, (-ns, -e, j))
+                if e > queue_end:
+                    queue_end = e
+        if len(proximity) < m:
+            break  # NO_MORE_INTERVALS
+        # minimize: fix end = queueEnd, push start right while possible
+        while True:
+            start = proximity[0][0]
+            end = queue_end
+            slop = end - start + 1
+            for (s2, ne2, _i2) in proximity:
+                slop -= (-ne2) - s2 + 1
+            if -proximity[0][1] == end:
+                break
+            _s, _ne, i = heapq.heappop(proximity)
+            if advance(i):
+                heapq.heappush(background, (cur[i][1], -cur[i][0], i))
+            if background:
+                e, ns, j = heapq.heappop(background)
+                heapq.heappush(proximity, (-ns, -e, j))
+                if e > queue_end:
+                    queue_end = e
+            if not (len(proximity) == m and end == queue_end):
+                break
+        emitted.append((start, end, slop))
+    return emitted
+
+
 def _sum_contributions(parts: list[tuple[np.ndarray, np.ndarray]], dtype):
     """Union-sum (docid, score) contributions; adds happen in list order for
     each doc (DisjunctionSumScorer float order)."""
@@ -576,6 +661,8 @@ class _SegmentSearcher:
             return d
         if isinstance(q, IntervalNear):
             return self._interval_match(q)[0]
+        if isinstance(q, IntervalAtLeast):
+            return self._interval_atleast_match(q)[0]
         if isinstance(q, IntervalFilter):
             return self._interval_filter_match(q)[0]
         if is_span(q):
@@ -706,7 +793,7 @@ class _SegmentSearcher:
             return d, np.full(d.size, q.boost, dtype=np.float32)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY, np.zeros(0, dtype=np.float32)
-        if isinstance(q, (IntervalNear, IntervalFilter)):
+        if isinstance(q, (IntervalNear, IntervalFilter, IntervalAtLeast)):
             return self._evaluate_interval(q)
         if is_span(q):
             return self._evaluate_span(q)
@@ -1655,6 +1742,93 @@ class _SegmentSearcher:
         # used the FULL ext_total (Rep.width() sums every copy's width)
         return cand[doc_i], starts, ends, q.min_extent
 
+    def _interval_atleast_match(self, q: IntervalAtLeast):
+        """(docids, sloppy freqs) over the intervals EMITTED by the
+        reference's minimum-should-match iterator (see
+        _interval_atleast_enumerate), folded with minExtent = sum of the
+        min_match smallest sub minExtents."""
+        d, starts, ends, ext = self._interval_atleast_enumerate(q)
+        return self._interval_fold(d, ends - starts + 1, ext)
+
+    def _interval_atleast_enumerate(self, q: IntervalAtLeast):
+        """Intervals.atLeast — the stream of intervals emitted by
+        MinimumShouldMatchIntervalsSource's two-queue iterator
+        (queries/intervals/MinimumShouldMatchIntervalsSource.java:155-331),
+        after max_gaps/max_width (FilteredIntervalsSource wraps OUTSIDE the
+        iterator, so gaps() filtering sees the iterator's own slop), as
+        (global docids, starts, ends, min_extent) sorted by (doc, start).
+
+        Each sub-source first enumerates its own minimal intervals
+        vectorized (_interval_enumerate); candidate docs (>= min_match
+        sub-sources present, the DisjunctionDISIApproximation doc match)
+        are found with one unique/count pass; only those docs run the
+        per-doc literal replay. The replay preserves the reference's
+        emission behavior exactly — including NON-minimal emissions (the
+        emitted end is the max end ever added to the proximity queue) and
+        the early give-up when a sub-iterator popped by the
+        advance-past-start loop is exhausted (:221-231: the refill from
+        the background queue only happens when the popped iterator had
+        another interval), which can end a doc's stream with sub-sources
+        still unconsumed. Ties in the queues are broken by sub-source
+        index (the reference's heap order on equal keys is unspecified)."""
+        no_hit = (_EMPTY, _EMPTY, _EMPTY, 0)
+        m = q.min_match
+        subs = [self._interval_enumerate(n) for n in q.sub_nears]
+        doc_lists = [d for (d, _s, _e, _x) in subs if d.size]
+        if len(doc_lists) < m:
+            return no_hit
+        docs_u, counts = np.unique(np.concatenate(doc_lists), return_counts=True)
+        cand = docs_u[counts >= m]
+        if cand.size == 0:
+            return no_hit
+        # per-sub [lo, hi) row ranges per candidate doc (subs sorted by doc)
+        slices = []
+        for (d, s, e, _x) in subs:
+            if d.size == 0:
+                continue
+            lo = np.searchsorted(d, cand, side="left")
+            hi = np.searchsorted(d, cand, side="right")
+            slices.append((s, e, lo, hi))
+        out_d: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        for ci in range(cand.size):
+            doc_subs = []
+            for (s, e, lo, hi) in slices:
+                a, b = int(lo[ci]), int(hi[ci])
+                if b > a:
+                    doc_subs.append((s[a:b], e[a:b]))
+            if len(doc_subs) < m:
+                continue
+            doc = int(cand[ci])
+            for (s0, e0, slop) in _atleast_replay(doc_subs, m):
+                if q.max_gaps >= 0 and slop > q.max_gaps:
+                    continue
+                if q.max_width >= 0 and (e0 - s0 + 1) > q.max_width:
+                    continue
+                out_d.append(doc)
+                out_s.append(s0)
+                out_e.append(e0)
+        if not out_d:
+            return no_hit
+        d_arr = np.asarray(out_d, dtype=np.int64)
+        s_arr = np.asarray(out_s, dtype=np.int64)
+        e_arr = np.asarray(out_e, dtype=np.int64)
+        # the emission stream is per-doc but (with wide sub-intervals) not
+        # necessarily start-ordered; containment filtering over this stream
+        # (_interval_filter_match) requires (doc, start) order
+        order = np.lexsort((s_arr, d_arr))
+        return d_arr[order], s_arr[order], e_arr[order], q.min_extent
+
+    def _enumerate_interval_source(self, src):
+        """Route an IntervalFilter side to its enumerator — an
+        IntervalAtLeast source/reference contributes its EMITTED stream
+        (FilteringIntervalsSource composes over whatever the wrapped
+        iterator yields, non-minimal emissions included)."""
+        if isinstance(src, IntervalAtLeast):
+            return self._interval_atleast_enumerate(src)
+        return self._interval_enumerate(src)
+
     def _interval_filter_match(self, q):
         """(docids, sloppy freqs) of a containment-filtered interval source
         (Intervals.containing/notContaining/containedBy/notContainedBy —
@@ -1667,10 +1841,10 @@ class _SegmentSearcher:
         start >= s is <= e) or prefix-max of ends (for contained_by)."""
         import pandas as pd
 
-        ad, as_, ae, ext = self._interval_enumerate(q.source)
+        ad, as_, ae, ext = self._enumerate_interval_source(q.source)
         if ad.size == 0:
             return _EMPTY, np.zeros(0, dtype=np.float64)
-        bd, bs, be, _ = self._interval_enumerate(q.reference)
+        bd, bs, be, _ = self._enumerate_interval_source(q.reference)
         negate = q.kind.startswith("not_") or q.kind == "non_overlapping"
         if bd.size == 0:
             if negate:
@@ -1731,6 +1905,8 @@ class _SegmentSearcher:
         dtype = _float_dtype(sc)
         if isinstance(q, IntervalFilter):
             d, f = self._interval_filter_match(q)
+        elif isinstance(q, IntervalAtLeast):
+            d, f = self._interval_atleast_match(q)
         else:
             d, f = self._interval_match(q)
         if d.size == 0:
