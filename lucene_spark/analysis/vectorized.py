@@ -869,6 +869,102 @@ def _synonym_post(
     return BatchTokens(new_uniques, out_codes, out_docids, out_positions, doc_lens)
 
 
+def _synonym_graph_post(
+    bt: BatchTokens, rules: dict, keep_original: bool = True
+) -> BatchTokens:
+    """Multi-word synonym rules over a BatchTokens stream: the
+    SynonymGraphFilter → FlattenGraphFilter chain (analysis/synonyms.py
+    apply_synonym_graph — the reference's documented-lossy index form).
+
+    Scale shape: candidate docs are found vectorized (a doc qualifies only
+    if it contains the first term of some rule input — one np.isin over
+    the dictionary-coded stream); only those docs take the per-doc rewrite
+    lane, everything else passes through as array slices. On webtext the
+    candidate fraction tracks the rule vocabulary's df, so the pass stays
+    map-side and near-free for rule sets that match rarely."""
+    from ..analysis.synonyms import _graph_matcher, apply_synonym_graph
+    from .tokenizer import Token
+
+    first_terms = set(_graph_matcher(rules))
+    first_codes = np.asarray(
+        [i for i, u in enumerate(bt.uniques) if u in first_terms],
+        dtype=np.int64,
+    )
+    if first_codes.size == 0 or bt.codes.size == 0:
+        return bt
+    cand = np.unique(bt.docids[np.isin(bt.codes, first_codes)])
+    if cand.size == 0:
+        return bt
+    uniques = list(bt.uniques)
+    uidx = {u: i for i, u in enumerate(uniques)}
+
+    def code_of(w: str) -> int:
+        ci = uidx.get(w)
+        if ci is None:
+            ci = len(uniques)
+            uniques.append(w)
+            uidx[w] = ci
+        return ci
+
+    lo = np.searchsorted(bt.docids, cand, side="left")
+    hi = np.searchsorted(bt.docids, cand, side="right")
+    codes_parts: list[np.ndarray] = []
+    docids_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    doc_lens = bt.doc_lens.copy()
+    cursor = 0
+    for ci in range(cand.size):
+        a, b = int(lo[ci]), int(hi[ci])
+        if a > cursor:  # untouched run before this doc: pass through
+            codes_parts.append(bt.codes[cursor:a])
+            docids_parts.append(bt.docids[cursor:a])
+            pos_parts.append(bt.positions[cursor:a])
+        toks = [
+            Token(bt.uniques[int(c)], int(p), 0, 0, "word")
+            for c, p in zip(bt.codes[a:b], bt.positions[a:b])
+        ]
+        out = apply_synonym_graph(toks, rules, keep_original)
+        if out is not toks:
+            d = int(cand[ci])
+            codes_parts.append(
+                np.asarray([code_of(t.term) for t in out], dtype=np.int64)
+            )
+            docids_parts.append(np.full(len(out), d, dtype=bt.docids.dtype))
+            pos_parts.append(
+                np.asarray([t.position for t in out], dtype=np.int64)
+            )
+            doc_lens[d] = len({t.position for t in out})
+        else:
+            codes_parts.append(bt.codes[a:b])
+            docids_parts.append(bt.docids[a:b])
+            pos_parts.append(bt.positions[a:b])
+        cursor = b
+    if cursor < bt.codes.size:
+        codes_parts.append(bt.codes[cursor:])
+        docids_parts.append(bt.docids[cursor:])
+        pos_parts.append(bt.positions[cursor:])
+    return BatchTokens(
+        uniques,
+        np.concatenate(codes_parts) if codes_parts else bt.codes,
+        np.concatenate(docids_parts) if docids_parts else bt.docids,
+        np.concatenate(pos_parts) if pos_parts else bt.positions,
+        doc_lens,
+    )
+
+
+def _apply_synonyms(
+    bt: BatchTokens, rules: dict, keep_original: bool = True
+) -> BatchTokens:
+    """Route index-time synonyms: single-token rule sets keep the
+    vocabulary-level vectorized pass (_synonym_post); any multi-word input
+    or output switches the whole set to the graph+flatten chain."""
+    from ..analysis.synonyms import rules_need_graph
+
+    if rules_need_graph(rules):
+        return _synonym_graph_post(bt, rules, keep_original)
+    return _synonym_post(bt, rules, keep_original)
+
+
 def _gram_post(bt: BatchTokens, min_gram: int, max_gram: int, edge: bool) -> BatchTokens:
     """NGram/EdgeNGram filter over a BatchTokens stream: gram expansion is
     computed once per UNIQUE vocabulary term, then broadcast to tokens with

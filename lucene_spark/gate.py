@@ -8373,6 +8373,66 @@ def _ensure_syn_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ensure_syngraph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with a MULTI-WORD synonym rule via the index-time graph
+    chain (SynonymGraphFilter → FlattenGraphFilter, analysis/synonyms.py
+    apply_synonym_graph): "data stream" => zqsynflow, keep_original. The
+    originals path (2 tokens) is the longest alternative, so every
+    original token keeps its position and zqsynflow stacks at the match
+    start — doc lengths and base-corpus stats are UNCHANGED, making the
+    flattened posting list exactly SQL-expressible: zqsynflow's postings
+    are the adjacent (data, stream) bigram occurrences (greedy
+    non-overlapping scan ≡ the bigram count for this self-overlap-free
+    pattern)."""
+    name = sf_dir.strip("/").replace("/", "_") + "_syngraph"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(
+            spark, docs, idx, num_segments=1, analyzer="simple",
+            stopwords=None, index_positions=True,
+            synonyms={"data stream": ("zqsynflow",)},
+        )
+    return idx
+
+
+def _q_synonym_graph(spark, sf_dir):
+    s = Searcher(
+        spark, _ensure_syngraph_index(spark, sf_dir), analyzer="simple",
+        mode="double",
+    )
+    h = s.search("zqsynflow", k=10, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_synonym_graph(k: int = 10) -> str:
+    """The flattened multi-word synonym posting list in SQL: one posting
+    per adjacent data→stream pair; df/freq from the pair counts; norms
+    and avgdl are the base corpus's (the stacked token adds no
+    positions)."""
+    idf = _idf("d.df")
+    return f"""WITH {_BASE_CTES},
+sf AS (
+  SELECT t1.doc_id, count(*)::BIGINT AS freq
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'data' AND t2.term = 'stream'
+  GROUP BY t1.doc_id
+),
+d AS (SELECT count(*)::BIGINT AS df FROM sf),
+ss AS (
+  SELECT sf.doc_id, ({idf} - {idf} / {_tf_part("sf.freq", "qdl.qdl")}) AS score
+  FROM sf JOIN qdl USING (doc_id), stats s, d
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ss", k)
+
+
 def _q_synonym_expanded(spark, sf_dir):
     s = Searcher(
         spark, _ensure_syn_index(spark, sf_dir), analyzer="simple",
@@ -8790,6 +8850,7 @@ def gate_queries() -> dict:
         "span_field_masking": _q_span_field_masking,
         "word_breaks": _q_word_breaks,
         "synonym_expanded_index": _q_synonym_expanded,
+        "synonym_graph_flattened_index": _q_synonym_graph,
         "solr_synonyms_index": _q_solr_synonyms,
         "ascii_folded_index": _q_folded,
         "cjk_bigram_index": _q_cjk_bigram,
@@ -9105,6 +9166,7 @@ def gate_oracle_sql() -> dict:
         "span_field_masking": _sql_span_field_masking(),
         "word_breaks": _sql_word_breaks(),
         "synonym_expanded_index": _sql_synonym_expanded(),
+        "synonym_graph_flattened_index": _sql_synonym_graph(),
         "solr_synonyms_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "cjk_bigram_index": _sql_cjk_bigram(),

@@ -491,9 +491,9 @@ def _invert_segment(
             ),
         )
         if synonyms:
-            from ..analysis.vectorized import _synonym_post
+            from ..analysis.vectorized import _apply_synonyms
 
-            bt0 = _synonym_post(bt0, synonyms, synonyms_keep_original)
+            bt0 = _apply_synonyms(bt0, synonyms, synonyms_keep_original)
         perm = np.lexsort((np.arange(n_docs), -bt0.doc_lens))
         pdf = pdf.iloc[perm].reset_index(drop=True)
         if fields is None:
@@ -513,9 +513,9 @@ def _invert_segment(
         an_f = (field_analyzers or {}).get(fname, analyzer_name)
         bt = analyze_batch(texts, stopwords=stopwords, analyzer=an_f)
         if synonyms:
-            from ..analysis.vectorized import _synonym_post
+            from ..analysis.vectorized import _apply_synonyms
 
-            bt = _synonym_post(bt, synonyms, synonyms_keep_original)
+            bt = _apply_synonyms(bt, synonyms, synonyms_keep_original)
         doc_lens = bt.doc_lens
         norms = int_to_byte4(doc_lens)
         prefix = "" if fname is None else fname + FIELD_SEP
@@ -1178,9 +1178,11 @@ def build_index(
     if synonyms:
         from ..analysis.synonyms import check_rules
 
-        # index-time synonym expansion (analysis/synonyms.py): applied to
-        # the analyzed stream as a vocabulary-level post-pass
-        syn = check_rules(synonyms)
+        # index-time synonym expansion (analysis/synonyms.py): single-token
+        # rules run as a vocabulary-level post-pass; multi-word rules route
+        # through the SynonymGraphFilter → FlattenGraphFilter chain
+        # (_apply_synonyms picks per rule-set shape)
+        syn = check_rules(synonyms, allow_graph=True)
     fl = sorted(fields.items()) if fields is not None else None
     if fl is not None and fields:
         # primary field first (docmap doc_len/norm source): dict order
