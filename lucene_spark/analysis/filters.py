@@ -55,6 +55,16 @@ __all__ = [
     "dictionary_compound",
     "reverse_string",
     "mapping_char_filter",
+    "capitalization_filter",
+    "keyword_repeat",
+    "remove_duplicates",
+    "hyphenated_words",
+    "date_recognizer",
+    "codepoint_count_filter",
+    "limit_token_offset",
+    "limit_token_position",
+    "type_token_filter",
+    "conditional_filter",
     "register_filter_analyzer",
 ]
 
@@ -350,3 +360,224 @@ def register_filter_analyzer(
     from .custom import register_token_analyzer
 
     register_token_analyzer(name, analyze_fn, distinct_positions=distinct_positions)
+
+
+# --- miscellaneous filter pack 3 ----------------------------------------
+# (small filters from analysis/common the earlier packs did not cover)
+
+
+def capitalization_filter(
+    only_first_word: bool = True,
+    keep: Iterable[str] | None = None,
+    force_first_letter: bool = True,
+    ok_prefix: Iterable[str] | None = None,
+    min_word_length: int = 0,
+    max_word_count: int = 1 << 31,
+    max_token_length: int = 1 << 31,
+) -> Callable:
+    """miscellaneous/CapitalizationFilter.java:30-?? — normal
+    capitalization rules per term: first letter upper, rest lower;
+    ``only_first_word`` lowercases every word after the first inside a
+    multi-word term (words split on chars <= ' ' and '.', the Java loop's
+    exact classes); ``keep`` words pass unchanged (except the forced first
+    letter of word 0); ``ok_prefix`` words pass unchanged; words shorter
+    than ``min_word_length`` pass unchanged; a term with more than
+    ``max_word_count`` words or >= ``max_token_length`` chars reverts
+    whole."""
+    keep_set = frozenset(keep or ())
+    prefixes = tuple(ok_prefix or ())
+
+    def process_word(word: str, word_count: int) -> str:
+        if not word:
+            return word
+        if only_first_word and word_count > 0:
+            return word.lower()
+        if word in keep_set:
+            if word_count == 0 and force_first_letter:
+                return word[0].upper() + word[1:]
+            return word
+        if len(word) < min_word_length:
+            return word
+        for p in prefixes:
+            if word.startswith(p):
+                return word
+        return word[0].upper() + word[1:].lower()
+
+    def f(term: str) -> str:
+        if len(term) >= max_token_length:
+            return term
+        # split exactly like the Java scan: boundaries at c <= ' ' or '.'
+        out = []
+        word = []
+        words = 0
+        for c in term:
+            if c <= " " or c == ".":
+                if word:
+                    out.append(process_word("".join(word), words))
+                    words += 1
+                    word = []
+                out.append(c)
+            else:
+                word.append(c)
+        if word:
+            out.append(process_word("".join(word), words))
+            words += 1
+        if words > max_word_count:
+            return term
+        return "".join(out)
+
+    return f
+
+
+def keyword_repeat(stem_fn: Callable[[str], str]) -> Callable:
+    """miscellaneous/KeywordRepeatFilter.java:28-55 composed with a
+    keyword-aware stemmer + RemoveDuplicatesTokenFilter.java:28-56 (the
+    canonical chain the javadoc describes): each token emits its
+    UNSTEMMED form (the keyword copy) and, when different, the stemmed
+    form stacked at the same position (posInc 0 on the second copy);
+    equal stem == original collapses to one token, exactly what
+    RemoveDuplicates would drop."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out: list[Token] = []
+        for t in tokens:
+            out.append(t)
+            stemmed = stem_fn(t.term)
+            if stemmed and stemmed != t.term:
+                out.append(Token(stemmed, t.position, t.start, t.end, t.type))
+        return out
+
+    return f
+
+
+def remove_duplicates(tokens: list[Token]) -> list[Token]:
+    """miscellaneous/RemoveDuplicatesTokenFilter.java:28-56: drop a token
+    whose term already appeared AT THE SAME POSITION (the seen-set clears
+    whenever the position advances)."""
+    out: list[Token] = []
+    seen: set[str] = set()
+    prev_pos = None
+    for t in tokens:
+        if t.position != prev_pos:
+            seen.clear()
+            prev_pos = t.position
+        if t.term in seen:
+            continue
+        seen.add(t.term)
+        out.append(t)
+    return out
+
+
+def hyphenated_words(tokens: list[Token]) -> list[Token]:
+    """miscellaneous/HyphenatedWordsFilter.java incrementToken: join a
+    run of hyphen-terminated tokens with the following token (line-break
+    hyphenation repair); the joined token keeps the FIRST part's position
+    and start offset and the LAST part's end offset; a trailing hyphen at
+    end-of-stream gets its hyphen back."""
+    out: list[Token] = []
+    parts: list[Token] = []
+    for t in tokens:
+        if t.term.endswith("-"):
+            parts.append(t)
+            continue
+        if parts:
+            term = "".join(p.term[:-1] for p in parts) + t.term
+            first = parts[0]
+            out.append(Token(term, first.position, first.start, t.end, first.type))
+            parts = []
+        else:
+            out.append(t)
+    if parts:
+        term = "".join(p.term[:-1] for p in parts) + "-"
+        first = parts[0]
+        out.append(
+            Token(term, first.position, first.start, parts[-1].end, first.type)
+        )
+    return out
+
+
+def date_recognizer(formats: Iterable[str] = ("%b %d, %Y",)) -> Callable:
+    """miscellaneous/DateRecognizerFilter.java:25-50: keep only terms
+    parseable as a date. The Java default is
+    DateFormat.getDateInstance(DEFAULT, Locale.ENGLISH) — the MEDIUM
+    "MMM d, yyyy" pattern, i.e. strptime "%b %d, %Y" — and is pluggable;
+    pass strptime patterns for other formats. (Like the reference, this
+    expects a tokenizer that keeps dates whole, e.g. keyword/pattern.)"""
+    from datetime import datetime
+
+    fmts = tuple(formats)
+
+    def f(term: str):
+        for fmt in fmts:
+            try:
+                datetime.strptime(term, fmt)
+                return term
+            except ValueError:
+                continue
+        return None
+
+    return f
+
+
+def codepoint_count_filter(min_len: int, max_len: int) -> Callable:
+    """miscellaneous/CodepointCountFilter.java:28-??: keep min <=
+    codepoints <= max (python strings count codepoints natively)."""
+    if min_len < 0 or min_len > max_len:
+        raise ValueError("maximum length must not be greater than minimum length")
+
+    def f(term: str):
+        return term if min_len <= len(term) <= max_len else None
+
+    return f
+
+
+def limit_token_offset(max_start_offset: int, consume_all: bool = True) -> Callable:
+    """miscellaneous/LimitTokenOffsetFilter.java: emit tokens until one
+    STARTS after the configured offset."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        return [t for t in tokens if t.start <= max_start_offset]
+
+    return f
+
+
+def limit_token_position(max_token_position: int) -> Callable:
+    """miscellaneous/LimitTokenPositionFilter.java: emit tokens until the
+    1-based accumulated position exceeds the limit (our 0-based stream
+    position p corresponds to Lucene position p+1)."""
+    if max_token_position < 1:
+        raise ValueError("max_token_position must be >= 1")
+
+    def f(tokens: list[Token]) -> list[Token]:
+        return [t for t in tokens if t.position + 1 <= max_token_position]
+
+    return f
+
+
+def type_token_filter(types: Iterable[str], use_whitelist: bool = False) -> Callable:
+    """core/TypeTokenFilter.java: drop tokens whose type is in the stop
+    set (or, with ``use_whitelist``, keep ONLY those types). Dropped
+    tokens leave their position gap, like every FilteringTokenFilter."""
+    tset = frozenset(types)
+
+    def f(tokens: list[Token]) -> list[Token]:
+        if use_whitelist:
+            return [t for t in tokens if t.type in tset]
+        return [t for t in tokens if t.type not in tset]
+
+    return f
+
+
+def conditional_filter(
+    predicate: Callable[[str], bool], inner: Callable[[str], object]
+) -> Callable:
+    """miscellaneous/ConditionalTokenFilter.java:51 (term-level subset):
+    apply ``inner`` only to terms the predicate selects; everything else
+    passes through untouched. (The reference generalizes to whole
+    sub-chains over token runs; per-term filters are the composition this
+    repo's chains use.)"""
+
+    def f(term: str):
+        return inner(term) if predicate(term) else term
+
+    return f

@@ -526,6 +526,18 @@ def analyze_batch(
             ),
             distinct_positions=True,
         )
+    if analyzer == "classic":
+        # JFlex longest-match scanning over the classic grammar is
+        # position/context-dependent (HOST/NUM/ACRONYM spans cross UAX#29
+        # boundaries) — exact per-document chain lane
+        from .classic import classic_analyze as _cl_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _cl_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer == "url_email":
         # URL/email span recognition is CONTEXT-dependent (spans cross the
         # UAX#29 boundaries the vectorized lowercase lane assumes, and the

@@ -7106,6 +7106,90 @@ _IT_QUERY = "storie"  # analyzes to 'stor'
 _IT_STOR_IDXS = (4, 5)
 
 
+# ClassicAnalyzer (analysis/classic/ClassicTokenizerImpl.jflex grammar +
+# ClassicFilter): every lexicon surface form analyzes to exactly ONE token
+# (APOSTROPHE possessive strip, ACRONYM dot strip, COMPANY, HOST, NUM),
+# so the 6-slot arithmetic oracle applies unchanged. Query 'o'reilly'
+# matches both the possessive and the plain surface form.
+_CLASSIC_LEX = [
+    "O'Reilly's", "U.S.A.", "AT&T", "www.nutch.org",
+    "21.35", "1-2-3", "R2D2", "O'Reilly",
+]
+
+
+def _q_classic_analyzer(spark, sf_dir, k: int = 100000):
+    from .search.query import TermQuery
+
+    s = Searcher(
+        spark,
+        _ensure_lex_index(spark, sf_dir, "classic", _CLASSIC_LEX, "classic"),
+        analyzer="classic", mode="double",
+    )
+    h = s.search(TermQuery("o'reilly"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# PathHierarchyTokenizer (analysis/path/PathHierarchyTokenizer.java:28-46):
+# each doc's text is a 3-component path from the slot arithmetic; the
+# tokenizer emits the 3 hierarchy prefixes (doc_len 3, each freq 1). The
+# query term is a 2-level prefix, so a doc matches iff its first TWO slots
+# draw the right lexicon indices — pure slot arithmetic in the oracle.
+_PATH_LEX = ["data", "img", "docs", "static", "api", "v2", "blog", "css"]
+
+
+def _q_path_hierarchy(spark, sf_dir, k: int = 100000):
+    from .analysis.custom import register_token_analyzer
+    from .analysis.pathhier import path_hierarchy_analyzer
+    from .search.query import TermQuery
+
+    register_token_analyzer("gate_path", path_hierarchy_analyzer())
+    name = sf_dir.strip("/").replace("/", "_") + "_pathhier"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    if not os.path.exists(os.path.join(idx, "segment_manifest")):
+        arr = F.array(*[F.lit(w) for w in _PATH_LEX])
+        word = lambda i: F.element_at(  # noqa: E731
+            arr, ((F.col("doc_id") * 7 + i * 3) % 8 + 1).cast("int")
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+            F.concat_ws("/", F.lit(""), word(0), word(1), word(2)).alias("text"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="gate_path",
+            stopwords=None, index_positions=False,
+        )
+    s = Searcher(spark, idx, analyzer="gate_path", mode="double")
+    h = s.search(TermQuery("/data/img"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_path_hierarchy(i0: int, i1: int, k: int = 100000) -> str:
+    """Oracle: tf = 1 iff slot0 drew index i0 AND slot1 drew i1; dl = 3
+    (three hierarchy tokens per doc)."""
+    idf = _idf("d.df")
+    return f"""WITH tfq AS (
+  SELECT doc_id, 1::BIGINT AS freq FROM documents
+  WHERE (doc_id * 7) % 8 = {i0} AND (doc_id * 7 + 3) % 8 = {i1}
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         3.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '3')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq) d
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ensure_lex_index(
     spark: SparkSession, sf_dir: str, tag: str, lex: list, analyzer: str
 ) -> str:
@@ -8853,6 +8937,8 @@ def gate_queries() -> dict:
         "synonym_graph_flattened_index": _q_synonym_graph,
         "solr_synonyms_index": _q_solr_synonyms,
         "ascii_folded_index": _q_folded,
+        "classic_analyzer_index": _q_classic_analyzer,
+        "path_hierarchy_index": _q_path_hierarchy,
         "cjk_bigram_index": _q_cjk_bigram,
         "german_light_index": _q_german_stem,
         "japanese_index": _q_japanese,
@@ -9169,6 +9255,8 @@ def gate_oracle_sql() -> dict:
         "synonym_graph_flattened_index": _sql_synonym_graph(),
         "solr_synonyms_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
+        "classic_analyzer_index": _sql_lex_stem((0, 7)),
+        "path_hierarchy_index": _sql_path_hierarchy(0, 1),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
         "japanese_index": _sql_morph_index(1),

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions.featurefield import encode_feature
 from ..analysis.cjk import cjk_analyze, cjk_terms_positions
+from ..analysis.classic import classic_analyze, classic_terms_positions
 from ..analysis.ja import japanese_analyze, japanese_terms_positions
 from ..analysis.ko import korean_analyze, korean_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
@@ -165,6 +166,7 @@ _ANALYZERS: dict[str, Callable] = {
     "edge_ngram": edge_ngram_analyze,  # standard + edge grams 2..4
     "ascii_folded": folded_analyze,  # standard + ASCII folding before stop
     "cjk": cjk_analyze,              # standard + CJK bigrams (CJKAnalyzer)
+    "classic": classic_analyze,      # pre-3.1 StandardTokenizer grammar (ClassicAnalyzer)
     "german": german_analyze,        # standard + normalize + light stem
     "french": french_analyze,        # standard + elision + light stem
     "spanish": spanish_analyze,      # standard + Savoy light stem
@@ -309,6 +311,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "double_metaphone": double_metaphone_terms_positions,
     "icu_folding": icu_folding_terms_positions,
     "url_email": url_email_terms_positions,
+    "classic": classic_terms_positions,
     "match_rating": match_rating_terms_positions,
     "japanese": japanese_terms_positions,
     "japanese_normal": lambda text, stopwords=None: (
