@@ -7162,20 +7162,22 @@ def _q_path_hierarchy(spark, sf_dir, k: int = 100000):
             stopwords=None, index_positions=False,
         )
     s = Searcher(spark, idx, analyzer="gate_path", mode="double")
-    h = s.search(TermQuery("/data/img"), k=k, with_url=True)
+    # slot1 ≡ slot0 + 3 (mod 8), so the realizable 2-level prefixes pair
+    # index i with index (i+3)%8: "data"(0) → "static"(3)
+    h = s.search(TermQuery("/data/static"), k=k, with_url=True)
     return h.select(
         F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
         F.round("score", 4).alias("score"),
     )
 
 
-def _sql_path_hierarchy(i0: int, i1: int, k: int = 100000) -> str:
-    """Oracle: tf = 1 iff slot0 drew index i0 AND slot1 drew i1; dl = 3
-    (three hierarchy tokens per doc)."""
+def _sql_path_hierarchy(i0: int, k: int = 100000) -> str:
+    """Oracle: tf = 1 iff slot0 drew index i0 (slot1 is then forced to
+    (i0+3)%8 by the slot arithmetic); dl = 3 hierarchy tokens per doc."""
     idf = _idf("d.df")
     return f"""WITH tfq AS (
   SELECT doc_id, 1::BIGINT AS freq FROM documents
-  WHERE (doc_id * 7) % 8 = {i0} AND (doc_id * 7 + 3) % 8 = {i1}
+  WHERE (doc_id * 7) % 8 = {i0}
 ),
 stats AS (
   SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
@@ -9256,7 +9258,7 @@ def gate_oracle_sql() -> dict:
         "solr_synonyms_index": _sql_synonym_expanded(),
         "ascii_folded_index": _sql_or(["data", "stream"]),
         "classic_analyzer_index": _sql_lex_stem((0, 7)),
-        "path_hierarchy_index": _sql_path_hierarchy(0, 1),
+        "path_hierarchy_index": _sql_path_hierarchy(0),
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
         "japanese_index": _sql_morph_index(1),
