@@ -379,26 +379,42 @@ def main() -> None:
         return best
 
     full = best_suite(CPUS, tiebreak=True)
-    high = (
-        best_suite(high_cores, tiebreak=True, n_base=SCALE_BEST_OF, lean=True)
-        if high_cores != CPUS
-        else full
-    )
-    low = best_suite(low_cores, tiebreak=True, n_base=SCALE_BEST_OF, lean=True)
     ratio = high_cores / low_cores
 
-    def merge_run(best: dict, r: dict) -> dict:
-        out = dict(best)
-        out["timings"] = {
-            k: min(best["timings"][k], r["timings"][k]) for k in best["timings"]
-        }
-        out["docs_per_sec"] = max(best["docs_per_sec"], r["docs_per_sec"])
-        out["qps"] = max(best["qps"], r["qps"])
+    def merge_run(best: dict | None, r: dict) -> dict:
+        if best is None:
+            out = dict(r)
+            out["all_runs"] = []
+            out["timings"] = dict(r["timings"])
+        else:
+            out = dict(best)
+            out["timings"] = {
+                k: min(best["timings"][k], r["timings"][k])
+                for k in best["timings"]
+            }
+            out["docs_per_sec"] = max(best["docs_per_sec"], r["docs_per_sec"])
+            out["qps"] = max(best["qps"], r["qps"])
         out["total_secs"] = sum(out["timings"].values())
-        out["all_runs"] = best["all_runs"] + [
+        out["all_runs"] = out["all_runs"] + [
             {"docs_per_sec": round(r["docs_per_sec"], 1), "qps": round(r["qps"], 2)}
         ]
         return out
+
+    # the two scaling legs INTERLEAVE sample-by-sample: this VM's
+    # interference arrives in multi-minute windows, so running all 4N
+    # samples then all N samples lets one sustained window depress exactly
+    # one leg and bias the best-of ratio either direction (observed: a
+    # phase-ordered run measured N-best in a clean window and 4N-best in a
+    # dirty one → 0.72 "efficiency" from noise alone). Alternating pairs
+    # give both legs samples from every window, so the per-leg bests
+    # converge on the same uncontended environment.
+    high = low = None
+    for _ in range(SCALE_BEST_OF):
+        if high_cores != CPUS:
+            high = merge_run(high, _run_suite_subprocess(high_cores, corpus, lean=True))
+        low = merge_run(low, _run_suite_subprocess(low_cores, corpus, lean=True))
+    if high_cores == CPUS:
+        high = full
 
     def _eff(key: str) -> float:
         return (high[key] / low[key]) / ratio
