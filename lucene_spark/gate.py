@@ -719,6 +719,34 @@ def _sql_interval_at_least(terms: list[str], m: int, boost: float, k: int) -> st
     return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
 
 
+def _ast_interval_defined_gaps():
+    from .search.query import IntervalExtend, IntervalNear, IntervalPhrase
+
+    # Intervals.phrase(data, extend(stream, 1, 0)) — the reference's
+    # defined-gap phrase (Intervals.java:412 + TestIntervals
+    # testDefinedGaps shape): Block chaining over the EXTENDED boundary
+    # puts stream exactly TWO positions after data; every interval has
+    # width 3 = minExtent, so each contributes sloppy weight 1.
+    return IntervalNear(
+        (IntervalPhrase(("data", IntervalExtend("stream", 1, 0))),)
+    )
+
+
+def _sql_interval_defined_gaps(k: int = 10) -> str:
+    return f"""WITH {_BASE_CTES},
+iv AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+  WHERE a.term = 'data' AND b.term = 'stream'
+  GROUP BY a.doc_id
+),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM iv
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ast_interval_or():
     from .search.query import IntervalNear
 
@@ -8843,6 +8871,7 @@ def gate_queries() -> dict:
         "interval_phrase_slot": _mk_topk_ast(_ast_interval_phrase),
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
         "interval_at_least": _mk_topk_ast(_ast_interval_at_least, k=30),
+        "interval_defined_gaps": _mk_topk_ast(_ast_interval_defined_gaps),
         "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
         "interval_before": _mk_topk_ast(lambda: _ast_interval_relation("before")),
         "interval_after": _mk_topk_ast(lambda: _ast_interval_relation("after")),
@@ -9162,6 +9191,7 @@ def gate_oracle_sql() -> dict:
         "interval_at_least": _sql_interval_at_least(
             ["data", "stream", "window"], m=2, boost=1.5, k=30
         ),
+        "interval_defined_gaps": _sql_interval_defined_gaps(),
         "interval_not_containing": _sql_interval_not_containing(),
         "interval_before": _sql_interval_relation("before"),
         "interval_after": _sql_interval_relation("after"),

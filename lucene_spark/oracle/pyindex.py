@@ -208,27 +208,39 @@ class PyIndex:
 
     def _leaf_occurrences(self, leaf) -> dict[int, list[tuple[int, int]]]:
         """doc -> sorted (start, end) occurrences of one interval leaf:
-        a term (width 1) or an exact phrase (Intervals.phrase, width L)."""
-        if len(leaf) == 1:
+        a term (width 1) or an exact phrase (Intervals.phrase, width L).
+        Back-compat shim over :meth:`_leaf_occurrences_info`."""
+        return self._leaf_occurrences_info(
+            (tuple(leaf), tuple(range(len(leaf))), len(leaf), 0)
+        )
+
+    def _leaf_occurrences_info(self, info) -> dict[int, list[tuple[int, int]]]:
+        """doc -> sorted (start, end) occurrences of one normalized slot
+        alternative (search/query.interval_leaf_info record): terms at
+        their relative raw offsets; the interval start is first-position −
+        ``before`` clipped at 0 and the width is ``extent`` except on
+        clipped occurrences (ExtendedIntervalIterator semantics)."""
+        terms, rel, extent, before = info
+        if len(terms) == 1 and extent == 1:
             out: dict[int, list[tuple[int, int]]] = {}
-            for d, _, pos in self.postings.get(leaf[0], ()):
+            for d, _, pos in self.postings.get(terms[0], ()):
                 out.setdefault(d, []).extend((p, p) for p in pos)
             return {d: sorted(v) for d, v in out.items()}
         per_term = []
         docs: set[int] | None = None
-        for t in leaf:
+        for t in terms:
             m = {d: set(pos) for d, _, pos in self.postings.get(t, ())}
             per_term.append(m)
             docs = set(m) if docs is None else docs & set(m)
         out2: dict[int, list[tuple[int, int]]] = {}
         for d in docs or ():
             occ = [
-                (p, p + len(leaf) - 1)
+                (max(0, p - before), p - before + extent - 1)
                 for p in sorted(per_term[0][d])
-                if all(p + i in per_term[i][d] for i in range(1, len(leaf)))
+                if all(p + rel[i] in per_term[i][d] for i in range(1, len(terms)))
             ]
             if occ:
-                out2[d] = occ
+                out2[d] = sorted(occ)
         return out2
 
     def _interval_minimal(self, q) -> dict[int, list[tuple[int, int]]]:
@@ -237,14 +249,14 @@ class PyIndex:
         EXPLICIT containment-antichain minimality filter (not the engine's
         keep-max-start-per-end dedup, so a shared monotonicity bug cannot
         pass both sides)."""
-        slots = q.slots
+        slots = q.slot_infos
         exts = q.slot_extents
         ext_total = sum(exts)
         slot_occ: list[dict[int, list[tuple[int, int]]]] = []
         for alts in slots:
             merged: dict[int, set[tuple[int, int]]] = {}
-            for leaf in alts:
-                for d, occ in self._leaf_occurrences(leaf).items():
+            for info in alts:
+                for d, occ in self._leaf_occurrences_info(info).items():
                     merged.setdefault(d, set()).update(occ)
             slot_occ.append({d: sorted(v) for d, v in merged.items()})
         common = set(slot_occ[0]) if slot_occ else set()

@@ -396,13 +396,26 @@ class IntervalPhrase:
     """Interval leaf matching an exact phrase (Intervals.phrase →
     BlockIntervalsSource: occurrences are fixed-width [start, start+L-1]
     spans of L consecutive term positions). Usable wherever a term leaf is
-    (a slot of IntervalNear, alone or among Intervals.or alternatives)."""
+    (a slot of IntervalNear, alone or among Intervals.or alternatives).
 
-    terms: tuple
+    An element may be an :class:`IntervalExtend` wrapping a term — the
+    reference's DEFINED-GAPS phrase (TestIntervals.testDefinedGaps):
+    Block chaining runs over the EXTENDED boundaries, so
+    phrase(a, extend(b, 1, 1), c) matches a@p, b@p+2, c@p+4 with extent
+    1+3+1 = 5."""
+
+    terms: tuple  # str | IntervalExtend(str)
 
     def __post_init__(self):
-        if not self.terms or not all(isinstance(t, str) for t in self.terms):
-            raise ValueError("IntervalPhrase needs 1+ terms")
+        ok = all(
+            isinstance(t, str)
+            or (isinstance(t, IntervalExtend) and isinstance(t.base, str))
+            for t in self.terms
+        )
+        if not self.terms or not ok:
+            raise ValueError(
+                "IntervalPhrase needs 1+ terms (str or IntervalExtend(str))"
+            )
 
 
 @dataclass(frozen=True)
@@ -427,6 +440,85 @@ class IntervalWildcard:
 
 
 _INTERVAL_MULTITERM = (IntervalPrefix, IntervalWildcard)
+
+
+@dataclass(frozen=True)
+class IntervalExtend:
+    """Intervals.extend (Intervals.java:412, ExtendedIntervalsSource.java):
+    widen each occurrence of the wrapped leaf by ``before`` positions on
+    the left (clipped at position 0, ExtendedIntervalIterator.start) and
+    ``after`` on the right (clamped at the int ceiling, .end). minExtent
+    grows by before+after (:126-132). The reference's headline use is
+    DEFINED GAPS inside Intervals.phrase (TestIntervals.testDefinedGaps:
+    phrase(pease, extend(cold, 1, 1), porridge) matches
+    "pease <any> cold <any> porridge").
+
+    Usable as an IntervalNear slot (alone or among Intervals.or
+    alternatives sharing one (before, after)) and as an IntervalPhrase
+    element. ``base`` is a term or (as a slot) a tuple of terms; nesting
+    extends is not supported."""
+
+    base: object  # str | tuple[str, ...]
+    before: int
+    after: int
+
+    def __post_init__(self):
+        if self.before < 0 or self.after < 0:
+            raise ValueError("before/after must be >= 0")
+        items = self.base if isinstance(self.base, tuple) else (self.base,)
+        if not items or not all(isinstance(t, str) for t in items):
+            raise ValueError(
+                "IntervalExtend wraps a term or a tuple of terms"
+            )
+
+
+def interval_leaf_info(x) -> tuple:
+    """One slot alternative normalized to
+    ``(terms, rel_offsets, extent, before)``:
+
+    - ``terms``: the raw index terms, in occurrence order;
+    - ``rel_offsets``: each term's raw position relative to the FIRST
+      term's (consecutive ints for plain phrases; defined-gap phrases
+      stretch them per their elements' paddings);
+    - ``extent``: the alternative's interval width on unclipped
+      occurrences (1+before+after per extended element);
+    - ``before``: left padding of the first element — the occurrence's
+      interval START is first-term-position − before, clipped at 0
+      (ExtendedIntervalIterator.start)."""
+    if isinstance(x, str):
+        return ((x,), (0,), 1, 0)
+    if isinstance(x, IntervalExtend):
+        if isinstance(x.base, str):
+            return ((x.base,), (0,), 1 + x.before + x.after, x.before)
+        raise ValueError(
+            "or-of-terms inside one IntervalExtend: wrap each term "
+            "instead (extend(a)|extend(b) within the slot tuple)"
+        )
+    if isinstance(x, IntervalPhrase):
+        terms, offs = [], []
+        cursor = 0  # raw-position cursor relative to the first term
+        extent = 0
+        before = None
+        for el in x.terms:
+            if isinstance(el, IntervalExtend):
+                b, a, t = el.before, el.after, el.base
+            else:
+                b, a, t = 0, 0, el
+            if before is None:
+                before = b
+            else:
+                cursor += b
+            terms.append(t)
+            offs.append(cursor)
+            cursor += 1 + a
+            extent += 1 + b + a
+        return (tuple(terms), tuple(offs), extent, before or 0)
+    if isinstance(x, _INTERVAL_MULTITERM):
+        raise ValueError(
+            f"unexpanded interval multiterm leaf {x!r} — run the "
+            "query through Searcher.search (term-dict expansion)"
+        )
+    raise TypeError(f"bad interval leaf: {x!r}")
 
 
 @dataclass(frozen=True)
@@ -471,33 +563,29 @@ class IntervalNear:
     @property
     def slots(self) -> tuple[tuple[tuple[str, ...], ...], ...]:
         """Normal form: per slot, a tuple of leaves; each leaf a tuple of
-        terms (len 1 = plain term leaf, len L = phrase leaf of extent L)."""
+        RAW terms (len 1 = plain term leaf, len L = phrase leaf). Padding
+        metadata of extended leaves lives in :attr:`slot_infos`."""
+        return tuple(
+            tuple(info[0] for info in slot) for slot in self.slot_infos
+        )
 
-        def leaf(x):
-            if isinstance(x, str):
-                return (x,)
-            if isinstance(x, IntervalPhrase):
-                return tuple(x.terms)
-            if isinstance(x, _INTERVAL_MULTITERM):
-                raise ValueError(
-                    f"unexpanded interval multiterm leaf {x!r} — run the "
-                    "query through Searcher.search (term-dict expansion)"
-                )
-            raise TypeError(f"bad interval leaf: {x!r}")
-
+    @property
+    def slot_infos(self) -> tuple:
+        """Per slot, a tuple of ``interval_leaf_info`` records (terms,
+        rel_offsets, extent, before) — one per Intervals.or alternative."""
         out = []
         for s in self.terms:
             alts = (
                 (s,)
-                if isinstance(s, (str, IntervalPhrase))
+                if isinstance(s, (str, IntervalPhrase, IntervalExtend))
                 else tuple(s)
             )
-            out.append(tuple(leaf(a) for a in alts))
+            out.append(tuple(interval_leaf_info(a) for a in alts))
         return tuple(out)
 
     @property
     def slot_extents(self) -> tuple[int, ...]:
-        return tuple(len(slot[0]) for slot in self.slots)
+        return tuple(slot[0][2] for slot in self.slot_infos)
 
     @property
     def min_extent(self) -> int:
@@ -507,9 +595,10 @@ class IntervalNear:
         (RepeatingIntervalsSource.java minExtent; grouping at
         OrderedIntervalsSource.java:40-57 — adjacent equal sources only —
         vs UnorderedIntervalsSource.java:43-55 — by count, any order).
-        Slot equality is the normalized slot tuple. Distinct slots that
-        merely share a term are independent sources (no grouping)."""
-        slots = self.slots
+        Slot equality is the normalized slot tuple incl. extension
+        paddings. Distinct slots that merely share a term are independent
+        sources (no grouping)."""
+        slots = self.slot_infos
         exts = self.slot_extents
         if self.ordered:
             total, prev = 0, None
@@ -535,7 +624,7 @@ class IntervalNear:
         so equal slots never match on a single occurrence."""
         counts: dict = {}
         out = []
-        for s in self.slots:
+        for s in self.slot_infos:
             j = counts.get(s, 0)
             out.append(j)
             counts[s] = j + 1
@@ -550,8 +639,8 @@ class IntervalNear:
 
     def __post_init__(self):
         if not self._has_multiterm():  # validated post-expansion otherwise
-            for slot in self.slots:
-                if len({len(leaf) for leaf in slot}) > 1:
+            for slot in self.slot_infos:
+                if len({info[2] for info in slot}) > 1:
                     raise ValueError(
                         "Intervals.or alternatives must share one extent"
                     )

@@ -1597,13 +1597,17 @@ class _SegmentSearcher:
             freq += np.bincount(inv[width == w], minlength=docs_u.size) * wt
         return docs_u, freq
 
-    def _phrase_leaf_starts(self, terms, cand, kp) -> np.ndarray:
-        """(dense doc · kp + start) of exact-phrase occurrences —
-        Intervals.phrase leaf (BlockIntervalsSource): term_i at start+i for
-        every i. Vectorized key-membership walk over candidate docs."""
+    def _phrase_leaf_starts(self, terms, cand, kp, offsets=None) -> np.ndarray:
+        """(dense doc · kp + first-term position) of exact-phrase
+        occurrences — Intervals.phrase leaf (BlockIntervalsSource):
+        term_i at start + offsets[i] (consecutive ints by default; a
+        DEFINED-GAPS phrase with IntervalExtend elements stretches them —
+        Block chaining over the extended boundaries). Vectorized
+        key-membership walk over candidate docs."""
         tps = [self.term_postings(t) for t in terms]
         if any(tp is None for tp in tps):
             return np.zeros(0, dtype=np.int64)
+        offs = tuple(range(len(terms))) if offsets is None else tuple(offsets)
         dd, pp = self._slot_doc_pos(tps[0], 0, cand)
         if dd.size == 0:
             return np.zeros(0, dtype=np.int64)
@@ -1615,7 +1619,7 @@ class _SegmentSearcher:
                 return np.zeros(0, dtype=np.int64)
             ki = np.searchsorted(cand, dd) * kp + pp
             ki.sort()
-            k0 = k0[np.isin(k0 + np.int64(i), ki)]
+            k0 = k0[np.isin(k0 + np.int64(offs[i]), ki)]
             if k0.size == 0:
                 return k0
         return k0
@@ -1660,48 +1664,87 @@ class _SegmentSearcher:
             if cand.size == 0:
                 return no_hit
         kp = np.int64(1) << np.int64(31)  # positions < 2^31 (int32 contract)
-        keys = []  # per slot: sorted (dense doc idx · kp + start) keys
-        for alts in slots:
-            parts = []
-            for leaf in alts:
-                if len(leaf) == 1:
-                    tp = self.term_postings(leaf[0])
+        infos = q.slot_infos
+        keys = []  # per slot: sorted (dense doc idx · kp + CLIPPED start)
+        dends = []  # per slot: end − start per occurrence (int scalar when
+        # no alternative has a left padding — the historical fast path) —
+        # extended leaves (IntervalExtend) shift the start left by
+        # ``before`` (clipped at 0, so doc-start occurrences shrink) and
+        # the end right by ``after``
+        for alts in infos:
+            parts_k: list[np.ndarray] = []
+            parts_d: list[np.ndarray] = []
+            any_before = any(info[3] > 0 for info in alts)
+            for (terms, rel, extent, before) in alts:
+                if len(terms) == 1:
+                    tp = self.term_postings(terms[0])
                     if tp is None:
                         continue
                     dd, pp = self._slot_doc_pos(tp, 0, cand)
-                    if dd.size:
-                        parts.append(np.searchsorted(cand, dd) * kp + pp)
+                    if dd.size == 0:
+                        continue
+                    raw = np.searchsorted(cand, dd) * kp + pp
                 else:
-                    pk = self._phrase_leaf_starts(leaf, cand, kp)
-                    if pk.size:
-                        parts.append(pk)
-            if not parts:
+                    raw = self._phrase_leaf_starts(terms, cand, kp, rel)
+                    if raw.size == 0:
+                        continue
+                if before > 0:
+                    p0 = raw % kp
+                    shift = np.minimum(p0, np.int64(before))
+                    parts_k.append(raw - shift)
+                    parts_d.append(
+                        np.int64(extent - 1) - (np.int64(before) - shift)
+                    )
+                else:
+                    parts_k.append(raw)
+                    parts_d.append(
+                        np.full(raw.size, extent - 1, dtype=np.int64)
+                        if any_before
+                        else None  # scalar lane
+                    )
+            if not parts_k:
                 return no_hit
-            kk = parts[0] if len(parts) == 1 else np.concatenate(parts)
-            if len(parts) > 1:
-                kk.sort()
-            keys.append(kk)
+            if not any_before:
+                kk = parts_k[0] if len(parts_k) == 1 else np.concatenate(parts_k)
+                if len(parts_k) > 1:
+                    kk.sort()
+                keys.append(kk)
+                dends.append(int(alts[0][2] - 1))
+            else:
+                kk = np.concatenate(parts_k)
+                dd_ = np.concatenate(parts_d)
+                # sort by key; equal clipped starts order by SMALLER end so
+                # the greedy ordered walk picks the minimal continuation
+                order = np.lexsort((dd_, kk))
+                keys.append(kk[order])
+                dends.append(dd_[order])
+
+        def _dend(t: int, jdx):
+            d = dends[t]
+            return d if isinstance(d, int) else d[jdx]
+
         if q.ordered:
             # each leaf occurrence must START strictly after the previous
-            # leaf occurrence's END (start + extent - 1)
+            # leaf occurrence's END (extended/clipped boundaries)
             k0 = keys[0]
             doc_i = k0 // kp
             starts = k0 % kp
-            cur_end = k0 + np.int64(exts[0] - 1)
+            cur_end = k0 + _dend(0, np.arange(k0.size))
             for t in range(1, m):
                 kt = keys[t]
                 idx = np.searchsorted(kt, cur_end, side="right")
                 ok = idx < kt.size
-                nxt = kt[np.minimum(idx, kt.size - 1)]
+                jdx = np.minimum(idx, kt.size - 1)
+                nxt = kt[jdx]
                 ok &= (nxt // kp) == doc_i
                 doc_i, starts = doc_i[ok], starts[ok]
-                cur_end = nxt[ok] + np.int64(exts[t] - 1)
+                cur_end = nxt[ok] + _dend(t, jdx[ok])
                 if doc_i.size == 0:
                     return no_hit
             ends = cur_end % kp
         else:
             # span = [candidate start s, max over slots of (first own
-            # occurrence with start >= s) + extent - 1]; the j-th copy of a
+            # occurrence with start >= s) end]; the j-th copy of a
             # repeated slot takes its (j+1)-th occurrence at/after s
             # (RepeatingIntervalsSource consecutive-window semantics), so
             # equal slots never share one occurrence
@@ -1715,19 +1758,42 @@ class _SegmentSearcher:
             for t, kt in enumerate(keys):
                 idx = np.searchsorted(kt, allk, side="left") + dup[t]
                 okt = idx < kt.size
-                nxt = kt[np.minimum(idx, kt.size - 1)]
+                jdx = np.minimum(idx, kt.size - 1)
+                nxt = kt[jdx]
                 okt &= (nxt // kp) == doc_i
                 ok &= okt
-                np.maximum(endp, nxt % kp + np.int64(exts[t] - 1), out=endp)
+                np.maximum(endp, nxt % kp + _dend(t, jdx), out=endp)
             doc_i, starts, ends = doc_i[ok], starts[ok], endp[ok]
             if doc_i.size == 0:
                 return no_hit
         # minimality: last row per (doc, end) run == max start per end
+        # (sufficient alone on the unpadded path — see the monotonicity
+        # proof in _interval_match's docstring)
+        needs_antichain = any(not isinstance(d, int) for d in dends)
+        if needs_antichain:
+            # padded slots clip starts at 0, so several candidates can
+            # share a start with growing ends (nested). Sort by
+            # (doc, end, start) and re-establish the containment
+            # antichain: max start per end, then only rows whose start
+            # strictly exceeds every smaller-end row's start survive.
+            order = np.lexsort((starts, ends, doc_i))
+            doc_i, starts, ends = doc_i[order], starts[order], ends[order]
         key2 = doc_i * kp + ends
         last = np.empty(key2.size, dtype=bool)
         last[-1] = True
         last[:-1] = key2[1:] != key2[:-1]
         doc_i, starts, ends = doc_i[last], starts[last], ends[last]
+        if needs_antichain and doc_i.size > 1:
+            import pandas as pd
+
+            gm = (
+                pd.Series(starts).groupby(pd.Series(doc_i)).cummax().to_numpy()
+            )
+            keep0 = np.ones(doc_i.size, dtype=bool)
+            keep0[1:] = ~(
+                (doc_i[1:] == doc_i[:-1]) & (starts[1:] <= gm[:-1])
+            )
+            doc_i, starts, ends = doc_i[keep0], starts[keep0], ends[keep0]
         width = ends - starts + 1
         keep = np.ones(doc_i.size, dtype=bool)
         if q.max_gaps >= 0:
