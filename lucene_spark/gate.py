@@ -719,6 +719,77 @@ def _sql_interval_at_least(terms: list[str], m: int, boost: float, k: int) -> st
     return f"WITH {_BASE_CTES} " + _topk_wrap(inner, k)
 
 
+def _ast_interval_no_overlaps():
+    from .search.query import IntervalPhrase, unordered_no_overlaps
+
+    # Intervals.unorderedNoOverlaps(phrase(data stream), data) ==
+    # or(ordered(phrase, data), ordered(data, phrase)) (Intervals.java:
+    # 446-448): the phrase arm makes the no-overlap contract non-trivial
+    # (the bare term can sit INSIDE a phrase occurrence; strict ordering
+    # excludes exactly those). max_gaps=4 bounds each arm like the other
+    # interval rows.
+    from .search.query import IntervalNear, IntervalOr
+
+    ph = IntervalPhrase(("data", "stream"))
+    return IntervalOr(
+        (
+            IntervalNear((ph, "data"), max_gaps=4),
+            IntervalNear(("data", ph), max_gaps=4),
+        )
+    )
+
+
+def _sql_interval_no_overlaps(max_gaps: int = 4, k: int = 10) -> str:
+    """Union of the two strict-ordered arms' minimal enumerations (their
+    ends live at different term positions, so the shared max-start-per-
+    (doc,end) pass is per-arm minimality), then an explicit cross-arm
+    containment antichain; minExtent = min(3, 3) = 3, per-interval weight
+    1/(w-2), freq per ascending width left-assoc — the engine's
+    IntervalOr convention."""
+    freq_expr = "0.0"
+    for w in range(3, max_gaps + 4):
+        freq_expr = (
+            f"({freq_expr} + count(*) FILTER (WHERE w = {w})"
+            f" * (1.0/{w - 2}))"
+        )
+    return f"""WITH {_BASE_CTES},
+ph AS (
+  SELECT t1.doc_id, t1.pos AS s, t1.pos + 1 AS e
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'data' AND t2.term = 'stream'
+),
+da AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+arm1 AS (
+  SELECT ph.doc_id, ph.s, min(da.pos) AS e
+  FROM ph JOIN da ON ph.doc_id = da.doc_id AND da.pos > ph.e
+  GROUP BY ph.doc_id, ph.s
+),
+arm2 AS (
+  SELECT da.doc_id, da.pos AS s, min(ph.s) + 1 AS e
+  FROM da JOIN ph ON da.doc_id = ph.doc_id AND ph.s > da.pos
+  GROUP BY da.doc_id, da.pos
+),
+cand AS (SELECT * FROM arm1 UNION SELECT * FROM arm2),
+mini AS (SELECT doc_id, max(s) AS s, e FROM cand GROUP BY doc_id, e),
+antich AS (
+  SELECT m.doc_id, m.s, m.e FROM mini m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM mini m2
+    WHERE m2.doc_id = m.doc_id AND m2.s >= m.s AND m2.e <= m.e
+      AND (m2.s <> m.s OR m2.e <> m.e)
+  )
+),
+iv AS (
+  SELECT doc_id, e - s + 1 AS w FROM antich WHERE e - s + 1 - 3 <= {max_gaps}
+),
+pf AS (SELECT doc_id, {freq_expr} AS freq FROM iv GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, (1.0 - 1.0 / (1.0 + freq)) AS score FROM pf WHERE freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _ast_interval_defined_gaps():
     from .search.query import IntervalExtend, IntervalNear, IntervalPhrase
 
@@ -8872,6 +8943,7 @@ def gate_queries() -> dict:
         "interval_containing": _mk_topk_ast(_ast_interval_containing),
         "interval_at_least": _mk_topk_ast(_ast_interval_at_least, k=30),
         "interval_defined_gaps": _mk_topk_ast(_ast_interval_defined_gaps),
+        "interval_no_overlaps": _mk_topk_ast(_ast_interval_no_overlaps),
         "interval_not_containing": _mk_topk_ast(_ast_interval_not_containing),
         "interval_before": _mk_topk_ast(lambda: _ast_interval_relation("before")),
         "interval_after": _mk_topk_ast(lambda: _ast_interval_relation("after")),
@@ -9192,6 +9264,7 @@ def gate_oracle_sql() -> dict:
             ["data", "stream", "window"], m=2, boost=1.5, k=30
         ),
         "interval_defined_gaps": _sql_interval_defined_gaps(),
+        "interval_no_overlaps": _sql_interval_no_overlaps(),
         "interval_not_containing": _sql_interval_not_containing(),
         "interval_before": _sql_interval_relation("before"),
         "interval_after": _sql_interval_relation("after"),

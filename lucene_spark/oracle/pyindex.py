@@ -440,17 +440,47 @@ class PyIndex:
             self._interval_atleast(q), q.min_extent, q.pivot, q.boost
         )
 
+    def _interval_or(self, q) -> dict[int, list[tuple[int, int]]]:
+        """Intervals.or over whole sources: union of the subsources'
+        enumerations with an explicit containment-antichain pass across
+        sources (DisjunctionIntervalsSource minimal convention)."""
+        merged: dict[int, set[tuple[int, int]]] = {}
+        for s in q.sources:
+            for d, ivs in self._interval_enum_side(s).items():
+                merged.setdefault(d, set()).update(ivs)
+        out: dict[int, list[tuple[int, int]]] = {}
+        for d, cset in merged.items():
+            kept = [
+                (s0, e0)
+                for (s0, e0) in cset
+                if not any(
+                    s2 >= s0 and e2 <= e0 and (s2, e2) != (s0, e0)
+                    for (s2, e2) in cset
+                )
+            ]
+            if kept:
+                out[d] = sorted(kept)
+        return out
+
+    def interval_or_scores(self, q) -> dict[int, np.float32]:
+        return self._interval_saturate(
+            self._interval_or(q), q.min_extent, q.pivot, q.boost
+        )
+
     def _interval_enum_side(self, side) -> dict[int, list[tuple[int, int]]]:
-        from ..search.query import IntervalAtLeast
+        from ..search.query import IntervalAtLeast, IntervalFilter, IntervalOr
 
         if isinstance(side, IntervalAtLeast):
             return self._interval_atleast(side)
+        if isinstance(side, IntervalOr):
+            return self._interval_or(side)
+        if isinstance(side, IntervalFilter):
+            return self._interval_filtered(side)
         return self._interval_minimal(side)
 
-    def interval_filter_scores(self, q) -> dict[int, np.float32]:
-        """Containment-filtered interval oracle (Intervals.containing /
-        notContaining / containedBy / notContainedBy): explicit O(|A|·|B|)
-        relation test per doc over both sides' minimal intervals."""
+    def _interval_filtered(self, q) -> dict[int, list[tuple[int, int]]]:
+        """Surviving source intervals of a containment filter: explicit
+        O(|A|·|B|) relation test per doc over both sides' enumerations."""
         a = self._interval_enum_side(q.source)
         b = self._interval_enum_side(q.reference)
         negate = q.kind.startswith("not_")
@@ -467,8 +497,13 @@ class PyIndex:
                     sel.append((s, e))
             if sel:
                 kept[d] = sel
+        return kept
+
+    def interval_filter_scores(self, q) -> dict[int, np.float32]:
+        """Containment-filtered interval oracle (Intervals.containing /
+        notContaining / containedBy / notContainedBy)."""
         return self._interval_saturate(
-            kept, q.source.min_extent, q.pivot, q.boost
+            self._interval_filtered(q), q.source.min_extent, q.pivot, q.boost
         )
 
     def expand_multiterm(self, q, max_terms: int = 128):
@@ -862,10 +897,12 @@ class PyIndex:
             return self.interval_scores(q)
         if isinstance(q, IntervalFilter):
             return self.interval_filter_scores(q)
-        from ..search.query import IntervalAtLeast
+        from ..search.query import IntervalAtLeast, IntervalOr
 
         if isinstance(q, IntervalAtLeast):
             return self.interval_atleast_scores(q)
+        if isinstance(q, IntervalOr):
+            return self.interval_or_scores(q)
         if isinstance(q, ToParentBlockJoinQuery):
             return self.block_join_scores(q)
         from ..search.query import ToChildBlockJoinQuery

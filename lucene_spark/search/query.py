@@ -687,11 +687,84 @@ class IntervalFilter:
         "before", "after", "overlapping", "non_overlapping",
     )
 
+    @property
+    def min_extent(self) -> int:
+        # FilteringIntervalsSource.minExtent delegates to the source
+        return self.source.min_extent
+
     def __post_init__(self):
         if self.kind not in self.KINDS:
             raise ValueError(f"kind must be one of {self.KINDS}")
         if not (self.pivot > 0):
             raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+@dataclass(frozen=True)
+class IntervalOr:
+    """Top-level Intervals.or over whole SOURCES
+    (DisjunctionIntervalsSource via Intervals.or, Intervals.java:352):
+    the interval stream is the union of the subsources' enumerations,
+    re-minimalized across sources (a source's interval strictly containing
+    another source's is dropped — the disjunction contract), scored with
+    minExtent = the smallest sub minExtent
+    (DisjunctionIntervalsSource.minExtent).
+
+    This is distinct from the SLOT-level Intervals.or (a tuple of
+    alternatives inside one IntervalNear slot): slot alternatives must
+    share one extent, whereas IntervalOr composes arbitrary sources —
+    e.g. Intervals.unorderedNoOverlaps(a, b), which the reference defines
+    as exactly or(ordered(a, b), ordered(b, a)) (Intervals.java:446-448;
+    see :func:`unordered_no_overlaps`)."""
+
+    sources: tuple  # IntervalNear | IntervalAtLeast | IntervalFilter
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    @property
+    def min_extent(self) -> int:
+        return min(s.min_extent for s in self.sources)
+
+    def _has_multiterm(self) -> bool:
+        return any(
+            getattr(s, "_has_multiterm", lambda: False)() for s in self.sources
+        )
+
+    def __post_init__(self):
+        if not self.sources:
+            raise ValueError("IntervalOr needs >= 1 sources")
+        if not (self.pivot > 0):
+            raise ValueError(f"pivot must be > 0, got: {self.pivot}")
+
+
+def unordered_no_overlaps(a, b, pivot: float = 1.0, boost: float = 1.0):
+    """Intervals.unorderedNoOverlaps (Intervals.java:446-448): both leaves
+    present in either order, never overlapping — defined by the reference
+    as or(ordered(a, b), ordered(b, a)). ``a``/``b`` are slot leaves
+    (term / IntervalPhrase / IntervalExtend / or-tuple)."""
+    return IntervalOr(
+        (IntervalNear((a, b)), IntervalNear((b, a))), pivot=pivot, boost=boost
+    )
+
+
+def fix_field(field: str, q: "IntervalNear") -> "IntervalNear":
+    """Intervals.fixField (Intervals.java:456, FixedFieldIntervalsSource):
+    evaluate the source's intervals against another FIELD's positions.
+    Fields are term-dict namespaces here (index/builder.field_term), so
+    fixing the field is a term rewrite of every leaf."""
+    from ..index.builder import field_term
+
+    def map_leaf(x):
+        if isinstance(x, str):
+            return field_term(field, x)
+        if isinstance(x, IntervalExtend):
+            return replace(x, base=map_leaf(x.base))
+        if isinstance(x, IntervalPhrase):
+            return IntervalPhrase(tuple(map_leaf(t) for t in x.terms))
+        if isinstance(x, tuple):
+            return tuple(map_leaf(t) for t in x)
+        raise TypeError(f"fix_field cannot rewrite leaf {x!r}")
+
+    return replace(q, terms=tuple(map_leaf(t) for t in q.terms))
 
 
 @dataclass(frozen=True)
@@ -1329,6 +1402,8 @@ def _rewrite_once(q):
         and not q.source.terms
     ):
         return MatchNoDocsQuery()
+    if isinstance(q, IntervalOr) and len(q.sources) == 1:
+        return replace(q.sources[0], pivot=q.pivot, boost=q.boost)
     if isinstance(q, IntervalAtLeast):
         # the Intervals.atLeast factory's degenerate arms
         # (Intervals.java:567-579)
@@ -1386,6 +1461,11 @@ def collect_terms(q) -> set[str]:
         for n in q.sub_nears:
             out |= collect_terms(n)
         return out
+    if isinstance(q, IntervalOr):
+        out2: set[str] = set()
+        for s in q.sources:
+            out2 |= collect_terms(s)
+        return out2
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, CombinedFieldQuery):

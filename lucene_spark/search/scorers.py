@@ -44,6 +44,7 @@ from .query import (
     IntervalAtLeast,
     IntervalFilter,
     IntervalNear,
+    IntervalOr,
     MultiPhraseQuery,
     PayloadScoreQuery,
     PhraseQuery,
@@ -943,6 +944,7 @@ def scoring_leaves(q, out: set | None = None) -> set:
             IntervalNear,
             IntervalFilter,
             IntervalAtLeast,
+            IntervalOr,
             PayloadScoreQuery,
             TermAutomatonQuery,
         ),
@@ -1018,7 +1020,7 @@ def build_scorers(
                 per_term_ttfs=[tstats.get(t, (0, 0))[1] for t in terms],
             )
             continue
-        if isinstance(leaf, (IntervalNear, IntervalFilter, IntervalAtLeast)):
+        if isinstance(leaf, (IntervalNear, IntervalFilter, IntervalAtLeast, IntervalOr)):
             # pure saturation of the sloppy interval freq — no stats/norms
             # (IntervalQuery.java:71-72 default saturationFunction(pivot))
             scorers[leaf] = IntervalSaturationScorer.create(

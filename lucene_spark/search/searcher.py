@@ -100,6 +100,7 @@ def _needs_positions(q) -> bool:
         IntervalAtLeast,
         IntervalFilter,
         IntervalNear,
+        IntervalOr,
         MultiPhraseQuery,
         TermAutomatonQuery,
     )
@@ -116,6 +117,7 @@ def _needs_positions(q) -> bool:
                 IntervalNear,
                 IntervalFilter,
                 IntervalAtLeast,
+                IntervalOr,
                 TermAutomatonQuery,
             ),
         )
@@ -735,10 +737,21 @@ class Searcher:
             return ConstantScoreQuery(
                 query=TermQuery(exists_term(q.field)), boost=q.boost
             )
-        from .query import IntervalAtLeast, IntervalFilter, IntervalNear
+        from .query import (
+            IntervalAtLeast,
+            IntervalFilter,
+            IntervalNear,
+            IntervalOr,
+        )
 
         if isinstance(q, IntervalNear):
             return self._expand_interval_leaves(q)
+        if isinstance(q, IntervalOr):
+            return IntervalOr(
+                tuple(self._expand_side(s) for s in q.sources),
+                q.pivot,
+                q.boost,
+            )
         if isinstance(q, IntervalFilter):
             return IntervalFilter(
                 self._expand_side(q.source),
@@ -754,10 +767,24 @@ class Searcher:
     def _expand_side(self, side):
         """Expand one IntervalFilter side (an IntervalNear or an
         IntervalAtLeast)."""
-        from .query import IntervalAtLeast
+        from .query import IntervalAtLeast, IntervalFilter, IntervalOr
 
         if isinstance(side, IntervalAtLeast):
             return self._expand_atleast(side)
+        if isinstance(side, IntervalOr):
+            return IntervalOr(
+                tuple(self._expand_side(s) for s in side.sources),
+                side.pivot,
+                side.boost,
+            )
+        if isinstance(side, IntervalFilter):
+            return IntervalFilter(
+                self._expand_side(side.source),
+                self._expand_side(side.reference),
+                side.kind,
+                side.pivot,
+                side.boost,
+            )
         return self._expand_interval_leaves(side)
 
     def _expand_atleast(self, q):

@@ -45,6 +45,7 @@ from .query import (
     IntervalAtLeast,
     IntervalFilter,
     IntervalNear,
+    IntervalOr,
     ParentChildrenBlockJoinQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
@@ -475,6 +476,31 @@ def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids[sel], scores[sel]
 
 
+def _containment_antichain(doc_i, starts, ends, kp):
+    """Minimal-interval antichain over (doc, start, end) rows: sort by
+    (doc, end asc, start asc), keep the max start per (doc, end), then
+    keep only rows whose start strictly exceeds every smaller-end row's
+    start (a per-doc running max). Output is (doc, start)-sorted — on an
+    antichain, end order and start order coincide."""
+    if doc_i.size == 0:
+        return doc_i, starts, ends
+    order = np.lexsort((starts, ends, doc_i))
+    doc_i, starts, ends = doc_i[order], starts[order], ends[order]
+    key2 = doc_i * kp + ends
+    last = np.empty(key2.size, dtype=bool)
+    last[-1] = True
+    last[:-1] = key2[1:] != key2[:-1]
+    doc_i, starts, ends = doc_i[last], starts[last], ends[last]
+    if doc_i.size > 1:
+        import pandas as pd
+
+        gm = pd.Series(starts).groupby(pd.Series(doc_i)).cummax().to_numpy()
+        keep = np.ones(doc_i.size, dtype=bool)
+        keep[1:] = ~((doc_i[1:] == doc_i[:-1]) & (starts[1:] <= gm[:-1]))
+        doc_i, starts, ends = doc_i[keep], starts[keep], ends[keep]
+    return doc_i, starts, ends
+
+
 def _atleast_replay(doc_subs, m: int):
     """One doc's MinimumShouldMatchIntervalIterator run, replayed literally
     (queries/intervals/MinimumShouldMatchIntervalsSource.java — reset()
@@ -663,6 +689,8 @@ class _SegmentSearcher:
             return self._interval_match(q)[0]
         if isinstance(q, IntervalAtLeast):
             return self._interval_atleast_match(q)[0]
+        if isinstance(q, IntervalOr):
+            return self._interval_or_match(q)[0]
         if isinstance(q, IntervalFilter):
             return self._interval_filter_match(q)[0]
         if is_span(q):
@@ -793,7 +821,9 @@ class _SegmentSearcher:
             return d, np.full(d.size, q.boost, dtype=np.float32)
         if isinstance(q, MatchNoDocsQuery):
             return _EMPTY, np.zeros(0, dtype=np.float32)
-        if isinstance(q, (IntervalNear, IntervalFilter, IntervalAtLeast)):
+        if isinstance(
+            q, (IntervalNear, IntervalFilter, IntervalAtLeast, IntervalOr)
+        ):
             return self._evaluate_interval(q)
         if is_span(q):
             return self._evaluate_span(q)
@@ -1768,32 +1798,18 @@ class _SegmentSearcher:
                 return no_hit
         # minimality: last row per (doc, end) run == max start per end
         # (sufficient alone on the unpadded path — see the monotonicity
-        # proof in _interval_match's docstring)
-        needs_antichain = any(not isinstance(d, int) for d in dends)
-        if needs_antichain:
-            # padded slots clip starts at 0, so several candidates can
-            # share a start with growing ends (nested). Sort by
-            # (doc, end, start) and re-establish the containment
-            # antichain: max start per end, then only rows whose start
-            # strictly exceeds every smaller-end row's start survive.
-            order = np.lexsort((starts, ends, doc_i))
-            doc_i, starts, ends = doc_i[order], starts[order], ends[order]
-        key2 = doc_i * kp + ends
-        last = np.empty(key2.size, dtype=bool)
-        last[-1] = True
-        last[:-1] = key2[1:] != key2[:-1]
-        doc_i, starts, ends = doc_i[last], starts[last], ends[last]
-        if needs_antichain and doc_i.size > 1:
-            import pandas as pd
-
-            gm = (
-                pd.Series(starts).groupby(pd.Series(doc_i)).cummax().to_numpy()
-            )
-            keep0 = np.ones(doc_i.size, dtype=bool)
-            keep0[1:] = ~(
-                (doc_i[1:] == doc_i[:-1]) & (starts[1:] <= gm[:-1])
-            )
-            doc_i, starts, ends = doc_i[keep0], starts[keep0], ends[keep0]
+        # proof in _interval_match's docstring). Padded slots clip starts
+        # at 0, so several candidates can share a start with growing ends
+        # (nested) — the full containment antichain re-establishes
+        # minimality there.
+        if any(not isinstance(d, int) for d in dends):
+            doc_i, starts, ends = _containment_antichain(doc_i, starts, ends, kp)
+        else:
+            key2 = doc_i * kp + ends
+            last = np.empty(key2.size, dtype=bool)
+            last[-1] = True
+            last[:-1] = key2[1:] != key2[:-1]
+            doc_i, starts, ends = doc_i[last], starts[last], ends[last]
         width = ends - starts + 1
         keep = np.ones(doc_i.size, dtype=bool)
         if q.max_gaps >= 0:
@@ -1887,16 +1903,48 @@ class _SegmentSearcher:
         return d_arr[order], s_arr[order], e_arr[order], q.min_extent
 
     def _enumerate_interval_source(self, src):
-        """Route an IntervalFilter side to its enumerator — an
-        IntervalAtLeast source/reference contributes its EMITTED stream
+        """Route an interval source to its enumerator — an
+        IntervalAtLeast contributes its EMITTED stream
         (FilteringIntervalsSource composes over whatever the wrapped
-        iterator yields, non-minimal emissions included)."""
+        iterator yields, non-minimal emissions included); an IntervalOr
+        contributes the re-minimalized union of its subsources."""
         if isinstance(src, IntervalAtLeast):
             return self._interval_atleast_enumerate(src)
+        if isinstance(src, IntervalOr):
+            return self._interval_or_enumerate(src)
+        if isinstance(src, IntervalFilter):
+            return self._interval_filter_enumerate(src)
         return self._interval_enumerate(src)
 
+    def _interval_or_enumerate(self, q: IntervalOr):
+        """Intervals.or over whole sources (DisjunctionIntervalsSource):
+        union of the subsources' enumerations, re-minimalized ACROSS
+        sources (one source's interval strictly containing another's is
+        dropped), as (global docids, starts, ends, min minExtent)."""
+        no_hit = (_EMPTY, _EMPTY, _EMPTY, 0)
+        parts = [self._enumerate_interval_source(s) for s in q.sources]
+        parts = [(d, s, e) for (d, s, e, _x) in parts if d.size]
+        if not parts:
+            return no_hit
+        d = np.concatenate([p[0] for p in parts])
+        s = np.concatenate([p[1] for p in parts])
+        e = np.concatenate([p[2] for p in parts])
+        kp = np.int64(1) << np.int64(31)
+        d, s, e = _containment_antichain(d, s, e, kp)
+        return d, s, e, q.min_extent
+
+    def _interval_or_match(self, q: IntervalOr):
+        d, starts, ends, ext = self._interval_or_enumerate(q)
+        return self._interval_fold(d, ends - starts + 1, ext)
+
     def _interval_filter_match(self, q):
-        """(docids, sloppy freqs) of a containment-filtered interval source
+        """(docids, sloppy freqs) over the filtered source's surviving
+        intervals (see _interval_filter_enumerate)."""
+        ad, as_, ae, ext = self._interval_filter_enumerate(q)
+        return self._interval_fold(ad, ae - as_ + 1, ext)
+
+    def _interval_filter_enumerate(self, q):
+        """Surviving intervals of a containment-filtered interval source
         (Intervals.containing/notContaining/containedBy/notContainedBy —
         FilteringIntervalsSource passes SOURCE intervals through, so the
         weight keeps the source's minExtent). Containment tests are
@@ -1904,18 +1952,20 @@ class _SegmentSearcher:
         reference intervals sorted by (doc, start) carry a
         per-doc suffix-min of ends (for containing: ∃ ref with
         start >= s and end <= e iff the suffix-min at the first ref with
-        start >= s is <= e) or prefix-max of ends (for contained_by)."""
+        start >= s is <= e) or prefix-max of ends (for contained_by).
+        Returns (docids, starts, ends, source minExtent)."""
         import pandas as pd
 
+        no_hit = (_EMPTY, _EMPTY, _EMPTY, 0)
         ad, as_, ae, ext = self._enumerate_interval_source(q.source)
         if ad.size == 0:
-            return _EMPTY, np.zeros(0, dtype=np.float64)
+            return no_hit
         bd, bs, be, _ = self._enumerate_interval_source(q.reference)
         negate = q.kind.startswith("not_") or q.kind == "non_overlapping"
         if bd.size == 0:
             if negate:
-                return self._interval_fold(ad, ae - as_ + 1, ext)
-            return _EMPTY, np.zeros(0, dtype=np.float64)
+                return ad, as_, ae, ext
+            return no_hit
         # dense shared doc domain keeps (doc · kp + pos) inside int64 at
         # 10^12-docid global coordinates
         du = np.union1d(ad, bd)
@@ -1964,7 +2014,7 @@ class _SegmentSearcher:
             jj = np.maximum(j, 0)
             rel = ok & (bi[jj] == ai) & (prefmax[jj] >= ae)
         keep = ~rel if negate else rel
-        return self._interval_fold(ad[keep], (ae - as_ + 1)[keep], ext)
+        return ad[keep], as_[keep], ae[keep], ext
 
     def _evaluate_interval(self, q):
         sc = self.ctx.scorers[q]
@@ -1973,6 +2023,8 @@ class _SegmentSearcher:
             d, f = self._interval_filter_match(q)
         elif isinstance(q, IntervalAtLeast):
             d, f = self._interval_atleast_match(q)
+        elif isinstance(q, IntervalOr):
+            d, f = self._interval_or_match(q)
         else:
             d, f = self._interval_match(q)
         if d.size == 0:
