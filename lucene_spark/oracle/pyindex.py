@@ -265,12 +265,19 @@ class PyIndex:
         out: dict[int, list[tuple[int, int]]] = {}
         for d in sorted(common):
             lists = [slot_occ[i][d] for i in range(len(slots))]
+            # (s, e) -> Σ actual sub widths along the chain that produced
+            # it (clipped occurrences at doc start have width < extent —
+            # ExtendedIntervalIterator semantics; the reference's gaps()
+            # subtracts the CLIPPED widths, OrderedIntervalsSource.java:
+            # 165-169). First chain in greedy order wins on duplicates.
+            wmap: dict[tuple[int, int], int] = {}
             cands: list[tuple[int, int]] = []
             if q.ordered:
                 # each leaf must START strictly after the previous leaf's
                 # END (OrderedIntervalsSource over interval leaves)
                 for s, e0 in lists[0]:
                     cur_end, ok = e0, True
+                    wsum = e0 - s + 1
                     for lst in lists[1:]:
                         nxt = next(
                             ((s2, e2) for (s2, e2) in lst if s2 > cur_end),
@@ -280,8 +287,10 @@ class PyIndex:
                             ok = False
                             break
                         cur_end = nxt[1]
+                        wsum += nxt[1] - nxt[0] + 1
                     if ok:
                         cands.append((s, cur_end))
+                        wmap.setdefault((s, cur_end), wsum)
             else:
                 # span = [start, max over slots of (first own occurrence
                 # with start >= s) end] for every occurrence start; the
@@ -292,15 +301,17 @@ class PyIndex:
                 dup = q.slot_dup_ranks
                 starts = sorted({s for lst in lists for (s, _e) in lst})
                 for s in starts:
-                    e, ok = s, True
+                    e, ok, wsum = s, True, 0
                     for j, lst in zip(dup, lists):
                         at = [(s2, e2) for (s2, e2) in lst if s2 >= s]
                         if len(at) <= j:
                             ok = False
                             break
                         e = max(e, at[j][1])
+                        wsum += at[j][1] - at[j][0] + 1
                     if ok:
                         cands.append((s, e))
+                        wmap.setdefault((s, e), wsum)
             cset = set(cands)
             ivs = []
             for s, e in cset:
@@ -310,7 +321,7 @@ class PyIndex:
                 ):
                     continue
                 w = e - s + 1
-                if q.max_gaps >= 0 and (w - ext_total) > q.max_gaps:
+                if q.max_gaps >= 0 and (w - wmap[(s, e)]) > q.max_gaps:
                     continue
                 if q.max_width >= 0 and w > q.max_width:
                     continue
@@ -363,11 +374,59 @@ class PyIndex:
         (:221-231) are preserved; queue ties break by sub-source index."""
         from bisect import insort
 
-        subs = [self._interval_minimal(n) for n in q.sub_nears]
         m = q.min_match
+        nears = list(q.sub_nears)
+        if m == len(nears):
+            # Intervals.java:567-570 rewrites min_match==n to
+            # unordered(sources) for ALL source kinds, and unordered
+            # dedups EQUAL sources into RepeatingIntervalsSource
+            # (consecutive windows; Rep.width() sums copy widths) — the
+            # same emulation as the engine, recomputed independently here.
+            groups: list[list] = []  # [source, count]
+            for nr in nears:
+                for g in groups:
+                    if g[0] == nr:
+                        g[1] += 1
+                        break
+                else:
+                    groups.append([nr, 1])
+            subs = []
+            for nr, c in groups:
+                per_doc = self._interval_minimal(nr)
+                if c > 1:
+                    rep: dict[int, list[tuple[int, int, int]]] = {}
+                    for doc, occ in per_doc.items():
+                        wins = [
+                            (
+                                occ[i][0],
+                                occ[i + c - 1][1],
+                                sum(
+                                    e2 - s2 + 1
+                                    for (s2, e2) in occ[i: i + c]
+                                ),
+                            )
+                            for i in range(len(occ) - c + 1)
+                        ]
+                        if wins:
+                            rep[doc] = wins
+                    subs.append(rep)
+                else:
+                    subs.append(per_doc)
+            m = len(groups)
+        else:
+            subs = [self._interval_minimal(n) for n in nears]
         out: dict[int, list[tuple[int, int, int]]] = {}
         for d in sorted({doc for s in subs for doc in s}):
-            present = [s[d] for s in subs if d in s]
+            # occurrences normalized to (start, end, width) triples; width
+            # differs from end−start+1 only on merged Repeating windows
+            present = [
+                [
+                    (t[0], t[1], t[2] if len(t) > 2 else t[1] - t[0] + 1)
+                    for t in s[d]
+                ]
+                for s in subs
+                if d in s
+            ]
             if len(present) < m:
                 continue
             pos = [0] * len(present)
@@ -381,27 +440,27 @@ class PyIndex:
                 pos[i] += 1
                 return True
 
-            bg: list = []  # ordered (end asc, start desc, i)
-            px: list = []  # ordered (start asc, end desc, i)
+            bg: list = []  # ordered (end asc, start desc, i, width)
+            px: list = []  # ordered (start asc, end desc, i, width)
             for i in range(len(present)):
                 if nxt(i):
-                    insort(bg, (cur[i][1], -cur[i][0], i))
+                    insort(bg, (cur[i][1], -cur[i][0], i, cur[i][2]))
             q_end = -1
             for _ in range(m):
                 if not bg:
                     break
-                e, ns, i = bg.pop(0)
-                insort(px, (-ns, -e, i))
+                e, ns, i, w = bg.pop(0)
+                insort(px, (-ns, -e, i, w))
                 q_end = max(q_end, e)
             start = end = -1
             emitted: list[tuple[int, int, int]] = []
             while True:
                 while len(px) == m and px[0][0] == start:
-                    _s, _ne, i = px.pop(0)
+                    _s, _ne, i, _w = px.pop(0)
                     if nxt(i):
-                        insort(bg, (cur[i][1], -cur[i][0], i))
-                        e, ns, j = bg.pop(0)
-                        insort(px, (-ns, -e, j))
+                        insort(bg, (cur[i][1], -cur[i][0], i, cur[i][2]))
+                        e, ns, j, w = bg.pop(0)
+                        insort(px, (-ns, -e, j, w))
                         q_end = max(q_end, e)
                 if len(px) < m:
                     break
@@ -409,16 +468,16 @@ class PyIndex:
                     start = px[0][0]
                     end = q_end
                     slop = (end - start + 1) - sum(
-                        (-ne) - s + 1 for (s, ne, _i) in px
+                        w2 for (_s2, _ne2, _i2, w2) in px
                     )
                     if -px[0][1] == end:
                         break
-                    _s, _ne, i = px.pop(0)
+                    _s, _ne, i, _w = px.pop(0)
                     if nxt(i):
-                        insort(bg, (cur[i][1], -cur[i][0], i))
+                        insort(bg, (cur[i][1], -cur[i][0], i, cur[i][2]))
                     if bg:
-                        e, ns, j = bg.pop(0)
-                        insort(px, (-ns, -e, j))
+                        e, ns, j, w = bg.pop(0)
+                        insort(px, (-ns, -e, j, w))
                         q_end = max(q_end, e)
                     if not (len(px) == m and end == q_end):
                         break

@@ -476,13 +476,17 @@ def _topk(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids[sel], scores[sel]
 
 
-def _containment_antichain(doc_i, starts, ends, kp):
+def _containment_antichain(doc_i, starts, ends, kp, return_index=False):
     """Minimal-interval antichain over (doc, start, end) rows: sort by
     (doc, end asc, start asc), keep the max start per (doc, end), then
     keep only rows whose start strictly exceeds every smaller-end row's
     start (a per-doc running max). Output is (doc, start)-sorted — on an
-    antichain, end order and start order coincide."""
+    antichain, end order and start order coincide. With
+    ``return_index=True`` also returns the surviving rows' indices into
+    the INPUT arrays (so per-row payloads can be carried through)."""
     if doc_i.size == 0:
+        if return_index:
+            return doc_i, starts, ends, np.zeros(0, dtype=np.int64)
         return doc_i, starts, ends
     order = np.lexsort((starts, ends, doc_i))
     doc_i, starts, ends = doc_i[order], starts[order], ends[order]
@@ -491,6 +495,7 @@ def _containment_antichain(doc_i, starts, ends, kp):
     last[-1] = True
     last[:-1] = key2[1:] != key2[:-1]
     doc_i, starts, ends = doc_i[last], starts[last], ends[last]
+    kept = order[last]
     if doc_i.size > 1:
         import pandas as pd
 
@@ -498,15 +503,41 @@ def _containment_antichain(doc_i, starts, ends, kp):
         keep = np.ones(doc_i.size, dtype=bool)
         keep[1:] = ~((doc_i[1:] == doc_i[:-1]) & (starts[1:] <= gm[:-1]))
         doc_i, starts, ends = doc_i[keep], starts[keep], ends[keep]
+        kept = kept[keep]
+    if return_index:
+        return doc_i, starts, ends, kept
     return doc_i, starts, ends
+
+
+def _repeat_windows(d, s, e, c: int):
+    """RepeatingIntervalsSource consecutive windows: ``c`` equal sources
+    collapse into one stream whose i-th interval spans the i-th through
+    (i+c-1)-th occurrence of the child within a doc
+    (queries/intervals/RepeatingIntervalsSource.java — equal sources
+    never share one occurrence). Inputs sorted by (doc, start) and
+    per-doc antichain (starts and ends both ascending). Returns
+    (d, s, e, w) with w = Σ copy widths (Rep.width() sums every copy's
+    width, not the span)."""
+    n = d.size
+    empty = np.zeros(0, dtype=np.int64)
+    if n < c:
+        return empty, empty, empty, empty
+    i0 = np.arange(n - c + 1)
+    ok = d[i0] == d[i0 + c - 1]
+    i0 = i0[ok]
+    cw = np.cumsum(e - s + 1)
+    w = cw[i0 + c - 1] - np.where(i0 > 0, cw[i0 - 1], 0)
+    return d[i0], s[i0], e[i0 + c - 1], w.astype(np.int64)
 
 
 def _atleast_replay(doc_subs, m: int):
     """One doc's MinimumShouldMatchIntervalIterator run, replayed literally
     (queries/intervals/MinimumShouldMatchIntervalsSource.java — reset()
     :273-292, nextInterval() :206-258): returns [(start, end, slop), ...]
-    in emission order. ``doc_subs``: per PRESENT sub-source, (starts, ends)
-    arrays of its minimal intervals sorted by start.
+    in emission order. ``doc_subs``: per PRESENT sub-source,
+    (starts, ends, widths-or-None) arrays of its minimal intervals sorted
+    by start; widths defaults to end−start+1 and differs only for merged
+    Repeating streams (Σ copy widths).
 
     Queue disciplines are the reference's comparators: the background
     queue orders by (end asc, start desc), the proximity queue of size
@@ -520,31 +551,32 @@ def _atleast_replay(doc_subs, m: int):
 
     n = len(doc_subs)
     ptr = [0] * n
-    cur: list = [None] * n  # current (start, end) per sub-iterator
+    cur: list = [None] * n  # current (start, end, width) per sub-iterator
 
     def advance(i: int) -> bool:
         p = ptr[i]
-        ss, ee = doc_subs[i]
+        ss, ee, ww = doc_subs[i]
         if p >= len(ss):
             cur[i] = None
             return False
-        cur[i] = (int(ss[p]), int(ee[p]))
+        s0, e0 = int(ss[p]), int(ee[p])
+        cur[i] = (s0, e0, e0 - s0 + 1 if ww is None else int(ww[p]))
         ptr[i] = p + 1
         return True
 
-    background: list = []  # (end, -start, i)
-    proximity: list = []  # (start, -end, i)
+    background: list = []  # (end, -start, i, width)
+    proximity: list = []  # (start, -end, i, width)
     # reset(): every sub positioned on its first interval, all into the
     # background queue; the m smallest-end ones move to the proximity queue
     for i in range(n):
         if advance(i):
-            heapq.heappush(background, (cur[i][1], -cur[i][0], i))
+            heapq.heappush(background, (cur[i][1], -cur[i][0], i, cur[i][2]))
     queue_end = -1
     for _ in range(m):
         if not background:
             break
-        e, ns, i = heapq.heappop(background)
-        heapq.heappush(proximity, (-ns, -e, i))
+        e, ns, i, w = heapq.heappop(background)
+        heapq.heappush(proximity, (-ns, -e, i, w))
         if e > queue_end:
             queue_end = e
     start = end = -1
@@ -553,11 +585,13 @@ def _atleast_replay(doc_subs, m: int):
         # advance past the previous start; the refill only happens when the
         # popped iterator had another interval (the reference's :221-231)
         while len(proximity) == m and proximity[0][0] == start:
-            _s, _ne, i = heapq.heappop(proximity)
+            _s, _ne, i, _w = heapq.heappop(proximity)
             if advance(i):
-                heapq.heappush(background, (cur[i][1], -cur[i][0], i))
-                e, ns, j = heapq.heappop(background)
-                heapq.heappush(proximity, (-ns, -e, j))
+                heapq.heappush(
+                    background, (cur[i][1], -cur[i][0], i, cur[i][2])
+                )
+                e, ns, j, w = heapq.heappop(background)
+                heapq.heappush(proximity, (-ns, -e, j, w))
                 if e > queue_end:
                     queue_end = e
         if len(proximity) < m:
@@ -567,16 +601,18 @@ def _atleast_replay(doc_subs, m: int):
             start = proximity[0][0]
             end = queue_end
             slop = end - start + 1
-            for (s2, ne2, _i2) in proximity:
-                slop -= (-ne2) - s2 + 1
+            for (_s2, _ne2, _i2, w2) in proximity:
+                slop -= w2
             if -proximity[0][1] == end:
                 break
-            _s, _ne, i = heapq.heappop(proximity)
+            _s, _ne, i, _w = heapq.heappop(proximity)
             if advance(i):
-                heapq.heappush(background, (cur[i][1], -cur[i][0], i))
+                heapq.heappush(
+                    background, (cur[i][1], -cur[i][0], i, cur[i][2])
+                )
             if background:
-                e, ns, j = heapq.heappop(background)
-                heapq.heappush(proximity, (-ns, -e, j))
+                e, ns, j, w = heapq.heappop(background)
+                heapq.heappush(proximity, (-ns, -e, j, w))
                 if e > queue_end:
                     queue_end = e
             if not (len(proximity) == m and end == queue_end):
@@ -1753,13 +1789,23 @@ class _SegmentSearcher:
             d = dends[t]
             return d if isinstance(d, int) else d[jdx]
 
+        # padded path: some slot occurrence widths were clipped at doc
+        # start, so the gaps filter must use the ACTUAL chained sub widths
+        # (ExtendedIntervalIterator clamps start at 0 and the reference's
+        # slop = width() − Σ subIterator.width() sees the CLIPPED widths —
+        # OrderedIntervalsSource.java:165-169), not the nominal ext_total
+        padded = any(not isinstance(d, int) for d in dends)
+        ext_act = None
         if q.ordered:
             # each leaf occurrence must START strictly after the previous
             # leaf occurrence's END (extended/clipped boundaries)
             k0 = keys[0]
             doc_i = k0 // kp
             starts = k0 % kp
-            cur_end = k0 + _dend(0, np.arange(k0.size))
+            d0 = _dend(0, np.arange(k0.size))
+            cur_end = k0 + d0
+            if padded:
+                ext_act = np.zeros(k0.size, dtype=np.int64) + np.asarray(d0) + 1
             for t in range(1, m):
                 kt = keys[t]
                 idx = np.searchsorted(kt, cur_end, side="right")
@@ -1768,7 +1814,10 @@ class _SegmentSearcher:
                 nxt = kt[jdx]
                 ok &= (nxt // kp) == doc_i
                 doc_i, starts = doc_i[ok], starts[ok]
-                cur_end = nxt[ok] + _dend(t, jdx[ok])
+                dt = _dend(t, jdx[ok])
+                cur_end = nxt[ok] + dt
+                if padded:
+                    ext_act = ext_act[ok] + np.asarray(dt) + 1
                 if doc_i.size == 0:
                     return no_hit
             ends = cur_end % kp
@@ -1785,6 +1834,8 @@ class _SegmentSearcher:
             starts = allk % kp
             endp = np.zeros(allk.size, dtype=np.int64)
             ok = np.ones(allk.size, dtype=bool)
+            if padded:
+                ext_act = np.zeros(allk.size, dtype=np.int64)
             for t, kt in enumerate(keys):
                 idx = np.searchsorted(kt, allk, side="left") + dup[t]
                 okt = idx < kt.size
@@ -1792,8 +1843,13 @@ class _SegmentSearcher:
                 nxt = kt[jdx]
                 okt &= (nxt // kp) == doc_i
                 ok &= okt
-                np.maximum(endp, nxt % kp + _dend(t, jdx), out=endp)
+                dt = _dend(t, jdx)
+                np.maximum(endp, nxt % kp + dt, out=endp)
+                if padded:
+                    ext_act += np.asarray(dt) + 1
             doc_i, starts, ends = doc_i[ok], starts[ok], endp[ok]
+            if padded:
+                ext_act = ext_act[ok]
             if doc_i.size == 0:
                 return no_hit
         # minimality: last row per (doc, end) run == max start per end
@@ -1802,8 +1858,11 @@ class _SegmentSearcher:
         # at 0, so several candidates can share a start with growing ends
         # (nested) — the full containment antichain re-establishes
         # minimality there.
-        if any(not isinstance(d, int) for d in dends):
-            doc_i, starts, ends = _containment_antichain(doc_i, starts, ends, kp)
+        if padded:
+            doc_i, starts, ends, kidx = _containment_antichain(
+                doc_i, starts, ends, kp, return_index=True
+            )
+            ext_act = ext_act[kidx]
         else:
             key2 = doc_i * kp + ends
             last = np.empty(key2.size, dtype=bool)
@@ -1813,7 +1872,10 @@ class _SegmentSearcher:
         width = ends - starts + 1
         keep = np.ones(doc_i.size, dtype=bool)
         if q.max_gaps >= 0:
-            keep &= (width - ext_total) <= q.max_gaps
+            # slop per surviving interval = width − Σ actual (clipped) sub
+            # widths along its chain; on the unpadded path every occurrence
+            # has its nominal extent so the sum is the constant ext_total
+            keep &= (width - (ext_act if padded else ext_total)) <= q.max_gaps
         if q.max_width >= 0:
             keep &= width <= q.max_width
         doc_i, starts, ends = doc_i[keep], starts[keep], ends[keep]
@@ -1855,8 +1917,48 @@ class _SegmentSearcher:
         index (the reference's heap order on equal keys is unspecified)."""
         no_hit = (_EMPTY, _EMPTY, _EMPTY, 0)
         m = q.min_match
-        subs = [self._interval_enumerate(n) for n in q.sub_nears]
-        doc_lists = [d for (d, _s, _e, _x) in subs if d.size]
+        nears = list(q.sub_nears)
+        if m == len(nears):
+            # the factory rewrites min_match==n to unordered(sources) for
+            # ALL source kinds (Intervals.java:567-570); unordered dedups
+            # EQUAL sources into RepeatingIntervalsSource. The leaf-only
+            # case is rewritten away before reaching here; with
+            # IntervalNear subtrees retained, emulate the dedup: collapse
+            # duplicates into one consecutive-window stream carrying
+            # Σ copy widths so equal sources never share one occurrence.
+            groups: list[list] = []  # [source, count]
+            for nr in nears:
+                for g in groups:
+                    if g[0] == nr:
+                        g[1] += 1
+                        break
+                else:
+                    groups.append([nr, 1])
+            if len(groups) < len(nears):
+                enums = []
+                for nr, c in groups:
+                    d, s, e, _x = self._interval_enumerate(nr)
+                    if c > 1:
+                        d, s, e, w = _repeat_windows(d, s, e, c)
+                    else:
+                        w = None
+                    enums.append((d, s, e, w))
+                m = len(groups)
+            else:
+                enums = [
+                    (d, s, e, None)
+                    for (d, s, e, _x) in (
+                        self._interval_enumerate(nr) for nr in nears
+                    )
+                ]
+        else:
+            enums = [
+                (d, s, e, None)
+                for (d, s, e, _x) in (
+                    self._interval_enumerate(nr) for nr in nears
+                )
+            ]
+        doc_lists = [d for (d, _s, _e, _w) in enums if d.size]
         if len(doc_lists) < m:
             return no_hit
         docs_u, counts = np.unique(np.concatenate(doc_lists), return_counts=True)
@@ -1865,21 +1967,23 @@ class _SegmentSearcher:
             return no_hit
         # per-sub [lo, hi) row ranges per candidate doc (subs sorted by doc)
         slices = []
-        for (d, s, e, _x) in subs:
+        for (d, s, e, w) in enums:
             if d.size == 0:
                 continue
             lo = np.searchsorted(d, cand, side="left")
             hi = np.searchsorted(d, cand, side="right")
-            slices.append((s, e, lo, hi))
+            slices.append((s, e, w, lo, hi))
         out_d: list[int] = []
         out_s: list[int] = []
         out_e: list[int] = []
         for ci in range(cand.size):
             doc_subs = []
-            for (s, e, lo, hi) in slices:
+            for (s, e, w, lo, hi) in slices:
                 a, b = int(lo[ci]), int(hi[ci])
                 if b > a:
-                    doc_subs.append((s[a:b], e[a:b]))
+                    doc_subs.append(
+                        (s[a:b], e[a:b], None if w is None else w[a:b])
+                    )
             if len(doc_subs) < m:
                 continue
             doc = int(cand[ci])
@@ -1929,9 +2033,14 @@ class _SegmentSearcher:
         d = np.concatenate([p[0] for p in parts])
         s = np.concatenate([p[1] for p in parts])
         e = np.concatenate([p[2] for p in parts])
+        # densify the GLOBAL docid domain before keying: the antichain keys
+        # rows as doc·2^31+end, which overflows int64 at 10^12-scale global
+        # docids (same reason _interval_filter_enumerate densifies)
+        du = np.unique(d)
+        di = np.searchsorted(du, d)
         kp = np.int64(1) << np.int64(31)
-        d, s, e = _containment_antichain(d, s, e, kp)
-        return d, s, e, q.min_extent
+        di, s, e = _containment_antichain(di, s, e, kp)
+        return du[di], s, e, q.min_extent
 
     def _interval_or_match(self, q: IntervalOr):
         d, starts, ends, ext = self._interval_or_enumerate(q)
