@@ -24,8 +24,16 @@ Real deployments pass ``extra_entries`` / ``user_dict`` to extend it.
 
 Simplifications vs the reference, documented: non-group unknown classes
 emit single-char candidates only (IPADIC char.def KANJI length=2 also
-emits the 2-char candidate); the n-best/EXTENDED modes are not
-implemented (NORMAL and SEARCH are).
+emits the 2-char candidate). All four tokenizer modes are implemented:
+NORMAL, SEARCH (penalties), EXTENDED (SEARCH penalties + unknown words
+emitted as unigrams, JapaneseTokenizer.Mode.EXTENDED), and n-best output
+via ``nbest_cost`` (setNBestCost: every token on a lattice path within
+that cost of the cheapest is emitted, off-best-path tokens stacked at
+the covering best-path position — ja/ViterbiNBest.backtraceNBest).
+
+A real MeCab-format dictionary directory (IPADIC layout) can be mounted
+via ``analysis.mecab.load_mecab_dict(path, fmt="ipadic")`` and passed as
+``mdict=``; the demo lexicon is the test fixture.
 """
 
 from __future__ import annotations
@@ -40,6 +48,7 @@ from .lattice import (
     USER_LEFT_ID,
     USER_RIGHT_ID,
     USER_WORD_COST,
+    nbest_words,
     viterbi_segment,
 )
 from .tokenizer import Token
@@ -271,10 +280,18 @@ def japanese_analyze(
     stop_tags: frozenset[str] = DEFAULT_STOP_TAGS,
     mdict: MorphDict | None = None,
     max_token_length: int = 255,
+    nbest_cost: int = 0,
 ) -> list[Token]:
-    """Full JapaneseAnalyzer chain over one document. Dropped tokens
-    (POS-stopped / stopworded) advance the position (StopFilter gap
-    semantics, consistent with every other chain in this package)."""
+    """Full JapaneseAnalyzer chain over one document. ``mode`` is
+    ``"normal"`` / ``"search"`` / ``"extended"`` (EXTENDED = SEARCH
+    penalties + unknown words emitted as character unigrams,
+    JapaneseTokenizer.Mode.EXTENDED). ``nbest_cost > 0`` additionally
+    emits every token on a lattice path within that cost of the best
+    (setNBestCost), stacked at the covering best-path position. Dropped
+    tokens (POS-stopped / stopworded) advance the position (StopFilter
+    gap semantics, consistent with every other chain in this package)."""
+    if mode not in ("normal", "search", "extended"):
+        raise ValueError(f"unknown tokenizer mode {mode!r}")
     if not text:
         return []
     d = mdict or _DEMO_DICT
@@ -291,9 +308,18 @@ def japanese_analyze(
         while j < n and not _is_separator(folded[j]):
             j += 1
         chunk = folded[i:j]
-        pen = _search_penalty(chunk) if mode == "search" else None
+        pen = _search_penalty(chunk) if mode in ("search", "extended") else None
         segs = viterbi_segment(chunk, d, user=user_dict, penalty=pen)
-        # user-dictionary entries expand into their recorded segmentation
+        extras: list = []
+        if nbest_cost > 0:
+            extras = [
+                s for (s, on_best) in nbest_words(
+                    chunk, d, nbest_cost, user=user_dict, penalty=pen
+                )
+                if not on_best
+            ]
+        # user-dictionary entries expand into their recorded segmentation;
+        # EXTENDED splits unknown words into unigrams
         flat: list[tuple[int, int, str, str, str | None]] = []
         for s in segs:
             if s.entry is not None and s.entry.segmentation is not None:
@@ -303,15 +329,18 @@ def japanese_analyze(
                         (off, off + len(surf), surf, attrs.get("pos", s.pos), None)
                     )
                     off += len(surf)
+            elif s.entry is None and mode == "extended":
+                for k in range(s.start, s.end):
+                    flat.append((k, k + 1, chunk[k], s.pos, None))
             else:
                 base = s.entry.attrs.get("base") if s.entry is not None else None
                 flat.append((s.start, s.end, s.surface, s.pos, base))
-        for start, end, surface, pos_tag, base in flat:
-            term = base if base is not None else surface  # BaseFormFilter
+        def _filter(term: str, pos_tag: str) -> str | None:
+            """POS-stop → katakana stem → lowercase → stopword; None =
+            dropped (the caller decides whether the position advances)."""
             top = pos_tag.split("-", 1)[0]
             if top in stop_tags or pos_tag in stop_tags:
-                pos += 1
-                continue
+                return None
             # JapaneseKatakanaStemFilter: all-katakana len>=4, strip ー
             if (
                 len(term) >= 4
@@ -321,11 +350,30 @@ def japanese_analyze(
                 term = term[:-1]
             term = term.lower()
             if stopwords and term in stopwords:
-                pos += 1
-                continue
-            if len(term) <= max_token_length:
+                return None
+            if len(term) > max_token_length:
+                return None
+            return term
+
+        spans: list[tuple[int, int, int]] = []  # (start, end, position)
+        for start, end, surface, pos_tag, base in flat:
+            spans.append((start, end, pos))
+            term = _filter(base if base is not None else surface, pos_tag)
+            if term is not None:
                 out.append(Token(term, pos, i + start, i + end, pos_tag))
             pos += 1
+        # n-best extras stack at the covering best-path position
+        # (posIncrement 0 — this package's Token has no posLength)
+        for s in extras:
+            p = next(
+                (pp for (st, en, pp) in spans if st <= s.start < en), None
+            )
+            if p is None:
+                continue
+            base = s.entry.attrs.get("base") if s.entry is not None else None
+            term = _filter(base if base is not None else s.surface, s.pos)
+            if term is not None:
+                out.append(Token(term, p, i + s.start, i + s.end, s.pos))
         i = j
     return out
 

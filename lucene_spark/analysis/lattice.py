@@ -43,6 +43,7 @@ __all__ = [
     "MorphDict",
     "Segment",
     "viterbi_segment",
+    "nbest_words",
     "USER_WORD_COST",
     "USER_LEFT_ID",
     "USER_RIGHT_ID",
@@ -225,3 +226,118 @@ def viterbi_segment(
         nd = nd.back
     segs.reverse()
     return segs
+
+
+def _candidate_words(text, mdict, user, penalty):
+    """All lattice word candidates over ``text`` as Segment-shaped tuples
+    (start, end, surface, entry, left_id, right_id, word_cost+penalty,
+    pos) — the same generation rule as viterbi_segment (dictionary
+    prefixes + user entries + unknown-class words)."""
+    n = len(text)
+    words = []
+    for pos in range(n):
+        matched = False
+        if user is not None:
+            for e in user.prefixes(text, pos):
+                matched = True
+                c = e.cost + (penalty(pos, len(e.surface)) if penalty else 0)
+                words.append((pos, pos + len(e.surface), e.surface, e,
+                              e.left_id, e.right_id, c,
+                              e.attrs.get("pos", "")))
+        for e in mdict.prefixes(text, pos):
+            matched = True
+            c = e.cost + (penalty(pos, len(e.surface)) if penalty else 0)
+            words.append((pos, pos + len(e.surface), e.surface, e,
+                          e.left_id, e.right_id, c, e.attrs.get("pos", "")))
+        cc = mdict.char_class(text[pos])
+        if cc.invoke or not matched:
+            if cc.group:
+                end = pos + 1
+                while (end < n and end - pos < cc.cap
+                       and mdict.char_class(text[end]).name == cc.name):
+                    end += 1
+                surface = text[pos:end]
+            else:
+                surface = text[pos]
+            c = cc.cost + (penalty(pos, len(surface)) if penalty else 0)
+            words.append((pos, pos + len(surface), surface, None,
+                          cc.left_id, cc.right_id, c, cc.pos))
+    return words
+
+
+def nbest_words(
+    text: str,
+    mdict: MorphDict,
+    nbest_cost: int,
+    user: MorphDict | None = None,
+    penalty: Callable[[int, int], int] | None = None,
+) -> list[tuple[Segment, bool]]:
+    """Words on any lattice path whose total cost is within
+    ``nbest_cost`` of the cheapest (ja/ViterbiNBest.java backtraceNBest /
+    JapaneseTokenizer.setNBestCost semantics): forward best-from-BOS and
+    backward best-to-EOS per word node; a word is kept iff
+    fwd(word) + bwd(word) <= best + nbest_cost. Returns
+    [(Segment, on_best_path)] sorted by (start, end); exactly the
+    viterbi_segment path is flagged on_best_path (cost ties break the
+    same way: the dedup-by-right_id forward pass and this one share the
+    min-reduction order)."""
+    n = len(text)
+    if n == 0:
+        return []
+    words = _candidate_words(text, mdict, user, penalty)
+    INF = float("inf")
+    # forward: cheapest arrival INCLUDING the word itself
+    fwd = [INF] * len(words)
+    ends: list[list[tuple[int, float]]] = [[] for _ in range(n + 1)]
+    ends[0].append((0, 0.0))  # BOS: right_id 0, cost 0
+    by_start: list[list[int]] = [[] for _ in range(n)]
+    for wi, w in enumerate(words):
+        by_start[w[0]].append(wi)
+    for pos in range(n):
+        if not ends[pos]:
+            continue
+        for wi in by_start[pos]:
+            w = words[wi]
+            best = min(
+                (fv + mdict.connection(r, w[4]) for (r, fv) in ends[pos]),
+                default=INF,
+            )
+            f = best + w[6]
+            if f < fwd[wi]:
+                fwd[wi] = f
+                ends[w[1]].append((w[5], f))
+    # compact ends: keep min per right_id (exact reduction, conn depends
+    # only on right_id) — rebuild for the backward pass symmetric form
+    # backward: cheapest continuation AFTER the word (EOS connects left 0)
+    bwd = [INF] * len(words)
+    starts: list[list[tuple[int, float]]] = [[] for _ in range(n + 1)]
+    for pos in range(n, -1, -1):
+        for wi in (by_start[pos] if pos < n else ()):
+            w = words[wi]
+            if fwd[wi] == INF:
+                continue
+            if w[1] == n:
+                b = float(mdict.connection(w[5], 0))
+            else:
+                b = min(
+                    (mdict.connection(w[5], l) + bv
+                     for (l, bv) in starts[w[1]]),
+                    default=INF,
+                )
+            bwd[wi] = b
+            if b < INF:
+                starts[pos].append((w[4], b + w[6]))
+    total = [fwd[wi] + bwd[wi] for wi in range(len(words))]
+    finite = [t for t in total if t < INF]
+    if not finite:
+        raise ValueError(f"lattice has no path over {text!r}")
+    best_total = min(finite)
+    best_path = viterbi_segment(text, mdict, user=user, penalty=penalty)
+    best_spans = {(s.start, s.end, s.surface) for s in best_path}
+    out: list[tuple[Segment, bool]] = []
+    for wi, w in enumerate(words):
+        if total[wi] <= best_total + nbest_cost:
+            seg = Segment(w[0], w[1], w[2], w[3], w[7])
+            out.append((seg, (w[0], w[1], w[2]) in best_spans))
+    out.sort(key=lambda t: (t[0].start, t[0].end))
+    return out
