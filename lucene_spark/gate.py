@@ -4842,6 +4842,39 @@ def _q_knn_filtered_hnsw(spark, sf_dir):
     )
 
 
+def _q_knn_filtered_quantized(spark, sf_dir):
+    """Filtered search over the int8-QUANTIZED persisted graph —
+    quantization composed with acceptDocs (KnnFloatVectorQuery.java:61
+    runs over any VectorScorer, quantized included). The 10% filter is
+    selective enough that the per-leaf cost switch takes the
+    exact-over-survivors arm at every gate SF (n_acc <= ef 256), and the
+    float rescore re-applies the predicate, so the oracle is exact
+    cosine over the filtered set."""
+    from .pipeline import hnsw as _hnsw
+
+    name = sf_dir.strip("/").replace("/", "_") + "_hnswq"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _hnsw.hnsw_write(emb, path, n_leaves=2, m=16, quantize=True)
+    return _hnsw.hnsw_topk_quantized(
+        spark, emb, path, _qvec(spark, sf_dir), k=10, ef_search=256,
+        oversample=3, filter_expr="label % 10 = 1",
+    )
+
+
+_SQL_KNN_FILTERED_QUANTIZED = """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    {cos} AS cos
+  FROM embeddings e, q
+  WHERE e.label % 10 = 1
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT * FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+)"""
+
+
 def _q_simsearch_hnsw_seeded(spark, sf_dir):
     """SeededKnnVectorQuery (search/SeededKnnVectorQuery.java:43 —
     Kulkarni et al. SIGIR'23): seed ids (a lexical query's top docs) enter
@@ -9191,6 +9224,7 @@ def gate_queries() -> dict:
         "simsearch_hnsw_quantized": _q_simsearch_hnsw_quantized,
         "simsearch_hnsw_appended": _q_simsearch_hnsw_appended,
         "knn_filtered_hnsw": _q_knn_filtered_hnsw,
+        "knn_filtered_quantized": _q_knn_filtered_quantized,
         "simsearch_hnsw_seeded": _q_simsearch_hnsw_seeded,
         "simsearch_hnsw_patience": _q_simsearch_hnsw_patience,
         "vector_similarity_float": _q_vector_similarity,
@@ -9503,6 +9537,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_hnsw_quantized": _SQL_SIMSEARCH,
         "simsearch_hnsw_appended": _SQL_SIMSEARCH,
         "knn_filtered_hnsw": _SQL_KNN_FILTERED,
+        "knn_filtered_quantized": _SQL_KNN_FILTERED_QUANTIZED.format(cos=_COS_SQL),
         "simsearch_hnsw_seeded": _SQL_SIMSEARCH,
         "simsearch_hnsw_patience": _SQL_SIMSEARCH,
         "vector_similarity_float": _SQL_VECTOR_SIMILARITY,

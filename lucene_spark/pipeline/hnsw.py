@@ -741,6 +741,7 @@ def hnsw_topk_quantized(
     oversample: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Search the persisted graph on the int8-QUANTIZED vectors (written by
     ``hnsw_write(..., quantize=True)``) — the query-time scan reads the
@@ -749,7 +750,15 @@ def hnsw_topk_quantized(
     (a selective semi-join against ``emb`` of O(k) rows). Output matches
     ``hnsw_topk_persisted`` whenever the true top-k survive the
     oversampled candidate set (Lucene99's quantized-search + re-rank
-    shape)."""
+    shape).
+
+    ``filter_expr`` (acceptDocs) composes with quantization the way the
+    reference composes them (KnnFloatVectorQuery.java:61 runs over ANY
+    VectorScorer, quantized included): the predicate is evaluated
+    JVM-side over ``emb``'s columns, joined onto the code table by id,
+    and the per-leaf cost switch (_filtered_leaf_search) picks graph+
+    accept-mask+visitedLimit or exact-over-survivors on the DEQUANTIZED
+    codes; the float rescore re-applies the predicate."""
     import json
     import os
     import struct as _struct
@@ -788,8 +797,15 @@ def hnsw_topk_quantized(
         codes = np.stack(
             [np.frombuffer(bytes(b), dtype=np.uint8) for b in data["qv"]]
         )
+        acc = (
+            data["_ok"].to_numpy(dtype=bool)
+            if "_ok" in data.columns
+            else None
+        )
         order = np.argsort(ids, kind="stable")
         ids, codes = ids[order], codes[order]
+        if acc is not None:
+            acc = acc[order]
         vecs = _dequantize(codes, lo, hi)  # ~unit vectors
         idx_of = {int(v): i for i, v in enumerate(ids)}
         max_lvl = int(right["lvl"].max())
@@ -805,16 +821,37 @@ def hnsw_topk_quantized(
             if lvl == max_lvl:
                 top_nodes.append(i)
         entry = min(top_nodes, key=lambda i: int(ids[i]))
-        hits = search_leaf_graph(
-            entry, levels, layers, ids, vecs, qu, n_cand, max(ef_search, n_cand)
+        # the shared cost switch: no filter → plain graph search;
+        # selective → exact over the accepted codes; else graph+mask with
+        # visitedLimit and exact fallback (same arm as the float path)
+        frame = _filtered_leaf_search(
+            entry, levels, layers, ids, vecs, qu, acc, n_cand,
+            max(ef_search, n_cand),
         )
-        return pd.DataFrame(
-            [(int(ids[i]), float(s)) for s, i in hits], columns=["_id", "qcos"]
-        )
+        return frame.rename(columns={"cos": "qcos"})
 
     qvecs = spark.read.parquet(f"{path}/qvecs").select(
         F.col("leaf").cast("int").alias("leaf"), "node", "qv"
     )
+    if filter_expr is not None:
+        # acceptDocs ride the code table: predicate evaluated JVM-side
+        # over emb, joined by id (the meta sentinel row node=-1 never
+        # matches and keeps _ok null — it is split off before masking;
+        # stale code rows missing from emb default to rejected)
+        flags = emb.select(
+            F.col(id_col).cast("long").alias("_fid"),
+            F.expr(filter_expr).cast("boolean").alias("_ok"),
+        )
+        qvecs = (
+            qvecs.join(flags, qvecs["node"] == flags["_fid"], "left")
+            .withColumn(
+                "_ok",
+                F.when(F.col("node") == _QMETA_NODE, F.lit(True)).otherwise(
+                    F.coalesce("_ok", F.lit(False))
+                ),
+            )
+            .drop("_fid")
+        )
     graph = spark.read.parquet(f"{path}/graph").select(
         F.col("leaf").cast("int").alias("leaf"), "node", "lvl", "nbrs"
     )
@@ -830,6 +867,8 @@ def hnsw_topk_quantized(
     # the one touch of the float table, a broadcast semi-join by id
     from .simsearch import _cosine
 
+    if filter_expr is not None:
+        emb = emb.where(F.expr(filter_expr))
     scored = emb.join(
         F.broadcast(cands), emb[id_col] == cands["_id"], "leftsemi"
     ).select(

@@ -298,6 +298,47 @@ def ivf_append(spark, emb_new: DataFrame, path: str) -> dict:
     return meta
 
 
+def ivf_cell_stats(
+    spark, path: str, skew_threshold: float = 4.0
+) -> DataFrame:
+    """Cell-skew observability for a persisted IVF table: one aggregate
+    over the cells table (n_centroids rows out — empty cells included
+    with count 0) with per-cell count, fraction, count/mean ratio, and a
+    ``skewed`` flag at ``skew_threshold``×mean (the 4-8× re-cluster
+    threshold documented on ``ivf_append``). Drive a rebuild decision
+    from ``WHERE skewed`` — at 100 TB this is one map-combinable groupBy
+    over the partition column, no vector payload touched."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_centroids = len(meta["centroids"])
+    all_cells = spark.range(n_centroids).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    counts = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filled = (
+        all_cells.join(counts, "cell", "left")
+        .select("cell", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    mean = total / F.lit(n_centroids)
+    return filled.select(
+        "cell",
+        "n",
+        F.round(F.col("n") / total, 6).alias("fraction"),
+        F.round(F.col("n") / mean, 4).alias("ratio_to_mean"),
+        (F.col("n") / mean > F.lit(float(skew_threshold))).alias("skewed"),
+    ).orderBy("cell")
+
+
 def ivf_topk_persisted(
     spark,
     path: str,

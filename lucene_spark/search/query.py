@@ -49,6 +49,7 @@ __all__ = [
     "wildcard_to_regex",
     "ngram_phrase",
     "ngram_phrase_rewrite",
+    "analyzed_text_intervals",
 ]
 
 
@@ -1528,3 +1529,82 @@ def contains_block_join(q) -> bool:
     if isinstance(q, ConstantScoreQuery):
         return contains_block_join(q.query)
     return False
+
+
+def analyzed_text_intervals(
+    text,
+    max_gaps: int = -1,
+    ordered: bool = True,
+    analyzer=None,
+    stopwords=None,
+):
+    """Intervals.analyzedText (Intervals.java:618-647 →
+    IntervalBuilder.analyzeText): tokenize ``text`` and build the
+    interval source the reference builds —
+
+    - 0 tokens → NO_INTERVALS (MatchNoDocsQuery);
+    - 1 token → the bare term source;
+    - tokens dropped upstream (StopFilter position gaps) become
+      ``extend(term, precedingSpaces, 0)`` leaves
+      (IntervalBuilder.analyzeTerms:151-170);
+    - stacked tokens (position increment 0, single-term synonyms) become
+      per-position Intervals.or alternatives
+      (IntervalBuilder.analyzeSynonyms:172-199; the extend is
+      distributed over the alternatives — identical interval sets);
+    - combineSources: ``max_gaps == 0 and ordered`` (and no synonyms) →
+      Intervals.phrase (Block chaining, defined-gaps aware), else
+      ordered/unordered wrapped in maxgaps (IntervalBuilder:131-149).
+
+    ``text`` may be a raw string (analyzed with the package's standard
+    chain, or ``analyzer(text)`` returning Token-likes), or a pre-built
+    list of ``(term, position)`` pairs / Token objects in stream order.
+    Graph tokens (posLength > 1) are not represented in this package's
+    Token — multi-word synonyms route through TermAutomatonQuery instead
+    (the documented equivalent of IntervalBuilder.analyzeGraph)."""
+    if isinstance(text, str):
+        if analyzer is not None:
+            toks = analyzer(text)
+            pairs = [
+                (t.term, t.position) if hasattr(t, "term") else (t[0], t[1])
+                for t in toks
+            ]
+        else:
+            from ..analysis.tokenizer import analyze_terms_positions
+
+            terms, poss = analyze_terms_positions(text, stopwords=stopwords)
+            pairs = list(zip(terms, poss))
+    else:
+        pairs = [
+            (t.term, t.position) if hasattr(t, "term") else (t[0], t[1])
+            for t in text
+        ]
+    if not pairs:
+        return MatchNoDocsQuery()
+    if len(pairs) == 1:
+        return IntervalNear((pairs[0][0],))
+    # group stacked synonyms: equal consecutive positions share a slot
+    groups: list[tuple[int, list[str]]] = []
+    for term, pos in pairs:
+        if groups and groups[-1][0] == pos:
+            groups[-1][1].append(term)
+        else:
+            groups.append((pos, [term]))
+    has_syn = any(len(ts) > 1 for (_p, ts) in groups)
+    slots: list = []
+    prev = -1
+    for pos, ts in groups:
+        spaces = pos - prev - 1
+        prev = pos
+        if len(ts) == 1:
+            slots.append(
+                ts[0] if spaces == 0 else IntervalExtend(ts[0], spaces, 0)
+            )
+        elif spaces == 0:
+            slots.append(tuple(ts))
+        else:
+            slots.append(tuple(IntervalExtend(t, spaces, 0) for t in ts))
+    if len(slots) == 1:
+        return IntervalNear((slots[0],))
+    if max_gaps == 0 and ordered and not has_syn:
+        return IntervalNear((IntervalPhrase(tuple(slots)),))
+    return IntervalNear(tuple(slots), ordered=ordered, max_gaps=max_gaps)

@@ -369,3 +369,50 @@ def test_append_duplicate_base_id_fails_loudly(spark, emb, qvec, tmp_path):
         hnsw.hnsw_topk_persisted(
             spark, emb, path, qvec, k=5, ef_search=64
         ).collect()
+
+
+def test_quantized_filtered_composition(spark, emb, qvec, tmp_path):
+    """filter_expr composed with quantized search (KnnFloatVectorQuery
+    over a quantized VectorScorer): at 10% selectivity every returned id
+    satisfies the predicate, recall@10 vs exact-filtered cosine >= 0.9,
+    and overlapping scores are exact float cosines (the rescore
+    re-applies the predicate)."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    path = str(tmp_path / "gqf")
+    hnsw.hnsw_write(emb, path, n_leaves=2, m=16, quantize=True)
+    pred = "label % 10 = 1"
+    got_rows = hnsw.hnsw_topk_quantized(
+        spark, emb, path, qvec, k=10, ef_search=128, oversample=3,
+        filter_expr=pred,
+    ).collect()
+    ok_ids = {int(r["vec_id"]) for r in emb.where(pred).collect()}
+    got = {int(r[0]) for r in got_rows}
+    assert got <= ok_ids, "a filtered-out id leaked into the result"
+    exact_rows = cosine_topk(emb.where(pred), qvec, k=10).collect()
+    exact = {int(r[0]) for r in exact_rows}
+    assert len(got & exact) / min(10, len(exact)) >= 0.9
+    em = {int(r[0]): r[1] for r in exact_rows}
+    gm = {int(r[0]): r[1] for r in got_rows}
+    for vid in got & exact:
+        assert gm[vid] == em[vid]
+
+
+def test_quantized_filtered_graph_arm(spark, emb, qvec, tmp_path):
+    """A permissive filter (~90%) with small ef forces the graph+mask arm
+    (n_acc > ef): results still honor the predicate and hit a recall
+    floor against the exact filtered scan."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    path = str(tmp_path / "gqg")
+    hnsw.hnsw_write(emb, path, n_leaves=1, m=16, quantize=True)
+    pred = "label % 10 != 1"
+    got_rows = hnsw.hnsw_topk_quantized(
+        spark, emb, path, qvec, k=10, ef_search=64, oversample=3,
+        filter_expr=pred,
+    ).collect()
+    ok_ids = {int(r["vec_id"]) for r in emb.where(pred).collect()}
+    got = {int(r[0]) for r in got_rows}
+    assert got <= ok_ids
+    exact = {int(r[0]) for r in cosine_topk(emb.where(pred), qvec, k=10).collect()}
+    assert len(got & exact) / 10.0 >= 0.8

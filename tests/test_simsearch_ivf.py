@@ -109,3 +109,49 @@ def test_ivf_append_twice_accumulates(spark, tmp_path):
     ss.ivf_append(spark, emb.filter("vec_id % 3 = 1"), path)
     meta = ss.ivf_append(spark, emb.filter("vec_id % 3 = 2"), path)
     assert meta["n_vectors"] == emb.count()
+
+
+# --- cell-skew observability (ivf_cell_stats) -------------------------------
+
+
+def test_ivf_cell_stats_balanced(spark, emb, tmp_path):
+    """Fresh write: stats return exactly n_centroids rows (empty cells
+    included), fractions sum to 1, counts match the cells table, and
+    nothing trips the 4x flag on the training distribution itself."""
+    path = str(tmp_path / "ivf_stats")
+    ss.ivf_write(emb, path, n_centroids=8, vec_col="embedding")
+    stats = ss.ivf_cell_stats(spark, path).toPandas()
+    assert len(stats) == 8
+    assert int(stats["n"].sum()) == emb.count()
+    assert abs(float(stats["fraction"].sum()) - 1.0) < 1e-6
+    assert not stats["skewed"].any()
+
+
+def test_ivf_cell_stats_detects_injected_drift(spark, emb, tmp_path):
+    """Append a drifted batch — many copies of one existing vector (all
+    land in that vector's frozen cell): the ratio_to_mean of that cell
+    crosses the threshold and the skew flag fires, the documented
+    rebuild trigger for ivf_append."""
+    path = str(tmp_path / "ivf_drift")
+    ss.ivf_write(emb, path, n_centroids=8, vec_col="embedding")
+    seed = emb.filter("vec_id = 7").first()
+    n = emb.count()
+    drift = spark.createDataFrame(
+        [(int(1_000_000 + i), list(seed["embedding"]), 0) for i in range(3 * n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ss.ivf_append(spark, drift, path)
+    stats = ss.ivf_cell_stats(spark, path, skew_threshold=2.0).toPandas()
+    assert len(stats) == 8
+    assert int(stats["n"].sum()) == 4 * n
+    assert stats["skewed"].any()
+    hot = stats[stats["skewed"]]
+    assert float(hot["ratio_to_mean"].max()) > 2.0
+    # the hot cell is the seed vector's own frozen cell
+    import json
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    probe = ss._probe_cells([float(x) for x in seed["embedding"]], cents, 1)
+    assert probe[0] in set(hot["cell"].tolist())
