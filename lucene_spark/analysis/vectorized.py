@@ -484,6 +484,17 @@ def analyze_batch(
                 max_token_length=max_token_length,
             ),
         )
+    if analyzer == "thai":
+        # maximal matching reads whole Thai-script RUNS (segmentation is
+        # context-dependent, not per-term) — per-document chain lane
+        from .th import thai_analyze as _th_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _th_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer in ("korean", "korean_mixed", "korean_none"):
         from .ko import korean_analyze as _ko_py
 

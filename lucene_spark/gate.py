@@ -6775,6 +6775,8 @@ _JA_LEX = ["経済", "新聞", "大学", "空港", "技術"]
 _JA_QUERY = _JA_LEX[1]  # digit == 1
 _KO_LEX = ["학교", "나라", "경제", "신문", "회사"]
 _KO_QUERY = _KO_LEX[3]  # digit == 3
+_TH_LEX = ["เศรษฐกิจ", "หนังสือพิมพ์", "มหาวิทยาลัย", "สนามบิน", "เทคโนโลยี"]
+_TH_QUERY = _TH_LEX[1]  # digit == 1
 
 
 def _ensure_morph_index(
@@ -6808,6 +6810,23 @@ def _q_japanese(spark, sf_dir, k: int = 100000):
     )
     s = Searcher(spark, idx, analyzer="japanese", mode="double")
     h = s.search(_JA_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_thai(spark, sf_dir, k: int = 100000):
+    """ThaiAnalyzer analog (th/ThaiAnalyzer.java:42): maximal-matching
+    segmentation over the demo wordlist splits the space-free
+    noun+noun+verb concatenation back into words — the segmenter IS what
+    the gate exercises; the oracle recomputes BM25 from the digit
+    construction in pure SQL."""
+    idx = _ensure_morph_index(
+        spark, sf_dir, "th", _TH_LEX, "thai", "", "\u0e17\u0e33\u0e07\u0e32\u0e19"
+    )
+    s = Searcher(spark, idx, analyzer="thai", mode="double")
+    h = s.search(_TH_QUERY, k=k, with_url=True)
     return h.select(
         F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
         F.round("score", 4).alias("score"),
@@ -9079,6 +9098,7 @@ def gate_queries() -> dict:
         "german_light_index": _q_german_stem,
         "japanese_index": _q_japanese,
         "korean_index": _q_korean,
+        "thai_index": _q_thai,
         "url_email_url_index": _mk_q_url_email(
             "https://spark.example.com/docs?q=1"
         ),
@@ -9399,6 +9419,7 @@ def gate_oracle_sql() -> dict:
         "cjk_bigram_index": _sql_cjk_bigram(),
         "german_light_index": _sql_german_stem(),
         "japanese_index": _sql_morph_index(1),
+        "thai_index": _sql_morph_index(1),
         "korean_index": _sql_morph_index(3),
         "url_email_url_index": _sql_lex_stem((0,)),
         "url_email_email_index": _sql_lex_stem((5,)),

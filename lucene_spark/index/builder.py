@@ -52,6 +52,7 @@ from ..analysis.cjk import cjk_analyze, cjk_terms_positions
 from ..analysis.classic import classic_analyze, classic_terms_positions
 from ..analysis.ja import japanese_analyze, japanese_terms_positions
 from ..analysis.ko import korean_analyze, korean_terms_positions
+from ..analysis.th import thai_analyze, thai_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
@@ -226,6 +227,7 @@ _ANALYZERS: dict[str, Callable] = {
     "korean_none": lambda text, stopwords=None: korean_analyze(
         text, stopwords, decompound="none"
     ),
+    "thai": thai_analyze,            # ThaiAnalyzer chain, maximal matching
 }
 
 
@@ -324,6 +326,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     "korean_none": lambda text, stopwords=None: (
         lambda toks: ([t.term for t in toks], [t.position for t in toks])
     )(korean_analyze(text, stopwords, decompound="none")),
+    "thai": thai_terms_positions,
 }
 
 
