@@ -22,9 +22,10 @@ classes (kanji single-char, grouped katakana/hiragana/alpha/numeric
 runs), user-dictionary compound splits, and the SEARCH-mode penalties.
 Real deployments pass ``extra_entries`` / ``user_dict`` to extend it.
 
-Simplifications vs the reference, documented: non-group unknown classes
-emit single-char candidates only (IPADIC char.def KANJI length=2 also
-emits the 2-char candidate). All four tokenizer modes are implemented:
+Non-group unknown classes emit candidates of every length 1..LENGTH
+(the IPADIC char.def KANJI length=2 two-char candidate included — the
+round-3 documented simplification is closed). All four tokenizer modes
+are implemented:
 NORMAL, SEARCH (penalties), EXTENDED (SEARCH penalties + unknown words
 emitted as unigrams, JapaneseTokenizer.Mode.EXTENDED), and n-best output
 via ``nbest_cost`` (setNBestCost: every token on a lattice path within

@@ -15,9 +15,10 @@ analysis/nori/.../ko/KoreanTokenizer.java:
   (+ an optional mode penalty, ViterbiNBest.computePenalty);
 - unknown words are generated from the character class of the current
   char (dict/CharacterDefinition.java): when the class has INVOKE set or
-  no dictionary entry matched, an unknown node is added whose surface is
-  the single char, or — when the class has GROUP set — the maximal run
-  of same-class chars (capped);
+  no dictionary entry matched, unknown nodes are added — for a GROUP
+  class the maximal run of same-class chars (capped), otherwise one
+  candidate per length 1..cap over same-class chars (MeCab's LENGTH=n,
+  e.g. char.def "KANJI 0 0 2" emits 1- and 2-char kanji candidates);
 - EOS connects with connection(right_id, 0); the cheapest path is
   backtraced into segments.
 
@@ -78,8 +79,9 @@ class DictEntry:
 class CharClass:
     """dict/CharacterDefinition.java class row: INVOKE = always generate
     an unknown word even when the dictionary matched; GROUP = the unknown
-    surface is the maximal same-class run (else a single char); ``cap`` =
-    max grouped length; unknown-node lattice parameters."""
+    surface is the maximal same-class run (else candidates of every
+    length 1..cap — MeCab's LENGTH=n); ``cap`` = max grouped/candidate
+    length; unknown-node lattice parameters."""
 
     name: str
     invoke: bool
@@ -209,10 +211,23 @@ def viterbi_segment(
                     and mdict.char_class(text[end]).name == cc.name
                 ):
                     end += 1
-                surface = text[pos:end]
+                _relax(pos, text[pos:end], None, cc.left_id, cc.right_id,
+                       cc.cost, cc.pos)
             else:
-                surface = text[pos]
-            _relax(pos, surface, None, cc.left_id, cc.right_id, cc.cost, cc.pos)
+                # MeCab LENGTH=n for non-group categories: unknown
+                # candidates of EVERY length 1..n over same-class chars
+                # (char.def "KANJI 0 0 2" emits the 2-char candidate too —
+                # the round-3 documented simplification, now closed)
+                end = pos + 1
+                while (
+                    end < n
+                    and end - pos < cc.cap
+                    and mdict.char_class(text[end]).name == cc.name
+                ):
+                    end += 1
+                for e2 in range(pos + 1, end + 1):
+                    _relax(pos, text[pos:e2], None, cc.left_id, cc.right_id,
+                           cc.cost, cc.pos)
 
     # EOS: cheapest node ending at n, including the connection to left_id 0
     tail = ends[n]
@@ -251,17 +266,19 @@ def _candidate_words(text, mdict, user, penalty):
                           e.left_id, e.right_id, c, e.attrs.get("pos", "")))
         cc = mdict.char_class(text[pos])
         if cc.invoke or not matched:
+            end = pos + 1
+            while (end < n and end - pos < cc.cap
+                   and mdict.char_class(text[end]).name == cc.name):
+                end += 1
             if cc.group:
-                end = pos + 1
-                while (end < n and end - pos < cc.cap
-                       and mdict.char_class(text[end]).name == cc.name):
-                    end += 1
-                surface = text[pos:end]
+                spans = [text[pos:end]]
             else:
-                surface = text[pos]
-            c = cc.cost + (penalty(pos, len(surface)) if penalty else 0)
-            words.append((pos, pos + len(surface), surface, None,
-                          cc.left_id, cc.right_id, c, cc.pos))
+                # non-group LENGTH=n: candidates of every length 1..n
+                spans = [text[pos:e2] for e2 in range(pos + 1, end + 1)]
+            for surface in spans:
+                c = cc.cost + (penalty(pos, len(surface)) if penalty else 0)
+                words.append((pos, pos + len(surface), surface, None,
+                              cc.left_id, cc.right_id, c, cc.pos))
     return words
 
 

@@ -61,3 +61,18 @@ def test_nbest_normal_mode_inverts_preference():
     assert by_term["形態素"] == 0
     assert by_term["形態"] == 0  # stacked at the covering position
     assert by_term["素"] == 0
+
+
+def test_kanji_two_char_unknown_candidate():
+    """char.def "KANJI 0 0 2": a 2-char kanji unknown candidate competes
+    with two 1-char candidates. Demo classes: KANJI cost 11000, unk↔unk
+    conn 2000 — 2-char candidate (11000 once) beats 1+1 (22000+2000), so
+    an unknown kanji pair is ONE token; a same-class triple splits 1+2
+    (equal-cost tie: the first-relaxed path wins deterministically)."""
+    toks = japanese_analyze("鰻丼", mode="normal")
+    assert [t.term for t in toks] == ["鰻丼"]
+    toks3 = japanese_analyze("鰻丼鮨", mode="normal")
+    assert [t.term for t in toks3] == ["鰻", "丼鮨"]
+    # class boundary stops the multi-length candidate: kanji + hiragana
+    toks_mix = japanese_analyze("鰻を", mode="normal")
+    assert [t.term for t in toks_mix] == ["鰻"]  # を is a particle (stopped)
