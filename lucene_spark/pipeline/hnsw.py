@@ -742,6 +742,9 @@ def hnsw_topk_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     filter_expr: str | None = None,
+    seed_ids: list[int] | None = None,
+    saturation_threshold: float | None = None,
+    patience: int | None = None,
 ) -> DataFrame:
     """Search the persisted graph on the int8-QUANTIZED vectors (written by
     ``hnsw_write(..., quantize=True)``) — the query-time scan reads the
@@ -758,10 +761,19 @@ def hnsw_topk_quantized(
     JVM-side over ``emb``'s columns, joined onto the code table by id,
     and the per-leaf cost switch (_filtered_leaf_search) picks graph+
     accept-mask+visitedLimit or exact-over-survivors on the DEQUANTIZED
-    codes; the float rescore re-applies the predicate."""
+    codes; the float rescore re-applies the predicate.
+
+    ``seed_ids`` / ``saturation_threshold`` / ``patience`` compose too
+    (SeededKnnVectorQuery / PatienceKnnVectorQuery wrap any delegate
+    scorer): seeds enter the layer-0 beam over the code table, patience
+    stops a saturated traversal — same semantics as
+    ``hnsw_topk_persisted``."""
     import json
     import os
     import struct as _struct
+
+    if saturation_threshold is not None and patience is None:
+        patience = max(7, int(k * 0.3))
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
@@ -821,12 +833,20 @@ def hnsw_topk_quantized(
             if lvl == max_lvl:
                 top_nodes.append(i)
         entry = min(top_nodes, key=lambda i: int(ids[i]))
+        seed_idxs = None
+        if seed_ids:
+            idx_map = {int(v): i for i, v in enumerate(ids)}
+            seed_idxs = np.asarray(
+                sorted(idx_map[s] for s in seed_ids if s in idx_map),
+                dtype=np.int64,
+            )
         # the shared cost switch: no filter → plain graph search;
         # selective → exact over the accepted codes; else graph+mask with
         # visitedLimit and exact fallback (same arm as the float path)
         frame = _filtered_leaf_search(
             entry, levels, layers, ids, vecs, qu, acc, n_cand,
-            max(ef_search, n_cand),
+            max(ef_search, n_cand), seed_idxs=seed_idxs,
+            saturation_threshold=saturation_threshold, patience=patience,
         )
         return frame.rename(columns={"cos": "qcos"})
 

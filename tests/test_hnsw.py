@@ -416,3 +416,30 @@ def test_quantized_filtered_graph_arm(spark, emb, qvec, tmp_path):
     assert got <= ok_ids
     exact = {int(r[0]) for r in cosine_topk(emb.where(pred), qvec, k=10).collect()}
     assert len(got & exact) / 10.0 >= 0.8
+
+
+def test_quantized_seeded_and_patience_compose(spark, emb, qvec, tmp_path):
+    """Seeds and patience wrap the quantized delegate like any other
+    scorer (SeededKnnVectorQuery / PatienceKnnVectorQuery composition):
+    both paths return valid top-k with a recall floor vs exact."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    path = str(tmp_path / "gqs")
+    hnsw.hnsw_write(emb, path, n_leaves=2, m=16, quantize=True)
+    exact = {int(r[0]) for r in cosine_topk(emb, qvec, k=10).collect()}
+    seeded = {
+        int(r[0])
+        for r in hnsw.hnsw_topk_quantized(
+            spark, emb, path, qvec, k=10, ef_search=128,
+            seed_ids=sorted(exact)[:3],
+        ).collect()
+    }
+    assert len(seeded & exact) / 10.0 >= 0.9
+    patient = {
+        int(r[0])
+        for r in hnsw.hnsw_topk_quantized(
+            spark, emb, path, qvec, k=10, ef_search=128,
+            saturation_threshold=0.995,
+        ).collect()
+    }
+    assert len(patient & exact) / 10.0 >= 0.8
