@@ -4930,6 +4930,75 @@ def _q_simsearch_ivf_persisted(spark, sf_dir):
     )
 
 
+def _q_ivf_cell_stats(spark, sf_dir):
+    """Cell-skew observability over the persisted IVF table
+    (simsearch.ivf_cell_stats — the documented 4-8x rebuild-threshold
+    monitor for ivf_append drift). The oracle replays the full IVF
+    training (seeds -> one Lloyd step, 6dp centroids) and the argmin
+    assignment in pure SQL, then aggregates per-cell counts/fraction/
+    ratio-to-mean/flag — an end-to-end independent recomputation of the
+    engine's write-time partitioning."""
+    name = sf_dir.strip("/").replace("/", "_") + "_ivfcells"
+    path = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _ss.ivf_write(emb, path, n_centroids=16)
+    return _ss.ivf_cell_stats(spark, path)
+
+
+def _sql_ivf_cell_stats(dim: int = 64, c: int = 16) -> str:
+    """Per-cell stats over the SQL-replayed IVF assignment (same CTEs as
+    _sql_simsearch_ivf through a1)."""
+    e_el = lambda i: f"e.embedding[{i + 1}]::DOUBLE"  # noqa: E731
+    s_el = lambda i: f"s.c[{i + 1}]"  # noqa: E731
+    c_el = lambda i: f"c.d{i}"  # noqa: E731
+    cent_cols = ",\n       ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), 6) AS d{i}" for i in range(dim)
+    )
+    return f"""WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {c})
+),
+a0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, s_el, dim)}, s.cell
+           ) AS rn
+    FROM embeddings e, seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell,
+       {cent_cols}
+  FROM a0 GROUP BY cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_sq_l2(e_el, c_el, dim)}, c.cell
+           ) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+allcells AS (SELECT range::INT AS cell FROM range({c})),
+counts AS (
+  SELECT ac.cell, count(a1.vec_id)::BIGINT AS n
+  FROM allcells ac LEFT JOIN a1 ON a1.cell = ac.cell
+  GROUP BY ac.cell
+),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM counts)
+SELECT c2.cell, c2.n,
+       round(c2.n / tot.t, 6) AS fraction,
+       round(c2.n / (tot.t / {c}), 4) AS ratio_to_mean,
+       (c2.n / (tot.t / {c}) > 4.0) AS skewed
+FROM counts c2, tot
+ORDER BY c2.cell"""
+
+
 def _q_simsearch_ivf_appended(spark, sf_dir):
     """Incremental IVF append (pipeline/simsearch.ivf_append — assign
     against the frozen write-time centroids, parquet-append into the cell
@@ -9238,6 +9307,7 @@ def gate_queries() -> dict:
         "simsearch_signbucket": _q_simsearch_bucket,
         "simsearch_ivf": _q_simsearch_ivf,
         "simsearch_ivf_persisted": _q_simsearch_ivf_persisted,
+        "ivf_cell_stats": _q_ivf_cell_stats,
         "simsearch_ivf_appended": _q_simsearch_ivf_appended,
         "simsearch_hnsw": _q_simsearch_hnsw,
         "simsearch_hnsw_persisted": _q_simsearch_hnsw_persisted,
@@ -9552,6 +9622,7 @@ def gate_oracle_sql() -> dict:
         "simsearch_signbucket": _SQL_SIMSEARCH_BUCKET,
         "simsearch_ivf": _sql_simsearch_ivf(),
         "simsearch_ivf_persisted": _sql_simsearch_ivf(),
+        "ivf_cell_stats": _sql_ivf_cell_stats(),
         "simsearch_ivf_appended": _sql_simsearch_ivf(),
         "simsearch_hnsw": _SQL_SIMSEARCH,
         "simsearch_hnsw_persisted": _SQL_SIMSEARCH,
