@@ -143,6 +143,21 @@ GRID = [
     ),
     # width filter over padded widths
     IntervalNear((IntervalExtend("alpha", 1, 1), "beta"), max_width=6),
+    # clip-sensitive gaps filters (round-4 actual-width slop: engine
+    # tracks per-occurrence clipped widths through the walks, the oracle
+    # sums chain widths — independent implementations of
+    # OrderedIntervalsSource.java:165-169 minus clipped width())
+    IntervalNear((IntervalExtend("alpha", 2, 0), "beta"), max_gaps=0),
+    IntervalNear((IntervalExtend("alpha", 3, 0), "beta"), max_gaps=1),
+    IntervalNear((IntervalExtend("beta", 2, 1), "gamma"), ordered=False, max_gaps=0),
+    IntervalNear(
+        ((IntervalExtend("alpha", 2, 0), IntervalExtend("delta", 2, 0)), "beta"),
+        max_gaps=0,
+    ),
+    IntervalNear(
+        (IntervalExtend("alpha", 1, 0), IntervalExtend("beta", 2, 0), "gamma"),
+        ordered=False, max_gaps=2,
+    ),
     # inside an IntervalFilter and an atLeast
     IntervalFilter(
         IntervalNear((IntervalExtend("alpha", 1, 1), "beta"), max_gaps=6),
