@@ -238,6 +238,10 @@ def _vocab_chain(analyzer: str):
         from .es import spanish_term
 
         return spanish_term
+    if analyzer == "polish":
+        from .stempel import polish_term
+
+        return polish_term
     if analyzer == "italian":
         from .it import italian_term
 

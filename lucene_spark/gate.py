@@ -7027,6 +7027,14 @@ def _q_hunspell_stem(spark, sf_dir, k: int = 100000):
 # ReverseStringFilter: reversed-term index (the leading-wildcard trick) —
 # query term = reversed surface form. MappingCharFilter: ph→f rewriting
 # BEFORE tokenization folds 'phone' and 'fone' onto one term.
+# PolishAnalyzer (stempel demo table, analysis/stempel.py): kotem/kota/
+# koty all stem to 'kot'; the other five words stem elsewhere (or not at
+# all), so the 'kot' query's slot arithmetic matches indices {0,1,2}.
+_PL_LEX = [
+    "kotem", "kota", "koty", "domu",
+    "ksi\u0105\u017cki", "j\u0119zykami", "miastach", "spark",
+]
+
 _REV_LEX = [
     "streaming", "windowing", "table", "scan",
     "merge", "join", "filter", "sort",
@@ -9175,6 +9183,9 @@ def gate_queries() -> dict:
         "filters_chain_index": _q_filters_chain,
         "fingerprint_index": _q_fingerprint_index,
         "compound_index": _q_compound_index,
+        "polish_stempel_index": _mk_q_lex_filter(
+            "plstem", _PL_LEX, "polish", "kot"
+        ),
         "reverse_index": _mk_q_lex_filter(
             "rev", _REV_LEX, "gate_reverse", "gnimaerts"
         ),
@@ -9497,6 +9508,7 @@ def gate_oracle_sql() -> dict:
         "fingerprint_index": _sql_fingerprint_index(),
         "compound_index": _sql_lex_stem((1, 3)),
         "reverse_index": _sql_lex_stem((0,)),
+        "polish_stempel_index": _sql_lex_stem((0, 1, 2)),
         "mapping_charfilter_index": _sql_lex_stem((0, 1)),
         "spanish_light_index": _sql_lex_stem(_ES_LIBR_IDXS),
         "italian_light_index": _sql_lex_stem(_IT_STOR_IDXS),

@@ -53,6 +53,7 @@ from ..analysis.classic import classic_analyze, classic_terms_positions
 from ..analysis.ja import japanese_analyze, japanese_terms_positions
 from ..analysis.ko import korean_analyze, korean_terms_positions
 from ..analysis.th import thai_analyze, thai_terms_positions
+from ..analysis.stempel import polish_analyze, polish_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
@@ -228,6 +229,7 @@ _ANALYZERS: dict[str, Callable] = {
         text, stopwords, decompound="none"
     ),
     "thai": thai_analyze,            # ThaiAnalyzer chain, maximal matching
+    "polish": polish_analyze,        # PolishAnalyzer chain, stempel demo table
 }
 
 
@@ -327,6 +329,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
         lambda toks: ([t.term for t in toks], [t.position for t in toks])
     )(korean_analyze(text, stopwords, decompound="none")),
     "thai": thai_terms_positions,
+    "polish": polish_terms_positions,
 }
 
 
