@@ -488,6 +488,17 @@ def analyze_batch(
                 max_token_length=max_token_length,
             ),
         )
+    if analyzer == "smartcn":
+        # HHMM shortest-path segmentation reads whole sentences (lattice
+        # over dictionary hits + bigram Viterbi) — per-document chain lane
+        from .smartcn import smart_chinese_analyze as _cn_py
+
+        return _batch_from_chain(
+            texts,
+            lambda t: _cn_py(
+                t, stopwords=stopwords, max_token_length=max_token_length
+            ),
+        )
     if analyzer == "thai":
         # maximal matching reads whole Thai-script RUNS (segmentation is
         # context-dependent, not per-term) — per-document chain lane

@@ -6846,6 +6846,8 @@ _KO_LEX = ["학교", "나라", "경제", "신문", "회사"]
 _KO_QUERY = _KO_LEX[3]  # digit == 3
 _TH_LEX = ["เศรษฐกิจ", "หนังสือพิมพ์", "มหาวิทยาลัย", "สนามบิน", "เทคโนโลยี"]
 _TH_QUERY = _TH_LEX[1]  # digit == 1
+_ZH_LEX = ["经济", "新闻", "大学", "机场", "技术"]
+_ZH_QUERY = _ZH_LEX[1]  # digit == 1
 
 
 def _ensure_morph_index(
@@ -6896,6 +6898,23 @@ def _q_thai(spark, sf_dir, k: int = 100000):
     )
     s = Searcher(spark, idx, analyzer="thai", mode="double")
     h = s.search(_TH_QUERY, k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_smartcn(spark, sf_dir, k: int = 100000):
+    """SmartChineseAnalyzer analog (analysis/smartcn.py — HHMM word
+    graph + bigram-Viterbi shortest path over the demo dictionaries):
+    the space-free noun+noun+verb concatenation must be segmented back
+    into exactly its three dictionary words, so the digit-construction
+    BM25 oracle applies with dl = 3."""
+    idx = _ensure_morph_index(
+        spark, sf_dir, "zh", _ZH_LEX, "smartcn", "", "\u5de5\u4f5c"
+    )
+    s = Searcher(spark, idx, analyzer="smartcn", mode="double")
+    h = s.search(_ZH_QUERY, k=k, with_url=True)
     return h.select(
         F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
         F.round("score", 4).alias("score"),
@@ -9176,6 +9195,7 @@ def gate_queries() -> dict:
         "japanese_index": _q_japanese,
         "korean_index": _q_korean,
         "thai_index": _q_thai,
+        "smartcn_index": _q_smartcn,
         "url_email_url_index": _mk_q_url_email(
             "https://spark.example.com/docs?q=1"
         ),
@@ -9501,6 +9521,7 @@ def gate_oracle_sql() -> dict:
         "german_light_index": _sql_german_stem(),
         "japanese_index": _sql_morph_index(1),
         "thai_index": _sql_morph_index(1),
+        "smartcn_index": _sql_morph_index(1),
         "korean_index": _sql_morph_index(3),
         "url_email_url_index": _sql_lex_stem((0,)),
         "url_email_email_index": _sql_lex_stem((5,)),

@@ -54,6 +54,7 @@ from ..analysis.ja import japanese_analyze, japanese_terms_positions
 from ..analysis.ko import korean_analyze, korean_terms_positions
 from ..analysis.th import thai_analyze, thai_terms_positions
 from ..analysis.stempel import polish_analyze, polish_terms_positions
+from ..analysis.smartcn import smart_chinese_analyze, smartcn_terms_positions
 from ..analysis.de import german_analyze, german_terms_positions
 from ..analysis.es import spanish_analyze, spanish_terms_positions
 from ..analysis.fr import french_analyze, french_terms_positions
@@ -230,6 +231,7 @@ _ANALYZERS: dict[str, Callable] = {
     ),
     "thai": thai_analyze,            # ThaiAnalyzer chain, maximal matching
     "polish": polish_analyze,        # PolishAnalyzer chain, stempel demo table
+    "smartcn": smart_chinese_analyze,  # SmartChineseAnalyzer chain, HHMM
 }
 
 
@@ -330,6 +332,7 @@ _BULK_ANALYZERS: dict[str, Callable] = {
     )(korean_analyze(text, stopwords, decompound="none")),
     "thai": thai_terms_positions,
     "polish": polish_terms_positions,
+    "smartcn": smartcn_terms_positions,
 }
 
 
