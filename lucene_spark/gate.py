@@ -4312,6 +4312,76 @@ WHERE elat BETWEEN {lo_lat} AND {hi_lat}
   AND {refine}"""
 
 
+_GEO3D_SQL_CTE = """geo AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 18001) / 100.0 - 90.0 AS lat,
+         ((doc_id * 73) % 36001) / 100.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+_GEO3D_CIRCLE = (12.0, 24.0, 1_234_567.0)  # qlat, qlon, radius_m
+_GEO3D_PIECES = [  # composite of two ccw convex geodesic pieces (L-shape)
+    [(-6.0, -12.0), (-6.0, 12.0), (6.0, 12.0), (6.0, -12.0)],
+    [(6.0, -12.0), (6.0, 0.0), (18.0, 0.0), (18.0, -12.0)],
+]
+_GEO3D_PATH = ([(0.0, 0.0), (0.0, 30.0), (20.0, 45.0)], 777_000.0)
+
+
+def _q_geo3d_circle(spark, sf_dir):
+    """Geodesic cap (spatial3d GeoStandardCircle): membership via the 3D
+    dot-product form p·center >= cos(r/R) — the oracle evaluates the
+    identical double expression tree in DuckDB."""
+    from .search.geo3d import geo3d_circle_query
+
+    return geo3d_circle_query(
+        _geo_docs(spark, sf_dir), *_GEO3D_CIRCLE
+    ).select("doc_id")
+
+
+def _sql_geo3d_circle() -> str:
+    from .search.geo3d import circle_sql
+
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {circle_sql(*_GEO3D_CIRCLE)}"""
+
+
+def _q_geo3d_polygon(spark, sf_dir):
+    """Geodesic composite polygon (GeoPolygonFactory convex pieces +
+    GeoConvexPolygon sided-plane membership)."""
+    from .search.geo3d import geo3d_composite_polygon_query
+
+    return geo3d_composite_polygon_query(
+        _geo_docs(spark, sf_dir), _GEO3D_PIECES
+    ).select("doc_id")
+
+
+def _sql_geo3d_polygon() -> str:
+    from .search.geo3d import convex_polygon_sql
+
+    disj = " OR ".join(
+        f"({convex_polygon_sql(p)})" for p in _GEO3D_PIECES
+    )
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {disj}"""
+
+
+def _q_geo3d_path(spark, sf_dir):
+    """Geodesic path buffer (GeoStandardPath): cross-track distance in
+    the projection window, endpoint caps outside it."""
+    from .search.geo3d import geo3d_path_query
+
+    return geo3d_path_query(
+        _geo_docs(spark, sf_dir), *_GEO3D_PATH
+    ).select("doc_id")
+
+
+def _sql_geo3d_path() -> str:
+    from .search.geo3d import path_sql
+
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {path_sql(*_GEO3D_PATH)}"""
+
+
 def _q_geo_nearest(spark, sf_dir):
     from .search.geo import nearest
 
@@ -9289,6 +9359,9 @@ def gate_queries() -> dict:
         "dv_update_sort": _q_dv_update_sort,
         "geo_box": _q_geo_box,
         "geo_polygon": _q_geo_polygon,
+        "geo3d_circle": _q_geo3d_circle,
+        "geo3d_polygon": _q_geo3d_polygon,
+        "geo3d_path": _q_geo3d_path,
         "geo_nearest": _q_geo_nearest,
         "term_stats": _q_term_stats,
         "high_freq_terms": _q_high_freq_terms,
@@ -9607,6 +9680,9 @@ def gate_oracle_sql() -> dict:
         "dv_update_sort": _sql_dv_update_sort(),
         "geo_box": _sql_geo_box(),
         "geo_polygon": _sql_geo_polygon(),
+        "geo3d_circle": _sql_geo3d_circle(),
+        "geo3d_polygon": _sql_geo3d_polygon(),
+        "geo3d_path": _sql_geo3d_path(),
         "geo_nearest": _sql_geo_nearest(),
         "term_stats": _SQL_TERM_STATS,
         "high_freq_terms": _SQL_HIGH_FREQ_TERMS,
