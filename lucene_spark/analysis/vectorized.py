@@ -30,7 +30,7 @@ from ..constants import MAX_TOKEN_LENGTH
 from .simple import SIMPLE_SPLIT_REGEX  # noqa: F401  (documentation cross-ref)
 from .tokenizer import analyze as _analyze_py
 
-__all__ = ["analyze_batch", "BatchTokens"]
+__all__ = ["analyze_batch", "analyze_batch_routed", "BatchTokens"]
 
 
 _LETTER = np.zeros(256, dtype=bool)
@@ -1039,3 +1039,72 @@ def _gram_post(bt: BatchTokens, min_gram: int, max_gram: int, edge: bool) -> Bat
     contrib = bt.docids[tok_cnt > 0]
     np.add.at(doc_lens, contrib, 1)
     return BatchTokens(new_uniques, out_codes, out_docids, out_positions, doc_lens)
+
+
+def analyze_batch_routed(
+    texts,
+    analyzers_per_doc: list[str],
+    stopwords: frozenset[str] | None = None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+) -> BatchTokens:
+    """Per-DOCUMENT analyzer routing: row i runs ``analyzers_per_doc[i]``'s
+    chain — the multilingual-webtext form of PerFieldAnalyzerWrapper
+    (analysis/miscellaneous/PerFieldAnalyzerWrapper.java routes per FIELD;
+    a Common-Crawl corpus carries a per-row ``lang`` column instead).
+
+    Rows group by analyzer name, each group runs its own vectorized
+    ``analyze_batch`` (so ASCII fast paths and per-language chain lanes
+    all apply unchanged), and the groups merge back: docids remap through
+    the original row indices, vocabularies union by first-seen order.
+    Token multiset per document is identical to running that document's
+    chain alone."""
+    if len(texts) != len(analyzers_per_doc):
+        raise ValueError("texts and analyzers_per_doc lengths differ")
+    n = len(texts)
+    groups: dict[str, list[int]] = {}
+    for i, an in enumerate(analyzers_per_doc):
+        groups.setdefault(an, []).append(i)
+    if len(groups) == 1:
+        (only,) = groups
+        return analyze_batch(
+            list(texts), stopwords=stopwords, analyzer=only,
+            max_token_length=max_token_length,
+        )
+    uniques: list[str] = []
+    index: dict[str, int] = {}
+    code_parts: list[np.ndarray] = []
+    docid_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    doc_lens = np.zeros(n, dtype=np.int64)
+    for an, rows in groups.items():
+        bt = analyze_batch(
+            [texts[i] for i in rows], stopwords=stopwords, analyzer=an,
+            max_token_length=max_token_length,
+        )
+        remap = np.empty(len(bt.uniques), dtype=np.int64)
+        for k, u in enumerate(bt.uniques):
+            ci = index.get(u)
+            if ci is None:
+                ci = len(uniques)
+                uniques.append(u)
+                index[u] = ci
+            remap[k] = ci
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        code_parts.append(remap[bt.codes] if len(bt.uniques) else bt.codes)
+        docid_parts.append(rows_arr[bt.docids])
+        pos_parts.append(bt.positions)
+        doc_lens[rows_arr] = bt.doc_lens
+    codes = np.concatenate(code_parts) if code_parts else np.zeros(0, np.int64)
+    docids = (
+        np.concatenate(docid_parts) if docid_parts else np.zeros(0, np.int64)
+    )
+    positions = (
+        np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+    )
+    # restore global (docid, position) order — the builder's invert sorts
+    # by (term, doc, position) downstream, but doc_lens/posting invariants
+    # expect the per-doc stream contract analyze_batch provides
+    order = np.lexsort((positions, docids))
+    return BatchTokens(
+        uniques, codes[order], docids[order], positions[order], doc_lens
+    )

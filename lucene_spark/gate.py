@@ -6974,6 +6974,65 @@ def _q_thai(spark, sf_dir, k: int = 100000):
     )
 
 
+_ML_LEX = ["running", "jumped", "walking", "stronger", "quickly"]
+
+
+def _q_multilingual_routed(spark, sf_dir, k: int = 100000):
+    """Per-document language routing (build_index lang_col/lang_analyzers
+    — the multilingual-webtext form of PerFieldAnalyzerWrapper): every
+    doc holds ONE surface word shared by both language halves; 'en' rows
+    route through the Porter-stemming english chain, 'de' rows through
+    the verbatim standard chain. TermQuery('run') therefore matches
+    exactly the en rows whose word is 'running' — broken routing in
+    EITHER direction changes the match set (all-standard: zero matches;
+    all-english: the de half matches too)."""
+    from .search.query import TermQuery
+
+    name = sf_dir.strip("/").replace("/", "_") + "_mlroute"
+    idx = f"{_GATE_ROOT}/{_FORMAT_V}/{name}"
+    probe = os.path.join(idx, "segment_manifest")
+    if not os.path.exists(probe):
+        arr = F.array(*[F.lit(w) for w in _ML_LEX])
+        d = F.col("doc_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.format_string("doc://%012d", d).alias("url"),
+            F.element_at(arr, ((d / 2).cast("long") % 5 + 1).cast("int")).alias("text"),
+            F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+        )
+        build_index(
+            spark, docs, idx, num_segments=2, analyzer="standard",
+            lang_col="lang",
+            lang_analyzers={"en": "english", "de": "standard"},
+            stopwords=None, index_positions=False,
+        )
+    s = Searcher(spark, idx, mode="double")
+    h = s.search(TermQuery("run"), k=k, with_url=True)
+    return h.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_multilingual_routed(k: int = 100000) -> str:
+    idf = _idf("d.df")
+    hit = "(CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 5 = 0 THEN 1 ELSE 0 END)"
+    return f"""WITH tfq AS (
+  SELECT doc_id, {hit}::BIGINT AS freq FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         1.0::DOUBLE AS avgdl
+),
+ps AS (
+  SELECT t.doc_id,
+         ({idf} - {idf} / {_tf_part('t.freq', '1')}) AS score
+  FROM tfq t, stats s,
+       (SELECT count(*)::BIGINT AS df FROM tfq WHERE freq > 0) d
+  WHERE t.freq > 0
+)
+""" + _topk_wrap("SELECT doc_id, score FROM ps", k)
+
+
 def _q_smartcn(spark, sf_dir, k: int = 100000):
     """SmartChineseAnalyzer analog (analysis/smartcn.py — HHMM word
     graph + bigram-Viterbi shortest path over the demo dictionaries):
@@ -9266,6 +9325,7 @@ def gate_queries() -> dict:
         "korean_index": _q_korean,
         "thai_index": _q_thai,
         "smartcn_index": _q_smartcn,
+        "multilingual_routed_index": _q_multilingual_routed,
         "url_email_url_index": _mk_q_url_email(
             "https://spark.example.com/docs?q=1"
         ),
@@ -9595,6 +9655,7 @@ def gate_oracle_sql() -> dict:
         "japanese_index": _sql_morph_index(1),
         "thai_index": _sql_morph_index(1),
         "smartcn_index": _sql_morph_index(1),
+        "multilingual_routed_index": _sql_multilingual_routed(),
         "korean_index": _sql_morph_index(3),
         "url_email_url_index": _sql_lex_stem((0,)),
         "url_email_email_index": _sql_lex_stem((5,)),

@@ -407,6 +407,8 @@ def _invert_segment(
     doc_values: list[tuple[str, str]] | None = None,
     custom_chains: dict[str, Callable] | None = None,
     custom_token_chains: dict[str, tuple] | None = None,
+    lang_col: str | None = None,
+    lang_analyzers: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     """Build one segment from its documents (runs on an executor).
 
@@ -523,7 +525,18 @@ def _invert_segment(
         # + exact 16-byte-pack dictionary encoding — no per-token python
         # objects (analysis/vectorized.py; tested vs the Token chain)
         an_f = (field_analyzers or {}).get(fname, analyzer_name)
-        bt = analyze_batch(texts, stopwords=stopwords, analyzer=an_f)
+        if lang_analyzers is not None and fname is None:
+            # per-document language routing (analyze_batch_routed):
+            # row i runs lang_analyzers[lang[i]]'s chain, unmapped rows
+            # use the default analyzer
+            from ..analysis.vectorized import analyze_batch_routed
+
+            route = [
+                lang_analyzers.get(lv, an_f) for lv in pdf[lang_col]
+            ]
+            bt = analyze_batch_routed(texts, route, stopwords=stopwords)
+        else:
+            bt = analyze_batch(texts, stopwords=stopwords, analyzer=an_f)
         if synonyms:
             from ..analysis.vectorized import _apply_synonyms
 
@@ -1030,6 +1043,8 @@ def build_index(
     field_analyzers: dict[str, str] | None = None,
     payload_fn: Callable | None = None,
     doc_values: dict[str, str] | None = None,
+    lang_col: str | None = None,
+    lang_analyzers: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) the index at ``index_dir`` from a webtext DataFrame
     with columns (url, text[, html, warc_ts, lang]). Returns build metrics.
@@ -1057,6 +1072,14 @@ def build_index(
     ToParentBlockJoinQuery: with family urls sharing a prefix and the
     parent's url sorting last, url-rank docid assignment keeps each family
     contiguous with the parent last.
+
+    ``lang_col`` + ``lang_analyzers`` = {lang_value: analyzer_name}
+    route each DOCUMENT through its language's analyzer chain (the
+    multilingual-webtext per-row form of PerFieldAnalyzerWrapper — a
+    Common-Crawl corpus carries (url, warc_ts, html, text, lang); rows
+    whose lang is unmapped use ``analyzer``). Single-field builds only;
+    recorded in index_meta.json. Query terms still analyze with the
+    SEARCHER's chain — pick it per query language.
 
     ``field_analyzers`` = {field_name: analyzer_name} overrides the
     analyzer per field (analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51
@@ -1091,6 +1114,15 @@ def build_index(
         if unknown:
             raise ValueError(f"field_analyzers for unknown fields {sorted(unknown)}")
         for a in field_analyzers.values():
+            get_analyzer(a)  # fail fast on a bad name
+    if lang_analyzers or lang_col:
+        if not (lang_col and lang_analyzers):
+            raise ValueError("lang_col and lang_analyzers go together")
+        if fields is not None:
+            raise ValueError("lang routing is single-field (fields=None)")
+        if index_sort is not None:
+            raise ValueError("lang routing and index_sort are mutually exclusive")
+        for a in lang_analyzers.values():
             get_analyzer(a)  # fail fast on a bad name
     if index_sort is not None:
         if index_sort.startswith("dv:"):
@@ -1147,6 +1179,8 @@ def build_index(
             ]
     else:
         cols = ["url", "html"] if html_input else ["url", "text"]
+        if lang_col and lang_col not in cols:
+            cols.append(lang_col)
     if doc_values:
         cols += [c for c in dict.fromkeys(doc_values.values()) if c not in cols]
     # url → bucket is a pure hash (resume-stable); bucket → label makes the
@@ -1218,16 +1252,18 @@ def build_index(
 
     cc = {
         nm: _custom_term_fn(nm)
-        for nm in {an, *(fan or {}).values()}
+        for nm in {an, *(fan or {}).values(), *(lang_analyzers or {}).values()}
         if _custom_term_fn(nm) is not None
     } or None
     from ..analysis.custom import custom_token_entry as _cte
 
     ctc = {
         nm: _cte(nm)
-        for nm in {an, *(fan or {}).values()}
+        for nm in {an, *(fan or {}).values(), *(lang_analyzers or {}).values()}
         if _cte(nm) is not None
     } or None
+
+    lc, la = lang_col, dict(lang_analyzers) if lang_analyzers else None
 
     def _builder(pdf: pd.DataFrame) -> pd.DataFrame:
         return _invert_segment(
@@ -1235,6 +1271,7 @@ def build_index(
             synonyms=syn, synonyms_keep_original=syn_keep,
             index_sort=isort, field_analyzers=fan, payload_fn=payfn,
             doc_values=dvl, custom_chains=cc, custom_token_chains=ctc,
+            lang_col=lc, lang_analyzers=la,
         )
 
     unified = docs.groupBy("segment_id").applyInPandas(
@@ -1331,6 +1368,9 @@ def build_index(
         meta["index_sort"] = index_sort
     if field_analyzers:
         meta["field_analyzers"] = dict(field_analyzers)
+    if lang_analyzers:
+        meta["lang_col"] = lang_col
+        meta["lang_analyzers"] = dict(lang_analyzers)
     if doc_values:
         meta["doc_values"] = sorted(doc_values)
     if meta:
