@@ -1055,9 +1055,24 @@ class Searcher:
             )
         )
 
-    def _prepared(self, query, max_terms: int = 128):
+    def _prepared(self, query, max_terms: int = 128, analyzer: str | None = None):
         if isinstance(query, str):
-            query = self.parse(query)
+            if analyzer is not None:
+                # per-call analyzer override: analyze THIS query with the
+                # named chain (the query-side of per-document language
+                # routing — pick the chain per query language; index-side
+                # routing is build_index lang_col/lang_analyzers)
+                from functools import partial as _partial
+
+                from ..index.builder import get_analyzer
+
+                query = parse_query(
+                    query,
+                    _partial(get_analyzer(analyzer), stopwords=self._stopwords),
+                    fmap=self._fmap(),
+                )
+            else:
+                query = self.parse(query)
         return rewrite(self.expand_multiterm(query, max_terms))
 
     def _postings_blocks(
@@ -1182,8 +1197,9 @@ class Searcher:
         k: int = 10,
         with_url: bool = False,
         after: tuple[float, int] | None = None,
+        analyzer: str | None = None,
     ) -> DataFrame:
-        query = self._prepared(query)
+        query = self._prepared(query, analyzer=analyzer)
 
         if isinstance(query, MatchNoDocsQuery):
             return self._empty_hits()

@@ -100,3 +100,38 @@ def test_build_index_lang_routing_validation(spark, tmp_path):
             spark, docs, str(tmp_path / "c"), lang_col="lang",
             lang_analyzers={"en": "nosuchanalyzer"},
         )
+
+
+def test_search_per_call_analyzer_override(spark, tmp_path):
+    """Query-side of the multilingual story: search(query, analyzer=)
+    analyzes THIS query string with the named chain without touching the
+    searcher's default."""
+    d = str(tmp_path / "mlq")
+    docs = spark.createDataFrame(
+        [
+            ("doc://0", "running fast", "en"),
+            ("doc://1", "laufen schnell", "de"),
+        ],
+        "url string, text string, lang string",
+    )
+    build_index(
+        spark, docs, d, num_segments=1, lang_col="lang",
+        lang_analyzers={"en": "english", "de": "german"}, stopwords=None,
+    )
+    s = Searcher(spark, d)  # default: standard chain
+
+    def hits(q, **kw):
+        return sorted(
+            r["url"] for r in s.search(q, k=10, with_url=True, **kw).collect()
+        )
+
+    # the German surface 'laufen' indexed under the german chain's stem;
+    # the override stems the QUERY the same way — the default chain's
+    # verbatim term misses it
+    assert hits("laufen", analyzer="german") == ["doc://1"]
+    assert hits("laufen") == []
+    # english override: 'runs' stems to 'run', matching running->run
+    assert hits("runs", analyzer="english") == ["doc://0"]
+    assert hits("runs") == []
+    # Query objects ignore the override (already analyzed)
+    assert hits(TermQuery("run"), analyzer="german") == ["doc://0"]
