@@ -4345,6 +4345,26 @@ def _sql_geo3d_circle() -> str:
 SELECT doc_id FROM geo WHERE {circle_sql(*_GEO3D_CIRCLE)}"""
 
 
+def _q_geo3d_circle_wgs84(spark, sf_dir):
+    """Geodesic cap on the WGS84 ellipsoid (GeoStandardCircle on
+    PlanetModel.WGS84): sided plane through the ellipsoid points at
+    lat±cutoff, tested against the ellipsoid-scaled point columns. The
+    plane construction itself is pinned independently of this oracle by
+    tests/test_geo3d_vectors.py (the reference's BKD-failure vectors)."""
+    from .search.geo3d import geo3d_circle_query
+
+    return geo3d_circle_query(
+        _geo_docs(spark, sf_dir), *_GEO3D_CIRCLE, planet="wgs84"
+    ).select("doc_id")
+
+
+def _sql_geo3d_circle_wgs84() -> str:
+    from .search.geo3d import circle_sql
+
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {circle_sql(*_GEO3D_CIRCLE, planet="wgs84")}"""
+
+
 def _q_geo3d_polygon(spark, sf_dir):
     """Geodesic composite polygon (GeoPolygonFactory convex pieces +
     GeoConvexPolygon sided-plane membership)."""
@@ -9420,6 +9440,7 @@ def gate_queries() -> dict:
         "geo_box": _q_geo_box,
         "geo_polygon": _q_geo_polygon,
         "geo3d_circle": _q_geo3d_circle,
+        "geo3d_circle_wgs84": _q_geo3d_circle_wgs84,
         "geo3d_polygon": _q_geo3d_polygon,
         "geo3d_path": _q_geo3d_path,
         "geo_nearest": _q_geo_nearest,
@@ -9742,6 +9763,7 @@ def gate_oracle_sql() -> dict:
         "geo_box": _sql_geo_box(),
         "geo_polygon": _sql_geo_polygon(),
         "geo3d_circle": _sql_geo3d_circle(),
+        "geo3d_circle_wgs84": _sql_geo3d_circle_wgs84(),
         "geo3d_polygon": _sql_geo3d_polygon(),
         "geo3d_path": _sql_geo3d_path(),
         "geo_nearest": _sql_geo_nearest(),

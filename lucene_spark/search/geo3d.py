@@ -13,14 +13,37 @@ piece does), GeoStandardPath.java (a path is a polyline buffer: within
 cutoff of any segment's great-circle arc — cross-track distance where
 the point projects onto the arc, endpoint distance otherwise).
 
-Scope (documented): PlanetModel.SPHERE (the reference's WGS84 planet
-model scales the axes by xyScaling/zScaling — a per-axis constant
-multiply this subset omits); membership tolerance is a fixed 1e-12
-side-of-plane epsilon rather than the reference's per-plane
-MINIMUM_RESOLUTION bookkeeping. Every predicate is built twice from the
-SAME driver-side vertex math: once as a Catalyst Column (JVM-side,
-codegen) and once as ANSI SQL for the DuckDB oracle — both evaluate the
+Planet models: PlanetModel.SPHERE and (since round 5) PlanetModel.WGS84
+(`planet="wgs84"` on the circle query). The reference's WGS84 model
+(geom/PlanetModel.java:31-35,140-151) scales the unit direction by
+m = 1/sqrt((x²+y²)/xyScaling² + z²/zScaling²) so the point lies on the
+scaled ellipsoid (Vector.computeDesiredEllipsoidMagnitude). Circle
+membership then follows GeoStandardCircle exactly: a SidedPlane through
+the ellipsoid points at lat±cutoff on the center's meridian,
+perpendicular to the meridian Z-plane
+(SidedPlane.constructNormalizedPerpendicularSidedPlane), with the
+reference's |eval| < MINIMUM_RESOLUTION = 1e-12 on-plane tolerance
+(SidedPlane.isWithin). On the sphere this sided plane reduces to
+p·center ≥ cos(cutoff) — the fast dot-product path below. Polygon
+membership is PLANET-INVARIANT by construction: GeoConvexPolygon edge
+planes pass through the origin (SidedPlane.java:77-86 "and including
+origin"), and both the sphere and WGS84 GeoPoint for a (lat, lon) lie
+on the same ray from the origin, so the sphere predicate is already the
+WGS84 predicate. Paths remain SPHERE-only (GeoStandardPath's ellipsoid
+arms add per-segment offset planes this subset omits).
+
+Membership tolerance is the reference's MINIMUM_RESOLUTION = 1e-12
+side-of-plane epsilon. Every predicate is built twice from the SAME
+driver-side vertex math: once as a Catalyst Column (JVM-side, codegen)
+and once as ANSI SQL for the DuckDB oracle — both evaluate the
 identical double expression tree, so the gate hashes match bit-for-bit.
+Since round 5 that shared-emitter loop is broken by an INDEPENDENT pin:
+tests/test_geo3d_vectors.py replays the reference's own point-membership
+assertions (spatial3d/src/test/.../geom/TestGeoCircle.java
+testCirclePointWithin + the WGS84 "BKD discovered failure" cases in
+testCircleBounds, TestGeoPolygon.java testPolygonPointWithin,
+TestGeoPath.java testPathPointWithin incl. the antimeridian-straddling
+path) directly against the engine predicates.
 """
 
 from __future__ import annotations
@@ -31,6 +54,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "PlanetModel",
+    "circle_sided_plane",
+    "planet_point_cols",
     "unit_vector",
     "arc_distance_meters",
     "geo3d_circle_query",
@@ -45,7 +71,44 @@ __all__ = [
 ]
 
 MEAN_EARTH_RADIUS_M = 6371008.7714  # same constant as search/geo.py
-_EPS = 1e-12  # side-of-plane tolerance (MINIMUM_RESOLUTION analog)
+_EPS = 1e-12  # side-of-plane tolerance (Vector.MINIMUM_RESOLUTION)
+
+
+class PlanetModel:
+    """geom/PlanetModel.java:140-151 — xyScaling = a/meanRadius,
+    zScaling = b/meanRadius with meanRadius = (2a + b)/3. The ellipsoid
+    point for a (lat, lon) is the unit direction scaled by
+    1/sqrt((x²+y²)·invXYScaling² + z²·invZScaling²)
+    (Vector.computeDesiredEllipsoidMagnitude, Vector.java:549-556)."""
+
+    def __init__(self, semi_major_axis: float, semi_minor_axis: float):
+        self.a = semi_major_axis
+        self.b = semi_minor_axis
+        self.mean_radius = (2.0 * semi_major_axis + semi_minor_axis) / 3.0
+        self.xy_scaling = semi_major_axis / self.mean_radius
+        self.z_scaling = semi_minor_axis / self.mean_radius
+        self.inv_xy_sq = 1.0 / (self.xy_scaling * self.xy_scaling)
+        self.inv_z_sq = 1.0 / (self.z_scaling * self.z_scaling)
+
+    def point(self, lat_rad: float, lon_rad: float):
+        """Driver-side ellipsoid point (GeoPoint on this planet model)."""
+        u = (
+            math.cos(lat_rad) * math.cos(lon_rad),
+            math.cos(lat_rad) * math.sin(lon_rad),
+            math.sin(lat_rad),
+        )
+        m = 1.0 / math.sqrt(
+            (u[0] * u[0] + u[1] * u[1]) * self.inv_xy_sq
+            + u[2] * u[2] * self.inv_z_sq
+        )
+        return (m * u[0], m * u[1], m * u[2])
+
+
+PlanetModel.SPHERE = PlanetModel(1.0, 1.0)
+# WGS84 semi-axes, geom/PlanetModel.java:35
+PlanetModel.WGS84 = PlanetModel(6378137.0, 6356752.314245)
+
+_PLANETS = {"sphere": PlanetModel.SPHERE, "wgs84": PlanetModel.WGS84}
 
 
 def _py_unit(lat_deg: float, lon_deg: float) -> tuple[float, float, float]:
@@ -121,26 +184,132 @@ def arc_distance_meters(lat_col, lon_col, qlat: float, qlon: float) -> Column:
 # --- GeoStandardCircle ----------------------------------------------------
 
 
+def _circle_cutoff_rad(radius_m, radius_rad) -> float:
+    if radius_rad is not None:
+        return float(radius_rad)
+    if radius_m is None:
+        raise ValueError("pass radius_m or radius_rad")
+    return radius_m / MEAN_EARTH_RADIUS_M
+
+
+def circle_sided_plane(
+    qlat_rad: float, qlon_rad: float, cutoff_rad: float, planet: PlanetModel,
+):
+    """GeoStandardCircle.java:54-121 — the membership SidedPlane through
+    the planet-model points at lat±cutoff on the center's meridian
+    (pole-wrapped), perpendicular to the meridian Z-plane. Returns
+    (normal, D, sig): within ⟺ |n·p + D| < 1e-12 or sign(n·p + D) == sig,
+    which collapses to sig·(n·p + D) > −1e-12. cutoff == π is the whole
+    world (plane None). Driver-side only — O(1) per query."""
+    if abs(cutoff_rad - math.pi) < _EPS:
+        return None
+    ulat, ulon = qlat_rad + cutoff_rad, qlon_rad
+    if ulat > math.pi * 0.5:  # pole wrap, GeoStandardCircle.java:73-79
+        ulon += math.pi
+        if ulon > math.pi:
+            ulon -= 2.0 * math.pi
+        ulat = math.pi - ulat
+    llat, llon = qlat_rad - cutoff_rad, qlon_rad
+    if llat < -math.pi * 0.5:
+        llon += math.pi
+        if llon > math.pi:
+            llon -= 2.0 * math.pi
+        llat = -math.pi - llat
+    upper = planet.point(ulat, ulon)
+    lower = planet.point(llat, llon)
+    center = planet.point(qlat_rad, qlon_rad)
+    # Plane.constructNormalizedZPlane: vertical plane through the point
+    # with the largest x²+y² among {upper, lower, center}
+    best = max((upper, lower, center), key=lambda p: p[0] * p[0] + p[1] * p[1])
+    d = 1.0 / math.sqrt(best[0] * best[0] + best[1] * best[1])
+    meridian_n = (best[1] * d, -best[0] * d, 0.0)
+    pts_vec = (
+        upper[0] - lower[0], upper[1] - lower[1], upper[2] - lower[2],
+    )
+    n = _norm(_cross(meridian_n, pts_vec))
+    big_d = -(n[0] * upper[0] + n[1] * upper[1] + n[2] * upper[2])
+    ev = n[0] * center[0] + n[1] * center[1] + n[2] * center[2] + big_d
+    if ev == 0.0:
+        raise ValueError("degenerate circle: center on its own plane")
+    return (n, big_d, math.copysign(1.0, ev))
+
+
+def planet_point_cols(
+    lat_col, lon_col, planet: PlanetModel,
+) -> tuple[Column, Column, Column]:
+    """Document-side ellipsoid point columns: the unit direction scaled
+    by the computeDesiredEllipsoidMagnitude factor (identity on SPHERE)."""
+    x, y, z = unit_vector(lat_col, lon_col)
+    if planet.inv_xy_sq == 1.0 and planet.inv_z_sq == 1.0:
+        return (x, y, z)
+    m = F.lit(1.0) / F.sqrt(
+        (x * x + y * y) * F.lit(planet.inv_xy_sq)
+        + z * z * F.lit(planet.inv_z_sq)
+    )
+    return (x * m, y * m, z * m)
+
+
+def _sql_planet_point(
+    lat_expr: str, lon_expr: str, planet: PlanetModel,
+) -> tuple[str, str, str]:
+    x, y, z = _sql_unit(lat_expr, lon_expr)
+    if planet.inv_xy_sq == 1.0 and planet.inv_z_sq == 1.0:
+        return (x, y, z)
+    m = (
+        f"(1.0 / sqrt(({x} * {x} + {y} * {y}) * {planet.inv_xy_sq!r}"
+        f" + {z} * {z} * {planet.inv_z_sq!r}))"
+    )
+    return (f"({x} * {m})", f"({y} * {m})", f"({z} * {m})")
+
+
 def geo3d_circle_query(
-    df: DataFrame, qlat: float, qlon: float, radius_m: float,
+    df: DataFrame, qlat: float, qlon: float, radius_m: float = None,
     lat_col: str = "lat", lon_col: str = "lon",
+    radius_rad: float = None, planet: str = "sphere",
 ) -> DataFrame:
-    """Geodesic cap membership (GeoStandardCircle.isWithin): p · center ≥
-    cos(radius/R). The dot-product form needs no acos in the hot path."""
-    c = _py_unit(qlat, qlon)
-    cutoff = math.cos(radius_m / MEAN_EARTH_RADIUS_M)
-    d = _dot_col(unit_vector(lat_col, lon_col), c)
-    return df.filter(d >= F.lit(cutoff))
+    """Geodesic cap membership (GeoStandardCircle.isWithin). On the
+    sphere: p · center ≥ cos(cutoff) — no acos in the hot path (the
+    sided plane reduces to exactly this). On WGS84: the reference's
+    sided-plane test against the ellipsoid-scaled point columns."""
+    pm = _PLANETS[planet]
+    cutoff = _circle_cutoff_rad(radius_m, radius_rad)
+    if pm is PlanetModel.SPHERE:
+        c = _py_unit(qlat, qlon)
+        cutoff_cos = math.cos(cutoff)
+        d = _dot_col(unit_vector(lat_col, lon_col), c)
+        return df.filter(d >= F.lit(cutoff_cos))
+    plane = circle_sided_plane(
+        math.radians(qlat), math.radians(qlon), cutoff, pm,
+    )
+    if plane is None:
+        return df
+    (n, big_d, sig) = plane
+    xyz = planet_point_cols(lat_col, lon_col, pm)
+    ev = _dot_col(xyz, n) + F.lit(big_d)
+    return df.filter(ev * F.lit(sig) > F.lit(-_EPS))
 
 
 def circle_sql(
-    qlat: float, qlon: float, radius_m: float,
+    qlat: float, qlon: float, radius_m: float = None,
     lat_expr: str = "lat", lon_expr: str = "lon",
+    radius_rad: float = None, planet: str = "sphere",
 ) -> str:
-    c = _py_unit(qlat, qlon)
-    cutoff = math.cos(radius_m / MEAN_EARTH_RADIUS_M)
-    d = _dot_sql(_sql_unit(lat_expr, lon_expr), c)
-    return f"{d} >= {cutoff!r}"
+    pm = _PLANETS[planet]
+    cutoff = _circle_cutoff_rad(radius_m, radius_rad)
+    if pm is PlanetModel.SPHERE:
+        c = _py_unit(qlat, qlon)
+        cutoff_cos = math.cos(cutoff)
+        d = _dot_sql(_sql_unit(lat_expr, lon_expr), c)
+        return f"{d} >= {cutoff_cos!r}"
+    plane = circle_sided_plane(
+        math.radians(qlat), math.radians(qlon), cutoff, pm,
+    )
+    if plane is None:
+        return "TRUE"
+    (n, big_d, sig) = plane
+    xyz = _sql_planet_point(lat_expr, lon_expr, pm)
+    ev = f"({_dot_sql(xyz, n)} + {big_d!r})"
+    return f"({ev} * {sig!r}) > {-_EPS!r}"
 
 
 # --- GeoConvexPolygon -----------------------------------------------------
