@@ -68,7 +68,9 @@ SCALE_BEST_OF = int(os.environ.get("BENCH_SCALE_BEST_OF", "4"))
 # noise while the hardened scaling legs moved up): 4 base samples,
 # interleaved with the scaling iterations so one multi-minute noise
 # window cannot cover every headline sample
-HEAD_BEST_OF = int(os.environ.get("BENCH_HEAD_BEST_OF", "4"))
+# clamp ≥1: the headline leg must run at least once (full stays None and
+# the summary derefs crash otherwise)
+HEAD_BEST_OF = max(1, int(os.environ.get("BENCH_HEAD_BEST_OF", "4")))
 
 
 def _sf() -> float:

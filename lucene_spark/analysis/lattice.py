@@ -81,7 +81,14 @@ class CharClass:
     an unknown word even when the dictionary matched; GROUP = the unknown
     surface is the maximal same-class run (else candidates of every
     length 1..cap — MeCab's LENGTH=n); ``cap`` = max grouped/candidate
-    length; unknown-node lattice parameters."""
+    length; unknown-node lattice parameters.
+
+    ``templates`` — ALL unk.def rows for this category as
+    (left_id, right_id, cost, pos) tuples: kuromoji's
+    UnknownDictionaryBuilder keeps every row and the lattice adds one
+    unknown node per template so Viterbi picks the cheapest in context
+    (ja/dict/UnknownDictionaryBuilder.java). Empty () = just the primary
+    (left_id, right_id, cost, pos) single template."""
 
     name: str
     invoke: bool
@@ -91,6 +98,13 @@ class CharClass:
     right_id: int
     cost: int
     pos: str
+    templates: tuple = ()
+
+    @property
+    def unk_templates(self) -> tuple:
+        if self.templates:
+            return self.templates
+        return ((self.left_id, self.right_id, self.cost, self.pos),)
 
 
 class MorphDict:
@@ -203,31 +217,25 @@ def viterbi_segment(
                    e.attrs.get("pos", ""))
         cc = mdict.char_class(text[pos])
         if cc.invoke or not matched:
+            end = pos + 1
+            while (
+                end < n
+                and end - pos < cc.cap
+                and mdict.char_class(text[end]).name == cc.name
+            ):
+                end += 1
             if cc.group:
-                end = pos + 1
-                while (
-                    end < n
-                    and end - pos < cc.cap
-                    and mdict.char_class(text[end]).name == cc.name
-                ):
-                    end += 1
-                _relax(pos, text[pos:end], None, cc.left_id, cc.right_id,
-                       cc.cost, cc.pos)
+                spans = (end,)
             else:
                 # MeCab LENGTH=n for non-group categories: unknown
                 # candidates of EVERY length 1..n over same-class chars
                 # (char.def "KANJI 0 0 2" emits the 2-char candidate too —
                 # the round-3 documented simplification, now closed)
-                end = pos + 1
-                while (
-                    end < n
-                    and end - pos < cc.cap
-                    and mdict.char_class(text[end]).name == cc.name
-                ):
-                    end += 1
-                for e2 in range(pos + 1, end + 1):
-                    _relax(pos, text[pos:e2], None, cc.left_id, cc.right_id,
-                           cc.cost, cc.pos)
+                spans = range(pos + 1, end + 1)
+            # one node per unk.def template — Viterbi picks in context
+            for e2 in spans:
+                for (lid, rid, wcost, tpos) in cc.unk_templates:
+                    _relax(pos, text[pos:e2], None, lid, rid, wcost, tpos)
 
     # EOS: cheapest node ending at n, including the connection to left_id 0
     tail = ends[n]
@@ -276,9 +284,10 @@ def _candidate_words(text, mdict, user, penalty):
                 # non-group LENGTH=n: candidates of every length 1..n
                 spans = [text[pos:e2] for e2 in range(pos + 1, end + 1)]
             for surface in spans:
-                c = cc.cost + (penalty(pos, len(surface)) if penalty else 0)
-                words.append((pos, pos + len(surface), surface, None,
-                              cc.left_id, cc.right_id, c, cc.pos))
+                for (lid, rid, wcost, tpos) in cc.unk_templates:
+                    c = wcost + (penalty(pos, len(surface)) if penalty else 0)
+                    words.append((pos, pos + len(surface), surface, None,
+                                  lid, rid, c, tpos))
     return words
 
 

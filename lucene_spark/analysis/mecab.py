@@ -22,13 +22,20 @@ Format references (all public):
   analysis/nori/.../ko/dict/TokenInfoDictionaryBuilder.java
   (mecab-ko-dic 12-field CSV with the ``expression`` decompound column).
 
-Documented simplifications (shared with the demo lexicons, lattice.py):
-- non-grouped unknown categories emit single-char candidates (MeCab's
-  LENGTH=n would also emit 2..n-char candidates);
-- one unknown template per category is used (the first unk.def row —
-  kuromoji keeps every row and lets the lattice choose);
+Unknown-word semantics (lattice.py, both now reference-faithful):
+- non-grouped categories emit candidates of EVERY length 1..LENGTH over
+  same-class chars (MeCab's LENGTH=n; "KANJI 0 0 2" emits the 2-char
+  candidate too);
+- EVERY unk.def row per category becomes a lattice template and Viterbi
+  picks the cheapest in context (kuromoji UnknownDictionaryBuilder
+  keeps all rows; the former first-row-only simplification is closed).
+
+Documented divergences:
 - char.def compatible-category lists ("0x4E00 KANJI KANJINUMERIC") keep
-  the primary category only.
+  the primary category only;
+- a char.def row with GROUP=0 LENGTH=0 (no unknown candidates at all in
+  MeCab) is clamped to LENGTH=1 so the lattice can never dead-end on an
+  unmatched character; no real IPADIC/mecab-ko-dic ships such a row.
 """
 
 from __future__ import annotations
@@ -149,10 +156,11 @@ def parse_char_def(lines: Iterable[str]):
 def parse_unk_def(lines: Iterable[str]):
     """``unk.def``: per-category unknown-word templates, same CSV shape
     as entry rows but keyed by category name:
-    ``CATEGORY,left_id,right_id,cost,POS1,...``. Keeps the FIRST row per
-    category (documented simplification). Returns
-    name -> (left_id, right_id, cost, pos)."""
-    out: dict[str, tuple[int, int, int, str]] = {}
+    ``CATEGORY,left_id,right_id,cost,POS1,...``. Keeps EVERY row per
+    category in file order (kuromoji UnknownDictionaryBuilder puts each
+    row in the unknown dictionary and the lattice chooses). Returns
+    name -> tuple of (left_id, right_id, cost, pos) rows."""
+    out: dict[str, list[tuple[int, int, int, str]]] = {}
     for raw in lines:
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -161,13 +169,14 @@ def parse_unk_def(lines: Iterable[str]):
         if len(f) < 5:
             raise ValueError(f"unk.def row needs >=5 fields: {raw!r}")
         name = f[0]
-        if name in out:
-            continue
         pos = "-".join(p for p in f[4:8] if p and p != "*") or f[4]
-        out[name] = (int(f[1]), int(f[2]), int(f[3]), pos)
+        row = (int(f[1]), int(f[2]), int(f[3]), pos)
+        rows = out.setdefault(name, [])
+        if row not in rows:
+            rows.append(row)
     if not out:
         raise ValueError("unk.def is empty")
-    return out
+    return {k: tuple(v) for k, v in out.items()}
 
 
 def _entry_ipadic(f: Sequence[str]) -> DictEntry:
@@ -277,15 +286,19 @@ def load_mecab_dict(
         raise ValueError("unk.def must define a DEFAULT template")
     classes = []
     for name, (invoke, group, length) in categories.items():
-        left, right, cost, pos = unk.get(name, unk["DEFAULT"])
+        rows = unk.get(name, unk["DEFAULT"])
+        left, right, cost, pos = rows[0]
         # GROUP=1 groups the maximal same-category run regardless of
         # LENGTH (MeCab: LENGTH adds 1..n-char candidates ON TOP of the
-        # group word; kuromoji caps runs at 1024). The lattice emits the
-        # run for group categories and a single char otherwise
-        # (documented simplification).
+        # group word; kuromoji caps runs at 1024); GROUP=0 emits
+        # candidates of every length 1..LENGTH (lattice.py). LENGTH=0
+        # with GROUP=0 is clamped to 1 (module docstring: MeCab would
+        # emit nothing; clamping keeps the lattice from dead-ending and
+        # no real dictionary ships such a row). Every unk.def row rides
+        # along as a template; the lattice picks per context.
         classes.append(CharClass(
             name, invoke, group, 1024 if group else max(length, 1),
-            left, right, cost, pos,
+            left, right, cost, pos, templates=rows,
         ))
     entries: list[DictEntry] = []
     csvs = sorted(

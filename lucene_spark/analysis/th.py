@@ -117,6 +117,11 @@ def thai_analyze(
     if not text:
         return []
     words = wordlist if wordlist is not None else DEMO_WORDLIST
+    # cap the longest-match probe at the longest dictionary entry — the
+    # per-position scan is O(run·cap) membership tests, and real
+    # wordlists are far shorter than MAX_TOKEN_LENGTH=255
+    max_probe = min(max_token_length,
+                    max(map(len, words)) if words else 1)
     out: list[Token] = []
     pos = -1
     last = 0
@@ -135,7 +140,7 @@ def thai_analyze(
         if m.start() > last:
             _emit_other(text[last: m.start()], last)
         off = m.start()
-        for piece in _segment_thai(m.group(), words, max_token_length):
+        for piece in _segment_thai(m.group(), words, max_probe):
             pos += 1
             term = piece.lower().translate(_TH_DIGITS)
             if stopwords and term in stopwords:

@@ -9215,8 +9215,44 @@ def _sql_common_terms(k: int = 10) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+# The driver's CORRECTNESS artifact records only the FIRST 50 entries of
+# gate_queries(), so that window must stratify across operator families
+# rather than sample the narrowest slice (round-4 verdict item #2). The
+# names below span ~35 distinct families — bm25 core/phrase/fuzzy,
+# intervals, spans, all four extra parsers, two similarity families,
+# synonyms + graph, doc values + DV updates, feature/expression scoring,
+# index-sort early termination, rescoring, both join kinds, facets,
+# grouping, geo, geo3d (incl. the WGS84 arm), five analyzer families +
+# per-doc language routing, phonetic, suggesters, spellcheck,
+# highlighting, MLT, classification, monitor, three dedup families, both
+# ANN stores, text stats, streaming sessionization, multimodal, and
+# Bloom segment pruning. Keys are unchanged; only dict order moves.
+_HARD_SIGNAL_FIRST_50 = [
+    "bm25_single_hot", "bm25_phrase", "bm25_fuzzy", "interval_ordered",
+    "span_near_ordered", "surround_infix_w", "xml_core_parser",
+    "simple_query_parser", "complex_phrase_fuzzy", "lm_dirichlet_topk",
+    "dfr_gb2_topk", "bm25_synonym", "synonym_graph_query", "blended_term",
+    "docvalues_stats", "dv_update_sort", "feature_rank", "expression_score",
+    "sorted_index_topk", "sort_rescore", "join_to_source", "block_join_avg",
+    "facet_lang", "group_topk_lang", "geo_box", "geo3d_circle_wgs84",
+    "geo3d_path", "japanese_index", "polish_stempel_index", "smartcn_index",
+    "thai_index", "multilingual_routed_index", "word_delimiter_index",
+    "double_metaphone_index", "suggest_fuzzy", "spellcheck_direct",
+    "fvh_snippets", "mlt_topk", "classify_naive_bayes", "monitor_percolate",
+    "dedup_exact", "minhash_lsh_pairs", "simhash", "knn_filtered_quantized",
+    "ivf_cell_stats", "lang_id", "bpe_true_tokens", "events_sessionize",
+    "multimodal_metadata", "bm25_bloom_pruned",
+]
+
+
+def _stratify_first_50(q: dict) -> dict:
+    head = {k: q[k] for k in _HARD_SIGNAL_FIRST_50}
+    head.update((k, v) for k, v in q.items() if k not in head)
+    return head
+
+
 def gate_queries() -> dict:
-    return {
+    return _stratify_first_50({
         "bm25_single_hot": _mk_topk("merge"),
         "bm25_single_mid": _mk_topk("customer"),
         "bm25_and2": _mk_topk("stream AND window"),
@@ -9522,7 +9558,7 @@ def gate_queries() -> dict:
         "events_sessionize": _q_sessionize,
         "events_props_rollup": _q_props_rollup,
         "multimodal_metadata": _q_multimodal,
-    }
+    })
 
 
 def gate_oracle_sql() -> dict:

@@ -1073,6 +1073,13 @@ class Searcher:
                 )
             else:
                 query = self.parse(query)
+        elif analyzer is not None:
+            # a Query object carries its terms already analyzed — silently
+            # ignoring the override would mask a caller bug
+            raise ValueError(
+                "analyzer= applies only to string queries; "
+                f"got {type(query).__name__}"
+            )
         return rewrite(self.expand_multiterm(query, max_terms))
 
     def _postings_blocks(

@@ -133,5 +133,23 @@ def test_search_per_call_analyzer_override(spark, tmp_path):
     # english override: 'runs' stems to 'run', matching running->run
     assert hits("runs", analyzer="english") == ["doc://0"]
     assert hits("runs") == []
-    # Query objects ignore the override (already analyzed)
-    assert hits(TermQuery("run"), analyzer="german") == ["doc://0"]
+    # Query objects carry analyzed terms; the override now raises
+    # (test_analyzer_override_rejected_for_query_objects) instead of the
+    # round-4 silently-ignore behavior ADVICE flagged
+    assert hits(TermQuery("run")) == ["doc://0"]
+
+
+def test_analyzer_override_rejected_for_query_objects(spark, tmp_path):
+    # ADVICE r4: a Query object carries already-analyzed terms, so a
+    # per-call analyzer= must raise instead of being silently ignored
+    from lucene_spark.search.query import TermQuery
+
+    d = str(tmp_path / "qobj")
+    docs = spark.createDataFrame(
+        [("doc://0", "running fast", "en")],
+        "url string, text string, lang string",
+    )
+    build_index(spark, docs, d, num_segments=1, stopwords=None)
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError, match="string queries"):
+        s.search(TermQuery("running"), k=5, analyzer="english")

@@ -120,8 +120,22 @@ def test_parse_char_def():
 
 def test_parse_unk_def():
     unk = parse_unk_def(JA_UNK_DEF.splitlines())
-    assert unk["KATAKANA"] == (9, 9, 9000, "名詞-一般")
-    assert unk["NUMERIC"][3] == "名詞-数"
+    assert unk["KATAKANA"] == ((9, 9, 9000, "名詞-一般"),)
+    assert unk["NUMERIC"][0][3] == "名詞-数"
+
+
+def test_parse_unk_def_keeps_every_row_per_category():
+    # kuromoji UnknownDictionaryBuilder keeps every row; order preserved,
+    # exact duplicates collapsed
+    unk = parse_unk_def([
+        "ALPHA,4,4,9000,名詞,一般,*,*,*,*,*",
+        "ALPHA,5,5,9500,記号,アルファベット,*,*,*,*,*",
+        "ALPHA,4,4,9000,名詞,一般,*,*,*,*,*",
+        "DEFAULT,9,9,12000,記号,一般,*,*,*,*,*",
+    ])
+    assert unk["ALPHA"] == (
+        (4, 4, 9000, "名詞-一般"), (5, 5, 9500, "記号-アルファベット"),
+    )
 
 
 def test_parse_entries_ipadic():
@@ -254,3 +268,75 @@ def test_ko_loaded_dict_unknown_hangul_run(ko_dir):
     d = load_mecab_dict(ko_dir, fmt="ko")
     toks = korean_analyze("위키백과", mdict=d)  # not in the lexicon
     assert [t.term for t in toks] == ["위키백과"]
+
+
+# --- multi-template unknown words (kuromoji keeps every unk.def row) ------
+
+MT_ENTRIES = "の,2,2,500,助詞,格助詞,*,*,*,*,*,ノ,ノ\n"
+
+MT_CHAR_DEF = """\
+DEFAULT 0 1 0
+ALPHA 1 1 0
+0x0061..0x007A ALPHA
+"""
+
+MT_UNK_DEF = """\
+DEFAULT,1,1,12000,記号,一般,*,*,*,*,*
+ALPHA,4,4,9000,名詞,一般,*,*,*,*,*
+ALPHA,5,5,9500,記号,アルファベット,*,*,*,*,*
+"""
+
+
+def _mt_matrix(conn42: int, conn52: int) -> str:
+    # 6x6, default 1000; BOS→both templates free; particle→EOS free;
+    # the (template right_id → の left_id 2) edges are the experiment knob
+    special = {(0, 4): 0, (0, 5): 0, (2, 0): 0, (4, 2): conn42,
+               (5, 2): conn52}
+    lines = ["6 6"]
+    for r in range(6):
+        for l in range(6):  # noqa: E741
+            lines.append(f"{r} {l} {special.get((r, l), 1000)}")
+    return "\n".join(lines) + "\n"
+
+
+def _mt_dir(tmp_path, conn42: int, conn52: int) -> str:
+    d = tmp_path / f"mt_{conn42}_{conn52}"
+    d.mkdir()
+    (d / "entries.csv").write_text(MT_ENTRIES, encoding="utf-8")
+    (d / "matrix.def").write_text(_mt_matrix(conn42, conn52),
+                                  encoding="utf-8")
+    (d / "char.def").write_text(MT_CHAR_DEF, encoding="utf-8")
+    (d / "unk.def").write_text(MT_UNK_DEF, encoding="utf-8")
+    return str(d)
+
+
+def test_unknown_template_chosen_by_context(tmp_path):
+    """Hand-computed: over "abcの" the ALPHA run "abc" has TWO unk.def
+    templates — T1 (left/right 4, cost 9000, 名詞-一般) and T2
+    (left/right 5, cost 9500, 記号-アルファベット).
+
+    With conn(4,2)=2000, conn(5,2)=0:
+      T1 path: conn(0,4)=0 + 9000 + conn(4,2)=2000 + 500 + conn(2,0)=0
+             = 11500
+      T2 path: conn(0,5)=0 + 9500 + conn(5,2)=0    + 500 + 0 = 10000
+    → the lattice must pick the HIGHER-word-cost T2 for its cheaper
+    connection (first-row-only would pick T1)."""
+    from lucene_spark.analysis.lattice import viterbi_segment
+
+    d = load_mecab_dict(_mt_dir(tmp_path, 2000, 0), fmt="ipadic")
+    segs = viterbi_segment("abcの", d)
+    assert [(s.surface, s.pos) for s in segs] == [
+        ("abc", "記号-アルファベット"), ("の", "助詞-格助詞"),
+    ]
+
+
+def test_unknown_template_first_row_when_connections_flip(tmp_path):
+    # flip the knob: conn(4,2)=0, conn(5,2)=2000 → T1 wins
+    # (9000+0 = 9000 < 9500+2000 = 11500 before the shared の tail)
+    from lucene_spark.analysis.lattice import viterbi_segment
+
+    d = load_mecab_dict(_mt_dir(tmp_path, 0, 2000), fmt="ipadic")
+    segs = viterbi_segment("abcの", d)
+    assert [(s.surface, s.pos) for s in segs] == [
+        ("abc", "名詞-一般"), ("の", "助詞-格助詞"),
+    ]
