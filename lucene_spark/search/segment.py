@@ -1973,10 +1973,57 @@ class _SegmentSearcher:
             lo = np.searchsorted(d, cand, side="left")
             hi = np.searchsorted(d, cand, side="right")
             slices.append((s, e, w, lo, hi))
+        # Vectorized fast path (the overwhelmingly common shape for
+        # non-stopword terms): docs where EXACTLY m sub-sources are
+        # present, each contributing ONE interval. The replay then emits
+        # exactly [(min start, max end, slop)]: reset() moves all m
+        # singletons into the proximity queue (background empties),
+        # queueEnd = max end, and both the minimize loop and the outer
+        # advance stop on their first failed refill. Docs outside this
+        # shape (any sub with 2+ intervals in the doc, or more than m
+        # present subs competing for the proximity queue) take the exact
+        # per-doc replay below — its cost is O(T log m) for T intervals
+        # in the doc, bounded by the doc's term frequency sum (measured
+        # ~4 µs/doc at m=3 singleton shape vs ~0.04 µs/doc vectorized).
+        los = np.stack([lo for (_s, _e, _w, lo, _h) in slices])
+        his = np.stack([hi for (_s, _e, _w, _l, hi) in slices])
+        present = his > los
+        n_present = present.sum(axis=0)
+        all_single = ((his - los) <= 1).all(axis=0)
+        fast = (n_present == m) & all_single
+        out_parts_d: list[np.ndarray] = []
+        out_parts_s: list[np.ndarray] = []
+        out_parts_e: list[np.ndarray] = []
+        if fast.any():
+            fl = los[:, fast]
+            fp = present[:, fast]
+            big = np.int64(1) << 60
+            sa = np.full(fl.shape, big, dtype=np.int64)
+            ea = np.full(fl.shape, -big, dtype=np.int64)
+            wa = np.zeros(fl.shape, dtype=np.int64)
+            for si, (s, e, w, _l, _h) in enumerate(slices):
+                idx = np.minimum(fl[si], max(len(s) - 1, 0))
+                pm = fp[si]
+                sa[si, pm] = s[idx][pm]
+                ea[si, pm] = e[idx][pm]
+                wa[si, pm] = (
+                    (e[idx] - s[idx] + 1) if w is None else w[idx]
+                )[pm]
+            s0v = sa.min(axis=0)
+            e0v = ea.max(axis=0)
+            slopv = (e0v - s0v + 1) - wa.sum(axis=0)
+            keep = np.ones(s0v.shape, dtype=bool)
+            if q.max_gaps >= 0:
+                keep &= slopv <= q.max_gaps
+            if q.max_width >= 0:
+                keep &= (e0v - s0v + 1) <= q.max_width
+            out_parts_d.append(cand[fast][keep])
+            out_parts_s.append(s0v[keep])
+            out_parts_e.append(e0v[keep])
         out_d: list[int] = []
         out_s: list[int] = []
         out_e: list[int] = []
-        for ci in range(cand.size):
+        for ci in np.flatnonzero(~fast):
             doc_subs = []
             for (s, e, w, lo, hi) in slices:
                 a, b = int(lo[ci]), int(hi[ci])
@@ -1995,11 +2042,14 @@ class _SegmentSearcher:
                 out_d.append(doc)
                 out_s.append(s0)
                 out_e.append(e0)
-        if not out_d:
+        out_parts_d.append(np.asarray(out_d, dtype=np.int64))
+        out_parts_s.append(np.asarray(out_s, dtype=np.int64))
+        out_parts_e.append(np.asarray(out_e, dtype=np.int64))
+        d_arr = np.concatenate(out_parts_d)
+        if d_arr.size == 0:
             return no_hit
-        d_arr = np.asarray(out_d, dtype=np.int64)
-        s_arr = np.asarray(out_s, dtype=np.int64)
-        e_arr = np.asarray(out_e, dtype=np.int64)
+        s_arr = np.concatenate(out_parts_s)
+        e_arr = np.concatenate(out_parts_e)
         # the emission stream is per-doc but (with wide sub-intervals) not
         # necessarily start-ordered; containment filtering over this stream
         # (_interval_filter_match) requires (doc, start) order
