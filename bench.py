@@ -446,6 +446,10 @@ def main() -> None:
         "ann_recall_at_10": round(full["ann_recall_at_10"], 3),
         "headline_best_of": HEAD_BEST_OF,
         "headline_runs": full["all_runs"],
+        # r4 verdict reporting nit: docs_per_sec and qps above are
+        # PER-METRIC maxima over headline_runs and may come from
+        # DIFFERENT runs — no single run necessarily achieved both
+        "headline_selection": "per-metric max over headline_runs",
         "scaling": scaling,
     }
     print(json.dumps(out))

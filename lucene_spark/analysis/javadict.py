@@ -149,6 +149,10 @@ def write_header(out: bytearray, codec: str, version: int) -> None:
 
 
 def _write_vint(out: bytearray, v: int) -> None:
+    if v < 0:
+        # Java's writer asserts this too (writeTargetMap delta >= 0); a
+        # negative python int would loop forever under >>=
+        raise ValueError(f"VInt value must be non-negative, got {v}")
     while v & ~0x7F:
         out.append((v & 0x7F) | 0x80)
         v >>= 7
@@ -756,6 +760,203 @@ def load_lucene_kuromoji(path: str, default_conn: int = 10000) -> MorphDict:
         if o > 0xFFFF:
             return "DEFAULT"
         return JA_CHARACTER_CLASSES[cat_map[o]]
+
+    return MorphDict(entries, conn, classes, classify,
+                     default_conn=default_conn)
+
+
+# --- nori (ko) -------------------------------------------------------------
+
+# ko/POS.java Tag enum declaration order == the posDict byte ordinals
+# (POS.resolveTag(byte) indexes Tag.values())
+KO_POS_TAGS = (
+    "EP", "EF", "EC", "ETN", "ETM", "IC", "JKS", "JKC", "JKG", "JKO",
+    "JKB", "JKV", "JKQ", "JX", "JC", "MAG", "MAJ", "MM", "NNG", "NNP",
+    "NNB", "NNBC", "NP", "NR", "SF", "SH", "SL", "SN", "SP", "SSC",
+    "SSO", "SC", "SY", "SE", "VA", "VCN", "VCP", "VV", "VX", "XPN",
+    "XR", "XSA", "XSN", "XSV", "UNKNOWN",
+)
+
+# ko/dict/CharacterDefinition.java CharacterClass enum order
+KO_CHARACTER_CLASSES = (
+    "NGRAM", "DEFAULT", "SPACE", "SYMBOL", "NUMERIC", "ALPHA",
+    "CYRILLIC", "GREEK", "HIRAGANA", "KATAKANA", "KANJI", "HANGUL",
+    "HANJA", "HANJANUMERIC",
+)
+
+KO_HAS_SINGLE_POS = 1
+KO_HAS_READING = 2
+
+_KO_TYPE_MORPHEME = 0
+_KO_TYPE_COMPOUND = 1
+_KO_TYPE_INFLECT = 2
+_KO_TYPE_PREANALYSIS = 3
+
+
+def read_ko_pos_dict(data: bytes, version: int = 1):
+    """ko posDict: VInt count then one POS.Tag ORDINAL byte per leftId
+    (ko/dict/TokenInfoMorphData.java:44-48)."""
+    din = _Din(data)
+    check_header(din, "ko_dict_pos", version, version)
+    n = din.read_vint()
+    return [KO_POS_TAGS[din.read_byte()] for _ in range(n)]
+
+
+def write_ko_pos_dict(tags, version: int = 1) -> bytes:
+    out = bytearray()
+    write_header(out, "ko_dict_pos", version)
+    _write_vint(out, len(tags))
+    for t in tags:
+        out.append(KO_POS_TAGS.index(t))
+    return bytes(out)
+
+
+def decode_ko_entry(buf: bytes, word_id: int, pos_tags, surface: str):
+    """(left_id, right_id, word_cost, pos_tag, reading, segmentation)
+    for the ko entry at byte offset ``word_id``
+    (ko/dict/TokenInfoMorphData.java getters). ``segmentation`` is the
+    decompound tuple ((form, {"pos": tag}), ...) or None for plain
+    morphemes — the shape ko.py's DictEntry already consumes."""
+    s0 = struct.unpack_from(">H", buf, word_id)[0]
+    left_id = s0 >> 2
+    pos_type = s0 & 3
+    s1 = struct.unpack_from(">H", buf, word_id + 2)[0]
+    right_id = s1 >> 2
+    has_single_pos = bool(s1 & KO_HAS_SINGLE_POS)
+    has_reading = bool(s1 & KO_HAS_READING)
+    word_cost = struct.unpack_from(">h", buf, word_id + 4)[0]
+    pos_tag = pos_tags[left_id]
+    off = word_id + 6
+    reading = None
+    segmentation = None
+    if pos_type == _KO_TYPE_MORPHEME:
+        if has_reading:
+            n = buf[off]
+            chars = struct.unpack_from(f">{n}H", buf, off + 1)
+            reading = "".join(chr(c) for c in chars)
+    else:
+        if not has_single_pos:
+            off += 1  # rightPOS byte (surfaced via per-morpheme tags)
+        n_morph = buf[off]
+        off += 1
+        if n_morph:
+            parts = []
+            surface_off = 0
+            for _ in range(n_morph):
+                tag = pos_tag if has_single_pos else KO_POS_TAGS[buf[off]]
+                if not has_single_pos:
+                    off += 1
+                if pos_type == _KO_TYPE_INFLECT:
+                    ln = buf[off]
+                    chars = struct.unpack_from(f">{ln}H", buf, off + 1)
+                    form = "".join(chr(c) for c in chars)
+                    off += ln * 2 + 1
+                else:
+                    ln = buf[off]
+                    off += 1
+                    form = surface[surface_off: surface_off + ln]
+                    surface_off += ln
+                parts.append((form, {"pos": tag}))
+            segmentation = tuple(parts)
+    return (left_id, right_id, word_cost, pos_tag, reading, segmentation)
+
+
+def encode_ko_entry(left_id: int, right_id: int, word_cost: int,
+                    pos_type: int = 0, reading: str | None = None,
+                    morphemes=None, single_pos: bool = True) -> bytes:
+    """ko TokenInfoDictionaryEntryWriter byte layout for fixtures.
+    ``morphemes``: [(form, tag)] for COMPOUND (forms are surface slices,
+    lengths stored) or INFLECT (forms stored inline)."""
+    flags = (KO_HAS_SINGLE_POS if single_pos else 0) | (
+        KO_HAS_READING if reading is not None else 0)
+    out = bytearray()
+    out += struct.pack(">H", (left_id << 2) | pos_type)
+    out += struct.pack(">H", (right_id << 2) | flags)
+    out += struct.pack(">h", word_cost)
+    if pos_type == _KO_TYPE_MORPHEME:
+        if reading is not None:
+            out.append(len(reading))
+            for ch in reading:
+                out += struct.pack(">H", ord(ch))
+        return bytes(out)
+    if not single_pos:
+        out.append(KO_POS_TAGS.index(morphemes[0][1]))  # rightPOS
+    out.append(len(morphemes or ()))
+    for (form, tag) in morphemes or ():
+        if not single_pos:
+            out.append(KO_POS_TAGS.index(tag))
+        if pos_type == _KO_TYPE_INFLECT:
+            out.append(len(form))
+            for ch in form:
+                out += struct.pack(">H", ord(ch))
+        else:
+            out.append(len(form))
+    return bytes(out)
+
+
+def load_lucene_nori(path: str, default_conn: int = 10000) -> MorphDict:
+    """Mount a directory of Lucene nori binary resources (the files in
+    the jar's org/apache/lucene/analysis/ko/dict/) as a MorphDict for
+    ``korean_analyze(text, mdict=...)``."""
+    def p(name: str) -> str:
+        f = os.path.join(path, name)
+        if not os.path.exists(f):
+            raise FileNotFoundError(
+                f"nori binary dir {path!r} is missing {name}")
+        return f
+
+    fst = read_fst(_read_dat(p("TokenInfoDictionary$fst.dat")))
+    tmap = read_target_map(
+        _read_dat(p("TokenInfoDictionary$targetMap.dat")), "ko_dict_map")
+    pos_tags = read_ko_pos_dict(
+        _read_dat(p("TokenInfoDictionary$posDict.dat")))
+    buf = read_buffer(
+        _read_dat(p("TokenInfoDictionary$buffer.dat")), "ko_dict")
+    conn = read_conn_costs(_read_dat(p("ConnectionCosts.dat")), "ko_cc")
+    cat_map, class_flags = read_char_def(
+        _read_dat(p("CharacterDefinition.dat")), "ko_cd",
+        len(KO_CHARACTER_CLASSES))
+
+    entries: list[DictEntry] = []
+    for labels, ord_ in fst_enumerate(fst):
+        surface = "".join(chr(c) for c in labels)
+        for wid in tmap[ord_]:
+            (left, right, cost, pos, reading, seg) = decode_ko_entry(
+                buf, wid, pos_tags, surface)
+            attrs: dict = {"pos": pos}
+            if reading is not None and reading != surface:
+                attrs["reading"] = reading
+            entries.append(
+                DictEntry(surface, left, right, cost, attrs, seg))
+
+    unk_tmap = read_target_map(
+        _read_dat(p("UnknownDictionary$targetMap.dat")), "ko_dict_map")
+    unk_pos = read_ko_pos_dict(
+        _read_dat(p("UnknownDictionary$posDict.dat")))
+    unk_buf = read_buffer(
+        _read_dat(p("UnknownDictionary$buffer.dat")), "ko_dict")
+    classes = []
+    for ci, name in enumerate(KO_CHARACTER_CLASSES):
+        invoke, group = class_flags[ci]
+        rows = []
+        if ci < len(unk_tmap):
+            for wid in unk_tmap[ci]:
+                (left, right, cost, pos, _r, _s) = decode_ko_entry(
+                    unk_buf, wid, unk_pos, "")
+                rows.append((left, right, cost, pos))
+        if not rows:
+            rows = [(0, 0, 32000, "UNKNOWN")]
+        left, right, cost, pos = rows[0]
+        classes.append(CharClass(
+            name, invoke, group, 1024 if group else 1,
+            left, right, cost, pos, templates=tuple(rows),
+        ))
+
+    def classify(ch: str) -> str:
+        o = ord(ch)
+        if o > 0xFFFF:
+            return "DEFAULT"
+        return KO_CHARACTER_CLASSES[cat_map[o]]
 
     return MorphDict(entries, conn, classes, classify,
                      default_conn=default_conn)

@@ -373,3 +373,139 @@ def test_real_kuromoji_binary_dir():
     assert "東京" in [t.term for t in toks] or "東京都" in [
         t.term for t in toks
     ]
+
+
+# --- nori (ko) binary format ----------------------------------------------
+
+from lucene_spark.analysis.javadict import (  # noqa: E402
+    KO_CHARACTER_CLASSES,
+    decode_ko_entry,
+    encode_ko_entry,
+    load_lucene_nori,
+    read_ko_pos_dict,
+    write_ko_pos_dict,
+)
+
+
+def test_ko_pos_dict_roundtrip():
+    tags = ["NNG", "JKB", "VV", "UNKNOWN"]
+    assert read_ko_pos_dict(write_ko_pos_dict(tags)) == tags
+
+
+def test_ko_entry_morpheme_with_reading():
+    entry = encode_ko_entry(left_id=1, right_id=1, word_cost=3500,
+                            reading="한자")
+    (left, right, cost, pos, reading, seg) = decode_ko_entry(
+        entry, 0, ["EP", "NNG"], "漢字")
+    assert (left, right, cost, pos) == (1, 1, 3500, "NNG")
+    assert reading == "한자" and seg is None
+
+
+def test_ko_entry_compound_decompound():
+    # COMPOUND, single POS: forms are surface slices (lengths stored)
+    entry = encode_ko_entry(left_id=1, right_id=1, word_cost=2500,
+                            pos_type=1,
+                            morphemes=[("국제", "NNG"), ("공항", "NNG")])
+    (_l, _r, cost, pos, _rd, seg) = decode_ko_entry(
+        entry, 0, ["EP", "NNG"], "국제공항")
+    assert cost == 2500 and pos == "NNG"
+    assert seg == (("국제", {"pos": "NNG"}), ("공항", {"pos": "NNG"}))
+
+
+def test_ko_entry_inflect_multi_pos():
+    # INFLECT, per-morpheme POS: forms stored inline
+    entry = encode_ko_entry(left_id=37, right_id=0, word_cost=100,
+                            pos_type=2, single_pos=False,
+                            morphemes=[("가", "VV"), ("아", "EC")])
+    (_l, _r, _c, pos, _rd, seg) = decode_ko_entry(
+        entry, 0, ["EC"] + ["x"] * 36 + ["VV"], "가")
+    assert pos == "VV"
+    assert seg == (("가", {"pos": "VV"}), ("아", {"pos": "EC"}))
+
+
+def _build_ko_fixture_dir(tmp_path) -> str:
+    from lucene_spark.analysis.javadict import (
+        write_buffer, write_char_def, write_conn_costs, write_fst_linear,
+        write_target_map,
+    )
+
+    d = tmp_path / "nori_bin"
+    d.mkdir()
+    pos_tags = ["EP", "NNG", "JKB", "VV"]
+    entries = [
+        ("에", encode_ko_entry(2, 2, 500)),
+        ("가다", encode_ko_entry(3, 3, 4000)),
+        ("공항", encode_ko_entry(1, 1, 3000)),
+        ("국제", encode_ko_entry(1, 1, 3000)),
+        ("국제공항", encode_ko_entry(1, 1, 2500, pos_type=1,
+                                  morphemes=[("국제", "NNG"),
+                                             ("공항", "NNG")])),
+    ]
+    # buffer offsets must increase with FST ord (the targetMap deltas
+    # are non-negative) — write entries in sorted-surface order
+    entries.sort(key=lambda e: e[0])
+    buf = bytearray()
+    wids = {}
+    for (surf, enc) in entries:
+        wids[surf] = len(buf)
+        buf += enc
+    (d / "TokenInfoDictionary$buffer.dat").write_bytes(
+        write_buffer(bytes(buf), "ko_dict"))
+    surfaces = sorted(wids)
+    (d / "TokenInfoDictionary$fst.dat").write_bytes(
+        write_fst_linear([(s, i + 1) for i, s in enumerate(surfaces)]))
+    (d / "TokenInfoDictionary$targetMap.dat").write_bytes(
+        write_target_map([(0,)] + [(wids[s],) for s in surfaces],
+                         "ko_dict_map"))
+    (d / "TokenInfoDictionary$posDict.dat").write_bytes(
+        write_ko_pos_dict(pos_tags))
+    cheap = {(0, 1), (1, 1), (1, 2), (2, 3), (3, 0), (1, 0), (2, 1)}
+    (d / "ConnectionCosts.dat").write_bytes(write_conn_costs(
+        4, 4, lambda f, b: 0 if (f, b) in cheap else 1000, "ko_cc"))
+    cat = bytearray(0x10000)
+    for lo, hi, name in ((0xAC00, 0xD7A3, "HANGUL"),
+                         (0x4E00, 0x9FFF, "HANJA"),
+                         (0x0061, 0x007A, "ALPHA")):
+        ci = KO_CHARACTER_CLASSES.index(name)
+        for cp in range(lo, hi + 1):
+            cat[cp] = ci
+    flags = [(False, True)] * len(KO_CHARACTER_CLASSES)
+    flags[KO_CHARACTER_CLASSES.index("HANJA")] = (False, False)
+    flags[KO_CHARACTER_CLASSES.index("ALPHA")] = (True, True)
+    (d / "CharacterDefinition.dat").write_bytes(
+        write_char_def(bytes(cat), flags, "ko_cd"))
+    unk_buf = bytearray()
+    unk_maps = []
+    for name in KO_CHARACTER_CLASSES:
+        unk_maps.append((len(unk_buf),))
+        unk_buf += encode_ko_entry(0, 0, 11000)
+    (d / "UnknownDictionary$buffer.dat").write_bytes(
+        write_buffer(bytes(unk_buf), "ko_dict"))
+    (d / "UnknownDictionary$targetMap.dat").write_bytes(
+        write_target_map(unk_maps, "ko_dict_map"))
+    (d / "UnknownDictionary$posDict.dat").write_bytes(
+        write_ko_pos_dict(["UNKNOWN"] * 1))
+    return str(d)
+
+
+def test_load_ko_fixture_dir(tmp_path):
+    from lucene_spark.analysis.ko import korean_analyze
+
+    d = load_lucene_nori(_build_ko_fixture_dir(tmp_path))
+    # compound wins, DISCARD decompound emits parts, JKB 에 is POS-stopped
+    toks = korean_analyze("국제공항에 가다", mdict=d)
+    assert [t.term for t in toks] == ["국제", "공항", "가다"]
+    toks_m = korean_analyze("국제공항에 가다", mdict=d, decompound="mixed")
+    assert [t.term for t in toks_m] == ["국제공항", "국제", "공항", "가다"]
+
+
+_KO_REAL = os.environ.get("NORI_DICT_DIR")
+
+
+@pytest.mark.skipif(not _KO_REAL, reason="NORI_DICT_DIR not mounted")
+def test_real_nori_binary_dir():
+    from lucene_spark.analysis.ko import korean_analyze
+
+    d = load_lucene_nori(_KO_REAL)
+    toks = [t.term for t in korean_analyze("한국은 대단한 나라입니다", mdict=d)]
+    assert toks
