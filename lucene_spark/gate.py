@@ -4365,6 +4365,27 @@ def _sql_geo3d_circle_wgs84() -> str:
 SELECT doc_id FROM geo WHERE {circle_sql(*_GEO3D_CIRCLE, planet="wgs84")}"""
 
 
+_GEO3D_XYZ_BOX = (-2.0, 0.55, -2.0, 2.0, -0.45, 2.0)  # x<=0.55, z>=-0.45
+
+
+def _q_geo3d_xyz_box(spark, sf_dir):
+    """3D axis-aligned solid (StandardXYZSolid): six sided planes over
+    the document's planet-model point. Plane math pinned independently
+    by tests/test_geo3d_vectors.py (TestXYZSolid-derived vectors)."""
+    from .search.geo3d import geo3d_xyz_solid_query
+
+    return geo3d_xyz_solid_query(
+        _geo_docs(spark, sf_dir), *_GEO3D_XYZ_BOX
+    ).select("doc_id")
+
+
+def _sql_geo3d_xyz_box() -> str:
+    from .search.geo3d import xyz_solid_sql
+
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {xyz_solid_sql(*_GEO3D_XYZ_BOX)}"""
+
+
 def _q_geo3d_polygon(spark, sf_dir):
     """Geodesic composite polygon (GeoPolygonFactory convex pieces +
     GeoConvexPolygon sided-plane membership)."""
@@ -9477,6 +9498,7 @@ def gate_queries() -> dict:
         "geo_polygon": _q_geo_polygon,
         "geo3d_circle": _q_geo3d_circle,
         "geo3d_circle_wgs84": _q_geo3d_circle_wgs84,
+        "geo3d_xyz_box": _q_geo3d_xyz_box,
         "geo3d_polygon": _q_geo3d_polygon,
         "geo3d_path": _q_geo3d_path,
         "geo_nearest": _q_geo_nearest,
@@ -9800,6 +9822,7 @@ def gate_oracle_sql() -> dict:
         "geo_polygon": _sql_geo_polygon(),
         "geo3d_circle": _sql_geo3d_circle(),
         "geo3d_circle_wgs84": _sql_geo3d_circle_wgs84(),
+        "geo3d_xyz_box": _sql_geo3d_xyz_box(),
         "geo3d_polygon": _sql_geo3d_polygon(),
         "geo3d_path": _sql_geo3d_path(),
         "geo_nearest": _sql_geo_nearest(),

@@ -32,6 +32,17 @@ on the same ray from the origin, so the sphere predicate is already the
 WGS84 predicate. Paths remain SPHERE-only (GeoStandardPath's ellipsoid
 arms add per-segment offset planes this subset omits).
 
+Also covered (round 5): StandardXYZSolid (six axis sided planes,
+geom/StandardXYZSolid.java:494-504, with the isWholeWorld
+short-circuit) and GeoDegeneratePoint (isIdentical per-axis 1e-12,
+geom/GeoPoint.java:308-312), both planet-model aware. The one remaining
+declared gap is GeoExactCircle (the iterative plane-sector
+approximation for high-accuracy ellipsoid circles,
+geom/GeoExactCircle.java) — GeoStandardCircle IS the reference's
+makeGeoCircle default on every planet model, so the standard circle
+path above is what Lucene itself runs unless a caller asks for
+makeExactCircle with an accuracy bound.
+
 Membership tolerance is the reference's MINIMUM_RESOLUTION = 1e-12
 side-of-plane epsilon. Every predicate is built twice from the SAME
 driver-side vertex math: once as a Catalyst Column (JVM-side, codegen)
@@ -57,6 +68,9 @@ __all__ = [
     "PlanetModel",
     "circle_sided_plane",
     "planet_point_cols",
+    "geo3d_xyz_solid_query",
+    "xyz_solid_sql",
+    "geo3d_degenerate_point_query",
     "unit_vector",
     "arc_distance_meters",
     "geo3d_circle_query",
@@ -448,3 +462,70 @@ def path_sql(
             seg = f"({seg} OR ({_dot_sql(xyz, endpoint)} >= {cutoff_cos!r}))"
         parts.append(seg)
     return "(" + " OR ".join(parts) + ")"
+
+
+# --- StandardXYZSolid ------------------------------------------------------
+
+
+def geo3d_xyz_solid_query(
+    df: DataFrame,
+    min_x: float, max_x: float, min_y: float, max_y: float,
+    min_z: float, max_z: float,
+    lat_col: str = "lat", lon_col: str = "lon", planet: str = "sphere",
+) -> DataFrame:
+    """3D axis-aligned solid membership (StandardXYZSolid.isWithin,
+    geom/StandardXYZSolid.java:494-504): the document's planet-model
+    point on the interior side of all six axis sided planes, each with
+    the 1e-12 on-plane tolerance. Bounds that swallow the whole planet
+    short-circuit to match-all (isWholeWorld)."""
+    pm = _PLANETS[planet]
+    if (min_x <= -pm.xy_scaling and max_x >= pm.xy_scaling
+            and min_y <= -pm.xy_scaling and max_y >= pm.xy_scaling
+            and min_z <= -pm.z_scaling and max_z >= pm.z_scaling):
+        return df
+    x, y, z = planet_point_cols(lat_col, lon_col, pm)
+    eps = F.lit(_EPS)
+    cond = (
+        (x >= F.lit(min_x) - eps) & (x <= F.lit(max_x) + eps)
+        & (y >= F.lit(min_y) - eps) & (y <= F.lit(max_y) + eps)
+        & (z >= F.lit(min_z) - eps) & (z <= F.lit(max_z) + eps)
+    )
+    return df.filter(cond)
+
+
+def xyz_solid_sql(
+    min_x: float, max_x: float, min_y: float, max_y: float,
+    min_z: float, max_z: float,
+    lat_expr: str = "lat", lon_expr: str = "lon", planet: str = "sphere",
+) -> str:
+    pm = _PLANETS[planet]
+    if (min_x <= -pm.xy_scaling and max_x >= pm.xy_scaling
+            and min_y <= -pm.xy_scaling and max_y >= pm.xy_scaling
+            and min_z <= -pm.z_scaling and max_z >= pm.z_scaling):
+        return "TRUE"
+    x, y, z = _sql_planet_point(lat_expr, lon_expr, pm)
+    parts = []
+    for expr, lo, hi in ((x, min_x, max_x), (y, min_y, max_y),
+                         (z, min_z, max_z)):
+        parts.append(f"({expr} >= {lo - _EPS!r})")
+        parts.append(f"({expr} <= {hi + _EPS!r})")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def geo3d_degenerate_point_query(
+    df: DataFrame, qlat: float, qlon: float,
+    lat_col: str = "lat", lon_col: str = "lon", planet: str = "sphere",
+) -> DataFrame:
+    """Degenerate point membership (GeoDegeneratePoint.isWithin =
+    GeoPoint.isIdentical, geom/GeoPoint.java:308-312): per-axis
+    |delta| < 1e-12 against the query's planet-model point."""
+    pm = _PLANETS[planet]
+    q = pm.point(math.radians(qlat), math.radians(qlon))
+    x, y, z = planet_point_cols(lat_col, lon_col, pm)
+    eps = F.lit(_EPS)
+    cond = (
+        (F.abs(x - F.lit(q[0])) < eps)
+        & (F.abs(y - F.lit(q[1])) < eps)
+        & (F.abs(z - F.lit(q[2])) < eps)
+    )
+    return df.filter(cond)

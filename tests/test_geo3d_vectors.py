@@ -272,3 +272,78 @@ def test_path_point_within(spark, path, cases):
     )
     want = [i for i, (_, w) in enumerate(cases) if w]
     assert got == want
+
+
+# --- TestXYZSolid-derived point vectors ------------------------------------
+# TestXYZSolid.java testNonDegenerateRelationships asserts AREA
+# relationships; the point-level consequences pin the solid's
+# six-sided-plane membership: for s = (-2.0, 0.0, -2.0, 2.0, -2.0, 2.0)
+# a circle of radius 0.1 at (0,0) is DISJOINT (so the x≈+1 cap around
+# lat=0,lon=0 is outside), at (0,π) WITHIN (x≈-1 cap inside), at
+# (0,π/2) OVERLAPS (center y≈1, x≈0 sits ON the maxX boundary plane —
+# within by the 1e-12 on-plane tolerance).
+
+
+def test_xyz_solid_half_space(spark):
+    from lucene_spark.search.geo3d import geo3d_xyz_solid_query
+
+    pts = [
+        (0.0, 0.0),          # x=+1 → outside maxX=0
+        (0.0, PI),           # x=-1 → inside
+        (0.0, PI * 0.5),     # x≈6e-17 → ON the maxX plane → within
+        (0.05, PI - 0.05),   # inside the x<0 half
+        (PI * 0.5, 0.0),     # north pole: x=0 on-plane, z=1 inside
+    ]
+    df = _pts_df(spark, pts)
+    got = _matched(
+        geo3d_xyz_solid_query(df, -2.0, 0.0, -2.0, 2.0, -2.0, 2.0)
+    )
+    assert got == [1, 2, 3, 4]
+
+
+def test_xyz_solid_whole_world_and_tiny(spark):
+    from lucene_spark.search.geo3d import geo3d_xyz_solid_query
+
+    pts = [(0.0, 0.0), (0.3, 1.0), (-1.2, -2.0)]
+    df = _pts_df(spark, pts)
+    # (-2..2)^3 swallows the unit sphere → whole world (isWholeWorld)
+    got = _matched(
+        geo3d_xyz_solid_query(df, -2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
+    )
+    assert got == [0, 1, 2]
+    # (-0.1..0.1)^3 is strictly inside the sphere → no surface point
+    # (TestXYZSolid: "Something inside the world ... All shapes should
+    # be disjoint")
+    got2 = _matched(
+        geo3d_xyz_solid_query(df, -0.1, 0.1, -0.1, 0.1, -0.1, 0.1)
+    )
+    assert got2 == []
+
+
+def test_xyz_solid_wgs84_surface(spark):
+    from lucene_spark.search.geo3d import PlanetModel, geo3d_xyz_solid_query
+
+    # on WGS84 the equatorial point sits at x = xyScaling ≈ 1.00111 —
+    # a box capped at maxX = 1.0005 excludes it on the ellipsoid but
+    # includes it on the sphere
+    pts = [(0.0, 0.0)]
+    df = _pts_df(spark, pts)
+    box = (-2.0, 1.0005, -2.0, 2.0, -2.0, 2.0)
+    assert _matched(geo3d_xyz_solid_query(df, *box)) == [0]
+    assert _matched(
+        geo3d_xyz_solid_query(df, *box, planet="wgs84")
+    ) == []
+    assert PlanetModel.WGS84.xy_scaling > 1.0005
+
+
+def test_degenerate_point_membership(spark):
+    from lucene_spark.search.geo3d import geo3d_degenerate_point_query
+
+    # GeoDegeneratePoint.isWithin == GeoPoint.isIdentical: only the
+    # exact point (within 1e-12 per axis) matches
+    pts = [(0.3, 0.7), (0.3, 0.7 + 1e-9), (0.30000001, 0.7), (-0.3, 0.7)]
+    df = _pts_df(spark, pts)
+    got = _matched(
+        geo3d_degenerate_point_query(df, D(0.3), D(0.7))
+    )
+    assert got == [0]
