@@ -4386,6 +4386,28 @@ def _sql_geo3d_xyz_box() -> str:
 SELECT doc_id FROM geo WHERE {xyz_solid_sql(*_GEO3D_XYZ_BOX)}"""
 
 
+_GEO3D_EXACT = (11.0, 23.0, 0.21, 1e-6)  # qlat, qlon, radius_rad, accuracy
+
+
+def _q_geo3d_exact_circle(spark, sf_dir):
+    """High-accuracy ellipsoid circle (GeoExactCircle): OR over
+    subdivision slices of three sided-plane tests. Slice math pinned
+    independently by tests/test_geo3d_vectors.py (TestGeoExactCircle
+    vectors + sphere-agreement + Vincenty scale invariance)."""
+    from .search.geo3d import geo3d_exact_circle_query
+
+    return geo3d_exact_circle_query(
+        _geo_docs(spark, sf_dir), *_GEO3D_EXACT, planet="wgs84"
+    ).select("doc_id")
+
+
+def _sql_geo3d_exact_circle() -> str:
+    from .search.geo3d import exact_circle_sql
+
+    return f"""WITH {_GEO3D_SQL_CTE}
+SELECT doc_id FROM geo WHERE {exact_circle_sql(*_GEO3D_EXACT, planet="wgs84")}"""
+
+
 def _q_geo3d_polygon(spark, sf_dir):
     """Geodesic composite polygon (GeoPolygonFactory convex pieces +
     GeoConvexPolygon sided-plane membership)."""
@@ -9499,6 +9521,7 @@ def gate_queries() -> dict:
         "geo3d_circle": _q_geo3d_circle,
         "geo3d_circle_wgs84": _q_geo3d_circle_wgs84,
         "geo3d_xyz_box": _q_geo3d_xyz_box,
+        "geo3d_exact_circle": _q_geo3d_exact_circle,
         "geo3d_polygon": _q_geo3d_polygon,
         "geo3d_path": _q_geo3d_path,
         "geo_nearest": _q_geo_nearest,
@@ -9823,6 +9846,7 @@ def gate_oracle_sql() -> dict:
         "geo3d_circle": _sql_geo3d_circle(),
         "geo3d_circle_wgs84": _sql_geo3d_circle_wgs84(),
         "geo3d_xyz_box": _sql_geo3d_xyz_box(),
+        "geo3d_exact_circle": _sql_geo3d_exact_circle(),
         "geo3d_polygon": _sql_geo3d_polygon(),
         "geo3d_path": _sql_geo3d_path(),
         "geo_nearest": _sql_geo_nearest(),

@@ -34,14 +34,17 @@ arms add per-segment offset planes this subset omits).
 
 Also covered (round 5): StandardXYZSolid (six axis sided planes,
 geom/StandardXYZSolid.java:494-504, with the isWholeWorld
-short-circuit) and GeoDegeneratePoint (isIdentical per-axis 1e-12,
-geom/GeoPoint.java:308-312), both planet-model aware. The one remaining
-declared gap is GeoExactCircle (the iterative plane-sector
-approximation for high-accuracy ellipsoid circles,
-geom/GeoExactCircle.java) — GeoStandardCircle IS the reference's
-makeGeoCircle default on every planet model, so the standard circle
-path above is what Lucene itself runs unless a caller asks for
-makeExactCircle with an accuracy bound.
+short-circuit), GeoDegeneratePoint (isIdentical per-axis 1e-12,
+geom/GeoPoint.java:308-312), and GeoExactCircle (the iterative
+plane-sector approximation for high-accuracy ellipsoid circles,
+geom/GeoExactCircle.java:58-197: Vincenty-direct bearing points on the
+scaled planet, three-point slice planes split until the interpolated
+edge points sit within the accuracy bound, membership = any slice's
+circle-plane ∧ two origin-bounding-planes) — all planet-model aware.
+Remaining declared divergence: the exact circle's radius upper bound is
+a conservative 3.0 rad instead of the reference's
+planetModel.minimumPoleDistance (whose exact value needs the Vincenty
+INVERSE this subset omits).
 
 Membership tolerance is the reference's MINIMUM_RESOLUTION = 1e-12
 side-of-plane epsilon. Every predicate is built twice from the SAME
@@ -71,6 +74,9 @@ __all__ = [
     "geo3d_xyz_solid_query",
     "xyz_solid_sql",
     "geo3d_degenerate_point_query",
+    "geo3d_exact_circle_query",
+    "exact_circle_sql",
+    "exact_circle_slices",
     "unit_vector",
     "arc_distance_meters",
     "geo3d_circle_query",
@@ -529,3 +535,217 @@ def geo3d_degenerate_point_query(
         & (F.abs(z - F.lit(q[2])) < eps)
     )
     return df.filter(cond)
+
+
+# --- GeoExactCircle --------------------------------------------------------
+
+
+def _vincenty_direct(pm: PlanetModel, lat: float, lon: float,
+                     dist: float, bearing: float):
+    """PlanetModel.surfacePointOnBearing (PlanetModel.java:566-637):
+    Vincenty's direct formula with the planet's scaled flattening —
+    (lat, lon) of the point ``dist`` along ``bearing`` from (lat, lon),
+    all in radians on the scaled planet."""
+    scaled_flattening = (pm.xy_scaling - pm.z_scaling) / pm.xy_scaling
+    square_ratio = (
+        (pm.xy_scaling * pm.xy_scaling - pm.z_scaling * pm.z_scaling)
+        / (pm.z_scaling * pm.z_scaling)
+    )
+    scale = (2.0 * pm.xy_scaling + pm.z_scaling) / 3.0
+    sinalpha1, cosalpha1 = math.sin(bearing), math.cos(bearing)
+    tan_u1 = (1.0 - scaled_flattening) * math.tan(lat)
+    cos_u1 = 1.0 / math.sqrt(1.0 + tan_u1 * tan_u1)
+    sin_u1 = tan_u1 * cos_u1
+    sigma1 = math.atan2(tan_u1, cosalpha1)
+    sinalpha = cos_u1 * sinalpha1
+    cos_sq_alpha = 1.0 - sinalpha * sinalpha
+    u_sq = cos_sq_alpha * square_ratio
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    big_b = u_sq / 1024.0 * (
+        256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    base = dist / (pm.z_scaling * (1.0 / scale) * big_a)
+    sigma = base
+    for _ in range(100):
+        cos2sigma_m = math.cos(2.0 * sigma1 + sigma)
+        sinsigma, cossigma = math.sin(sigma), math.cos(sigma)
+        deltasigma = big_b * sinsigma * (
+            cos2sigma_m + big_b / 4.0 * (
+                cossigma * (-1.0 + 2.0 * cos2sigma_m * cos2sigma_m)
+                - big_b / 6.0 * cos2sigma_m
+                * (-3.0 + 4.0 * sinsigma * sinsigma)
+                * (-3.0 + 4.0 * cos2sigma_m * cos2sigma_m)))
+        sigmaprime = sigma
+        sigma = base + deltasigma
+        if abs(sigma - sigmaprime) < _EPS:
+            break
+    cos2sigma_m = math.cos(2.0 * sigma1 + sigma)
+    sinsigma, cossigma = math.sin(sigma), math.cos(sigma)
+    x = sin_u1 * sinsigma - cos_u1 * cossigma * cosalpha1
+    phi2 = math.atan2(
+        sin_u1 * cossigma + cos_u1 * sinsigma * cosalpha1,
+        (1.0 - scaled_flattening) * math.sqrt(sinalpha * sinalpha + x * x))
+    lam = math.atan2(
+        sinsigma * sinalpha1,
+        cos_u1 * cossigma - sin_u1 * sinsigma * cosalpha1)
+    c = (scaled_flattening / 16.0 * cos_sq_alpha
+         * (4.0 + scaled_flattening * (4.0 - 3.0 * cos_sq_alpha)))
+    big_l = lam - (1.0 - c) * scaled_flattening * sinalpha * (
+        sigma + c * sinsigma * (
+            cos2sigma_m
+            + c * cossigma * (-1.0 + 2.0 * cos2sigma_m * cos2sigma_m)))
+    lambda2 = (lon + big_l + 3.0 * math.pi) % (2.0 * math.pi) - math.pi
+    return (phi2, lambda2)
+
+
+def _three_point_sided_plane(inside, p1, p2, p3):
+    """SidedPlane.constructNormalizedThreePointSidedPlane: plane through
+    p1, p2, p3 (NOT the origin); sidedness from ``inside``. Tries the
+    reference's three delta orderings before giving up."""
+    for (a, b, base) in (
+        ((p1[0] - p2[0], p1[1] - p2[1], p1[2] - p2[2]),
+         (p2[0] - p3[0], p2[1] - p3[1], p2[2] - p3[2]), p2),
+        ((p1[0] - p3[0], p1[1] - p3[1], p1[2] - p3[2]),
+         (p3[0] - p2[0], p3[1] - p2[1], p3[2] - p2[2]), p3),
+        ((p3[0] - p1[0], p3[1] - p1[1], p3[2] - p1[2]),
+         (p1[0] - p2[0], p1[1] - p2[1], p1[2] - p2[2]), p1),
+    ):
+        try:
+            n = _norm(_cross(a, b))
+        except ValueError:
+            continue
+        d = -(n[0] * base[0] + n[1] * base[1] + n[2] * base[2])
+        ev = n[0] * inside[0] + n[1] * inside[1] + n[2] * inside[2] + d
+        if ev == 0.0:
+            continue
+        return (n, d, math.copysign(1.0, ev))
+    raise ValueError("cannot construct plane through three points")
+
+
+def _origin_sided_plane(check, a, b):
+    """SidedPlane(check, A, B): plane through A, B and the ORIGIN."""
+    n = _norm(_cross(a, b))
+    ev = n[0] * check[0] + n[1] * check[1] + n[2] * check[2]
+    if ev == 0.0:
+        raise ValueError("check point on plane")
+    return (n, 0.0, math.copysign(1.0, ev))
+
+
+def exact_circle_slices(
+    qlat_rad: float, qlon_rad: float, radius_rad: float,
+    accuracy: float, planet: PlanetModel,
+):
+    """GeoExactCircle.java:58-197 — approximate the true (ellipsoid)
+    circle by plane slices, splitting each until the interpolated edge
+    points lie within ``accuracy`` of the slice plane. Returns
+    [(circle_plane, plane1, plane2)] with each plane = (n, D, sig).
+    Conservative subset bound: radius must be < 3.0 rad (the reference
+    allows up to the planet's minimumPoleDistance ≈ π·scale, whose exact
+    computation needs the Vincenty INVERSE this subset omits)."""
+    if radius_rad < _EPS:
+        raise ValueError("radius cannot be effectively zero")
+    if radius_rad >= 3.0:
+        raise ValueError("radius out of this subset's conservative bound")
+    accuracy = max(accuracy, _EPS)
+    center = planet.point(qlat_rad, qlon_rad)
+
+    def bearing_point(bearing: float):
+        la, lo = _vincenty_direct(
+            planet, qlat_rad, qlon_rad, radius_rad, bearing)
+        return planet.point(la, lo)
+
+    north = bearing_point(0.0)
+    south = bearing_point(math.pi)
+    east = bearing_point(math.pi * 0.5)
+    west = bearing_point(math.pi * 1.5)
+    # (endPoint1, bearing1, endPoint2, bearing2, middle, middleBearing,
+    #  must_split)
+    if planet.z_scaling > planet.xy_scaling:
+        todo = [
+            (east, math.pi * 0.5, west, -math.pi * 0.5, north, 0.0, True),
+            (west, math.pi * 1.5, east, math.pi * 0.5, south, math.pi,
+             True),
+        ]
+    else:
+        todo = [
+            (north, 0.0, south, math.pi, east, math.pi * 0.5, True),
+            (south, math.pi, north, math.pi * 2.0, west, math.pi * 1.5,
+             True),
+        ]
+    slices = []
+    guard = 0
+    while todo:
+        guard += 1
+        if guard > 100000:
+            raise ValueError("exact circle did not converge")
+        (e1, b1, e2, b2, mid, bm, must_split) = todo.pop()
+        plane = _three_point_sided_plane(center, e1, e2, mid)
+        ib1 = (b1 + bm) * 0.5
+        ib2 = (b2 + bm) * 0.5
+        ip1 = bearing_point(ib1)
+        ip2 = bearing_point(ib2)
+        (n, d, _sig) = plane
+        ev1 = n[0] * ip1[0] + n[1] * ip1[1] + n[2] * ip1[2] + d
+        ev2 = n[0] * ip2[0] + n[1] * ip2[1] + n[2] * ip2[2] + d
+        if not must_split and abs(ev1) < accuracy and abs(ev2) < accuracy:
+            slices.append((
+                plane,
+                _origin_sided_plane(mid, e1, center),
+                _origin_sided_plane(mid, e2, center),
+            ))
+        else:
+            todo.append((e1, b1, mid, bm, ip1, ib1, False))
+            todo.append((mid, bm, e2, b2, ip2, ib2, False))
+    return slices
+
+
+def _sided_within_col(xyz, plane) -> Column:
+    (n, d, sig) = plane
+    ev = _dot_col(xyz, n) + F.lit(d)
+    return (ev * F.lit(sig)) > F.lit(-_EPS)
+
+
+def _sided_within_sql(xyz, plane) -> str:
+    (n, d, sig) = plane
+    return f"((({_dot_sql(xyz, n)} + {d!r}) * {sig!r}) > {-_EPS!r})"
+
+
+def geo3d_exact_circle_query(
+    df: DataFrame, qlat: float, qlon: float, radius_rad: float,
+    accuracy: float = 1e-6, lat_col: str = "lat", lon_col: str = "lon",
+    planet: str = "wgs84",
+) -> DataFrame:
+    """High-accuracy ellipsoid circle (GeoExactCircle.isWithin,
+    GeoExactCircle.java:261-270): inside ANY slice's (circle plane ∧
+    bounding plane 1 ∧ bounding plane 2). ``accuracy`` is the linear
+    plane-distance bound the slice subdivision drives to (the
+    reference's makeExactGeoCircle accuracy argument)."""
+    pm = _PLANETS[planet]
+    slices = exact_circle_slices(
+        math.radians(qlat), math.radians(qlon), radius_rad, accuracy, pm)
+    xyz = planet_point_cols(lat_col, lon_col, pm)
+    cond = None
+    for (cp, p1, p2) in slices:
+        c = (
+            _sided_within_col(xyz, cp)
+            & _sided_within_col(xyz, p1)
+            & _sided_within_col(xyz, p2)
+        )
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond)
+
+
+def exact_circle_sql(
+    qlat: float, qlon: float, radius_rad: float, accuracy: float = 1e-6,
+    lat_expr: str = "lat", lon_expr: str = "lon", planet: str = "wgs84",
+) -> str:
+    pm = _PLANETS[planet]
+    slices = exact_circle_slices(
+        math.radians(qlat), math.radians(qlon), radius_rad, accuracy, pm)
+    xyz = _sql_planet_point(lat_expr, lon_expr, pm)
+    parts = [
+        f"({_sided_within_sql(xyz, cp)} AND {_sided_within_sql(xyz, p1)}"
+        f" AND {_sided_within_sql(xyz, p2)})"
+        for (cp, p1, p2) in slices
+    ]
+    return "(" + " OR ".join(parts) + ")"

@@ -347,3 +347,50 @@ def test_degenerate_point_membership(spark):
         geo3d_degenerate_point_query(df, D(0.3), D(0.7))
     )
     assert got == [0]
+
+
+# --- TestGeoExactCircle ----------------------------------------------------
+
+
+def test_exact_circle_wgs84(spark):
+    """TestGeoExactCircle.testExactCircle: WGS84 circle (0,0) r=0.1
+    acc=1e-6 — (0,0.2) outside, (0,0) inside; pole circle (π/2,0) r=0.1
+    — (π/2−0.2,0) outside, (π/2,0) inside."""
+    from lucene_spark.search.geo3d import geo3d_exact_circle_query
+
+    df = _pts_df(spark, [(0.0, 0.2), (0.0, 0.0)])
+    got = _matched(geo3d_exact_circle_query(
+        df, D(0.0), D(0.0), radius_rad=0.1, accuracy=1e-6))
+    assert got == [1]
+    dfp = _pts_df(spark, [(PI * 0.5 - 0.2, 0.0), (PI * 0.5, 0.0)])
+    got2 = _matched(geo3d_exact_circle_query(
+        dfp, D(PI * 0.5), D(0.0), radius_rad=0.1, accuracy=1e-6))
+    assert got2 == [1]
+
+
+def test_exact_circle_agrees_with_standard_on_sphere(spark):
+    # On the SPHERE the exact circle IS the standard circle; off-boundary
+    # membership must agree (TestGeoExactCircle's construction sanity)
+    from lucene_spark.search.geo3d import geo3d_exact_circle_query
+
+    pts = [(0.3, -0.7), (0.3, -0.45), (0.52, -0.7), (0.0, 0.0),
+           (-0.3, -0.7), (0.3 + 0.249, -0.7)]
+    df = _pts_df(spark, pts)
+    exact = _matched(geo3d_exact_circle_query(
+        df, D(0.3), D(-0.7), radius_rad=0.25, accuracy=1e-9,
+        planet="sphere"))
+    std = _matched(geo3d_circle_query(
+        df, D(0.3), D(-0.7), radius_rad=0.25))
+    assert exact == std
+
+
+def test_vincenty_bearing_scale_invariance():
+    """TestGeoExactCircle.testSurfacePointOnBearingScale: the direct
+    bearing point in scaled coordinates is planet-scale invariant."""
+    from lucene_spark.search.geo3d import PlanetModel, _vincenty_direct
+
+    p1 = PlanetModel.WGS84
+    p2 = PlanetModel(0.5 * p1.a, 0.5 * p1.b)
+    n1 = _vincenty_direct(p1, 1.0, 1.0, 0.2 * PI, 0.2 * PI)
+    n2 = _vincenty_direct(p2, 1.0, 1.0, 0.2 * PI, 0.2 * PI)
+    assert abs(n1[0] - n2[0]) < 1e-12 and abs(n1[1] - n2[1]) < 1e-12
