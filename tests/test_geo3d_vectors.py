@@ -394,3 +394,26 @@ def test_vincenty_bearing_scale_invariance():
     n1 = _vincenty_direct(p1, 1.0, 1.0, 0.2 * PI, 0.2 * PI)
     n2 = _vincenty_direct(p2, 1.0, 1.0, 0.2 * PI, 0.2 * PI)
     assert abs(n1[0] - n2[0]) < 1e-12 and abs(n1[1] - n2[1]) < 1e-12
+
+
+def test_path_11956_multisegment(spark):
+    """TestGeoPath.test11956: the 5-point, 4-segment SPHERE path from a
+    real BKD failure; the raw surface point
+    (0.5543009381999603, 0.49479972312729714, 0.6692710242523532) must
+    be within (the original bug was a bounds/membership inconsistency —
+    membership itself was and is True)."""
+    verts = [
+        (-1.289777264488089, 3.0020962766211765),
+        (-1.50113114141284, 2.545709547022838),
+        (1.079898704051346, 1.7302019835278628),
+        (0.4651998030659944, -1.731044309953635),
+        (-0.058395560871481914, -1.467184843697817),
+    ]
+    x, y, z = 0.5543009381999603, 0.49479972312729714, 0.6692710242523532
+    lat = math.atan2(z, math.sqrt(x * x + y * y))
+    lon = math.atan2(y, x)
+    df = _pts_df(spark, [(lat, lon)])
+    got = _matched(geo3d_path_query(
+        df, [(D(a), D(b)) for a, b in verts],
+        width_m=1.1344640137963142 * MEAN_EARTH_RADIUS_M))
+    assert got == [0]
