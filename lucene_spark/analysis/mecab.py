@@ -30,9 +30,15 @@ Unknown-word semantics (lattice.py, both now reference-faithful):
   picks the cheapest in context (kuromoji UnknownDictionaryBuilder
   keeps all rows; the former first-row-only simplification is closed).
 
-Documented divergences:
-- char.def compatible-category lists ("0x4E00 KANJI KANJINUMERIC") keep
-  the primary category only;
+char.def compatible-category lists ("0x3007 SYMBOL KANJI KANJINUMERIC")
+keep the primary category only — this MATCHES the reference builder,
+which does characterClassName.split(" ")[0] "use first category"
+(morph/CharacterDefinitionWriter.java:61). The builder's Nakaguro
+override (codepoint 0x30FB forced to SYMBOL regardless of the mapped
+category, CharacterDefinitionWriter.java:65-68) is applied when the
+dictionary defines a SYMBOL class.
+
+Documented divergence:
 - a char.def row with GROUP=0 LENGTH=0 (no unknown candidates at all in
   MeCab) is clamped to LENGTH=1 so the lattice can never dead-end on an
   unmatched character; no real IPADIC/mecab-ko-dic ships such a row.
@@ -308,7 +314,18 @@ def load_mecab_dict(
         raise FileNotFoundError(f"no *.csv entry files in {path!r}")
     for f in csvs:
         entries.extend(parse_entries_csv(_read(f), fmt=fmt))
+    base_classify = _build_classify(ranges)
+    if "SYMBOL" in categories:
+        # Nakaguro override: the reference builder forces 0x30FB to
+        # SYMBOL whatever char.def maps it to
+        # (morph/CharacterDefinitionWriter.java:65-68)
+        def classify(ch: str) -> str:
+            if ch == "・":
+                return "SYMBOL"
+            return base_classify(ch)
+    else:
+        classify = base_classify
     return MorphDict(
-        entries, conn, classes, _build_classify(ranges),
+        entries, conn, classes, classify,
         default_conn=default_conn,
     )

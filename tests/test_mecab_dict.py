@@ -340,3 +340,35 @@ def test_unknown_template_first_row_when_connections_flip(tmp_path):
     assert [(s.surface, s.pos) for s in segs] == [
         ("abc", "名詞-一般"), ("の", "助詞-格助詞"),
     ]
+
+
+def test_char_def_compat_categories_and_nakaguro(tmp_path):
+    """Compat-category lists keep the primary (matching the reference's
+    split(' ')[0], CharacterDefinitionWriter.java:61); the Nakaguro
+    codepoint 0x30FB is forced to SYMBOL when the dictionary defines a
+    SYMBOL class (the builder's override at :65-68)."""
+    cats, ranges = parse_char_def([
+        "DEFAULT 0 1 0",
+        "SYMBOL 1 1 0",
+        "KANJI 0 0 2",
+        "KANJINUMERIC 1 1 0",
+        "0x3007 SYMBOL KANJI KANJINUMERIC",  # compat list → SYMBOL
+        "0x30FB KANJINUMERIC",               # mapped away, but overridden
+        "0x4E00..0x9FFF KANJI",
+    ])
+    assert (0x3007, 0x3007, "SYMBOL") in ranges
+    d = tmp_path / "compat"
+    d.mkdir()
+    (d / "entries.csv").write_text(
+        "の,1,1,500,助詞,格助詞,*,*,*,*,*,ノ,ノ\n", encoding="utf-8")
+    (d / "matrix.def").write_text("2 2\n0 0 0\n0 1 0\n1 0 0\n1 1 0\n",
+                                  encoding="utf-8")
+    (d / "char.def").write_text(
+        "DEFAULT 0 1 0\nSYMBOL 1 1 0\nKANJINUMERIC 1 1 0\n"
+        "0x30FB KANJINUMERIC\n", encoding="utf-8")
+    (d / "unk.def").write_text(
+        "DEFAULT,1,1,12000,記号,一般,*,*,*,*,*\n"
+        "SYMBOL,1,1,9000,記号,一般,*,*,*,*,*\n"
+        "KANJINUMERIC,1,1,9000,名詞,数,*,*,*,*,*\n", encoding="utf-8")
+    md = load_mecab_dict(str(d), fmt="ipadic")
+    assert md.char_class("・").name == "SYMBOL"
