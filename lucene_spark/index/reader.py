@@ -23,7 +23,23 @@ from .schemas import DOCMAP_COLS, KIND_BLOCK, KIND_DOC, KIND_TERM, POSTINGS_COLS
 __all__ = ["IndexReader"]
 
 
-_SAFE_SQL_TERM = None  # compiled lazily
+def _sql_term_literal(t: str) -> str:
+    """One Spark-SQL single-quoted string literal for ``t``: backslash
+    and quote use C-style escapes, ASCII control chars (e.g. the \\x1f
+    multi-field separator of field_term) use \\uXXXX — both are standard
+    Spark string-literal escape processing."""
+    out = []
+    for ch in t:
+        o = ord(ch)
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif o < 0x20 or o == 0x7F:
+            out.append(f"\\u{o:04X}")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
 
 
 def term_in_filter(col: str, terms: list[str]):
@@ -35,17 +51,23 @@ def term_in_filter(col: str, terms: list[str]):
     call at EVERY parallelism level (a scaling-efficiency constant, not
     just latency). A single F.expr string is one round-trip and parses
     JVM-side to the same In/InSet predicate with the same parquet
-    pushdown. Falls back to isin when any term needs escaping beyond
-    quote-doubling (backslashes, control chars — never produced by the
-    analyzers, but user Query objects can carry anything)."""
-    import re
+    pushdown. Multi-field term keys (``field\\x1ftoken``) and arbitrary
+    user terms are covered via string-literal escapes; the only
+    unsupported configuration is the legacy
+    ``spark.sql.parser.escapedStringLiterals=true`` mode, detected via
+    the active session and routed back to isin."""
+    try:
+        from pyspark.sql import SparkSession
 
-    global _SAFE_SQL_TERM
-    if _SAFE_SQL_TERM is None:
-        _SAFE_SQL_TERM = re.compile(r"[\\\x00-\x1f]")
-    if any(_SAFE_SQL_TERM.search(t) for t in terms):
-        return F.col(col).isin(terms)
-    quoted = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+        sess = SparkSession.getActiveSession()
+        if sess is not None and (
+            sess.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+            == "true"
+        ):
+            return F.col(col).isin(terms)
+    except Exception:
+        pass
+    quoted = ",".join(_sql_term_literal(t) for t in terms)
     return F.expr(f"`{col}` IN ({quoted})")
 
 

@@ -73,3 +73,18 @@ def test_read_webtext_adapter(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="required columns"):
         read_webtext(spark, p, require=("url", "nope"))
+
+
+def test_term_in_filter_escapes(spark):
+    # multi-field \x1f keys, quotes, backslashes and plain terms all
+    # resolve through the single parsed SQL IN expression
+    from lucene_spark.index.reader import term_in_filter
+
+    rows = [("body\x1fhello",), ("plain",), ("a'b\\c",), ("miss",)]
+    df = spark.createDataFrame(rows, "term string")
+    got = sorted(
+        r["term"] for r in df.filter(
+            term_in_filter("term", ["body\x1fhello", "plain", "a'b\\c"])
+        ).collect()
+    )
+    assert got == sorted(["body\x1fhello", "plain", "a'b\\c"])
