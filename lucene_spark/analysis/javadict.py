@@ -44,6 +44,12 @@ pin the reader against byte fixtures (and so a round trip is checkable
 without Java); they write the LINEAR arc encoding plus hand-constructed
 fixed-array nodes in tests — a real kuromoji FST exercises the same
 readArc code paths.
+
+Cluster-scale note: a real IPADIC-sized MorphDict is tens of MB of
+Python objects. Load it ONCE on the driver and ship it to executors via
+``spark.sparkContext.broadcast(mdict)``, dereferencing ``bc.value``
+inside the mapInPandas/applyInPandas function — capturing it in the UDF
+closure instead re-serializes it into every task binary.
 """
 
 from __future__ import annotations
