@@ -780,7 +780,7 @@ KO_POS_TAGS = (
     "JKB", "JKV", "JKQ", "JX", "JC", "MAG", "MAJ", "MM", "NNG", "NNP",
     "NNB", "NNBC", "NP", "NR", "SF", "SH", "SL", "SN", "SP", "SSC",
     "SSO", "SC", "SY", "SE", "VA", "VCN", "VCP", "VV", "VX", "XPN",
-    "XR", "XSA", "XSN", "XSV", "UNKNOWN",
+    "XR", "XSA", "XSN", "XSV", "UNKNOWN", "UNA", "NA", "VSV",
 )
 
 # ko/dict/CharacterDefinition.java CharacterClass enum order
