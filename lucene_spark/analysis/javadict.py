@@ -966,3 +966,273 @@ def load_lucene_nori(path: str, default_conn: int = 10000) -> MorphDict:
 
     return MorphDict(entries, conn, classes, classify,
                      default_conn=default_conn)
+
+
+# --- smartcn .mem (Java serialization) -------------------------------------
+
+_JS_MAGIC = 0xACED
+_TC_NULL = 0x70
+_TC_REFERENCE = 0x71
+_TC_CLASSDESC = 0x72
+_TC_ARRAY = 0x75
+_TC_ENDBLOCKDATA = 0x78
+_JS_BASE_HANDLE = 0x7E0000
+
+_PRIM_ARRAY_FMT = {
+    "S": "h", "C": "H", "I": "i", "J": "q",
+    "B": "b", "Z": "?", "F": "f", "D": "d",
+}
+
+
+def read_java_serialized(data: bytes) -> list:
+    """Subset Java Object Serialization reader for the array-only
+    streams smartcn's compiled dictionaries use (the format is the
+    public Java Object Serialization Stream Protocol; the smartcn
+    readers are hhmm/WordDictionary.java:151-160 — short[], char[],
+    char[][][], int[][] — and hhmm/BigramDictionary.java:91-98 —
+    long[], int[]). Supports TC_ARRAY / TC_CLASSDESC / TC_REFERENCE /
+    TC_NULL with primitive and nested arrays; returns the top-level
+    objects in stream order. char[] decodes to str."""
+    din = _Din(data)
+
+    def u2() -> int:
+        return (din.read_byte() << 8) | din.read_byte()
+
+    def u4() -> int:
+        v = 0
+        for _ in range(4):
+            v = (v << 8) | din.read_byte()
+        return v
+
+    if u2() != _JS_MAGIC or u2() != 0x0005:
+        raise ValueError("not a Java serialization stream")
+    handles: list = []
+
+    def read_class_desc():
+        tc = din.read_byte()
+        if tc == _TC_REFERENCE:
+            return handles[u4() - _JS_BASE_HANDLE]
+        if tc == _TC_NULL:
+            return None
+        if tc != _TC_CLASSDESC:
+            raise ValueError(f"unsupported classDesc tag {tc:#x}")
+        name_len = u2()
+        name = din.read_bytes(name_len).decode("utf-8")
+        din.read_bytes(8)  # serialVersionUID
+        desc = {"name": name}
+        handles.append(desc)
+        din.read_byte()  # flags (SC_SERIALIZABLE)
+        n_fields = u2()
+        if n_fields != 0:
+            raise ValueError("only array classDescs supported")
+        if din.read_byte() != _TC_ENDBLOCKDATA:
+            raise ValueError("expected classAnnotation end")
+        desc["super"] = read_class_desc()
+        return desc
+
+    def read_content():
+        tc = din.read_byte()
+        if tc == _TC_NULL:
+            return None
+        if tc == _TC_REFERENCE:
+            return handles[u4() - _JS_BASE_HANDLE]
+        if tc != _TC_ARRAY:
+            raise ValueError(f"unsupported content tag {tc:#x}")
+        desc = read_class_desc()
+        name = desc["name"]
+        if not name.startswith("["):
+            raise ValueError(f"not an array class: {name!r}")
+        size = u4()
+        elem = name[1]
+        if elem == "[":  # array of arrays
+            arr: list = []
+            handles.append(arr)
+            for _ in range(size):
+                arr.append(read_content())
+            return arr
+        if elem in _PRIM_ARRAY_FMT:
+            code = _PRIM_ARRAY_FMT[elem]
+            width = struct.calcsize(">" + code)
+            raw = din.read_bytes(size * width)
+            arr = list(struct.unpack(f">{size}{code}", raw))
+            if elem == "C":
+                arr = "".join(chr(c) for c in arr)  # char[] as str
+            handles.append(arr)
+            return arr
+        raise ValueError(f"unsupported element type {elem!r}")
+
+    out = []
+    while din.pos < len(data):
+        out.append(read_content())
+    return out
+
+
+def load_smartcn_coredict_mem(path: str) -> dict[str, int]:
+    """The packaged ``coredict.mem`` → {word: frequency}, the shape
+    ``smart_chinese_analyze(dicts=(words, bigrams))`` consumes.
+
+    Layout (WordDictionary.java): charIndexTable[slot] holds a word's
+    FIRST char at its double-hash slot (NUL = empty slot);
+    wordIndexTable[slot] is the row into wordItem_charArrayTable /
+    wordItem_frequencyTable, whose entries are the word SUFFIXES (word
+    minus first char, empty = the single-char word) with parallel
+    frequencies — so word = first char + suffix."""
+    with open(path, "rb") as fh:
+        objs = read_java_serialized(fh.read())
+    word_index, char_index, char_tables, freq_tables = objs[:4]
+    words: dict[str, int] = {}
+    for slot, first in enumerate(char_index):
+        if ord(first) == 0:
+            continue
+        row = word_index[slot]
+        if row < 0 or row >= len(char_tables):
+            continue
+        suffixes = char_tables[row]
+        freqs = freq_tables[row]
+        if suffixes is None or freqs is None:
+            continue
+        for j, suffix in enumerate(suffixes):
+            if suffix is None:
+                continue
+            words[first + suffix] = freqs[j]
+    return words
+
+
+def _j64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _jmod(a: int, b: int) -> int:
+    # Java % keeps the dividend's sign
+    r = abs(a) % b
+    return -r if a < 0 else r
+
+
+def _fnv1_64(s: str) -> int:
+    """AbstractDictionary.hash1(char[]): 64-bit FNV over the chars'
+    low/high bytes, Java long wraparound, NO final avalanche
+    (AbstractDictionary.java:143-158)."""
+    p = 1099511628211
+    h = 0xCBF29CE484222325
+    for ch in s:
+        o = ord(ch)
+        h = ((h ^ (o & 0xFF)) * p) & ((1 << 64) - 1)
+        h = ((h ^ (o >> 8)) * p) & ((1 << 64) - 1)
+    return _j64(h)
+
+
+def _djb2_quirk(s: str) -> int:
+    """AbstractDictionary.hash2(char[]) (:188-199) — REPRODUCING the
+    Java operator precedence exactly: '... + d & 0x00FF' masks the
+    WHOLE sum, '... + d >> 8' shifts the WHOLE sum."""
+    h = 5381
+    for ch in s:
+        o = ord(ch)
+        h = (h * 33 + (o & 0xFFFF)) & 0xFF          # (+ d) & 0x00FF
+        h = (h * 33 + (o & 0xFFFF)) >> 8            # (+ d) >> 8
+    return h
+
+
+_PRIME_BIGRAM_LENGTH = 402137
+
+
+class SmartcnBigramMem:
+    """``bigramdict.mem`` adapter with the dict-like ``.get`` the HHMM
+    segmenter uses. The file stores only the 64-bit FNV hash of each
+    bigram (BigramDictionary.java:94-95), so bigram STRINGS cannot be
+    enumerated — lookups replay the double-hash open-addressing probe
+    (getBigramItemIndex, BigramDictionary.java:227-247)."""
+
+    def __init__(self, hash_table: list[int], freq_table: list[int]):
+        self.hash_table = hash_table
+        self.freq_table = freq_table
+
+    def get(self, key: str, default=None):
+        hash_id = _fnv1_64(key)
+        h1 = _jmod(hash_id, _PRIME_BIGRAM_LENGTH)
+        h2 = _jmod(_djb2_quirk(key), _PRIME_BIGRAM_LENGTH)
+        if h1 < 0:
+            h1 += _PRIME_BIGRAM_LENGTH
+        if h2 < 0:
+            h2 += _PRIME_BIGRAM_LENGTH
+        index = h1
+        i = 1
+        while (self.hash_table[index] != 0
+               and self.hash_table[index] != hash_id
+               and i < _PRIME_BIGRAM_LENGTH):
+            index = (h1 + i * h2) % _PRIME_BIGRAM_LENGTH
+            i += 1
+        if i < _PRIME_BIGRAM_LENGTH and self.hash_table[index] == hash_id:
+            f = self.freq_table[index]
+            return f if f != 0 else default
+        return default
+
+
+def load_smartcn_bigram_mem(path: str) -> SmartcnBigramMem:
+    with open(path, "rb") as fh:
+        objs = read_java_serialized(fh.read())
+    return SmartcnBigramMem(objs[0], objs[1])
+
+
+def write_java_serialized_arrays(objs: list) -> bytes:
+    """Fixture twin of the subset reader: serializes strings (char[]),
+    ('S'|'C'|'I'|'J', values) tuples (primitive arrays), nested lists
+    (object arrays) and None, with stream-order handle assignment."""
+    out = bytearray()
+    out.extend(struct.pack(">HH", _JS_MAGIC, 0x0005))
+    handles: dict = {}
+
+    def write_class_desc(name: str):
+        if name in handles:
+            out.append(_TC_REFERENCE)
+            out.extend(struct.pack(">i", handles[name]))
+            return
+        out.append(_TC_CLASSDESC)
+        enc = name.encode("utf-8")
+        out.extend(struct.pack(">H", len(enc)))
+        out.extend(enc)
+        out.extend(bytes(8))  # serialVersionUID (reader skips it)
+        handles[name] = _JS_BASE_HANDLE + len(handles)
+        out.append(0x02)  # SC_SERIALIZABLE
+        out.extend(struct.pack(">H", 0))
+        out.append(_TC_ENDBLOCKDATA)
+        out.append(_TC_NULL)
+
+    def type_of(obj) -> str:
+        if isinstance(obj, str):
+            return "[C"
+        if isinstance(obj, tuple):
+            return "[" + obj[0]
+        inner = next((e for e in obj if e is not None), None)
+        if inner is None:
+            raise ValueError("cannot type an all-null array")
+        return "[" + type_of(inner)
+
+    def write_content(obj):
+        if obj is None:
+            out.append(_TC_NULL)
+            return
+        name = type_of(obj)
+        out.append(_TC_ARRAY)
+        write_class_desc(name)
+        handles[id(obj)] = _JS_BASE_HANDLE + len(handles)
+        if isinstance(obj, str):
+            out.extend(struct.pack(">i", len(obj)))
+            for ch in obj:
+                out.extend(struct.pack(">H", ord(ch)))
+            return
+        if isinstance(obj, tuple):
+            kind, vals = obj
+            code = _PRIM_ARRAY_FMT[kind]
+            out.extend(struct.pack(">i", len(vals)))
+            for v in vals:
+                out.extend(struct.pack(">" + code, v))
+            return
+        out.extend(struct.pack(">i", len(obj)))
+        for e in obj:
+            write_content(e)
+
+    for o in objs:
+        write_content(o)
+    return bytes(out)

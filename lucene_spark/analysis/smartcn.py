@@ -500,3 +500,28 @@ def load_dicts_dir(path: str) -> tuple[dict[str, int], dict[str, int]]:
         if not os.path.exists(p):
             raise FileNotFoundError(f"smartcn dictionary dir missing {p}")
     return load_word_dct(core), load_bigram_dct(bigram)
+
+
+def load_mem_dir(path: str):
+    """Mount the Lucene-PACKAGED compiled smartcn dictionaries (the
+    Java-serialized ``coredict.mem`` / ``bigramdict.mem`` inside the
+    smartcn jar — closing the round-4 'compiled .mem stays unparsed'
+    gap via analysis/javadict.py's serialization-subset reader).
+
+    ``coredict.mem`` is required. ``bigramdict.mem`` is optional (the
+    jar ships only coredict.mem): it stores only bigram HASHES, so it
+    mounts as a probe-on-lookup adapter rather than a dict; when absent
+    the bigram frequencies are 0 and the HHMM smoothing still segments
+    (the reference's own Viterbi does the same for unseen bigrams).
+    Returns (words, bigrams) for ``smart_chinese_analyze(dicts=...)``."""
+    from .javadict import load_smartcn_bigram_mem, load_smartcn_coredict_mem
+
+    core = os.path.join(path, "coredict.mem")
+    if not os.path.exists(core):
+        raise FileNotFoundError(f"smartcn .mem dir missing {core}")
+    words = load_smartcn_coredict_mem(core)
+    bigram = os.path.join(path, "bigramdict.mem")
+    bigrams = (
+        load_smartcn_bigram_mem(bigram) if os.path.exists(bigram) else {}
+    )
+    return words, bigrams

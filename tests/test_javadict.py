@@ -509,3 +509,69 @@ def test_real_nori_binary_dir():
     d = load_lucene_nori(_KO_REAL)
     toks = [t.term for t in korean_analyze("한국은 대단한 나라입니다", mdict=d)]
     assert toks
+
+
+# --- smartcn .mem (Java serialization subset) -----------------------------
+
+from lucene_spark.analysis.javadict import (  # noqa: E402
+    SmartcnBigramMem,
+    _fnv1_64,
+    _djb2_quirk,
+    _jmod,
+    _PRIME_BIGRAM_LENGTH,
+    read_java_serialized,
+    write_java_serialized_arrays,
+)
+
+
+def test_java_serialization_roundtrip():
+    objs = [
+        ("S", [1, -2, 300]),
+        "héllo",                       # char[]
+        [["ab", None, "c"], None],     # char[][][] with nulls
+        [("I", [7, 8]), ("I", [9])],   # int[][]
+        ("J", [0, -1, 2**62]),         # long[]
+    ]
+    got = read_java_serialized(write_java_serialized_arrays(objs))
+    assert got[0] == [1, -2, 300]
+    assert got[1] == "héllo"
+    assert got[2] == [["ab", None, "c"], None]
+    assert got[3] == [[7, 8], [9]]
+    assert got[4] == [0, -1, 2**62]
+
+
+def test_java_serialization_rejects_garbage():
+    with pytest.raises(ValueError, match="not a Java serialization"):
+        read_java_serialized(b"\x00\x01\x02\x03")
+
+
+def test_bigram_mem_probe_fixture():
+    """Build a bigram hash table exactly the way BigramDictionary's
+    loader does (double-hash open addressing over the FNV id), then
+    verify the probe-on-lookup adapter finds planted keys and misses
+    others."""
+    table = [0] * _PRIME_BIGRAM_LENGTH
+    freq = [0] * _PRIME_BIGRAM_LENGTH
+    planted = {"中国@人民": 42, "道具@和": 7, "a@b": 13}
+    for key, f in planted.items():
+        hash_id = _fnv1_64(key)
+        h1 = _jmod(hash_id, _PRIME_BIGRAM_LENGTH)
+        h2 = _jmod(_djb2_quirk(key), _PRIME_BIGRAM_LENGTH)
+        if h1 < 0:
+            h1 += _PRIME_BIGRAM_LENGTH
+        if h2 < 0:
+            h2 += _PRIME_BIGRAM_LENGTH
+        index = h1
+        i = 1
+        while table[index] != 0:
+            index = (h1 + i * h2) % _PRIME_BIGRAM_LENGTH
+            i += 1
+        table[index] = hash_id
+        freq[index] = f
+    data = write_java_serialized_arrays([("J", table), ("I", freq)])
+    got = read_java_serialized(data)
+    bm = SmartcnBigramMem(got[0], got[1])
+    for key, f in planted.items():
+        assert bm.get(key, 0) == f
+    assert bm.get("missing@pair", 0) == 0
+    assert bm.get("中国@服装") is None

@@ -172,3 +172,37 @@ def test_real_ko_pos_and_unknown():
             buf, wid, unk_pos, "")
         assert pos in KO_POS_TAGS
         assert -32768 <= cost <= 32767
+
+
+_ZH = ("/root/reference/lucene/analysis/smartcn/src/resources/"
+       "org/apache/lucene/analysis/cn/smart/hhmm")
+
+zh_mounted = pytest.mark.skipif(
+    not os.path.isdir(_ZH), reason="reference smartcn resources absent")
+
+
+@zh_mounted
+def test_real_smartcn_coredict_mem():
+    """The REAL Lucene-shipped coredict.mem (Java serialization)
+    deserializes into the word dictionary, and the HHMM chain over it
+    reproduces TestSmartChineseAnalyzer.testChineseAnalyzer's expected
+    segmentation exactly."""
+    from lucene_spark.analysis.javadict import load_smartcn_coredict_mem
+    from lucene_spark.analysis.smartcn import smart_chinese_analyze
+
+    words = load_smartcn_coredict_mem(os.path.join(_ZH, "coredict.mem"))
+    assert len(words) > 70_000
+    assert words["中国"] > 10_000  # a high-frequency word
+    assert all(f >= 0 for f in list(words.values())[:1000])
+    toks = [t.term for t in
+            smart_chinese_analyze("我购买了道具和服装。", dicts=(words, {}))]
+    assert toks == ["我", "购买", "了", "道具", "和", "服装"]
+
+
+@zh_mounted
+def test_real_smartcn_mem_dir_mount():
+    from lucene_spark.analysis.smartcn import load_mem_dir
+
+    words, bigrams = load_mem_dir(_ZH)  # bigramdict.mem absent in repo
+    assert len(words) > 70_000
+    assert bigrams == {}
