@@ -76,9 +76,21 @@ _ID_UNK = 8
 
 # JapaneseAnalyzer stoptags.txt top-level classes (subset: the particle /
 # auxiliary / symbol / filler families that file drops)
-DEFAULT_STOP_TAGS = frozenset(
-    {"助詞", "助動詞", "記号", "フィラー", "その他", "非言語音", "語断片"}
-)
+# The exact active entries of the reference's default stoptags.txt
+# (analysis/kuromoji/src/resources/.../ja/stoptags.txt — JapaneseAnalyzer's
+# DEFAULT_STOP_TAGS; pinned against the real file in
+# tests/test_javadict_real.py). Both coarse tags (助詞 stops every
+# sub-tag via the top-component match below) and the fine tags are
+# listed, as in the file.
+DEFAULT_STOP_TAGS = frozenset({
+    "接続詞", "助詞", "助詞-格助詞", "助詞-格助詞-一般", "助詞-格助詞-引用",
+    "助詞-格助詞-連語", "助詞-接続助詞", "助詞-係助詞", "助詞-副助詞",
+    "助詞-間投助詞", "助詞-並立助詞", "助詞-終助詞",
+    "助詞-副助詞／並立助詞／終助詞", "助詞-連体化", "助詞-副詞化",
+    "助詞-特殊", "助動詞", "記号", "記号-一般", "記号-読点", "記号-句点",
+    "記号-空白", "記号-括弧開", "記号-括弧閉", "その他-間投", "フィラー",
+    "非言語音",
+})
 
 _POS_NOUN = "名詞-一般"
 _POS_PROPER = "名詞-固有名詞"
@@ -338,9 +350,14 @@ def japanese_analyze(
                 flat.append((s.start, s.end, s.surface, s.pos, base))
         def _filter(term: str, pos_tag: str) -> str | None:
             """POS-stop → katakana stem → lowercase → stopword; None =
-            dropped (the caller decides whether the position advances)."""
-            top = pos_tag.split("-", 1)[0]
-            if top in stop_tags or pos_tag in stop_tags:
+            dropped (the caller decides whether the position advances).
+            The POS stop is an EXACT full-tag match, like the
+            reference's JapanesePartOfSpeechStopFilter
+            (stopTags.contains(partOfSpeech)) — the default tag set
+            enumerates each sub-tag explicitly, so 記号-アルファベット
+            style tags NOT in the set survive even though their coarse
+            prefix is listed."""
+            if pos_tag in stop_tags:
                 return None
             # JapaneseKatakanaStemFilter: all-katakana len>=4, strip ー
             if (

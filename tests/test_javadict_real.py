@@ -206,3 +206,65 @@ def test_real_smartcn_mem_dir_mount():
     words, bigrams = load_mem_dir(_ZH)  # bigramdict.mem absent in repo
     assert len(words) > 70_000
     assert bigrams == {}
+
+
+# --- real stempel table / ja stoptags / ja stopwords -----------------------
+
+_PL_TBL = ("/root/reference/lucene/analysis/stempel/src/resources/"
+           "org/apache/lucene/analysis/pl/stemmer_20000.tbl")
+_JA_STOPTAGS = ("/root/reference/lucene/analysis/kuromoji/src/resources/"
+                "org/apache/lucene/analysis/ja/stoptags.txt")
+
+pl_mounted = pytest.mark.skipif(
+    not os.path.exists(_PL_TBL), reason="reference stempel table absent")
+tags_mounted = pytest.mark.skipif(
+    not os.path.exists(_JA_STOPTAGS), reason="reference stoptags absent")
+
+
+@pl_mounted
+def test_real_stempel_table_stems():
+    """The REAL 2.2MB egothor stemmer table loads (MultiTrie2), the
+    byte serializer round-trips it, and the stems the reference's own
+    TestPolishAnalyzer asserts (studenta/studenci → student) come out of
+    the full chain with the real stopword file (był stopped)."""
+    from lucene_spark.analysis.stempel import (
+        load_stemmer_table, polish_analyze, save_stemmer_table,
+        stempel_stem,
+    )
+
+    with open(_PL_TBL, "rb") as fh:
+        raw = fh.read()
+    table = load_stemmer_table(raw)
+    assert type(table).__name__ == "MultiTrie2"
+    assert stempel_stem("studenta", table) == "student"
+    assert stempel_stem("studenci", table) == "student"
+    assert stempel_stem("kotem", table) == "kot"
+    assert stempel_stem("domami", table) == "dom"
+    # byte round-trip through this repo's serializer
+    t2 = load_stemmer_table(save_stemmer_table(table))
+    assert stempel_stem("studenci", t2) == "student"
+    stop = set()
+    stops_path = os.path.join(os.path.dirname(_PL_TBL), "stopwords.txt")
+    with open(stops_path, encoding="utf-8") as fh:
+        for line in fh:
+            w = line.split("|")[0].strip()
+            if w:
+                stop.add(w)
+    toks = [t.term for t in polish_analyze(
+        "studenta studenci był", stopwords=frozenset(stop), table=table)]
+    assert toks == ["student", "student"]
+
+
+@tags_mounted
+def test_default_stop_tags_match_reference_file():
+    """ja.DEFAULT_STOP_TAGS is exactly the active entry set of the
+    reference's default stoptags.txt (JapaneseAnalyzer's default)."""
+    from lucene_spark.analysis.ja import DEFAULT_STOP_TAGS
+
+    want = set()
+    with open(_JA_STOPTAGS, encoding="utf-8") as fh:
+        for line in fh:
+            tag = line.split("#")[0].strip()
+            if tag:
+                want.add(tag)
+    assert DEFAULT_STOP_TAGS == frozenset(want)
