@@ -111,12 +111,26 @@ def galician_analyze(
     text: str,
     stopwords: frozenset[str] | None = None,
     max_token_length: int = MAX_TOKEN_LENGTH,
+    rslp_steps=None,
 ) -> list[Token]:
+    """``rslp_steps`` (from ``rslp.load_rslp`` over a mounted
+    galician.rslp) switches the stemmer to the FULL RSLP
+    GalicianStemFilter — GalicianAnalyzer's actual default; the rule
+    file is Lucene resource data this repo loads but does not ship.
+    Without it the chain uses GalicianMinimalStemFilter (the plural-only
+    public variant, the gate row's documented subject)."""
     out: list[Token] = []
     for tok in _standard_analyze(
         text, stopwords=None, max_token_length=max_token_length
     ):
-        t = galician_term(tok.term, stopwords)
+        if rslp_steps is not None:
+            if stopwords and tok.term in stopwords:
+                continue
+            from .rslp import galician_stem
+
+            t = galician_stem(tok.term, rslp_steps)
+        else:
+            t = galician_term(tok.term, stopwords)
         if t is None:
             continue
         out.append(Token(t, tok.position, tok.start, tok.end, tok.type))

@@ -136,12 +136,25 @@ def portuguese_analyze(
     text: str,
     stopwords: frozenset[str] | None = None,
     max_token_length: int = MAX_TOKEN_LENGTH,
+    rslp_steps=None,
 ) -> list[Token]:
+    """Default: PortugueseLightStemFilter (the PortugueseAnalyzer
+    default). ``rslp_steps`` (from ``rslp.load_rslp`` over a mounted
+    portuguese.rslp) switches to the full RSLP PortugueseStemFilter —
+    verified stem-for-stem against the reference's own 32,016-entry
+    ptrslptestdata vocabulary (tests/test_rslp_real.py)."""
     out: list[Token] = []
     for tok in _standard_analyze(
         text, stopwords=None, max_token_length=max_token_length
     ):
-        t = portuguese_term(tok.term, stopwords)
+        if rslp_steps is not None:
+            if stopwords and tok.term in stopwords:
+                continue
+            from .rslp import portuguese_stem
+
+            t = portuguese_stem(tok.term, rslp_steps)
+        else:
+            t = portuguese_term(tok.term, stopwords)
         if t is None:
             continue
         out.append(Token(t, tok.position, tok.start, tok.end, tok.type))
